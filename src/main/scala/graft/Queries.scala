@@ -1,0 +1,473 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.clean.CleaningAction
+import graft.io.Sources
+import graft.model.Mission
+import graft.profile.Profiler
+import graft.score.Quality
+
+/** The driver-facing query suite: every operator from SURVEY §2 exercised
+  * on the driver's parquet fixtures, each with a DuckDB-equivalent oracle
+  * SQL (see `oracle`).
+  *
+  * The fixtures are defect-free, so cleaning queries first inject defects
+  * DETERMINISTICALLY (key-modulo rules) — the exact same injection is
+  * written into the oracle SQL, so Spark and DuckDB clean the same dirt.
+  *
+  * Cross-engine float discipline (applies to every oracle pair):
+  *   - money sums go through `cast(x as decimal(18,2))` — decimal addition
+  *     is exact and order-independent, then one final cast to double;
+  *   - means are sum(decimal)/count, never engine `avg` (summation order);
+  *   - medians/quantiles only on value grids where linear interpolation is
+  *     exact (integers, 2-dp prices rounded to a 4-dp output grid);
+  *   - timestamps are rendered to strings before comparison.
+  */
+object Queries {
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "orders")
+
+  /** Deterministic dirt over lineitem: nulls in qty/flag on orderkey%7,
+    * 50x price outliers on orderkey%997, mixed-format date strings on
+    * orderkey%3 (one third unparseable). */
+  private def dirty(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    l.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("l_quantity")).as("qty"),
+      when(col("l_orderkey") % 997 === 0, col("l_extendedprice") * 50)
+        .otherwise(col("l_extendedprice")).as("price"),
+      when(col("l_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("l_returnflag")).as("flag"),
+      when(col("l_orderkey") % 3 === 0, date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .when(col("l_orderkey") % 3 === 1, date_format(col("l_shipdate"), "dd/MM/yyyy"))
+        .otherwise(concat(lit("bad-"), date_format(col("l_shipdate"), "yyyy-MM-dd")))
+        .as("ship_str"))
+  }
+
+  /** The same dirt in DuckDB SQL, shared by the oracle strings. */
+  private val dirtySql: String =
+    """dirty AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty,
+      |    CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 50 ELSE l_extendedprice END AS price,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_returnflag END AS flag,
+      |    CASE l_orderkey % 3
+      |      WHEN 0 THEN strftime(l_shipdate, '%Y-%m-%d')
+      |      WHEN 1 THEN strftime(l_shipdate, '%d/%m/%Y')
+      |      ELSE 'bad-' || strftime(l_shipdate, '%Y-%m-%d') END AS ship_str
+      |  FROM lineitem)""".stripMargin
+
+  /** DuckDB mirror of Profiler.lenientParseDate's format whitelist. */
+  private def parseSql(c: String): String =
+    Seq("%Y-%m-%d", "%d/%m/%Y", "%m/%d/%Y", "%Y/%m/%d", "%d-%m-%Y", "%Y%m%d",
+        "%Y-%m-%d %H:%M:%S")
+      .map(f => s"try_strptime($c, '$f')").mkString("coalesce(", ", ", ")")
+
+  /** Exact order-independent money sum, rendered as double (see scaladoc). */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+  private def moneySumSql(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private val zMask: Column = {
+    val z = abs((col("price") - col("__m")) / col("__s"))
+    col("__s") > 0 && z > lit(3.0)
+  }
+  private def withPriceStats(d: DataFrame): DataFrame = {
+    val st = d.agg(avg(col("price")).as("__m"), stddev_pop(col("price")).as("__s"))
+    d.crossJoin(broadcast(st))
+  }
+  private val statsSql =
+    "st AS (SELECT avg(price) pm, stddev_pop(price) ps FROM dirty)"
+  private val zMaskSql = "(ps > 0 AND abs((price - pm) / ps) > 3.0)"
+
+  // ------------------------------------------------------------------
+  // P1 — column profiler
+  // ------------------------------------------------------------------
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val profs = Profiler.profile(dirty(s, dir)
+      .select("qty", "price", "flag", "ship_str"), exact = true)
+    s.createDataFrame(profs.map(p => (p.column, p.nNull, p.nDistinct)))
+      .toDF("column_name", "n_null", "n_distinct")
+  }
+  private val qProfileSql =
+    s"""WITH $dirtySql
+       |SELECT 'qty' AS column_name, count(*) - count(qty) AS n_null, count(DISTINCT qty) AS n_distinct FROM dirty
+       |UNION ALL SELECT 'price', count(*) - count(price), count(DISTINCT price) FROM dirty
+       |UNION ALL SELECT 'flag', count(*) - count(flag), count(DISTINCT flag) FROM dirty
+       |UNION ALL SELECT 'ship_str', count(*) - count(ship_str), count(DISTINCT ship_str) FROM dirty""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P6 — mission generator (flagship; composes P2+P4+P5+null detection)
+  // ------------------------------------------------------------------
+  private[graft] def qMissions(s: SparkSession, dir: String): DataFrame = {
+    val ms = Profiler.detectMissions(dirty(s, dir))
+    val rows = ms.map {
+      case Mission.Outlier(c, n)   => ("outlier", c, n)
+      case Mission.Nulls(c, n)     => ("null", c, n)
+      case Mission.Duplicates(n)   => ("duplicate", null: String, n)
+      case Mission.DateMixed(c, n) => ("date_mixed", c, n)
+    }
+    s.createDataFrame(rows).toDF("mission_type", "column_name", "cnt")
+  }
+  private val qMissionsSql =
+    s"""WITH $dirtySql,
+       |st2 AS (SELECT avg(l_orderkey) om, stddev_pop(l_orderkey) os,
+       |               avg(l_linenumber) lm, stddev_pop(l_linenumber) ls,
+       |               avg(qty) qm, stddev_pop(qty) qs,
+       |               avg(price) pm, stddev_pop(price) ps FROM dirty),
+       |par AS (SELECT
+       |  count(CASE WHEN ${parseSql("flag")} IS NOT NULL THEN 1 END) fp,
+       |  count(CASE WHEN ${parseSql("ship_str")} IS NOT NULL THEN 1 END) sp,
+       |  count(*) tot FROM dirty),
+       |m AS (
+       |  SELECT 'outlier' AS mission_type, 'l_orderkey' AS column_name,
+       |    (SELECT count(*) FROM dirty, st2 WHERE os > 0 AND abs((l_orderkey - om) / os) > 3.0) AS cnt
+       |  UNION ALL SELECT 'outlier', 'l_linenumber',
+       |    (SELECT count(*) FROM dirty, st2 WHERE ls > 0 AND abs((l_linenumber - lm) / ls) > 3.0)
+       |  UNION ALL SELECT 'outlier', 'qty',
+       |    (SELECT count(*) FROM dirty, st2 WHERE qs > 0 AND abs((qty - qm) / qs) > 3.0)
+       |  UNION ALL SELECT 'outlier', 'price',
+       |    (SELECT count(*) FROM dirty, st2 WHERE ps > 0 AND abs((price - pm) / ps) > 3.0)
+       |  UNION ALL SELECT 'null', 'qty', (SELECT count(*) - count(qty) FROM dirty)
+       |  UNION ALL SELECT 'null', 'flag', (SELECT count(*) - count(flag) FROM dirty)
+       |  UNION ALL SELECT 'duplicate', NULL,
+       |    (SELECT count(*) FROM dirty) - (SELECT count(*) FROM (SELECT DISTINCT * FROM dirty))
+       |  UNION ALL SELECT 'date_mixed', 'flag',
+       |    (SELECT CASE WHEN fp > 0 AND fp < tot THEN tot - fp ELSE 0 END FROM par)
+       |  UNION ALL SELECT 'date_mixed', 'ship_str',
+       |    (SELECT CASE WHEN sp > 0 AND sp < tot THEN tot - sp ELSE 0 END FROM par))
+       |SELECT mission_type, column_name, CAST(cnt AS BIGINT) AS cnt FROM m WHERE cnt > 0""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P2 — duplicate counting (single shuffle)
+  // ------------------------------------------------------------------
+  private def qDupCount(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_distinct_rows"),
+        sum(col("c") - 1).as("n_dup_rows"))
+  private val qDupCountSql =
+    """WITH g AS (SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem GROUP BY 1, 2)
+      |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct_rows,
+      |       CAST(sum(c - 1) AS BIGINT) AS n_dup_rows FROM g""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P4/T1-T4 — z-score outliers
+  // ------------------------------------------------------------------
+  private def qOutlierDetect(s: SparkSession, dir: String): DataFrame =
+    withPriceStats(dirty(s, dir)).filter(zMask)
+      .select(col("l_orderkey"), col("l_linenumber"), col("price"))
+  private val qOutlierDetectSql =
+    s"""WITH $dirtySql, $statsSql
+       |SELECT l_orderkey, l_linenumber, price FROM dirty, st WHERE $zMaskSql""".stripMargin
+
+  private def qOutlierRemove(s: SparkSession, dir: String): DataFrame =
+    withPriceStats(dirty(s, dir)).filter(!coalesce(zMask, lit(false)))
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("price")).as("sum_price"))
+  private val qOutlierRemoveSql =
+    s"""WITH $dirtySql, $statsSql
+       |SELECT count(*) AS n_rows, ${moneySumSql("price")} AS sum_price
+       |FROM dirty, st WHERE NOT coalesce($zMaskSql, false)""".stripMargin
+
+  /** T2: median over NON-outlier rows only (app.py:256). qty/price grids
+    * make interpolation exact; output median on a 4-dp grid. */
+  private def qOutlierReplaceMedian(s: SparkSession, dir: String): DataFrame = {
+    val d = withPriceStats(dirty(s, dir))
+    val keep = d.filter(!coalesce(zMask, lit(false)))
+    val med = keep.agg(median(col("price"))).head().getDouble(0)
+    d.agg(
+      count(when(zMask, 1)).as("n_replaced"),
+      round(lit(med), 4).as("median_value"),
+      moneySum(when(zMask, lit(med)).otherwise(col("price"))).as("sum_after"))
+  }
+  private val qOutlierReplaceMedianSql =
+    s"""WITH $dirtySql, $statsSql,
+       |med AS (SELECT median(price) v FROM dirty, st WHERE NOT coalesce($zMaskSql, false))
+       |SELECT count(CASE WHEN $zMaskSql THEN 1 END) AS n_replaced,
+       |       round((SELECT v FROM med), 4) AS median_value,
+       |       ${moneySumSql(s"CASE WHEN $zMaskSql THEN (SELECT v FROM med) ELSE price END")} AS sum_after
+       |FROM dirty, st""".stripMargin
+
+  /** T3: mean over non-outlier rows — computed as exact decimal sum / count
+    * in BOTH engines (identical double), never engine avg. */
+  private def qOutlierReplaceMean(s: SparkSession, dir: String): DataFrame = {
+    val d = withPriceStats(dirty(s, dir))
+    val keep = d.filter(!coalesce(zMask, lit(false)))
+    val r = keep.agg(moneySum(col("price")).as("s"), count(lit(1)).as("n")).head()
+    val mean = r.getDouble(0) / r.getLong(1)
+    d.agg(
+      count(when(zMask, 1)).as("n_replaced"),
+      round(lit(mean), 4).as("mean_value"),
+      moneySum(when(zMask, lit(mean)).otherwise(col("price"))).as("sum_after"))
+  }
+  private val qOutlierReplaceMeanSql =
+    s"""WITH $dirtySql, $statsSql,
+       |mn AS (SELECT ${moneySumSql("price")} / count(*) v FROM dirty, st WHERE NOT coalesce($zMaskSql, false))
+       |SELECT count(CASE WHEN $zMaskSql THEN 1 END) AS n_replaced,
+       |       round((SELECT v FROM mn), 4) AS mean_value,
+       |       ${moneySumSql(s"CASE WHEN $zMaskSql THEN (SELECT v FROM mn) ELSE price END")} AS sum_after
+       |FROM dirty, st""".stripMargin
+
+  /** T4: clip to [q01, q99] — quantiles over ALL rows (app.py:268-269),
+    * clipped values re-rounded to cents before the exact sum. */
+  private def qOutlierClip(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir)
+    val r = d.agg(percentile(col("price"), lit(0.01)),
+      percentile(col("price"), lit(0.99))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val clipped = greatest(least(col("price"), lit(hi)), lit(lo))
+    d.agg(
+      count(when(col("price") < lo || col("price") > hi, 1)).as("n_clipped"),
+      round(lit(lo), 4).as("q01"), round(lit(hi), 4).as("q99"),
+      moneySum(round(clipped, 2)).as("sum_clipped"))
+  }
+  private val qOutlierClipSql =
+    s"""WITH $dirtySql,
+       |q AS (SELECT quantile_cont(price, 0.01) lo, quantile_cont(price, 0.99) hi FROM dirty)
+       |SELECT count(CASE WHEN price < lo OR price > hi THEN 1 END) AS n_clipped,
+       |       round(any_value(lo), 4) AS q01, round(any_value(hi), 4) AS q99,
+       |       ${moneySumSql("round(greatest(least(price, hi), lo), 2)")} AS sum_clipped
+       |FROM dirty, q""".stripMargin
+
+  // ------------------------------------------------------------------
+  // T5-T8 — null handling
+  // ------------------------------------------------------------------
+  private def qNullDrop(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.NullDrop("qty")(dirty(s, dir))
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("qty")).as("sum_qty"))
+  private val qNullDropSql =
+    s"""WITH $dirtySql
+       |SELECT count(*) AS n_rows, ${moneySumSql("qty")} AS sum_qty
+       |FROM dirty WHERE qty IS NOT NULL""".stripMargin
+
+  private def qImputeMedian(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir)
+    val filled = CleaningAction.NullImputeMedian("qty")(d)
+    val nNull = d.filter(col("qty").isNull).count()
+    filled.agg(
+      lit(nNull).as("n_filled"),
+      count(when(col("qty").isNull, 1)).as("nulls_after"),
+      moneySum(col("qty")).as("sum_qty"))
+  }
+  private val qImputeMedianSql =
+    s"""WITH $dirtySql, med AS (SELECT median(qty) v FROM dirty)
+       |SELECT (SELECT count(*) - count(qty) FROM dirty) AS n_filled,
+       |       count(CASE WHEN coalesce(qty, (SELECT v FROM med)) IS NULL THEN 1 END) AS nulls_after,
+       |       ${moneySumSql("coalesce(qty, (SELECT v FROM med))")} AS sum_qty
+       |FROM dirty""".stripMargin
+
+  private def qImputeMode(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.NullImputeMode("flag")(dirty(s, dir))
+      .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
+  private val qImputeModeSql =
+    s"""WITH $dirtySql,
+       |m AS (SELECT flag FROM dirty WHERE flag IS NOT NULL
+       |      GROUP BY flag ORDER BY count(*) DESC, flag ASC LIMIT 1)
+       |SELECT coalesce(d.flag, (SELECT flag FROM m)) AS flag, count(*) AS cnt
+       |FROM dirty d GROUP BY 1""".stripMargin
+
+  private def qFillConstant(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.NullFillConstant("flag")(dirty(s, dir))
+      .groupBy(col("flag")).agg(count(lit(1)).as("cnt"))
+  private val qFillConstantSql =
+    s"""WITH $dirtySql
+       |SELECT coalesce(flag, 'Unknown') AS flag, count(*) AS cnt
+       |FROM dirty GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // T9 — deterministic keep-first dedup
+  // ------------------------------------------------------------------
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    // (l_orderkey, l_linenumber) is not unique in the synthetic fixture —
+    // the order columns must form a total order within each group for a
+    // deterministic keep-first
+    CleaningAction.DropDuplicates(subset = Seq("l_orderkey"),
+      orderColumns = Seq("l_linenumber", "l_partkey", "l_suppkey"))(li(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  private val qDedupExactSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_linenumber, l_partkey, l_suppkey) rn
+      |  FROM lineitem) WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // T10-T12 — date normalization (on orders-derived mixed strings)
+  // ------------------------------------------------------------------
+  private def mixedDates(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .otherwise(concat(lit("bad-"), date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .as("ds"))
+  private val mixedDatesSql =
+    """mixed AS (
+      |  SELECT o_orderkey,
+      |    CASE o_orderkey % 3
+      |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |      WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |      ELSE 'bad-' || strftime(o_orderdate, '%Y-%m-%d') END AS ds
+      |  FROM orders)""".stripMargin
+
+  private def qDateAuto(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.DateAutoParse("ds")(mixedDates(s, dir))
+      .withColumnRenamed("ds", "parsed")
+  private val qDateAutoSql =
+    s"""WITH $mixedDatesSql
+       |SELECT o_orderkey, strftime(${parseSql("ds")}, '%Y-%m-%d') AS parsed FROM mixed""".stripMargin
+
+  private def qDateForceDmy(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.DateForceFormat.ddMMyyyy("ds")(mixedDates(s, dir))
+      .withColumnRenamed("ds", "parsed")
+  private val qDateForceDmySql =
+    s"""WITH $mixedDatesSql
+       |SELECT o_orderkey, strftime(try_strptime(ds, '%d/%m/%Y'), '%Y-%m-%d') AS parsed FROM mixed""".stripMargin
+
+  private def qDateForceYmd(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.DateForceFormat.yyyyMMdd("ds")(mixedDates(s, dir))
+      .withColumnRenamed("ds", "parsed")
+  private val qDateForceYmdSql =
+    s"""WITH $mixedDatesSql
+       |SELECT o_orderkey, strftime(try_strptime(ds, '%Y-%m-%d'), '%Y-%m-%d') AS parsed FROM mixed""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P5 — date-likeness ratios
+  // ------------------------------------------------------------------
+  private def qDateLike(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir)
+    val r = d.agg(
+      avg(when(Profiler.lenientParseDate(col("ship_str")).isNotNull, 1.0)
+        .otherwise(0.0)).as("rs"),
+      avg(when(Profiler.lenientParseDate(col("flag")).isNotNull, 1.0)
+        .otherwise(0.0)).as("rf")).head()
+    s.createDataFrame(Seq(("ship_str", r.getDouble(0)), ("flag", r.getDouble(1))))
+      .toDF("column_name", "parse_ratio")
+  }
+  private val qDateLikeSql =
+    s"""WITH $dirtySql
+       |SELECT 'ship_str' AS column_name,
+       |  CAST(count(CASE WHEN ${parseSql("ship_str")} IS NOT NULL THEN 1 END) AS DOUBLE) / count(*) AS parse_ratio
+       |FROM dirty
+       |UNION ALL SELECT 'flag',
+       |  CAST(count(CASE WHEN ${parseSql("flag")} IS NOT NULL THEN 1 END) AS DOUBLE) / count(*)
+       |FROM dirty""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Q1/Q2 — quality score + insights; Q3 — deterministic head
+  // ------------------------------------------------------------------
+  private def cleanedProjection(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val before = dirty(s, dir).select(col("flag"), col("qty"))
+    val after = Seq(
+      CleaningAction.NullFillConstant("flag"),
+      CleaningAction.NullImputeMedian("qty"),
+      CleaningAction.DropDuplicates(deterministic = false))
+      .foldLeft(before)((df, a) => a(df))
+    (before, after)
+  }
+
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val (before, after) = cleanedProjection(s, dir)
+    val b = Quality.stats(before)
+    val a = Quality.stats(after)
+    val score = Quality.score(b, a)
+    s.createDataFrame(Seq(
+      (b.totalNulls, a.totalNulls, b.duplicateRows, a.duplicateRows, score)))
+      .toDF("nulls_before", "nulls_after", "dups_before", "dups_after", "score")
+  }
+  private val qQualityScoreSql =
+    s"""WITH $dirtySql, med AS (SELECT median(qty) v FROM dirty),
+       |b AS (SELECT flag, qty FROM dirty),
+       |a AS (SELECT DISTINCT coalesce(flag, 'Unknown') flag, coalesce(qty, (SELECT v FROM med)) qty FROM dirty),
+       |nb AS (SELECT (SELECT count(*) - count(flag) FROM b) + (SELECT count(*) - count(qty) FROM b) v),
+       |db AS (SELECT (SELECT count(*) FROM b) - (SELECT count(*) FROM (SELECT DISTINCT * FROM b)) v),
+       |na AS (SELECT (SELECT count(*) - count(flag) FROM a) + (SELECT count(*) - count(qty) FROM a) v),
+       |da AS (SELECT (SELECT count(*) FROM a) - (SELECT count(*) FROM (SELECT DISTINCT * FROM a)) v)
+       |SELECT CAST(nb.v AS BIGINT) AS nulls_before, CAST(na.v AS BIGINT) AS nulls_after,
+       |       CAST(db.v AS BIGINT) AS dups_before, CAST(da.v AS BIGINT) AS dups_after,
+       |       round(least(100.0, greatest(0.0,
+       |         50.0 + 0.5 * greatest(0, nb.v - na.v) + 1.0 * greatest(0, db.v - da.v))), 2) AS score
+       |FROM nb, na, db, da""".stripMargin
+
+  private def qInsights(s: SparkSession, dir: String): DataFrame = {
+    val (before, after) = cleanedProjection(s, dir)
+    val ins = Quality.insights(before, after)
+    s.createDataFrame(Seq((ins.rowsBefore, ins.rowsAfter, ins.nullsAfter)))
+      .toDF("rows_before", "rows_after", "nulls_after")
+  }
+  private val qInsightsSql =
+    s"""WITH $dirtySql, med AS (SELECT median(qty) v FROM dirty),
+       |a AS (SELECT DISTINCT coalesce(flag, 'Unknown') flag, coalesce(qty, (SELECT v FROM med)) qty FROM dirty)
+       |SELECT (SELECT count(*) FROM dirty) AS rows_before,
+       |       (SELECT count(*) FROM a) AS rows_after,
+       |       CAST(0 AS BIGINT) AS nulls_after""".stripMargin
+
+  private def qHead(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_returnflag"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+  private val qHeadSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+      |       strftime(l_shipdate, '%Y-%m-%d') AS ship
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
+    "q_missions" -> (qMissions _),
+    "q_dup_count" -> (qDupCount _),
+    "q_outlier_detect" -> (qOutlierDetect _),
+    "q_outlier_remove" -> (qOutlierRemove _),
+    "q_outlier_replace_median" -> (qOutlierReplaceMedian _),
+    "q_outlier_replace_mean" -> (qOutlierReplaceMean _),
+    "q_outlier_clip" -> (qOutlierClip _),
+    "q_null_drop" -> (qNullDrop _),
+    "q_impute_median" -> (qImputeMedian _),
+    "q_impute_mode" -> (qImputeMode _),
+    "q_fill_constant" -> (qFillConstant _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_date_auto" -> (qDateAuto _),
+    "q_date_force_dmy" -> (qDateForceDmy _),
+    "q_date_force_ymd" -> (qDateForceYmd _),
+    "q_date_like" -> (qDateLike _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_insights" -> (qInsights _),
+    "q_head" -> (qHead _))
+
+  val oracle: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
+    "q_missions" -> qMissionsSql,
+    "q_dup_count" -> qDupCountSql,
+    "q_outlier_detect" -> qOutlierDetectSql,
+    "q_outlier_remove" -> qOutlierRemoveSql,
+    "q_outlier_replace_median" -> qOutlierReplaceMedianSql,
+    "q_outlier_replace_mean" -> qOutlierReplaceMeanSql,
+    "q_outlier_clip" -> qOutlierClipSql,
+    "q_null_drop" -> qNullDropSql,
+    "q_impute_median" -> qImputeMedianSql,
+    "q_impute_mode" -> qImputeModeSql,
+    "q_fill_constant" -> qFillConstantSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_date_auto" -> qDateAutoSql,
+    "q_date_force_dmy" -> qDateForceDmySql,
+    "q_date_force_ymd" -> qDateForceYmdSql,
+    "q_date_like" -> qDateLikeSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_insights" -> qInsightsSql,
+    "q_head" -> qHeadSql)
+}

@@ -1,0 +1,188 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.profile.Profiler
+import graft.profile.Profiler.ZScoreModel
+
+/** Cleaning transforms (SURVEY §2.3, T1-T12) as pure DataFrame => DataFrame
+  * actions — an immutable, replayable lineage replacing the reference's
+  * in-place pandas mutation (/root/reference/app.py:251-350).
+  *
+  * Every action is a narrow Catalyst plan (filter / withColumn) plus at most
+  * one small aggregate to fetch a statistic (median / mean / quantiles /
+  * mode); no driver-side row iteration anywhere, so each scales to an
+  * arbitrary number of executors.
+  */
+sealed trait CleaningAction {
+  def apply(df: DataFrame): DataFrame
+  def describe: String
+}
+
+object CleaningAction {
+
+  /** T1 — remove z-outlier rows (app.py:251-254). */
+  final case class OutlierRemove(column: String, threshold: Double = 3.0)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val m = Profiler.zScoreModel(df, column, threshold)
+      df.filter(!coalesce(m.mask, lit(false)))
+    }
+    def describe = s"Removed outlier rows from $column"
+  }
+
+  /** T2 — replace outliers with the median of NON-outlier rows
+    * (app.py:255-260: `dfw.loc[~mask, col].median()`). Spark >= 3.4
+    * `median` is exact with linear interpolation — pandas-compatible. */
+  final case class OutlierReplaceMedian(column: String, threshold: Double = 3.0)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val m = Profiler.zScoreModel(df, column, threshold)
+      val med = df.filter(!coalesce(m.mask, lit(false)))
+        .agg(median(col(column))).head().getDouble(0)
+      df.withColumn(column, when(m.mask, lit(med)).otherwise(col(column)))
+    }
+    def describe = s"Replaced outliers in $column with median"
+  }
+
+  /** T3 — replace outliers with the mean of non-outlier rows
+    * (app.py:261-266). */
+  final case class OutlierReplaceMean(column: String, threshold: Double = 3.0)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val m = Profiler.zScoreModel(df, column, threshold)
+      val mean = df.filter(!coalesce(m.mask, lit(false)))
+        .agg(avg(col(column))).head().getDouble(0)
+      df.withColumn(column, when(m.mask, lit(mean)).otherwise(col(column)))
+    }
+    def describe = s"Replaced outliers in $column with mean"
+  }
+
+  /** T4 — clip to [q01, q99]. Quantiles are computed over ALL rows,
+    * outliers included (app.py:267-273) — unlike T2/T3 which exclude them.
+    * Exact interpolated percentile for oracle parity; at 100 TB switch to
+    * `approx_percentile` via `exact = false`. */
+  final case class OutlierClip(column: String, lo: Double = 0.01,
+      hi: Double = 0.99, exact: Boolean = true) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val (ql, qh) =
+        if (exact) {
+          val r = df.agg(
+            percentile(col(column), lit(lo)),
+            percentile(col(column), lit(hi))).head()
+          (r.getDouble(0), r.getDouble(1))
+        } else {
+          val r = df.agg(
+            percentile_approx(col(column), lit(lo), lit(10000)),
+            percentile_approx(col(column), lit(hi), lit(10000))).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+      df.withColumn(column, greatest(least(col(column), lit(qh)), lit(ql)))
+    }
+    def describe = s"Clipped $column to ${lo * 100}%-${hi * 100}% quantiles"
+  }
+
+  /** T5 — drop rows null in the column (app.py:281-286). */
+  final case class NullDrop(column: String) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = df.na.drop(Seq(column))
+    def describe = s"Dropped rows with null in $column"
+  }
+
+  /** T6 — impute nulls with the column median; numeric only, type-gated at
+    * app.py:287. */
+  final case class NullImputeMedian(column: String) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      require(df.schema(column).dataType.isInstanceOf[NumericType],
+        s"median imputation requires a numeric column, got $column")
+      val med = df.agg(median(col(column))).head().getDouble(0)
+      df.na.fill(med, Seq(column))
+    }
+    def describe = s"Imputed nulls in $column with median"
+  }
+
+  /** T7 — impute nulls with the mode. pandas `mode().iloc[0]` returns the
+    * SMALLEST among ties (mode() sorts; app.py:294) — Spark's `mode()` is
+    * tie-nondeterministic, so we take the explicit (count desc, value asc)
+    * top-1. One shuffle on the value column. */
+  final case class NullImputeMode(column: String) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val top = df.filter(col(column).isNotNull)
+        .groupBy(col(column)).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col(column).asc)
+        .limit(1).collect()
+      if (top.isEmpty) df // empty mode -> '' in reference; nothing to fill with
+      else {
+        val v = top(0).get(0)
+        df.withColumn(column,
+          when(col(column).isNull, lit(v)).otherwise(col(column)))
+      }
+    }
+    def describe = s"Imputed nulls in $column with mode"
+  }
+
+  /** T8 — fill nulls with the constant "Unknown" (app.py:299-304). */
+  final case class NullFillConstant(column: String, value: String = "Unknown")
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = df.na.fill(value, Seq(column))
+    def describe = s"Filled nulls in $column with constant '$value'"
+  }
+
+  /** T9 — full-row dedup, pandas keep-FIRST-in-order (app.py:310-315).
+    * Spark's `dropDuplicates` keeps an arbitrary row; for deterministic
+    * parity we order within each duplicate group by a stable id. When the
+    * caller has no stable id we tag `monotonically_increasing_id` (stable
+    * for a given file layout) — documented divergence under repartitioning.
+    * `deterministic = false` gives the fast arbitrary-keep path. */
+  final case class DropDuplicates(subset: Seq[String] = Nil,
+      deterministic: Boolean = true, orderColumns: Seq[String] = Nil)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val keys = if (subset.nonEmpty) subset else df.columns.toSeq
+      if (!deterministic) {
+        if (subset.nonEmpty) df.dropDuplicates(subset) else df.dropDuplicates()
+      } else {
+        val hasOrder = orderColumns.nonEmpty
+        val tagged = if (hasOrder) df
+          else df.withColumn("__rowid", monotonically_increasing_id())
+        val ord = (if (hasOrder) orderColumns else Seq("__rowid")).map(col(_).asc)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        val out = tagged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (hasOrder) out else out.drop("__rowid")
+      }
+    }
+    def describe = "Dropped duplicate rows"
+  }
+
+  /** Shared lenient date pipeline for T10: first whitelisted format that
+    * parses, rendered back to a yyyy-MM-dd string; unparseable -> null
+    * (pandas NaT, app.py:326). */
+  def autoParseDate(c: Column): Column =
+    date_format(Profiler.lenientParseDate(c), "yyyy-MM-dd")
+
+  /** T10 — auto-parse a mixed-format date column (app.py:321-330). */
+  final case class DateAutoParse(column: String) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, autoParseDate(col(column)))
+    def describe = s"Parsed $column with format whitelist (auto)"
+  }
+
+  /** T11/T12 — force a single format (app.py:331-350). */
+  final case class DateForceFormat(column: String, format: String)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, date_format(
+        call_function("try_to_date", col(column).cast(StringType), lit(format)),
+        "yyyy-MM-dd"))
+    def describe = s"Forced $column to $format parse"
+  }
+  object DateForceFormat {
+    def ddMMyyyy(column: String): DateForceFormat =
+      DateForceFormat(column, "dd/MM/yyyy")
+    def yyyyMMdd(column: String): DateForceFormat =
+      DateForceFormat(column, "yyyy-MM-dd")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources and sinks (SURVEY §2.1).
+  *
+  * S1 CSV scan mirrors `pd.read_csv` (/root/reference/app.py:148-149):
+  * header + schema inference. At scale prefer an explicit schema —
+  * `inferSchema` costs an extra pass — so both entry points exist.
+  * S2 (Excel) is deferred: no POI in the offline env; callers pre-convert
+  * to CSV/Parquet (SURVEY §7.4).
+  */
+object Sources {
+  /** S1 — CSV with inferred schema (reference parity). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S1 at scale — explicit schema, single pass. */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Fixture loader: `/root/testdata/<sf>/<table>.parquet`. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+object Sinks {
+  /** K1 — CSV export (app.py:127-133). `singleFile = true` coalesces to one
+    * part for small interactive exports; leave false for cluster-scale
+    * writes. */
+  def csv(df: DataFrame, dir: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(dir)
+  }
+
+  def parquet(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+}
