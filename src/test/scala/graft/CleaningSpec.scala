@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.clean.CleaningAction._
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def outlierFrame = (Seq.fill(60)(10.0) ++ Seq.fill(60)(20.0) ++
+    Seq(100000.0)).toDF("x") // 100000 is the lone z>3 outlier
+
+  test("T1 outlier remove drops exactly the outlier rows") {
+    val out = OutlierRemove("x")(outlierFrame)
+    assert(out.count() == 120)
+    assert(out.agg(max($"x")).head().getDouble(0) == 20.0)
+  }
+
+  test("T2 outlier->median: median computed over NON-outlier rows only") {
+    // non-outlier median of 60x10 + 60x20 = 15.0 (pandas interpolation)
+    val out = OutlierReplaceMedian("x")(outlierFrame)
+    assert(out.filter($"x" === 15.0).count() == 1)
+    assert(out.count() == 121)
+  }
+
+  test("T3 outlier->mean over non-outlier rows") {
+    val out = OutlierReplaceMean("x")(outlierFrame)
+    assert(out.filter($"x" === 15.0).count() == 1) // mean(60x10,60x20)=15
+  }
+
+  test("T4 clip computes quantiles over ALL rows including outliers") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val out = OutlierClip("x")(df).agg(min($"x"), max($"x")).head()
+    // pandas quantile(0.01) of 1..100 = 1.99, quantile(0.99) = 99.01
+    assert(math.abs(out.getDouble(0) - 1.99) < 1e-9)
+    assert(math.abs(out.getDouble(1) - 99.01) < 1e-9)
+  }
+
+  test("T5 null drop") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    assert(NullDrop("x")(df).count() == 2)
+  }
+
+  test("T6 impute median: pandas linear interpolation (even count -> mean of middle two)") {
+    val df = Seq(Some(1.0), Some(2.0), Some(4.0), Some(5.0), None).toDF("x")
+    val out = NullImputeMedian("x")(df)
+    assert(out.filter($"x" === 3.0).count() == 1) // median([1,2,4,5]) = 3.0
+    assert(out.filter($"x".isNull).count() == 0)
+  }
+
+  test("T6 rejects non-numeric columns (type gate, app.py:287)") {
+    val df = Seq(Some("a"), None).toDF("s")
+    intercept[IllegalArgumentException](NullImputeMedian("s")(df))
+  }
+
+  test("T7 impute mode: tie broken by SMALLEST value (pandas mode().iloc[0])") {
+    val df = Seq(Some("b"), Some("b"), Some("a"), Some("a"), None).toDF("s")
+    val out = NullImputeMode("s")(df)
+    assert(out.filter($"s" === "a").count() == 3) // tie a/b -> 'a' wins
+  }
+
+  test("T7 all-null column: nothing to fill with, frame unchanged") {
+    val df = Seq[Option[String]](None, None).toDF("s")
+    assert(NullImputeMode("s")(df).filter($"s".isNull).count() == 2)
+  }
+
+  test("T8 fill constant 'Unknown'") {
+    val df = Seq(Some("x"), None).toDF("s")
+    assert(NullFillConstant("s")(df).filter($"s" === "Unknown").count() == 1)
+  }
+
+  test("T9 keep-first dedup preserves the first occurrence in row order") {
+    val df = Seq(("k1", "first"), ("k1", "second"), ("k2", "only"))
+      .toDF("k", "v").coalesce(1)
+    val out = DropDuplicates(subset = Seq("k"))(df).orderBy("k")
+      .as[(String, String)].collect()
+    assert(out.toSeq == Seq(("k1", "first"), ("k2", "only")))
+  }
+
+  test("T9 full-row dedup output has no duplicates and is a subset") {
+    val df = Seq(1, 1, 2, 2, 3).toDF("x")
+    val out = DropDuplicates()(df)
+    assert(out.count() == 3)
+    assert(out.except(df).count() == 0)
+  }
+
+  test("T10 auto-parse: whitelist formats -> yyyy-MM-dd string, else null (NaT)") {
+    val df = Seq("2024-01-02", "31/12/2024", "2024/13/01", "garbage")
+      .toDF("d")
+    val out = DateAutoParse("d")(df).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("2024-01-02"), Some("2024-12-31"), None, None))
+  }
+
+  test("T11 force dd/MM/yyyy") {
+    val df = Seq("31/12/2024", "2024-01-02").toDF("d")
+    val out = DateForceFormat.ddMMyyyy("d")(df).as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("2024-12-31"), None))
+  }
+
+  test("T12 force yyyy-MM-dd validates and nulls failures") {
+    val df = Seq("2024-01-02", "2024-13-02").toDF("d")
+    val out = DateForceFormat.yyyyMMdd("d")(df).as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("2024-01-02"), None))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.SampleData
+import graft.model.Mission
+import graft.profile.Profiler
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1 profile: nulls, distinct, dtype in one pass") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (None, Some("a")), (Some(2.0), None),
+      (Some(2.0), Some("b"))).toDF("x", "s")
+    val p = Profiler.profile(df).map(c => c.column -> c).toMap
+    assert(p("x").nNull == 1 && p("x").nDistinct == 2)
+    assert(p("s").nNull == 1 && p("s").nDistinct == 2)
+    assert(p("x").dtype == "double")
+  }
+
+  test("P1 profile counts NaN as null for double columns (pandas parity)") {
+    val df = Seq(1.0, Double.NaN, 2.0).toDF("x")
+    assert(Profiler.profile(df).head.nNull == 1)
+  }
+
+  test("P2 duplicate count = total - distinct, single shuffle") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Profiler.duplicateCount(df) == 2)
+    assert(Profiler.duplicateCount(df.limit(0)) == 0)
+  }
+
+  test("P4 z-score uses POPULATION stddev (ddof=0) like pandas std(ddof=0)") {
+    // values 2,4,4,4,5,5,7,9: mean 5, stddev_pop 2 (stddev_samp ~2.138)
+    val df = Seq(2, 4, 4, 4, 5, 5, 7, 9).toDF("x")
+    val m = Profiler.zScoreModel(df, "x")
+    assert(m.mean == 5.0 && m.stdPop == 2.0)
+  }
+
+  test("P4 degenerate std (constant column) flags nothing") {
+    val df = Seq(3, 3, 3).toDF("x")
+    val m = Profiler.zScoreModel(df, "x")
+    assert(m.degenerate)
+    assert(df.filter(m.mask).count() == 0)
+  }
+
+  test("P4 outliers detected past 3 sigma; nulls never flagged") {
+    val df = (Seq.fill(50)(10.0) ++ Seq.fill(50)(12.0) ++ Seq(1000.0))
+      .map(Option(_)).:+(None).toDF("x")
+    val m = Profiler.zScoreModel(df, "x")
+    val flagged = df.filter(m.mask).collect().map(_.getDouble(0))
+    assert(flagged.toSeq == Seq(1000.0))
+  }
+
+  test("P5 date-likeness: whitelist formats parse, garbage does not") {
+    val df = Seq("2024-01-01", "31/12/2024", "2024/13/01", "bad", "20240101")
+      .toDF("d")
+    // 3 of 5 parse
+    assert(math.abs(Profiler.dateLikeRatio(df, "d") - 0.6) < 1e-12)
+    // numeric-looking strings do NOT count as dates (dateutil divergence)
+    assert(Profiler.dateLikeRatio(Seq("50", "17").toDF("d"), "d") == 0.0)
+  }
+
+  test("P6 missions golden run on the seeded sample dataset") {
+    val df = SampleData.load(spark)
+    val ms = Profiler.detectMissions(df)
+    // Verified against the reference's own code on its seeded data
+    // (FIXTURES.md §A overstates these): only 5000 exceeds 3 sigma — the
+    // 5000 itself inflates sigma to ~355 so 999 lands at z≈2.6 — and only
+    // "2024/13/01" fails to parse ("01-02-2024" is valid d-M-y).
+    val outlier = ms.collectFirst { case Mission.Outlier("price", n) => n }
+    assert(outlier.contains(1L), s"price outliers == 1 (just 5000): $ms")
+    assert(ms.collectFirst { case Mission.DateMixed("date", n) => n }
+      .contains(1L), "exactly 1 unparseable date (2024/13/01)")
+    assert(ms.collectFirst { case Mission.Duplicates(n) => n }.contains(2L),
+      "rows 10,11 duplicate row 9")
+    val catNulls = ms.collectFirst { case Mission.Nulls("category", n) => n }
+    assert(catNulls.exists(_ > 0), "category has injected nulls")
+  }
+
+  test("sample data defect structure is exact") {
+    val df = SampleData.load(spark)
+    assert(df.count() == 200)
+    val prices = df.filter(col("order_id").isin(6, 18, 51))
+      .orderBy("order_id").select("price").as[Double].collect()
+    assert(prices.toSeq == Seq(999.0, -100.0, 5000.0))
+    val dates = df.filter(col("order_id").isin(3, 4)).orderBy("order_id")
+      .select("date").as[String].collect()
+    assert(dates.toSeq == Seq("2024/13/01", "01-02-2024"))
+  }
+}
