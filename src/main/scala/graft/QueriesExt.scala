@@ -1,0 +1,438 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, EventsOps, Multimodal, SimSearch, TextStats}
+import graft.functions.Hashing
+import graft.io.Sources
+
+/** Extension-tier queries (BASELINE.json north star): dedup family,
+  * similarity search, text analysis, multimodal plumbing, events/JSON/
+  * window/sessionization, plus the join/window/rollup/set-op surface the
+  * reference lacks. Oracle SQL mirrors each computation hash-for-hash in
+  * DuckDB (md5-based hash64, identical permutation constants, identical
+  * normalization regexes); see Queries.scala scaladoc for the float
+  * discipline.
+  */
+object QueriesExt {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "embeddings")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Sources.eventsTable(s, dir)
+
+  // ---- shared SQL fragments (DuckDB dialect) -----------------------
+  private def normSql(c: String): String =
+    s"trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'))"
+  private def toksSql(c: String): String =
+    s"""list_filter(regexp_split_to_array(${normSql(c)}, '\\s+'), t -> len(t) > 0)"""
+  private val aList = (0 until 16).map(Hashing.permuteA).mkString("[", ", ", "]")
+  private val bList = (0 until 16).map(Hashing.permuteB).mkString("[", ", ", "]")
+  private val P = Hashing.P
+
+  // ------------------------------------------------------------------
+  // Dedup: exact by fingerprint (injected exact dups)
+  // ------------------------------------------------------------------
+  private def injectedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+  private val injectedDocsSql =
+    """inj AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private def qDedupDocsExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByFingerprint(injectedDocs(s, dir), "doc_id", "text")
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+  private val qDedupDocsExactSql =
+    s"""WITH $injectedDocsSql
+       |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM (SELECT doc_id, md5(${normSql("text")}) f FROM inj)
+       |GROUP BY f HAVING count(*) > 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Dedup: MinHash + LSH candidates, Jaccard-verified (natural near-dups)
+  // ------------------------------------------------------------------
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  private val qDedupMinhashSql = {
+    val sh = s"""CASE WHEN len(t) >= 3
+                | THEN list_distinct(list_transform(range(len(t) - 2),
+                |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |sig AS (SELECT doc_id, h,
+       |  list_transform(range(16), i ->
+       |    list_min(list_transform(h, x -> (($aList)[i+1] * (x % $P) + ($bList)[i+1]) % $P))) sg
+       |  FROM hs),
+       |bands AS (SELECT doc_id, h, band,
+       |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
+       |  FROM sig, (SELECT unnest(range(4)) band)),
+       |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT ia, ib,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
+       |  FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib)
+       |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Dedup: SimHash hamming pairs
+  // ------------------------------------------------------------------
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), "doc_id", "text",
+      maxDist = 3, maxBucket = 1000000)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  private val qDedupSimhashSql =
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, tk -> ${Hashing.hash64Sql("tk")}) h FROM toks),
+       |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(32), j ->
+       |    CASE WHEN list_sum(list_transform(h, x ->
+       |        CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) v FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityScore(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_stopwords").cast("int").as("n_stopwords"),
+        col("n_punct").cast("int").as("n_punct"),
+        col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
+        col("quality_score"))
+  private val qTextStatsSql = {
+    val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) toks,
+       |    length(text) n_chars,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) n_punct
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(toks) n_tokens,
+       |    len(list_filter(toks, t -> list_contains($sw, lower(t)))) n_stopwords,
+       |    n_punct, n_chars,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) tok_chars
+       |  FROM f)
+       |SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_tokens AS INT) n_tokens,
+       |  CAST(n_stopwords AS INT) n_stopwords, CAST(n_punct AS INT) n_punct,
+       |  CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END avg_token_len,
+       |  CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END stopword_ratio,
+       |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END punct_ratio,
+       |  round(
+       |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+       |    + (CASE WHEN n_tokens > 0 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.05 THEN 0.3 ELSE 0.0 END)
+       |    + (CASE WHEN n_chars = 0 OR CAST(n_punct AS DOUBLE) / n_chars <= 0.2 THEN 0.3 ELSE 0.0 END), 2) quality_score
+       |FROM g""".stripMargin
+  }
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("predicted", TextStats.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+  private val qLangIdSql = {
+    val langs = TextStats.langStopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($arr, t))) h_$l"
+    }.mkString(",\n    ")
+    val best = "greatest(" + langs.map(l => s"h_${l._1}").mkString(", ") + ")"
+    val pick = langs.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }
+      .mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |    $hitCols
+       |  FROM toks),
+       |p AS (SELECT lang, CASE WHEN $best = 0 THEN 'und'
+       |    ELSE CASE $pick END END predicted
+       |  FROM h)
+       |SELECT lang, predicted, count(*) AS cnt FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextStats.tokenCount(col("text")).cast("int").as("n_ws_tokens"),
+      TextStats.bpeishTokenCount(col("text")).cast("int").as("n_bpeish"))
+  private val qTokenCountSql =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS INT) n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '${TextStats.bpeishPattern}')) AS INT) n_bpeish
+       |FROM documents""".stripMargin
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextStats.fingerprintMd5(col("text")).as("fp"))
+  private val qFingerprintSql =
+    s"""SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+  private def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qCosineTopkSql =
+    """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+      |s AS (SELECT query_id, id,
+      |    list_cosine_similarity(v, qv) cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(v, qv) DESC, id ASC) rank
+      |  FROM c, q WHERE id <> query_id)
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+      |       round(cosine, 6) AS cosine_r
+      |FROM s WHERE rank <= 5""".stripMargin
+
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val injected = e.union(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDups(injected, "vec_id", "embedding", 0.99)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
+  }
+  private val qEmbedNearDupSql =
+    """WITH inj AS (SELECT vec_id, embedding FROM embeddings
+      |    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] e FROM inj)
+      |SELECT a.vec_id id_a, b.vec_id id_b,
+      |       round(list_cosine_similarity(a.e, b.e), 4) cosine_r
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.e, b.e) >= 0.99""".stripMargin
+
+  /** ANN via hyperplane LSH — approximate by construction, so no SQL
+    * oracle (driver records rows-only); recall vs bruteTopK is asserted
+    * in SimSearchSpec. */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dims = 64, k = 5, planes = 12)
+  }
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing
+  // ------------------------------------------------------------------
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+      "doc_id", "video")
+    val sampled = Multimodal.sampleFrames(media, stride = 4)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+    media
+      .withColumn("meta", Multimodal.decodeMeta(col("bytes")))
+      .withColumn("feat", Multimodal.byteFeatures(col("bytes")))
+      .join(sampled, Seq("media_id"))
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
+        col("feat.n_bytes").as("n_bytes"), col("feat.digest8").as("digest8"),
+        col("n_sampled").cast("int").as("n_sampled"))
+  }
+  // mirrors Multimodal.synthesize: 16-char header 'MM01'+hex(w,h,f) + 256
+  // chars of chained sha256 payload
+  private val qMultimodalSql =
+    """WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 5 = 0),
+      |m AS (SELECT id,
+      |    CAST(id % 64 + 8 AS INT) w, CAST(id % 48 + 6 AS INT) h, CAST(id % 16 + 1 AS INT) f,
+      |    'MM01' || printf('%04x', CAST(id % 64 + 8 AS INT))
+      |      || printf('%04x', CAST(id % 48 + 6 AS INT))
+      |      || printf('%04x', CAST(id % 16 + 1 AS INT))
+      |      || substr(sha256(id || ':0') || sha256(id || ':1') || sha256(id || ':2')
+      |           || sha256(id || ':3') || sha256(id || ':4') || sha256(id || ':5')
+      |           || sha256(id || ':6') || sha256(id || ':7') || sha256(id || ':8'), 1, 256) b
+      |  FROM ids)
+      |SELECT id AS media_id, w AS width, h AS height, f AS n_frames,
+      |       CAST(length(b) AS INT) AS n_bytes,
+      |       substr(md5(b), 1, 8) AS digest8,
+      |       CAST((f - 1) // 4 + 1 AS INT) AS n_sampled
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Events: JSON, windows, sessionization
+  // ------------------------------------------------------------------
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    EventsOps.withProps(events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("props_k")).as("n_k"),
+        sum(col("props_k")).as("sum_k"))
+  private val qJsonExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  private def qEventWindow(s: SparkSession, dir: String): DataFrame =
+    EventsOps.hourlyProfile(events(s, dir))
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+  private val qEventWindowSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    EventsOps.sessionStats(events(s, dir), gapMinutes = 30)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_seq")).as("n_sessions"),
+        count(lit(1)).as("n_session_rows"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"),
+        max(col("duration_sec")).as("max_duration_sec"))
+      .drop("n_session_rows")
+  private val qSessionizeSql =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) es,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w pes
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, es,
+      |    sum(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) sid
+      |  FROM o),
+      |g AS (SELECT user_id, sid, count(*) n_events, max(es) - min(es) dur
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(sid) AS BIGINT) n_sessions,
+      |  CAST(max(n_events) AS BIGINT) max_session_events,
+      |  CAST(sum(n_events) AS BIGINT) total_events,
+      |  CAST(max(dur) AS BIGINT) max_duration_sec
+      |FROM g GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Relational surface the reference lacks: joins, windows, rollup, set ops
+  // ------------------------------------------------------------------
+  private def qStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+    val c = Sources.table(s, dir, "customer")
+    val n = Sources.table(s, dir, "nation")
+    val r = Sources.table(s, dir, "region")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      // revenue in exact integer ten-thousandths: price and discount are
+      // 2-dp values, so cents x cents is an exact BIGINT product —
+      // immune to the engines' different double->decimal .5-rounding
+      // rules (which differ on dyadic products like x.xx5)
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")
+          * round((lit(1) - col("l_discount")) * 100, 0).cast("long"))
+          .cast("double") / 10000.0).as("revenue"))
+  }
+  private val qStarJoinSql =
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |           * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+  private val qTopkPerGroupSql =
+    """SELECT o_orderpriority, CAST(rank AS INT) rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.except(done).withColumn("bucket", lit("open_only"))
+      .union(open.intersect(done).withColumn("bucket", lit("both")))
+  }
+  private val qSetOpsSql =
+    """SELECT o_custkey, 'open_only' AS bucket FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'both' AS bucket FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  // ------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_docs_exact" -> (qDedupDocsExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_cosine_topk" -> (qCosineTopk _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_multimodal" -> (qMultimodal _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_event_window" -> (qEventWindow _),
+    "q_sessionize" -> (qSessionize _),
+    "q_star_join" -> (qStarJoin _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_rollup" -> (qRollup _),
+    "q_set_ops" -> (qSetOps _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_docs_exact" -> qDedupDocsExactSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_cosine_topk" -> qCosineTopkSql,
+    "q_embed_neardup" -> qEmbedNearDupSql,
+    // q_ann_lsh: approximate -> rows-only check, no oracle
+    "q_multimodal" -> qMultimodalSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_event_window" -> qEventWindowSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_star_join" -> qStarJoinSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_rollup" -> qRollupSql,
+    "q_set_ops" -> qSetOpsSql)
+}

@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Near-duplicate detection for training-data pipelines.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - exact dedup: one hash-shuffle on the fingerprint, min-id winner —
+  *    never groupBy full text; group keys are 16-byte digests.
+  *  - MinHash+LSH: per-doc signature (narrow map) -> explode to b band
+  *    keys -> self-join per band bucket. Shuffle volume is b rows/doc of
+  *    ~24 bytes, not the corpus. Hot buckets are frequency-capped so one
+  *    boilerplate cluster cannot produce an O(n^2) bucket.
+  *  - candidate verification: exact Jaccard only on LSH candidates (tiny
+  *    fraction), via shingle-set intersection on hashes, not strings.
+  */
+object Dedup {
+
+  /** Character shingles (k-grams) of the normalized text. */
+  def charShingles(text: Column, k: Int = 5): Column = {
+    val norm = TextStats.normalized(text)
+    when(length(norm) >= k,
+      array_distinct(transform(sequence(lit(1), length(norm) - k + 1),
+        i => norm.substr(i, lit(k)))))
+      .otherwise(array(norm))
+  }
+
+  /** Word n-gram shingles of the normalized text. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = TextStats.tokens(TextStats.normalized(text))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** 60-bit hashes of the shingle set (dedup works on hashes from here
+    * on — strings never shuffle). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => Hashing.hash64(s))
+
+  /** MinHash signature: k permutation-mins over ONE base hash per shingle
+    * (universal hashing — k linear transforms, not k digests). */
+  def minhashSignature(shingleHashes: Column, k: Int = 16): Column = {
+    val perms = array((0 until k).map(i => struct(
+      lit(Hashing.permuteA(i)).as("a"), lit(Hashing.permuteB(i)).as("b"))): _*)
+    transform(perms, p =>
+      array_min(transform(shingleHashes, h =>
+        (p.getField("a") * (h % Hashing.P) + p.getField("b")) % Hashing.P)))
+  }
+
+  /** LSH band keys: signature split into `bands` groups of `rowsPerBand`,
+    * each group digested to one band key. Docs sharing any band key are
+    * candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        Hashing.hash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("key")))
+
+  /** Candidate pairs from LSH banding over a corpus.
+    * @param maxBucket drop buckets larger than this (boilerplate guard —
+    *   a 10k-doc bucket is 50M pairs; cap keeps the join linear). */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+    val exploded = sig.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = exploded
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val a = capped.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over shingle-hash sets for a pair frame that carries
+    * `h_a` and `h_b` (arrays of hashes). */
+  def jaccard(hA: Column, hB: Column): Column = {
+    val inter = size(array_intersect(hA, hB))
+    val uni = size(array_union(hA, hB))
+    when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0))
+  }
+
+  /** LSH candidates verified with exact Jaccard >= threshold. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("h"))
+    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands)
+    cands
+      .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
+      .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact duplicate groups by content fingerprint: one shuffle on a
+    * 16-byte digest; survivor = min id (deterministic). */
+  def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextStats.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** 32-bit SimHash from token hashes: bit j of the fingerprint is the
+    * sign of the sum of (+1/-1) votes of each token's j-th hash bit. */
+  def simhash32(text: Column): Column = {
+    val tokHashes = transform(TextStats.tokens(TextStats.normalized(text)),
+      t => Hashing.hash64(t))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(tokHashes, lit(0L),
+          (vote, h) => vote + when(call_function("shiftright", h, j.cast("int")) % 2 === 1, 1L).otherwise(-1L))
+          > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: byte-banding (4 bands of 8 bits) — any
+    * shared band -> candidate; verify with hamming <= maxDist. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("band"),
+          (call_function("shiftright", col("sh"), (b * 8).cast("int")) % 256).as("key")))).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = banded.withColumn("bucket_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val a = capped.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming")).distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-duplicates above a similarity threshold (see
+    * SimSearch.cosine for the arithmetic). Brute pair join — callers at
+    * scale should pass LSH-bucketed frames instead. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      SimSearch.normalize(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", SimSearch.dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with a
+  * typed metadata struct, processed in batched per-partition passes.
+  *
+  * The actual codecs (JPEG decode, audio resample, video frame-split) are
+  * NOT in this offline container — the decode kernel is a clearly-marked
+  * deterministic FAKE (parses our own synthetic header). Everything
+  * around it is the real Spark shape: schema, partition-sized batching,
+  * pure-function kernels on `Dataset.mapPartitions`, no driver collects,
+  * binary never shuffled except by explicit repartition.
+  */
+object Multimodal {
+
+  /** media schema: bytes + typed metadata struct. */
+  val mediaType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("format", StringType))), nullable = true)))
+
+  /** Deterministic synthetic media: a 16-byte header (magic, width,
+    * height, n_frames) followed by a pseudo-random payload derived from
+    * the id — stands in for real files so the pipeline shape is testable
+    * offline. */
+  def synthesize(ids: DataFrame, idCol: String, kind: String,
+      payloadBytes: Int = 256): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val width = (id % 64 + 8).cast(IntegerType)
+    val height = (id % 48 + 6).cast(IntegerType)
+    val frames = (id % 16 + 1).cast(IntegerType)
+    // header rendered as fixed-width hex text (deterministic + portable),
+    // payload from repeated sha2 of the id
+    val header = concat(lit("MM01"),
+      lpad(lower(hex(width)), 4, "0"), lpad(lower(hex(height)), 4, "0"),
+      lpad(lower(hex(frames)), 4, "0"))
+    val payload = substring(
+      concat((0 until (payloadBytes / 32 + 1))
+        .map(i => sha2(concat(id.cast(StringType), lit(s":$i")), 256)): _*),
+      1, payloadBytes)
+    ids.select(id.as("media_id"), lit(kind).as("kind"),
+      concat(header, payload).cast(BinaryType).as("bytes"))
+  }
+
+  /** FAKE decode kernel — parses the synthetic header. A production build
+    * swaps the body for a real codec call; signature and plan shape stay
+    * identical (narrow projection, codegen'd, no shuffle). */
+  def decodeMeta(bytes: Column): Column = {
+    val txt = bytes.cast(StringType)
+    val ok = substring(txt, 1, 4) === "MM01"
+    when(ok && length(txt) >= 16, struct(
+      conv(substring(txt, 5, 4), 16, 10).cast(IntegerType).as("width"),
+      conv(substring(txt, 9, 4), 16, 10).cast(IntegerType).as("height"),
+      conv(substring(txt, 13, 4), 16, 10).cast(IntegerType).as("n_frames"),
+      lit("mm01").as("format")))
+      .otherwise(lit(null).cast(mediaType("meta").dataType))
+  }
+
+  /** Feature extraction over the payload: byte-level statistics standing
+    * in for a real embedding kernel. Pure column expressions — scales as
+    * a narrow map. */
+  def byteFeatures(bytes: Column): Column = {
+    val payload = substring(bytes.cast(StringType), 17, 1000000)
+    struct(
+      octet_length(bytes).as("n_bytes"),
+      length(payload).as("payload_len"),
+      crc32(bytes).as("checksum"),
+      substring(md5(bytes), 1, 8).as("digest8"))
+  }
+
+  /** Frame sampling for video-kind media: every `stride`-th frame index
+    * up to n_frames — the explode side of a frame pipeline. Returns one
+    * row per sampled frame. */
+  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame =
+    media
+      .withColumn("meta", decodeMeta(col("bytes")))
+      .filter(col("meta").isNotNull)
+      .select(col("media_id"), col("kind"), col("meta"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+
+  /** Resize stub: recomputes metadata only (a real kernel would remap
+    * payload bytes); keeps the contract `media -> media` with changed
+    * meta. */
+  def resize(media: DataFrame, newWidth: Int, newHeight: Int): DataFrame =
+    media.withColumn("meta", decodeMeta(col("bytes")))
+      .withColumn("meta", when(col("meta").isNotNull, struct(
+        lit(newWidth).as("width"), lit(newHeight).as("height"),
+        col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))))
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text analysis for training-data pipelines (BASELINE.json north star):
+  * tokenization, quality scoring, language ID, fingerprinting. Everything
+  * is built-in-function Columns (whole-stage codegen, no UDFs), so each
+  * operator is a narrow map over the scan — embarrassingly parallel at
+  * 100 TB, no shuffle anywhere except caller-requested aggregations.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (split on runs of whitespace, no empties). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword proxy: letter runs, digit runs, single punctuation.
+    * A real BPE vocab is environment data we don't ship; this regex gives
+    * a deterministic, portable token count with the same shape. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0)))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality features (length / punctuation / stopword ratios — the
+    * C4/Gopher-style heuristics). All exact-integer derived. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "at", "by", "from", "as", "that", "this", "it", "be")
+
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, tk => lower(tk).isInCollection(stopwords)))
+    val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nChar = length(t)
+    val tokChars = aggregate(toks, lit(0), (acc, tk) => acc + length(tk))
+    df.withColumn("n_chars_m", nChar)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("n_punct", nPunct)
+      .withColumn("avg_token_len",
+        when(nTok > 0, tokChars.cast("double") / nTok).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChar > 0, nPunct.cast("double") / nChar).otherwise(0.0))
+  }
+
+  /** Gopher-style keep/drop quality score in [0,1]: rewards mid-length
+    * docs with some stopwords and low punctuation noise. Deterministic
+    * integer/ratio arithmetic only. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    withQualityFeatures(df, textCol).withColumn("quality_score",
+      round(
+        when(col("n_tokens") >= 10 && col("n_tokens") <= 100000, 0.4).otherwise(0.0)
+          + when(col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
+          + when(col("punct_ratio") <= 0.2, 0.3).otherwise(0.0), 2))
+
+  /** Language ID via stopword-hit voting: tiny per-language function-word
+    * lists (public knowledge), argmax with deterministic (count desc,
+    * lang asc) tie-break. N-gram-free but the same shape as a production
+    * n-gram scorer: one codegen'd expression per language, no shuffle. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"),
+    "zh" -> Seq("的", "是", "在", "了", "有", "和", "不", "人", "我", "他"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+  }
+
+  /** Predicted language: highest hit count, ties to lexicographically
+    * smallest language, "und" (undetermined) when zero hits. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft(struct(scores.head._2.as("n"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, n)) =>
+        when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("n") > 0, best.getField("l")).otherwise("und")
+  }
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics to single spaces, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content-defined document fingerprint: md5 of normalized text
+    * (portable to the oracle) — two docs differing only in case /
+    * punctuation / whitespace collide. */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Fast path: codegen'd Karp-Rabin rolling hash of the normalization. */
+  def fingerprintRolling(text: Column): Column =
+    Hashing.rolling_hash(normalized(text))
+}

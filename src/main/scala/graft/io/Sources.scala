@@ -26,6 +26,20 @@ object Sources {
   /** Fixture loader: `/root/testdata/<sf>/<table>.parquet`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default. Read nanos as long (legacy conf), then
+    * floor-convert to a microsecond TimestampType — the same truncation
+    * DuckDB applies when it reads nanos into its micro-precision
+    * timestamps, so both engines see identical values. */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+  }
 }
 
 object Sinks {

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming faces of the profiling tier: the same
+  * detect-missions aggregates expressed over an unbounded `events` stream.
+  *
+  * Watermarking bounds state: late rows beyond the watermark are dropped,
+  * windows older than (watermark) are finalized and evicted — state size
+  * is O(active windows x event types), independent of stream length.
+  */
+object StreamProfile {
+
+  /** Event-time tumbling-window profile with late-data handling.
+    * `readStream -> withWatermark -> window-agg`; append mode emits each
+    * window once, when the watermark passes its end. */
+  def hourlyProfile(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming quality monitor: per-window null/total counts for `value` —
+    * the streaming equivalent of the null-mission detector (P6). */
+  def qualityMonitor(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value").isNull || isnan(col("value")), 1)).as("n_null_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("hour"), col("n_events"),
+        col("n_null_value"), col("approx_users"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + value total, with processing-time timeout eviction so state
+    * stays bounded on idle keys. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+            val buf = rows.foldLeft(prev)((s, e) =>
+              UserStats(userId, s.n_events + 1, s.total_value + e.value))
+            state.update(buf)
+            state.setTimeoutDuration("1 hour")
+            buf
+          }
+      }
+  }
+}
