@@ -222,9 +222,9 @@ object Queries {
     * clipped values re-rounded to cents before the exact sum. */
   private def qOutlierClip(s: SparkSession, dir: String): DataFrame = {
     val d = dirty(s, dir)
-    val r = d.agg(percentile(col("price"), lit(0.01)),
-      percentile(col("price"), lit(0.99))).head()
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val r = d.agg(percentile(col("price"), array(lit(0.01), lit(0.99)))).head()
+    val qs = r.getSeq[Double](0)
+    val (lo, hi) = (qs(0), qs(1))
     val clipped = greatest(least(col("price"), lit(hi)), lit(lo))
     d.agg(
       count(when(col("price") < lo || col("price") > hi, 1)).as("n_clipped"),

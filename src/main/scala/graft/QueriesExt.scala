@@ -61,7 +61,8 @@ object QueriesExt {
   // ------------------------------------------------------------------
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
-      threshold = 0.5, shingleN = 3, k = 16, bands = 4)
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4,
+      maxBucket = 1000000) // uncapped: oracle SQL has no bucket cap
       .select(col("id_a"), col("id_b"), col("jaccard"))
   private val qDedupMinhashSql = {
     val sh = s"""CASE WHEN len(t) >= 3
@@ -143,14 +144,15 @@ object QueriesExt {
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("predicted", TextStats.langId(col("text")))
+      .withColumn("__toks", TextStats.tokens(lower(col("text"))))
+      .withColumn("predicted", TextStats.langIdFromTokens(col("__toks")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("cnt"))
   private val qLangIdSql = {
     val langs = TextStats.langStopwords.toSeq.sortBy(_._1)
     val hitCols = langs.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(toks, t -> list_contains($arr, t))) h_$l"
+      s"len(list_intersect(toks, $arr)) h_$l"
     }.mkString(",\n    ")
     val best = "greatest(" + langs.map(l => s"h_${l._1}").mkString(", ") + ")"
     val pick = langs.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }

@@ -68,18 +68,16 @@ object CleaningAction {
   final case class OutlierClip(column: String, lo: Double = 0.01,
       hi: Double = 0.99, exact: Boolean = true) extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
-      val (ql, qh) =
-        if (exact) {
-          val r = df.agg(
-            percentile(col(column), lit(lo)),
-            percentile(col(column), lit(hi))).head()
-          (r.getDouble(0), r.getDouble(1))
-        } else {
-          val r = df.agg(
-            percentile_approx(col(column), lit(lo), lit(10000)),
-            percentile_approx(col(column), lit(hi), lit(10000))).head()
-          (r.getDouble(0), r.getDouble(1))
-        }
+      // both percentiles from ONE aggregation buffer (array form) — the
+      // exact percentile buffer holds every value, so never build two
+      val r =
+        if (exact)
+          df.agg(percentile(col(column), array(lit(lo), lit(hi)))).head()
+        else
+          df.agg(percentile_approx(col(column), array(lit(lo), lit(hi)),
+            lit(10000))).head()
+      val qs = r.getSeq[Double](0)
+      val (ql, qh) = (qs(0), qs(1))
       df.withColumn(column, greatest(least(col(column), lit(qh)), lit(ql)))
     }
     def describe = s"Clipped $column to ${lo * 100}%-${hi * 100}% quantiles"

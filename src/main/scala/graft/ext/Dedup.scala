@@ -42,6 +42,23 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(wordShingles(text, n), s => Hashing.hash64(s))
 
+  /** (id, h) frame with each pipeline stage materialized as its own
+    * column. CRITICAL for performance: nested higher-order-function
+    * lambdas re-evaluate argument subtrees per element when inlined into
+    * one expression (tokenization would run once per shingle, making the
+    * pipeline quadratic); staged columns make each an attribute read. */
+  private[graft] def hashedShingleFrame(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextStats.tokens(TextStats.normalized(col(textCol))).as("__toks"))
+      .withColumn("__shingles",
+        when(size(col("__toks")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("__toks")) - n),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+          .otherwise(array(concat_ws(" ", col("__toks")))))
+      .select(col("id"), transform(col("__shingles"),
+        s => Hashing.hash64(s)).as("h"))
+
   /** MinHash signature: k permutation-mins over ONE base hash per shingle
     * (universal hashing — k linear transforms, not k digests). */
   def minhashSignature(shingleHashes: Column, k: Int = 16): Column = {
@@ -66,10 +83,15 @@ object Dedup {
     *   a 10k-doc bucket is 50M pairs; cap keeps the join linear). */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    lshCandidatesFromHashes(
+      hashedShingleFrame(docs, idCol, textCol, shingleN), k, bands, maxBucket)
+
+  private[graft] def lshCandidatesFromHashes(hashed: DataFrame, k: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+    val sig = hashed.select(col("id"),
+      graft.functions.VectorExprs.minhash_sig(col("h"), k).as("sig"))
     val exploded = sig.select(col("id"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -96,10 +118,12 @@ object Dedup {
   /** LSH candidates verified with exact Jaccard >= threshold. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16,
-      bands: Int = 4): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("h"))
-    val cands = lshCandidates(docs, idCol, textCol, shingleN, k, bands)
+      bands: Int = 4, maxBucket: Int = 64): DataFrame = {
+    // pinned: consumed three times (banding + both verify joins); a few
+    // MB of hashes per million docs, cheap to keep resident
+    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
     cands
       .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
       .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
@@ -138,7 +162,14 @@ object Dedup {
     * shared band -> candidate; verify with hamming <= maxDist. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+    // token hashes materialized as a column (one digest per token), then
+    // one native SimHash32 pass — not 32 x T interpreted lambdas
+    val sh = docs
+      .select(col(idCol).as("id"),
+        transform(TextStats.tokens(TextStats.normalized(col(textCol))),
+          t => Hashing.hash64(t)).as("__th"))
+      .select(col("id"),
+        graft.functions.VectorExprs.simhash32(col("__th")).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("band"),

@@ -24,9 +24,14 @@ object SimSearch {
     * accumulation drifts and is not portable across engines). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right dot product via zip_with + aggregate. */
+  /** Left-to-right dot product — a native expression (tight JVM loop),
+    * numerically identical to zip_with + aggregate but ~100x cheaper on
+    * pairwise joins (see VectorExprs scaladoc). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // DotProductD reads raw 8-byte slots — float arrays MUST be cast up
+    // (no-op when already array<double>)
+    graft.functions.VectorExprs.dot_product(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -64,15 +69,14 @@ object SimSearch {
     * derived from hash64(plane, dim) — reproducible with zero egress and
     * no stored model. */
   def hyperplaneSignature(v: Column, dims: Int, planes: Int = 16): Column = {
-    val planeArr = array((0 until planes).map { p =>
-      array((0 until dims).map { d =>
+    // one codegen'd dot per plane, summed flat — no HOF loop
+    (0 until planes).map { p =>
+      val plane = array((0 until dims).map { d =>
         // hash -> [-0.5, 0.5) grid; fixed seed via the (p,d) pair
         lit((((Hashing.permuteA(p * dims + d) % 1000L) / 1000.0) - 0.5))
       }: _*)
-    }: _*)
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) =>
-      acc + when(dot(element_at(planeArr, p.cast("int") + 1), v) >= 0,
-        call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
+      when(dot(plane, v) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** ANN top-k: candidates share the hyperplane bucket or differ in at

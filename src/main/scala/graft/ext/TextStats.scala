@@ -34,13 +34,17 @@ object TextStats {
 
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // tokens materialized once as a column — inlining it into every
+    // consumer would re-tokenize per higher-order element (see
+    // Dedup.hashedShingleFrame)
+    val staged = df.withColumn("__toks", tokens(t))
+    val toks = col("__toks")
     val nTok = size(toks)
     val nStop = size(filter(toks, tk => lower(tk).isInCollection(stopwords)))
     val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
     val nChar = length(t)
     val tokChars = aggregate(toks, lit(0), (acc, tk) => acc + length(tk))
-    df.withColumn("n_chars_m", nChar)
+    staged.withColumn("n_chars_m", nChar)
       .withColumn("n_tokens", nTok)
       .withColumn("n_stopwords", nStop)
       .withColumn("n_punct", nPunct)
@@ -50,6 +54,7 @@ object TextStats {
         when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0))
       .withColumn("punct_ratio",
         when(nChar > 0, nPunct.cast("double") / nChar).otherwise(0.0))
+      .drop("__toks")
   }
 
   /** Gopher-style keep/drop quality score in [0,1]: rewards mid-length
@@ -73,17 +78,24 @@ object TextStats {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"),
     "zh" -> Seq("的", "是", "在", "了", "有", "和", "不", "人", "我", "他"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(lower(text))
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(lower(text)))
+
+  /** Score = number of DISTINCT function words present (array_intersect
+    * is one native set op per doc vs a boxed lambda per token). */
+  def langScoresFromTokens(toks: Column): Seq[(String, Column)] =
     langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isInCollection(words)))
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     }
-  }
 
   /** Predicted language: highest hit count, ties to lexicographically
-    * smallest language, "und" (undetermined) when zero hits. */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+    * smallest language, "und" (undetermined) when zero hits. Prefer
+    * [[langIdFromTokens]] over a materialized token column — this
+    * convenience form re-tokenizes once per language. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = langScoresFromTokens(toks)
     val best = scores.tail.foldLeft(struct(scores.head._2.as("n"), lit(scores.head._1).as("l"))) {
       case (acc, (lang, n)) =>
         when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("l"))).otherwise(acc)

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector / fingerprint hot paths.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate one
+  * interpreted lambda dispatch PER ELEMENT — a 64-dim dot product costs
+  * ~130 boxed closure calls. These expressions run one tight JVM loop per
+  * row instead (~100x less overhead at 4M+ pairs), while keeping
+  * bit-identical results: same left-to-right summation order, so the
+  * DuckDB oracle comparison is unaffected.
+  *
+  * CodegenFallback is deliberate: the expression itself is a compiled
+  * Scala loop (the per-element interpretation is what hurt, not the
+  * per-row call); a doGenCode version is a further ~2x if profiling ever
+  * demands it.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i) // left-to-right, like zip_with+aggregate
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProductD = copy(left = l, right = r)
+}
+
+/** 32-bit SimHash over an array of 60-bit token hashes: bit j of the
+  * result is set iff the sum over tokens of (2*((h>>j)&1) - 1) is
+  * positive. Integer votes are order-independent, so this matches the
+  * HOF formulation and the DuckDB oracle exactly. One pass over tokens,
+  * 32 counters — O(32*T) compiled vs O(32*T) interpreted lambdas. */
+case class SimHash32(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
+/** MinHash signature over an array of base hashes: out[i] = min over h of
+  * (a_i * (h mod p) + b_i) mod p — identical to the HOF formulation and
+  * the DuckDB oracle (same constants, same arithmetic), one compiled
+  * k x T loop instead of k x T interpreted lambdas. */
+case class MinHashSig(child: Expression, ks: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val as: Array[Long] = (0 until ks).map(Hashing.permuteA).toArray
+  private val bs: Array[Long] = (0 until ks).map(Hashing.permuteB).toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(ks)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = arr.getLong(i) % Hashing.P
+      var j = 0
+      while (j < ks) {
+        val v = (as(j) * hm + bs(j)) % Hashing.P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object VectorExprs {
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductD(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  def simhash32(tokenHashes: Column): Column =
+    GraftBridge.column(SimHash32(GraftBridge.expression(tokenHashes)))
+  def minhash_sig(shingleHashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingleHashes), k))
+}
