@@ -43,14 +43,18 @@ object StreamProfile {
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event
-    * count + value total, with processing-time timeout eviction so state
-    * stays bounded on idle keys. */
-  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    * count + value total. Pass `evictAfter` (e.g. "1 hour") in production
+    * so idle keys time out and state stays bounded; None disables the
+    * timeout (and the extra timeout-sweep micro-batches it schedules —
+    * keep None in tests that rely on processAllAvailable returning). */
+  def runningUserStats(events: Dataset[UserEvent],
+      evictAfter: Option[String] = None): Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (evictAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
           if (state.hasTimedOut) {
             val last = state.get
@@ -61,7 +65,7 @@ object StreamProfile {
             val buf = rows.foldLeft(prev)((s, e) =>
               UserStats(userId, s.n_events + 1, s.total_value + e.value))
             state.update(buf)
-            state.setTimeoutDuration("1 hour")
+            evictAfter.foreach(state.setTimeoutDuration)
             buf
           }
       }

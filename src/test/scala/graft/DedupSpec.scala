@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextStats}
+import graft.functions.Hashing
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark distributed query engines and shuffles"),
+    (4L, "The quick brown fox jumps over the lazy dog near the river bank today!"), // exact dup of 1 mod case/punct
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup by fingerprint: case/punctuation-insensitive, min-id survivor") {
+    val groups = Dedup.exactByFingerprint(corpus, "doc_id", "text")
+    val dup = groups.filter($"n_copies" > 1).collect()
+    assert(dup.length == 1)
+    assert(dup(0).getAs[Long]("keep_id") == 1L) // 1 and 4 collide, keep min
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated docs") {
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup is trivially near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard is exact on known shingle sets") {
+    // doc 1 vs doc 2: 12 word-3-shingles each, 11 shared
+    val h = corpus.filter($"doc_id".isin(1, 2))
+      .select(Dedup.shingleHashes($"text", 3).as("h"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val inter = h(0).intersect(h(1)).size.toDouble
+    val uni = h(0).union(h(1)).size.toDouble
+    assert(inter / uni > 0.7 && inter / uni < 1.0)
+  }
+
+  test("simhash: identical normalized docs share fingerprints; hamming pairs found") {
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(exact.exists(_.getInt(2) == 0), s"1 vs 4 same tokens -> hamming 0: ${pairs.mkString(",")}")
+  }
+
+  test("minhash signature matches a hand-rolled reference for one doc") {
+    val h = Seq(42L, 7L, 999999L)
+    val expected = (0 until 16).map { i =>
+      h.map(x => (Hashing.permuteA(i) * (x % Hashing.P) + Hashing.permuteB(i)) % Hashing.P).min
+    }
+    val got = Seq(Tuple1(h)).toDF("h")
+      .select(graft.functions.VectorExprs.minhash_sig($"h", 16)).as[Seq[Long]].head()
+    assert(got == expected)
+  }
+
+  test("hash64 is stable and non-negative (60-bit)") {
+    val v = Seq("a", "b", "a").toDF("s")
+      .select(Hashing.hash64($"s")).as[Long].collect()
+    assert(v(0) == v(2) && v(0) != v(1) && v.forall(_ >= 0))
+  }
+
+  test("rolling hash expression matches a JVM reference implementation") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
+    val inputs = Seq("", "a", "hello world", "ünïcode ok")
+    val got = inputs.toDF("s").select(Hashing.rolling_hash($"s")).as[Long].collect()
+    assert(got.toSeq == inputs.map(ref))
+  }
+}

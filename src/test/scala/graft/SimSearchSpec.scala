@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, SimSearch}
+
+class SimSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Double] = xs.toSeq
+
+  test("cosine/dot/norm basics") {
+    val df = Seq((vec(1, 0), vec(0, 1)), (vec(1, 1), vec(1, 1)),
+      (vec(3, 4), vec(3, 4))).toDF("a", "b")
+    val cos = df.select(SimSearch.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(cos(0)) < 1e-12)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+    assert(math.abs(cos(2) - 1.0) < 1e-12)
+  }
+
+  test("zero vectors: normalize keeps them, cosine is 0") {
+    val df = Seq((vec(0, 0), vec(1, 2))).toDF("a", "b")
+    assert(df.select(SimSearch.cosine($"a", $"b")).as[Double].head() == 0.0)
+  }
+
+  test("brute-force top-k: exact neighbors, rank order, self excluded") {
+    // 0 -> (1,0); 1 -> (0.9, 0.1); 2 -> (0, 1); 3 -> (-1, 0)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = SimSearch.bruteTopK(corpus, corpus.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy($"rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L)) // closest first, self excluded
+  }
+
+  test("LSH ANN has full recall on the near-dup regime (its design target)") {
+    // corpus of well-separated axis vectors + exact near-dups of query
+    val dims = 8
+    def axis(i: Int, eps: Double = 0.0): Seq[Float] =
+      (0 until dims).map(d => (if (d == i % dims) 1.0 else if (d == (i + 1) % dims) eps else 0.0).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, axis(i, 0.05 * (i % 3)))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val brute = SimSearch.bruteTopK(corpus, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SimSearch.lshTopK(corpus, queries, "vec_id", "embedding", dims, 1, planes = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // near-identical vectors share all hyperplane signs -> recall 1.0
+    assert(brute.subsetOf(ann) || ann == brute,
+      s"ANN must recover exact-near neighbors: brute=$brute ann=$ann")
+  }
+
+  test("embedding near-dups above threshold") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("dot product expression equals HOF formulation bit-for-bit") {
+    val df = Seq((vec(0.1, 0.2, 0.3), vec(0.4, 0.5, 0.6))).toDF("a", "b")
+    val hof = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    val fast = df.select(SimSearch.dot($"a", $"b")).as[Double].head()
+    assert(hof == fast)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamProfile
+
+class StreamProfileSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  test("streaming hourly profile: watermark finalizes windows, drops late data") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamProfile.hourlyProfile(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:15:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that the 10:00 window finalizes
+      input.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      // a late event behind the watermark must be dropped
+      input.addData(Ev(4, ts("2024-01-01 10:30:00"), 3, "click", 100.0))
+      q.processAllAvailable()
+      input.addData(Ev(5, ts("2024-01-01 16:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hp").collect()
+        .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)),
+        s"10:00 click window finalized without the late event: ${rows.mkString("; ")}")
+      assert(!rows.exists(_._4 == 100.0), "late event must not appear")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user stats") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamProfile.UserEvent]
+    val q = StreamProfile.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("us")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        StreamProfile.UserEvent(1, ts("2024-01-01 10:00:00"), 2.0),
+        StreamProfile.UserEvent(1, ts("2024-01-01 10:01:00"), 3.0),
+        StreamProfile.UserEvent(2, ts("2024-01-01 10:02:00"), 7.0))
+      q.processAllAvailable()
+      input.addData(StreamProfile.UserEvent(1, ts("2024-01-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      val byUser = spark.table("us").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(byUser(1L) == ((1L, 3L, 10.0))) // state carried across batches
+      assert(byUser(2L) == ((2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+}
