@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Multimodal, SimSearch, TextStats}
+import graft.ext.{Dedup, EventsOps, Multimodal, Relational, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
 
@@ -397,8 +397,61 @@ object QueriesExt {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
 
+  /** As-of join: each purchase annotated with the user's latest
+    * prior-or-simultaneous view. Oracle = DuckDB's native ASOF JOIN —
+    * independent implementations of the same operator. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Relational.asofJoin(purchases, views, "user_id", "ts",
+      rightCols = Seq("event_id", "ts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("asof_event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts_str"))
+  }
+  private val qAsofJoinSql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS asof_event_id, user_id, ts AS vts FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |  v.asof_event_id,
+      |  strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS asof_ts_str
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.ts""".stripMargin
+
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  private val pivotTypes = Seq("click", "view", "purchase", "signup", "error")
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotTypes)
+  private val qPivotSql = {
+    val cols = pivotTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n  ")
+    s"""SELECT user_id % 10 AS user_bucket,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_cube" -> (qCube _),
+    "q_pivot" -> (qPivot _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -419,6 +472,9 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_cube" -> qCubeSql,
+    "q_pivot" -> qPivotSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

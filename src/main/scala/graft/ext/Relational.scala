@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed Spark-first
+  * (SURVEY §2.5 extension surface).
+  */
+object Relational {
+
+  /** As-of join: for each left row, the single most recent right row with
+    * `right.ts <= left.ts` within the same `keyCol` (the time-series
+    * point-in-time join).
+    *
+    * Spark has no ASOF JOIN; the classic scalable formulation is a tagged
+    * UNION + one window pass: interleave both sides ordered by (ts, tag)
+    * per key, carry the last-seen right row forward, keep left rows. ONE
+    * shuffle on the key (same as any join), no range explosion, skew
+    * handled by AQE like any window. A broadcast-range variant is only
+    * better when the right side is tiny; this shape survives both sides
+    * being huge.
+    *
+    * @param left      rows to annotate
+    * @param right     rows providing the as-of values
+    * @param keyCol    equi-join key present in both
+    * @param tsCol     event-time column present in both
+    * @param rightCols right columns to carry (renamed `asof_<name>`)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val carried = rightCols.map(c => s"asof_$c")
+    // tag 0 = right (sorts before any same-instant left row, so ties on
+    // ts are included, matching ASOF's right.ts <= left.ts)
+    val r = right.select(
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__tag") +:
+        rightCols.map(c => col(c).as(s"asof_$c"))
+        ++: lCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__tag") +:
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
+        ++: lCols.filterNot(c => c == keyCol).map(col)): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = r.unionByName(l)
+      .select((col(keyCol) +: col("__ts") +: col("__tag") +:
+        carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+        ++: lCols.filterNot(c => c == keyCol).map(col)): _*)
+    filled.filter(col("__tag") === 1)
+      .select((lCols.map(col) ++ carried.map(col)): _*)
+  }
+
+  /** Range join: left rows matched to right rows whose [startCol, endCol)
+    * interval contains the left timestamp. Implemented as an equi-join on
+    * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst
+    * gets a hash join instead of a cartesian range predicate; the residual
+    * range filter runs post-join. Right intervals wider than the bucket
+    * must be split by the caller. */
+  def rangeJoinByBucket(left: DataFrame, right: DataFrame, tsCol: String,
+      startCol: String, endCol: String, bucketSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    // each right interval lands in its start bucket and the next one
+    val rb = right.withColumn("__bucket",
+      explode(array(floor(unix_timestamp(col(startCol)) / bucketSeconds),
+        floor(unix_timestamp(col(startCol)) / bucketSeconds) + 1)))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+}
