@@ -87,6 +87,31 @@ object QueriesExt {
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
   }
 
+  /** Exact inverted-index Jaccard (no LSH pruning) — must agree with
+    * q_dedup_minhash on every pair both report. */
+  private def qJaccardNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  private val qJaccardNgramSql = {
+    val sh = s"""CASE WHEN len(t) >= 3
+                | THEN list_distinct(list_transform(range(len(t) - 2),
+                |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |ex AS (SELECT doc_id, unnest(h) hash FROM hs),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+       |  FROM ex a JOIN ex b ON a.hash = b.hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(h) n FROM hs)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+       |FROM pairs JOIN sizes x ON x.doc_id = ia JOIN sizes y ON y.doc_id = ib
+       |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Dedup: SimHash hamming pairs
   // ------------------------------------------------------------------
@@ -454,6 +479,7 @@ object QueriesExt {
     "q_pivot" -> (qPivot _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -477,6 +503,7 @@ object QueriesExt {
     "q_pivot" -> qPivotSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,

@@ -132,6 +132,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard over ALL qualifying pairs via an inverted
+    * index: explode shingle hashes, self-join on hash, count shared
+    * shingles per pair, derive |A u B| = |A| + |B| - shared. The
+    * scalable exact path when LSH recall is not acceptable: shuffle is
+    * the posting list (one row per (doc, shingle)), and `maxDocFreq`
+    * drops stop-shingles whose posting lists would explode the pair
+    * count (a shingle in f docs contributes f^2/2 pairs). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hashed.select(col("id"), size(col("h")).as("n"))
+    val postings0 = hashed.select(col("id"), explode(col("h")).as("hash"))
+    val postings =
+      if (maxDocFreq == Int.MaxValue) postings0
+      else postings0.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hash"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
+    val shared = postings.select(col("id").as("id_a"), col("hash"))
+      .join(postings.select(col("id").as("id_b"), col("hash")), Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact duplicate groups by content fingerprint: one shuffle on a
     * 16-byte digest; survivor = min id (deterministic). */
   def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String)
