@@ -239,6 +239,25 @@ object Queries {
        |       ${moneySumSql("round(greatest(least(price, hi), lo), 2)")} AS sum_clipped
        |FROM dirty, q""".stripMargin
 
+  /** IQR robust outlier detection (the reference's own roadmap item,
+    * app.py:397). */
+  private def qOutlierIqr(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir)
+    val m = Profiler.iqrModel(d, "price")
+    d.agg(
+      count(when(m.mask, 1)).as("n_outliers"),
+      round(lit(m.lo), 4).as("fence_lo"), round(lit(m.hi), 4).as("fence_hi"),
+      moneySum(when(!m.mask, col("price"))).as("sum_inliers"))
+  }
+  private val qOutlierIqrSql =
+    s"""WITH $dirtySql,
+       |q AS (SELECT quantile_cont(price, 0.25) q1, quantile_cont(price, 0.75) q3 FROM dirty),
+       |f AS (SELECT q1 - 1.5 * (q3 - q1) lo, q3 + 1.5 * (q3 - q1) hi FROM q)
+       |SELECT count(CASE WHEN price < lo OR price > hi THEN 1 END) AS n_outliers,
+       |       round(any_value(lo), 4) AS fence_lo, round(any_value(hi), 4) AS fence_hi,
+       |       ${moneySumSql("CASE WHEN NOT (price < lo OR price > hi) THEN price END")} AS sum_inliers
+       |FROM dirty, f""".stripMargin
+
   // ------------------------------------------------------------------
   // T5-T8 — null handling
   // ------------------------------------------------------------------
@@ -436,6 +455,7 @@ object Queries {
     "q_outlier_replace_median" -> (qOutlierReplaceMedian _),
     "q_outlier_replace_mean" -> (qOutlierReplaceMean _),
     "q_outlier_clip" -> (qOutlierClip _),
+    "q_outlier_iqr" -> (qOutlierIqr _),
     "q_null_drop" -> (qNullDrop _),
     "q_impute_median" -> (qImputeMedian _),
     "q_impute_mode" -> (qImputeMode _),
@@ -458,6 +478,7 @@ object Queries {
     "q_outlier_replace_median" -> qOutlierReplaceMedianSql,
     "q_outlier_replace_mean" -> qOutlierReplaceMeanSql,
     "q_outlier_clip" -> qOutlierClipSql,
+    "q_outlier_iqr" -> qOutlierIqrSql,
     "q_null_drop" -> qNullDropSql,
     "q_impute_median" -> qImputeMedianSql,
     "q_impute_mode" -> qImputeModeSql,

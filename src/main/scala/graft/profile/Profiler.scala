@@ -89,6 +89,27 @@ object Profiler {
     ZScoreModel(column, m, s, threshold)
   }
 
+  /** IQR (Tukey-fence) outlier model — the robust detector the reference
+    * names as its own next step ("Migliorare detection outlier con IQR",
+    * app.py:397). Fences at [q1 - k*IQR, q3 + k*IQR], k = 1.5. Both
+    * quartiles come from ONE percentile buffer; `exact=false` switches to
+    * the GK sketch at scale. */
+  final case class IqrModel(column: String, q1: Double, q3: Double, k: Double) {
+    def lo: Double = q1 - k * (q3 - q1)
+    def hi: Double = q3 + k * (q3 - q1)
+    def mask: Column = col(column) < lo || col(column) > hi
+  }
+
+  def iqrModel(df: DataFrame, column: String, k: Double = 1.5,
+      exact: Boolean = true): IqrModel = {
+    val r =
+      if (exact) df.agg(percentile(col(column), array(lit(0.25), lit(0.75)))).head()
+      else df.agg(percentile_approx(col(column), array(lit(0.25), lit(0.75)),
+        lit(10000))).head()
+    val qs = r.getSeq[Double](0)
+    IqrModel(column, qs(0), qs(1), k)
+  }
+
   /** Whitelisted date formats replacing dateutil's leniency (app.py:73-81).
     * Deliberate divergence (SURVEY P5): dateutil parses bare integers like
     * "50" as day-of-month, flagging numeric columns as date-like — a
