@@ -87,6 +87,42 @@ object QueriesExt {
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
   }
 
+  /** Character-5-gram MinHash dedup (tokenization-free variant). The
+    * bucket cap is LOAD-BEARING here: shared vocabulary makes char-gram
+    * band keys collide across ~100k doc pairs at sf0.1; capping bucket
+    * size keeps the verify join linear. The oracle applies the identical
+    * cap. */
+  private def qDedupMinhashChar(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatesChar(docs(s, dir), "doc_id", "text",
+      threshold = 0.6, shingleK = 5, k = 16, bands = 4,
+      maxBucket = 64)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  private val qDedupMinhashCharSql = {
+    val sh = """CASE WHEN length(n) >= 5
+               | THEN list_distinct(list_transform(range(length(n) - 4),
+               |   i -> substr(n, i+1, 5)))
+               | ELSE [n] END""".stripMargin
+    s"""WITH nrm AS (SELECT doc_id, ${normSql("text")} n FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM nrm),
+       |sig AS (SELECT doc_id, h,
+       |  list_transform(range(16), i ->
+       |    list_min(list_transform(h, x -> (($aList)[i+1] * (x % $P) + ($bList)[i+1]) % $P))) sg
+       |  FROM hs),
+       |bands AS (SELECT doc_id, h, band,
+       |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
+       |  FROM sig, (SELECT unnest(range(4)) band)),
+       |capped AS (SELECT doc_id, h, band, bkey FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM bands)
+       |  WHERE bs <= 64),
+       |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT ia, ib,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
+       |  FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib)
+       |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.6""".stripMargin
+  }
+
   /** Exact inverted-index Jaccard (no LSH pruning) — must agree with
     * q_dedup_minhash on every pair both report. */
   private def qJaccardNgram(s: SparkSession, dir: String): DataFrame =
@@ -255,6 +291,39 @@ object QueriesExt {
     SimSearch.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
       dims = 64, k = 5, planes = 12)
   }
+
+  /** IVF-Flat ANN — fully deterministic (centroids = smallest-id corpus
+    * sample, argmax-dot assignment with id tie-break), so unlike the LSH
+    * path it IS oracle-checkable in SQL. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qAnnIvfSql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+      |asg AS (SELECT id, e, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c) WHERE rn = 1),
+      |qs AS (SELECT id query_id, e qe, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c WHERE v.id < 10) WHERE rn <= 4),
+      |cand AS (SELECT q.query_id, a.id, list_dot_product(a.e, q.qe) cosine
+      |  FROM asg a JOIN qs q ON a.list_id = q.list_id AND a.id <> q.query_id),
+      |ranked AS (SELECT query_id, id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) rank
+      |  FROM (SELECT DISTINCT query_id, id, cosine FROM cand))
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+      |       round(cosine, 6) AS cosine_r
+      |FROM ranked WHERE rank <= 5""".stripMargin
 
   // ------------------------------------------------------------------
   // Multimodal plumbing
@@ -479,6 +548,7 @@ object QueriesExt {
     "q_pivot" -> (qPivot _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
@@ -488,6 +558,7 @@ object QueriesExt {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
@@ -503,6 +574,7 @@ object QueriesExt {
     "q_pivot" -> qPivotSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,
@@ -511,6 +583,7 @@ object QueriesExt {
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_ann_ivf" -> qAnnIvfSql,
     // q_ann_lsh: approximate -> rows-only check, no oracle
     "q_multimodal" -> qMultimodalSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -19,14 +19,18 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  /** Character shingles (k-grams) of the normalized text. */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val norm = TextStats.normalized(text)
+  /** Character shingles (k-grams) of the normalized text. Pass a
+    * MATERIALIZED column to [[charShinglesOfNormalized]] in pipelines —
+    * this convenience form inlines the normalization, which higher-order
+    * lambdas would otherwise re-evaluate per element. */
+  def charShingles(text: Column, k: Int = 5): Column =
+    charShinglesOfNormalized(TextStats.normalized(text), k)
+
+  def charShinglesOfNormalized(norm: Column, k: Int): Column =
     when(length(norm) >= k,
       array_distinct(transform(sequence(lit(1), length(norm) - k + 1),
         i => norm.substr(i, lit(k)))))
       .otherwise(array(norm))
-  }
 
   /** Word n-gram shingles of the normalized text. */
   def wordShingles(text: Column, n: Int = 3): Column = {
@@ -118,11 +122,31 @@ object Dedup {
   /** LSH candidates verified with exact Jaccard >= threshold. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4, maxBucket: Int = 64): DataFrame =
+    nearDuplicatesFromHashes(
+      hashedShingleFrame(docs, idCol, textCol, shingleN),
+      threshold, k, bands, maxBucket)
+
+  /** Character-shingle variant (robust to tokenization differences —
+    * CJK, code, concatenated text). */
+  def nearDuplicatesChar(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleK: Int = 5, k: Int = 16,
       bands: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        TextStats.normalized(col(textCol)).as("__norm"))
+      // native one-pass windowing+hashing (spec-checked equal to
+      // transform+array_distinct+hash64)
+      .select(col("id"), graft.functions.VectorExprs
+        .char_shingle_hashes(col("__norm"), shingleK).as("h"))
+    nearDuplicatesFromHashes(hashed, threshold, k, bands, maxBucket)
+  }
+
+  private def nearDuplicatesFromHashes(hashedIn: DataFrame, threshold: Double,
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
     // pinned: consumed three times (banding + both verify joins); a few
     // MB of hashes per million docs, cheap to keep resident
-    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
     cands
       .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))

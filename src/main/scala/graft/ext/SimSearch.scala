@@ -35,11 +35,10 @@ object SimSearch {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** L2-normalize (zero vectors stay zero). */
-  def normalize(v: Column): Column = {
-    val n = norm(v)
-    when(n > 0, transform(v, x => x / n)).otherwise(v)
-  }
+  /** L2-normalize (zero vectors stay zero) — native single pass; the HOF
+    * form re-evaluates the norm per element. */
+  def normalize(v: Column): Column =
+    graft.functions.VectorExprs.normalize_d(v.cast("array<double>"))
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
@@ -55,6 +54,55 @@ object SimSearch {
     val q = queries.select(col(idCol).as("query_id"), normalize(toDouble(col(vecCol))).as("qv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", dot(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  /** IVF-Flat ANN: partition the corpus into `nlist` inverted lists by
+    * nearest centroid; queries scan only the `nprobe` closest lists and
+    * rerank exactly. Centroids here are a deterministic id-sample of the
+    * corpus itself (one pass, no training iterations — "k-means-lite");
+    * a production build would refine them with a few Lloyd rounds, same
+    * plan shape. On isotropic data IVF recall beats hyperplane LSH
+    * because candidate selection follows actual data geometry instead of
+    * fixed random cuts: expected scan fraction = nprobe/nlist.
+    *
+    * Plan shape at 100 TB: centroid set is tiny (nlist rows) and
+    * broadcast twice (corpus assignment + query probing); the corpus
+    * shuffles ONCE on its list id; the probe join is a hash join on
+    * list id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    // deterministic centroid sample: the nlist smallest ids
+    val cents = c.orderBy(col("id").asc).limit(nlist)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // assign: argmin over centroid distance == argmax dot (unit vectors),
+    // ties to smallest cent_id
+    def assign(df: DataFrame, vc: String, rankCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("__aid"))
+        .orderBy(dot(col(vc), col("cv")).desc, col("cent_id").asc)
+      df.withColumn("__aid", col("id"))
+        .join(broadcast(cents), lit(true))
+        .withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) <= keep)
+        .drop("__aid")
+    }
+    val assigned = assign(c, "v", "__crank", 1)
+      .select(col("id"), col("v"), col("cent_id").as("list_id"))
+    val q = queries.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("qv"))
+    val probes = assign(q.withColumnRenamed("qv", "v"), "v", "__qrank", nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("cent_id").as("list_id"))
+    val joined = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
       .withColumn("cosine", dot(col("v"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)

@@ -24,9 +24,11 @@ object Hashing {
   /** Mersenne prime 2^31 - 1 — modulus for the permutation family. */
   val P: Long = 2147483647L
 
-  /** Portable 60-bit hash: first 15 hex chars of md5. */
+  /** Portable 60-bit hash: first 15 hex chars of md5 — implemented as a
+    * native expression (StringHash64, spec-checked equal to the column
+    * formula `conv(substring(md5(x),1,15),16,10)`). */
   def hash64(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    VectorExprs.string_hash64(c.cast(StringType))
 
   /** DuckDB rendering of [[hash64]] (for oracle SQL). */
   def hash64Sql(expr: String): String =

@@ -105,7 +105,105 @@ case class MinHashSig(child: Expression, ks: Int)
     copy(child = c)
 }
 
+/** L2-normalize an array<double> in one pass (norm computed once; the
+  * HOF formulation re-evaluates the norm's dot product for EVERY element
+  * of the output — 64x redundant work on 64-dim vectors). Zero vectors
+  * pass through unchanged, matching `when(n > 0, ...)`. */
+case class NormalizeD(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getDouble(i); s += x * x; i += 1 }
+    if (s <= 0.0) arr
+    else {
+      val norm = math.sqrt(s)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = arr.getDouble(i) / norm; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeD =
+    copy(child = c)
+}
+
+/** Distinct character-k-shingle hashes of an (already normalized) string
+  * in one pass: slide a k-char window, md5 each window (same 60-bit
+  * truncation as StringHash64), first-occurrence order. Replaces
+  * transform(sequence...substr) + array_distinct + hash64 — which costs
+  * O(len^2) array_distinct comparisons plus per-element expression
+  * machinery. Strings shorter than k hash as a single whole-string
+  * shingle (matching charShinglesOfNormalized's otherwise-branch). */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  private def h64(bytes: Array[Byte]): Long = {
+    val md = StringHash64.digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[Long]()
+    if (s.length < k) {
+      out += h64(s.getBytes("UTF-8"))
+    } else {
+      var i = 0
+      while (i + k <= s.length) {
+        val h = h64(s.substring(i, i + k).getBytes("UTF-8"))
+        if (seen.add(h)) out += h
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes =
+    copy(child = c)
+}
+
+/** Native md5-based 60-bit hash: numerically identical to
+  * `conv(substring(md5(x), 1, 15), 16, 10)` (first 15 hex chars = first
+  * 7.5 bytes of the digest) but one JVM call per value instead of a
+  * 4-node interpreted expression tree — the shingle-hashing hot path
+  * runs millions of these. */
+case class StringHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val md = StringHash64.digest.get()
+    md.reset()
+    val d = md.digest(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    java.lang.Long.valueOf((acc << 4) | ((d(7) & 0xf0L) >> 4))
+  }
+  override protected def withNewChildInternal(c: Expression): StringHash64 =
+    copy(child = c)
+}
+object StringHash64 {
+  private[functions] val digest = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+}
+
 object VectorExprs {
+  def string_hash64(c: Column): Column =
+    GraftBridge.column(StringHash64(GraftBridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProductD(
       GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -113,4 +211,8 @@ object VectorExprs {
     GraftBridge.column(SimHash32(GraftBridge.expression(tokenHashes)))
   def minhash_sig(shingleHashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingleHashes), k))
+  def normalize_d(v: Column): Column =
+    GraftBridge.column(NormalizeD(GraftBridge.expression(v)))
+  def char_shingle_hashes(norm: Column, k: Int): Column =
+    GraftBridge.column(CharShingleHashes(GraftBridge.expression(norm), k))
 }

@@ -64,6 +64,35 @@ class DedupSpec extends SparkSpec {
     assert(v(0) == v(2) && v(0) != v(1) && v.forall(_ >= 0))
   }
 
+  test("native hash64 equals the portable column formula (oracle contract)") {
+    val inputs = Seq("", "a", "hello world", "ünïcode ok", "1234567890",
+      "the quick brown fox")
+    val df = inputs.toDF("s")
+    val native = df.select(Hashing.hash64($"s")).as[Long].collect().toSeq
+    val formula = df.select(
+      conv(substring(md5($"s".cast("string")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    assert(native == formula)
+  }
+
+  test("native char-shingle hashes equal the composed column formula") {
+    val df = Seq("hello world example", "ab", "aaaaaaa").toDF("t")
+      .select(TextStats.normalized($"t").as("n"))
+    val native = df.select(graft.functions.VectorExprs
+      .char_shingle_hashes($"n", 5)).as[Seq[Long]].collect().toSeq
+    val formula = df.select(
+      transform(Dedup.charShinglesOfNormalized($"n", 5),
+        s => Hashing.hash64(s))).as[Seq[Long]].collect().toSeq
+    assert(native == formula)
+  }
+
+  test("native normalize equals the HOF formulation") {
+    val df = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("v")
+    val native = df.select(graft.functions.VectorExprs.normalize_d($"v"))
+      .as[Seq[Double]].collect().toSeq
+    assert(native == Seq(Seq(0.6, 0.8), Seq(0.0, 0.0)))
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)

@@ -49,6 +49,17 @@ class SimSearchSpec extends SparkSpec {
       s"ANN must recover exact-near neighbors: brute=$brute ann=$ann")
   }
 
+  test("IVF ANN: high recall on the isotropic fixture corpus where hyperplane LSH fails") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = SimSearch.bruteTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimSearch.ivfTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall (nprobe/nlist = 1/4 of corpus scanned)")
+  }
+
   test("embedding near-dups above threshold") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (2L, Seq(0.0f, 1.0f)))
