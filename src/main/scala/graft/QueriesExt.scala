@@ -541,8 +541,55 @@ object QueriesExt {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** TPC-H Q1-shaped pricing summary: the classic scan-heavy partial-agg
+    * benchmark headline (all measures exact via the integer-cents /
+    * decimal discipline). */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")
+          * round((lit(1) - col("l_discount")) * 100, 0).cast("long"))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  private val qPricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |           * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Skew-resistant two-phase (salted) aggregation: phase 1 groups on
+    * (key, salt) so one hot key spreads over `salts` reducers; phase 2
+    * merges partials. Result is EXACTLY the direct groupBy (the oracle
+    * is the plain GROUP BY) — the pattern is what's being shipped. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    Sources.table(s, dir, "lineitem")
+      .withColumn("__salt", col("l_orderkey") % salts)
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("ps"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pc")).as("n"),
+        sum(col("ps")).cast("double").as("sum_qty"))
+  }
+  private val qSaltedAggSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (qPricingSummary _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_asof_join" -> (qAsofJoin _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
@@ -569,6 +616,8 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_pricing_summary" -> qPricingSummarySql,
+    "q_salted_agg" -> qSaltedAggSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
