@@ -204,9 +204,7 @@ object QueriesExt {
   }
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("__toks", TextStats.tokens(lower(col("text"))))
-      .withColumn("predicted", TextStats.langIdFromTokens(col("__toks")))
+    TextStats.withLangId(docs(s, dir), "text")
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("cnt"))
   private val qLangIdSql = {
@@ -586,8 +584,41 @@ object QueriesExt {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** SQL surface: the same engine driven entirely through spark.sql with
+    * the registered graft_* functions (the reference has no SQL face at
+    * all — SURVEY §2.5). Fingerprint + minhash head via SQL, oracle in
+    * DuckDB. */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir).createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT doc_id,
+        |  graft_hash64(text) AS h64,
+        |  graft_rolling_hash(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) AS rh,
+        |  element_at(graft_minhash(graft_char_shingles(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 5), 16), 1) AS mh0
+        |FROM graft_docs""".stripMargin)
+  }
+  private val qSqlSurfaceSql =
+    s"""WITH nrm AS (SELECT doc_id, text, ${normSql("text")} n FROM documents),
+       |sh AS (SELECT doc_id, text, n,
+       |  CASE WHEN length(n) >= 5
+       |    THEN list_distinct(list_transform(range(length(n) - 4), i -> substr(n, i+1, 5)))
+       |    ELSE [n] END s FROM nrm),
+       |hs AS (SELECT doc_id, text, n,
+       |  list_transform(s, x -> ${Hashing.hash64Sql("x")}) h FROM sh)
+       |SELECT doc_id,
+       |  ${Hashing.hash64Sql("text")} AS h64,
+       |  CAST(CASE WHEN length(n) = 0 THEN 0 ELSE
+       |    list_reduce(list_transform(range(length(n)),
+       |      i -> CAST(ascii(substr(n, i+1, 1)) AS BIGINT)),
+       |      (a, b) -> (a * 31 + b) % 2147483647) END AS BIGINT) AS rh,
+       |  list_min(list_transform(h, x -> ((${Hashing.permuteA(0)} * (x % $P) + ${Hashing.permuteB(0)}) % $P))) AS mh0
+       |FROM hs""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_surface" -> (qSqlSurface _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_asof_join" -> (qAsofJoin _),
@@ -616,6 +647,7 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_surface" -> qSqlSurfaceSql,
     "q_pricing_summary" -> qPricingSummarySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_asof_join" -> qAsofJoinSql,

@@ -94,6 +94,28 @@ object TextStats {
     * convenience form re-tokenizes once per language. */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
+  /** DataFrame-level language ID with each per-language hit count staged
+    * as its own column: the single-Column fold compiles to one huge
+    * Janino method (seconds of cold codegen), while staged attributes
+    * keep codegen units small and evaluate each intersect once. Adds
+    * `predicted`. */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val staged = df.withColumn("__toks", tokens(lower(col(textCol))))
+    val langs = langStopwords.toSeq.sortBy(_._1)
+    val withHits = langs.foldLeft(staged) { case (d, (lang, words)) =>
+      d.withColumn(s"__h_$lang",
+        size(array_intersect(col("__toks"), array(words.map(lit): _*))))
+    }
+    val hits = langs.map { case (l, _) => col(s"__h_$l") }
+    val g = greatest(hits: _*)
+    val pick = langs.foldRight(lit("und"): Column) { case ((l, _), rest) =>
+      when(col(s"__h_$l") === g, lit(l)).otherwise(rest)
+    }
+    withHits
+      .withColumn("predicted", when(g === 0, lit("und")).otherwise(pick))
+      .drop("__toks" +: langs.map(l => s"__h_${l._1}"): _*)
+  }
+
   def langIdFromTokens(toks: Column): Column = {
     val scores = langScoresFromTokens(toks)
     val best = scores.tail.foldLeft(struct(scores.head._2.as("n"), lit(scores.head._1).as("l"))) {
