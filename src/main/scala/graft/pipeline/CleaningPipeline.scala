@@ -36,6 +36,14 @@ final class CleaningPipeline private (
     new CleaningPipeline(orig, Vector.empty, orig)
   }
 
+  /** Replay this lineage over a DIFFERENT input — the typed action log
+    * doubles as a portable cleaning recipe (the roll-back/replay the
+    * reference lists as its next step, app.py:396). Statistics
+    * (medians, z-models) are recomputed against the new data, which is
+    * the point: the recipe is declarative, not value-frozen. */
+  def replay(freshInput: DataFrame): DataFrame =
+    lineage.foldLeft(freshInput)((df, a) => a(df))
+
   def missions: Seq[Mission] = Profiler.detectMissions(work)
   def missionsLog: Seq[String] = lineage.map(_.describe)
   def insights: Insights = Quality.insights(orig, work)

@@ -47,4 +47,17 @@ class QualitySpec extends SparkSpec {
     assert(ins.rowsBefore == 200 && ins.rowsAfter == 198)
     p1.reset()
   }
+
+  test("lineage replays as a portable recipe on fresh data") {
+    val p = CleaningPipeline(SampleData.load(spark))
+      .apply(DropDuplicates())
+      .apply(NullFillConstant("category"))
+    // a different seed: same defect STRUCTURE, different values
+    val fresh = SampleData.load(spark, seed = 999L)
+    val replayed = p.replay(fresh)
+    assert(replayed.count() == 198) // same injected dups removed
+    assert(replayed.filter(replayed("category").isNull).count() == 0)
+    // and the original pipeline state is untouched
+    assert(p.work.count() == 198)
+  }
 }
