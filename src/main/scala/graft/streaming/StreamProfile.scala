@@ -42,6 +42,61 @@ object StreamProfile {
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Streaming sessionization: one output row per CLOSED session, via
+    * flatMapGroupsWithState with event-time timeout.
+    *
+    * A session closes when (a) a later event arrives more than
+    * `gapMinutes` after the session's end, or (b) the watermark passes
+    * session_end + gap (timeout fires with no newer event). State per
+    * user is one open session — O(active users), eviction guaranteed by
+    * the timeout, late events beyond the watermark dropped upstream.
+    * Requires `withWatermark("ts", ...)` on the input. */
+  def streamingSessions(events: Dataset[UserEvent], gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          def toOut(s: SessionState): SessionOut = SessionOut(userId,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.n, s.total)
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(toOut).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += toOut(s)
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value total. Pass `evictAfter` (e.g. "1 hour") in production
     * so idle keys time out and state stays bounded; None disables the

@@ -37,6 +37,19 @@ object StreamDrive {
       println(s"[drive] $mode -> $rows")
       q.stop()
     }
+    // streaming sessionization drive
+    val input3 = MemoryStream[UserEvent]
+    val q3 = StreamProfile.streamingSessions(
+      input3.toDS().withWatermark("ts", "10 minutes").as[UserEvent], 30)
+      .writeStream.format("memory").queryName("drive_sessions")
+      .outputMode(OutputMode.Append).start()
+    input3.addData(UserEvent(7, ts("2024-01-01 09:00:00"), 1.0),
+      UserEvent(7, ts("2024-01-01 09:10:00"), 2.0))
+    q3.processAllAvailable()
+    input3.addData(UserEvent(7, ts("2024-01-01 13:00:00"), 9.0))
+    q3.processAllAvailable()
+    println(s"[drive] sessions -> " + spark.table("drive_sessions").collect().mkString(" "))
+    q3.stop()
     spark.stop()
   }
 }

@@ -44,6 +44,44 @@ class StreamProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization emits closed sessions via event-time timeout") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamProfile.UserEvent]
+    val sessions = StreamProfile.streamingSessions(
+      input.toDS().withWatermark("ts", "10 minutes")
+        .as[StreamProfile.UserEvent], gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("ss")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: two events 5 min apart
+      input.addData(
+        StreamProfile.UserEvent(1, ts("2024-01-01 10:00:00"), 1.0),
+        StreamProfile.UserEvent(1, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("ss").count() == 0, "session still open")
+      // an event 2 hours later closes session 1 immediately (gap rule)
+      input.addData(StreamProfile.UserEvent(1, ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("ss").collect()
+      assert(afterGap.length == 1)
+      assert(afterGap(0).getAs[Long]("n_events") == 2)
+      assert(afterGap(0).getAs[Double]("total_value") == 3.0)
+      assert(afterGap(0).getAs[java.sql.Timestamp]("session_end")
+        == ts("2024-01-01 10:05:00"))
+      // push the watermark far past 12:00 + gap -> timeout closes session 2
+      input.addData(StreamProfile.UserEvent(2, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(StreamProfile.UserEvent(2, ts("2024-01-01 16:00:00"), 0.0))
+      q.processAllAvailable()
+      val all = spark.table("ss").collect()
+      assert(all.exists(r => r.getAs[Long]("user_id") == 1 &&
+        r.getAs[Long]("n_events") == 1 &&
+        r.getAs[Double]("total_value") == 5.0), s"timed-out session: ${all.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user stats") {
     val sparkSession = spark
     import sparkSession.implicits._
