@@ -616,8 +616,49 @@ object QueriesExt {
        |  list_min(list_transform(h, x -> ((${Hashing.permuteA(0)} * (x % $P) + ${Hashing.permuteB(0)}) % $P))) AS mh0
        |FROM hs""".stripMargin
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS faces). The right side is
+    * filtered to 'F'-status orders so BOTH buckets are non-empty in the
+    * fixture (every customer has some order; 71 have no finished one) —
+    * an empty anti side would make the oracle check trivially pass. */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Sources.table(s, dir, "customer")
+    val f = Sources.table(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val withF = c.join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey")).withColumn("bucket", lit("has_finished"))
+    val withoutF = c.join(f, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).withColumn("bucket", lit("no_finished"))
+    withF.union(withoutF)
+  }
+  private val qSemiAntiSql =
+    """SELECT c_custkey, 'has_finished' AS bucket FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT c_custkey, 'no_finished' AS bucket FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** Running total per customer over order time — cumulative window with
+    * exact decimal arithmetic (order total is 2-dp). */
+  private def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "orders")
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("running_total"))
+  }
+  private val qRunningTotalSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM orders""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -647,6 +688,8 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
     "q_pricing_summary" -> qPricingSummarySql,
     "q_salted_agg" -> qSaltedAggSql,
