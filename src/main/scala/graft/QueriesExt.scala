@@ -56,6 +56,72 @@ object QueriesExt {
        |FROM (SELECT doc_id, md5(${normSql("text")}) f FROM inj)
        |GROUP BY f HAVING count(*) > 1""".stripMargin
 
+  /** The training-data flagship: full corpus-cleaning pipeline composed
+    * from the library — exact dedup (min-id survivor) -> MinHash near-dup
+    * removal (drop the larger id of each verified pair) -> quality-score
+    * filter -> language filter. Every stage is deterministic, so the
+    * WHOLE pipeline is one oracle-checked query. */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val injected = injectedDocs(s, dir)
+    val keep1 = Dedup.exactByFingerprint(injected, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val s1 = injected.join(keep1, Seq("doc_id"), "left_semi")
+    val dropNear = Dedup.nearDuplicates(s1, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 1000000)
+      .select(col("id_b").as("doc_id")).distinct()
+    val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti")
+    val scored = TextStats.withLangId(
+      TextStats.qualityScore(s2, "text"), "text")
+    scored.filter(col("quality_score") >= 0.6 && col("predicted") === "en")
+      .select(col("doc_id"))
+  }
+  private val qCorpusPipelineSql = {
+    val sh = s"""CASE WHEN len(t) >= 3
+                | THEN list_distinct(list_transform(range(len(t) - 2),
+                |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    val langs = TextStats.langStopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(lt, $arr)) h_$l"
+    }.mkString(",\n    ")
+    val best = "greatest(" + langs.map(l => s"h_${l._1}").mkString(", ") + ")"
+    val pick = langs.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }.mkString(" ")
+    val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $injectedDocsSql,
+       |keep1 AS (SELECT min(doc_id) doc_id FROM
+       |  (SELECT doc_id, md5(${normSql("text")}) f FROM inj) GROUP BY f),
+       |s1 AS (SELECT i.doc_id, i.text FROM inj i JOIN keep1 k ON i.doc_id = k.doc_id),
+       |toks AS (SELECT doc_id, ${toksSql("text")} t FROM s1),
+       |hs AS (SELECT doc_id, list_transform($sh, x -> ${Hashing.hash64Sql("x")}) h FROM toks),
+       |sig AS (SELECT doc_id, h, list_transform(range(16), i ->
+       |    list_min(list_transform(h, x -> (($aList)[i+1] * (x % $P) + ($bList)[i+1]) % $P))) sg FROM hs),
+       |bands AS (SELECT doc_id, h, band,
+       |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
+       |  FROM sig, (SELECT unnest(range(4)) band)),
+       |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |dropn AS (SELECT DISTINCT ib FROM cand
+       |  JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) >= 0.5),
+       |s2 AS (SELECT doc_id, text FROM s1 WHERE doc_id NOT IN (SELECT ib FROM dropn)),
+       |feat AS (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) wt,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) lt,
+       |  length(text) n_chars,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) n_punct
+       |  FROM s2),
+       |q AS (SELECT doc_id,
+       |  round((CASE WHEN len(wt) >= 10 AND len(wt) <= 100000 THEN 0.4 ELSE 0.0 END)
+       |    + (CASE WHEN len(wt) > 0 AND CAST(len(list_filter(wt, x -> list_contains($sw, lower(x)))) AS DOUBLE) / len(wt) >= 0.05 THEN 0.3 ELSE 0.0 END)
+       |    + (CASE WHEN n_chars = 0 OR CAST(n_punct AS DOUBLE) / n_chars <= 0.2 THEN 0.3 ELSE 0.0 END), 2) score,
+       |  $hitCols
+       |  FROM feat)
+       |SELECT doc_id FROM q
+       |WHERE score >= 0.6
+       |  AND CASE WHEN $best = 0 THEN 'und' ELSE CASE $pick END END = 'en'""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Dedup: MinHash + LSH candidates, Jaccard-verified (natural near-dups)
   // ------------------------------------------------------------------
@@ -665,6 +731,7 @@ object QueriesExt {
     "q_asof_join" -> (qAsofJoin _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
@@ -696,6 +763,7 @@ object QueriesExt {
     "q_asof_join" -> qAsofJoinSql,
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
+    "q_corpus_pipeline" -> qCorpusPipelineSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
