@@ -127,14 +127,21 @@ object Dedup {
       hashedShingleFrame(docs, idCol, textCol, shingleN),
       threshold, k, bands, maxBucket)
 
-  /** Character-shingle variant (robust to tokenization differences —
-    * CJK, code, concatenated text). */
+  /** Character-shingle variant (robust to tokenization differences in
+    * Latin-script text: punctuation, concatenation, casing).
+    *
+    * CAUTION: [[TextStats.normalized]] keeps only `[a-z0-9 ]`, so
+    * non-Latin (CJK etc.) text normalizes to "" — such documents are
+    * EXCLUDED here rather than allowed to collapse onto the
+    * empty-string shingle and report every CJK pair as a duplicate.
+    * A non-Latin corpus needs a script-appropriate normalizer. */
   def nearDuplicatesChar(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleK: Int = 5, k: Int = 16,
       bands: Int = 4, maxBucket: Int = 64): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"),
         TextStats.normalized(col(textCol)).as("__norm"))
+      .filter(length(col("__norm")) > 0)
       // native one-pass windowing+hashing (spec-checked equal to
       // transform+array_distinct+hash64)
       .select(col("id"), graft.functions.VectorExprs
@@ -142,10 +149,13 @@ object Dedup {
     nearDuplicatesFromHashes(hashed, threshold, k, bands, maxBucket)
   }
 
+  /** NOTE on caching: the hashed-shingle frame is pinned because it is
+    * consumed three times (banding + both verify joins) and costs ~MBs
+    * per million docs. The pin lives until `spark.catalog.clearCache()`
+    * or session end — repeated-call services should clear between
+    * batches (Bench/Verify do). */
   private def nearDuplicatesFromHashes(hashedIn: DataFrame, threshold: Double,
       k: Int, bands: Int, maxBucket: Int): DataFrame = {
-    // pinned: consumed three times (banding + both verify joins); a few
-    // MB of hashes per million docs, cheap to keep resident
     val hashed = hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
     cands

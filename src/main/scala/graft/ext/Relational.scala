@@ -30,25 +30,33 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
-    val carried = rightCols.map(c => s"asof_$c")
+    // All carried fields travel in ONE struct and are filled by a single
+    // last(ignoreNulls) — carrying them independently would back-fill a
+    // null field of the latest right row from an OLDER right row, mixing
+    // two rows into one match. The struct itself is non-null for every
+    // right row (even when all its fields are null), so the carry always
+    // picks the latest right row whole.
+    val rStruct = struct(rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => org.apache.spark.sql.types.StructField(
+        s"asof_$c", right.schema(c).dataType, nullable = true)))
     // tag 0 = right (sorts before any same-instant left row, so ties on
     // ts are included, matching ASOF's right.ts <= left.ts)
     val r = right.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__tag") +:
-        rightCols.map(c => col(c).as(s"asof_$c"))
-        ++: lCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+        rStruct.as("__asof") +:
+        lCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__tag") +:
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
-        ++: lCols.filterNot(c => c == keyCol).map(col)): _*)
+        lit(null).cast(rStructType).as("__asof") +:
+        lCols.filterNot(c => c == keyCol).map(col)): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = r.unionByName(l)
-      .select((col(keyCol) +: col("__ts") +: col("__tag") +:
-        carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
-        ++: lCols.filterNot(c => c == keyCol).map(col)): _*)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
-      .select((lCols.map(col) ++ carried.map(col)): _*)
+      .select((lCols.map(col) ++
+        rightCols.map(c => col(s"__asof.asof_$c").as(s"asof_$c"))): _*)
   }
 
   /** Range join: left rows matched to right rows whose [startCol, endCol)

@@ -39,16 +39,19 @@ object SampleData {
         start.plusDays(i.toLong).toString, // yyyy-MM-dd strings (app.py:33)
         price, qty, cat)
     }.toArray
-    // injected defects — exact values and positions from app.py:38-40
+    // injected defects — exact values and positions from app.py:38-40;
+    // guarded so a small n yields a defect-light sample instead of an
+    // index crash
     def withPrice(r: Row, p: Double) = Row(r.get(0), r.get(1), p, r.get(3), r.get(4))
     def withDate(r: Row, d: String) = Row(r.get(0), d, r.get(2), r.get(3), r.get(4))
-    base(5) = withPrice(base(5), 999.0)
-    base(17) = withPrice(base(17), -100.0)
-    base(50) = withPrice(base(50), 5000.0)
-    base(2) = withDate(base(2), "2024/13/01")
-    base(3) = withDate(base(3), "01-02-2024")
-    base(10) = base(9)
-    base(11) = base(9)
+    def inject(i: Int)(f: Row => Row): Unit = if (i < n) base(i) = f(base(i))
+    inject(5)(withPrice(_, 999.0))
+    inject(17)(withPrice(_, -100.0))
+    inject(50)(withPrice(_, 5000.0))
+    inject(2)(withDate(_, "2024/13/01"))
+    inject(3)(withDate(_, "01-02-2024"))
+    if (n > 10) base(10) = base(9)
+    if (n > 11) base(11) = base(9)
     base.toSeq
   }
 

@@ -33,12 +33,26 @@ object Sources {
     * DuckDB applies when it reads nanos into its micro-precision
     * timestamps, so both engines see identical values. */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.floor(
-          org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    // scope the legacy conf: set -> read -> force schema resolution ->
+    // restore, so other parquet reads in the session keep the default
+    // fail-fast behavior on nano timestamps (verified: execution of the
+    // returned plan does not re-read the conf)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema // resolve under the conf
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(
+            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
 

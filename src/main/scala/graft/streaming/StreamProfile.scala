@@ -78,9 +78,17 @@ object StreamProfile {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
+                // late event from before the open session minus the gap:
+                // it cannot extend backwards into territory the watermark
+                // already passed — emit it as its own closed session
+                case Some(s) if t < s.start - gapMs =>
+                  closed += SessionOut(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L, e.value)
+                // within the gap on either side: merge, extending BOTH
+                // bounds (a late in-watermark event may precede start)
+                case Some(s) if t <= s.end + gapMs =>
+                  open = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += toOut(s)
                   open = Some(SessionState(t, t, 1L, e.value))

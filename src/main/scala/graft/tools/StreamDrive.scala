@@ -40,11 +40,14 @@ object StreamDrive {
     // streaming sessionization drive
     val input3 = MemoryStream[UserEvent]
     val q3 = StreamProfile.streamingSessions(
-      input3.toDS().withWatermark("ts", "10 minutes").as[UserEvent], 30)
+      input3.toDS().withWatermark("ts", "2 hours").as[UserEvent], 30)
       .writeStream.format("memory").queryName("drive_sessions")
       .outputMode(OutputMode.Append).start()
     input3.addData(UserEvent(7, ts("2024-01-01 09:00:00"), 1.0),
       UserEvent(7, ts("2024-01-01 09:10:00"), 2.0))
+    q3.processAllAvailable()
+    // late in-watermark event BEFORE session start: must merge and pull start back
+    input3.addData(UserEvent(7, ts("2024-01-01 08:55:00"), 0.5))
     q3.processAllAvailable()
     input3.addData(UserEvent(7, ts("2024-01-01 13:00:00"), 9.0))
     q3.processAllAvailable()

@@ -29,6 +29,37 @@ class RelationalSpec extends SparkSpec {
     assert(out(2).getLong(0) == 3L && out(2).isNullAt(1))        // no quote for sym 9
   }
 
+  test("asof join carries the latest right row WHOLE — a null field is not back-filled from an older row") {
+    val trades = Seq((1L, 7L, ts("2024-01-01 10:00:30")))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      (Some(101L), 7L, ts("2024-01-01 10:00:00")),
+      (None, 7L, ts("2024-01-01 10:00:20"))) // latest row has a NULL field
+      .toDF("event_id", "sym", "ts")
+    val out = Relational.asofJoin(trades, quotes, "sym", "ts",
+      Seq("event_id", "ts")).head()
+    // latest right row (10:00:20) wins as a unit: its null event_id must
+    // NOT be replaced by 101 from the older row
+    assert(out.isNullAt(out.fieldIndex("asof_event_id")))
+    assert(out.getAs[ts0]("asof_ts") == ts("2024-01-01 10:00:20"))
+  }
+  private type ts0 = java.sql.Timestamp
+
+  test("sample data stays valid for small n (defects injected only where they fit)") {
+    val df = graft.io.SampleData.load(spark, n = 30)
+    assert(df.count() == 30) // indices 50+ skipped, no crash
+  }
+
+  test("char near-dup excludes docs that normalize to empty (CJK guard)") {
+    val docs = Seq((1L, "完全不同的文档一"), (2L, "另一个不同的文档"),
+      (3L, "the quick brown fox jumps over the dog"),
+      (4L, "The quick brown fox jumps over the dog!"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.nearDuplicatesChar(docs, "doc_id", "text",
+      threshold = 0.6).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)), s"CJK docs must not pair: $pairs")
+  }
+
   test("range join matches rows to containing intervals across bucket edges") {
     val points = Seq(
       (1L, ts("2024-01-01 10:59:59")),

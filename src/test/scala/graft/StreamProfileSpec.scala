@@ -82,6 +82,34 @@ class StreamProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late in-watermark event extends the open session's START (no frankenstein bounds)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamProfile.UserEvent]
+    val q = StreamProfile.streamingSessions(
+      input.toDS().withWatermark("ts", "2 hours")
+        .as[StreamProfile.UserEvent], gapMinutes = 30)
+      .writeStream.format("memory").queryName("ss_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(StreamProfile.UserEvent(1, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // late event 10 min EARLIER, inside the watermark: must merge and
+      // pull session_start back
+      input.addData(StreamProfile.UserEvent(1, ts("2024-01-01 09:50:00"), 2.0))
+      q.processAllAvailable()
+      // far-future event closes the session via the gap rule
+      input.addData(StreamProfile.UserEvent(1, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_late").collect()
+      val s = rows.find(_.getAs[Long]("n_events") == 2)
+      assert(s.isDefined, s"merged session expected: ${rows.mkString(";")}")
+      assert(s.get.getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 09:50:00"))
+      assert(s.get.getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user stats") {
     val sparkSession = spark
     import sparkSession.implicits._
