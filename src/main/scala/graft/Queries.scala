@@ -94,7 +94,8 @@ object Queries {
   // ------------------------------------------------------------------
   private def qProfile(s: SparkSession, dir: String): DataFrame = {
     val profs = Profiler.profile(dirty(s, dir)
-      .select("qty", "price", "flag", "ship_str"), exact = true)
+      .select("qty", "price", "flag", "ship_str"), exact = true,
+      sampleRows = 0) // counts only; the oracle has no sample columns
     s.createDataFrame(profs.map(p => (p.column, p.nNull, p.nDistinct)))
       .toDF("column_name", "n_null", "n_distinct")
   }
@@ -172,7 +173,9 @@ object Queries {
        |SELECT l_orderkey, l_linenumber, price FROM dirty, st WHERE $zMaskSql""".stripMargin
 
   private def qOutlierRemove(s: SparkSession, dir: String): DataFrame =
-    withPriceStats(dirty(s, dir)).filter(!coalesce(zMask, lit(false)))
+    // routed through the shipped CleaningAction so a regression in T1
+    // itself (not just the inline mask) fails the oracle
+    CleaningAction.OutlierRemove("price")(dirty(s, dir))
       .agg(count(lit(1)).as("n_rows"), moneySum(col("price")).as("sum_price"))
   private val qOutlierRemoveSql =
     s"""WITH $dirtySql, $statsSql
@@ -188,14 +191,19 @@ object Queries {
     d.agg(
       count(when(zMask, 1)).as("n_replaced"),
       round(lit(med), 4).as("median_value"),
-      moneySum(when(zMask, lit(med)).otherwise(col("price"))).as("sum_after"))
+      // round to cents BEFORE the decimal cast: round() uses
+      // shortest-decimal-repr rounding in BOTH engines, while a direct
+      // double->decimal cast diverges on .xx5 medians (Spark expands the
+      // exact binary, DuckDB the shortest repr)
+      moneySum(round(when(zMask, lit(med)).otherwise(col("price")), 2))
+        .as("sum_after"))
   }
   private val qOutlierReplaceMedianSql =
     s"""WITH $dirtySql, $statsSql,
        |med AS (SELECT median(price) v FROM dirty, st WHERE NOT coalesce($zMaskSql, false))
        |SELECT count(CASE WHEN $zMaskSql THEN 1 END) AS n_replaced,
        |       round((SELECT v FROM med), 4) AS median_value,
-       |       ${moneySumSql(s"CASE WHEN $zMaskSql THEN (SELECT v FROM med) ELSE price END")} AS sum_after
+       |       ${moneySumSql(s"round(CASE WHEN $zMaskSql THEN (SELECT v FROM med) ELSE price END, 2)")} AS sum_after
        |FROM dirty, st""".stripMargin
 
   /** T3: mean over non-outlier rows — computed as exact decimal sum / count
@@ -208,14 +216,16 @@ object Queries {
     d.agg(
       count(when(zMask, 1)).as("n_replaced"),
       round(lit(mean), 4).as("mean_value"),
-      moneySum(when(zMask, lit(mean)).otherwise(col("price"))).as("sum_after"))
+      // see qOutlierReplaceMedian: round-to-cents before the cast
+      moneySum(round(when(zMask, lit(mean)).otherwise(col("price")), 2))
+        .as("sum_after"))
   }
   private val qOutlierReplaceMeanSql =
     s"""WITH $dirtySql, $statsSql,
        |mn AS (SELECT ${moneySumSql("price")} / count(*) v FROM dirty, st WHERE NOT coalesce($zMaskSql, false))
        |SELECT count(CASE WHEN $zMaskSql THEN 1 END) AS n_replaced,
        |       round((SELECT v FROM mn), 4) AS mean_value,
-       |       ${moneySumSql(s"CASE WHEN $zMaskSql THEN (SELECT v FROM mn) ELSE price END")} AS sum_after
+       |       ${moneySumSql(s"round(CASE WHEN $zMaskSql THEN (SELECT v FROM mn) ELSE price END, 2)")} AS sum_after
        |FROM dirty, st""".stripMargin
 
   /** T4: clip to [q01, q99] — quantiles over ALL rows (app.py:268-269),
@@ -225,11 +235,14 @@ object Queries {
     val r = d.agg(percentile(col("price"), array(lit(0.01), lit(0.99)))).head()
     val qs = r.getSeq[Double](0)
     val (lo, hi) = (qs(0), qs(1))
-    val clipped = greatest(least(col("price"), lit(hi)), lit(lo))
+    // the clipped VALUES come from the shipped T4 action (so the action
+    // itself is under oracle); lo/hi recomputed here only for display
+    val clipped = CleaningAction.OutlierClip("price")(d)
+      .agg(moneySum(round(col("price"), 2))).head().getDouble(0)
     d.agg(
       count(when(col("price") < lo || col("price") > hi, 1)).as("n_clipped"),
       round(lit(lo), 4).as("q01"), round(lit(hi), 4).as("q99"),
-      moneySum(round(clipped, 2)).as("sum_clipped"))
+      lit(clipped).as("sum_clipped"))
   }
   private val qOutlierClipSql =
     s"""WITH $dirtySql,
@@ -270,11 +283,12 @@ object Queries {
        |FROM dirty WHERE qty IS NOT NULL""".stripMargin
 
   private def qImputeMedian(s: SparkSession, dir: String): DataFrame = {
-    val d = dirty(s, dir)
+    val d = dirty(s, dir).withColumn("qty_orig", col("qty"))
+    // the action fills qty in place; qty_orig rides along so pre-fill
+    // null count and post-fill stats come from ONE aggregate
     val filled = CleaningAction.NullImputeMedian("qty")(d)
-    val nNull = d.filter(col("qty").isNull).count()
     filled.agg(
-      lit(nNull).as("n_filled"),
+      count(when(col("qty_orig").isNull, 1)).as("n_filled"),
       count(when(col("qty").isNull, 1)).as("nulls_after"),
       moneySum(col("qty")).as("sum_qty"))
   }
@@ -310,14 +324,17 @@ object Queries {
     // (l_orderkey, l_linenumber) is not unique in the synthetic fixture —
     // the order columns must form a total order within each group for a
     // deterministic keep-first
+    // l_quantity completes the total order: the fixture has rows agreeing
+    // on (orderkey, linenumber, partkey, suppkey) but differing in
+    // quantity — without it the rank-1 pick is tie-nondeterministic
     CleaningAction.DropDuplicates(subset = Seq("l_orderkey"),
-      orderColumns = Seq("l_linenumber", "l_partkey", "l_suppkey"))(li(s, dir))
+      orderColumns = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity"))(li(s, dir))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   private val qDedupExactSql =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM (
       |  SELECT l_orderkey, l_linenumber, l_quantity,
       |         row_number() OVER (PARTITION BY l_orderkey
-      |           ORDER BY l_linenumber, l_partkey, l_suppkey) rn
+      |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) rn
       |  FROM lineitem) WHERE rn = 1""".stripMargin
 
   // ------------------------------------------------------------------

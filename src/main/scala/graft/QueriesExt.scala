@@ -34,6 +34,29 @@ object QueriesExt {
   private val bList = (0 until 16).map(Hashing.permuteB).mkString("[", ", ", "]")
   private val P = Hashing.P
 
+  /** Word-3-shingle CASE over a token list column `t` — the ONE source
+    * of truth shared by every minhash/jaccard oracle (a desynchronized
+    * copy would silently split oracle pairs). */
+  private val wordShinglesSql: String =
+    """CASE WHEN len(t) >= 3
+      | THEN list_distinct(list_transform(range(len(t) - 2),
+      |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      | ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  /** Per-language hit columns + argmax CASE over a token list column
+    * `toks`/`lt` — shared by the lang-id and corpus-pipeline oracles. */
+  private def langHitColsSql(tokCol: String): String =
+    TextStats.langStopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($tokCol, $arr)) h_$l"
+    }.mkString(",\n    ")
+  private val langBestSql: String =
+    "greatest(" + TextStats.langStopwords.keys.toSeq.sorted
+      .map(l => s"h_$l").mkString(", ") + ")"
+  private val langPickSql: String =
+    TextStats.langStopwords.keys.toSeq.sorted
+      .map(l => s"WHEN h_$l = $langBestSql THEN '$l'").mkString(" ")
+
   // ------------------------------------------------------------------
   // Dedup: exact by fingerprint (injected exact dups)
   // ------------------------------------------------------------------
@@ -76,17 +99,10 @@ object QueriesExt {
       .select(col("doc_id"))
   }
   private val qCorpusPipelineSql = {
-    val sh = s"""CASE WHEN len(t) >= 3
-                | THEN list_distinct(list_transform(range(len(t) - 2),
-                |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-                | ELSE [array_to_string(t, ' ')] END""".stripMargin
-    val langs = TextStats.langStopwords.toSeq.sortBy(_._1)
-    val hitCols = langs.map { case (l, ws) =>
-      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_intersect(lt, $arr)) h_$l"
-    }.mkString(",\n    ")
-    val best = "greatest(" + langs.map(l => s"h_${l._1}").mkString(", ") + ")"
-    val pick = langs.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }.mkString(" ")
+    val sh = wordShinglesSql
+    val hitCols = langHitColsSql("lt")
+    val best = langBestSql
+    val pick = langPickSql
     val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH $injectedDocsSql,
        |keep1 AS (SELECT min(doc_id) doc_id FROM
@@ -131,10 +147,7 @@ object QueriesExt {
       maxBucket = 1000000) // uncapped: oracle SQL has no bucket cap
       .select(col("id_a"), col("id_b"), col("jaccard"))
   private val qDedupMinhashSql = {
-    val sh = s"""CASE WHEN len(t) >= 3
-                | THEN list_distinct(list_transform(range(len(t) - 2),
-                |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-                | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    val sh = wordShinglesSql
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
        |hs AS (SELECT doc_id,
        |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
@@ -168,7 +181,7 @@ object QueriesExt {
                | THEN list_distinct(list_transform(range(length(n) - 4),
                |   i -> substr(n, i+1, 5)))
                | ELSE [n] END""".stripMargin
-    s"""WITH nrm AS (SELECT doc_id, ${normSql("text")} n FROM documents),
+    s"""WITH nrm AS (SELECT doc_id, ${normSql("text")} n FROM documents WHERE length(${normSql("text")}) > 0),
        |hs AS (SELECT doc_id,
        |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM nrm),
        |sig AS (SELECT doc_id, h,
@@ -196,10 +209,7 @@ object QueriesExt {
       threshold = 0.5, shingleN = 3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   private val qJaccardNgramSql = {
-    val sh = s"""CASE WHEN len(t) >= 3
-                | THEN list_distinct(list_transform(range(len(t) - 2),
-                |   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-                | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    val sh = wordShinglesSql
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
        |hs AS (SELECT doc_id,
        |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
@@ -274,14 +284,9 @@ object QueriesExt {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("cnt"))
   private val qLangIdSql = {
-    val langs = TextStats.langStopwords.toSeq.sortBy(_._1)
-    val hitCols = langs.map { case (l, ws) =>
-      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_intersect(toks, $arr)) h_$l"
-    }.mkString(",\n    ")
-    val best = "greatest(" + langs.map(l => s"h_${l._1}").mkString(", ") + ")"
-    val pick = langs.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }
-      .mkString(" ")
+    val hitCols = langHitColsSql("toks")
+    val best = langBestSql
+    val pick = langPickSql
     s"""WITH toks AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) toks
        |  FROM documents),
@@ -456,11 +461,9 @@ object QueriesExt {
     EventsOps.sessionStats(events(s, dir), gapMinutes = 30)
       .groupBy(col("user_id"))
       .agg(max(col("session_seq")).as("n_sessions"),
-        count(lit(1)).as("n_session_rows"),
         max(col("n_events")).as("max_session_events"),
         sum(col("n_events")).as("total_events"),
         max(col("duration_sec")).as("max_duration_sec"))
-      .drop("n_session_rows")
   private val qSessionizeSql =
     """WITH o AS (SELECT user_id, ts, event_id,
       |    CAST(floor(epoch(ts)) AS BIGINT) es,
@@ -562,8 +565,16 @@ object QueriesExt {
     val ev = events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // right side deduped to one view per (user, ts) — DuckDB's ASOF JOIN
+    // picks arbitrarily among equal timestamps, so determinism must come
+    // from the input (keep max event_id; no-op on the fixture)
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("__rn", row_number().over(vw))
+      .filter(col("__rn") === 1).drop("__rn")
     Relational.asofJoin(purchases, views, "user_id", "ts",
       rightCols = Seq("event_id", "ts"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -573,7 +584,10 @@ object QueriesExt {
   }
   private val qAsofJoinSql =
     """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |v AS (SELECT event_id AS asof_event_id, user_id, ts AS vts FROM events WHERE event_type = 'view')
+      |v AS (SELECT event_id AS asof_event_id, user_id, ts AS vts FROM (
+      |  SELECT event_id, user_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+      |  FROM events WHERE event_type = 'view') WHERE rn = 1)
       |SELECT p.event_id AS purchase_id, p.user_id,
       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
       |  v.asof_event_id,

@@ -27,8 +27,13 @@ object Relational {
     * @param tsCol     event-time column present in both
     * @param rightCols right columns to carry (renamed `asof_<name>`)
     */
+  /** @param rightTieBreak extra right-side order columns: when several
+    * right rows share (key, ts), the LAST one in this order wins. Leave
+    * empty only when (key, ts) is unique on the right — otherwise the
+    * pick is partition-order-dependent. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, rightCols: Seq[String]): DataFrame = {
+      tsCol: String, rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     val lCols = left.columns.toSeq
     // All carried fields travel in ONE struct and are filled by a single
     // last(ignoreNulls) — carrying them independently would back-fill a
@@ -44,13 +49,17 @@ object Relational {
     // ts are included, matching ASOF's right.ts <= left.ts)
     val r = right.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__tag") +:
-        rStruct.as("__asof") +:
+        rightTieBreak.map(c => col(c).as(s"__tb_$c"))
+        ++: rStruct.as("__asof") +:
         lCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__tag") +:
-        lit(null).cast(rStructType).as("__asof") +:
+        rightTieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c"))
+        ++: lit(null).cast(rStructType).as("__asof") +:
         lCols.filterNot(c => c == keyCol).map(col)): _*)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts").asc, col("__tag").asc)
+    val ord = col("__ts").asc +: col("__tag").asc +:
+      rightTieBreak.map(c => col(s"__tb_$c").asc_nulls_last)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = r.unionByName(l)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))

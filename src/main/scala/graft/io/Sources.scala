@@ -43,10 +43,11 @@ object Sources {
     try {
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       raw.schema // resolve under the conf
+      // integral division: `/` on longs is DOUBLE division in Spark and
+      // loses exactness above 2^53 (2024-era nanos are ~1.7e18) — `div`
+      // truncates in the long domain, matching DuckDB's truncation
       raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.floor(
-            org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

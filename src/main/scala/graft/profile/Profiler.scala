@@ -44,11 +44,16 @@ object Profiler {
         distinct.as(s"${f.name}__ndist"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val sample = df.limit(sampleRows).collect()
+    // sampleRows <= 0 skips the sample job entirely (callers that only
+    // need counts shouldn't pay a second action)
+    val sample = if (sampleRows > 0) df.limit(sampleRows).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     fields.zipWithIndex.map { case (f, i) =>
-      val samples = sample.iterator
-        .map(_.get(sample.head.fieldIndex(f.name)))
-        .filter(_ != null).map(_.toString).take(3).toSeq
+      val samples =
+        if (sample.isEmpty) Seq.empty[String]
+        else sample.iterator
+          .map(_.get(sample.head.fieldIndex(f.name)))
+          .filter(_ != null).map(_.toString).take(3).toSeq
       ColumnProfile(f.name, f.dataType.simpleString,
         row.getLong(2 * i), row.getLong(2 * i + 1), samples)
     }
