@@ -231,18 +231,16 @@ object Queries {
   /** T4: clip to [q01, q99] — quantiles over ALL rows (app.py:268-269),
     * clipped values re-rounded to cents before the exact sum. */
   private def qOutlierClip(s: SparkSession, dir: String): DataFrame = {
-    val d = dirty(s, dir)
-    val r = d.agg(percentile(col("price"), array(lit(0.01), lit(0.99)))).head()
-    val qs = r.getSeq[Double](0)
-    val (lo, hi) = (qs(0), qs(1))
-    // the clipped VALUES come from the shipped T4 action (so the action
-    // itself is under oracle); lo/hi recomputed here only for display
-    val clipped = CleaningAction.OutlierClip("price")(d)
-      .agg(moneySum(round(col("price"), 2))).head().getDouble(0)
-    d.agg(
-      count(when(col("price") < lo || col("price") > hi, 1)).as("n_clipped"),
+    // ONE percentile aggregation shared between reporting and the
+    // shipped T4 clip path (ClipBounds is what OutlierClip applies);
+    // the pre-clip values ride along so the final agg is a single job
+    val d = dirty(s, dir).withColumn("price_orig", col("price"))
+    val (lo, hi) = CleaningAction.OutlierClip("price").bounds(d)
+    CleaningAction.ClipBounds("price", lo, hi)(d).agg(
+      count(when(col("price_orig") < lo || col("price_orig") > hi, 1))
+        .as("n_clipped"),
       round(lit(lo), 4).as("q01"), round(lit(hi), 4).as("q99"),
-      lit(clipped).as("sum_clipped"))
+      moneySum(round(col("price"), 2)).as("sum_clipped"))
   }
   private val qOutlierClipSql =
     s"""WITH $dirtySql,

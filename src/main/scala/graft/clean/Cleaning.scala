@@ -67,7 +67,11 @@ object CleaningAction {
     * `approx_percentile` via `exact = false`. */
   final case class OutlierClip(column: String, lo: Double = 0.01,
       hi: Double = 0.99, exact: Boolean = true) extends CleaningAction {
-    def apply(df: DataFrame): DataFrame = {
+    /** The quantile bounds as a standalone step — callers that also need
+      * the bounds for reporting should fetch them once here and pass
+      * them to [[ClipBounds]] instead of paying a second percentile
+      * aggregation. */
+    def bounds(df: DataFrame): (Double, Double) = {
       // both percentiles from ONE aggregation buffer (array form) — the
       // exact percentile buffer holds every value, so never build two
       val r =
@@ -77,10 +81,21 @@ object CleaningAction {
           df.agg(percentile_approx(col(column), array(lit(lo), lit(hi)),
             lit(10000))).head()
       val qs = r.getSeq[Double](0)
-      val (ql, qh) = (qs(0), qs(1))
-      df.withColumn(column, greatest(least(col(column), lit(qh)), lit(ql)))
+      (qs(0), qs(1))
+    }
+    def apply(df: DataFrame): DataFrame = {
+      val (ql, qh) = bounds(df)
+      ClipBounds(column, ql, qh)(df)
     }
     def describe = s"Clipped $column to ${lo * 100}%-${hi * 100}% quantiles"
+  }
+
+  /** Clip to known bounds (the narrow-map half of T4). */
+  final case class ClipBounds(column: String, lo: Double, hi: Double)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(column, greatest(least(col(column), lit(hi)), lit(lo)))
+    def describe = s"Clipped $column to [$lo, $hi]"
   }
 
   /** T5 — drop rows null in the column (app.py:281-286). */
