@@ -90,7 +90,7 @@ object QueriesExt {
       .select(col("keep_id").as("doc_id"))
     val s1 = injected.join(keep1, Seq("doc_id"), "left_semi")
     val dropNear = Dedup.nearDuplicates(s1, "doc_id", "text",
-      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 1000000)
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
       .select(col("id_b").as("doc_id")).distinct()
     val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti")
     val scored = TextStats.withLangId(
@@ -115,8 +115,11 @@ object QueriesExt {
        |bands AS (SELECT doc_id, h, band,
        |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
        |  FROM sig, (SELECT unnest(range(4)) band)),
+       |capped AS (SELECT doc_id, h, band, bkey FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM bands)
+       |  WHERE bs <= 64),
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |dropn AS (SELECT DISTINCT ib FROM cand
        |  JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib
        |  WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) >= 0.5),
@@ -141,10 +144,13 @@ object QueriesExt {
   // ------------------------------------------------------------------
   // Dedup: MinHash + LSH candidates, Jaccard-verified (natural near-dups)
   // ------------------------------------------------------------------
+  /** Word-3-gram MinHash dedup with the hot-bucket cap ON and mirrored
+    * (round 1 shipped maxBucket=1000000 for oracle parity — the cap now
+    * lives in BOTH engines, the q_dedup_minhash_char pattern). */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
       threshold = 0.5, shingleN = 3, k = 16, bands = 4,
-      maxBucket = 1000000) // uncapped: oracle SQL has no bucket cap
+      maxBucket = 64)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   private val qDedupMinhashSql = {
     val sh = wordShinglesSql
@@ -158,8 +164,11 @@ object QueriesExt {
        |bands AS (SELECT doc_id, h, band,
        |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
        |  FROM sig, (SELECT unnest(range(4)) band)),
+       |capped AS (SELECT doc_id, h, band, bkey FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM bands)
+       |  WHERE bs <= 64),
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pairs AS (SELECT ia, ib,
        |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
        |  FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib)
@@ -202,18 +211,25 @@ object QueriesExt {
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.6""".stripMargin
   }
 
-  /** Exact inverted-index Jaccard (no LSH pruning) — must agree with
-    * q_dedup_minhash on every pair both report. */
+  /** Inverted-index n-gram Jaccard with the stop-shingle cap ON and
+    * mirrored (round 1 left maxDocFreq at Int.MaxValue — a shingle in f
+    * docs yields f^2/2 posting pairs, so the cap is the guard that keeps
+    * the pair join linear at scale). Shared counts use only shingles in
+    * <= 100 docs; set sizes stay exact, so reported jaccard is a lower
+    * bound that equals the exact value on non-boilerplate pairs. */
   private def qJaccardNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
-      threshold = 0.5, shingleN = 3)
+      threshold = 0.5, shingleN = 3, maxDocFreq = 100)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   private val qJaccardNgramSql = {
     val sh = wordShinglesSql
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
        |hs AS (SELECT doc_id,
        |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
-       |ex AS (SELECT doc_id, unnest(h) hash FROM hs),
+       |ex0 AS (SELECT doc_id, unnest(h) hash FROM hs),
+       |ex AS (SELECT doc_id, hash FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY hash) df FROM ex0)
+       |  WHERE df <= 100),
        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
        |  FROM ex a JOIN ex b ON a.hash = b.hash AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
@@ -227,9 +243,14 @@ object QueriesExt {
   // ------------------------------------------------------------------
   // Dedup: SimHash hamming pairs
   // ------------------------------------------------------------------
+  /** SimHash near-dup with byte-banding + hot-bucket cap ON in both
+    * engines (round 1's oracle was an all-pairs join — hamming<=3 over 32
+    * bits implies a shared byte band by pigeonhole, so the results
+    * agreed, but the shipped cap was disabled; now the oracle reproduces
+    * the banding and the cap literally). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(docs(s, dir), "doc_id", "text",
-      maxDist = 3, maxBucket = 1000000)
+      maxDist = 3, maxBucket = 256)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   private val qDedupSimhashSql =
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
@@ -237,10 +258,16 @@ object QueriesExt {
        |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(32), j ->
        |    CASE WHEN list_sum(list_transform(h, x ->
        |        CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) v FROM th)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) v FROM th),
+       |banded AS (SELECT doc_id, v, band, (v >> (band * 8)) & 255 AS key
+       |  FROM sh, (SELECT unnest(range(4)) band)),
+       |capped AS (SELECT doc_id, v, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) bs FROM banded)
+       |  WHERE bs <= 256)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |FROM capped a JOIN capped b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.v, b.v)) <= 3""".stripMargin
 
   // ------------------------------------------------------------------
@@ -336,21 +363,53 @@ object QueriesExt {
       |       round(cosine, 6) AS cosine_r
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
+    * crossJoin was the one outright scale-killer). The banding and the
+    * bucket cap are deterministic and mirrored bit-for-bit in the oracle:
+    * the same 32 hyperplanes are written into the SQL as
+    * `(k/1000.0 - 0.5)` component arithmetic so both engines compute
+    * identical IEEE doubles. */
+  private val embBands = 4
+  private val embPlanes = 32
+  private val embMaxBucket = 200
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val injected = e.union(e.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    Dedup.embeddingNearDups(injected, "vec_id", "embedding", 0.99)
+    Dedup.embeddingNearDups(injected, "vec_id", "embedding", 0.99,
+      dims = 64, planes = embPlanes, bands = embBands, maxBucket = embMaxBucket)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
   }
-  private val qEmbedNearDupSql =
-    """WITH inj AS (SELECT vec_id, embedding FROM embeddings
-      |    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
-      |v AS (SELECT vec_id, embedding::DOUBLE[] e FROM inj)
-      |SELECT a.vec_id id_a, b.vec_id id_b,
-      |       round(list_cosine_similarity(a.e, b.e), 4) cosine_r
-      |FROM v a JOIN v b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.e, b.e) >= 0.99""".stripMargin
+  private def planeSql(p: Int): String =
+    (0 until 64).map(d =>
+      s"(${Hashing.permuteA(p * 64 + d) % 1000L}/1000.0 - 0.5)")
+      .mkString("[", ", ", "]")
+  private def bandKeySql(b: Int): String = {
+    val r = embPlanes / embBands
+    (0 until r).map { j =>
+      val p = b * r + j
+      s"(CASE WHEN list_dot_product(${planeSql(p)}, e) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+  private val qEmbedNearDupSql = {
+    val bandSelects = (0 until embBands).map(b =>
+      s"SELECT vec_id, ${b} AS band, ${bandKeySql(b)} AS key FROM v")
+      .mkString("\n  UNION ALL ")
+    s"""WITH inj AS (SELECT vec_id, embedding FROM embeddings
+       |    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] e FROM inj),
+       |banded AS (
+       |  $bandSelects),
+       |capped AS (SELECT vec_id, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) bs FROM banded)
+       |  WHERE bs <= $embMaxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id ia, b.vec_id ib
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT ia id_a, ib id_b,
+       |       round(list_cosine_similarity(x.e, y.e), 4) cosine_r
+       |FROM cand JOIN v x ON x.vec_id = ia JOIN v y ON y.vec_id = ib
+       |WHERE list_cosine_similarity(x.e, y.e) >= 0.99""".stripMargin
+  }
 
   /** ANN via hyperplane LSH — approximate by construction, so no SQL
     * oracle (driver records rows-only); recall vs bruteTopK is asserted

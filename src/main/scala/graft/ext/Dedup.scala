@@ -93,6 +93,9 @@ object Dedup {
 
   private[graft] def lshCandidatesFromHashes(hashed: DataFrame, k: Int,
       bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be a multiple of bands=$bands " +
+        "(trailing signature values would be silently ignored, weakening recall)")
     val rowsPerBand = k / bands
     val sig = hashed.select(col("id"),
       graft.functions.VectorExprs.minhash_sig(col("h"), k).as("sig"))
@@ -255,11 +258,68 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Embedding-cosine near-duplicates above a similarity threshold (see
-    * SimSearch.cosine for the arithmetic). Brute pair join — callers at
-    * scale should pass LSH-bucketed frames instead. */
+  /** Embedding-cosine near-duplicates above a similarity threshold, via
+    * random-hyperplane LSH banding — the scale path (round 1 shipped an
+    * all-pairs crossJoin here; at 10M embeddings that is 5*10^13 pairs).
+    *
+    * Shape: per-vector sign signature over `planes` deterministic
+    * hyperplanes (narrow map — the plane matrix folds to literals),
+    * split into `bands` keys of planes/bands bits; vectors sharing any
+    * band key are candidates; exact cosine verifies. Shuffle volume is
+    * `bands` ~24-byte rows per vector plus the candidate joins — never
+    * the corpus squared. `maxBucket` caps degenerate buckets (e.g. a
+    * zero-vector pileup) exactly like the MinHash path.
+    *
+    * Recall: a pair at cosine >= 0.99 (angle <= 8.1 deg) flips each
+    * plane's sign with p ~ 0.045; with 4 bands of 8 bits the miss rate is
+    * (1-(1-p)^8)^4 < 1%; exact duplicates always collide. Both the
+    * banding and the cap are deterministic, so the whole operator is
+    * oracle-mirrorable (QueriesExt writes the identical planes into the
+    * DuckDB SQL). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, dims: Int, planes: Int = 32, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(planes % bands == 0, s"planes ($planes) must divide into bands ($bands)")
+    require(planes / bands <= 62, "band keys must fit a long")
+    val r = planes / bands
+    val e = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("e"))
+    // sign bits on the RAW vector (scale-invariant, so normalization is
+    // unnecessary — and the oracle's list_dot_product sees the same input)
+    def bandKey(b: Int): Column =
+      (0 until r).map { j =>
+        val p = b * r + j
+        when(SimSearch.dot(SimSearch.planeArray(p, dims), col("e")) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val banded = e.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = banded.withColumn("bucket_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val a = capped.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("key"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val nv = emb.select(col(idCol).as("id"),
+      SimSearch.normalize(col(vecCol)).as("v"))
+    cands
+      .join(nv.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), Seq("id_a"))
+      .join(nv.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), Seq("id_b"))
+      .withColumn("cosine", SimSearch.dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** All-pairs reference implementation of [[embeddingNearDups]] — exact
+    * recall, O(n^2) rows. Test/spec use ONLY (recall baseline for the
+    * bucketed operator); never ship this against a corpus. */
+  private[graft] def embeddingNearDupsBrute(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"),
       SimSearch.normalize(col(vecCol)).as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))

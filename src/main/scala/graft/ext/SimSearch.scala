@@ -66,41 +66,38 @@ object SimSearch {
   /** IVF-Flat ANN: partition the corpus into `nlist` inverted lists by
     * nearest centroid; queries scan only the `nprobe` closest lists and
     * rerank exactly. Centroids here are a deterministic id-sample of the
-    * corpus itself (one pass, no training iterations — "k-means-lite");
-    * a production build would refine them with a few Lloyd rounds, same
-    * plan shape. On isotropic data IVF recall beats hyperplane LSH
-    * because candidate selection follows actual data geometry instead of
-    * fixed random cuts: expected scan fraction = nprobe/nlist.
+    * corpus itself, optionally refined with `lloydRounds` spherical
+    * k-means iterations (each round: map-side assignment + one tiny
+    * groupBy(nlist) — see [[lloydRefine]]). On isotropic data IVF recall
+    * beats hyperplane LSH because candidate selection follows actual data
+    * geometry instead of fixed random cuts: expected scan fraction =
+    * nprobe/nlist.
     *
-    * Plan shape at 100 TB: centroid set is tiny (nlist rows) and
-    * broadcast twice (corpus assignment + query probing); the corpus
-    * shuffles ONCE on its list id; the probe join is a hash join on
-    * list id. */
+    * Plan shape at 100 TB: the centroid set is tiny (nlist rows),
+    * collapsed to ONE broadcast row holding a sorted array of
+    * (cent_id, cv) structs. List assignment is a pure narrow map — score
+    * all centroids inside a single projection, sort the (dot, cent_id)
+    * structs, keep the top slice — so there is NO Exchange between the
+    * corpus scan and the probe join (round 1 used a row_number window
+    * that shuffled corpus x nlist rows just to take an argmax). The probe
+    * join is a broadcast hash join on list id; the only shuffle in the
+    * whole plan is the final per-query top-k window, whose input Spark
+    * caps map-side via WindowGroupLimit. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      lloydRounds: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
     // deterministic centroid sample: the nlist smallest ids
-    val cents = c.orderBy(col("id").asc).limit(nlist)
+    val cents0 = c.orderBy(col("id").asc).limit(nlist)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    // assign: argmin over centroid distance == argmax dot (unit vectors),
-    // ties to smallest cent_id
-    def assign(df: DataFrame, vc: String, rankCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("__aid"))
-        .orderBy(dot(col(vc), col("cv")).desc, col("cent_id").asc)
-      df.withColumn("__aid", col("id"))
-        .join(broadcast(cents), lit(true))
-        .withColumn(rankCol, row_number().over(w))
-        .filter(col(rankCol) <= keep)
-        .drop("__aid")
-    }
-    val assigned = assign(c, "v", "__crank", 1)
-      .select(col("id"), col("v"), col("cent_id").as("list_id"))
+    val cents = lloydRefine(c, cents0, lloydRounds)
+    val assigned = assignLists(c, cents, 1)
+      .select(col("id"), col("v"), col("list_id"))
     val q = queries.select(col(idCol).as("id"),
-      normalize(toDouble(col(vecCol))).as("qv"))
-    val probes = assign(q.withColumnRenamed("qv", "v"), "v", "__qrank", nprobe)
-      .select(col("id").as("query_id"), col("v").as("qv"),
-        col("cent_id").as("list_id"))
+      normalize(toDouble(col(vecCol))).as("v"))
+    val probes = assignLists(q, cents, nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("list_id"))
     val joined = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine", dot(col("v"), col("qv")))
@@ -112,18 +109,79 @@ object SimSearch {
         col("cosine"))
   }
 
+  /** Map-side list assignment: broadcast the centroid table as ONE row
+    * holding a cent_id-sorted array of structs, score every centroid in a
+    * projection, sort by (dot desc, cent_id asc), keep the top `keep`
+    * list ids. Ranking semantics are identical to
+    * `row_number over (order by dot desc, cent_id asc) <= keep`, but the
+    * plan is scan -> broadcast NL join (1 row) -> project -> explode:
+    * zero Exchange on the input side. */
+  private[graft] def assignLists(df: DataFrame, cents: DataFrame,
+      keep: Int): DataFrame = {
+    val centArr = cents.agg(
+      sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("carr"))
+    val scored = df.join(broadcast(centArr), lit(true))
+      .withColumn("__scored", transform(col("carr"), cst =>
+        struct(dot(col("v"), cst.getField("cv")).as("d"),
+          cst.getField("cent_id").as("cid"))))
+      // sort by (d desc, cid asc): comparator returns -1/1/0 as ints
+      .withColumn("__top", slice(array_sort(col("__scored"), (l, r) =>
+        when(l.getField("d") > r.getField("d"), -1)
+          .when(l.getField("d") < r.getField("d"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1)
+          .otherwise(0)), 1, keep))
+      .drop("carr", "__scored")
+    scored.select(df.columns.map(col) :+
+      explode(col("__top")).as("__t"): _*)
+      .withColumn("list_id", col("__t.cid"))
+      .drop("__t")
+  }
+
+  /** Spherical k-means refinement: `rounds` Lloyd iterations over the
+    * sampled centroids. Each round is (a) map-side assignment (no
+    * shuffle), (b) one groupBy on nlist keys computing the per-dimension
+    * mean as nlist x dims scalar aggregates (map-side combine; NO
+    * posexplode of the corpus), (c) L2-renormalization of the means.
+    * Empty lists keep their previous centroid. Centroid ids stay stable
+    * across rounds so tie-breaks remain deterministic. */
+  private[graft] def lloydRefine(c: DataFrame, cents0: DataFrame,
+      rounds: Int): DataFrame = {
+    if (rounds <= 0) return cents0
+    val dims = c.select(size(col("v"))).head().getInt(0)
+    var cents = cents0
+    for (_ <- 1 to rounds) {
+      val assigned = assignLists(c, cents, 1)
+      val means = assigned.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("__n"),
+          array((0 until dims).map(i => avg(col("v")(i))): _*).as("__mean"))
+      cents = cents.join(means,
+          cents("cent_id") === means("list_id"), "left")
+        .select(col("cent_id"),
+          when(col("__n").isNotNull, normalize(col("__mean")))
+            .otherwise(col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dimension d): a [-0.5, 0.5) grid value derived from the Knuth
+    * permutation constants — reproducible with zero egress, no stored
+    * model, and exactly mirrorable in oracle SQL as
+    * `(<permuteA(p*dims+d) % 1000>/1000.0 - 0.5)` (identical IEEE
+    * division in both engines). */
+  private[graft] def planeComponent(p: Int, d: Int, dims: Int): Double =
+    ((Hashing.permuteA(p * dims + d) % 1000L) / 1000.0) - 0.5
+
+  private[graft] def planeArray(p: Int, dims: Int): Column =
+    array((0 until dims).map(d => lit(planeComponent(p, d, dims))): _*)
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
-    * long. Hyperplane components are deterministic pseudo-random values
-    * derived from hash64(plane, dim) — reproducible with zero egress and
-    * no stored model. */
+    * long. */
   def hyperplaneSignature(v: Column, dims: Int, planes: Int = 16): Column = {
     // one codegen'd dot per plane, summed flat — no HOF loop
     (0 until planes).map { p =>
-      val plane = array((0 until dims).map { d =>
-        // hash -> [-0.5, 0.5) grid; fixed seed via the (p,d) pair
-        lit((((Hashing.permuteA(p * dims + d) % 1000L) / 1000.0) - 0.5))
-      }: _*)
-      when(dot(plane, v) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(planeArray(p, dims), v) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector / fingerprint hot paths.
   *
@@ -16,59 +17,39 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * bit-identical results: same left-to-right summation order, so the
   * DuckDB oracle comparison is unaffected.
   *
-  * CodegenFallback is deliberate: the expression itself is a compiled
-  * Scala loop (the per-element interpretation is what hurt, not the
-  * per-row call); a doGenCode version is a further ~2x if profiling ever
-  * demands it.
+  * Every expression here implements real `doGenCode` (round 2 — they were
+  * CodegenFallback in round 1, which split the enclosing whole-stage-
+  * codegen span and deoptimized each dedup/fingerprint stage they sat
+  * in). The row kernels live in [[ExprKernels]] so the interpreted path
+  * and the generated code share one implementation; generated code calls
+  * the kernel through a bound reference — one virtual call per row, and
+  * the enclosing WholeStageCodegen span stays fused.
   */
-case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i) // left-to-right, like zip_with+aggregate
-      i += 1
-    }
-    java.lang.Double.valueOf(s)
-  }
-  // real codegen (not fallback): the loop inlines into the enclosing
-  // WholeStageCodegen stage, so pairwise-join plans keep one fused span
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
-  override protected def withNewChildrenInternal(l: Expression, r: Expression)
-      : DotProductD = copy(left = l, right = r)
-}
+object ExprKernels extends Serializable {
 
-/** 32-bit SimHash over an array of 60-bit token hashes: bit j of the
-  * result is set iff the sum over tokens of (2*((h>>j)&1) - 1) is
-  * positive. Integer votes are order-independent, so this matches the
-  * HOF formulation and the DuckDB oracle exactly. One pass over tokens,
-  * 32 counters — O(32*T) compiled vs O(32*T) interpreted lambdas. */
-case class SimHash32(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  private val digest = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  private def h64(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** First 60 bits of md5 — numerically identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`. */
+  def md5h64(s: UTF8String): Long = h64(s.getBytes)
+
+  /** 32-bit SimHash over 60-bit token hashes: bit j set iff the sum over
+    * tokens of (2*((h>>j)&1) - 1) is positive. */
+  def simhash32(arr: ArrayData): Long = {
     val votes = new Array[Int](32)
     val n = arr.numElements()
     var i = 0
@@ -87,25 +68,16 @@ case class SimHash32(child: Expression) extends UnaryExpression
       if (votes(j) > 0) out |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-  override protected def withNewChildInternal(c: Expression): SimHash32 =
-    copy(child = c)
-}
 
-/** MinHash signature over an array of base hashes: out[i] = min over h of
-  * (a_i * (h mod p) + b_i) mod p — identical to the HOF formulation and
-  * the DuckDB oracle (same constants, same arithmetic), one compiled
-  * k x T loop instead of k x T interpreted lambdas. */
-case class MinHashSig(child: Expression, ks: Int)
-    extends UnaryExpression with CodegenFallback {
-  private val as: Array[Long] = (0 until ks).map(Hashing.permuteA).toArray
-  private val bs: Array[Long] = (0 until ks).map(Hashing.permuteB).toArray
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHash signature: out[i] = min over h of (a_i*(h mod p)+b_i) mod p.
+    * Empty input yields an all-null signature — the HOF formulation
+    * (array_min of empty) and DuckDB's list_min both give NULL slots. */
+  def minhashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val ks = as.length
     val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](ks))
     val out = Array.fill(ks)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -118,22 +90,11 @@ case class MinHashSig(child: Expression, ks: Int)
       }
       i += 1
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    ArrayData.toArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig =
-    copy(child = c)
-}
 
-/** L2-normalize an array<double> in one pass (norm computed once; the
-  * HOF formulation re-evaluates the norm's dot product for EVERY element
-  * of the output — 64x redundant work on 64-dim vectors). Zero vectors
-  * pass through unchanged, matching `when(n > 0, ...)`. */
-case class NormalizeD(child: Expression) extends UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** One-pass L2 normalize; zero vectors pass through unchanged. */
+  def normalizeD(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     var s = 0.0
     var i = 0
@@ -144,35 +105,17 @@ case class NormalizeD(child: Expression) extends UnaryExpression
       val out = new Array[Double](n)
       i = 0
       while (i < n) { out(i) = arr.getDouble(i) / norm; i += 1 }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+      ArrayData.toArrayData(out)
     }
   }
-  override protected def withNewChildInternal(c: Expression): NormalizeD =
-    copy(child = c)
-}
 
-/** Distinct character-k-shingle hashes of an (already normalized) string
-  * in one pass: slide a k-char window, md5 each window (same 60-bit
-  * truncation as StringHash64), first-occurrence order. Replaces
-  * transform(sequence...substr) + array_distinct + hash64 — which costs
-  * O(len^2) array_distinct comparisons plus per-element expression
-  * machinery. Strings shorter than k hash as a single whole-string
-  * shingle (matching charShinglesOfNormalized's otherwise-branch). */
-case class CharShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  private def h64(bytes: Array[Byte]): Long = {
-    val md = StringHash64.digest.get()
-    md.reset()
-    val d = md.digest(bytes)
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  /** Distinct k-char-shingle hashes in first-occurrence order; strings
+    * shorter than k hash as one whole-string shingle. Windows over UTF-16
+    * chars — callers pass ASCII-normalized input (TextStats.normalized);
+    * supplementary characters would split surrogate pairs, diverging from
+    * the code-point substr formulation (see DedupSpec contract test). */
+  def charShingleHashes(u: UTF8String, k: Int): ArrayData = {
+    val s = u.toString
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
     val seen = new java.util.HashSet[Long]()
     if (s.length < k) {
@@ -185,39 +128,126 @@ case class CharShingleHashes(child: Expression, k: Int)
         i += 1
       }
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    ArrayData.toArrayData(out.toArray)
+  }
+}
+
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i) // left-to-right, like zip_with+aggregate
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+  // the loop inlines into the enclosing WholeStageCodegen stage, so
+  // pairwise-join plans keep one fused span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProductD = copy(left = l, right = r)
+}
+
+/** See [[ExprKernels.simhash32]]. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.simhash32(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernels", ExprKernels,
+      "graft.functions.ExprKernels$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.simhash32($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
+/** See [[ExprKernels.minhashSig]]. Element type is nullable only for the
+  * (unreachable-by-construction) empty-input signature. */
+case class MinHashSig(child: Expression, ks: Int)
+    extends UnaryExpression {
+  private val as: Array[Long] = (0 until ks).map(Hashing.permuteA).toArray
+  private val bs: Array[Long] = (0 until ks).map(Hashing.permuteB).toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashSig(input.asInstanceOf[ArrayData], as, bs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernels", ExprKernels,
+      "graft.functions.ExprKernels$")
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernel.minhashSig($c, $asRef, $bsRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** See [[ExprKernels.normalizeD]]. */
+case class NormalizeD(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.normalizeD(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernels", ExprKernels,
+      "graft.functions.ExprKernels$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.normalizeD($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeD =
+    copy(child = c)
+}
+
+/** See [[ExprKernels.charShingleHashes]]. */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.charShingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernels", ExprKernels,
+      "graft.functions.ExprKernels$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernel.charShingleHashes($c, $k);")
   }
   override protected def withNewChildInternal(c: Expression): CharShingleHashes =
     copy(child = c)
 }
 
-/** Native md5-based 60-bit hash: numerically identical to
-  * `conv(substring(md5(x), 1, 15), 16, 10)` (first 15 hex chars = first
-  * 7.5 bytes of the digest) but one JVM call per value instead of a
-  * 4-node interpreted expression tree — the shingle-hashing hot path
-  * runs millions of these. */
-case class StringHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+/** See [[ExprKernels.md5h64]] — the shingle-hashing hot path runs
+  * millions of these per corpus pass. */
+case class StringHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val md = StringHash64.digest.get()
-    md.reset()
-    val d = md.digest(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    java.lang.Long.valueOf((acc << 4) | ((d(7) & 0xf0L) >> 4))
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.md5h64(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernels", ExprKernels,
+      "graft.functions.ExprKernels$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.md5h64($c);")
   }
   override protected def withNewChildInternal(c: Expression): StringHash64 =
     copy(child = c)
-}
-object StringHash64 {
-  private[functions] val digest = ThreadLocal.withInitial(
-    new java.util.function.Supplier[java.security.MessageDigest] {
-      def get(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    })
 }
 
 object VectorExprs {

@@ -58,6 +58,24 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("minhash signature of an empty hash array is all-null (HOF/oracle parity)") {
+    val native = Seq(Tuple1(Seq.empty[Long])).toDF("h")
+      .select(graft.functions.VectorExprs.minhash_sig($"h", 16).as("sig"))
+      .collect()(0).getSeq[Any](0)
+    val hof = Seq(Tuple1(Seq.empty[Long])).toDF("h")
+      .select(Dedup.minhashSignature($"h", 16).as("sig"))
+      .collect()(0).getSeq[Any](0)
+    assert(native.size == 16 && native.forall(_ == null), s"native=$native")
+    assert(native == hof)
+  }
+
+  test("LSH banding rejects a signature length that bands do not divide") {
+    val hashed = Seq((1L, Seq(1L, 2L))).toDF("id", "h")
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatesFromHashes(hashed, k = 10, bands = 4, maxBucket = 64)
+    }
+  }
+
   test("hash64 is stable and non-negative (60-bit)") {
     val v = Seq("a", "b", "a").toDF("s")
       .select(Hashing.hash64($"s")).as[Long].collect()

@@ -60,13 +60,68 @@ class SimSearchSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall (nprobe/nlist = 1/4 of corpus scanned)")
   }
 
-  test("embedding near-dups above threshold") {
+  test("embedding near-dups above threshold (bucketed)") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.99)
+    val pairs = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.99,
+      dims = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bucketed embedding near-dups match the brute all-pairs reference on the fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // inject exact copies (the q_embed_neardup shape)
+    val injected = e.union(e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val brute = Dedup.embeddingNearDupsBrute(injected, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingNearDups(injected, "vec_id", "embedding", 0.99,
+      dims = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact copies share every hyperplane sign -> the bucketed operator
+    // must recover ALL of them; and it can never invent pairs
+    assert(bucketed == brute, s"missed=${brute -- bucketed} extra=${bucketed -- brute}")
+    assert(brute.nonEmpty)
+  }
+
+  test("Lloyd-refined IVF: large recall uplift on clustered data with skewed init") {
+    // 16 true clusters; ids are assigned cluster-by-cluster, so the
+    // "nlist smallest ids" centroid sample lands ENTIRELY inside the
+    // first two clusters — the classic bad-init failure mode Lloyd
+    // exists to fix. (On the isotropic fixture Lloyd is a wash — no
+    // structure to find — measured in tools/LloydProbe.)
+    val rnd = new scala.util.Random(42)
+    val dims = 16
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val centers = (0 until 16).map(_ => unit(Array.fill(dims)(rnd.nextGaussian())))
+    val rows = for (c <- 0 until 16; m <- 0 until 20) yield {
+      val v = unit(centers(c).zipWithIndex.map { case (x, _) =>
+        x + 0.25 * rnd.nextGaussian() }.toArray)
+      ((c * 20 + m).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    // queries drawn across clusters (one member of each of 8 clusters)
+    val q = corpus.filter($"vec_id" % 20 === 7 && $"vec_id" < 160)
+    val brute = SimSearch.bruteTopK(corpus, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(rounds: Int): Double = {
+      val ivf = SimSearch.ivfTopK(corpus, q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 2, lloydRounds = rounds)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(ivf).size.toDouble / brute.size
+    }
+    val base = recall(0)
+    val refined = recall(4)
+    info(s"IVF recall on clustered corpus: sampled-centroids=$base lloyd4=$refined")
+    assert(refined > base,
+      s"Lloyd refinement must lift recall on clustered data: $base -> $refined")
+    assert(refined >= 0.6, s"refined recall too low: $refined")
   }
 
   test("dot product expression equals HOF formulation bit-for-bit") {
