@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,27 +17,33 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     var failures = List.empty[String]
+    // median-of-N per query: this VM shows 5-10x noise spikes on single
+    // runs, so one sample per query is not a trustworthy number
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val dt =
-        try {
-          // noop write forces evaluation of EVERY output column —
-          // count() would let Catalyst prune the projections under test
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case _: Throwable => failures ::= name; -1.0
-        }
-      // drop caches pinned inside query plans (dedup persists shingle
-      // frames) so later queries aren't measured under memory pressure
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      name -> dt
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val dt =
+          try {
+            // noop write forces evaluation of EVERY output column —
+            // count() would let Catalyst prune the projections under test
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case _: Throwable => None
+          }
+        // drop caches pinned inside query plans (dedup persists shingle
+        // frames) so later queries aren't measured under memory pressure
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        dt
+      }
+      if (times.isEmpty) { failures ::= name; name -> -1.0 }
+      else name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errs = failures.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

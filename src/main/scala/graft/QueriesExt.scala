@@ -794,8 +794,82 @@ object QueriesExt {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
       |FROM orders""".stripMargin
 
+  /** Skew-mitigated hot-key JOIN (the companion to q_salted_agg's salted
+    * aggregation): customer joins nation on nationkey — 25 keys for the
+    * whole customer table, the shape where one reducer would run the
+    * entire shuffle join at 100 TB. Salting on c_custkey (independent of
+    * the join key) spreads each hot key over 8 reducers; the MERGE hint
+    * keeps it a real shuffle join so the salted plan is what runs. The
+    * result is EXACTLY the unsalted join, so the oracle is the plain
+    * JOIN + GROUP BY. */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Sources.table(s, dir, "customer")
+    val n = Sources.table(s, dir, "nation")
+      .withColumnRenamed("n_nationkey", "c_nationkey")
+      .select(col("c_nationkey"), col("n_name"))
+    Relational.saltedJoin(c, n, "c_nationkey", salts = 8,
+      saltExpr = col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+  }
+  private val qSkewJoinSql =
+    """SELECT n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** The streaming tier's oracle-checked face: an ACTUAL Structured
+    * Streaming run (readStream over the events parquet -> watermarked
+    * hourly window aggregate -> memory sink), returned as the sink's
+    * batch table. Complete mode emits every window, so the result equals
+    * the batch hourly profile and shares q_event_window's oracle shape
+    * (minus n_users — exact count-distinct is not a streaming aggregate).
+    * Round 1 had this tier spec-only; this entry puts the streaming
+    * machinery itself under the driver's DuckDB gate. */
+  private def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema // ts: long nanos
+      // the file streaming source requires a DIRECTORY; the fixture is a
+      // single file — stage a cheap copy under a temp dir (idempotent)
+      val streamDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_events",
+        java.lang.Integer.toHexString(dir.hashCode))
+      java.nio.file.Files.createDirectories(streamDir)
+      val dst = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+      val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+      val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val prof = graft.streaming.StreamProfile.hourlyProfile(ev)
+      val sink = "graft_stream_hourly"
+      val q = prof.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+  private val qStreamHourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> (qSkewJoin _),
+    "q_stream_hourly" -> (qStreamHourly _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -828,6 +902,8 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_skew_join" -> qSkewJoinSql,
+    "q_stream_hourly" -> qStreamHourlySql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,

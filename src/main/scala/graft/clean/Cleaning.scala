@@ -41,9 +41,13 @@ object CleaningAction {
       extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       val m = Profiler.zScoreModel(df, column, threshold)
-      val med = df.filter(!coalesce(m.mask, lit(false)))
-        .agg(median(col(column))).head().getDouble(0)
-      df.withColumn(column, when(m.mask, lit(med)).otherwise(col(column)))
+      val r = df.filter(!coalesce(m.mask, lit(false)))
+        .agg(median(col(column))).head()
+      // all-null column -> NULL median: pandas fillna(NaN) is a no-op,
+      // so we match rather than NPE on getDouble
+      if (r.isNullAt(0)) df
+      else df.withColumn(column,
+        when(m.mask, lit(r.getDouble(0))).otherwise(col(column)))
     }
     def describe = s"Replaced outliers in $column with median"
   }
@@ -54,9 +58,11 @@ object CleaningAction {
       extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       val m = Profiler.zScoreModel(df, column, threshold)
-      val mean = df.filter(!coalesce(m.mask, lit(false)))
-        .agg(avg(col(column))).head().getDouble(0)
-      df.withColumn(column, when(m.mask, lit(mean)).otherwise(col(column)))
+      val r = df.filter(!coalesce(m.mask, lit(false)))
+        .agg(avg(col(column))).head()
+      if (r.isNullAt(0)) df // all-null column: match pandas no-op, not NPE
+      else df.withColumn(column,
+        when(m.mask, lit(r.getDouble(0))).otherwise(col(column)))
     }
     def describe = s"Replaced outliers in $column with mean"
   }
@@ -110,8 +116,9 @@ object CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       require(df.schema(column).dataType.isInstanceOf[NumericType],
         s"median imputation requires a numeric column, got $column")
-      val med = df.agg(median(col(column))).head().getDouble(0)
-      df.na.fill(med, Seq(column))
+      val r = df.agg(median(col(column))).head()
+      if (r.isNullAt(0)) df // all-null column: match pandas no-op, not NPE
+      else df.na.fill(r.getDouble(0), Seq(column))
     }
     def describe = s"Imputed nulls in $column with median"
   }

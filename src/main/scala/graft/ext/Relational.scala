@@ -68,6 +68,38 @@ object Relational {
         rightCols.map(c => col(s"__asof.asof_$c").as(s"asof_$c"))): _*)
   }
 
+  /** Salted join for hot-key skew: the shuffle-join failure mode where one
+    * join key holds a disproportionate share of the big side, so one
+    * reducer runs the whole join while the rest idle.
+    *
+    * The big side gets a salt in [0, salts) derived from `saltExpr` —
+    * which MUST be independent of the join key (a salt that is a function
+    * of the key lands every hot-key row in the same bucket again); the
+    * small side is replicated once per salt value. Joining on
+    * (key, salt) spreads each hot key over `salts` reducers. The result
+    * is EXACTLY the unsalted join (each big row meets each matching dim
+    * row exactly once — at its own salt).
+    *
+    * Use when the dim is too big to broadcast (a broadcast join has no
+    * skew problem — reach for that first) or when AQE skew-join splitting
+    * is unavailable (it only splits sort-merge partitions, and not
+    * mid-stage). `salts` multiplies the small side, so keep it at the
+    * hot-key spread you need, not higher.
+    *
+    * Both frames must carry the key under the same column name. */
+  def saltedJoin(big: DataFrame, dim: DataFrame, keyCol: String,
+      salts: Int, saltExpr: Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val b = big.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    // MERGE hint: keep it a shuffle join even when the replicated dim is
+    // broadcast-sized, so the salted plan (Exchange on (key, salt) both
+    // sides) is what actually runs — this operator exists for the case
+    // where broadcasting is off the table
+    b.join(d.hint("merge"), Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Range join: left rows matched to right rows whose [startCol, endCol)
     * interval contains the left timestamp. Implemented as an equi-join on
     * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst

@@ -129,7 +129,14 @@ object Profiler {
     * The length/leading-digit gate never changes the outcome — every
     * whitelisted format requires length 8/10/19 and a digit first — but
     * skips the (expensive) 7-parser chain for the common garbage case,
-    * ~2x on mission detection over wide string columns. */
+    * ~2x on mission detection over wide string columns.
+    *
+    * ZERO-PADDED assumption: Spark's `dd/MM/yyyy` (and this gate's
+    * length check) rejects non-padded dates like "1/02/2024" (length 9),
+    * while DuckDB's try_strptime %d/%m/%Y accepts them — any parse-ratio
+    * oracle over data containing non-padded dates must mirror the gate
+    * (`length(c) IN (8,10,19)`) in the SQL, as q_date_like's oracle
+    * does implicitly via the fixture's padded formats. */
   def lenientParseDate(c: Column): Column = {
     val s = c.cast(StringType)
     when(length(s).isin(8, 10, 19) && s.rlike("^[0-9]"),

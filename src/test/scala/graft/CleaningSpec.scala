@@ -102,4 +102,11 @@ class CleaningSpec extends SparkSpec {
     val out = DateForceFormat.yyyyMMdd("d")(df).as[Option[String]].collect()
     assert(out.toSeq == Seq(Some("2024-01-02"), None))
   }
+
+  test("median/mean actions on an all-null column are no-ops (pandas fillna(NaN))") {
+    val df = Seq[Option[Double]](None, None).toDF("x")
+    assert(NullImputeMedian("x")(df).filter($"x".isNull).count() == 2)
+    assert(OutlierReplaceMedian("x")(df).filter($"x".isNull).count() == 2)
+    assert(OutlierReplaceMean("x")(df).filter($"x".isNull).count() == 2)
+  }
 }

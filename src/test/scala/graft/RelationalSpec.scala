@@ -60,6 +60,26 @@ class RelationalSpec extends SparkSpec {
     assert(pairs == Set((3L, 4L)), s"CJK docs must not pair: $pairs")
   }
 
+  test("salted join equals the plain join and salts the shuffle keys") {
+    val big = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
+      .toDF("row_id", "k") // hot key 10
+    val dim = Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"))
+      .toDF("k", "label")
+    val salted = Relational.saltedJoin(big, dim, "k", salts = 4,
+      saltExpr = $"row_id")
+    val plain = big.join(dim, Seq("k"))
+    assert(salted.select("row_id", "k", "label").as[(Long, Long, String)]
+      .collect().toSet ==
+      plain.select("row_id", "k", "label").as[(Long, Long, String)]
+        .collect().toSet)
+    // plan evidence: a real shuffle join (not broadcast) whose join keys
+    // include the salt — the hot key spreads over `salts` reducers
+    salted.count() // materialize so AQE finalizes the plan
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected shuffle join:\n$plan")
+    assert(plan.contains("__salt"), s"expected salted join keys:\n$plan")
+  }
+
   test("range join matches rows to containing intervals across bucket edges") {
     val points = Seq(
       (1L, ts("2024-01-01 10:59:59")),
