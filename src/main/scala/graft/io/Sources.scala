@@ -7,13 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * S1 CSV scan mirrors `pd.read_csv` (/root/reference/app.py:148-149):
   * header + schema inference. At scale prefer an explicit schema —
   * `inferSchema` costs an extra pass — so both entry points exist.
-  * S2 (Excel) is deferred: no POI in the offline env; callers pre-convert
-  * to CSV/Parquet (SURVEY §7.4).
+  * S2 Excel scan mirrors `pd.read_excel` (app.py:150-151) via [[Xlsx]] —
+  * a dependency-free SpreadsheetML parser (zip + StAX), driver-side like
+  * the reference's interactive upload path.
   */
 object Sources {
   /** S1 — CSV with inferred schema (reference parity). */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2 — Excel (.xlsx), first sheet, header row, inferred types. */
+  def xlsx(spark: SparkSession, path: String): DataFrame =
+    Xlsx.read(spark, path)
 
   /** S1 at scale — explicit schema, single pass. */
   def csv(spark: SparkSession, path: String,

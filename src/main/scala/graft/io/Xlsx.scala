@@ -1,0 +1,345 @@
+package graft.io
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import scala.collection.mutable
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S2 — Excel (.xlsx) source, matching `pd.read_excel`'s defaults
+  * (/root/reference/app.py:150-151): first worksheet, first row as
+  * header, pandas-style type inference (all-integral -> long, numeric ->
+  * double, else string; blanks -> null).
+  *
+  * No external dependency: .xlsx is a zip of SpreadsheetML parts, parsed
+  * here with `java.util.zip` + the JDK's StAX reader. Parsing is
+  * DRIVER-side by design — the reference's Excel path is an interactive
+  * upload capped at ~10 MB (a .xlsx is one deflate stream; there is no
+  * parallel scan to be had without re-encoding), and the result enters
+  * the same DataFrame pipeline as every other source. At cluster scale,
+  * land data as CSV/Parquet instead; this source exists for operator
+  * parity with the reference's upload path.
+  *
+  * Supported cell types: shared strings (t="s"), inline strings
+  * (t="inlineStr"), formula-cached strings (t="str"), booleans (t="b"),
+  * numbers (no t). Date-styled numerics are surfaced as their raw serial
+  * numbers (documented divergence: pandas converts them via the style
+  * table; the fixture corpus carries ISO date STRINGS, which the
+  * date-parsing tier handles downstream).
+  */
+object Xlsx {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (header, rows) = readRaw(path)
+    val nCols = header.length
+    // pandas-style inference per column over data rows
+    val types: Seq[DataType] = (0 until nCols).map { i =>
+      val vs = rows.flatMap(r => Option(r(i)))
+      if (vs.isEmpty) StringType
+      else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
+      else if (vs.forall(_.isInstanceOf[Double])) {
+        if (vs.forall { v =>
+          val d = v.asInstanceOf[Double]
+          d == math.rint(d) && math.abs(d) < 9.007199254740992e15
+        }) LongType else DoubleType
+      } else StringType
+    }
+    val schema = StructType(header.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    val data: java.util.List[Row] = new java.util.ArrayList[Row](rows.size)
+    rows.foreach { r =>
+      val vals = (0 until nCols).map { i =>
+        (r(i), types(i)) match {
+          case (null, _) => null
+          case (v: Double, LongType) => v.toLong
+          case (v: Double, DoubleType) => v
+          case (v: Boolean, BooleanType) => v
+          case (v, StringType) => v match {
+            case d: Double if d == math.rint(d) && math.abs(d) < 1e15 =>
+              d.toLong.toString // mixed column: render 3.0 as "3" like pandas' object cast of ints
+            case other => other.toString
+          }
+          case (v, t) => throw new IllegalStateException(s"unexpected $v: $t")
+        }
+      }
+      data.add(Row.fromSeq(vals))
+    }
+    spark.createDataFrame(data, schema)
+  }
+
+  /** Header strings + data rows (cell = null | Double | Boolean | String),
+    * padded/truncated to the header width. */
+  private def readRaw(path: String): (Array[String], Seq[Array[Any]]) = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = readSharedStrings(zip)
+      val sheetPath = firstSheetPath(zip)
+      val entry = Option(zip.getEntry(sheetPath)).getOrElse(
+        throw new IllegalArgumentException(s"$path: missing $sheetPath"))
+      val rows = readSheet(zip, entry, shared)
+      if (rows.isEmpty)
+        throw new IllegalArgumentException(s"$path: empty worksheet")
+      val header = rows.head.map(v => if (v == null) "" else v match {
+        case d: Double if d == math.rint(d) => d.toLong.toString
+        case other => other.toString
+      })
+      val width = header.length
+      val data = rows.tail.map { r =>
+        if (r.length == width) r
+        else {
+          val padded = new Array[Any](width)
+          System.arraycopy(r, 0, padded, 0, math.min(r.length, width))
+          padded
+        }
+      }
+      (header, data)
+    } finally zip.close()
+  }
+
+  /** First sheet in workbook order, resolved through the workbook rels
+    * (sheet order and part names need not agree); falls back to the
+    * conventional xl/worksheets/sheet1.xml. */
+  private def firstSheetPath(zip: ZipFile): String = {
+    val fallback = "xl/worksheets/sheet1.xml"
+    val wb = zip.getEntry("xl/workbook.xml")
+    val rels = zip.getEntry("xl/_rels/workbook.xml.rels")
+    if (wb == null || rels == null) return fallback
+    var firstRid: String = null
+    withXml(zip, wb) { r =>
+      while (r.hasNext && firstRid == null) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet")
+          firstRid = attr(r, "id") // r:id — StAX local-name match below
+      }
+    }
+    if (firstRid == null) return fallback
+    var target: String = null
+    withXml(zip, rels) { r =>
+      while (r.hasNext && target == null) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            attr(r, "Id") == firstRid)
+          target = attr(r, "Target")
+      }
+    }
+    if (target == null) fallback
+    else if (target.startsWith("/")) target.substring(1)
+    else s"xl/$target"
+  }
+
+  private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    val entry = zip.getEntry("xl/sharedStrings.xml")
+    if (entry == null) return IndexedSeq.empty
+    val out = mutable.ArrayBuffer.empty[String]
+    withXml(zip, entry) { r =>
+      var sb: StringBuilder = null
+      var inT = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "si" => sb = new StringBuilder
+            case "t" if sb != null => inT = true
+            case _ =>
+          }
+          case XMLStreamConstants.CHARACTERS if inT =>
+            sb.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += sb.toString; sb = null
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  private def readSheet(zip: ZipFile, entry: ZipEntry,
+      shared: IndexedSeq[String]): Seq[Array[Any]] = {
+    val rows = mutable.ArrayBuffer.empty[Array[Any]]
+    withXml(zip, entry) { r =>
+      var row: mutable.ArrayBuffer[Any] = null
+      var cellCol = -1
+      var cellType = ""
+      var text: StringBuilder = null
+      var inV = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "row" => row = mutable.ArrayBuffer.empty[Any]
+            case "c" if row != null =>
+              cellCol = colIndex(attr(r, "r"), row.length)
+              cellType = Option(attr(r, "t")).getOrElse("")
+            case "v" | "t" if cellCol >= 0 =>
+              inV = true; if (text == null) text = new StringBuilder
+            case _ =>
+          }
+          case XMLStreamConstants.CHARACTERS if inV =>
+            text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "v" | "t" => inV = false
+            case "c" if cellCol >= 0 =>
+              val raw = if (text == null) null else text.toString
+              text = null
+              val v: Any = if (raw == null) null else cellType match {
+                case "s" => shared(raw.trim.toInt)
+                case "inlineStr" | "str" => raw
+                case "b" => raw.trim == "1"
+                case _ => raw.trim.toDouble
+              }
+              while (row.length <= cellCol) row += null
+              if (v != null) row(cellCol) = v
+              cellCol = -1
+            case "row" if row != null =>
+              rows += row.toArray; row = null
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    }
+    rows.toSeq
+  }
+
+  /** "BC7" -> 54 (0-based); cells without an address fall back to the
+    * next free position. */
+  private def colIndex(ref: String, fallback: Int): Int = {
+    if (ref == null) return fallback
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    if (acc == 0) fallback else acc - 1
+  }
+
+  private val xmlFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false) // no external entities
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  private def withXml(zip: ZipFile, entry: ZipEntry)
+      (body: XMLStreamReader => Unit): Unit = {
+    val in = zip.getInputStream(entry)
+    val reader = xmlFactory.createXMLStreamReader(in)
+    try body(reader)
+    finally { reader.close(); in.close() }
+  }
+
+  private def attr(r: XMLStreamReader, local: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  // ------------------------------------------------------------------
+  // Writer — minimal single-sheet workbook (shared-strings cells for
+  // strings, numeric cells for numbers). Driver-side like the HTML
+  // report sink: an interactive export, not a cluster write path.
+  // ------------------------------------------------------------------
+
+  def writeSingleSheet(df: DataFrame, path: String, maxRows: Int = 100000): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.limit(maxRows).collect().toSeq
+    val sstIndex = mutable.LinkedHashMap.empty[String, Int]
+    def sst(s: String): Int =
+      sstIndex.getOrElseUpdate(s, sstIndex.size)
+    def colRef(i: Int): String = {
+      var n = i + 1
+      val sb = new StringBuilder
+      while (n > 0) { val rem = (n - 1) % 26; sb.insert(0, ('A' + rem).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    val sheet = new StringBuilder
+    sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sheet.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    def cell(ref: String, v: Any): String = v match {
+      case null => ""
+      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+      case n: java.math.BigDecimal => s"""<c r="$ref"><v>$n</v></c>"""
+      case s => s"""<c r="$ref" t="s"><v>${sst(s.toString)}</v></c>"""
+    }
+    def rowXml(rn: Int, vals: Seq[Any]): Unit = {
+      sheet.append(s"""<row r="$rn">""")
+      vals.zipWithIndex.foreach { case (v, i) =>
+        sheet.append(cell(s"${colRef(i)}$rn", v))
+      }
+      sheet.append("</row>")
+    }
+    rowXml(1, header)
+    rows.zipWithIndex.foreach { case (r, i) => rowXml(i + 2, r.toSeq) }
+    sheet.append("</sheetData></worksheet>")
+
+    val sstXml = {
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append(s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sstIndex.size}" uniqueCount="${sstIndex.size}">""")
+      sstIndex.keys.foreach(s => sb.append(s"<si><t>${esc(s)}</t></si>"))
+      sb.append("</sst>")
+      sb.toString
+    }
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |</Types>""".stripMargin
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+        |</Relationships>""".stripMargin
+
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    try {
+      def put(name: String, content: String): Unit = {
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", wbRels)
+      put("xl/sharedStrings.xml", sstXml)
+      put("xl/worksheets/sheet1.xml", sheet.toString)
+    } finally zos.close()
+  }
+}

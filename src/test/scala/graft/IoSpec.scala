@@ -2,10 +2,46 @@ package graft
 
 import java.nio.file.Files
 
-import graft.io.{HtmlReport, SampleData, Sinks, Sources}
+import graft.io.{HtmlReport, SampleData, Sinks, Sources, Xlsx}
 
 class IoSpec extends SparkSpec {
   import spark.implicits._
+
+  test("S2 xlsx roundtrip: mixed types, nulls, pandas-style inference") {
+    val path = Files.createTempDirectory("graft_xlsx").resolve("t.xlsx").toString
+    val df = Seq(
+      (1L, Some(1.5), Some("alpha & <beta>"), Some(true)),
+      (2L, None, Some("gamma"), Some(false)),
+      (3L, Some(2.0), None, None))
+      .toDF("id", "v", "s", "flag")
+    Xlsx.writeSingleSheet(df, path)
+    val back = Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "v", "s", "flag"))
+    // integral column -> long, mixed-decimal -> double, text -> string,
+    // boolean cells -> boolean (pd.read_excel inference shape)
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.schema("s").dataType.typeName == "string")
+    assert(back.schema("flag").dataType.typeName == "boolean")
+    val rows = back.orderBy($"id")
+      .as[(Long, Option[Double], Option[String], Option[Boolean])]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1L, Some(1.5), Some("alpha & <beta>"), Some(true)),
+      (2L, None, Some("gamma"), Some(false)),
+      (3L, Some(2.0), None, None)))
+  }
+
+  test("S2 xlsx feeds the standard cleaning pipeline (header + inference)") {
+    val path = Files.createTempDirectory("graft_xlsx2").resolve("d.xlsx").toString
+    val dirty = Seq(("a", Some(10.0)), ("b", None), ("a", Some(10.0)))
+      .toDF("name", "amount")
+    Xlsx.writeSingleSheet(dirty, path)
+    val back = Xlsx.read(spark, path)
+    // exact duplicate detection works on the xlsx-sourced frame
+    val dups = graft.profile.Profiler.duplicateCount(back)
+    assert(dups == 1L)
+  }
 
   test("S1/K1 csv roundtrip: write with header, read back with inferred schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
