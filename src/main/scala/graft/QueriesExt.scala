@@ -819,6 +819,33 @@ object QueriesExt {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
+  /** Interval-containment (range) join, oracle-checked against DuckDB's
+    * native inequality join: purchases matched to the 30-minute windows
+    * opened by (a deterministic subset of) signups. The Spark side is
+    * the bucketized equi-join formulation (hash join on a time grid +
+    * residual range filter — no cartesian range predicate); grouped per
+    * window to keep output bounded. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "signup" && col("user_id") % 50 === 0)
+      .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
+        expr("ts + INTERVAL 30 MINUTES").as("end_ts"))
+    Relational.rangeJoinByBucket(purchases, windows,
+      "ts", "start_ts", "end_ts", bucketSeconds = 1800)
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("event_id")).as("first_purchase"))
+  }
+  private val qRangeJoinSql =
+    """WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+      |w AS (SELECT event_id iv_id, ts st, ts + INTERVAL 30 MINUTE et
+      |  FROM events WHERE event_type = 'signup' AND user_id % 50 = 0)
+      |SELECT iv_id, count(*) AS n_purchases, min(p.event_id) AS first_purchase
+      |FROM w JOIN p ON p.ts >= w.st AND p.ts < w.et
+      |GROUP BY 1""".stripMargin
+
   /** The streaming tier's oracle-checked face: an ACTUAL Structured
     * Streaming run (readStream over the events parquet -> watermarked
     * hourly window aggregate -> memory sink), returned as the sink's
@@ -869,6 +896,7 @@ object QueriesExt {
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_join" -> (qSkewJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
@@ -903,6 +931,7 @@ object QueriesExt {
 
   val oracle: Map[String, String] = Map(
     "q_skew_join" -> qSkewJoinSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_stream_hourly" -> qStreamHourlySql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
