@@ -755,6 +755,28 @@ object QueriesExt {
        |  list_min(list_transform(h, x -> ((${Hashing.permuteA(0)} * (x % $P) + ${Hashing.permuteB(0)}) % $P))) AS mh0
        |FROM hs""".stripMargin
 
+  /** UDTF surface: the graft_shingles table-generating function driven
+    * through SQL (LATERAL VIEW), aggregated per doc so output stays
+    * bounded. The oracle re-derives the same shingle lists with the
+    * shared wordShinglesSql fragment and unnests them. */
+  private def qUdtfShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir).createOrReplaceTempView("graft_docs_udtf")
+    s.sql(
+      """SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
+        |       min(shingle) AS first_shingle
+        |FROM graft_docs_udtf LATERAL VIEW graft_shingles(text, 3) g AS pos, shingle
+        |GROUP BY doc_id""".stripMargin)
+  }
+  private val qUdtfShinglesSql = {
+    val sh = wordShinglesSql
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |sh AS (SELECT doc_id, unnest($sh) s FROM toks)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
+       |       min(s) AS first_shingle
+       |FROM sh GROUP BY doc_id""".stripMargin
+  }
+
   /** Semi/anti joins (EXISTS / NOT EXISTS faces). The right side is
     * filtered to 'F'-status orders so BOTH buckets are non-empty in the
     * fixture (every customer has some order; 71 have no finished one) —
@@ -897,6 +919,7 @@ object QueriesExt {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_udtf_shingles" -> (qUdtfShingles _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
@@ -932,6 +955,7 @@ object QueriesExt {
   val oracle: Map[String, String] = Map(
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_udtf_shingles" -> qUdtfShinglesSql,
     "q_stream_hourly" -> qStreamHourlySql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,

@@ -29,7 +29,10 @@ object GraftFunctions {
     "graft_minhash" -> ((es: Seq[Expression]) =>
       MinHashSig(es.head, intArg(es(1), "graft_minhash(k)"))),
     "graft_char_shingles" -> ((es: Seq[Expression]) =>
-      CharShingleHashes(es.head, intArg(es(1), "graft_char_shingles(k)"))))
+      CharShingleHashes(es.head, intArg(es(1), "graft_char_shingles(k)"))),
+    // UDTF: one row per distinct word n-gram (LATERAL VIEW / SELECT-list)
+    "graft_shingles" -> ((es: Seq[Expression]) =>
+      ShingleExplode(es.head, intArg(es(1), "graft_shingles(n)"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

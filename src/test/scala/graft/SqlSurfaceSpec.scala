@@ -30,6 +30,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("literal INT"))
   }
 
+  test("graft_shingles UDTF rows equal the wordShingles column formula") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog!"),
+      (2L, "short text"), // fewer than n tokens -> one whole-text shingle
+      (3L, "a a a a a")) // repeated tokens -> distinct collapses
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("udtf_docs")
+    val viaUdtf = spark.sql(
+      """SELECT doc_id, collect_list(shingle) s
+        |FROM udtf_docs LATERAL VIEW graft_shingles(text, 3) g AS pos, shingle
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .as[(Long, Seq[String])].collect().toSeq
+    val viaColumn = df.orderBy($"doc_id")
+      .select($"doc_id", graft.ext.Dedup.wordShingles($"text", 3))
+      .as[(Long, Seq[String])].collect().toSeq
+    // collect_list after LATERAL VIEW preserves per-doc generator order
+    // (one generate per row, no shuffle before the agg at this size)
+    assert(viaUdtf.map(_._1) == viaColumn.map(_._1))
+    assert(viaUdtf.map(_._2.sorted) == viaColumn.map(_._2.sorted))
+    assert(viaUdtf(1)._2 == Seq("short text"))
+  }
+
   test("withLangId staged DataFrame face matches the Column face") {
     val df = Seq("the cat and the dog is in that house", "xyzzy qwerty")
       .toDF("text")
