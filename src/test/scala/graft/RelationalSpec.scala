@@ -80,6 +80,42 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"expected salted join keys:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // The runtime companion to saltedJoin: when the join IS sort-merge,
+    // AQE can split oversized partitions without any rewrite. Tiny
+    // thresholds make the 90%-hot key trip the detector at test scale.
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.{col, when => cwhen}
+      val big = spark.range(0, 50000)
+        .select(cwhen(col("id") % 10 === 0, col("id") % 100)
+          .otherwise(0L).as("k"), col("id").as("v")) // ~90% of rows on key 0
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = big.join(dim, "k")
+      // collect() drives joined's OWN QueryExecution, so the plan below
+      // is the AQE-final one (count() would spawn a separate execution)
+      assert(joined.collect().length == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split in final plan:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("range join matches rows to containing intervals across bucket edges") {
     val points = Seq(
       (1L, ts("2024-01-01 10:59:59")),
