@@ -71,6 +71,21 @@ object Profiler {
       .agg(coalesce(sum(col("__cnt") - 1), lit(0L)))
       .head().getLong(0)
 
+  /** P2 at 100 TB — approximate duplicate count: total minus an HLL
+    * estimate of distinct rows. The exact path shuffles every row's full
+    * column tuple; this is ONE narrow pass whose only exchange carries a
+    * fixed-size HLL sketch per partition. `rsd` is the HLL relative
+    * standard deviation (error bound on the DISTINCT estimate, so the
+    * absolute error on the duplicate count is ~rsd * n_distinct). */
+  def duplicateCountApprox(df: DataFrame, rsd: Double = 0.02): Long =
+    duplicateCountApprox(df, df.columns.toSeq, rsd)
+
+  def duplicateCountApprox(df: DataFrame, cols: Seq[String], rsd: Double): Long = {
+    val r = df.agg(count(lit(1)).as("__n"),
+      approx_count_distinct(struct(cols.map(col): _*), rsd).as("__d")).head()
+    math.max(0L, r.getLong(0) - r.getLong(1))
+  }
+
   /** P4 — z-score model. pandas uses `std(ddof=0)` (app.py:67) which is the
     * POPULATION stddev — Spark's default `stddev` is sample stddev, so we
     * must use `stddev_pop`. All-false when std is 0 or undefined

@@ -30,6 +30,20 @@ class ProfilerSpec extends SparkSpec {
     assert(Profiler.duplicateCount(df.limit(0)) == 0)
   }
 
+  test("P2 approx (HLL) duplicate count tracks exact within the rsd bound") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Profiler.duplicateCountApprox(df) == 2) // tiny cardinality: exact
+    assert(Profiler.duplicateCountApprox(df.limit(0)) == 0)
+    // fixture-scale check: exact vs HLL on real lineitem rows
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val exact = Profiler.duplicateCount(l, Seq("l_orderkey", "l_partkey"))
+    val approx = Profiler.duplicateCountApprox(l, Seq("l_orderkey", "l_partkey"), 0.02)
+    val nDistinct = l.distinct().count()
+    assert(math.abs(approx - exact) <= math.max(5L, (0.06 * nDistinct).toLong),
+      s"approx=$approx exact=$exact distinct=$nDistinct")
+  }
+
   test("P4 z-score uses POPULATION stddev (ddof=0) like pandas std(ddof=0)") {
     // values 2,4,4,4,5,5,7,9: mean 5, stddev_pop 2 (stddev_samp ~2.138)
     val df = Seq(2, 4, 4, 4, 5, 5, 7, 9).toDF("x")
