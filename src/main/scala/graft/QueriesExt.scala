@@ -85,17 +85,11 @@ object QueriesExt {
     * filter -> language filter. Every stage is deterministic, so the
     * WHOLE pipeline is one oracle-checked query. */
   private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    val injected = injectedDocs(s, dir)
-    val keep1 = Dedup.exactByFingerprint(injected, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-    val s1 = injected.join(keep1, Seq("doc_id"), "left_semi")
-    val dropNear = Dedup.nearDuplicates(s1, "doc_id", "text",
-      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
-      .select(col("id_b").as("doc_id")).distinct()
-    val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti")
-    val scored = TextStats.withLangId(
-      TextStats.qualityScore(s2, "text"), "text")
-    scored.filter(col("quality_score") >= 0.6 && col("predicted") === "en")
+    import s.implicits._
+    // routed through the SHIPPED typed face (graft.ext.CorpusPipeline),
+    // not an inline copy — the oracle locks the library's own code path
+    graft.ext.CorpusPipeline.clean(
+      injectedDocs(s, dir).as[graft.ext.CorpusDoc])
       .select(col("doc_id"))
   }
   private val qCorpusPipelineSql = {

@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpec {
     assert(native == Seq(Seq(0.6, 0.8), Seq(0.0, 0.0)))
   }
 
+  test("typed corpus pipeline: dedups, filters quality/lang, keeps the Doc type") {
+    import graft.ext.{CorpusDoc, CorpusConfig, CorpusPipeline}
+    val good = "the quick brown fox jumps over the lazy dog and then it runs " +
+      "to the river bank where all of the other animals are waiting for it"
+    val ds = Seq(
+      CorpusDoc(1L, good),
+      CorpusDoc(2L, good + "!"), // exact dup mod punctuation -> dropped (keep 1)
+      CorpusDoc(3L, good + " tonight"), // near-dup of 1 -> dropped
+      CorpusDoc(4L, "zz qq"), // 2 tokens -> fails the length gate (score 0.3)
+      CorpusDoc(5L, "el perro y el gato y la casa y el rio y la luna del " +
+        "campo y el sol y la noche y el dia y la tierra y el agua")) // es
+      .toDS()
+    val out: org.apache.spark.sql.Dataset[CorpusDoc] = CorpusPipeline.clean(ds)
+    assert(out.collect().map(_.doc_id).toSet == Set(1L))
+    // language filter off: the Spanish doc survives too
+    val anyLang = CorpusPipeline.clean(ds, CorpusConfig(lang = None))
+    assert(anyLang.collect().map(_.doc_id).toSet == Set(1L, 5L))
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
