@@ -119,9 +119,9 @@ object SimSearch {
   private[graft] def assignLists(df: DataFrame, cents: DataFrame,
       keep: Int): DataFrame = {
     val centArr = cents.agg(
-      sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("carr"))
+      sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("__carr"))
     val scored = df.join(broadcast(centArr), lit(true))
-      .withColumn("__scored", transform(col("carr"), cst =>
+      .withColumn("__scored", transform(col("__carr"), cst =>
         struct(dot(col("v"), cst.getField("cv")).as("d"),
           cst.getField("cent_id").as("cid"))))
       // sort by (d desc, cid asc): comparator returns -1/1/0 as ints
@@ -131,7 +131,7 @@ object SimSearch {
           .when(l.getField("cid") < r.getField("cid"), -1)
           .when(l.getField("cid") > r.getField("cid"), 1)
           .otherwise(0)), 1, keep))
-      .drop("carr", "__scored")
+      .drop("__carr", "__scored")
     scored.select(df.columns.map(col) :+
       explode(col("__top")).as("__t"): _*)
       .withColumn("list_id", col("__t.cid"))

@@ -186,11 +186,18 @@ object Xlsx {
             case "c" if cellCol >= 0 =>
               val raw = if (text == null) null else text.toString
               text = null
-              val v: Any = if (raw == null) null else cellType match {
+              val v: Any = if (raw == null || (raw.trim.isEmpty && cellType != "inlineStr" && cellType != "str"))
+                null // empty <v/> -> blank cell, not a parse error
+              else cellType match {
                 case "s" => shared(raw.trim.toInt)
                 case "inlineStr" | "str" => raw
                 case "b" => raw.trim == "1"
-                case _ => raw.trim.toDouble
+                case "e" => raw // error cells (#DIV/0! etc.) surface as text
+                case _ =>
+                  // malformed numeric cells degrade to text (pandas keeps
+                  // the column as object) rather than failing the read
+                  try raw.trim.toDouble
+                  catch { case _: NumberFormatException => raw }
               }
               while (row.length <= cellCol) row += null
               if (v != null) row(cellCol) = v

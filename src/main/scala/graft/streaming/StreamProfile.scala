@@ -26,6 +26,22 @@ object StreamProfile {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication: drop events whose `idCols` tuple was
+    * already seen — the streaming face of T9/exact-dedup, and the
+    * standard at-least-once -> effectively-once repair for event
+    * pipelines. State holds one entry per distinct id INSIDE the
+    * watermark horizon: because `ts` is part of the dedup state's event
+    * time, entries older than the watermark are evicted, so state is
+    * bounded by id-arrival rate x watermark, not stream history.
+    * Requires duplicates to land within `watermark` of the original —
+    * the standard trade (plain dropDuplicates on ids alone never
+    * evicts). */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming quality monitor: per-window null/total counts for `value` —
     * the streaming equivalent of the null-mission detector (P6). */
   def qualityMonitor(events: DataFrame, watermark: String = "2 hours")

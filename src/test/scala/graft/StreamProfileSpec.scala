@@ -44,6 +44,36 @@ class StreamProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate ids, state evicts") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamProfile.dedupEvents(input.toDF(), Seq("event_id"),
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:30"), 1, "click", 1.0), // retransmission
+        Ev(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0)) // dup again
+      q.processAllAvailable()
+      // advance the watermark past the horizon, then the SAME id is new
+      input.addData(Ev(3, ts("2024-01-01 14:00:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts("2024-01-01 14:05:00"), 1, "click", 9.0))
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      assert(ids.count(_._1 == 1L) == 2, // once per watermark horizon
+        s"expected the duplicate id once per horizon: ${ids.mkString("; ")}")
+      assert(ids.count(_._1 == 2L) == 1 && ids.count(_._1 == 3L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions via event-time timeout") {
     val sparkSession = spark
     import sparkSession.implicits._
