@@ -17,6 +17,7 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     var failures = List.empty[String]
+    var flaky = List.empty[(String, Int)] // partial rep failures, kept visible
     // median-of-N per query: this VM shows 5-10x noise spikes on single
     // runs, so one sample per query is not a trustworthy number
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -37,13 +38,19 @@ object Bench {
         dt
       }
       if (times.isEmpty) { failures ::= name; name -> -1.0 }
-      else name -> times.sorted.apply(times.size / 2)
+      else {
+        // a query that crashed on SOME reps must not look healthy
+        if (times.size < reps) flaky ::= (name, reps - times.size)
+        name -> times.sorted.apply(times.size / 2)
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errs = failures.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    val flk = flaky.map { case (n, f) => s"\"" + n + "\":" + f }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,17 @@ object QueriesExt {
   private val bList = (0 until 16).map(Hashing.permuteB).mkString("[", ", ", "]")
   private val P = Hashing.P
 
+  /** DuckDB mirror of `Dedup.cappedBandCandidates`'s hot-bucket cap:
+    * keep rows of `src` whose (band, key) bucket has <= cap members.
+    * The ONE capped-CTE shape shared by every banded-dedup oracle — the
+    * Scala side likewise routes all banded paths through one helper, so
+    * cap semantics cannot silently fork between engines. */
+  private def cappedSql(selectCols: String, src: String, bandCol: String,
+      keyCol: String, cap: Int): String =
+    s"""capped AS (SELECT $selectCols FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY $bandCol, $keyCol) bs FROM $src)
+       |  WHERE bs <= $cap)""".stripMargin
+
   /** Word-3-shingle CASE over a token list column `t` — the ONE source
     * of truth shared by every minhash/jaccard oracle (a desynchronized
     * copy would silently split oracle pairs). */
@@ -109,9 +120,7 @@ object QueriesExt {
        |bands AS (SELECT doc_id, h, band,
        |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
        |  FROM sig, (SELECT unnest(range(4)) band)),
-       |capped AS (SELECT doc_id, h, band, bkey FROM (
-       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM bands)
-       |  WHERE bs <= 64),
+       |${cappedSql("doc_id, h, band, bkey", "bands", "band", "bkey", 64)},
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |dropn AS (SELECT DISTINCT ib FROM cand
@@ -158,9 +167,7 @@ object QueriesExt {
        |bands AS (SELECT doc_id, h, band,
        |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
        |  FROM sig, (SELECT unnest(range(4)) band)),
-       |capped AS (SELECT doc_id, h, band, bkey FROM (
-       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM bands)
-       |  WHERE bs <= 64),
+       |${cappedSql("doc_id, h, band, bkey", "bands", "band", "bkey", 64)},
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pairs AS (SELECT ia, ib,
@@ -194,9 +201,7 @@ object QueriesExt {
        |bands AS (SELECT doc_id, h, band,
        |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
        |  FROM sig, (SELECT unnest(range(4)) band)),
-       |capped AS (SELECT doc_id, h, band, bkey FROM (
-       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM bands)
-       |  WHERE bs <= 64),
+       |${cappedSql("doc_id, h, band, bkey", "bands", "band", "bkey", 64)},
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pairs AS (SELECT ia, ib,
@@ -255,9 +260,7 @@ object QueriesExt {
        |    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) v FROM th),
        |banded AS (SELECT doc_id, v, band, (v >> (band * 8)) & 255 AS key
        |  FROM sh, (SELECT unnest(range(4)) band)),
-       |capped AS (SELECT doc_id, v, band, key FROM (
-       |  SELECT *, count(*) OVER (PARTITION BY band, key) bs FROM banded)
-       |  WHERE bs <= 256)
+       |${cappedSql("doc_id, v, band, key", "banded", "band", "key", 256)}
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
        |FROM capped a JOIN capped b
@@ -375,8 +378,7 @@ object QueriesExt {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
   }
   private def planeSql(p: Int): String =
-    (0 until 64).map(d =>
-      s"(${Hashing.permuteA(p * 64 + d) % 1000L}/1000.0 - 0.5)")
+    (0 until 64).map(d => SimSearch.planeComponentSql(p, d, 64))
       .mkString("[", ", ", "]")
   private def bandKeySql(b: Int): String = {
     val r = embPlanes / embBands
@@ -394,9 +396,7 @@ object QueriesExt {
        |v AS (SELECT vec_id, embedding::DOUBLE[] e FROM inj),
        |banded AS (
        |  $bandSelects),
-       |capped AS (SELECT vec_id, band, key FROM (
-       |  SELECT *, count(*) OVER (PARTITION BY band, key) bs FROM banded)
-       |  WHERE bs <= $embMaxBucket),
+       |${cappedSql("vec_id, band, key", "banded", "band", "key", embMaxBucket)},
        |cand AS (SELECT DISTINCT a.vec_id ia, b.vec_id ib
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
        |SELECT ia id_a, ib id_b,
@@ -877,15 +877,28 @@ object QueriesExt {
     try {
       val schema = s.read.parquet(s"$dir/events.parquet").schema // ts: long nanos
       // the file streaming source requires a DIRECTORY; the fixture is a
-      // single file — stage a cheap copy under a temp dir (idempotent)
+      // single file — stage a copy under a temp dir. Freshness-checked
+      // (size + mtime, not bare existence: a regenerated fixture or an
+      // interrupted copy must not permanently desync the stream from
+      // the oracle) and staged via temp-name + atomic move.
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val streamDir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_stream_events",
         java.lang.Integer.toHexString(dir.hashCode))
       java.nio.file.Files.createDirectories(streamDir)
       val dst = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(dst))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+      val stale = !java.nio.file.Files.exists(dst) ||
+        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+        java.nio.file.Files.getLastModifiedTime(dst)
+          .compareTo(java.nio.file.Files.getLastModifiedTime(src)) < 0
+      if (stale) {
+        val tmp = streamDir.resolve("events.parquet.tmp")
+        java.nio.file.Files.copy(src, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       val raw = s.readStream.schema(schema).parquet(streamDir.toString)
       val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val prof = graft.streaming.StreamProfile.hourlyProfile(ev)

@@ -91,6 +91,27 @@ object Dedup {
     lshCandidatesFromHashes(
       hashedShingleFrame(docs, idCol, textCol, shingleN), k, bands, maxBucket)
 
+  /** ONE source of truth for the hot-bucket guard + in-bucket pairing:
+    * from an (id, band, key) frame, drop buckets larger than `maxBucket`
+    * (window count on (band, key) — boilerplate clusters must not
+    * produce an O(bucket^2) join) and return the distinct candidate
+    * pairs (id_a < id_b). Every banded dedup path (MinHash word/char,
+    * SimHash, embedding LSH) routes through here, and every caller's
+    * oracle SQL mirrors exactly this capped-CTE shape — a hand-edited
+    * copy of the cap semantics would silently split operator behavior. */
+  private[graft] def cappedBandCandidates(banded: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val capped = banded.withColumn("bucket_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val a = capped.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   private[graft] def lshCandidatesFromHashes(hashed: DataFrame, k: Int,
       bands: Int, maxBucket: Int): DataFrame = {
     require(k % bands == 0,
@@ -102,16 +123,7 @@ object Dedup {
     val exploded = sig.select(col("id"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = exploded
-      .withColumn("bucket_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_size") <= maxBucket)
-    val a = capped.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("key"), col("id").as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    cappedBandCandidates(exploded, maxBucket)
   }
 
   /** Exact Jaccard over shingle-hash sets for a pair frame that carries
@@ -235,26 +247,29 @@ object Dedup {
       maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     // token hashes materialized as a column (one digest per token), then
     // one native SimHash32 pass — not 32 x T interpreted lambdas
+    // pinned: consumed three times (banding + both fingerprint
+    // join-backs) and costs one digest per token to rebuild; same
+    // caching note as nearDuplicatesFromHashes
     val sh = docs
       .select(col(idCol).as("id"),
         transform(TextStats.tokens(TextStats.normalized(col(textCol))),
           t => Hashing.hash64(t)).as("__th"))
       .select(col("id"),
         graft.functions.VectorExprs.simhash32(col("__th")).as("sh"))
-    val banded = sh.select(col("id"), col("sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh.select(col("id"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("band"),
           (call_function("shiftright", col("sh"), (b * 8).cast("int")) % 256).as("key")))).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = banded.withColumn("bucket_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_size") <= maxBucket)
-    val a = capped.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // shared cap + pair helper, then join the fingerprints back onto the
+    // (already distinct) pairs — carrying sh through the band join would
+    // duplicate it once per shared band instead
+    cappedBandCandidates(banded, maxBucket)
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming(col("sh_a"), col("sh_b")).as("hamming")).distinct()
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
@@ -296,15 +311,7 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = banded.withColumn("bucket_size",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_size") <= maxBucket)
-    val a = capped.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("key"), col("id").as("id_b"))
-    val cands = a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cands = cappedBandCandidates(banded, maxBucket)
     val nv = emb.select(col(idCol).as("id"),
       SimSearch.normalize(col(vecCol)).as("v"))
     cands

@@ -90,7 +90,11 @@ object Relational {
   def saltedJoin(big: DataFrame, dim: DataFrame, keyCol: String,
       salts: Int, saltExpr: Column): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val b = big.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    // NULL saltExpr rows map to salt 0 instead of silently dropping out
+    // of the inner join (the contract is result == unsalted join; a
+    // nullable salt column must not lose rows)
+    val b = big.withColumn("__salt",
+      coalesce(pmod(saltExpr, lit(salts)).cast("int"), lit(0)))
     val d = dim.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i)): _*)))
     // MERGE hint: keep it a shuffle join even when the replicated dim is

@@ -173,6 +173,13 @@ object SimSearch {
   private[graft] def planeComponent(p: Int, d: Int, dims: Int): Double =
     ((Hashing.permuteA(p * dims + d) % 1000L) / 1000.0) - 0.5
 
+  /** DuckDB rendering of [[planeComponent]]: the SAME arithmetic emitted
+    * as SQL (integer constant over the identical division), so both
+    * engines compute the identical IEEE double. Kept adjacent to
+    * planeComponent so the two formulas cannot drift apart. */
+  private[graft] def planeComponentSql(p: Int, d: Int, dims: Int): String =
+    s"(${Hashing.permuteA(p * dims + d) % 1000L}/1000.0 - 0.5)"
+
   private[graft] def planeArray(p: Int, dims: Int): Column =
     array((0 until dims).map(d => lit(planeComponent(p, d, dims))): _*)
 

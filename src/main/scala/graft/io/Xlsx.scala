@@ -44,7 +44,7 @@ object Xlsx {
       else if (vs.forall(_.isInstanceOf[Double])) {
         if (vs.forall { v =>
           val d = v.asInstanceOf[Double]
-          d == math.rint(d) && math.abs(d) < 9.007199254740992e15
+          d == math.rint(d) && math.abs(d) < ExactLongBound
         }) LongType else DoubleType
       } else StringType
     }
@@ -58,11 +58,7 @@ object Xlsx {
           case (v: Double, LongType) => v.toLong
           case (v: Double, DoubleType) => v
           case (v: Boolean, BooleanType) => v
-          case (v, StringType) => v match {
-            case d: Double if d == math.rint(d) && math.abs(d) < 1e15 =>
-              d.toLong.toString // mixed column: render 3.0 as "3" like pandas' object cast of ints
-            case other => other.toString
-          }
+          case (v, StringType) => renderCell(v)
           case (v, t) => throw new IllegalStateException(s"unexpected $v: $t")
         }
       }
@@ -71,8 +67,21 @@ object Xlsx {
     spark.createDataFrame(data, schema)
   }
 
+  /** Exactly-representable-long bound (2^53) shared by inference and all
+    * integral renderings, so a value is "an exact long" consistently. */
+  private val ExactLongBound = 9.007199254740992e15
+
+  private def renderCell(v: Any): String = v match {
+    case null => ""
+    case d: Double if d == math.rint(d) && math.abs(d) < ExactLongBound =>
+      d.toLong.toString // 3.0 -> "3", like pandas' object cast of ints
+    case other => other.toString
+  }
+
   /** Header strings + data rows (cell = null | Double | Boolean | String),
-    * padded/truncated to the header width. */
+    * padded to the widest row. Data columns beyond the header get
+    * pandas-style "Unnamed: i" names (pd.read_excel keeps them; silently
+    * truncating a source operator would be data loss). */
   private def readRaw(path: String): (Array[String], Seq[Array[Any]]) = {
     val zip = new ZipFile(path)
     try {
@@ -83,16 +92,16 @@ object Xlsx {
       val rows = readSheet(zip, entry, shared)
       if (rows.isEmpty)
         throw new IllegalArgumentException(s"$path: empty worksheet")
-      val header = rows.head.map(v => if (v == null) "" else v match {
-        case d: Double if d == math.rint(d) => d.toLong.toString
-        case other => other.toString
-      })
-      val width = header.length
+      val width = rows.map(_.length).max
+      val header = (0 until width).map { i =>
+        val h = if (i < rows.head.length) rows.head(i) else null
+        if (h == null) s"Unnamed: $i" else renderCell(h)
+      }.toArray
       val data = rows.tail.map { r =>
         if (r.length == width) r
         else {
           val padded = new Array[Any](width)
-          System.arraycopy(r, 0, padded, 0, math.min(r.length, width))
+          System.arraycopy(r, 0, padded, 0, r.length)
           padded
         }
       }

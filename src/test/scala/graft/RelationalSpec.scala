@@ -72,6 +72,12 @@ class RelationalSpec extends SparkSpec {
       .collect().toSet ==
       plain.select("row_id", "k", "label").as[(Long, Long, String)]
         .collect().toSet)
+    // NULL salt source must not drop rows (contract: == unsalted join)
+    val bigN = Seq((Some(1L), 10L), (None, 10L), (None, 20L))
+      .toDF("salt_src", "k")
+    val saltedN = Relational.saltedJoin(bigN, dim, "k", salts = 4,
+      saltExpr = $"salt_src")
+    assert(saltedN.count() == 3, "rows with NULL saltExpr must survive")
     // plan evidence: a real shuffle join (not broadcast) whose join keys
     // include the salt — the hot key spreads over `salts` reducers
     salted.count() // materialize so AQE finalizes the plan
