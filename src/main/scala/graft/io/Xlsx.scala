@@ -26,10 +26,11 @@ import org.apache.spark.sql.types._
   *
   * Supported cell types: shared strings (t="s"), inline strings
   * (t="inlineStr"), formula-cached strings (t="str"), booleans (t="b"),
-  * numbers (no t). Date-styled numerics are surfaced as their raw serial
-  * numbers (documented divergence: pandas converts them via the style
-  * table; the fixture corpus carries ISO date STRINGS, which the
-  * date-parsing tier handles downstream).
+  * numbers (no t), and DATE-STYLED numerics — the style table
+  * (xl/styles.xml cellXfs -> numFmt) is parsed, cells whose format is a
+  * date/time format are converted from their 1900-system serial to a
+  * timestamp exactly as pandas/openpyxl do (epoch 1899-12-30, which
+  * absorbs Excel's phantom 1900-02-29 for modern dates).
   */
 object Xlsx {
 
@@ -41,6 +42,7 @@ object Xlsx {
       val vs = rows.flatMap(r => Option(r(i)))
       if (vs.isEmpty) StringType
       else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
+      else if (vs.forall(_.isInstanceOf[java.sql.Timestamp])) TimestampType
       else if (vs.forall(_.isInstanceOf[Double])) {
         if (vs.forall { v =>
           val d = v.asInstanceOf[Double]
@@ -58,6 +60,7 @@ object Xlsx {
           case (v: Double, LongType) => v.toLong
           case (v: Double, DoubleType) => v
           case (v: Boolean, BooleanType) => v
+          case (v: java.sql.Timestamp, TimestampType) => v
           case (v, StringType) => renderCell(v)
           case (v, t) => throw new IllegalStateException(s"unexpected $v: $t")
         }
@@ -65,6 +68,61 @@ object Xlsx {
       data.add(Row.fromSeq(vals))
     }
     spark.createDataFrame(data, schema)
+  }
+
+  /** 1900-date-system serial -> timestamp, the pandas/openpyxl
+    * convention: whole days from 1899-12-30 plus the day fraction,
+    * rounded to the nearest millisecond. */
+  private[graft] def serialToTimestamp(serial: Double): java.sql.Timestamp = {
+    val epoch = java.time.LocalDate.of(1899, 12, 30)
+    val days = math.floor(serial).toLong
+    val millis = math.round((serial - days) * 86400000.0)
+    val ldt = epoch.plusDays(days).atStartOfDay().plus(
+      java.time.Duration.ofMillis(millis))
+    java.sql.Timestamp.valueOf(ldt)
+  }
+
+  private[graft] def timestampToSerial(ts: java.sql.Timestamp): Double = {
+    val epoch = java.time.LocalDate.of(1899, 12, 30).atStartOfDay()
+    val d = java.time.Duration.between(epoch, ts.toLocalDateTime)
+    d.toMillis / 86400000.0
+  }
+
+  /** Style index -> "is a date/time format". Builtin date numFmtIds per
+    * the SpreadsheetML spec, plus custom formats whose code contains
+    * date tokens (y/m/d/h/s) outside quoted literals and [] sections. */
+  private def readDateStyles(zip: ZipFile): Set[Int] = {
+    val entry = zip.getEntry("xl/styles.xml")
+    if (entry == null) return Set.empty
+    val builtinDate: Set[Int] =
+      ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+    val customDate = mutable.Set.empty[Int]
+    val xfFmts = mutable.ArrayBuffer.empty[Int]
+    var inCellXfs = false
+    withXml(zip, entry) { r =>
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(attr(r, "numFmtId")).map(_.toInt)
+              val code = Option(attr(r, "formatCode")).getOrElse("")
+              val bare = code.replaceAll("\"[^\"]*\"", "")
+                .replaceAll("\\[[^\\]]*\\]", "")
+              if (id.isDefined && bare.exists(c => "ymdhs".indexOf(c.toLower) >= 0))
+                customDate += id.get
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmts += Option(attr(r, "numFmtId")).map(_.toInt).getOrElse(0)
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+    }
+    xfFmts.zipWithIndex.collect { case (fmt, i)
+      if builtinDate.contains(fmt) || customDate.contains(fmt) => i }.toSet
   }
 
   /** Exactly-representable-long bound (2^53) shared by inference and all
@@ -86,10 +144,11 @@ object Xlsx {
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
+      val dateStyles = readDateStyles(zip)
       val sheetPath = firstSheetPath(zip)
       val entry = Option(zip.getEntry(sheetPath)).getOrElse(
         throw new IllegalArgumentException(s"$path: missing $sheetPath"))
-      val rows = readSheet(zip, entry, shared)
+      val rows = readSheet(zip, entry, shared, dateStyles)
       if (rows.isEmpty)
         throw new IllegalArgumentException(s"$path: empty worksheet")
       val width = rows.map(_.length).max
@@ -169,12 +228,13 @@ object Xlsx {
   }
 
   private def readSheet(zip: ZipFile, entry: ZipEntry,
-      shared: IndexedSeq[String]): Seq[Array[Any]] = {
+      shared: IndexedSeq[String], dateStyles: Set[Int]): Seq[Array[Any]] = {
     val rows = mutable.ArrayBuffer.empty[Array[Any]]
     withXml(zip, entry) { r =>
       var row: mutable.ArrayBuffer[Any] = null
       var cellCol = -1
       var cellType = ""
+      var cellStyle = -1
       var text: StringBuilder = null
       var inV = false
       while (r.hasNext) {
@@ -184,6 +244,7 @@ object Xlsx {
             case "c" if row != null =>
               cellCol = colIndex(attr(r, "r"), row.length)
               cellType = Option(attr(r, "t")).getOrElse("")
+              cellStyle = Option(attr(r, "s")).map(_.toInt).getOrElse(-1)
             case "v" | "t" if cellCol >= 0 =>
               inV = true; if (text == null) text = new StringBuilder
             case _ =>
@@ -205,8 +266,11 @@ object Xlsx {
                 case _ =>
                   // malformed numeric cells degrade to text (pandas keeps
                   // the column as object) rather than failing the read
-                  try raw.trim.toDouble
-                  catch { case _: NumberFormatException => raw }
+                  try {
+                    val d = raw.trim.toDouble
+                    if (dateStyles.contains(cellStyle)) serialToTimestamp(d)
+                    else d
+                  } catch { case _: NumberFormatException => raw }
               }
               while (row.length <= cellCol) row += null
               if (v != null) row(cellCol) = v
@@ -296,6 +360,15 @@ object Xlsx {
       case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
       case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
       case n: java.math.BigDecimal => s"""<c r="$ref"><v>$n</v></c>"""
+      // style 1 = builtin date-time numFmt 22 (see stylesXml below)
+      case t: java.sql.Timestamp =>
+        s"""<c r="$ref" s="1"><v>${timestampToSerial(t)}</v></c>"""
+      case d: java.sql.Date =>
+        s"""<c r="$ref" s="1"><v>${timestampToSerial(
+          java.sql.Timestamp.valueOf(d.toLocalDate.atStartOfDay))}</v></c>"""
+      case t: java.time.Instant =>
+        s"""<c r="$ref" s="1"><v>${timestampToSerial(
+          java.sql.Timestamp.from(t))}</v></c>"""
       case s => s"""<c r="$ref" t="s"><v>${sst(s.toString)}</v></c>"""
     }
     def rowXml(rn: Int, vals: Seq[Any]): Unit = {
@@ -325,7 +398,22 @@ object Xlsx {
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
         |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
         |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
         |</Types>""".stripMargin
+    // xf index 1 applies builtin numFmt 22 ("m/d/yy h:mm") — the reader's
+    // date-style detection must classify it as a date style
+    val stylesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<fonts count="1"><font/></fonts>
+        |<fills count="1"><fill/></fills>
+        |<borders count="1"><border/></borders>
+        |<cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs>
+        |<cellXfs count="2">
+        |<xf numFmtId="0" applyNumberFormat="0"/>
+        |<xf numFmtId="22" applyNumberFormat="1"/>
+        |</cellXfs>
+        |</styleSheet>""".stripMargin
     val rootRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
@@ -341,6 +429,7 @@ object Xlsx {
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
         |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+        |<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
         |</Relationships>""".stripMargin
 
     val zos = new ZipOutputStream(new FileOutputStream(path))
@@ -354,6 +443,7 @@ object Xlsx {
       put("_rels/.rels", rootRels)
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", wbRels)
+      put("xl/styles.xml", stylesXml)
       put("xl/sharedStrings.xml", sstXml)
       put("xl/worksheets/sheet1.xml", sheet.toString)
     } finally zos.close()

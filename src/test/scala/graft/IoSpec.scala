@@ -32,6 +32,50 @@ class IoSpec extends SparkSpec {
       (3L, Some(2.0), None, None)))
   }
 
+  test("S2 xlsx date-styled cells roundtrip as timestamps (1900-system serials)") {
+    val path = Files.createTempDirectory("graft_xlsx3").resolve("d.xlsx").toString
+    val t1 = java.sql.Timestamp.valueOf("2024-03-15 13:45:30")
+    val t2 = java.sql.Timestamp.valueOf("1999-12-31 00:00:00")
+    val df = Seq((1L, t1), (2L, t2)).toDF("id", "when")
+    Xlsx.writeSingleSheet(df, path)
+    val back = Xlsx.read(spark, path)
+    assert(back.schema("when").dataType.typeName == "timestamp")
+    val got = back.orderBy($"id").select($"when")
+      .as[java.sql.Timestamp].collect().toSeq
+    assert(got == Seq(t1, t2), s"got $got")
+    // serial conversion agrees with the pandas/openpyxl epoch convention
+    assert(Xlsx.serialToTimestamp(45366.0) ==
+      java.sql.Timestamp.valueOf("2024-03-15 00:00:00"))
+  }
+
+  test("S2 xlsx data columns beyond the header become Unnamed: i (no data loss)") {
+    // hand-build a sheet whose data row is wider than its header row
+    val dir = Files.createTempDirectory("graft_xlsx4")
+    val path = dir.resolve("w.xlsx").toString
+    val narrow = Seq(("a", 1L)).toDF("h1", "h2")
+    Xlsx.writeSingleSheet(narrow, path)
+    // widen the data row by appending a cell in column C of row 2
+    val zin = new java.util.zip.ZipFile(path)
+    val sheetXml = new String(zin.getInputStream(
+      zin.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      .replace("""</row></sheetData>""",
+        """<c r="C2"><v>7</v></c></row></sheetData>""")
+    val others = Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+      "xl/_rels/workbook.xml.rels", "xl/styles.xml", "xl/sharedStrings.xml")
+      .map(n => n -> zin.getInputStream(zin.getEntry(n)).readAllBytes())
+    zin.close()
+    val path2 = dir.resolve("w2.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path2))
+    others.foreach { case (n, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(b); zos.closeEntry() }
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheetXml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    val back = Xlsx.read(spark, path2)
+    assert(back.columns.toSeq == Seq("h1", "h2", "Unnamed: 2"))
+    assert(back.select("`Unnamed: 2`").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("S2 xlsx feeds the standard cleaning pipeline (header + inference)") {
     val path = Files.createTempDirectory("graft_xlsx2").resolve("d.xlsx").toString
     val dirty = Seq(("a", Some(10.0)), ("b", None), ("a", Some(10.0)))
