@@ -36,13 +36,17 @@ object CleaningAction {
 
   /** T2 — replace outliers with the median of NON-outlier rows
     * (app.py:255-260: `dfw.loc[~mask, col].median()`). Spark >= 3.4
-    * `median` is exact with linear interpolation — pandas-compatible. */
-  final case class OutlierReplaceMedian(column: String, threshold: Double = 3.0)
-      extends CleaningAction {
+    * `median` is exact with linear interpolation — pandas-compatible;
+    * `exact = false` switches to the bounded-memory GK sketch for the
+    * 100 TB path (the exact buffer holds every value). */
+  final case class OutlierReplaceMedian(column: String, threshold: Double = 3.0,
+      exact: Boolean = true) extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       val m = Profiler.zScoreModel(df, column, threshold)
+      val medCol = if (exact) median(col(column))
+        else percentile_approx(col(column), lit(0.5), lit(10000))
       val r = df.filter(!coalesce(m.mask, lit(false)))
-        .agg(median(col(column))).head()
+        .agg(medCol.cast("double")).head()
       // all-null column -> NULL median: pandas fillna(NaN) is a no-op,
       // so we match rather than NPE on getDouble
       if (r.isNullAt(0)) df
@@ -111,12 +115,15 @@ object CleaningAction {
   }
 
   /** T6 — impute nulls with the column median; numeric only, type-gated at
-    * app.py:287. */
-  final case class NullImputeMedian(column: String) extends CleaningAction {
+    * app.py:287. `exact = false` uses the GK sketch at scale. */
+  final case class NullImputeMedian(column: String, exact: Boolean = true)
+      extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       require(df.schema(column).dataType.isInstanceOf[NumericType],
         s"median imputation requires a numeric column, got $column")
-      val r = df.agg(median(col(column))).head()
+      val medCol = if (exact) median(col(column))
+        else percentile_approx(col(column), lit(0.5), lit(10000))
+      val r = df.agg(medCol.cast("double")).head()
       if (r.isNullAt(0)) df // all-null column: match pandas no-op, not NPE
       else df.na.fill(r.getDouble(0), Seq(column))
     }

@@ -103,6 +103,16 @@ class CleaningSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some("2024-01-02"), None))
   }
 
+  test("approx (GK sketch) median paths agree with exact on a dense grid") {
+    val df = (1 to 1001).map(_.toDouble).toDF("x")
+      .union(Seq[Option[Double]](None).toDF("x"))
+    val exact = NullImputeMedian("x")(df)
+      .filter($"x" === 501.0).count()
+    val approx = NullImputeMedian("x", exact = false)(df)
+      .filter($"x" === 501.0).count()
+    assert(exact == 2 && approx == 2) // 1001 filled rows + the imputed one
+  }
+
   test("median/mean actions on an all-null column are no-ops (pandas fillna(NaN))") {
     val df = Seq[Option[Double]](None, None).toDF("x")
     assert(NullImputeMedian("x")(df).filter($"x".isNull).count() == 2)
