@@ -207,9 +207,13 @@ object CleaningAction {
     def describe = s"Forced $column to $format parse"
   }
   object DateForceFormat {
+    /** Single-letter fields accept 1-2 digits, so non-padded "1/2/2024"
+      * parses — Python `strptime('%d/%m/%Y')` (reference app.py:335)
+      * accepts unpadded values, and so does the DuckDB oracle's
+      * `try_strptime`; round 2's `dd/MM/yyyy` pattern did not. */
     def ddMMyyyy(column: String): DateForceFormat =
-      DateForceFormat(column, "dd/MM/yyyy")
+      DateForceFormat(column, "d/M/yyyy")
     def yyyyMMdd(column: String): DateForceFormat =
-      DateForceFormat(column, "yyyy-MM-dd")
+      DateForceFormat(column, "yyyy-M-d")
   }
 }
