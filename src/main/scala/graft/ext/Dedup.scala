@@ -164,21 +164,36 @@ object Dedup {
     nearDuplicatesFromHashes(hashed, threshold, k, bands, maxBucket)
   }
 
-  /** NOTE on caching: the hashed-shingle frame is pinned because it is
-    * consumed three times (banding + both verify joins) and costs ~MBs
-    * per million docs. The pin lives until `spark.catalog.clearCache()`
-    * or session end — repeated-call services should clear between
-    * batches (Bench/Verify do). */
+  /** NOTE on caching: each dedup path pins its hashed/fingerprint frame
+    * because it is consumed three times (banding + both verify joins) and
+    * costs ~MBs per million docs. Round 2 left that pin alive until
+    * `clearCache()`/session end — every call leaked a catalog cache entry
+    * (ADVICE r2). Now the (small: verified pairs only) RESULT is eagerly
+    * materialized via `localCheckpoint` — cutting its lineage off the
+    * pinned input — and the input pin is released before returning. The
+    * checkpoint blocks themselves are freed by Spark's ContextCleaner
+    * once the returned frame is unreferenced, so repeated calls no longer
+    * accumulate pinned state. The result stays composable (the corpus
+    * pipeline chains it) — it is just no longer lazy, which these
+    * whole-corpus operators never usefully were. */
+  private def materializeAndRelease(pinned: DataFrame, out: DataFrame)
+      : DataFrame = {
+    val result = out.localCheckpoint(true)
+    pinned.unpersist(false)
+    result
+  }
+
   private def nearDuplicatesFromHashes(hashedIn: DataFrame, threshold: Double,
       k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val hashed = hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
-    cands
+    val pairs = cands
       .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
       .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(hashed, pairs)
   }
 
   /** Exact n-gram Jaccard over ALL qualifying pairs via an inverted
@@ -206,13 +221,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(hashed, pairs)
   }
 
   /** Exact duplicate groups by content fingerprint: one shuffle on a
@@ -265,12 +281,13 @@ object Dedup {
     // shared cap + pair helper, then join the fingerprints back onto the
     // (already distinct) pairs — carrying sh through the band join would
     // duplicate it once per shared band instead
-    cappedBandCandidates(banded, maxBucket)
+    val pairs = cappedBandCandidates(banded, maxBucket)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
+    materializeAndRelease(sh, pairs)
   }
 
   /** Embedding-cosine near-duplicates above a similarity threshold, via

@@ -199,6 +199,21 @@ object Xlsx {
     else s"xl/$target"
   }
 
+  /** OOXML `_xHHHH_` escape decoding (what openpyxl/POI do): cell strings
+    * containing XML-1.0-invalid characters are stored escaped; decode on
+    * read so the writer's [[writeSingleSheet]] round-trips them. */
+  private val escapeRe = java.util.regex.Pattern.compile("_x([0-9A-Fa-f]{4})_")
+  private[graft] def unescape(s: String): String = {
+    if (s == null || !s.contains("_x")) return s
+    val m = escapeRe.matcher(s)
+    val sb = new StringBuffer
+    while (m.find())
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
     val entry = zip.getEntry("xl/sharedStrings.xml")
     if (entry == null) return IndexedSeq.empty
@@ -217,7 +232,7 @@ object Xlsx {
             sb.append(r.getText)
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "t" => inT = false
-            case "si" => out += sb.toString; sb = null
+            case "si" => out += unescape(sb.toString); sb = null
             case _ =>
           }
           case _ =>
@@ -259,8 +274,15 @@ object Xlsx {
               val v: Any = if (raw == null || (raw.trim.isEmpty && cellType != "inlineStr" && cellType != "str"))
                 null // empty <v/> -> blank cell, not a parse error
               else cellType match {
-                case "s" => shared(raw.trim.toInt)
-                case "inlineStr" | "str" => raw
+                case "s" =>
+                  // malformed/out-of-range shared-string refs degrade to
+                  // the raw text, matching the numeric-cell policy below
+                  // (round 2 threw a bare IndexOutOfBounds on bad files)
+                  try {
+                    val idx = raw.trim.toInt
+                    if (idx >= 0 && idx < shared.length) shared(idx) else raw
+                  } catch { case _: NumberFormatException => raw }
+                case "inlineStr" | "str" => unescape(raw)
                 case "b" => raw.trim == "1"
                 case "e" => raw // error cells (#DIV/0! etc.) surface as text
                 case _ =>
@@ -329,9 +351,22 @@ object Xlsx {
   // report sink: an interactive export, not a cluster write path.
   // ------------------------------------------------------------------
 
-  def writeSingleSheet(df: DataFrame, path: String, maxRows: Int = 100000): Unit = {
+  def writeSingleSheet(df: DataFrame, path: String, maxRows: Int = 100000,
+      truncate: Boolean = false): Unit = {
     val header = df.columns.toSeq
-    val rows = df.limit(maxRows).collect().toSeq
+    // fetch one row past the cap so over-size inputs are DETECTED: silent
+    // truncation is data loss (the same stance the reader takes on
+    // Unnamed: i columns). Explicit opt-in via truncate=true.
+    val fetched = df.limit(maxRows + 1).collect().toSeq
+    val rows = if (fetched.size <= maxRows) fetched
+      else if (!truncate) throw new IllegalArgumentException(
+        s"writeSingleSheet: input exceeds maxRows=$maxRows; pass " +
+          "truncate=true to export the first maxRows rows")
+      else {
+        System.err.println(
+          s"[xlsx] WARNING: truncating export to first $maxRows rows")
+        fetched.take(maxRows)
+      }
     val sstIndex = mutable.LinkedHashMap.empty[String, Int]
     def sst(s: String): Int =
       sstIndex.getOrElseUpdate(s, sstIndex.size)
@@ -341,11 +376,31 @@ object Xlsx {
       while (n > 0) { val rem = (n - 1) % 26; sb.insert(0, ('A' + rem).toChar); n = (n - 1) / 26 }
       sb.toString
     }
-    def esc(s: String): String = s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
+    // XML entity escaping + OOXML _xHHHH_ encoding for XML-1.0-ILLEGAL
+    // characters (u0000-u0008 etc. — round 2 emitted them raw, which
+    // produces a sharedStrings.xml both this reader and Excel reject).
+    // A literal run that itself looks like an escape gets its underscore
+    // encoded (_x005F_) so [[unescape]] round-trips exactly.
+    def looksLikeEscape(s: String, i: Int): Boolean =
+      i + 6 < s.length && s.charAt(i + 1) == 'x' && s.charAt(i + 6) == '_' &&
+        (2 to 5).forall(j => Character.digit(s.charAt(i + j), 16) >= 0)
+    def invalidXml(c: Char): Boolean =
+      (c < 0x20 && c != '\t' && c != '\n' && c != '\r') ||
+        c == 0xFFFE.toChar || c == 0xFFFF.toChar
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '&') sb.append("&amp;")
+        else if (c == '<') sb.append("&lt;")
+        else if (c == '>') sb.append("&gt;")
+        else if (c == '_' && looksLikeEscape(s, i)) sb.append("_x005F_")
+        else if (invalidXml(c)) sb.append(f"_x${c.toInt}%04X_")
+        else sb.append(c)
+        i += 1
+      }
+      sb.toString
     }
     val sheet = new StringBuilder
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")

@@ -127,4 +127,59 @@ class IoSpec extends SparkSpec {
       Seq("order_id", "date", "price", "quantity", "category"))
     assert(df.where($"category".isNull).count() > 0)
   }
+
+  test("S2 xlsx XML-illegal control chars round-trip via _xHHHH_ escaping") {
+    val path = Files.createTempDirectory("graft_xlsx5").resolve("c.xlsx").toString
+    val tricky = "ctl:\u0001 bell:\u0007 tab:\t lookalike:_x0041_ ok"
+    val df = Seq((1L, tricky)).toDF("id", "s")
+    Xlsx.writeSingleSheet(df, path)
+    // the emitted sharedStrings.xml must be valid XML (round 2 wrote the
+    // raw control bytes) and the reader must decode back to the original
+    val got = Xlsx.read(spark, path).select($"s").as[String].collect()
+    assert(got.toSeq == Seq(tricky))
+  }
+
+  test("K? xlsx write refuses silent truncation; truncate=true caps rows") {
+    val dir = Files.createTempDirectory("graft_xlsx6")
+    val df = (1 to 12).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    val p1 = dir.resolve("refuse.xlsx").toString
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.writeSingleSheet(df, p1, maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows"))
+    val p2 = dir.resolve("trunc.xlsx").toString
+    Xlsx.writeSingleSheet(df, p2, maxRows = 10, truncate = true)
+    assert(Xlsx.read(spark, p2).count() == 10)
+  }
+
+  test("S2 xlsx malformed shared-string refs degrade to text, not exceptions") {
+    val dir = Files.createTempDirectory("graft_xlsx7")
+    val path = dir.resolve("bad.xlsx").toString
+    val df = Seq((1L, "ok")).toDF("id", "s")
+    Xlsx.writeSingleSheet(df, path)
+    // corrupt the sheet: point one cell at shared-string index 999 and
+    // another at a non-numeric index
+    val zin = new java.util.zip.ZipFile(path)
+    val entries = new scala.collection.mutable.LinkedHashMap[String, Array[Byte]]
+    val en = zin.entries()
+    while (en.hasMoreElements) {
+      val e = en.nextElement()
+      entries(e.getName) = zin.getInputStream(e).readAllBytes()
+    }
+    zin.close()
+    val sheet = new String(entries("xl/worksheets/sheet1.xml"), "UTF-8")
+      .replace("</sheetData>",
+        """<row r="3"><c r="A3" t="s"><v>999</v></c><c r="B3" t="s"><v>junk</v></c></row></sheetData>""")
+    entries("xl/worksheets/sheet1.xml") = sheet.getBytes("UTF-8")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(bytes); zos.closeEntry()
+    }
+    zos.close()
+    val back = Xlsx.read(spark, path).orderBy($"id")
+    val vals = back.select($"s").as[String].collect().toSeq
+    assert(vals == Seq("ok", "junk")) // bad refs surfaced as raw text
+  }
 }
