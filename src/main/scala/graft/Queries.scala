@@ -465,6 +465,45 @@ object Queries {
        |       (SELECT count(*) FROM a) AS rows_after,
        |       CAST(0 AS BIGINT) AS nulls_after""".stripMargin
 
+  /** S2/K-xlsx under the oracle gate (VERDICT r2 gap: the 480-line
+    * dependency-free xlsx reader was spec-only because the harness
+    * compares parquet-backed queries). Round-trips a deterministic
+    * orders subset through `Xlsx.write -> Xlsx.read` — shared strings,
+    * nulls, date-styled serials, type re-inference — then aggregates;
+    * the oracle computes the same aggregate straight off the parquet, so
+    * any loss or corruption in the xlsx layer breaks the hash. */
+  private def qXlsxRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = orders(s, dir).filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_xlsx_oracle")
+    java.nio.file.Files.createDirectories(outDir)
+    val path = outDir.resolve(
+      "orders_" + java.lang.Integer.toHexString(dir.hashCode) + ".xlsx").toString
+    graft.io.Xlsx.writeSingleSheet(src, path)
+    val back = graft.io.Xlsx.read(s, path)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      moneySum(col("o_totalprice")).as("sum_price"),
+      count(when(col("prio").isNull, 1)).as("n_null_prio"),
+      countDistinct(col("prio")).as("n_prio"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+  }
+  private val qXlsxRoundtripSql =
+    """WITH x AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END prio
+      |  FROM orders WHERE o_orderkey % 100 = 0)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(CASE WHEN prio IS NULL THEN 1 END) AS n_null_prio,
+      |  count(DISTINCT prio) AS n_prio,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+      |FROM x""".stripMargin
+
   private def qHead(s: SparkSession, dir: String): DataFrame =
     li(s, dir).select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -501,7 +540,8 @@ object Queries {
     "q_date_like" -> (qDateLike _),
     "q_quality_score" -> (qQualityScore _),
     "q_insights" -> (qInsights _),
-    "q_head" -> (qHead _))
+    "q_head" -> (qHead _),
+    "q_xlsx_roundtrip" -> (qXlsxRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
@@ -524,5 +564,6 @@ object Queries {
     "q_date_like" -> qDateLikeSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_insights" -> qInsightsSql,
-    "q_head" -> qHeadSql)
+    "q_head" -> qHeadSql,
+    "q_xlsx_roundtrip" -> qXlsxRoundtripSql)
 }

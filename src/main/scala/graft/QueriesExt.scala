@@ -416,18 +416,34 @@ object QueriesExt {
 
   /** IVF-Flat ANN — fully deterministic (centroids = smallest-id corpus
     * sample, argmax-dot assignment with id tie-break), so unlike the LSH
-    * path it IS oracle-checkable in SQL. */
+    * path it IS oracle-checkable in SQL. Ships ONE spherical-k-means
+    * (Lloyd) refinement round (VERDICT r2 item 6): per-list mean rounded
+    * to 6 decimals before renormalization so both engines derive
+    * bit-identical centroids (rounding absorbs the engines' different
+    * double summation orders — the same trick as the mirrored
+    * hyperplanes); the oracle re-runs the round as two CTE layers. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nlist = 16, nprobe = 4)
+      k = 5, nlist = 16, nprobe = 4, lloydRounds = 1, meanRound = 6)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine_r"))
   }
   private val qAnnIvfSql =
     """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
-      |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+      |cents0 AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+      |asg0 AS (SELECT id, e, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents0 c) WHERE rn = 1),
+      |mx AS (SELECT list_id, generate_subscripts(e, 1) d, unnest(e) x FROM asg0),
+      |mm AS (SELECT list_id, d, round(sum(x) / count(*), 6) m FROM mx GROUP BY 1, 2),
+      |mv AS (SELECT list_id, list(m ORDER BY d) mvec FROM mm GROUP BY 1),
+      |cents AS (SELECT c.cent_id, CASE WHEN mv.list_id IS NULL THEN c.ce
+      |    ELSE list_transform(mvec, x -> x / sqrt(list_dot_product(mvec, mvec))) END ce
+      |  FROM cents0 c LEFT JOIN mv ON c.cent_id = mv.list_id),
       |asg AS (SELECT id, e, cent_id AS list_id FROM (
       |    SELECT v.id, v.e, c.cent_id,
       |      row_number() OVER (PARTITION BY v.id

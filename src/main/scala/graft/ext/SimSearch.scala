@@ -85,13 +85,13 @@ object SimSearch {
     * caps map-side via WindowGroupLimit. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      lloydRounds: Int = 0): DataFrame = {
+      lloydRounds: Int = 0, meanRound: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
     // deterministic centroid sample: the nlist smallest ids
     val cents0 = c.orderBy(col("id").asc).limit(nlist)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cents = lloydRefine(c, cents0, lloydRounds)
+    val cents = lloydRefine(c, cents0, lloydRounds, meanRound)
     val assigned = assignLists(c, cents, 1)
       .select(col("id"), col("v"), col("list_id"))
     val q = queries.select(col(idCol).as("id"),
@@ -144,17 +144,33 @@ object SimSearch {
     * mean as nlist x dims scalar aggregates (map-side combine; NO
     * posexplode of the corpus), (c) L2-renormalization of the means.
     * Empty lists keep their previous centroid. Centroid ids stay stable
-    * across rounds so tie-breaks remain deterministic. */
+    * across rounds so tie-breaks remain deterministic.
+    *
+    * `meanRound >= 0` rounds each mean component to that many decimals
+    * BEFORE renormalization. This exists for cross-engine mirrorability:
+    * a double mean is summation-order-dependent in its last ulps, and an
+    * oracle re-deriving the same centroids in another engine could flip
+    * an argmax assignment on that drift. Rounding to a grid ~1e9x
+    * coarser than the drift makes both engines compute identical IEEE
+    * centroid arrays (same trick as the oracle-mirrored hyperplanes);
+    * centroid precision at 6-7 decimals is far beyond what recall
+    * needs. */
   private[graft] def lloydRefine(c: DataFrame, cents0: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, meanRound: Int = -1): DataFrame = {
     if (rounds <= 0) return cents0
     val dims = c.select(size(col("v"))).head().getInt(0)
+    def meanCol(i: Int): Column = {
+      // explicit sum/count (not avg) so the oracle can mirror the exact
+      // arithmetic; identical result, and round() agrees across engines
+      val m = sum(col("v")(i)) / count(lit(1))
+      if (meanRound >= 0) round(m, meanRound) else m
+    }
     var cents = cents0
     for (_ <- 1 to rounds) {
       val assigned = assignLists(c, cents, 1)
       val means = assigned.groupBy(col("list_id"))
         .agg(count(lit(1)).as("__n"),
-          array((0 until dims).map(i => avg(col("v")(i))): _*).as("__mean"))
+          array((0 until dims).map(meanCol): _*).as("__mean"))
       cents = cents.join(means,
           cents("cent_id") === means("list_id"), "left")
         .select(col("cent_id"),
