@@ -886,17 +886,20 @@ object QueriesExt {
     * (minus n_users — exact count-distinct is not a streaming aggregate).
     * Round 1 had this tier spec-only; this entry puts the streaming
     * machinery itself under the driver's DuckDB gate. */
-  private def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+  /** Stages the single-file events fixture under a temp DIRECTORY (the
+    * file streaming source requires one) and returns it as a streaming
+    * DataFrame with `ts` converted from long nanos to a timestamp.
+    * Freshness-checked (size + mtime, not bare existence: a regenerated
+    * fixture or an interrupted copy must not permanently desync the
+    * stream from the oracle) and staged via temp-name + atomic move.
+    * Runs `body` with the nanosAsLong conf set, restoring it after. */
+  private def withStagedEventsStream(s: SparkSession, dir: String)
+      (body: DataFrame => DataFrame): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
     try {
       val schema = s.read.parquet(s"$dir/events.parquet").schema // ts: long nanos
-      // the file streaming source requires a DIRECTORY; the fixture is a
-      // single file — stage a copy under a temp dir. Freshness-checked
-      // (size + mtime, not bare existence: a regenerated fixture or an
-      // interrupted copy must not permanently desync the stream from
-      // the oracle) and staged via temp-name + atomic move.
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val streamDir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_stream_events",
@@ -916,7 +919,17 @@ object QueriesExt {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       val raw = s.readStream.schema(schema).parquet(streamDir.toString)
-      val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      body(raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
+  private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
       val prof = graft.streaming.StreamProfile.hourlyProfile(ev)
       val sink = "graft_stream_hourly"
       val q = prof.writeStream.format("memory").queryName(sink)
@@ -925,18 +938,51 @@ object QueriesExt {
       s.table(sink)
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
           col("event_type"), col("n_events"), col("sum_value"))
-    } finally {
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }
-  }
   private val qStreamHourlySql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
       |  event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Append-mode streaming under the oracle gate (VERDICT r2 item 5):
+    * unlike q_stream_hourly's complete mode — which re-emits every
+    * window and so never exercises eviction — append mode emits a
+    * window exactly once, when the watermark passes its end, and drops
+    * its state. The memory sink therefore holds precisely the windows
+    * whose end <= final watermark (Spark's eviction predicate is
+    * `window.end <= watermark`, WatermarkSupport.watermarkExpression);
+    * the oracle reproduces that horizon in SQL: watermark = ms-floored
+    * max event time minus the 90-minute delay (Spark tracks event-time
+    * stats in milliseconds). The fixture's max ts always carries
+    * microseconds, so the <= boundary can never tie against an exact
+    * hour end. The whole file arrives in ONE micro-batch, during which
+    * the watermark is still at epoch 0 — so no input row is ever
+    * late-dropped and the oracle needs no input-side filter; the
+    * trailing no-data micro-batch then advances the watermark and
+    * flushes the finalized windows. */
+  private def qStreamAppend(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val prof = graft.streaming.StreamProfile
+        .hourlyProfile(ev, watermark = "90 minutes")
+      val sink = "graft_stream_append"
+      val q = prof.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }
+  private val qStreamAppendSql =
+    """WITH wm AS (
+      |  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 90 MINUTE w
+      |  FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+      |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -944,6 +990,7 @@ object QueriesExt {
     "q_range_join" -> (qRangeJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
     "q_stream_hourly" -> (qStreamHourly _),
+    "q_stream_append" -> (qStreamAppend _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -980,6 +1027,7 @@ object QueriesExt {
     "q_range_join" -> qRangeJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,
     "q_stream_hourly" -> qStreamHourlySql,
+    "q_stream_append" -> qStreamAppendSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
