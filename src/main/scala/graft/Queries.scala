@@ -504,6 +504,46 @@ object Queries {
       |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
       |FROM x""".stripMargin
 
+  /** S1/K1 under the oracle gate, like [[qXlsxRoundtrip]]: a lineitem
+    * subset goes parquet -> CSV sink -> CSV scan with schema INFERENCE
+    * -> aggregate; the oracle aggregates the parquet directly. Exercises
+    * header round-trip, type re-inference (bigint/double/timestamp),
+    * null <-> empty-field mapping, and double text round-tripping (Spark
+    * writes shortest-repr, which re-parses to the identical IEEE value,
+    * so the decimal sums hash-match). */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = li(s, dir).filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_shipdate"),
+        when(col("l_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("l_returnflag")).as("flag"))
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_csv_oracle",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    graft.io.Sinks.csv(src, outDir, singleFile = false)
+    val back = graft.io.Sources.csv(s, outDir)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey") + col("l_linenumber")).as("key_sum"),
+      moneySum(col("l_extendedprice")).as("sum_price"),
+      count(when(col("flag").isNull, 1)).as("n_null_flag"),
+      countDistinct(col("flag")).as("n_flag"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+  }
+  private val qCsvRoundtripSql =
+    """WITH x AS (SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate,
+      |    CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END flag
+      |  FROM lineitem WHERE l_orderkey % 50 = 0)
+      |SELECT count(*) AS n_rows,
+      |  sum(l_orderkey + l_linenumber) AS key_sum,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(CASE WHEN flag IS NULL THEN 1 END) AS n_null_flag,
+      |  count(DISTINCT flag) AS n_flag,
+      |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM x""".stripMargin
+
   private def qHead(s: SparkSession, dir: String): DataFrame =
     li(s, dir).select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -541,7 +581,8 @@ object Queries {
     "q_quality_score" -> (qQualityScore _),
     "q_insights" -> (qInsights _),
     "q_head" -> (qHead _),
-    "q_xlsx_roundtrip" -> (qXlsxRoundtrip _))
+    "q_xlsx_roundtrip" -> (qXlsxRoundtrip _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
@@ -565,5 +606,6 @@ object Queries {
     "q_quality_score" -> qQualityScoreSql,
     "q_insights" -> qInsightsSql,
     "q_head" -> qHeadSql,
-    "q_xlsx_roundtrip" -> qXlsxRoundtripSql)
+    "q_xlsx_roundtrip" -> qXlsxRoundtripSql,
+    "q_csv_roundtrip" -> qCsvRoundtripSql)
 }

@@ -1,0 +1,183 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope rehearsal (VERDICT r2 item 8): synthesizes a FACTORx
+  * fixture from sf0.1 (same single-parquet-file layout as /root/testdata)
+  * and times the headline queries at both scales, reporting the
+  * t(FACTORx)/t(1x) slope per query. Linear operators land near FACTOR;
+  * anything well above FACTOR is a superlinear red flag for the 100 TB
+  * claim. Results recorded in SCALE.md.
+  *
+  * Fixture synthesis: each fact table is FACTOR id-shifted replicas
+  * (keys + r * 10^10, so intra-replica joins still match and dim joins
+  * stay intact); nation/region stay single-copy dims. Embeddings
+  * replicate identically (cosine ties break on id; this is a timing
+  * probe, not a recall probe). Document text depends on SCALE_DOC_MODE:
+  *
+  *  - `neardup` (default): per-replica suffix — every doc gains FACTOR-1
+  *    near-duplicates, the boilerplate regime the bucket caps exist for.
+  *    Slopes here measure volume scaling COMPOUNDED with a dup-rate jump
+  *    (candidate pairs per bucket go from ~0 to ~C(FACTOR,2)).
+  *  - `distinct`: per-replica Caesar cipher over letters — each replica
+  *    is statistically identical (same length/token/shingle-df shape)
+  *    but shares no shingles with the others, so the union is a clean
+  *    FACTORx-volume corpus with the base's duplicate rate. Slopes here
+  *    are the pure volume-scaling measurement.
+  *
+  * Usage: runMain graft.tools.ScaleBench [baseDir] [outDir] [q...]
+  * Env: SPARK_GRAFT_CPUS (16), SCALE_FACTOR (10), SCALE_DOC_MODE,
+  *      SCALE_REPS_BASE (3), SCALE_REPS_SCALED (2).
+  */
+object ScaleBench {
+
+  private val Offset = 10000000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+  private val dimTables = Seq("nation", "region")
+
+  private val defaultQueries = Seq(
+    "q_missions", "q_profile", "q_dup_count", "q_outlier_iqr",
+    "q_outlier_clip", "q_date_auto", "q_jaccard_ngram", "q_dedup_minhash",
+    "q_dedup_minhash_char", "q_dedup_simhash", "q_dedup_docs_exact",
+    "q_dedup_exact", "q_embed_neardup", "q_cosine_topk", "q_ann_ivf",
+    "q_corpus_pipeline", "q_text_stats", "q_event_window", "q_sessionize",
+    "q_star_join", "q_pricing_summary", "q_running_total",
+    "q_stream_hourly", "q_stream_append")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_sfx10")
+    val queries =
+      if (args.length > 2) args.drop(2).toSeq else defaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val factor = sys.env.getOrElse("SCALE_FACTOR", "10").toInt
+    val docMode = sys.env.getOrElse("SCALE_DOC_MODE", "neardup")
+    val repsBase = sys.env.getOrElse("SCALE_REPS_BASE", "3").toInt
+    val repsScaled = sys.env.getOrElse("SCALE_REPS_SCALED", "2").toInt
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildFixture(spark, baseDir, outDir, factor, docMode)
+
+    def timeQuery(name: String, dir: String, reps: Int): Double = {
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val dt =
+          try {
+            graft.SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+            None
+          }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        dt
+      }
+      // best-of-N, not median: this VM shows 5-10x single-run noise
+      // spikes (STATUS.md), and with 2 reps a "median" is the max —
+      // a slope probe wants the repeatable floor, not the spike
+      if (times.isEmpty) -1.0 else times.min
+    }
+
+    // warm scan/codegen path once per dir
+    Seq(baseDir, outDir).foreach { d =>
+      try spark.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      catch { case _: Throwable => () }
+    }
+
+    println(f"| query | t(sf0.1) s | t(${factor}x) s | slope | verdict |")
+    println("|---|---|---|---|---|")
+    val rows = queries.map { q =>
+      val tb = timeQuery(q, baseDir, repsBase)
+      val ts = timeQuery(q, outDir, repsScaled)
+      val slope = if (tb > 0 && ts > 0) ts / tb else Double.NaN
+      val verdict =
+        if (slope.isNaN) "ERR"
+        // fixed per-query overhead (session/JIT/stream staging) makes
+        // sub-FACTOR slopes common; the red flag is clearly ABOVE FACTOR
+        else if (slope <= factor * 1.2) "ok"
+        else "SUPERLINEAR?"
+      println(f"| $q | $tb%.2f | $ts%.2f | ${slope}%.1fx | $verdict |")
+      (q, tb, ts, slope)
+    }
+    val js = rows.map { case (q, tb, ts, sl) =>
+      f""""$q":{"base":$tb%.3f,"scaled":$ts%.3f,"slope":$sl%.2f}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_slopes","factor":$factor,"queries":$js}""")
+    spark.stop()
+  }
+
+  /** Writes the FACTORx fixture as plain single parquet FILES (the
+    * /root/testdata layout — required by the streaming staging path).
+    * Skipped when the marker file already records the same factor. */
+  private def buildFixture(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int, docMode: String): Unit = {
+    val marker = Paths.get(outDir, s"_built_x${factor}_$docMode")
+    if (Files.exists(marker)) return
+    Files.createDirectories(Paths.get(outDir))
+    dimTables.foreach { t =>
+      Files.copy(Paths.get(s"$baseDir/$t.parquet"),
+        Paths.get(s"$outDir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    keyCols.foreach { case (t, keys) =>
+      // events.ts is nano-epoch int64 in the fixture; read it as a plain
+      // long (nanosAsLong) so the copy writes the same physical type
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val df = try {
+        val raw = spark.read.parquet(s"$baseDir/$t.parquet")
+        raw.schema // resolve under the conf
+        raw
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val replicas = (0 until factor).map { r =>
+        val shifted = keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(r * Offset)))
+        if (t == "documents" && r > 0) {
+          if (docMode == "distinct") {
+            val a = "abcdefghijklmnopqrstuvwxyz"
+            val rot = a.drop(r % 26) + a.take(r % 26)
+            shifted.withColumn("text", translate(col("text"),
+              a + a.toUpperCase, rot + rot.toUpperCase))
+          } else shifted.withColumn("text",
+            concat(col("text"), lit(s" replica marker $r")))
+        } else shifted
+      }
+      val out = replicas.reduce(_ unionAll _)
+      val tmp = s"$outDir/_tmp_$t"
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      Files.move(Paths.get(part), Paths.get(s"$outDir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      // clean the temp write dir
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      println(s"[scale] built $t x$factor")
+    }
+    Files.writeString(marker, java.time.Instant.now().toString)
+  }
+}
