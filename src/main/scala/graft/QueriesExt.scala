@@ -239,6 +239,40 @@ object QueriesExt {
        |WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5""".stripMargin
   }
 
+  /** Prefix-filtered EXACT Jaccard (no doc-frequency cap, no lower-bound
+    * caveat): index only each doc's rarest `n - ceil(t*n) + 1` shingles
+    * under the global (df, hash) order; every pair with J >= t must
+    * collide on a prefix shingle (see Dedup.jaccardPairsPrefix). The
+    * oracle re-derives the same prefix with the same window order, so
+    * the candidate set — not just the final pairs — is mirrored. */
+  private def qJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(docs(s, dir), "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  private val qJaccardPrefixSql = {
+    val sh = wordShinglesSql
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |sizes AS (SELECT doc_id, len(h) n FROM hs),
+       |ex AS (SELECT doc_id, unnest(h) hash FROM hs),
+       |wdf AS (SELECT *, count(*) OVER (PARTITION BY hash) df FROM ex),
+       |pref AS (SELECT doc_id, hash FROM (
+       |  SELECT w.doc_id, w.hash,
+       |    row_number() OVER (PARTITION BY w.doc_id ORDER BY w.df, w.hash) rn,
+       |    s.n
+       |  FROM wdf w JOIN sizes s USING (doc_id))
+       |  WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |  FROM pref a JOIN pref b ON a.hash = b.hash AND a.doc_id < b.doc_id)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+       |    / len(list_distinct(x.h || y.h)) AS jaccard
+       |FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib
+       |WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+       |    / len(list_distinct(x.h || y.h)) >= 0.5""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Dedup: SimHash hamming pairs
   // ------------------------------------------------------------------
@@ -1004,6 +1038,7 @@ object QueriesExt {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
+    "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -1041,6 +1076,7 @@ object QueriesExt {
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
+    "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,

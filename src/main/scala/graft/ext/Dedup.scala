@@ -231,6 +231,51 @@ object Dedup {
     materializeAndRelease(hashed, pairs)
   }
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING (AllPairs/PPJoin family,
+    * Bayardo et al., WWW'07; Xiao et al., WWW'08) — the exact-semantics
+    * scale path. [[jaccardPairs]]' doc-frequency cap bounds the posting
+    * join but makes reported similarity a lower bound on boilerplate
+    * pairs; prefix filtering needs no cap and loses nothing:
+    *
+    * Order all shingles by a global total order (ascending doc
+    * frequency, hash as tie-break — rarest first). For a doc with n
+    * shingles, index only its first `n - ceil(t*n) + 1` shingles (its
+    * "prefix"). If J(A,B) >= t, then |A&B| >= t*|A u B| >= ceil(t*|A|),
+    * so A's LAST ceil(t*|A|)-1 shingles cannot contain all of A&B; the
+    * globally-smallest common shingle therefore sits in A's prefix, and
+    * by the same argument in B's — every qualifying pair collides on
+    * some prefix shingle. Candidates = prefix-postings self-join (rare
+    * shingles -> short posting lists), verified with the full exact
+    * intersection. Work is linear in corpus size for natural df
+    * distributions; k byte-identical docs still cost C(k,2) — that is
+    * the size of the ANSWER, not an index defect. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = hashed
+      .select(col("id"), size(col("h")).as("n"), explode(col("h")).as("hash"))
+    val withDf = postings.withColumn("df",
+      count(lit(1)).over(w.partitionBy(col("hash"))))
+    val prefix = withDf
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("id")).orderBy(col("df").asc, col("hash").asc)))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("id"), col("hash"))
+    val cands = prefix.select(col("id").as("id_a"), col("hash"))
+      .join(prefix.select(col("id").as("id_b"), col("hash")), Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val pairs = cands
+      .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
+      .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(hashed, pairs)
+  }
+
   /** Exact duplicate groups by content fingerprint: one shuffle on a
     * 16-byte digest; survivor = min id (deterministic). */
   def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String)

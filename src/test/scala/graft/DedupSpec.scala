@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpec {
     assert(inter / uni > 0.7 && inter / uni < 1.0)
   }
 
+  test("prefix-filtered jaccard equals the uncapped inverted-index result (exactness)") {
+    // the prefix filter is a pure candidate-pruning step: the final pair
+    // set and similarities must be IDENTICAL to the exhaustive
+    // inverted-index path with the doc-frequency cap disabled — on the
+    // fixture docs AND on the real documents table
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((df, t) <- Seq((corpus, 0.5), (real, 0.5), (real, 0.8))) {
+      val full = Dedup.jaccardPairs(df, "doc_id", "text", threshold = t,
+          maxDocFreq = Int.MaxValue)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(df, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full,
+        s"t=$t missed=${full -- pref} extra=${pref -- full}")
+    }
+  }
+
   test("simhash: identical normalized docs share fingerprints; hamming pairs found") {
     val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxDist = 3)
       .select("id_a", "id_b", "hamming").collect()
