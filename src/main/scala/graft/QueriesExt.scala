@@ -274,6 +274,43 @@ object QueriesExt {
   }
 
   // ------------------------------------------------------------------
+  // Deterministic sampling / splitting (training-data pipeline tier)
+  // ------------------------------------------------------------------
+  /** Reproducible train/val/test split: membership is a pure function
+    * of (id, salt) via the portable hash — identical rows in every run,
+    * on every engine, under any partitioning. The oracle re-derives the
+    * same per-mille draw and ranges. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.assignSplit(docs(s, dir), "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  private val qHashSplitSql = {
+    val dr = ext.Sampling.drawSql("doc_id", "split")
+    s"""WITH d AS (SELECT n_chars, $dr AS dr FROM documents),
+       |s AS (SELECT CASE WHEN dr < 800 THEN 'train'
+       |  WHEN dr < 900 THEN 'val' WHEN dr < 1000 THEN 'test' END split,
+       |  n_chars FROM d)
+       |SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
+  /** Stratified exact-quota sample: per language, the 20 docs with the
+    * smallest (salted draw, id) — deterministic "random" top-k per
+    * stratum, one shuffle, WindowGroupLimit capping map-side. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.stratifiedQuota(docs(s, dir), Seq("lang"), "doc_id",
+      quota = 20)
+      .select(col("lang"), col("doc_id"))
+  private val qStratifiedSampleSql = {
+    val dr = ext.Sampling.drawSql("doc_id", "strata")
+    s"""WITH d AS (SELECT lang, doc_id, $dr AS dr FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |  row_number() OVER (PARTITION BY lang ORDER BY dr, doc_id) rn FROM d)
+       |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Dedup: SimHash hamming pairs
   // ------------------------------------------------------------------
   /** SimHash near-dup with byte-banding + hot-bucket cap ON in both
@@ -1039,6 +1076,8 @@ object QueriesExt {
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
+    "q_hash_split" -> (qHashSplit _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -1077,6 +1116,8 @@ object QueriesExt {
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
+    "q_hash_split" -> qHashSplitSql,
+    "q_stratified_sample" -> qStratifiedSampleSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Everything here is HASH-derived, never RNG-derived: a sample must be
+  * reproducible across runs, cluster layouts, partition counts, and
+  * engines (the portable md5-based [[Hashing.hash64]] is bit-identical
+  * in the DuckDB oracle), and membership must be decidable per-row with
+  * no coordination — `rand()`-based sampling is none of these (Spark's
+  * `sample()` is seed-stable only for a fixed partitioning). The salt
+  * decorrelates independent samples drawn from the same keys: two
+  * pipelines sampling 10% with different salts each get 10%, not the
+  * same rows.
+  *
+  * Scale shape: [[hashSample]] and [[assignSplit]] are pure narrow
+  * projections/filters (no shuffle, pushdown-composable — the filter
+  * reaches the scan); [[stratifiedQuota]] is one shuffle on the strata
+  * key with the rank<=k predicate pushed map-side by WindowGroupLimit.
+  */
+object Sampling {
+
+  /** Salted per-row draw in [0, 1000): the basis for all operators
+    * here. Rows keep their draw across engines and runs. */
+  private def draw(idCol: String, salt: String) =
+    Hashing.hash64(concat(col(idCol).cast("string"), lit(":" + salt))) % 1000
+
+  /** DuckDB mirror of [[draw]] (for oracle SQL). */
+  def drawSql(idExpr: String, salt: String): String =
+    Hashing.hash64Sql(s"CAST($idExpr AS VARCHAR) || ':$salt'") + " % 1000"
+
+  /** Reproducible Bernoulli-by-hash sample: keeps ~`permille`/1000 of
+    * rows, exactly the same rows every run. */
+  def hashSample(df: DataFrame, idCol: String, permille: Int,
+      salt: String = "sample"): DataFrame =
+    df.filter(draw(idCol, salt) < permille)
+
+  /** Deterministic dataset split: appends a `split` column assigned by
+    * cumulative per-mille ranges over the salted draw — e.g.
+    * `Seq("train" -> 800, "val" -> 100, "test" -> 100)`. Rows beyond
+    * the cumulative total (if it is < 1000) get null (excluded). */
+  def assignSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Int)], salt: String = "split"): DataFrame = {
+    require(fractions.map(_._2).sum <= 1000, "fractions exceed 1000 permille")
+    val d = draw(idCol, salt)
+    val bounds = fractions.scanLeft(0)(_ + _._2).tail
+    // when-chain over ascending bounds: built back-to-front so the
+    // outermost test is the smallest bound — the first [0, hi) range
+    // containing the draw wins
+    val chain = fractions.zip(bounds).reverse
+      .foldLeft(lit(null).cast("string")) { case (els, ((name, _), hi)) =>
+        when(d < hi, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", chain)
+  }
+
+  /** Stratified exact-quota sample: per stratum, the `quota` rows with
+    * the smallest (salted draw, id) — a deterministic "random" top-k
+    * per group. One shuffle on the strata columns; WindowGroupLimit
+    * caps each map partition at `quota` rows per stratum before the
+    * exchange. */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
+      quota: Int, salt: String = "strata"): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(draw(idCol, salt).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

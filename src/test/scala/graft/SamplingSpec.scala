@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hash sample: deterministic, ~rate, salt-decorrelated") {
+    val a = Sampling.hashSample(docs, "doc_id", 100).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 100).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b, "same salt must give identical rows across runs")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.06 && a.size < n * 0.14, s"~10% expected, got ${a.size}/$n")
+    val c = Sampling.hashSample(docs, "doc_id", 100, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a, "different salt must draw a different sample")
+    assert(c.size > n * 0.06 && c.size < n * 0.14)
+  }
+
+  test("split: total partition, disjoint, proportions, stable membership") {
+    val split = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n, "fractions summing to 1000 cover every row")
+    assert(counts("train") > n * 0.7 && counts("train") < n * 0.9)
+    // a row's split must not depend on the other rows present: sampling
+    // the input first must keep each surviving row's assignment
+    val sub = Sampling.assignSplit(docs.filter($"doc_id" % 3 === 0), "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = split.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    sub.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
+
+  test("stratified quota: exactly min(quota, |stratum|) per stratum, deterministic") {
+    val q = Sampling.stratifiedQuota(docs, Seq("lang"), "doc_id", 10)
+    val got = q.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, sz) =>
+      assert(got.getOrElse(lang, 0L) == math.min(10L, sz),
+        s"$lang: expected ${math.min(10L, sz)}, got ${got.getOrElse(lang, 0L)}")
+    }
+    val again = Sampling.stratifiedQuota(docs, Seq("lang"), "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(q.select("doc_id").as[Long].collect().toSet == again)
+  }
+}
