@@ -274,6 +274,48 @@ object QueriesExt {
   }
 
   // ------------------------------------------------------------------
+  // PII redaction (training-data release hygiene)
+  // ------------------------------------------------------------------
+  /** Deterministic PII dirt (emails on doc_id%5, phones on %7, IPv4 on
+    * %11 — mirrored literally in SQL), then per-doc counts + the hash of
+    * the redacted text. The patterns are restricted to the
+    * java.util.regex/RE2 common subset, so BOTH engines run the same
+    * pattern strings; the redacted-text hash catches any divergence in
+    * match extent, not just match count. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" user"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" call +12 (345) 678-9012")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7"))).otherwise(lit("")))
+        .as("text"))
+    TextStats.withPiiRedaction(base, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ipv4"),
+        Hashing.hash64(col("redacted")).as("redacted_h"))
+  }
+  private val qPiiRedactSql = {
+    val em = TextStats.emailPattern
+    val ph = TextStats.phonePattern
+    val ip = TextStats.ipv4Pattern
+    val red = s"regexp_replace(regexp_replace(regexp_replace(t, " +
+      s"'$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')"
+    s"""WITH base AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' call +12 (345) 678-9012' ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t
+       |  FROM documents WHERE doc_id < 500)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$em')) AS n_emails,
+       |  len(regexp_extract_all(t, '$ph')) AS n_phones,
+       |  len(regexp_extract_all(t, '$ip')) AS n_ipv4,
+       |  ${Hashing.hash64Sql(red)} AS redacted_h
+       |FROM base""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic sampling / splitting (training-data pipeline tier)
   // ------------------------------------------------------------------
   /** Reproducible train/val/test split: membership is a pure function
@@ -1077,6 +1119,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
+    "q_pii_redact" -> (qPiiRedact _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
@@ -1117,6 +1160,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
+    "q_pii_redact" -> qPiiRedactSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,

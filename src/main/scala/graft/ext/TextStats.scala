@@ -138,4 +138,42 @@ object TextStats {
   /** Fast path: codegen'd Karp-Rabin rolling hash of the normalization. */
   def fingerprintRolling(text: Column): Column =
     Hashing.rolling_hash(normalized(text))
+
+  /** PII scrubbing (training-data release hygiene). Patterns restricted
+    * to syntax with identical semantics in java.util.regex and RE2
+    * (DuckDB) — no backreferences, no lookaround, no possessive
+    * quantifiers — so the oracle applies the SAME pattern strings:
+    *
+    *  - email: local@domain.tld (letters/digits/._%+- local part)
+    *  - phone: international-ish +/digit groups with -, space, (), .
+    *    separators, 7-15 digits total (E.164 envelope), matched only at
+    *    token-ish boundaries to keep plain long numbers out
+    *  - IPv4: four 1-3 digit octets (no value-range check — scrubbing
+    *    favors recall; 999.1.1.1 redacts harmlessly)
+    *
+    * Pure narrow projections — no shuffle; each redaction is one
+    * codegen'd regexp_replace over the scan. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern =
+    "\\+[0-9]{1,3}[ .-]?\\(?[0-9]{1,4}\\)?([ .-]?[0-9]{2,4}){2,4}"
+
+  def countPii(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val p = regexp_replace(e, phonePattern, "<PHONE>")
+    regexp_replace(p, ipv4Pattern, "<IP>")
+  }
+
+  /** Per-row PII counts + redacted text (counts BEFORE redaction, on
+    * the original text, in the same pass). */
+  def withPiiRedaction(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", countPii(t, emailPattern))
+      .withColumn("n_phones", countPii(t, phonePattern))
+      .withColumn("n_ipv4", countPii(t, ipv4Pattern))
+      .withColumn("redacted", redactPii(t))
+  }
 }

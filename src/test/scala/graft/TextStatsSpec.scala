@@ -40,6 +40,28 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Seq("en", "es", "de", "und"))
   }
 
+  test("PII redaction: counts and replacement on known strings") {
+    val df = Seq(
+      ("mail me at a.b+c@ex-ample.org or x@y.io thanks", 2, 0, 0,
+        "mail me at <EMAIL> or <EMAIL> thanks"),
+      ("call +1 (555) 123-4567 now", 0, 1, 0, "call <PHONE> now"),
+      ("server 192.168.0.1 and 10.0.255.7.", 0, 0, 2,
+        "server <IP> and <IP>."),
+      ("no pii here, just 12345 and a plain sentence.", 0, 0, 0,
+        "no pii here, just 12345 and a plain sentence."))
+      .toDF("t", "e", "p", "i", "want")
+    val got = TextStats.withPiiRedaction(df, "t")
+      .select("e", "n_emails", "p", "n_phones", "i", "n_ipv4",
+        "want", "redacted")
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(0), s"emails: $r")
+      assert(r.getInt(3) == r.getInt(2), s"phones: $r")
+      assert(r.getInt(5) == r.getInt(4), s"ips: $r")
+      assert(r.getString(7) == r.getString(6), s"redaction: $r")
+    }
+  }
+
   test("fingerprints collapse case/punctuation/whitespace variants") {
     val df = Seq("Hello,  World!", "hello world", "different").toDF("t")
     val md5s = df.select(TextStats.fingerprintMd5($"t")).as[String].collect()
