@@ -1086,6 +1086,36 @@ object QueriesExt {
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
           col("event_type"), col("n_events"), col("sum_value"))
     }
+  /** Third streaming operator under the gate:
+    * `dropDuplicatesWithinWatermark` over a derived key with real
+    * collisions (event_id % 997). Dedup emits a row the first time a
+    * key is seen and suppresses repeats inside the watermark horizon;
+    * the whole fixture arrives in one micro-batch, so every repeat is
+    * in-horizon and the emitted key set is EXACTLY the distinct key
+    * set — which row carried it is nondeterministic, so the face
+    * projects the key alone and aggregates. n_rows doubles as the
+    * no-duplicate-emitted proof (it would exceed n_keys on a repeat,
+    * and both would differ from the oracle's distinct count). */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val keyed = ev.withColumn("k", col("event_id") % 997)
+      val dd = graft.streaming.StreamProfile
+        .dedupEvents(keyed, Seq("k"), watermark = "2 hours")
+        .select(col("k"))
+      val sink = "graft_stream_dedup"
+      val q = dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("k")).as("n_keys"),
+        sum(col("k")).as("sum_k"))
+    }
+  private val qStreamDedupSql =
+    """WITH d AS (SELECT DISTINCT event_id % 997 AS k FROM events)
+      |SELECT count(*) AS n_rows, count(*) AS n_keys,
+      |  CAST(sum(k) AS BIGINT) AS sum_k FROM d""".stripMargin
+
   private val qStreamAppendSql =
     """WITH wm AS (
       |  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 90 MINUTE w
@@ -1104,6 +1134,7 @@ object QueriesExt {
     "q_udtf_shingles" -> (qUdtfShingles _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_append" -> (qStreamAppend _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -1145,6 +1176,7 @@ object QueriesExt {
     "q_udtf_shingles" -> qUdtfShinglesSql,
     "q_stream_hourly" -> qStreamHourlySql,
     "q_stream_append" -> qStreamAppendSql,
+    "q_stream_dedup" -> qStreamDedupSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
