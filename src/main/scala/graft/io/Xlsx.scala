@@ -221,17 +221,24 @@ object Xlsx {
     withXml(zip, entry) { r =>
       var sb: StringBuilder = null
       var inT = false
+      // rich-text runs (<r><t>...</t></r>) concatenate naturally — every
+      // <t> under the <si> appends — but PHONETIC runs (<rPh>, furigana
+      // annotations) also carry <t> and must be EXCLUDED: the cell value
+      // is the base text only (pandas/openpyxl parity)
+      var inPh = false
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
             case "si" => sb = new StringBuilder
-            case "t" if sb != null => inT = true
+            case "rPh" => inPh = true
+            case "t" if sb != null && !inPh => inT = true
             case _ =>
           }
           case XMLStreamConstants.CHARACTERS if inT =>
             sb.append(r.getText)
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "t" => inT = false
+            case "rPh" => inPh = false
             case "si" => out += unescape(sb.toString); sb = null
             case _ =>
           }
@@ -252,6 +259,9 @@ object Xlsx {
       var cellStyle = -1
       var text: StringBuilder = null
       var inV = false
+      // exclude phonetic-run <t> inside inline rich strings (see
+      // readSharedStrings)
+      var inPh = false
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
@@ -260,7 +270,8 @@ object Xlsx {
               cellCol = colIndex(attr(r, "r"), row.length)
               cellType = Option(attr(r, "t")).getOrElse("")
               cellStyle = Option(attr(r, "s")).map(_.toInt).getOrElse(-1)
-            case "v" | "t" if cellCol >= 0 =>
+            case "rPh" => inPh = true
+            case "v" | "t" if cellCol >= 0 && !inPh =>
               inV = true; if (text == null) text = new StringBuilder
             case _ =>
           }
@@ -268,6 +279,7 @@ object Xlsx {
             text.append(r.getText)
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "v" | "t" => inV = false
+            case "rPh" => inPh = false
             case "c" if cellCol >= 0 =>
               val raw = if (text == null) null else text.toString
               text = null

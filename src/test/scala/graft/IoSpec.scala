@@ -76,6 +76,54 @@ class IoSpec extends SparkSpec {
     assert(back.select("`Unnamed: 2`").as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("S2 xlsx rich-text shared strings concatenate runs; phonetic runs excluded") {
+    // rewrite the shared-strings part: one plain <si>, one rich-text
+    // <si> split across runs, one Japanese <si> carrying an <rPh>
+    // furigana annotation (whose <t> must NOT leak into the value —
+    // pandas/openpyxl parity), one inline rich string in the sheet
+    val dir = Files.createTempDirectory("graft_xlsx5")
+    val path = dir.resolve("r.xlsx").toString
+    val df = Seq(("x", "y"), ("x2", "y2")).toDF("c1", "c2")
+    Xlsx.writeSingleSheet(df, path)
+    val zin = new java.util.zip.ZipFile(path)
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">""" +
+        "<si><t>c1</t></si><si><t>c2</t></si>" +
+        "<si><r><rPr><b/></rPr><t>rich </t></r><r><t>text</t></r></si>" +
+        "<si><r><t>東京</t></r><rPh sb=\"0\" eb=\"2\"><t>とうきょう</t></rPh></si>" +
+        "</sst>"
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><r><t>in</t></r><r><t>line</t></r>""" +
+        """<rPh sb="0" eb="1"><t>NOPE</t></rPh></is></c><c r="B3" t="s"><v>2</v></c></row>""" +
+        "</sheetData></worksheet>"
+    val others = Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+      "xl/_rels/workbook.xml.rels", "xl/styles.xml")
+      .map(n => n -> zin.getInputStream(zin.getEntry(n)).readAllBytes())
+    zin.close()
+    val path2 = dir.resolve("r2.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path2))
+    others.foreach { case (n, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(b); zos.closeEntry() }
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+    zos.write(sst.getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheetXml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    val back = Xlsx.read(spark, path2)
+    val rows = back.select("c1", "c2").as[(String, String)].collect().toSeq
+    assert(rows.contains(("rich text", "東京")),
+      s"rich-text concat + phonetic exclusion failed: $rows")
+    assert(rows.contains(("inline", "rich text")),
+      s"inline rich string failed: $rows")
+    assert(!rows.exists(r => r._1.contains("NOPE") || r._2.contains("と")),
+      s"phonetic text leaked: $rows")
+  }
+
   test("S2 xlsx feeds the standard cleaning pipeline (header + inference)") {
     val path = Files.createTempDirectory("graft_xlsx2").resolve("d.xlsx").toString
     val dirty = Seq(("a", Some(10.0)), ("b", None), ("a", Some(10.0)))
