@@ -225,9 +225,10 @@ object Profiler {
     df.schema.fields.collect { case f if f.dataType == StringType => f.name }.toSeq
 
   /** P6 — mission generator (app.py:216-237): re-derives the full issue
-    * list. Three jobs total regardless of column count: a stats agg for
+    * list. Three jobs total regardless of column count — a stats agg for
     * all numeric columns, a fused count agg (outliers + nulls + parse
-    * ratios), and the duplicate count. The input is pinned for the
+    * ratios), and the duplicate count — with the latter two submitted
+    * concurrently (both read only the pinned input). The input is pinned for the
     * detector's lifetime so the three jobs scan the (possibly expensive —
     * q_missions' dirt projection re-ran a 7-parser date chain per job in
     * round 2) upstream plan exactly once.
@@ -277,22 +278,38 @@ object Profiler {
       if (parsed > 0 && parsed < tot) Some(Mission.DateMixed(c, tot - parsed)) else None
     }
 
+    // jobs B and C both read only the cache pinned by job A and are
+    // independent of each other — run them CONCURRENTLY so the cluster
+    // overlaps B's narrow agg with C's digest shuffle (two Spark jobs
+    // from two threads; results deterministic either way). On a busy
+    // 1000-executor cluster this hides the smaller job entirely.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
     // job B: outlier counts (the only aggregates that need job A's stats)
-    val outliers = if (numCols.isEmpty) Nil else {
-      val outAggs = numCols.map(c => count(when(models(c).mask, 1)).as(s"${c}__out"))
-      val r = df.agg(outAggs.head, outAggs.tail: _*).head()
-      numCols.zipWithIndex.flatMap { case (c, j) =>
-        val n = r.getLong(j)
-        if (n > 0) Some(Mission.Outlier(c, n)) else None
+    val outliersF = Future {
+      if (numCols.isEmpty) Nil else {
+        val outAggs = numCols.map(c => count(when(models(c).mask, 1)).as(s"${c}__out"))
+        val r = df.agg(outAggs.head, outAggs.tail: _*).head()
+        numCols.zipWithIndex.flatMap { case (c, j) =>
+          val n = r.getLong(j)
+          if (n > 0) Some(Mission.Outlier(c, n)) else None
+        }
       }
     }
 
     // job C: duplicate count. Exact mode uses the 128-bit digest (16-byte
     // shuffle rows instead of the full column tuple); approx mode is the
     // HLL sketch — both read the cache, neither re-scans upstream.
-    val nDup = if (exact) duplicateCountHashed(df)
-      else duplicateCountApprox(df, dupRsd)
-    val dups = if (nDup > 0) Seq(Mission.Duplicates(nDup)) else Nil
+    val dupsF = Future {
+      val nDup = if (exact) duplicateCountHashed(df)
+        else duplicateCountApprox(df, dupRsd)
+      if (nDup > 0) Seq(Mission.Duplicates(nDup)) else Nil
+    }
+
+    val outliers = Await.result(outliersF, Duration.Inf)
+    val dups = Await.result(dupsF, Duration.Inf)
 
     outliers ++ nulls ++ dups ++ dates
   }
