@@ -1111,6 +1111,30 @@ object QueriesExt {
         countDistinct(col("k")).as("n_keys"),
         sum(col("k")).as("sum_k"))
     }
+  /** Fourth streaming operator under the gate: custom keyed state via
+    * `mapGroupsWithState` (runningUserStats). One micro-batch means the
+    * state fn runs once per key and the update-mode memory sink holds
+    * exactly one row per user; the projection keeps only the
+    * deterministic fields (per-user event counts — the double total is
+    * summed in partition order, so it stays spec-territory). */
+  private def qStreamUserStats(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      import s.implicits._
+      val typed = ev.filter(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        .as[graft.streaming.StreamProfile.UserEvent]
+      val stats = graft.streaming.StreamProfile.runningUserStats(typed)
+      val sink = "graft_stream_user_stats"
+      val q = stats.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(col("user_id"), col("n_events"))
+    }
+  private val qStreamUserStatsSql =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events WHERE user_id % 100 = 0 GROUP BY 1""".stripMargin
+
   private val qStreamDedupSql =
     """WITH d AS (SELECT DISTINCT event_id % 997 AS k FROM events)
       |SELECT count(*) AS n_rows, count(*) AS n_keys,
@@ -1135,6 +1159,7 @@ object QueriesExt {
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_append" -> (qStreamAppend _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_user_stats" -> (qStreamUserStats _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -1177,6 +1202,7 @@ object QueriesExt {
     "q_stream_hourly" -> qStreamHourlySql,
     "q_stream_append" -> qStreamAppendSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_user_stats" -> qStreamUserStatsSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
