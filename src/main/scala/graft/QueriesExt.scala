@@ -1135,6 +1135,56 @@ object QueriesExt {
     """SELECT user_id, count(*) AS n_events
       |FROM events WHERE user_id % 100 = 0 GROUP BY 1""".stripMargin
 
+  /** Fifth streaming face: flatMapGroupsWithState sessionization with
+    * EVENT-TIME timeout (StreamProfile.streamingSessions). A session
+    * reaches the sink exactly two ways — closed inline by a later
+    * event > gap after its end (i.e. the user has a later session), or
+    * closed by timeout once the final watermark passes end + gap. The
+    * oracle rebuilds sessions with gaps-and-islands and applies the
+    * same two-way predicate. The operator does MILLISECOND arithmetic
+    * (java.sql.Timestamp.getTime), so the oracle ms-truncates event
+    * times before gap comparisons; output renders to second precision.
+    * Deterministic fields only (bounds + count — the value total sums
+    * in iterator order for same-ms ties). */
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      import s.implicits._
+      val typed = ev.filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        .withWatermark("ts", "2 hours")
+        .as[graft.streaming.StreamProfile.UserEvent]
+      val sess = graft.streaming.StreamProfile
+        .streamingSessions(typed, gapMinutes = 30)
+      val sink = "graft_stream_sessions"
+      val q = sess.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start_str"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_str"),
+        col("n_events"))
+    }
+  private val qStreamSessionsSql =
+    """WITH e AS (SELECT user_id, date_trunc('millisecond', ts) ts
+      |  FROM events WHERE user_id % 50 = 0),
+      |wm AS (SELECT max(ts) - INTERVAL 2 HOUR w FROM e),
+      |s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER
+      |    (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER
+      |    (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |  THEN 1 ELSE 0 END brk FROM e),
+      |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+      |  ORDER BY ts ROWS UNBOUNDED PRECEDING) grp FROM s),
+      |sess AS (SELECT user_id, grp, min(ts) st, max(ts) en, count(*) n
+      |  FROM g GROUP BY 1, 2),
+      |last AS (SELECT user_id, max(grp) mg FROM sess GROUP BY 1)
+      |SELECT sess.user_id,
+      |  strftime(st, '%Y-%m-%d %H:%M:%S') AS start_str,
+      |  strftime(en, '%Y-%m-%d %H:%M:%S') AS end_str,
+      |  n AS n_events
+      |FROM sess JOIN last ON sess.user_id = last.user_id, wm
+      |WHERE grp < mg OR en + INTERVAL 30 MINUTE < wm.w""".stripMargin
+
   private val qStreamDedupSql =
     """WITH d AS (SELECT DISTINCT event_id % 997 AS k FROM events)
       |SELECT count(*) AS n_rows, count(*) AS n_keys,
@@ -1160,6 +1210,7 @@ object QueriesExt {
     "q_stream_append" -> (qStreamAppend _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_user_stats" -> (qStreamUserStats _),
+    "q_stream_sessions" -> (qStreamSessions _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -1203,6 +1254,7 @@ object QueriesExt {
     "q_stream_append" -> qStreamAppendSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_user_stats" -> qStreamUserStatsSql,
+    "q_stream_sessions" -> qStreamSessionsSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
