@@ -544,6 +544,88 @@ object Queries {
       |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
       |FROM x""".stripMargin
 
+  /** JSON lines source/sink under the gate (same pattern as
+    * [[qCsvRoundtrip]]): write side exercises JSON rendering of
+    * longs/doubles/timestamps/nulls, read side schema inference (JSON
+    * null fields vanish per line — inference must still type them from
+    * sibling lines). */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = li(s, dir).filter(col("l_orderkey") % 50 === 1)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_shipdate"),
+        when(col("l_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("l_returnflag")).as("flag"))
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_json_oracle",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    src.write.mode("overwrite").json(outDir)
+    val back = s.read.json(outDir)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      moneySum(col("l_extendedprice")).as("sum_price"),
+      count(when(col("flag").isNull, 1)).as("n_null_flag"),
+      // json reads timestamps back as strings unless schema'd: compare
+      // the lexicographic min of the ISO rendering, stable either way
+      min(col("l_shipdate").cast("string").substr(1, 10)).as("min_ship"))
+  }
+  private val qJsonRoundtripSql =
+    """WITH x AS (SELECT l_orderkey, l_extendedprice, l_shipdate,
+      |    CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END flag
+      |  FROM lineitem WHERE l_orderkey % 50 = 1)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(CASE WHEN flag IS NULL THEN 1 END) AS n_null_flag,
+      |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship
+      |FROM x""".stripMargin
+
+  /** ORC source/sink under the gate — the third columnar format Spark
+    * ships natively (DuckDB has no ORC reader, so the oracle aggregates
+    * the original parquet; any ORC write/read corruption breaks the
+    * hash). */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = li(s, dir).filter(col("l_orderkey") % 50 === 2)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_orc_oracle",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    src.write.mode("overwrite").orc(outDir)
+    val back = s.read.orc(outDir)
+    back.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+  private val qOrcRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_orderkey % 50 = 2 GROUP BY 1""".stripMargin
+
+  /** Partitioned-layout write + PRUNED scan: writes a subset
+    * hive-partitioned by return flag, reads back ONE partition. The
+    * partition filter never touches row data — pruning happens at
+    * planning (PartitionFilters in the scan; asserted in IoSpec) — so
+    * at 100 TB this reads 1/3 of the files, not 1/3 of the rows. */
+  private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_part_oracle",
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    li(s, dir).filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(outDir)
+    s.read.parquet(outDir)
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_orderkey") + col("l_linenumber")).as("key_sum"))
+  }
+  private val qPartitionPruneSql =
+    """SELECT count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  sum(l_orderkey + l_linenumber) AS key_sum
+      |FROM lineitem WHERE l_orderkey % 20 = 0 AND l_returnflag = 'R'""".stripMargin
+
   private def qHead(s: SparkSession, dir: String): DataFrame =
     li(s, dir).select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -582,7 +664,10 @@ object Queries {
     "q_insights" -> (qInsights _),
     "q_head" -> (qHead _),
     "q_xlsx_roundtrip" -> (qXlsxRoundtrip _),
-    "q_csv_roundtrip" -> (qCsvRoundtrip _))
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_partition_prune" -> (qPartitionPrune _))
 
   val oracle: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
@@ -607,5 +692,8 @@ object Queries {
     "q_insights" -> qInsightsSql,
     "q_head" -> qHeadSql,
     "q_xlsx_roundtrip" -> qXlsxRoundtripSql,
-    "q_csv_roundtrip" -> qCsvRoundtripSql)
+    "q_csv_roundtrip" -> qCsvRoundtripSql,
+    "q_json_roundtrip" -> qJsonRoundtripSql,
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_partition_prune" -> qPartitionPruneSql)
 }

@@ -135,6 +135,20 @@ class IoSpec extends SparkSpec {
     assert(dups == 1L)
   }
 
+  test("partitioned write prunes at planning: partition filter reaches the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Seq((1L, "a", "R"), (2L, "b", "N"), (3L, "c", "R"))
+      .toDF("id", "s", "flag")
+      .write.mode("overwrite").partitionBy("flag").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"flag" === "R")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:") &&
+      scan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*flag[^\\]]*\\].*"),
+      s"partition filter must prune at planning, plan:\n$scan")
+    // and the pruned read returns only the R partition
+    assert(q.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("S1/K1 csv roundtrip: write with header, read back with inferred schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
