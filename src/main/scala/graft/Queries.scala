@@ -472,16 +472,22 @@ object Queries {
     * nulls, date-styled serials, type re-inference — then aggregates;
     * the oracle computes the same aggregate straight off the parquet, so
     * any loss or corruption in the xlsx layer breaks the hash. */
+  /** Per-fixture temp output for the source/sink round-trip faces: one
+    * namespace per face, one child per sfDir (parent pre-created; the
+    * write itself creates/overwrites the leaf). */
+  private def tmpOut(face: String, dir: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${face}_oracle", java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   private def qXlsxRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = orders(s, dir).filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
         when(col("o_orderkey") % 3 === 0, lit(null))
           .otherwise(col("o_orderpriority")).as("prio"))
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_xlsx_oracle")
-    java.nio.file.Files.createDirectories(outDir)
-    val path = outDir.resolve(
-      "orders_" + java.lang.Integer.toHexString(dir.hashCode) + ".xlsx").toString
+    val path = tmpOut("xlsx", dir) + ".xlsx"
     graft.io.Xlsx.writeSingleSheet(src, path)
     val back = graft.io.Xlsx.read(s, path)
     back.agg(
@@ -517,9 +523,7 @@ object Queries {
         col("l_shipdate"),
         when(col("l_orderkey") % 3 === 0, lit(null))
           .otherwise(col("l_returnflag")).as("flag"))
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_csv_oracle",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+    val outDir = tmpOut("csv", dir)
     graft.io.Sinks.csv(src, outDir, singleFile = false)
     val back = graft.io.Sources.csv(s, outDir)
     back.agg(
@@ -555,9 +559,7 @@ object Queries {
         col("l_shipdate"),
         when(col("l_orderkey") % 3 === 0, lit(null))
           .otherwise(col("l_returnflag")).as("flag"))
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_json_oracle",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+    val outDir = tmpOut("json", dir)
     src.write.mode("overwrite").json(outDir)
     val back = s.read.json(outDir)
     back.agg(
@@ -586,9 +588,7 @@ object Queries {
     val src = li(s, dir).filter(col("l_orderkey") % 50 === 2)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"))
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_orc_oracle",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+    val outDir = tmpOut("orc", dir)
     src.write.mode("overwrite").orc(outDir)
     val back = s.read.orc(outDir)
     back.groupBy(col("l_returnflag"))
@@ -608,9 +608,7 @@ object Queries {
     * planning (PartitionFilters in the scan; asserted in IoSpec) — so
     * at 100 TB this reads 1/3 of the files, not 1/3 of the rows. */
   private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_part_oracle",
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+    val outDir = tmpOut("part", dir)
     li(s, dir).filter(col("l_orderkey") % 20 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))

@@ -1186,8 +1186,11 @@ object QueriesExt {
       |WHERE grp < mg OR en + INTERVAL 30 MINUTE < wm.w""".stripMargin
 
   private val qStreamDedupSql =
+    // n_keys mirrors Spark's countDistinct (null-excluding: count(k),
+    // not count(*)) so a null event_id in a future fixture can't desync
+    // the faces; n_rows counts the null-key row on both sides
     """WITH d AS (SELECT DISTINCT event_id % 997 AS k FROM events)
-      |SELECT count(*) AS n_rows, count(*) AS n_keys,
+      |SELECT count(*) AS n_rows, count(k) AS n_keys,
       |  CAST(sum(k) AS BIGINT) AS sum_k FROM d""".stripMargin
 
   private val qStreamAppendSql =

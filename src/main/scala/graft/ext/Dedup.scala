@@ -183,17 +183,35 @@ object Dedup {
     result
   }
 
-  private def nearDuplicatesFromHashes(hashedIn: DataFrame, threshold: Double,
-      k: Int, bands: Int, maxBucket: Int): DataFrame = {
-    val hashed = hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
-    val pairs = cands
+  /** ONE source of truth for exact-Jaccard verification of an
+    * (id_a, id_b) candidate frame against the pinned (id, h) shingle
+    * frame — shared by the LSH and prefix-filter paths so the pair
+    * semantics (null/empty handling, threshold inclusivity, release
+    * protocol) cannot fork. */
+  private def verifyCandidates(hashed: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame =
+    cands
       .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
       .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(hashed, pairs)
+
+  /** Per-shingle document frequency via groupBy + join back — NOT a
+    * `count().over(Window.partitionBy(hash))`: the window form shuffles
+    * every posting of a shingle into ONE task with no partial
+    * aggregation, so a boilerplate shingle in millions of docs becomes
+    * a straggler/OOM hot-spot. The aggregate side here is map-side
+    * combined (tiny), and the join back is AQE-skew-splittable. */
+  private def withDocFreq(postings: DataFrame): DataFrame =
+    postings.join(
+      postings.groupBy(col("hash")).agg(count(lit(1)).as("df")), Seq("hash"))
+
+  private def nearDuplicatesFromHashes(hashedIn: DataFrame, threshold: Double,
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val hashed = hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
+    materializeAndRelease(hashed, verifyCandidates(hashed, cands, threshold))
   }
 
   /** Exact n-gram Jaccard over ALL qualifying pairs via an inverted
@@ -212,10 +230,7 @@ object Dedup {
     val postings0 = hashed.select(col("id"), explode(col("h")).as("hash"))
     val postings =
       if (maxDocFreq == Int.MaxValue) postings0
-      else postings0.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("hash"))))
-        .filter(col("df") <= maxDocFreq).drop("df")
+      else withDocFreq(postings0).filter(col("df") <= maxDocFreq).drop("df")
     val shared = postings.select(col("id").as("id_a"), col("hash"))
       .join(postings.select(col("id").as("id_b"), col("hash")), Seq("hash"))
       .filter(col("id_a") < col("id_b"))
@@ -256,9 +271,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = hashed
       .select(col("id"), size(col("h")).as("n"), explode(col("h")).as("hash"))
-    val withDf = postings.withColumn("df",
-      count(lit(1)).over(w.partitionBy(col("hash"))))
-    val prefix = withDf
+    val prefix = withDocFreq(postings)
       .withColumn("rn", row_number().over(
         w.partitionBy(col("id")).orderBy(col("df").asc, col("hash").asc)))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
@@ -267,13 +280,8 @@ object Dedup {
       .join(prefix.select(col("id").as("id_b"), col("hash")), Seq("hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val pairs = cands
-      .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
-      .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(hashed, pairs)
+    materializeAndRelease(hashed,
+      verifyCandidates(hashed, cands, threshold))
   }
 
   /** Exact duplicate groups by content fingerprint: one shuffle on a

@@ -283,12 +283,21 @@ object Profiler {
     // overlaps B's narrow agg with C's digest shuffle (two Spark jobs
     // from two threads; results deterministic either way). On a busy
     // 1000-executor cluster this hides the smaller job entirely.
+    // The future bodies catch Throwable EXPLICITLY: a fatal error
+    // (OOM etc.) kills the pool thread WITHOUT completing the promise —
+    // scala Futures only capture NonFatal — and an Inf-await on an
+    // incomplete promise would wedge the caller forever instead of
+    // propagating the error.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    def guarded[A](body: => A): Future[Either[Throwable, A]] =
+      Future(try Right(body) catch { case t: Throwable => Left(t) })
+    def join[A](f: Future[Either[Throwable, A]]): A =
+      Await.result(f, Duration.Inf).fold(t => throw t, identity)
 
     // job B: outlier counts (the only aggregates that need job A's stats)
-    val outliersF = Future {
+    val outliersF = guarded {
       if (numCols.isEmpty) Nil else {
         val outAggs = numCols.map(c => count(when(models(c).mask, 1)).as(s"${c}__out"))
         val r = df.agg(outAggs.head, outAggs.tail: _*).head()
@@ -302,14 +311,14 @@ object Profiler {
     // job C: duplicate count. Exact mode uses the 128-bit digest (16-byte
     // shuffle rows instead of the full column tuple); approx mode is the
     // HLL sketch — both read the cache, neither re-scans upstream.
-    val dupsF = Future {
+    val dupsF = guarded {
       val nDup = if (exact) duplicateCountHashed(df)
         else duplicateCountApprox(df, dupRsd)
       if (nDup > 0) Seq(Mission.Duplicates(nDup)) else Nil
     }
 
-    val outliers = Await.result(outliersF, Duration.Inf)
-    val dups = Await.result(dupsF, Duration.Inf)
+    val outliers = join(outliersF)
+    val dups = join(dupsF)
 
     outliers ++ nulls ++ dups ++ dates
   }

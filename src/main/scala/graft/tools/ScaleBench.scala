@@ -133,7 +133,14 @@ object ScaleBench {
   private def buildFixture(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int, docMode: String): Unit = {
     val marker = Paths.get(outDir, s"_built_x${factor}_$docMode")
-    if (Files.exists(marker)) return
+    // marker records the BASE fixture's identity (path + lineitem
+    // size/mtime) — bare existence would silently reuse a synthesized
+    // fixture after the base is regenerated or swapped (the staleness
+    // mode withStagedEventsStream guards against)
+    val baseLi = Paths.get(s"$baseDir/lineitem.parquet")
+    val stamp = s"$baseDir ${Files.size(baseLi)} " +
+      Files.getLastModifiedTime(baseLi).toMillis
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return
     Files.createDirectories(Paths.get(outDir))
     dimTables.foreach { t =>
       Files.copy(Paths.get(s"$baseDir/$t.parquet"),
@@ -169,15 +176,21 @@ object ScaleBench {
       val out = replicas.reduce(_ unionAll _)
       val tmp = s"$outDir/_tmp_$t"
       out.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      val listing = Files.list(Paths.get(tmp))
+      val part = try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        .headOption.getOrElse(
+          sys.error(s"no parquet part written under $tmp for $t"))
+      finally listing.close()
       Files.move(Paths.get(part), Paths.get(s"$outDir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       // clean the temp write dir
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(Paths.get(tmp))
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
       println(s"[scale] built $t x$factor")
     }
-    Files.writeString(marker, java.time.Instant.now().toString)
+    Files.writeString(marker, stamp)
   }
 }
