@@ -197,12 +197,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Per-shingle document frequency via groupBy + join back — NOT a
-    * `count().over(Window.partitionBy(hash))`: the window form shuffles
-    * every posting of a shingle into ONE task with no partial
-    * aggregation, so a boilerplate shingle in millions of docs becomes
-    * a straggler/OOM hot-spot. The aggregate side here is map-side
-    * combined (tiny), and the join back is AQE-skew-splittable. */
+  /** Per-shingle document frequency via groupBy + join back: the
+    * aggregate side is map-side combined (tiny), and the join back is
+    * AQE-skew-splittable — a boilerplate shingle in millions of docs
+    * does not funnel into one window task. MEASURED trade (10x neardup
+    * fixture, sf0.1 base): this formulation cut jaccardPairsPrefix
+    * 91s -> 57s, but REGRESSED the capped jaccardPairs 17s -> 128s —
+    * there the `count().over(partitionBy(hash))` window's output feeds
+    * both sides of the pair self-join, so Catalyst reuses ONE exchange
+    * three times, which the agg+join shape breaks up. Each path keeps
+    * the shape that measured faster; if a real corpus ever shows the
+    * capped path's window straggling on a mega-shingle, swap it to
+    * this helper and re-measure. */
   private def withDocFreq(postings: DataFrame): DataFrame =
     postings.join(
       postings.groupBy(col("hash")).agg(count(lit(1)).as("df")), Seq("hash"))
@@ -228,9 +234,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hashed.select(col("id"), size(col("h")).as("n"))
     val postings0 = hashed.select(col("id"), explode(col("h")).as("hash"))
+    // window (not withDocFreq) on purpose: its output is BOTH sides of
+    // the pair self-join below, and exchange reuse makes it 7x faster
+    // than the agg+join shape here — see withDocFreq's scaladoc
     val postings =
       if (maxDocFreq == Int.MaxValue) postings0
-      else withDocFreq(postings0).filter(col("df") <= maxDocFreq).drop("df")
+      else postings0.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hash"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
     val shared = postings.select(col("id").as("id_a"), col("hash"))
       .join(postings.select(col("id").as("id_b"), col("hash")), Seq("hash"))
       .filter(col("id_a") < col("id_b"))
