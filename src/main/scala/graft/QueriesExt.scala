@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Multimodal, Relational, SimSearch, TextStats}
+import graft.ext.{Dedup, EventsOps, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
 
@@ -1205,7 +1205,126 @@ object QueriesExt {
       |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Gopher repetition filters (Repetition.scala)
+  // ------------------------------------------------------------------
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    Repetition.withRepetitionStats(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"), col("top2_char_frac"),
+        col("top3_char_frac"), col("dup5_char_frac"))
+
+  private def qGopherFilter(s: SparkSession, dir: String): DataFrame =
+    Repetition.withGopherFilter(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("keep"), col("reasons"))
+
+  /** DuckDB mirror of [[Repetition.wordGrams]] over a token-list column
+    * named `toks` (1-based inclusive slice = n consecutive tokens). */
+  private def gramsSql(n: Int): String =
+    s"CASE WHEN len(toks) >= $n THEN list_transform(range(len(toks) - ${n - 1}), " +
+      s"i -> array_to_string(toks[i+1:i+$n], ' ')) ELSE [] END"
+
+  /** Shared CTE chain ending in `rep(doc_id, n_lines, dup_line_frac,
+    * dup_line_char_frac, top2_char_frac, top3_char_frac, dup5_char_frac)`.
+    * The oracle computes per-gram counts via unnest + GROUP BY — the
+    * declarative mirror of the Spark side's sorted run-length fold (same
+    * counts, engine-appropriate plan); ties broken (count DESC, gram ASC)
+    * = the fold's first-maximal-run-in-sorted-order. */
+  private val repetitionCtes: String =
+    s"""b2 AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |                l -> len(l) > 0) lns,
+       |    ${toksSql("text")} toks,
+       |    length(array_to_string(${toksSql("text")}, ' ')) norm_len
+       |  FROM documents),
+       |lin AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS INT) n_lines,
+       |    CAST(sum(c) - count(*) AS BIGINT) dup_lines,
+       |    CAST(sum(c * length(line)) AS BIGINT) tot_line_chars,
+       |    CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) dup_line_chars
+       |  FROM (SELECT doc_id, line, count(*) c
+       |        FROM (SELECT doc_id, unnest(lns) line FROM b2) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |cnt2 AS (SELECT doc_id, g, count(*) c
+       |  FROM (SELECT doc_id, unnest(${gramsSql(2)}) g FROM b2) GROUP BY 1, 2),
+       |top2 AS (SELECT doc_id, c, g FROM cnt2
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+       |cnt3 AS (SELECT doc_id, g, count(*) c
+       |  FROM (SELECT doc_id, unnest(${gramsSql(3)}) g FROM b2) GROUP BY 1, 2),
+       |top3 AS (SELECT doc_id, c, g FROM cnt3
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+       |cnt5 AS (SELECT doc_id, g, count(*) c
+       |  FROM (SELECT doc_id, unnest(${gramsSql(5)}) g FROM b2) GROUP BY 1, 2),
+       |d5 AS (SELECT doc_id,
+       |    CAST(sum(c * length(g)) AS BIGINT) tot,
+       |    CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) dup
+       |  FROM cnt5 GROUP BY 1),
+       |rep AS (
+       |  SELECT b2.doc_id,
+       |    COALESCE(lin.n_lines, 0) n_lines,
+       |    CASE WHEN COALESCE(lin.n_lines, 0) > 0
+       |      THEN CAST(lin.dup_lines AS DOUBLE) / CAST(lin.n_lines AS DOUBLE)
+       |      ELSE 0.0 END dup_line_frac,
+       |    CASE WHEN COALESCE(lin.tot_line_chars, 0) > 0
+       |      THEN CAST(lin.dup_line_chars AS DOUBLE) / CAST(lin.tot_line_chars AS DOUBLE)
+       |      ELSE 0.0 END dup_line_char_frac,
+       |    CASE WHEN top2.c IS NOT NULL AND b2.norm_len > 0
+       |      THEN CAST(top2.c * length(top2.g) AS DOUBLE) / CAST(b2.norm_len AS DOUBLE)
+       |      ELSE 0.0 END top2_char_frac,
+       |    CASE WHEN top3.c IS NOT NULL AND b2.norm_len > 0
+       |      THEN CAST(top3.c * length(top3.g) AS DOUBLE) / CAST(b2.norm_len AS DOUBLE)
+       |      ELSE 0.0 END top3_char_frac,
+       |    CASE WHEN COALESCE(d5.tot, 0) > 0
+       |      THEN CAST(d5.dup AS DOUBLE) / CAST(d5.tot AS DOUBLE)
+       |      ELSE 0.0 END dup5_char_frac
+       |  FROM b2
+       |  LEFT JOIN lin USING (doc_id)
+       |  LEFT JOIN top2 USING (doc_id)
+       |  LEFT JOIN top3 USING (doc_id)
+       |  LEFT JOIN d5 USING (doc_id))""".stripMargin
+
+  private val qRepetitionSql: String =
+    s"""WITH $repetitionCtes
+       |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       |  top2_char_frac, top3_char_frac, dup5_char_frac
+       |FROM rep""".stripMargin
+
+  private val qGopherFilterSql: String = {
+    val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // flag list mirrors Repetition.withGopherFilter (alphabetical)
+    s"""WITH $repetitionCtes,
+       |qf AS (
+       |  SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) n_tokens,
+       |    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0),
+       |        t -> list_contains($sw, lower(t)))) n_stopwords
+       |  FROM documents),
+       |flags AS (
+       |  SELECT rep.doc_id, qf.n_tokens,
+       |    list_filter([
+       |      CASE WHEN rep.dup5_char_frac > ${Repetition.maxDup5CharFrac} THEN 'dup5_chars' END,
+       |      CASE WHEN rep.dup_line_char_frac > ${Repetition.maxDupLineCharFrac} THEN 'dup_line_chars' END,
+       |      CASE WHEN rep.dup_line_frac > ${Repetition.maxDupLineFrac} THEN 'dup_lines' END,
+       |      CASE WHEN (CASE WHEN qf.n_tokens > 0
+       |          THEN CAST(qf.n_stopwords AS DOUBLE) / CAST(qf.n_tokens AS DOUBLE)
+       |          ELSE 0.0 END) < ${Repetition.minStopwordRatio} THEN 'few_stopwords' END,
+       |      CASE WHEN qf.n_tokens < ${Repetition.minTokens}
+       |        OR qf.n_tokens > ${Repetition.maxTokens} THEN 'length' END,
+       |      CASE WHEN rep.top2_char_frac > ${Repetition.maxTop2CharFrac} THEN 'top2_chars' END,
+       |      CASE WHEN rep.top3_char_frac > ${Repetition.maxTop3CharFrac} THEN 'top3_chars' END
+       |    ], x -> x IS NOT NULL) fl
+       |  FROM rep JOIN qf USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS INT) n_tokens,
+       |  len(fl) = 0 AS keep, COALESCE(array_to_string(fl, ','), '') reasons
+       |FROM flags""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (qRepetition _),
+    "q_gopher_filter" -> (qGopherFilter _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
@@ -1250,6 +1369,8 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_repetition" -> qRepetitionSql,
+    "q_gopher_filter" -> qGopherFilterSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,
