@@ -1218,6 +1218,36 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("cleaned"))
+
+  /** Oracle keep-first = row_number over (doc_id, pos) per line — the
+    * declarative mirror of the Scala side's min(struct(id, pos)) agg
+    * (same winner; the agg shape is the skew-safe one at scale). Both
+    * engines index lines in the RAW split array (pre-filter), so
+    * positions agree. */
+  private val qLineDedupSql: String =
+    """WITH lx AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) pos, unnest(l) line
+      |  FROM (SELECT doc_id,
+      |          list_transform(string_split(text, chr(10)), x -> trim(x)) l
+      |        FROM documents)),
+      |nz AS (SELECT doc_id, pos, line FROM lx WHERE len(line) > 0),
+      |keep AS (SELECT doc_id, pos, line FROM nz
+      |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1),
+      |agg AS (SELECT doc_id, CAST(count(*) AS INT) n_kept,
+      |    string_agg(line, chr(10) ORDER BY pos) cleaned
+      |  FROM keep GROUP BY 1),
+      |base AS (SELECT doc_id,
+      |    len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      |        x -> len(x) > 0)) n_lines
+      |  FROM documents)
+      |SELECT base.doc_id, CAST(base.n_lines AS INT) n_lines,
+      |  COALESCE(agg.n_kept, 0) n_kept, COALESCE(agg.cleaned, '') cleaned
+      |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** DuckDB mirror of [[Repetition.wordGrams]] over a token-list column
     * named `toks` (1-based inclusive slice = n consecutive tokens). */
   private def gramsSql(n: Int): String =
@@ -1325,6 +1355,7 @@ object QueriesExt {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (qRepetition _),
     "q_gopher_filter" -> (qGopherFilter _),
+    "q_line_dedup" -> (qLineDedup _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
@@ -1371,6 +1402,7 @@ object QueriesExt {
   val oracle: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
     "q_gopher_filter" -> qGopherFilterSql,
+    "q_line_dedup" -> qLineDedupSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,

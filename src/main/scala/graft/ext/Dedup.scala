@@ -305,6 +305,48 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** CCNet-style corpus-wide LINE dedup (Wenzek et al. 2020, public
+    * paper): every distinct trimmed non-empty line is kept only at its
+    * FIRST occurrence — (doc_id, line_index) lexicographic minimum —
+    * and removed everywhere else (including later repeats inside the
+    * same document). Kills boilerplate (nav bars, cookie banners,
+    * license headers) that per-document dedup can't see.
+    *
+    * Scale shape: keep-first is `groupBy(line).agg(min(struct(id,pos)))`
+    * — NOT a window over the line partition — so partial (map-side)
+    * aggregation absorbs hot lines (an empty-ish boilerplate line
+    * repeated in millions of docs lands on one reducer as pre-combined
+    * partials, not as raw rows). Then one doc-id shuffle to reassemble.
+    *
+    * Returns (id, n_lines, n_kept, cleaned) — cleaned is the document
+    * text rebuilt from its surviving lines in original order ('' when
+    * every line was claimed by an earlier document). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("id"), col("pos"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) > 0)
+    val keepers = exploded
+      .groupBy(col("line"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+      .select(col("k.id").as("id"), col("k.pos").as("pos"), col("line"))
+    val reassembled = keepers
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("cleaned"))
+    docs
+      .select(col(idCol).as("id"),
+        size(Repetition.lines(col(textCol))).as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** 32-bit SimHash from token hashes: bit j of the fingerprint is the
     * sign of the sum of (+1/-1) votes of each token's j-th hash bit. */
   def simhash32(text: Column): Column = {

@@ -149,6 +149,25 @@ class DedupSpec extends SparkSpec {
     assert(anyLang.collect().map(_.doc_id).toSet == Set(1L, 5L))
   }
 
+  test("line dedup: first occurrence wins corpus-wide, in-doc repeats collapse") {
+    val df = Seq(
+      (1L, "alpha\nshared nav\nbeta\nalpha"), // "alpha" repeats in-doc
+      (2L, "shared nav\ngamma\n  shared nav  "), // loses both nav copies
+      (3L, "shared nav")) // loses its only line
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text")
+      .orderBy("id").collect()
+    // doc 1 keeps alpha (first), shared nav (first), beta — not 2nd alpha
+    assert(out(0).getAs[String]("cleaned") == "alpha\nshared nav\nbeta")
+    assert(out(0).getAs[Int]("n_lines") == 4 && out(0).getAs[Int]("n_kept") == 3)
+    // doc 2 keeps only gamma (nav claimed by doc 1, trimmed repeat too)
+    assert(out(1).getAs[String]("cleaned") == "gamma")
+    assert(out(1).getAs[Int]("n_lines") == 3 && out(1).getAs[Int]("n_kept") == 1)
+    // doc 3 loses everything -> empty text, zero kept
+    assert(out(2).getAs[String]("cleaned") == "")
+    assert(out(2).getAs[Int]("n_lines") == 1 && out(2).getAs[Int]("n_kept") == 0)
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
