@@ -1218,6 +1218,26 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+      .filter(col("o_totalprice") > 350000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    Relational.bloomSemiJoin(l, o, "l_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+  /** The bloom pre-filter is exact-transparent (re-verified by the semi
+    * join), so the oracle is the PLAIN semi join + aggregate. */
+  private val qBloomSemiSql =
+    """SELECT l_returnflag, count(*) n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0)
+      |GROUP BY 1""".stripMargin
+
   private def qLineDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.lineDedup(docs(s, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
@@ -1356,6 +1376,7 @@ object QueriesExt {
     "q_repetition" -> (qRepetition _),
     "q_gopher_filter" -> (qGopherFilter _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_bloom_semi" -> (qBloomSemi _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
@@ -1403,6 +1424,7 @@ object QueriesExt {
     "q_repetition" -> qRepetitionSql,
     "q_gopher_filter" -> qGopherFilterSql,
     "q_line_dedup" -> qLineDedupSql,
+    "q_bloom_semi" -> qBloomSemiSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,

@@ -104,6 +104,49 @@ object Relational {
     b.join(d.hint("merge"), Seq(keyCol, "__salt")).drop("__salt")
   }
 
+  /** Bloom-filter pre-filtered semi join — the explicit form of Spark's
+    * own runtime row-level filtering (InjectRuntimeFilter, public Spark
+    * source), for when the build side is computed (not a plain scan
+    * Catalyst would inject for) or the pipeline wants the filter reused
+    * across several probes.
+    *
+    * Build: ONE BloomFilterAggregate pass over the small side's key
+    * (xxhash64, Spark's native bloom hashing), fetched to the driver as
+    * a single binary scalar and re-embedded as a literal — exactly what
+    * Catalyst's injected runtime filter does with its scalar subquery.
+    * Probe: a codegen'd BloomFilterMightContain drops ~all non-matching
+    * big-side rows BEFORE the shuffle, so the semi join's Exchange
+    * carries only (near-)matching rows. The final left_semi join makes
+    * the result EXACT (bloom false positives are re-checked); at 100 TB
+    * the win is shuffle volume ∝ matches instead of ∝ big side.
+    *
+    * Sizing: the serialized filter is ~1.2 bytes/item at the default
+    * 3% FPP (`expectedItems` = build-side distinct-key estimate); it
+    * ships to executors once per stage like any plan literal. Both
+    * frames must carry the key under the same column name. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(col(keyCol))), expectedItems)
+      .toAggregateExpression()
+    // bounded driver fetch: one binary scalar (the serialized filter)
+    val bf = small.select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val semiTarget = small.select(col(keyCol)).distinct()
+    if (bf == null) {
+      // empty build side: the semi join is empty; skip the probe scan
+      big.filter(lit(false)).join(semiTarget, Seq(keyCol), "left_semi")
+    } else {
+      val pred = GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.expression(lit(bf)),
+        GraftBridge.expression(xxhash64(col(keyCol)))))
+      big.filter(pred).join(semiTarget, Seq(keyCol), "left_semi")
+    }
+  }
+
   /** Range join: left rows matched to right rows whose [startCol, endCol)
     * interval contains the left timestamp. Implemented as an equi-join on
     * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst

@@ -122,6 +122,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi join equals the plain semi join, including empty build side") {
+    val big = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val small = Seq(3L, 7L, 7L, 150L, 999L).toDF("k")
+    val expected = big.join(small.distinct(), Seq("k"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    val got = Relational.bloomSemiJoin(big, small, "k", expectedItems = 16)
+      .as[(Long, String)].collect().toSet
+    assert(got == expected && got.map(_._1) == Set(3L, 7L, 150L))
+    // tiny expectedItems -> high FPP: exactness must still hold (the
+    // final semi join re-checks bloom false positives)
+    val crowded = Relational.bloomSemiJoin(big, small, "k", expectedItems = 1)
+      .as[(Long, String)].collect().toSet
+    assert(crowded == expected)
+    // empty build side -> empty result, same schema
+    val none = Relational.bloomSemiJoin(big, small.filter($"k" < 0), "k")
+    assert(none.columns.toSeq == big.columns.toSeq && none.count() == 0)
+  }
+
   test("range join matches rows to containing intervals across bucket edges") {
     val points = Seq(
       (1L, ts("2024-01-01 10:59:59")),
