@@ -639,7 +639,57 @@ object Queries {
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
+  // ---- numeric-relationship profiling (NumericProfile.scala) -------
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.corrMatrix(li(s, dir), corrCols)
+
+  /** Mirror of [[NumericProfile.corrMatrix]]: exact decimal sums, then
+    * the identical double formula per pair (see that scaladoc). */
+  private val qCorrMatrixSql: String = {
+    val pairs = for {
+      i <- corrCols.indices; j <- (i + 1) until corrCols.size
+    } yield (corrCols(i), corrCols(j))
+    val sums =
+      corrCols.map(c =>
+        s"sum(CAST(round($c * 100) AS DECIMAL(18,0))) s_$c") ++
+        corrCols.map(c =>
+          s"sum(CAST(CAST(round($c * 100) AS DECIMAL(18,0)) * CAST(round($c * 100) AS DECIMAL(18,0)) AS DECIMAL(38,0))) sq_$c") ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST(CAST(round($a * 100) AS DECIMAL(18,0)) * CAST(round($b * 100) AS DECIMAL(18,0)) AS DECIMAL(38,0))) sp_${a}_$b" }
+    val pairSelects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' col_x, '$b' col_y,
+         |  CASE WHEN sqrt(n * CAST(sq_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
+         |        AND sqrt(n * CAST(sq_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0
+         |  THEN (n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |    / (sqrt(n * CAST(sq_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |       * sqrt(n * CAST(sq_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+         |  ELSE NULL END corr
+         |FROM agg""".stripMargin }
+    s"""WITH agg AS (
+       |  SELECT CAST(count(*) AS DOUBLE) n, ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.histogram(li(s, dir), "l_extendedprice", 20)
+
+  private val qHistogramSql: String =
+    """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents
+      |  FROM lineitem),
+      |b AS (SELECT min(cents) mn, max(cents) mx FROM c)
+      |SELECT CAST(LEAST(19, ((cents - mn) * 20) // (mx - mn + 1)) AS INT) bucket,
+      |  count(*) n_rows,
+      |  CAST(mn AS DOUBLE) / 100 min_val, CAST(mx AS DOUBLE) / 100 max_val
+      |FROM c, b
+      |GROUP BY 1, 3, 4""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "q_histogram" -> (qHistogram _),
     "q_profile" -> (qProfile _),
     "q_missions" -> (qMissions _),
     "q_dup_count" -> (qDupCount _),
@@ -668,6 +718,8 @@ object Queries {
     "q_partition_prune" -> (qPartitionPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q_corr_matrix" -> qCorrMatrixSql,
+    "q_histogram" -> qHistogramSql,
     "q_profile" -> qProfileSql,
     "q_missions" -> qMissionsSql,
     "q_dup_count" -> qDupCountSql,

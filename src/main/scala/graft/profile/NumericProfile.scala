@@ -1,0 +1,84 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Numeric-relationship profiling (the reference's profiler covers
+  * per-column stats; real data exploration also wants cross-column
+  * structure): pairwise Pearson correlation and value histograms.
+  *
+  * Cross-engine float discipline (see Queries.scala scaladoc): both
+  * operators do ALL aggregation in exact integer/decimal space —
+  * 2-dp values scaled to integer "cents", per-row products and sums as
+  * exact decimals — and convert to double only in the final scalar
+  * formula, which is the same textual IEEE expression in the DuckDB
+  * oracle. No engine `corr`/`avg` (their merge order is
+  * partition-dependent), so results are bit-stable at any parallelism.
+  *
+  * Scale shape: corrMatrix is ONE full-width aggregate pass (k sums +
+  * k squares + k·(k-1)/2 products, all map-side combined — no shuffle
+  * of rows, only of partial sums); histogram is one narrow min/max agg
+  * broadcast back over a second scan-and-count (two scans, zero wide
+  * shuffles; the groupBy key space is `nBins`).
+  */
+object NumericProfile {
+
+  /** Pairwise Pearson correlation over `cols` (2-dp-or-integer numeric
+    * columns), long format: (col_x, col_y, corr) for each ordered pair
+    * x < y in `cols` order. Null corr when a column is constant.
+    *
+    * Correlation is invariant to the 100× integer scaling; the double
+    * formula over exact sums is accurate to ~1e-14 relative — profiling
+    * precision, bit-identical across engines and partitionings. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val staged = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__c_$c", round(col(c) * 100).cast("decimal(18,0)")))
+    val aggs: Seq[Column] =
+      cols.map(c => sum(col(s"__c_$c")).as(s"s_$c")) ++
+        cols.map(c => sum((col(s"__c_$c") * col(s"__c_$c"))
+          .cast("decimal(38,0)")).as(s"sq_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(s"__c_$a") * col(s"__c_$b")).cast("decimal(38,0)"))
+            .as(s"sp_${a}_$b") }
+    val agg1 = staged.agg(count(lit(1)).as("n"), aggs: _*)
+    val n = col("n").cast("double")
+    def corrExpr(a: String, b: String): Column = {
+      val sx = col(s"s_$a").cast("double")
+      val sy = col(s"s_$b").cast("double")
+      val num = n * col(s"sp_${a}_$b").cast("double") - sx * sy
+      val dx = sqrt(n * col(s"sq_$a").cast("double") - sx * sx)
+      val dy = sqrt(n * col(s"sq_$b").cast("double") - sy * sy)
+      when(dx > 0 && dy > 0, num / (dx * dy)).otherwise(lit(null).cast("double"))
+    }
+    agg1.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        corrExpr(a, b).as("corr")) }: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.corr").as("corr"))
+  }
+
+  /** Equal-width histogram of a 2-dp numeric column: `nBins` buckets
+    * spanning [min, max], bucket assignment by EXACT integer arithmetic
+    * (`(cents - mn) * nBins div (mx - mn + 1)` — no float boundaries, so
+    * engines can't disagree on edge values). Returns
+    * (bucket, n_rows, min_val, max_val); empty buckets are absent. */
+  def histogram(df: DataFrame, colName: String, nBins: Int = 20): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val cents = df.select(
+      round(col(colName) * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .select(least(lit(nBins - 1),
+        expr(s"((cents - mn) * $nBins) div (mx - mn + 1)")).as("bucket"),
+        col("mn"), col("mx"))
+      .groupBy(col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket").cast("int").as("bucket"), col("n_rows"),
+        (col("mn").cast("double") / 100).as("min_val"),
+        (col("mx").cast("double") / 100).as("max_val"))
+  }
+}

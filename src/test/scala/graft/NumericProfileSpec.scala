@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.profile.NumericProfile
+
+class NumericProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corr: perfect linear, anti-linear, constant-null") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toDouble, 2.0 * i + 3.0, 100.0 - i, 7.0))
+      .toDF("x", "y2x", "yneg", "const")
+    val out = NumericProfile.corrMatrix(df, Seq("x", "y2x", "yneg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out(("x", "y2x")).get - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "yneg")).get + 1.0) < 1e-12)
+    // constant column -> zero variance -> null, not NaN/Infinity
+    assert(out(("x", "const")).isEmpty)
+    assert(out(("y2x", "const")).isEmpty)
+  }
+
+  test("corr matches Spark's built-in corr within profiling tolerance") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ours = NumericProfile.corrMatrix(df, Seq("l_quantity", "l_extendedprice"))
+      .select("corr").as[Double].head()
+    val builtin = df.agg(corr($"l_quantity", $"l_extendedprice"))
+      .as[Double].head()
+    assert(math.abs(ours - builtin) < 1e-9, s"ours=$ours builtin=$builtin")
+  }
+
+  test("histogram: exact integer bucketing, edges land deterministically") {
+    // cents 100..139 (values 1.00..1.39), 4 bins over width 40 -> 10 each
+    val df = (0 until 40).map(i => (100 + i) / 100.0).toDF("v")
+    val out = NumericProfile.histogram(df, "v", nBins = 4)
+      .orderBy("bucket")
+      .select("bucket", "n_rows", "min_val", "max_val")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      (0, 10L, 1.0, 1.39), (1, 10L, 1.0, 1.39),
+      (2, 10L, 1.0, 1.39), (3, 10L, 1.0, 1.39)))
+    // single distinct value -> one bucket holding everything
+    val one = NumericProfile.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 8)
+      .select("bucket", "n_rows").as[(Int, Long)].collect()
+    assert(one.toSeq == Seq((0, 3L)))
+  }
+}
