@@ -1218,6 +1218,28 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextStats.topKeywords(docs(s, dir), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank").cast("int").as("rank"))
+
+  private val qTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${toksSql("text")}) tok FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf
+       |  FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tok, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) score
+       |  FROM tf JOIN dfq USING (tok), n)
+       |SELECT doc_id, tok, tf, df, score, CAST(rank AS INT) rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, tok ASC) rank
+       |      FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
   private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
     val o = Sources.table(s, dir, "orders")
@@ -1377,6 +1399,7 @@ object QueriesExt {
     "q_gopher_filter" -> (qGopherFilter _),
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_tfidf" -> (qTfidf _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
@@ -1425,6 +1448,7 @@ object QueriesExt {
     "q_gopher_filter" -> qGopherFilterSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
+    "q_tfidf" -> qTfidfSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,

@@ -125,6 +125,38 @@ object TextStats {
     when(best.getField("n") > 0, best.getField("l")).otherwise("und")
   }
 
+  /** Top-k keywords per document by tf-idf with LINEAR inverse document
+    * frequency: score = tf · N / df. Log-free by design — `ln` is the
+    * one place engines' libm may differ by an ulp and break bit-parity;
+    * tf·N/df is a single IEEE division of exact integers, identical
+    * everywhere, and yields the same per-document ranking family as
+    * classic tf-idf (monotone in tf, anti-monotone in df). Ties break
+    * (score DESC, token ASC), so top-k is fully deterministic.
+    *
+    * Scale shape: explode → groupBy(doc, token) [one shuffle, map-side
+    * combined] → groupBy(token) for df [second shuffle, tiny output] →
+    * join back on token [vocab-keyed, no hot keys after the tf combine]
+    * → per-doc top-k via row_number, which Spark rewrites to
+    * WindowGroupLimit (map-side k-row heaps, not a full per-doc sort). */
+  def topKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(normalized(col(textCol)))).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to single spaces, trim. */
   def normalized(text: Column): Column =

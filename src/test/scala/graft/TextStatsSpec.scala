@@ -62,6 +62,25 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("topKeywords ranks doc-frequent corpus-rare tokens first, k-capped") {
+    // "zebra" appears 3x in doc 1 only; "common" in all 3 docs
+    val df = Seq(
+      (1L, "zebra zebra zebra common alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val out = TextStats.topKeywords(df, "doc_id", "text", k = 2)
+      .select("id", "tok", "rank").as[(Long, String, Int)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._3).map(_._2).toSeq }
+    // doc 1: zebra (tf=3, df=1, score 9) over alpha (tf=1, df=1, score 3)
+    //   over common (tf=1, df=3, score 1)
+    assert(out(1L) == Seq("zebra", "alpha"))
+    // doc 2: beta (tf=2, df=1, score 6) then common (score 1)
+    assert(out(2L) == Seq("beta", "common"))
+    // doc 3: gamma (3) then common (1)
+    assert(out(3L) == Seq("gamma", "common"))
+  }
+
   test("fingerprints collapse case/punctuation/whitespace variants") {
     val df = Seq("Hello,  World!", "hello world", "different").toDF("t")
     val md5s = df.select(TextStats.fingerprintMd5($"t")).as[String].collect()
