@@ -287,11 +287,32 @@ object Dedup {
       .withColumn("rn", row_number().over(
         w.partitionBy(col("id")).orderBy(col("df").asc, col("hash").asc)))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("hash"))
-    val cands = prefix.select(col("id").as("id_a"), col("hash"))
-      .join(prefix.select(col("id").as("id_b"), col("hash")), Seq("hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id"), col("n"), col("rn"), col("hash"))
+    // PPJoin admissible pruning (results unchanged — the final exact
+    // verification defines the output; these only shrink its input):
+    //  - LENGTH: J >= t forces t*|A| <= |B| <= |A|/t;
+    //  - POSITIONAL: the globally-smallest common shingle (the min-rn_a
+    //    collision — rarest-first order is shared by both docs) bounds
+    //    the overlap by its suffix lengths, o <= min(n_a-rn_a, n_b-rn_b)+1,
+    //    which must reach ceil(t/(1+t)*(n_a+n_b)). Bounds from LATER
+    //    collisions are not valid overlap bounds, hence the min-struct
+    //    pick rather than an aggregate over all collisions.
+    val cands = prefix
+      .select(col("id").as("id_a"), col("n").as("n_a"),
+        col("rn").as("rn_a"), col("hash"))
+      .join(prefix.select(col("id").as("id_b"), col("n").as("n_b"),
+        col("rn").as("rn_b"), col("hash")), Seq("hash"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
+        col("n_a") >= ceil(lit(threshold) * col("n_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("rn_a"), col("rn_b"),
+        col("n_a"), col("n_b"))).as("m"))
+      .filter(least(col("m.n_a") - col("m.rn_a"),
+        col("m.n_b") - col("m.rn_b")) + 1 >=
+        ceil(lit(threshold / (1 + threshold)) *
+          (col("m.n_a") + col("m.n_b"))))
+      .select(col("id_a"), col("id_b"))
     materializeAndRelease(hashed,
       verifyCandidates(hashed, cands, threshold))
   }
