@@ -1218,6 +1218,56 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** Oracle = the minhash pair SQL wrapped in a recursive transitive
+    * closure (declarative mirror — fine at oracle scale; the Scala side
+    * is the O(diameter)-round distributed propagation). */
+  private lazy val qDedupClustersSql: String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT id_a, id_b FROM ($qDedupMinhashSql) mh),
+       |sym AS (SELECT id_a a, id_b b FROM base
+       |  UNION SELECT id_b, id_a FROM base),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY 1""".stripMargin
+
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    EventsOps.funnel(events(s, dir), Seq("view", "click", "purchase"))
+
+  private val qFunnelSql: String =
+    """WITH s0 AS (SELECT user_id, min(ts) t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) t1 FROM events e JOIN s0 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1)
+      |SELECT 0 stage_idx, 'view' stage, count(*) n_users FROM s0
+      |UNION ALL SELECT 1, 'click', count(*) FROM s1
+      |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin
+
+  private def qCohort(s: SparkSession, dir: String): DataFrame =
+    EventsOps.cohortRetention(events(s, dir), maxOffsetDays = 7)
+
+  private val qCohortSql: String =
+    """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) cohort_day
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT DISTINCT e.user_id, c.cohort_day,
+      |    CAST(CAST(e.ts AS DATE) - c.cohort_day AS INT) offset_days
+      |  FROM events e JOIN c USING (user_id))
+      |SELECT strftime(cohort_day, '%Y-%m-%d') cohort_day,
+      |  offset_days, count(*) n_users
+      |FROM d WHERE offset_days BETWEEN 0 AND 7
+      |GROUP BY 1, 2""".stripMargin
+
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     TextStats.topKeywords(docs(s, dir), "doc_id", "text", k = 5)
       .select(col("id").as("doc_id"), col("tok"), col("tf"), col("df"),
@@ -1400,6 +1450,9 @@ object QueriesExt {
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_tfidf" -> (qTfidf _),
+    "q_funnel" -> (qFunnel _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
@@ -1449,6 +1502,9 @@ object QueriesExt {
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_tfidf" -> qTfidfSql,
+    "q_funnel" -> qFunnelSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,

@@ -317,6 +317,53 @@ object Dedup {
       verifyCandidates(hashed, cands, threshold))
   }
 
+  /** Connected components over a near-duplicate PAIR frame — the step
+    * every dedup pipeline needs between pair generation and survivor
+    * selection (near-dup is not transitive: A~B, B~C puts A,C in one
+    * cluster with one survivor, even though A~C may be below
+    * threshold).
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round replaces a node's label with the min over itself and
+    * its neighbors; fixpoint label = min id reachable = component id.
+    * Converges in O(graph diameter) rounds — near-dup clusters are
+    * shallow (stars/cliques around a template), so a handful of rounds;
+    * each round is one co-partitioned join + min-agg, lineage cut with
+    * localCheckpoint so plans don't grow with iterations. Throws after
+    * `maxIter` instead of returning a half-converged labeling.
+    *
+    * Returns (id, comp) for every node that appears in `edges`. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id"), col("src").as("comp"))
+      .distinct().localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val viaNbr = sym
+        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(viaNbr)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // labels only ever decrease; unchanged total order = fixpoint
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    sym.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Exact duplicate groups by content fingerprint: one shuffle on a
     * 16-byte digest; survivor = min id (deterministic). */
   def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String)

@@ -49,6 +49,57 @@ object EventsOps {
       .drop("prev_ts", "new_session")
   }
 
+  /** Ordered conversion funnel: stage i is reached when the user has an
+    * event of `stages(i)` at-or-after their stage i-1 time (>=, so a
+    * same-instant next stage counts; each stage time is the EARLIEST
+    * qualifying event). Returns one row per stage: (stage_idx, stage,
+    * n_users).
+    *
+    * Scale shape: one filtered min-agg per stage plus a user-keyed join
+    * per stage transition — all shuffles are on user_id, so with k
+    * stages this is k co-partitioned passes (AQE merges the exchanges),
+    * never a window over the whole event stream. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_0"))
+    val reached = stages.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (stage, i)) =>
+        events.filter(col("event_type") === stage)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") >= col(s"t_${i - 1}"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$i"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cohort retention: users are grouped by their first-activity DAY
+    * (any event type); retention counts distinct users active again
+    * `offset` days later, offset in [0, maxOffsetDays]. Returns
+    * (cohort_day string, offset_days, n_users).
+    *
+    * The distinct runs BEFORE the count (project + distinct + narrow
+    * count) — not countDistinct inside the agg, whose Expand multiplies
+    * the event stream at 100 TB. */
+  def cohortRetention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("event_day"))
+      .join(cohorts, Seq("user_id"))
+      .withColumn("offset_days", datediff(col("event_day"), col("cohort_day")))
+      .filter(col("offset_days") >= 0 && col("offset_days") <= maxOffsetDays)
+      .select(col("user_id"), col("cohort_day"), col("offset_days"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_users"))
+  }
+
   /** Per-session rollup: bounds, length, event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30,
       tieBreak: Seq[String] = Seq("event_id")): DataFrame =

@@ -149,6 +149,20 @@ class DedupSpec extends SparkSpec {
     assert(anyLang.collect().map(_.doc_id).toSet == Set(1L, 5L))
   }
 
+  test("connected components: chains merge, islands stay apart, min-id labels") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
+      (10L, 11L), // island pair
+      (20L, 20L)) // self-loop singleton
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (1L to 6L).foreach(i => assert(comps(i) == 1L, s"node $i"))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L)
+    assert(comps.size == 9)
+  }
+
   test("line dedup: first occurrence wins corpus-wide, in-doc repeats collapse") {
     val df = Seq(
       (1L, "alpha\nshared nav\nbeta\nalpha"), // "alpha" repeats in-doc

@@ -65,6 +65,48 @@ class EventsOpsSpec extends SparkSpec {
     assert(garbage.filter($"meta".isNull).count() == 1)
   }
 
+  test("funnel: stage order enforced, same-instant counts, dropouts excluded") {
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ)
+    val events = Seq(
+      // user 1: full ordered funnel
+      ev(1, 1, "2024-01-01 10:00:00", "view"),
+      ev(2, 1, "2024-01-01 10:05:00", "click"),
+      ev(3, 1, "2024-01-01 10:10:00", "purchase"),
+      // user 2: purchase BEFORE any view -> stops at view stage
+      ev(4, 2, "2024-01-01 09:00:00", "purchase"),
+      ev(5, 2, "2024-01-01 10:00:00", "view"),
+      // user 3: view+click same instant (>= counts), no purchase
+      ev(6, 3, "2024-01-01 11:00:00", "view"),
+      ev(7, 3, "2024-01-01 11:00:00", "click"),
+      // user 4: click only, never viewed -> in no stage
+      ev(8, 4, "2024-01-01 12:00:00", "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventsOps.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .select("stage", "n_users").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
+  }
+
+  test("cohort retention: day-0 is every user, later offsets only when active") {
+    def ev(id: Long, u: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, "click")
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00"), // user 1 cohort 01-01
+      ev(2, 1, "2024-01-02 10:00:00"), // back on day 1
+      ev(3, 1, "2024-01-02 18:00:00"), // same day twice -> still 1 user
+      ev(4, 2, "2024-01-01 11:00:00"), // user 2 cohort 01-01, never returns
+      ev(5, 3, "2024-01-02 09:00:00"), // user 3 cohort 01-02
+      ev(6, 3, "2024-01-12 09:00:00")) // beyond maxOffset -> dropped
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventsOps.cohortRetention(events, maxOffsetDays = 7)
+      .select("cohort_day", "offset_days", "n_users")
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
   test("resize keeps frame count, updates dimensions") {
     val media = Multimodal.synthesize(Seq(10L).toDF("doc_id"), "doc_id", "img")
     val r = Multimodal.resize(media, 224, 224).select("meta.*").head()
