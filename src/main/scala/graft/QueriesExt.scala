@@ -1240,6 +1240,44 @@ object QueriesExt {
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY 1""".stripMargin
 
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextStats.buildVocab(docs(s, dir), "text", maxSize = 500, minCount = 2)
+
+  private val qVocabSql: String =
+    s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) n FROM t
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |r AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY n DESC, token ASC) + 3 AS BIGINT) token_id,
+       |    n FROM c
+       |  QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= 500)
+       |SELECT token, token_id, n FROM (VALUES
+       |  ('<pad>', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+       |  ('<unk>', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+       |  ('<bos>', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+       |  ('<eos>', CAST(3 AS BIGINT), CAST(0 AS BIGINT))) sp(token, token_id, n)
+       |UNION ALL SELECT token, token_id, n FROM r""".stripMargin
+
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    ext.Packing.packSequences(docs(s, dir), "doc_id", "text",
+      contextLen = 512, buckets = 8)
+      .select(col("id").as("doc_id"), col("bucket"), col("n_tok"),
+        col("cum_tok"), col("chunk_id"))
+
+  private val qPackSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(LEAST(len(${toksSql("text")}), 512) AS BIGINT) n_tok,
+       |    CAST(${Hashing.hash64Sql("doc_id")} % 8 AS INT) bucket
+       |  FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tok
+       |  FROM d)
+       |SELECT doc_id, bucket, n_tok, cum_tok,
+       |  CAST(CASE WHEN n_tok > 0 THEN floor((cum_tok - 1) / 512)
+       |       ELSE floor(cum_tok / 512) END AS BIGINT) chunk_id
+       |FROM c""".stripMargin
+
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
     EventsOps.funnel(events(s, dir), Seq("view", "click", "purchase"))
 
@@ -1451,6 +1489,8 @@ object QueriesExt {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_tfidf" -> (qTfidf _),
     "q_funnel" -> (qFunnel _),
+    "q_vocab" -> (qVocab _),
+    "q_pack" -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
@@ -1503,6 +1543,8 @@ object QueriesExt {
     "q_bloom_semi" -> qBloomSemiSql,
     "q_tfidf" -> qTfidfSql,
     "q_funnel" -> qFunnelSql,
+    "q_vocab" -> qVocabSql,
+    "q_pack" -> qPackSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,

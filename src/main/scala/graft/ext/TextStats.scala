@@ -157,6 +157,37 @@ object TextStats {
         col("score"), col("rank"))
   }
 
+  /** Frequency-ranked vocabulary (the tokenizer-training step of an LLM
+    * data pipeline): tokens with count >= minCount, ranked
+    * (count DESC, token ASC), capped at maxSize, ids offset past 4
+    * reserved specials (<pad>=0 <unk>=1 <bos>=2 <eos>=3, count 0).
+    *
+    * Scale shape: explode → one map-side-combined groupBy(token); the
+    * global top-maxSize rank is row_number over an empty partition —
+    * Spark's WindowGroupLimit caps every map partition at maxSize rows
+    * first, so the single final task sees at most
+    * maxSize × shuffle-partitions pre-ranked rows, not the vocabulary. */
+  def buildVocab(docs: DataFrame, textCol: String, maxSize: Int = 1000,
+      minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val specials = Seq("<pad>", "<unk>", "<bos>", "<eos>")
+    val counts = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    val ranked = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxSize)
+      .select(col("token"),
+        (col("rn") + specials.size - 1).cast("long").as("token_id"),
+        col("n"))
+    val specialRows = docs.sparkSession
+      .createDataFrame(specials.zipWithIndex.map { case (t, i) =>
+        (t, i.toLong, 0L) })
+      .toDF("token", "token_id", "n")
+    specialRows.unionByName(ranked)
+  }
+
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to single spaces, trim. */
   def normalized(text: Column): Column =

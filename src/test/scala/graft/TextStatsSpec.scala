@@ -81,6 +81,41 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) == Seq("gamma", "common"))
   }
 
+  test("buildVocab: specials first, frequency rank, minCount gate, cap") {
+    val df = Seq((1L, "aa bb aa cc bb aa"), (2L, "bb dd cc")).toDF("id", "text")
+    // counts: aa=3 bb=3 cc=2 dd=1(dropped by minCount=2)
+    val v = TextStats.buildVocab(df, "text", maxSize = 2, minCount = 2)
+      .orderBy("token_id").as[(String, Long, Long)].collect().toSeq
+    assert(v.take(4).map(_._1) == Seq("<pad>", "<unk>", "<bos>", "<eos>"))
+    assert(v.take(4).map(_._2) == Seq(0L, 1L, 2L, 3L))
+    // rank ties (aa=3, bb=3) break token-asc; cap=2 drops cc
+    assert(v.drop(4) == Seq(("aa", 4L, 3L), ("bb", 5L, 3L)))
+  }
+
+  test("packSequences: running chunk boundaries, truncation, determinism") {
+    import graft.ext.Packing
+    // force one bucket so the chunk arithmetic is easy to hand-check
+    val df = Seq(
+      (1L, Seq.fill(300)("w").mkString(" ")), // 300 toks, cum 300, chunk 0
+      (2L, Seq.fill(300)("w").mkString(" ")), // cum 600 -> ends in chunk 1
+      (3L, Seq.fill(9999)("w").mkString(" ")), // truncated to 512, cum 1112 -> chunk 2
+      (4L, "")) // empty: stays at running position chunk 2
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text",
+      contextLen = 512, buckets = 1)
+      .orderBy("id").select("id", "n_tok", "cum_tok", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 300L, 300L, 0L), (2L, 300L, 600L, 1L),
+      (3L, 512L, 1112L, 2L), (4L, 0L, 1112L, 2L)))
+    // bucket assignment is a pure function of the id (not partitioning)
+    val b1 = Packing.packSequences(df, "doc_id", "text", 512, 8)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    val b2 = Packing.packSequences(df.repartition(7), "doc_id", "text", 512, 8)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(b1 == b2)
+  }
+
   test("fingerprints collapse case/punctuation/whitespace variants") {
     val df = Seq("Hello,  World!", "hello world", "different").toDF("t")
     val md5s = df.select(TextStats.fingerprintMd5($"t")).as[String].collect()
