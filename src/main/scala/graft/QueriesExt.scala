@@ -1240,6 +1240,45 @@ object QueriesExt {
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY 1""".stripMargin
 
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
+    EventsOps.movingAverage(events(s, dir), windowSec = 3600)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("n_window"),
+        col("avg_window"))
+
+  private val qMovingAvgSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+      |    CAST(floor(epoch(ts)) AS BIGINT) sec,
+      |    CAST(value AS DECIMAL(18,2)) v
+      |  FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |  count(*) OVER w n_window,
+      |  CAST(sum(v) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) avg_window
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  private def qLexical(s: SparkSession, dir: String): DataFrame =
+    Repetition.withLexicalDiversity(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens_lex"), col("n_types"),
+        col("type_token_ratio"), col("gini_diversity"))
+
+  private val qLexicalSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} toks FROM documents),
+       |cnt AS (SELECT doc_id, tok, count(*) c
+       |  FROM (SELECT doc_id, unnest(toks) tok FROM t) GROUP BY 1, 2),
+       |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n,
+       |    CAST(count(*) AS BIGINT) n_ty, CAST(sum(c * c) AS BIGINT) sq
+       |  FROM cnt GROUP BY 1)
+       |SELECT t.doc_id,
+       |  COALESCE(s.n, 0) n_tokens_lex, COALESCE(s.n_ty, 0) n_types,
+       |  CASE WHEN s.n > 0 THEN CAST(s.n_ty AS DOUBLE) / CAST(s.n AS DOUBLE)
+       |    ELSE 0.0 END type_token_ratio,
+       |  CASE WHEN s.n > 0
+       |    THEN 1.0 - CAST(s.sq AS DOUBLE) / CAST(s.n * s.n AS DOUBLE)
+       |    ELSE 0.0 END gini_diversity
+       |FROM t LEFT JOIN s USING (doc_id)""".stripMargin
+
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextStats.buildVocab(docs(s, dir), "text", maxSize = 500, minCount = 2)
 
@@ -1490,6 +1529,8 @@ object QueriesExt {
     "q_tfidf" -> (qTfidf _),
     "q_funnel" -> (qFunnel _),
     "q_vocab" -> (qVocab _),
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_lexical" -> (qLexical _),
     "q_pack" -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cohort" -> (qCohort _),
@@ -1544,6 +1585,8 @@ object QueriesExt {
     "q_tfidf" -> qTfidfSql,
     "q_funnel" -> qFunnelSql,
     "q_vocab" -> qVocabSql,
+    "q_moving_avg" -> qMovingAvgSql,
+    "q_lexical" -> qLexicalSql,
     "q_pack" -> qPackSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_cohort" -> qCohortSql,

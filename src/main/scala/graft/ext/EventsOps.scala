@@ -100,6 +100,26 @@ object EventsOps {
         col("offset_days"), col("n_users"))
   }
 
+  /** Trailing time-window moving aggregate (RANGE frame, not ROWS: the
+    * window is [ts - windowSec, ts] in EVENT TIME, so bursts contribute
+    * all their rows and quiet gaps contribute nothing — a rows-frame
+    * would silently change meaning with event density). One shuffle on
+    * user_id; exact decimal sum, single final division (cross-engine
+    * bit-stable). */
+  def movingAverage(events: DataFrame, windowSec: Long = 3600): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__epoch"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .withColumn("__epoch", unix_timestamp(col("ts")))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(col("value").cast("decimal(18,2)")).over(w))
+      .withColumn("avg_window",
+        col("sum_window").cast("double") / col("n_window").cast("double"))
+      .drop("__epoch", "sum_window")
+  }
+
   /** Per-session rollup: bounds, length, event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30,
       tieBreak: Seq[String] = Seq("event_id")): DataFrame =

@@ -130,6 +130,43 @@ object Repetition {
         "__top2", "__top3", "__norm_len")
   }
 
+  /** Lexical diversity, log-free (entropy would hit the one libm call
+    * engines may disagree on by an ulp — see TextStats.topKeywords):
+    *  - type_token_ratio = distinct tokens / tokens;
+    *  - gini_diversity   = 1 - Σ count² / n²  (Gini impurity of the
+    *    token distribution: 0 = one token repeated, →1 = all distinct).
+    * Both are single IEEE divisions of exactly-computed integers (the
+    * 1.0 subtraction is exact-operand IEEE too). Σ count² rides the
+    * same sorted run-length fold as the dup-gram stats — per-row, no
+    * shuffle. */
+  def withLexicalDiversity(df: DataFrame, textCol: String): DataFrame = {
+    val staged = df.withColumn("__lt",
+      array_sort(TextStats.tokens(TextStats.normalized(col(textCol)))))
+    val sumSq = aggregate(
+      col("__lt"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (acc, t) => {
+        val same = t === acc.getField("prev")
+        val flushed = when(!same,
+          acc.getField("acc") + acc.getField("run") * acc.getField("run"))
+          .otherwise(acc.getField("acc"))
+        struct(t.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          flushed.as("acc"))
+      },
+      st => st.getField("acc") + st.getField("run") * st.getField("run"))
+    val n = size(col("__lt")).cast("long")
+    staged
+      .withColumn("n_tokens_lex", n)
+      .withColumn("n_types", size(array_distinct(col("__lt"))).cast("long"))
+      .withColumn("type_token_ratio",
+        frac(size(array_distinct(col("__lt"))).cast("long"), n))
+      .withColumn("gini_diversity",
+        when(n > 0, lit(1.0) - sumSq.cast("double") / (n * n).cast("double"))
+          .otherwise(0.0))
+      .drop("__lt")
+  }
+
   /** Gopher-style keep/drop verdict combining repetition stats with the
     * TextStats quality features. Thresholds follow the published Gopher
     * rules where the statistic matches; reasons is a deterministic

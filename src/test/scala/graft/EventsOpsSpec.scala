@@ -107,6 +107,27 @@ class EventsOpsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("moving average: event-time RANGE frame, bursts and gaps") {
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(t), u, "click", v)
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", 10.0),
+      ev(2, 1, "2024-01-01 10:30:00", 20.0), // within 1h of #1
+      ev(3, 1, "2024-01-01 12:00:00", 30.0), // >1h after both -> alone
+      ev(4, 1, "2024-01-01 12:00:00", 50.0), // same instant as #3:
+      // RANGE includes BOTH same-second rows in BOTH windows (a ROWS
+      // frame would depend on tie order — the semantics under test)
+      ev(5, 2, "2024-01-01 10:15:00", 99.0)) // other user, own window
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventsOps.movingAverage(events, windowSec = 3600)
+      .select("event_id", "n_window", "avg_window")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 10.0), (2L, 2L, 15.0),
+      (3L, 2L, 40.0), (4L, 2L, 40.0),
+      (5L, 1L, 99.0)))
+  }
+
   test("resize keeps frame count, updates dimensions") {
     val media = Multimodal.synthesize(Seq(10L).toDF("doc_id"), "doc_id", "img")
     val r = Multimodal.resize(media, 224, 224).select("meta.*").head()

@@ -58,6 +58,19 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("lexical diversity: TTR and Gini from hand counts") {
+    // toks = [a a a b] -> n=4 types=2 sumsq=9+1=10
+    // ttr = 2/4; gini = 1 - 10/16 = 0.375
+    val df = Seq((1L, "a a a b"), (2L, "x x x x"), (3L, "")).toDF("doc_id", "text")
+    val r = Repetition.withLexicalDiversity(df, "text")
+      .orderBy("doc_id")
+      .select("n_tokens_lex", "n_types", "type_token_ratio", "gini_diversity")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(r(0) == ((4L, 2L, 0.5, 0.375)))
+    assert(r(1) == ((4L, 1L, 0.25, 0.0))) // single type: gini exactly 0
+    assert(r(2) == ((0L, 0L, 0.0, 0.0))) // empty doc: zeros, no NaN
+  }
+
   test("gopher filter: clean doc keeps, repetitive doc flagged with reasons") {
     val cleanText = ("the quick brown fox jumps over a lazy dog and then " +
       "runs far away to the hills where it rests in peace for a while now")
