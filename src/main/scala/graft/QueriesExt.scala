@@ -1240,6 +1240,23 @@ object QueriesExt {
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY 1""".stripMargin
 
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.madOutliers(events(s, dir), "value",
+      "event_type", k = 3.5)
+      .select(col("event_type"), col("n_rows"), col("med"), col("mad"),
+        col("n_outliers"))
+
+  private val qMadOutliersSql: String =
+    """WITH med AS (SELECT event_type, round(median(value), 4) med
+      |  FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, round(median(abs(e.value - m.med)), 4) mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+      |j AS (SELECT e.event_type, e.value, m.med, d.mad
+      |  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type))
+      |SELECT event_type, count(*) n_rows, min(med) med, min(mad) mad,
+      |  count(CASE WHEN abs(value - med) > 3.5 * mad THEN 1 END) n_outliers
+      |FROM j GROUP BY 1""".stripMargin
+
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
     EventsOps.movingAverage(events(s, dir), windowSec = 3600)
       .select(col("event_id"), col("user_id"),
@@ -1530,6 +1547,7 @@ object QueriesExt {
     "q_funnel" -> (qFunnel _),
     "q_vocab" -> (qVocab _),
     "q_moving_avg" -> (qMovingAvg _),
+    "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),
     "q_pack" -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1586,6 +1604,7 @@ object QueriesExt {
     "q_funnel" -> qFunnelSql,
     "q_vocab" -> qVocabSql,
     "q_moving_avg" -> qMovingAvgSql,
+    "q_mad_outliers" -> qMadOutliersSql,
     "q_lexical" -> qLexicalSql,
     "q_pack" -> qPackSql,
     "q_dedup_clusters" -> qDedupClustersSql,

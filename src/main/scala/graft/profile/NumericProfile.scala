@@ -61,6 +61,36 @@ object NumericProfile {
         col("p.corr").as("corr"))
   }
 
+  /** Group-wise robust outlier profile via MAD (median absolute
+    * deviation) — the z-score detector's heavy-tail-safe sibling (one
+    * extreme value shifts a mean/stddev arbitrarily; it moves a median
+    * by at most one grid step). Flags |x - median| > k·MAD, k = 3.5
+    * (the classic Iglewicz-Hoaglin cutoff rescaled to raw MAD) — as a
+    * MULTIPLICATION test, not a division, so MAD = 0 groups degrade
+    * deterministically (any deviating value flags) instead of dividing
+    * by zero.
+    *
+    * Two grouped median passes + joins of 1-row-per-group stats (both
+    * broadcast-sized) — never a sort of the full table. Medians are
+    * rounded to the 4-dp grid before re-entering arithmetic, same
+    * cross-engine discipline as the cleaning tier (Queries.scala). */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      k: Double = 3.5): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(col(groupCol))
+      .agg(round(median(v), 4).as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(round(median(abs(v - col("med"))), 4).as("mad"))
+    df.join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(when(abs(v - col("med")) > lit(k) * col("mad"), lit(1)))
+          .as("n_outliers"))
+  }
+
   /** Equal-width histogram of a 2-dp numeric column: `nBins` buckets
     * spanning [min, max], bucket assignment by EXACT integer arithmetic
     * (`(cents - mn) * nBins div (mx - mn + 1)` — no float boundaries, so

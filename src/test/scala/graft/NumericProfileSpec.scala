@@ -30,6 +30,25 @@ class NumericProfileSpec extends SparkSpec {
     assert(math.abs(ours - builtin) < 1e-9, s"ours=$ours builtin=$builtin")
   }
 
+  test("MAD outliers: robust to the extreme value that defines them") {
+    // group a: values 10,11,12,13,14 + wild 1000 -> med 12.5, deviations
+    // [2.5,1.5,0.5,0.5,1.5,987.5] -> MAD 1.5; only 1000 exceeds 3.5*1.5
+    // (z-score would pull mean to ~176 and flag NOTHING at 3 sigma:
+    //  stddev ~368, all |x-mean| < 3*stddev — the robustness point)
+    val a = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 1000.0).map(("a", _))
+    // group b: constant -> MAD 0, no outliers
+    val b = Seq(5.0, 5.0, 5.0).map(("b", _))
+    // group c: constant except one -> MAD 0 degeneracy: deviator flags
+    val c = Seq(7.0, 7.0, 7.0, 8.0).map(("c", _))
+    val df = (a ++ b ++ c).toDF("g", "value")
+    val out = NumericProfile.madOutliers(df, "value", "g")
+      .orderBy("g").select("g", "n_rows", "med", "mad", "n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out(0) == (("a", 6L, 12.5, 1.5, 1L)))
+    assert(out(1) == (("b", 3L, 5.0, 0.0, 0L)))
+    assert(out(2) == (("c", 4L, 7.0, 0.0, 1L)))
+  }
+
   test("histogram: exact integer bucketing, edges land deterministically") {
     // cents 100..139 (values 1.00..1.39), 4 bins over width 40 -> 10 each
     val df = (0 until 40).map(i => (100 + i) / 100.0).toDF("v")
