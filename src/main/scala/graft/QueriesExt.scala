@@ -1218,6 +1218,22 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
+    Dedup.dedupSurvivors(d, "doc_id", pairs)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Survivors = docs minus non-min-labeled component members; reuses
+    * the cluster SQL so the two oracles cannot drift apart. */
+  private lazy val qDedupSurvivorsSql: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM ($qDedupClustersSql) c
+       |  WHERE c.doc_id <> c.cluster_id)""".stripMargin
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
       threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
@@ -1551,6 +1567,7 @@ object QueriesExt {
     "q_lexical" -> (qLexical _),
     "q_pack" -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1608,6 +1625,7 @@ object QueriesExt {
     "q_lexical" -> qLexicalSql,
     "q_pack" -> qPackSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

@@ -364,6 +364,20 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup removal: pair generation → connected
+    * components → keep one survivor per cluster (the component's min
+    * id) plus every unpaired document. The composition a real corpus
+    * pipeline runs; `pairs` can come from any generator (minhash,
+    * simhash, embedding-LSH). One anti-join-shaped left join against
+    * the (small) non-survivor label set. */
+  def dedupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicate groups by content fingerprint: one shuffle on a
     * 16-byte digest; survivor = min id (deterministic). */
   def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String)

@@ -161,6 +161,13 @@ class DedupSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
     assert(comps(20L) == 20L)
     assert(comps.size == 9)
+    // survivor composition: keep min-id per cluster + unpaired docs
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupSurvivors(docs, "doc_id", edges)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1..6} -> keep 1; {10,11} -> keep 10; 20 not in docs;
+    // 7,8,9,12 unpaired -> kept
+    assert(kept == Set(1L, 7L, 8L, 9L, 10L, 12L))
   }
 
   test("line dedup: first occurrence wins corpus-wide, in-doc repeats collapse") {
