@@ -262,7 +262,7 @@ object QueriesExt {
        |    row_number() OVER (PARTITION BY w.doc_id ORDER BY w.df, w.hash) rn,
        |    s.n
        |  FROM wdf w JOIN sizes s USING (doc_id))
-       |  WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1),
+       |  WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 2),
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
        |  FROM pref a JOIN pref b ON a.hash = b.hash AND a.doc_id < b.doc_id)
        |SELECT ia AS id_a, ib AS id_b,

@@ -283,35 +283,48 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = hashed
       .select(col("id"), size(col("h")).as("n"), explode(col("h")).as("hash"))
+    // prefix length: n - ceil(t*n) + 1 in REAL arithmetic; the float
+    // ceil can land one too high (ceil(0.8*35) = ceil(28.000000000000004)
+    // = 29, real answer 28), which would shorten the prefix and DROP an
+    // exactly-at-threshold pair. One extra position absorbs the at-most-
+    // one-ulp error — over-inclusion is admissible (a candidate more,
+    // never a qualifying pair less). The oracle mirrors the same +2.
     val prefix = withDocFreq(postings)
       .withColumn("rn", row_number().over(
         w.partitionBy(col("id")).orderBy(col("df").asc, col("hash").asc)))
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 2)
       .select(col("id"), col("n"), col("rn"), col("hash"))
     // PPJoin admissible pruning (results unchanged — the final exact
-    // verification defines the output; these only shrink its input):
-    //  - LENGTH: J >= t forces t*|A| <= |B| <= |A|/t;
+    // verification defines the output; these only shrink its input).
+    // Both predicates are stated as the DIVISION the verifier itself
+    // computes (correctly-rounded division is monotone, so an upper
+    // bound on the real Jaccard upper-bounds the verifier's double too
+    // — no ceil()-on-a-double-product, which over-prunes at-threshold
+    // pairs; see scaladoc note above):
+    //  - LENGTH: max possible J = min(n_a,n_b)/max(n_a,n_b);
     //  - POSITIONAL: the globally-smallest common shingle (the min-rn_a
     //    collision — rarest-first order is shared by both docs) bounds
-    //    the overlap by its suffix lengths, o <= min(n_a-rn_a, n_b-rn_b)+1,
-    //    which must reach ceil(t/(1+t)*(n_a+n_b)). Bounds from LATER
-    //    collisions are not valid overlap bounds, hence the min-struct
-    //    pick rather than an aggregate over all collisions.
+    //    the overlap o <= ub = min(n_a-rn_a, n_b-rn_b)+1, so
+    //    J <= ub/(n_a+n_b-ub). Bounds from LATER collisions are not
+    //    valid overlap bounds, hence the min-struct pick rather than an
+    //    aggregate over all collisions.
     val cands = prefix
       .select(col("id").as("id_a"), col("n").as("n_a"),
         col("rn").as("rn_a"), col("hash"))
       .join(prefix.select(col("id").as("id_b"), col("n").as("n_b"),
         col("rn").as("rn_b"), col("hash")), Seq("hash"))
       .filter(col("id_a") < col("id_b") &&
-        col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
-        col("n_a") >= ceil(lit(threshold) * col("n_b")))
+        least(col("n_a"), col("n_b")).cast("double") /
+          greatest(col("n_a"), col("n_b")).cast("double") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(struct(col("rn_a"), col("rn_b"),
         col("n_a"), col("n_b"))).as("m"))
-      .filter(least(col("m.n_a") - col("m.rn_a"),
-        col("m.n_b") - col("m.rn_b")) + 1 >=
-        ceil(lit(threshold / (1 + threshold)) *
-          (col("m.n_a") + col("m.n_b"))))
+      .filter {
+        val ub = least(col("m.n_a") - col("m.rn_a"),
+          col("m.n_b") - col("m.rn_b")) + 1
+        ub.cast("double") /
+          (col("m.n_a") + col("m.n_b") - ub).cast("double") >= threshold
+      }
       .select(col("id_a"), col("id_b"))
     materializeAndRelease(hashed,
       verifyCandidates(hashed, cands, threshold))

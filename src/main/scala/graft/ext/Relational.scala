@@ -135,7 +135,9 @@ object Relational {
     // bounded driver fetch: one binary scalar (the serialized filter)
     val bf = small.select(GraftBridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val semiTarget = small.select(col(keyCol)).distinct()
+    // no .distinct(): left_semi already deduplicates the right side,
+    // and the extra exchange+aggregate would cost a build-side shuffle
+    val semiTarget = small.select(col(keyCol))
     if (bf == null) {
       // empty build side: the semi join is empty; skip the probe scan
       big.filter(lit(false)).join(semiTarget, Seq(keyCol), "left_semi")

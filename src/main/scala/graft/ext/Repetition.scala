@@ -108,10 +108,11 @@ object Repetition {
 
     val ls = col("__lines")
     val nLines = size(ls)
-    val dupLineChars = aggregate(array_distinct(ls), lit(0L), (acc, x) => {
-      val cnt = size(filter(ls, y => y === x))
-      acc + when(cnt > 1, cnt.cast("long") * length(x)).otherwise(0L)
-    })
+    // same Σ count·len over duplicated values as the n-gram stat — the
+    // sorted run-length fold, O(L log L), not a per-distinct-line
+    // re-filter of the whole array (O(L²) on exactly the boilerplate
+    // docs this filter targets)
+    val dupLineChars = dupRunChars(array_sort(ls))
 
     def topFrac(top: Column): Column =
       frac(top.getField("best_run").cast("long") * length(top.getField("best_gram")),

@@ -58,6 +58,18 @@ class DedupSpec extends SparkSpec {
       assert(pref == full,
         s"t=$t missed=${full -- pref} extra=${pref -- full}")
     }
+    // exactly-at-threshold regression: B ⊆ A with 28 of A's 35 shingles
+    // -> J = 28/35 = 0.8 precisely. A float ceil(0.8*35) = 29 would cut
+    // the prefix one short / over-prune the length filter and drop the
+    // pair before verification (code-review finding, fixed with the +2
+    // prefix and division-form predicates).
+    val wsA = (1 to 37).map(i => s"tok$i").mkString(" ") // 35 shingles
+    val wsB = (1 to 30).map(i => s"tok$i").mkString(" ") // 28 shingles
+    val edge = Seq((1L, wsA), (2L, wsB)).toDF("doc_id", "text")
+    val atT = Dedup.jaccardPairsPrefix(edge, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(atT == Seq((1L, 2L, 0.8)), s"at-threshold pair lost: $atT")
   }
 
   test("simhash: identical normalized docs share fingerprints; hamming pairs found") {
