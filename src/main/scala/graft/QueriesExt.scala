@@ -1218,6 +1218,34 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  /** Decontamination face: docs with doc_id % 50 == 0 play the eval
+    * benchmark; the rest are the training corpus. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      d.filter(col("doc_id") % 50 === 0), "text", n = 13)
+      .select(col("id").as("doc_id"), col("n_contaminated_grams"))
+  }
+
+  private val qDecontaminateSql: String = {
+    val gram13 = (1 to 13).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    val sh13 =
+      s"""CASE WHEN len(t) >= 13
+         | THEN list_distinct(list_transform(range(len(t) - 12), i -> $gram13))
+         | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hashed AS (SELECT doc_id,
+       |    list_transform($sh13, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |bench AS (SELECT DISTINCT unnest(h) hash FROM hashed
+       |  WHERE doc_id % 50 = 0),
+       |corp AS (SELECT doc_id, unnest(h) hash FROM hashed
+       |  WHERE doc_id % 50 <> 0)
+       |SELECT corp.doc_id, count(*) n_contaminated_grams
+       |FROM corp JOIN bench USING (hash)
+       |GROUP BY 1""".stripMargin
+  }
+
   private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
@@ -1568,6 +1596,7 @@ object QueriesExt {
     "q_pack" -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1626,6 +1655,7 @@ object QueriesExt {
     "q_pack" -> qPackSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_survivors" -> qDedupSurvivorsSql,
+    "q_decontaminate" -> qDecontaminateSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

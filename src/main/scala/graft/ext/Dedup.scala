@@ -377,6 +377,34 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM training-prep step,
+    * public papers): flag training documents that share any word
+    * `n`-gram with a benchmark/eval set, so eval questions don't leak
+    * into training data. 13-grams are the published convention; the
+    * default here follows it.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus —
+    * its distinct shingle hashes are aggregated (map-side combined)
+    * and the corpus side explodes its shingles once and inner-joins on
+    * the hash (AQE broadcasts the benchmark hashes when they fit; at
+    * worst it's a shuffle keyed on an 8-byte digest). Per-doc match
+    * counts come back from one groupBy on doc id. Returns
+    * (id, n_contaminated_grams) for CONTAMINATED docs only — callers
+    * anti-join to drop them. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13)
+      : DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), n)).as("h"))
+      .join(benchHashes, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   /** End-to-end near-dup removal: pair generation → connected
     * components → keep one survivor per cluster (the component's min
     * id) plus every unpaired document. The composition a real corpus

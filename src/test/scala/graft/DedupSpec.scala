@@ -182,6 +182,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("decontamination: 13-gram overlap flags, clean docs pass") {
+    val secret = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val bench = Seq((100L, s"question preamble $secret answer choices"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"training text containing $secret verbatim plus more words"),
+      (2L, "completely unrelated training document with plenty of words " +
+        "that never overlap the benchmark thirteen gram at all"),
+      (3L, s"$secret")) // exactly the 13 tokens -> one shingle, contained
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out(1L) >= 1L)
+    assert(out.contains(3L))
+    assert(!out.contains(2L))
+  }
+
   test("line dedup: first occurrence wins corpus-wide, in-doc repeats collapse") {
     val df = Seq(
       (1L, "alpha\nshared nav\nbeta\nalpha"), // "alpha" repeats in-doc
