@@ -1218,6 +1218,37 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  /** Diff face: the "next crawl" is derived deterministically from the
+    * documents table — %97 ids dropped, %13 ids edited, %31 ids cloned
+    * under a shifted id — so both engines diff identical snapshots. */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val after = d.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") % 31 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.corpusDiff(d, after, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("status"))
+  }
+
+  private val qCorpusDiffSql: String =
+    s"""WITH a AS (SELECT doc_id, md5(${normSql("text")}) fp_a FROM documents),
+       |aft AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS "text"
+       |  FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 31 = 0),
+       |b AS (SELECT doc_id, md5(${normSql("text")}) fp_b FROM aft),
+       |j AS (SELECT COALESCE(a.doc_id, b.doc_id) doc_id,
+       |    CASE WHEN a.fp_a IS NULL THEN 'added'
+       |         WHEN b.fp_b IS NULL THEN 'removed'
+       |         WHEN a.fp_a <> b.fp_b THEN 'changed' END status
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin
+
   /** Decontamination face: docs with doc_id % 50 == 0 play the eval
     * benchmark; the rest are the training corpus. */
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -1597,6 +1628,7 @@ object QueriesExt {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1656,6 +1688,7 @@ object QueriesExt {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_corpus_diff" -> qCorpusDiffSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

@@ -377,6 +377,28 @@ object Dedup {
     labels
   }
 
+  /** Corpus snapshot diff by content fingerprint — the dataset-
+    * versioning primitive (what changed between crawl N and crawl N+1):
+    * full-outer join of the two snapshots' (id, fingerprint) frames,
+    * status per id ∈ {added, removed, changed}; ids with identical
+    * normalized content are omitted (the overwhelming majority — the
+    * output scales with the CHANGE, not the corpus). Fingerprints are
+    * 16-byte digests, so the join never shuffles document text. */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol).as("id"),
+      TextStats.fingerprintMd5(col(textCol)).as("fp_a"))
+    val b = after.select(col(idCol).as("id"),
+      TextStats.fingerprintMd5(col(textCol)).as("fp_b"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("id"), col("status"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM training-prep step,
     * public papers): flag training documents that share any word
     * `n`-gram with a benchmark/eval set, so eval questions don't leak

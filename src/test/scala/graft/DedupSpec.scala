@@ -182,6 +182,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("corpus diff: added/removed/changed by fingerprint, formatting-invariant") {
+    val before = Seq(
+      (1L, "same doc"), (2L, "will change"), (3L, "will be removed"),
+      (4L, "Same,  DOC!?")) // formatting variant of "same doc"
+      .toDF("doc_id", "text")
+    val after = Seq(
+      (1L, "same doc"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "same doc")) // formatting-only delta -> fingerprint-equal
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(before, after, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // 4 is ABSENT: its before/after normalize identically (unchanged)
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // formatting-only difference = unchanged (fingerprint normalizes)
+    val fmt = Dedup.corpusDiff(before,
+      Seq((1L, "SAME   doc!"), (2L, "will change"), (3L, "will be removed"),
+        (4L, "Same,  DOC!?")).toDF("doc_id", "text"),
+      "doc_id", "text").count()
+    assert(fmt == 0)
+  }
+
   test("decontamination: 13-gram overlap flags, clean docs pass") {
     val secret = (1 to 13).map(i => s"leak$i").mkString(" ")
     val bench = Seq((100L, s"question preamble $secret answer choices"))
