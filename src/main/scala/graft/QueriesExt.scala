@@ -1234,14 +1234,14 @@ object QueriesExt {
   }
 
   private val qCorpusDiffSql: String =
-    s"""WITH a AS (SELECT doc_id, md5(${normSql("text")}) fp_a FROM documents),
+    s"""WITH a AS (SELECT doc_id, md5(${normSql("COALESCE(text, '')")}) fp_a FROM documents),
        |aft AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS "text"
        |  FROM documents WHERE doc_id % 97 <> 0
        |  UNION ALL
        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 31 = 0),
-       |b AS (SELECT doc_id, md5(${normSql("text")}) fp_b FROM aft),
+       |b AS (SELECT doc_id, md5(${normSql("COALESCE(text, '')")}) fp_b FROM aft),
        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) doc_id,
        |    CASE WHEN a.fp_a IS NULL THEN 'added'
        |         WHEN b.fp_b IS NULL THEN 'removed'

@@ -386,10 +386,13 @@ object Dedup {
     * 16-byte digests, so the join never shuffles document text. */
   def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // null text coalesces to '' BEFORE fingerprinting: a null
+    // fingerprint would be indistinguishable from an absent id, turning
+    // a present-but-bodyless doc into a spurious 'added'/'removed'
     val a = before.select(col(idCol).as("id"),
-      TextStats.fingerprintMd5(col(textCol)).as("fp_a"))
+      TextStats.fingerprintMd5(coalesce(col(textCol), lit(""))).as("fp_a"))
     val b = after.select(col(idCol).as("id"),
-      TextStats.fingerprintMd5(col(textCol)).as("fp_b"))
+      TextStats.fingerprintMd5(coalesce(col(textCol), lit(""))).as("fp_b"))
     a.join(b, Seq("id"), "full_outer")
       .withColumn("status",
         when(col("fp_a").isNull, "added")
@@ -410,7 +413,16 @@ object Dedup {
     * and the corpus side explodes its shingles once and inner-joins on
     * the hash (AQE broadcasts the benchmark hashes when they fit; at
     * worst it's a shuffle keyed on an 8-byte digest). Per-doc match
-    * counts come back from one groupBy on doc id. Returns
+    * counts come back from one groupBy on doc id.
+    *
+    * NOTE the inline `shingleHashes` here is deliberate and measured:
+    * the quadratic-HOF hazard (hashedShingleFrame scaladoc) applies to
+    * expression trees captured in a lambda BODY, re-evaluated per
+    * element; `shingleHashes`' tree is `transform`'s ARGUMENT —
+    * evaluated once per row. Routing through the staged helper was
+    * tried and measured ~2x SLOWER at sf0.1 (13.4s vs 7.0s median —
+    * materializing the wide token/13-gram string arrays across
+    * projection boundaries costs more than it saves). Returns
     * (id, n_contaminated_grams) for CONTAMINATED docs only — callers
     * anti-join to drop them. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,

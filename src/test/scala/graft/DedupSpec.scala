@@ -195,6 +195,14 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     // 4 is ABSENT: its before/after normalize identically (unchanged)
     assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // null text is a PRESENT empty doc, not an absent id
+    val nullBefore = Seq((6L, null: String), (7L, null: String))
+      .toDF("doc_id", "text")
+    val nullAfter = Seq((6L, "now has text"), (7L, null: String))
+      .toDF("doc_id", "text")
+    val nd = Dedup.corpusDiff(nullBefore, nullAfter, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(nd == Map(6L -> "changed")) // 7: null -> null = unchanged
     // formatting-only difference = unchanged (fingerprint normalizes)
     val fmt = Dedup.corpusDiff(before,
       Seq((1L, "SAME   doc!"), (2L, "will change"), (3L, "will be removed"),
