@@ -1218,6 +1218,36 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  /** Z-order face: Morton key over (l_orderkey, l_partkey), global
+    * top-100 by (z, keys) — TakeOrderedAndProject, no full sort. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    l.select(col("l_orderkey"), col("l_partkey"),
+      ext.Layout.zorder64(col("l_orderkey"), col("l_partkey")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_partkey"))
+      .limit(100)
+  }
+
+  /** The 5-step magic-number spread as a generated CTE chain (linear
+    * SQL size; inlining would duplicate the base expression 2^5 times). */
+  private val qZorderSql: String = {
+    val masks = Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+    val z0 = "z0 AS (SELECT l_orderkey, l_partkey, " +
+      "l_orderkey & 4294967295 va, l_partkey & 4294967295 vb FROM lineitem)"
+    val steps = masks.zipWithIndex.map { case ((s, m), i) =>
+      s"z${i + 1} AS (SELECT l_orderkey, l_partkey, " +
+        s"((va | (va << $s)) & $m) va, ((vb | (vb << $s)) & $m) vb FROM z$i)"
+    }
+    s"""WITH $z0,
+       |${steps.mkString(",\n")}
+       |SELECT l_orderkey, l_partkey, (va | (vb << 1)) z
+       |FROM z${masks.size}
+       |ORDER BY z, l_orderkey, l_partkey LIMIT 100""".stripMargin
+  }
+
   /** Diff face: the "next crawl" is derived deterministically from the
     * documents table — %97 ids dropped, %13 ids edited, %31 ids cloned
     * under a shifted id — so both engines diff identical snapshots. */
@@ -1629,6 +1659,7 @@ object QueriesExt {
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_zorder" -> (qZorder _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1689,6 +1720,7 @@ object QueriesExt {
     "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_corpus_diff" -> qCorpusDiffSql,
+    "q_zorder" -> qZorderSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

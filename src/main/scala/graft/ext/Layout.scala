@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-order (Morton) keys for multi-column
+  * data skipping (the Delta Lake / Iceberg Z-ORDER technique, public).
+  * Sorting/range-partitioning a table by the interleaved key clusters
+  * rows that are close in BOTH dimensions into the same files, so
+  * min/max row-group stats prune scans filtered on EITHER column —
+  * a single-column sort can only serve one predicate.
+  *
+  * Pure codegen'd integer bit-arithmetic (the classic magic-number
+  * spread), exactly mirrorable in the oracle. Domain: both keys must
+  * fit in 31 bits (interleaved result stays positive in an int64);
+  * out-of-range keys throw at runtime via the ANSI guard below rather
+  * than silently aliasing. */
+object Layout {
+
+  private val masks = Seq(
+    (16, 0x0000FFFF0000FFFFL),
+    (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL),
+    (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L))
+
+  /** Spread the lower 32 bits of `x` onto even bit positions. */
+  def spreadBits(x: Column): Column =
+    masks.foldLeft(x.bitwiseAND(lit(0xFFFFFFFFL))) { case (v, (s, m)) =>
+      (v.bitwiseOR(shiftleft(v, s))).bitwiseAND(lit(m))
+    }
+
+  /** JVM reference (spec + driver-side use). */
+  def spreadBitsRef(x: Long): Long =
+    masks.foldLeft(x & 0xFFFFFFFFL) { case (v, (s, m)) => (v | (v << s)) & m }
+
+  /** Morton interleave of two non-negative < 2^31 keys: bit 2i = a's
+    * bit i, bit 2i+1 = b's bit i. Monotone locality: nearby (a, b)
+    * pairs get nearby z values. */
+  def zorder64(a: Column, b: Column): Column = {
+    val guard = when(
+      a < 0 || a >= (1L << 31) || b < 0 || b >= (1L << 31),
+      raise_error(lit("zorder64: keys must be in [0, 2^31)")))
+    coalesce(guard.cast("long"),
+      spreadBits(a.cast("long"))
+        .bitwiseOR(shiftleft(spreadBits(b.cast("long")), 1)))
+  }
+
+  def zorder64Ref(a: Long, b: Long): Long = {
+    require(a >= 0 && a < (1L << 31) && b >= 0 && b < (1L << 31))
+    spreadBitsRef(a) | (spreadBitsRef(b) << 1)
+  }
+
+  /** Z-ordered write: range-partition on the z key (cluster-parallel
+    * global clustering — range exchange, not a single-task sort), sort
+    * within partitions, write parquet. Each output file then covers a
+    * compact z-range = a compact rectangle in (a, b) space, which is
+    * what makes min/max stats selective for both columns. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int = 8): Unit =
+    df.withColumn("__z", zorder64(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorder64: known interleavings and JVM-reference cross-check") {
+    // z(3,5): a bits {0,1} -> even bits {0,2}; b bits {0,2} -> odd {1,5}
+    // = 0b100111 = 39
+    assert(Layout.zorder64Ref(3L, 5L) == 39L)
+    assert(Layout.zorder64Ref(1L, 0L) == 1L)
+    assert(Layout.zorder64Ref(0L, 1L) == 2L)
+    assert(Layout.zorder64Ref((1L << 31) - 1, (1L << 31) - 1) == (1L << 62) - 1)
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)(
+      (rnd.nextLong().abs % (1L << 31), rnd.nextLong().abs % (1L << 31)))
+    val got = pairs.toDF("a", "b")
+      .select(Layout.zorder64($"a", $"b")).as[Long].collect().toSeq
+    assert(got == pairs.map { case (a, b) => Layout.zorder64Ref(a, b) })
+  }
+
+  test("zorder64: out-of-domain keys fail loudly, not by aliasing") {
+    val bad = Seq((1L << 31, 0L)).toDF("a", "b")
+      .select(Layout.zorder64($"a", $"b"))
+    intercept[Exception](bad.collect())
+  }
+
+  test("writeZOrdered: files cover disjoint z ranges (skippable layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val df = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
+      .toDF("a", "b")
+    Layout.writeZOrdered(df, dir, "a", "b", numFiles = 4)
+    val back = spark.read.parquet(dir)
+      .withColumn("z", Layout.zorder64($"a", $"b"))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    assert(back.length >= 2)
+    back.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping z ranges: $hi1 vs $lo2")
+    }
+    // and every row survives the round trip
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+}
