@@ -75,4 +75,89 @@ class PropertySpec extends SparkSpec {
       assert(OutlierReplaceMedian("x")(df).count() == xs.length)
     }
   }
+
+  test("Repetition: fractions match a brute-force JVM reference on random docs") {
+    def brute(text: String): (Double, Double, Double) = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      def grams(n: Int) =
+        if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq else Nil
+      val g2 = grams(2)
+      val top2 = if (g2.isEmpty) 0.0 else {
+        val counts = g2.groupBy(identity).map { case (g, o) => (g, o.size) }
+        val (bg, bc) = counts.toSeq.sortBy { case (g, c) => (-c, g) }.head
+        val norm = toks.mkString(" ").length
+        if (norm == 0) 0.0 else bc.toLong * bg.length / norm.toDouble
+      }
+      val g5 = grams(5)
+      val d5 = if (g5.isEmpty) 0.0 else {
+        val counts = g5.groupBy(identity).map { case (_, o) => o.size }
+        val tot = g5.map(_.length).sum.toDouble
+        val dup = g5.groupBy(identity).collect {
+          case (g, o) if o.size > 1 => o.size.toLong * g.length
+        }.sum.toDouble
+        if (tot == 0) 0.0 else dup / tot
+      }
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val dl = if (lines.isEmpty) 0.0
+        else (lines.size - lines.distinct.size).toDouble / lines.size
+      (dl, top2, d5)
+    }
+    trials { r =>
+      val vocab = Seq("aa", "bb", "cc", "dd")
+      (0 until 4).map { _ =>
+        (0 until (r.nextInt(20) + 1))
+          .map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+      }.mkString("\n")
+    } { text =>
+      val row = graft.ext.Repetition
+        .withRepetitionStats(Seq((1L, text)).toDF("doc_id", "text"), "text")
+        .select("dup_line_frac", "top2_char_frac", "dup5_char_frac").head()
+      val (dl, top2, d5) = brute(text)
+      assert(row.getDouble(0) == dl, s"dup_line_frac on <$text>")
+      assert(row.getDouble(1) == top2, s"top2_char_frac on <$text>")
+      assert(row.getDouble(2) == d5, s"dup5_char_frac on <$text>")
+    }
+  }
+
+  test("lineDedup: every distinct line survives exactly once corpus-wide") {
+    trials { r =>
+      (1L to 5L).map(i => (i,
+        (0 until r.nextInt(6)).map(_ => s"line${r.nextInt(5)}").mkString("\n")))
+    } { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.ext.Dedup.lineDedup(df, "doc_id", "text").collect()
+      val keptLines = out.flatMap(_.getAs[String]("cleaned").split("\n"))
+        .filter(_.nonEmpty).toSeq
+      val distinctInput = docs.flatMap(_._2.split("\n").map(_.trim))
+        .filter(_.nonEmpty).distinct
+      assert(keptLines.sorted == distinctInput.sorted.map(identity),
+        "each distinct line exactly once")
+      assert(out.map(r => r.getAs[Int]("n_kept")).sum == distinctInput.size)
+    }
+  }
+
+  test("packSequences: per-bucket cumulative sums and monotone chunk ids") {
+    trials { r =>
+      (1L to 30L).map(i => (i,
+        (0 until r.nextInt(40)).map(_ => "w").mkString(" ")))
+    } { docs =>
+      val out = graft.ext.Packing
+        .packSequences(docs.toDF("doc_id", "text"), "doc_id", "text",
+          contextLen = 16, buckets = 4)
+        .orderBy("bucket", "id")
+        .select("bucket", "n_tok", "cum_tok", "chunk_id")
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      out.groupBy(_._1).values.foreach { rows =>
+        var running = 0L
+        var lastChunk = -1L
+        rows.foreach { case (_, n, cum, chunk) =>
+          running += n
+          assert(cum == running, "prefix sum")
+          assert(chunk >= lastChunk, "chunks never go backwards")
+          lastChunk = chunk
+        }
+      }
+    }
+  }
 }
