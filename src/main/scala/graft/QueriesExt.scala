@@ -1218,6 +1218,33 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  /** C4 line filter: the cleaned text is hash-checked (match EXTENT, not
+    * just counts — same discipline as q_pii_redact). The documents corpus
+    * is single-line word soup (every line would fail every rule — a
+    * degenerate face), so both engines derive the SAME 7-line fixture per
+    * doc, designed so each C4 rule fires on a distinct line: terminal
+    * punctuation keep, min-words drop, blocklist drop, no-punct drop,
+    * lorem-ipsum page drop (%11), curly-brace page drop (%13). */
+  private def qC4Filter(s: SparkSession, dir: String): DataFrame = {
+    val fixture = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("Short line."),
+        lit("Please enable javascript to continue reading today."),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 11 === 0,
+          lit("lorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("A perfectly normal closing sentence appears right here.")),
+        lit("The quick brown fox jumps over the lazy dog today."),
+        when(col("doc_id") % 13 === 0, lit("function f() { return 1; }"))
+          .otherwise(lit("Privacy policy pages are excluded from the corpus."))
+      ).as("text"))
+    TextStats.withC4Filter(fixture, "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        Hashing.hash64(col("clean_text")).as("clean_h"),
+        col("has_lorem"), col("has_brace"), col("keep_page"))
+  }
+
   /** Z-order face: Morton key over (l_orderkey, l_partkey), global
     * top-100 by (z, keys) — TakeOrderedAndProject, no full sort. */
   private def qZorder(s: SparkSession, dir: String): DataFrame = {
@@ -1612,6 +1639,48 @@ object QueriesExt {
        |  top2_char_frac, top3_char_frac, dup5_char_frac
        |FROM rep""".stripMargin
 
+  /** Mirror of [[TextStats.withC4Filter]]: same line split/trim as the
+    * other line-level oracles, C4 keep predicate per line, page verdict
+    * on survivors. */
+  private val qC4FilterSql: String = {
+    val punct = TextStats.c4TerminalPunct.map(p =>
+      if (p == "\"") "'\"'" else s"'$p'").mkString("[", ", ", "]")
+    val blocked = TextStats.c4LineBlocklist
+      .map(b => s"NOT contains(lower(l), '$b')").mkString(" AND ")
+    s"""WITH fx AS (SELECT doc_id,
+       |    (text || '.') || chr(10) ||
+       |    'Short line.' || chr(10) ||
+       |    'Please enable javascript to continue reading today.' || chr(10) ||
+       |    substring(text, 1, 40) || chr(10) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet consectetur.'
+       |      ELSE 'A perfectly normal closing sentence appears right here.' END) || chr(10) ||
+       |    'The quick brown fox jumps over the lazy dog today.' || chr(10) ||
+       |    (CASE WHEN doc_id % 13 = 0 THEN 'function f() { return 1; }'
+       |      ELSE 'Privacy policy pages are excluded from the corpus.' END) AS text
+       |  FROM documents),
+       |ln AS (SELECT doc_id,
+       |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+       |      l -> trim(l)), l -> len(l) > 0) ls,
+       |    lower(COALESCE(text, '')) lt, COALESCE(text, '') tx
+       |  FROM fx),
+       |k AS (SELECT doc_id, ls, lt, tx,
+       |    list_filter(ls, l ->
+       |      list_contains($punct, right(l, 1))
+       |      AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+       |        t -> len(t) > 0)) >= ${TextStats.c4MinWordsPerLine}
+       |      AND $blocked) ks
+       |  FROM ln)
+       |SELECT doc_id, CAST(len(ls) AS INT) n_lines,
+       |  CAST(len(ks) AS INT) n_kept_lines,
+       |  ${Hashing.hash64Sql("COALESCE(array_to_string(ks, chr(10)), '')")} AS clean_h,
+       |  contains(lt, 'lorem ipsum') has_lorem,
+       |  contains(tx, '{') has_brace,
+       |  (len(ks) >= ${TextStats.c4MinKeptLines}
+       |    AND NOT contains(lt, 'lorem ipsum')
+       |    AND NOT contains(tx, '{')) keep_page
+       |FROM k""".stripMargin
+  }
+
   private val qGopherFilterSql: String = {
     val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     // flag list mirrors Repetition.withGopherFilter (alphabetical)
@@ -1646,6 +1715,7 @@ object QueriesExt {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (qRepetition _),
     "q_gopher_filter" -> (qGopherFilter _),
+    "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_tfidf" -> (qTfidf _),
@@ -1707,6 +1777,7 @@ object QueriesExt {
   val oracle: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
     "q_gopher_filter" -> qGopherFilterSql,
+    "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_tfidf" -> qTfidfSql,

@@ -239,4 +239,54 @@ object TextStats {
       .withColumn("n_ipv4", countPii(t, ipv4Pattern))
       .withColumn("redacted", redactPii(t))
   }
+
+  // ------------------------------------------------------------------
+  // C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+  // Limits of Transfer Learning with a Unified Text-to-Text
+  // Transformer", §2.2 — public paper). Unlike the Gopher verdict
+  // (whole-document keep/drop), C4 EDITS documents: individual lines
+  // are dropped and the page verdict is taken on what survives.
+  // ------------------------------------------------------------------
+
+  /** Line keep rules (C4 §2.2): terminal punctuation, >= 5 words, no
+    * boilerplate phrase. Page drop rules: < 3 surviving lines, "lorem
+    * ipsum", or a curly brace (code markers). Phrase list follows the
+    * published heuristics restricted to case-insensitive substrings so
+    * the oracle applies the identical predicate. */
+  val c4MinWordsPerLine = 5
+  val c4MinKeptLines = 3
+  val c4TerminalPunct: Seq[String] = Seq(".", "!", "?", "\"")
+  val c4LineBlocklist: Seq[String] = Seq("javascript", "cookie", "privacy policy")
+
+  /** Per-line predicate — usable inside a higher-order `filter` lambda,
+    * so the whole line pass is one codegen'd projection (no explode, no
+    * shuffle; the O(lines) work rides the scan). */
+  def c4KeepLine(l: Column): Column = {
+    val lastChar = l.substr(length(l), lit(1))
+    val words = size(filter(split(l, "\\s+"), t => length(t) > 0))
+    val lowered = lower(l)
+    val blocked = c4LineBlocklist.map(b => lowered.contains(b)).reduce(_ || _)
+    lastChar.isInCollection(c4TerminalPunct) &&
+      words >= c4MinWordsPerLine && !blocked
+  }
+
+  /** Adds `n_lines, n_kept_lines, clean_text, has_lorem, has_brace,
+    * keep_page`. Null text is treated as empty (null-text corpora exist;
+    * see Dedup.corpusDiff). Narrow map over the scan — embarrassingly
+    * parallel at 100 TB. */
+  def withC4Filter(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val staged = df.withColumn("__c4l", Repetition.lines(t))
+    val kept = filter(col("__c4l"), l => c4KeepLine(l))
+    staged.withColumn("__c4k", kept)
+      .withColumn("n_lines", size(col("__c4l")))
+      .withColumn("n_kept_lines", size(col("__c4k")))
+      .withColumn("clean_text", array_join(col("__c4k"), "\n"))
+      .withColumn("has_lorem", lower(t).contains("lorem ipsum"))
+      .withColumn("has_brace", t.contains("{"))
+      .withColumn("keep_page",
+        col("n_kept_lines") >= c4MinKeptLines &&
+          !col("has_lorem") && !col("has_brace"))
+      .drop("__c4l", "__c4k")
+  }
 }

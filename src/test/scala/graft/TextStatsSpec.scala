@@ -123,4 +123,37 @@ class TextStatsSpec extends SparkSpec {
     val rolls = df.select(TextStats.fingerprintRolling($"t")).as[Long].collect()
     assert(rolls(0) == rolls(1) && rolls(0) != rolls(2))
   }
+
+  test("C4 line filter: each rule fires on its own line; page verdicts") {
+    val goodPage = Seq(
+      "This opening sentence has more than enough words to pass.",
+      "tiny line.",                       // < 5 words -> dropped
+      "Enable JavaScript to view the full article content now.", // blocklist
+      "no terminal punctuation on this line at all",             // punct
+      "Another fine sentence closes out the page quite nicely!",
+      "He said \"this quoted ending also counts as terminal.\""  // quote end
+    ).mkString("\n")
+    val loremPage = goodPage + "\nAnd some Lorem Ipsum filler text appears."
+    val bracePage = goodPage + "\nvar config = { mode: 1 };"
+    val thinPage = "Only one decent sentence survives on this page today.\nshort.\nugh"
+    val df = Seq((1L, goodPage), (2L, loremPage), (3L, bracePage),
+      (4L, thinPage), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val r = TextStats.withC4Filter(df, "text")
+      .select($"id", $"n_lines", $"n_kept_lines", $"clean_text",
+        $"has_lorem", $"has_brace", $"keep_page")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_lines") == 6)
+    assert(r(1L).getAs[Int]("n_kept_lines") == 3)
+    assert(r(1L).getAs[Boolean]("keep_page"))
+    assert(r(1L).getAs[String]("clean_text").split("\n").length == 3)
+    // lorem page: the lorem line itself is kept (ends in '.'), but the
+    // page-level rule drops the whole page
+    assert(r(2L).getAs[Boolean]("has_lorem") && !r(2L).getAs[Boolean]("keep_page"))
+    assert(r(3L).getAs[Boolean]("has_brace") && !r(3L).getAs[Boolean]("keep_page"))
+    // thin page: only 1 kept line < 3 minimum
+    assert(r(4L).getAs[Int]("n_kept_lines") == 1 && !r(4L).getAs[Boolean]("keep_page"))
+    // null text: empty everything, page dropped, no NPE
+    assert(r(5L).getAs[Int]("n_lines") == 0 && !r(5L).getAs[Boolean]("keep_page"))
+    assert(r(5L).getAs[String]("clean_text") == "")
+  }
 }
