@@ -352,6 +352,26 @@ object QueriesExt {
        |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin
   }
 
+  /** Data-mixture downsampling: per-source target rates (upweight src0,
+    * thin the long tail to 100 permille), verified by per-source counts
+    * AND id-sum (membership extent, not just cardinality). */
+  private val mixtureRates = Seq("src0" -> 900, "src1" -> 500, "src2" -> 250)
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.mixtureSample(docs(s, dir), "doc_id", "source",
+      mixtureRates, defaultPermille = 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+  private val qMixtureSampleSql = {
+    val dr = ext.Sampling.drawSql("doc_id", "mixture")
+    val cases = mixtureRates.map { case (g, p) => s"WHEN '$g' THEN $p" }
+      .mkString(" ")
+    s"""WITH d AS (SELECT source, doc_id, $dr AS dr FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM d WHERE dr < CASE source $cases ELSE 100 END
+       |GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Dedup: SimHash hamming pairs
   // ------------------------------------------------------------------
@@ -1754,6 +1774,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
+    "q_mixture_sample" -> (qMixtureSample _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1816,6 +1837,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
+    "q_mixture_sample" -> qMixtureSampleSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

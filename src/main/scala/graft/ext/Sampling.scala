@@ -59,6 +59,30 @@ object Sampling {
     df.withColumn("split", chain)
   }
 
+  /** Data-mixture downsampling (the "data mixing" step of LLM corpus
+    * assembly, e.g. The Pile / LLaMA mixture tables — public papers):
+    * each group keeps its own permille of rows via the hash-Bernoulli
+    * draw, re-weighting source proportions toward a target mixture.
+    * Groups absent from `rates` fall to `defaultPermille` (0 = drop).
+    *
+    * Same determinism contract as [[hashSample]], and the same scale
+    * shape: a pure narrow filter — the rate lookup is a when-chain on
+    * the group column, so the whole operator is one codegen'd predicate
+    * at the scan with NO join against a rates table (broadcast-joining
+    * a tiny dim would also work but leaves an Exchange in streaming
+    * plans; a literal chain is free). */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Seq[(String, Int)], defaultPermille: Int = 0,
+      salt: String = "mixture"): DataFrame = {
+    require(rates.forall(r => r._2 >= 0 && r._2 <= 1000) &&
+      defaultPermille >= 0 && defaultPermille <= 1000,
+      "permille rates must be in [0, 1000]")
+    val rate = rates.foldRight(lit(defaultPermille): org.apache.spark.sql.Column) {
+      case ((g, p), els) => when(col(groupCol) === g, lit(p)).otherwise(els)
+    }
+    df.filter(draw(idCol, salt) < rate)
+  }
+
   /** Stratified exact-quota sample: per stratum, the `quota` rows with
     * the smallest (salted draw, id) — a deterministic "random" top-k
     * per group. One shuffle on the strata columns; WindowGroupLimit

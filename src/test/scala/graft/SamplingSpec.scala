@@ -43,6 +43,32 @@ class SamplingSpec extends SparkSpec {
     sub.foreach { case (id, sp) => assert(full(id) == sp) }
   }
 
+  test("mixture sample: per-group rates, default rate, determinism") {
+    val rates = Seq("src0" -> 1000, "src1" -> 0)
+    val m = Sampling.mixtureSample(docs, "doc_id", "source", rates,
+      defaultPermille = 500)
+    val got = m.groupBy("source").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // rate 1000 keeps everything, rate 0 drops the group entirely
+    assert(got.getOrElse("src0", 0L) == sizes("src0"))
+    assert(!got.contains("src1"))
+    // the default-rate tail keeps roughly half overall
+    val tailKept = got.filterKeys(k => k != "src0" && k != "src1").values.sum
+    val tailSize = sizes.filterKeys(k => k != "src0" && k != "src1").values.sum
+    assert(tailKept > tailSize * 0.35 && tailKept < tailSize * 0.65,
+      s"~50% of the tail expected, got $tailKept/$tailSize")
+    // membership is per-row deterministic: independent of partitioning
+    val a = m.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(docs.repartition(7), "doc_id", "source",
+      rates, defaultPermille = 500).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // mixture draws are decorrelated from the plain-sample salt: a doc
+    // kept at 500 permille here need not be in hashSample(500)
+    val plain = Sampling.hashSample(docs, "doc_id", 500).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a != plain)
+  }
+
   test("stratified quota: exactly min(quota, |stratum|) per stratum, deterministic") {
     val q = Sampling.stratifiedQuota(docs, Seq("lang"), "doc_id", 10)
     val got = q.groupBy("lang").count().as[(String, Long)].collect().toMap
