@@ -493,6 +493,33 @@ object QueriesExt {
       |       round(cosine, 6) AS cosine_r
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** Int8 scalar quantization: integer codes are hash-checked per vector
+    * (full extent), the code sum is an exact integer aggregate. dims=64
+    * is written into the SQL (same convention as the mirrored
+    * hyperplanes); the Spark side probes dims from the data. */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame =
+    SimSearch.scalarQuantize(emb(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        Hashing.hash64(array_join(
+          transform(col("codes"), c => c.cast("string")), ",")).as("codes_h"))
+  private val qQuantizeSql =
+    s"""WITH st AS (SELECT i, min(CAST(embedding[i+1] AS DOUBLE)) mn,
+       |    max(CAST(embedding[i+1] AS DOUBLE)) mx
+       |  FROM embeddings, (SELECT unnest(range(64)) i) GROUP BY i),
+       |l AS (SELECT list(mn ORDER BY i) mns, list(mx ORDER BY i) mxs FROM st),
+       |c AS (SELECT vec_id, list_transform(range(64), i ->
+       |    CASE WHEN mxs[i+1] > mns[i+1]
+       |      THEN CAST(least(255, greatest(0,
+       |        floor((CAST(embedding[i+1] AS DOUBLE) - mns[i+1])
+       |          / (mxs[i+1] - mns[i+1]) * 255))) AS BIGINT)
+       |      ELSE 0 END) codes
+       |  FROM embeddings, l)
+       |SELECT vec_id,
+       |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       |  ${Hashing.hash64Sql("array_to_string(codes, ',')")} AS codes_h
+       |FROM c""".stripMargin
+
   /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
     * crossJoin was the one outright scale-killer). The banding and the
     * bucket cap are deterministic and mirrored bit-for-bit in the oracle:
@@ -1783,6 +1810,7 @@ object QueriesExt {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_cosine_topk" -> (qCosineTopk _),
+    "q_quantize" -> (qQuantize _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -1846,6 +1874,7 @@ object QueriesExt {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,
+    "q_quantize" -> qQuantizeSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_ann_ivf" -> qAnnIvfSql,
     // q_ann_lsh: approximate -> rows-only check, no oracle

@@ -180,6 +180,53 @@ object SimSearch {
     cents
   }
 
+  /** Int8 scalar quantization (the compression step of a vector index —
+    * the FAISS SQ8 scheme, public): per-dimension [min, max] over the
+    * corpus; code = floor((x - min) / (max - min) * 255) clamped to
+    * [0, 255]; constant dimensions code to 0. Codes are 4x smaller than
+    * float32 and decode to the cell midpoint with error <= range/510
+    * per dimension.
+    *
+    * Cross-engine bit-parity: inputs are float32 (exact in double),
+    * per-dim min/max are exact order-free aggregates, and the code is a
+    * single IEEE (sub, div, mul, floor) chain on those exact operands —
+    * no summation order anywhere, so both engines produce identical
+    * integer codes (same discipline as the mirrored LSH hyperplanes).
+    *
+    * Scale shape: the stats pass is ONE aggregate emitting 2 x dims
+    * scalars (map-side combined, no explode — same pattern as
+    * [[lloydRefine]]'s means); coding is a broadcast of that single
+    * stats row + a narrow per-row transform. The corpus is never
+    * shuffled. Adds `codes` (array<long>) and `recon_err2` (the summed
+    * squared midpoint-decode error — diagnostic, float-fold). */
+  def scalarQuantize(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val stats = emb.agg(
+      array((0 until dims).map(i =>
+        min(element_at(col(vecCol), i + 1).cast("double"))): _*).as("__mns"),
+      array((0 until dims).map(i =>
+        max(element_at(col(vecCol), i + 1).cast("double"))): _*).as("__mxs"))
+    def mn(i: Column) = get(col("__mns"), i)
+    def mx(i: Column) = get(col("__mxs"), i)
+    val err2 = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+      (acc, i) => {
+        val x = get(col(vecCol), i).cast("double")
+        val c = get(col("codes"), i).cast("double")
+        val recon = when(mx(i) > mn(i),
+          mn(i) + (c + 0.5) * (mx(i) - mn(i)) / 255.0).otherwise(mn(i))
+        acc + (x - recon) * (x - recon)
+      })
+    emb.join(broadcast(stats), lit(true))
+      .withColumn("codes", transform(col(vecCol), (x, i) =>
+        when(mx(i) > mn(i),
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - mn(i)) / (mx(i) - mn(i)) * 255))))
+          .otherwise(lit(0L))))
+      .withColumn("recon_err2", err2)
+      .drop("__mns", "__mxs")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension d): a [-0.5, 0.5) grid value derived from the Knuth
     * permutation constants — reproducible with zero egress, no stored

@@ -164,4 +164,29 @@ class SimSearchSpec extends SparkSpec {
     val fast = df.select(SimSearch.dot($"a", $"b")).as[Double].head()
     assert(hof == fast)
   }
+
+  test("scalar quantization: codes in range, extremes hit 0/255, bounded error") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = SimSearch.scalarQuantize(emb, "vec_id", "embedding")
+    val rows = q.select($"vec_id", $"codes", $"recon_err2", $"embedding").collect()
+    assert(rows.length == emb.count())
+    val allCodes = rows.flatMap(_.getSeq[Long](1))
+    assert(allCodes.forall(c => c >= 0 && c <= 255))
+    // per-dimension min and max of the corpus must map to 0 and 255
+    assert(allCodes.min == 0L && allCodes.max == 255L)
+    // midpoint decode error per dim <= range/510 ⇒ err2 <= dims * (r/510)^2;
+    // fixture embeddings live in roughly [-r, r] so bound with observed range
+    val dims = rows.head.getSeq[Long](1).size
+    val vals = rows.flatMap(_.getSeq[Float](3).map(_.toDouble))
+    val worst = dims * math.pow((vals.max - vals.min) / 510.0 * 1.0000001, 2)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= worst,
+        s"vec ${r.getLong(0)} err2 ${r.getDouble(2)} > bound $worst")
+    }
+    // determinism: codes are a pure function of the corpus, not its layout
+    val again = SimSearch.scalarQuantize(emb.repartition(5), "vec_id", "embedding")
+      .select($"vec_id", $"codes").as[(Long, Seq[Long])].collect().toMap
+    val first = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(first == again)
+  }
 }
