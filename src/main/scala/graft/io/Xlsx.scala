@@ -125,6 +125,333 @@ object Xlsx {
       if builtinDate.contains(fmt) || customDate.contains(fmt) => i }.toSet
   }
 
+  // ------------------------------------------------------------------
+  // Number-format rendering — the "what Excel displays" projection.
+  // Codes are ECMA-376 §18.8.30/31 (public spec); the builtin id table
+  // below is the spec's Table of implied formats, restricted to the ids
+  // that actually render (fractions and elapsed-time fall back to
+  // General, documented on renderFormatted).
+  // ------------------------------------------------------------------
+
+  private[graft] val builtinFormats: Map[Int, String] = Map(
+    0 -> "General", 1 -> "0", 2 -> "0.00", 3 -> "#,##0", 4 -> "#,##0.00",
+    9 -> "0%", 10 -> "0.00%", 11 -> "0.00E+00",
+    14 -> "m/d/yyyy", 15 -> "d-mmm-yy", 16 -> "d-mmm", 17 -> "mmm-yy",
+    18 -> "h:mm AM/PM", 19 -> "h:mm:ss AM/PM", 20 -> "h:mm",
+    21 -> "h:mm:ss", 22 -> "m/d/yy h:mm",
+    37 -> "#,##0 ;(#,##0)", 38 -> "#,##0 ;[Red](#,##0)",
+    39 -> "#,##0.00;(#,##0.00)", 40 -> "#,##0.00;[Red](#,##0.00)",
+    45 -> "mm:ss", 49 -> "@")
+
+  /** xf index -> format code: custom numFmts by id, then builtins,
+    * else General. */
+  private def readStyleFormats(zip: ZipFile): IndexedSeq[String] = {
+    val entry = zip.getEntry("xl/styles.xml")
+    if (entry == null) return IndexedSeq.empty
+    val custom = mutable.Map.empty[Int, String]
+    val xfs = mutable.ArrayBuffer.empty[Int]
+    var inCellXfs = false
+    withXml(zip, entry) { r =>
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              (Option(attr(r, "numFmtId")), Option(attr(r, "formatCode"))) match {
+                case (Some(id), Some(code)) => custom(id.toInt) = code
+                case _ =>
+              }
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfs += Option(attr(r, "numFmtId")).map(_.toInt).getOrElse(0)
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+    }
+    xfs.map(id =>
+      custom.getOrElse(id, builtinFormats.getOrElse(id, "General")))
+      .toIndexedSeq
+  }
+
+  /** ;-sections of a format code (quote-aware split). */
+  private[graft] def formatSections(code: String): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    code.foreach {
+      case '"' => inQ = !inQ; sb.append('"')
+      case ';' if !inQ => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.toString
+    out.toIndexedSeq
+  }
+
+  /** Strip [Red]/[$-409]/[h]-style bracket meta (display metadata, not
+    * value tokens). Quote-aware: a '[' inside a quoted literal is
+    * content, not meta. */
+  private def stripMeta(sec: String): String = {
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < sec.length) {
+      val c = sec.charAt(i)
+      if (c == '"') { inQ = !inQ; sb.append(c); i += 1 }
+      else if (c == '[' && !inQ) {
+        val end = sec.indexOf(']', i + 1)
+        i = if (end < 0) sec.length else end + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def hasDateTokens(sec: String): Boolean = {
+    val bare = sec.replaceAll("\"[^\"]*\"", "")
+    bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
+  /** Render a raw cell value through an Excel number-format code — the
+    * display string a user sees in Excel. Supported: General; numeric
+    * sections with #/0 digit patterns, thousands grouping, percent
+    * scaling, quoted/escaped literals, `_x` width-space, `*x` fill
+    * (dropped); scientific `0.00E+00`; up to 4 ;-sections with standard
+    * sign selection; date/time tokens (y/m/d/h/s runs, AM/PM,
+    * m-means-minutes next to h/s). Fractions (`?/?`) and elapsed hours
+    * (`[h]`) render as General — documented gap, they have no DataFrame
+    * consumer here. Values are never format-dependent ([[read]] is the
+    * typed view); this is a pure display projection. */
+  def renderFormatted(v: Any, code: String): String = {
+    val secs = formatSections(code)
+    v match {
+      case null => ""
+      case b: Boolean => if (b) "TRUE" else "FALSE"
+      case s: String =>
+        if (secs.length >= 4) renderTextSection(s, secs(3))
+        else if (stripMeta(code).contains('@')) renderTextSection(s, secs(0))
+        else s
+      case ts: java.sql.Timestamp => renderDateSection(ts, stripMeta(secs(0)))
+      case d: Double =>
+        val sec =
+          if (d > 0 || secs.length == 1) secs(0)
+          else if (d < 0) secs(1)
+          else if (secs.length >= 3) secs(2)
+          else secs(0)
+        val s = stripMeta(sec)
+        val trimmed = s.trim
+        if (trimmed.isEmpty || trimmed.equalsIgnoreCase("General") ||
+            s.contains('?'))
+          renderCell(d)
+        else if (hasDateTokens(s))
+          renderDateSection(serialToTimestamp(d), s)
+        else
+          renderNumericSection(d, s, autoSign = secs.length == 1 || d > 0)
+      case other => other.toString
+    }
+  }
+
+  /** Text section: literals with `@` replaced by the cell string. */
+  private def renderTextSection(s: String, sec0: String): String = {
+    val sec = stripMeta(sec0)
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < sec.length) {
+      val c = sec.charAt(i)
+      if (c == '"') { inQ = !inQ; i += 1 }
+      else if (inQ) { sb.append(c); i += 1 }
+      else if (c == '@') { sb.append(s); i += 1 }
+      else if (c == '\\' && i + 1 < sec.length) { sb.append(sec.charAt(i + 1)); i += 2 }
+      else if (c == '_') { sb.append(' '); i += 2 }
+      else if (c == '*') i += 2
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val monthNames = Array("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val dayNames = Array("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
+  /** Date/time token rendering. Excel's `m` ambiguity (month vs minute)
+    * resolves to minutes when the previous time token is an hour or the
+    * next letter token is seconds; `h` is 12-hour iff the section has an
+    * AM/PM marker. */
+  private def renderDateSection(ts: java.sql.Timestamp, sec: String): String = {
+    val ldt = ts.toLocalDateTime
+    val up = sec.toUpperCase
+    val hasAmPm = up.contains("AM/PM") || up.contains("A/P")
+    val sb = new StringBuilder
+    var i = 0
+    var lastWasHour = false
+    def run(cl: Char): Int = {
+      var j = i
+      while (j < sec.length && sec.charAt(j).toLower == cl) j += 1
+      j - i
+    }
+    def nextTokenIsSecond(from: Int): Boolean = {
+      var j = from
+      while (j < sec.length && !sec.charAt(j).isLetter) j += 1
+      j < sec.length && sec.charAt(j).toLower == 's'
+    }
+    while (i < sec.length) {
+      val c = sec.charAt(i)
+      val cl = c.toLower
+      if (c == '"') {
+        val end = sec.indexOf('"', i + 1)
+        sb.append(sec.substring(i + 1, if (end < 0) sec.length else end))
+        i = if (end < 0) sec.length else end + 1
+      } else if (sec.regionMatches(true, i, "AM/PM", 0, 5)) {
+        sb.append(if (ldt.getHour < 12) "AM" else "PM"); i += 5
+      } else if (sec.regionMatches(true, i, "A/P", 0, 3)) {
+        sb.append(if (ldt.getHour < 12) "A" else "P"); i += 3
+      } else if (cl == 'y') {
+        val n = run('y')
+        sb.append(if (n >= 4) f"${ldt.getYear}%04d" else f"${ldt.getYear % 100}%02d")
+        lastWasHour = false; i += n
+      } else if (cl == 'm') {
+        val n = run('m')
+        if (lastWasHour || nextTokenIsSecond(i + n))
+          sb.append(if (n >= 2) f"${ldt.getMinute}%02d" else ldt.getMinute.toString)
+        else n match {
+          case 1 => sb.append(ldt.getMonthValue.toString)
+          case 2 => sb.append(f"${ldt.getMonthValue}%02d")
+          case 3 => sb.append(monthNames(ldt.getMonthValue - 1).substring(0, 3))
+          case _ => sb.append(monthNames(ldt.getMonthValue - 1))
+        }
+        lastWasHour = false; i += n
+      } else if (cl == 'd') {
+        val n = run('d')
+        n match {
+          case 1 => sb.append(ldt.getDayOfMonth.toString)
+          case 2 => sb.append(f"${ldt.getDayOfMonth}%02d")
+          case 3 => sb.append(dayNames(ldt.getDayOfWeek.getValue - 1).substring(0, 3))
+          case _ => sb.append(dayNames(ldt.getDayOfWeek.getValue - 1))
+        }
+        lastWasHour = false; i += n
+      } else if (cl == 'h') {
+        val n = run('h')
+        val h = if (hasAmPm) { val x = ldt.getHour % 12; if (x == 0) 12 else x }
+          else ldt.getHour
+        sb.append(if (n >= 2) f"$h%02d" else h.toString)
+        lastWasHour = true; i += n
+      } else if (cl == 's') {
+        val n = run('s')
+        sb.append(if (n >= 2) f"${ldt.getSecond}%02d" else ldt.getSecond.toString)
+        lastWasHour = false; i += n
+      } else if (c == '\\' && i + 1 < sec.length) {
+        sb.append(sec.charAt(i + 1)); i += 2
+      } else if (c == '_') { sb.append(' '); i += 2 }
+      else if (c == '*') i += 2
+      else {
+        // separators (':', '/', ' ') carry the h→m adjacency; any other
+        // letter token breaks it
+        if (c.isLetter) lastWasHour = false
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Numeric section rendering: split into (prefix, digit core, suffix),
+    * apply percent scaling, HALF_UP display rounding to the core's
+    * decimal pattern, grouping, min-integer-digit padding, and the
+    * `0.00E+00` scientific form when the suffix opens with an exponent
+    * token. `autoSign` prepends '-' for negatives rendered through the
+    * shared section (an explicit negative section styles the sign
+    * itself, e.g. parentheses). */
+  private def renderNumericSection(d: Double, sec: String,
+      autoSign: Boolean): String = {
+    // percent scaling: every unquoted % multiplies by 100
+    var pct = 0
+    var inQ = false
+    sec.foreach { c =>
+      if (c == '"') inQ = !inQ else if (c == '%' && !inQ) pct += 1
+    }
+    val scaled = math.abs(d) * math.pow(100.0, pct)
+    // locate the digit core (unquoted run of #0,.)
+    val coreChars = "#0,."
+    var coreStart = -1
+    var coreEnd = -1
+    inQ = false
+    var i = 0
+    while (i < sec.length) {
+      val c = sec.charAt(i)
+      if (c == '"') inQ = !inQ
+      else if (c == '\\') i += 1
+      else if (!inQ && coreChars.indexOf(c) >= 0) {
+        if (coreStart < 0) coreStart = i
+        coreEnd = i + 1
+      } else if (!inQ && coreStart >= 0 && coreChars.indexOf(c) < 0) {
+        i = sec.length - 1 // core ended; literals continue in suffix
+      }
+      i += 1
+    }
+    if (coreStart < 0) // no digits anywhere: pure literal section
+      return (if (autoSign && d < 0) "-" else "") + renderTextSection("", sec)
+    val prefix = renderTextSection("", sec.substring(0, coreStart))
+    val core = sec.substring(coreStart, coreEnd)
+    var suffixRaw = sec.substring(coreEnd)
+    // scientific: suffix opens with E+00 / e-0 etc.
+    val expMatch = "^[Ee]([+-])(0+)".r.findFirstMatchIn(suffixRaw)
+    val (body, expStr) = expMatch match {
+      case Some(m) =>
+        suffixRaw = suffixRaw.substring(m.end)
+        val exp = if (scaled == 0.0) 0
+          else math.floor(math.log10(scaled)).toInt
+        val mant = if (scaled == 0.0) 0.0 else scaled / math.pow(10.0, exp)
+        val sign = if (exp < 0) "-"
+          else if (m.group(1) == "+") "+" else ""
+        val digits = ("%0" + m.group(2).length + "d").format(math.abs(exp))
+        (renderCore(mant, core), s"E$sign$digits")
+      case None => (renderCore(scaled, core), "")
+    }
+    val suffix = renderTextSection("", suffixRaw)
+    (if (autoSign && d < 0) "-" else "") + prefix + body + expStr + suffix
+  }
+
+  /** Format a non-negative value through a #/0 digit pattern. */
+  private def renderCore(x: Double, core: String): String = {
+    val dot = core.indexOf('.')
+    val intPat = if (dot < 0) core else core.substring(0, dot)
+    val decPat = if (dot < 0) "" else core.substring(dot + 1)
+    val maxDec = decPat.count(c => c == '0' || c == '#')
+    val minDec = decPat.count(_ == '0')
+    val minInt = intPat.count(_ == '0')
+    val grouping = intPat.contains(',')
+    val bd = java.math.BigDecimal.valueOf(x)
+      .setScale(maxDec, java.math.RoundingMode.HALF_UP)
+    val plain = bd.toPlainString
+    val (ip0, dp0) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case p => (plain.substring(0, p), plain.substring(p + 1))
+    }
+    // trim optional (#) trailing decimal zeros down to minDec
+    var dp = dp0
+    while (dp.length > minDec && dp.nonEmpty && dp.last == '0')
+      dp = dp.substring(0, dp.length - 1)
+    var ip = ip0
+    while (ip.length < minInt) ip = "0" + ip
+    // "#.##" renders 0.5 as ".5" (no forced integer zero)
+    if (minInt == 0 && ip == "0" && dp.nonEmpty) ip = ""
+    if (grouping && ip.length > 3) {
+      val sb = new StringBuilder
+      val off = ip.length % 3
+      var j = 0
+      while (j < ip.length) {
+        if (j > 0 && (j - off) % 3 == 0) sb.append(',')
+        sb.append(ip.charAt(j))
+        j += 1
+      }
+      ip = sb.toString
+    }
+    if (dp.isEmpty) ip else s"$ip.$dp"
+  }
+
   /** Exactly-representable-long bound (2^53) shared by inference and all
     * integral renderings, so a value is "an exact long" consistently. */
   private val ExactLongBound = 9.007199254740992e15
@@ -136,11 +463,21 @@ object Xlsx {
     case other => other.toString
   }
 
+  /** A parsed cell: typed value + the style (xf) index it carried, kept
+    * so the formatted view ([[readFormatted]]) can resolve its number
+    * format code. */
+  private final case class Cell(v: Any, style: Int)
+
   /** Header strings + data rows (cell = null | Double | Boolean | String),
     * padded to the widest row. Data columns beyond the header get
     * pandas-style "Unnamed: i" names (pd.read_excel keeps them; silently
     * truncating a source operator would be data loss). */
   private def readRaw(path: String): (Array[String], Seq[Array[Any]]) = {
+    val (header, cells) = readRawCells(path)
+    (header, cells.map(_.map(c => if (c == null) null else c.v)))
+  }
+
+  private def readRawCells(path: String): (Array[String], Seq[Array[Cell]]) = {
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
@@ -154,18 +491,45 @@ object Xlsx {
       val width = rows.map(_.length).max
       val header = (0 until width).map { i =>
         val h = if (i < rows.head.length) rows.head(i) else null
-        if (h == null) s"Unnamed: $i" else renderCell(h)
+        if (h == null) s"Unnamed: $i" else renderCell(h.v)
       }.toArray
       val data = rows.tail.map { r =>
         if (r.length == width) r
         else {
-          val padded = new Array[Any](width)
+          val padded = new Array[Cell](width)
           System.arraycopy(r, 0, padded, 0, r.length)
           padded
         }
       }
       (header, data)
     } finally zip.close()
+  }
+
+  /** The "what Excel displays" view: every column read as STRING, each
+    * cell rendered through its style's number-format code (see
+    * [[renderFormatted]]). Values themselves are never format-dependent
+    * (read() is the typed view, pandas parity); this projection exists
+    * for display-faithful QA/diff of spreadsheets whose formats carry
+    * meaning (percentages, currency, padded ids). */
+  def readFormatted(spark: SparkSession, path: String): DataFrame = {
+    val fmts = {
+      val zip = new ZipFile(path)
+      try readStyleFormats(zip) finally zip.close()
+    }
+    val (header, cells) = readRawCells(path)
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val data: java.util.List[Row] = new java.util.ArrayList[Row](cells.size)
+    cells.foreach { r =>
+      data.add(Row.fromSeq(r.map { c =>
+        if (c == null) null
+        else {
+          val code = if (c.style >= 0 && c.style < fmts.length) fmts(c.style)
+            else "General"
+          renderFormatted(c.v, code)
+        }
+      }.toSeq))
+    }
+    spark.createDataFrame(data, schema)
   }
 
   /** First sheet in workbook order, resolved through the workbook rels
@@ -250,10 +614,10 @@ object Xlsx {
   }
 
   private def readSheet(zip: ZipFile, entry: ZipEntry,
-      shared: IndexedSeq[String], dateStyles: Set[Int]): Seq[Array[Any]] = {
-    val rows = mutable.ArrayBuffer.empty[Array[Any]]
+      shared: IndexedSeq[String], dateStyles: Set[Int]): Seq[Array[Cell]] = {
+    val rows = mutable.ArrayBuffer.empty[Array[Cell]]
     withXml(zip, entry) { r =>
-      var row: mutable.ArrayBuffer[Any] = null
+      var row: mutable.ArrayBuffer[Cell] = null
       var cellCol = -1
       var cellType = ""
       var cellStyle = -1
@@ -265,7 +629,7 @@ object Xlsx {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-            case "row" => row = mutable.ArrayBuffer.empty[Any]
+            case "row" => row = mutable.ArrayBuffer.empty[Cell]
             case "c" if row != null =>
               cellCol = colIndex(attr(r, "r"), row.length)
               cellType = Option(attr(r, "t")).getOrElse("")
@@ -307,7 +671,7 @@ object Xlsx {
                   } catch { case _: NumberFormatException => raw }
               }
               while (row.length <= cellCol) row += null
-              if (v != null) row(cellCol) = v
+              if (v != null) row(cellCol) = Cell(v, cellStyle)
               cellCol = -1
             case "row" if row != null =>
               rows += row.toArray; row = null
@@ -363,9 +727,20 @@ object Xlsx {
   // report sink: an interactive export, not a cluster write path.
   // ------------------------------------------------------------------
 
+  /** `formats` attaches an Excel number-format code to named columns
+    * (custom numFmt ids 164+, one cellXf per distinct code) — cells keep
+    * their raw typed values; the code only affects display and the
+    * [[readFormatted]] projection. */
   def writeSingleSheet(df: DataFrame, path: String, maxRows: Int = 100000,
-      truncate: Boolean = false): Unit = {
+      truncate: Boolean = false,
+      formats: Map[String, String] = Map.empty): Unit = {
     val header = df.columns.toSeq
+    // distinct custom codes -> (numFmtId 164+, cellXf index 2+)
+    val customCodes = formats.values.toSeq.distinct
+    val styleOfCode: Map[String, Int] =
+      customCodes.zipWithIndex.map { case (c, k) => c -> (2 + k) }.toMap
+    val colStyle: IndexedSeq[Int] = header.map(h =>
+      formats.get(h).map(styleOfCode).getOrElse(-1)).toIndexedSeq
     // fetch one row past the cap so over-size inputs are DETECTED: silent
     // truncation is data loss (the same stance the reader takes on
     // Unnamed: i columns). Explicit opt-in via truncate=true.
@@ -417,36 +792,44 @@ object Xlsx {
     val sheet = new StringBuilder
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     sheet.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    def cell(ref: String, v: Any): String = v match {
-      case null => ""
-      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-      case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
-      case n: java.math.BigDecimal => s"""<c r="$ref"><v>$n</v></c>"""
-      // style 1 = builtin date-time numFmt 22 (see stylesXml below)
-      case t: java.sql.Timestamp =>
-        s"""<c r="$ref" s="1"><v>${timestampToSerial(t)}</v></c>"""
-      case d: java.sql.Date =>
-        s"""<c r="$ref" s="1"><v>${timestampToSerial(
-          java.sql.Timestamp.valueOf(d.toLocalDate.atStartOfDay))}</v></c>"""
-      case t: java.time.Instant =>
-        s"""<c r="$ref" s="1"><v>${timestampToSerial(
-          java.sql.Timestamp.from(t))}</v></c>"""
-      case s => s"""<c r="$ref" t="s"><v>${sst(s.toString)}</v></c>"""
+    def cell(ref: String, v: Any, style: Int): String = {
+      // column format code (if any) wins; timestamps default to the
+      // builtin date xf 1; plain numerics stay unstyled
+      val numS = if (style >= 0) s""" s="$style"""" else ""
+      val tsS = if (style >= 0) s""" s="$style"""" else """ s="1""""
+      v match {
+        case null => ""
+        case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        case n: Byte => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        case n: Short => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        case n: Int => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        case n: Long => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        case n: Float => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        case n: Double => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        case n: java.math.BigDecimal => s"""<c r="$ref"$numS><v>$n</v></c>"""
+        // style 1 = builtin date-time numFmt 22 (see stylesXml below)
+        case t: java.sql.Timestamp =>
+          s"""<c r="$ref"$tsS><v>${timestampToSerial(t)}</v></c>"""
+        case d: java.sql.Date =>
+          s"""<c r="$ref"$tsS><v>${timestampToSerial(
+            java.sql.Timestamp.valueOf(d.toLocalDate.atStartOfDay))}</v></c>"""
+        case t: java.time.Instant =>
+          s"""<c r="$ref"$tsS><v>${timestampToSerial(
+            java.sql.Timestamp.from(t))}</v></c>"""
+        case s => s"""<c r="$ref" t="s"><v>${sst(s.toString)}</v></c>"""
+      }
     }
-    def rowXml(rn: Int, vals: Seq[Any]): Unit = {
+    def rowXml(rn: Int, vals: Seq[Any], styled: Boolean): Unit = {
       sheet.append(s"""<row r="$rn">""")
       vals.zipWithIndex.foreach { case (v, i) =>
-        sheet.append(cell(s"${colRef(i)}$rn", v))
+        sheet.append(cell(s"${colRef(i)}$rn", v,
+          if (styled) colStyle(i) else -1))
       }
       sheet.append("</row>")
     }
-    rowXml(1, header)
-    rows.zipWithIndex.foreach { case (r, i) => rowXml(i + 2, r.toSeq) }
+    rowXml(1, header, styled = false)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      rowXml(i + 2, r.toSeq, styled = true) }
     sheet.append("</sheetData></worksheet>")
 
     val sstXml = {
@@ -468,19 +851,34 @@ object Xlsx {
         |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
         |</Types>""".stripMargin
     // xf index 1 applies builtin numFmt 22 ("m/d/yy h:mm") — the reader's
-    // date-style detection must classify it as a date style
-    val stylesXml =
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+    // date-style detection must classify it as a date style. Custom
+    // column formats follow as numFmt 164+/xf 2+ (order = styleOfCode).
+    val stylesXml = {
+      // format codes live in an XML ATTRIBUTE: embedded quotes (e.g.
+      // `0.00 "kg"`) must be entity-escaped on top of esc()'s text rules
+      val custom = customCodes.zipWithIndex.map { case (c, k) =>
+        s"""<numFmt numFmtId="${164 + k}" formatCode="${
+          esc(c).replace("\"", "&quot;")}"/>"""
+      }.mkString
+      val customXfs = customCodes.zipWithIndex.map { case (_, k) =>
+        s"""<xf numFmtId="${164 + k}" applyNumberFormat="1"/>"""
+      }.mkString
+      val numFmts = if (customCodes.isEmpty) ""
+        else s"""<numFmts count="${customCodes.size}">$custom</numFmts>"""
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |$numFmts
         |<fonts count="1"><font/></fonts>
         |<fills count="1"><fill/></fills>
         |<borders count="1"><border/></borders>
         |<cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs>
-        |<cellXfs count="2">
+        |<cellXfs count="${2 + customCodes.size}">
         |<xf numFmtId="0" applyNumberFormat="0"/>
         |<xf numFmtId="22" applyNumberFormat="1"/>
+        |$customXfs
         |</cellXfs>
         |</styleSheet>""".stripMargin
+    }
     val rootRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">

@@ -244,4 +244,78 @@ class IoSpec extends SparkSpec {
     val vals = back.select($"s").as[String].collect().toSeq
     assert(vals == Seq("ok", "junk")) // bad refs surfaced as raw text
   }
+
+  test("S2 number-format rendering: unit coverage of the code families") {
+    import Xlsx.renderFormatted
+    // General + plain digit patterns
+    assert(renderFormatted(3.0, "General") == "3")
+    assert(renderFormatted(3.14159, "General") == "3.14159")
+    assert(renderFormatted(1234.567, "0") == "1235") // display HALF_UP
+    assert(renderFormatted(1234.567, "0.00") == "1234.57")
+    assert(renderFormatted(1234567.891, "#,##0") == "1,234,568")
+    assert(renderFormatted(1234567.891, "#,##0.00") == "1,234,567.89")
+    assert(renderFormatted(0.5, "#.##") == ".5")
+    assert(renderFormatted(0.5, "0.##") == "0.5")
+    assert(renderFormatted(7.0, "000") == "007")
+    // percent scaling
+    assert(renderFormatted(0.345, "0%") == "35%")
+    assert(renderFormatted(0.345, "0.0%") == "34.5%")
+    // scientific
+    assert(renderFormatted(12345.0, "0.00E+00") == "1.23E+04")
+    assert(renderFormatted(0.00123, "0.00E+00") == "1.23E-03")
+    assert(renderFormatted(0.0, "0.00E+00") == "0.00E+00")
+    // literals: quoted, escaped, currency
+    assert(renderFormatted(9.5, "0.00 \"kg\"") == "9.50 kg")
+    assert(renderFormatted(9.5, "$#,##0.00") == "$9.50")
+    // sections: negative styled by its own section (no auto sign)
+    assert(renderFormatted(-1234.5, "#,##0.00;(#,##0.00)") == "(1,234.50)")
+    assert(renderFormatted(-1234.5, "#,##0.00") == "-1,234.50")
+    assert(renderFormatted(0.0, "0.00;(0.00);\"zero\"") == "zero")
+    // text section / @ placeholder
+    assert(renderFormatted("hi", "@") == "hi")
+    assert(renderFormatted("hi", "\"[\"@\"]\"") == "[hi]")
+    // dates: month-vs-minute disambiguation, 12h vs 24h
+    val ts = java.sql.Timestamp.valueOf("2024-03-07 14:05:09")
+    assert(renderFormatted(ts, "yyyy-mm-dd") == "2024-03-07")
+    assert(renderFormatted(ts, "m/d/yy") == "3/7/24")
+    assert(renderFormatted(ts, "d-mmm-yy") == "7-Mar-24")
+    assert(renderFormatted(ts, "mmmm d, yyyy") == "March 7, 2024")
+    assert(renderFormatted(ts, "h:mm") == "14:05")
+    assert(renderFormatted(ts, "hh:mm:ss") == "14:05:09")
+    assert(renderFormatted(ts, "h:mm AM/PM") == "2:05 PM")
+    assert(renderFormatted(ts, "m/d/yy h:mm") == "3/7/24 14:05")
+    assert(renderFormatted(ts, "mm:ss") == "05:09")
+    // a raw serial under a date-token section renders as its date
+    val serial = Xlsx.timestampToSerial(ts)
+    assert(renderFormatted(serial, "yyyy-mm-dd hh:mm:ss") == "2024-03-07 14:05:09")
+    // booleans and nulls
+    assert(renderFormatted(true, "General") == "TRUE")
+    assert(renderFormatted(null, "0.00") == "")
+  }
+
+  test("S2 formatted view: column formats written, rendered on read") {
+    val path = Files.createTempDirectory("graft_xlsx8").resolve("f.xlsx").toString
+    val ts = java.sql.Timestamp.valueOf("2024-03-07 14:05:09")
+    val df = Seq(
+      (1L, 0.125, 1234567.891, ts, "note"),
+      (2L, 0.5, -42.0, ts, "x"))
+      .toDF("id", "rate", "amount", "when", "s")
+    Xlsx.writeSingleSheet(df, path, formats = Map(
+      "rate" -> "0.0%",
+      "amount" -> "#,##0.00;(#,##0.00)",
+      "when" -> "yyyy-mm-dd hh:mm"))
+    // typed view is format-independent (values untouched)
+    val typed = Xlsx.read(spark, path).orderBy($"id")
+    assert(typed.select($"rate").as[Double].collect().toSeq == Seq(0.125, 0.5))
+    // formatted view renders every column as display strings
+    val disp = Xlsx.readFormatted(spark, path).orderBy($"id")
+    assert(disp.schema.fields.forall(_.dataType.typeName == "string"))
+    val got = disp.select($"rate", $"amount", $"when", $"s")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("12.5%", "1,234,567.89", "2024-03-07 14:05", "note"),
+      ("50.0%", "(42.00)", "2024-03-07 14:05", "x")))
+    // unformatted numeric column renders General
+    assert(disp.select($"id").as[String].collect().toSeq == Seq("1", "2"))
+  }
 }
