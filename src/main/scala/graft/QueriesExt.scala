@@ -565,6 +565,43 @@ object QueriesExt {
        |WHERE list_cosine_similarity(x.e, y.e) >= 0.99""".stripMargin
   }
 
+  /** SemDeDup (semantic dedup, Abbas et al. 2023): k-means-cluster the
+    * embedding space (deterministic smallest-id centroids — the same
+    * ones q_ann_ivf mirrors), pair only within clusters, keep pairs with
+    * cosine >= 0.8. The cluster cap (500) rides the SAME capped-CTE
+    * shape as every banded dedup oracle. Injected exact dups
+    * (vec_id+100000 for vec_id%20=0) land in their original's cluster by
+    * construction and verify at cosine ~1. */
+  private val semNlist = 16
+  private val semThreshold = 0.8
+  private val semMaxCluster = 500
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val injected = e.union(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.semanticDedupPairs(injected, "vec_id", "embedding", semThreshold,
+      nlist = semNlist, maxCluster = semMaxCluster)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
+  }
+  private val qSemanticDedupSql =
+    s"""WITH inj AS (SELECT vec_id, embedding FROM embeddings
+       |    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM inj),
+       |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT $semNlist),
+       |banded AS (SELECT id, 0 AS band, cent_id AS key FROM (
+       |    SELECT v.id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+       |    FROM v, cents c) WHERE rn = 1),
+       |${cappedSql("id, band, key", "banded", "band", "key", semMaxCluster)},
+       |cand AS (SELECT DISTINCT a.id ia, b.id ib
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT ia id_a, ib id_b,
+       |       round(list_dot_product(x.e, y.e), 4) cosine_r
+       |FROM cand JOIN v x ON x.id = ia JOIN v y ON y.id = ib
+       |WHERE list_dot_product(x.e, y.e) >= $semThreshold""".stripMargin
+
   /** ANN via hyperplane LSH — approximate by construction, so no SQL
     * oracle (driver records rows-only); recall vs bruteTopK is asserted
     * in SimSearchSpec. */
@@ -1812,6 +1849,7 @@ object QueriesExt {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_quantize" -> (qQuantize _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _),
@@ -1876,6 +1914,7 @@ object QueriesExt {
     "q_cosine_topk" -> qCosineTopkSql,
     "q_quantize" -> qQuantizeSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,
     // q_ann_lsh: approximate -> rows-only check, no oracle
     "q_multimodal" -> qMultimodalSql,

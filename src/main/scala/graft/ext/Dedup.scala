@@ -603,6 +603,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): semantic
+    * deduplication — cluster the embedding space with k-means, then
+    * compare pairs only WITHIN each cluster and drop documents whose
+    * embedding cosine to a kept cluster-mate exceeds `threshold`.
+    * Catches paraphrases and re-renderings that share no n-grams (so
+    * MinHash/SimHash can't see them) without ever comparing across
+    * clusters.
+    *
+    * Spark shape: centroids are the deterministic smallest-id corpus
+    * sample, optionally Lloyd-refined ([[SimSearch.lloydRefine]];
+    * `meanRound` makes the refined centroids bit-identical across
+    * engines). Assignment is [[SimSearch.assignLists]]' zero-Exchange
+    * map-side argmax; within-cluster pairing routes through the SAME
+    * [[cappedBandCandidates]] helper as every banded dedup path (band 0,
+    * key = cluster id), so a degenerate mega-cluster is frequency-capped
+    * instead of producing an O(c^2) join. At 100 TB, `nlist` scales with
+    * corpus size (the paper uses ~100k clusters for LAION-scale) so
+    * E[cluster] stays small and the pair stage is linear; the only
+    * shuffles are the cluster-id candidate join and the two (16-byte id,
+    * vector) verify join-backs.
+    *
+    * Returns verified pairs (id_a, id_b, cosine >= threshold); compose
+    * with [[dedupSurvivors]] for end-to-end removal (cluster-internal
+    * transitivity handled there, same as the lexical paths). */
+  def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, lloydRounds: Int = 0,
+      meanRound: Int = -1, maxCluster: Int = 1000): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      SimSearch.normalize(SimSearch.toDouble(col(vecCol))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents0 = v.orderBy(col("id").asc).limit(nlist)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val cents = SimSearch.lloydRefine(v, cents0, lloydRounds, meanRound)
+    val banded = SimSearch.assignLists(v, cents, 1)
+      .select(col("id"), lit(0).as("band"), col("list_id").as("key"))
+    val cands = cappedBandCandidates(banded, maxCluster)
+    val pairs = cands
+      .join(v.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), Seq("id_a"))
+      .join(v.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), Seq("id_b"))
+      .withColumn("cosine", SimSearch.dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    materializeAndRelease(v, pairs)
+  }
+
   /** All-pairs reference implementation of [[embeddingNearDups]] — exact
     * recall, O(n^2) rows. Test/spec use ONLY (recall baseline for the
     * bucketed operator); never ship this against a corpus. */

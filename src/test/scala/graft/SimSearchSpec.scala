@@ -87,6 +87,28 @@ class SimSearchSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("SemDeDup: within-cluster pairs only, all injected copies found, cap guard works") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val injected = e.union(e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val expected = e.filter($"vec_id" % 20 === 0)
+      .select($"vec_id").as[Long].collect().toSet.map((i: Long) => (i, i + 100000))
+    val sem = Dedup.semanticDedupPairs(injected, "vec_id", "embedding", 0.8,
+      nlist = 16, maxCluster = 500)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // an exact copy scores identically against every centroid, so it
+    // shares its original's cluster and verifies at cosine ~1
+    assert(expected.subsetOf(sem), s"missed=${expected -- sem}")
+    // precision: every reported pair is a true >=threshold pair
+    val brute = Dedup.embeddingNearDupsBrute(injected, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute), s"invented=${sem -- brute}")
+    // degenerate-cluster guard: cap below every cluster size -> no pairs
+    assert(Dedup.semanticDedupPairs(injected, "vec_id", "embedding", 0.8,
+      nlist = 16, maxCluster = 1).isEmpty)
+  }
+
   /** Clustered corpus: `nClusters` unit centers, `perCluster` members
     * each at `noise * N(0, I)` around their center, ids assigned
     * cluster-by-cluster. Deterministic (fixed seed). */
