@@ -1600,6 +1600,43 @@ object QueriesExt {
        |      FROM scored)
        |WHERE rank <= 5""".stripMargin
 
+  /** BM25 (linear-idf, decimal-summed — see TextStats.bm25 scaladoc for
+    * the two portability choices) over a 3-term query; k1=1.25 / b=0.75
+    * are binary-exact so the oracle's literals are the identical
+    * doubles. Top-20 by (score desc, doc_id). */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = TextStats.bm25(docs(s, dir), "doc_id", "text",
+      Seq("spark", "join", "vector"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rank") <= 20)
+    ranked.select(col("id").as("doc_id"), col("n_terms"), col("score"),
+      col("rank").cast("int").as("rank"))
+  }
+  private val qBm25Sql =
+    s"""WITH staged AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) n_docs,
+       |    CAST(sum(len(t)) AS BIGINT) sum_dl FROM staged),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) tf FROM (
+       |    SELECT doc_id, len(t) dl, unnest(t) tok FROM staged)
+       |  WHERE tok IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+       |scored AS (SELECT doc_id,
+       |    (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * 2.25)
+       |      / (CAST(tf AS DOUBLE) + 1.25 * (0.25 + 0.75
+       |          * (CAST(dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) tscore
+       |  FROM tf JOIN dfq USING (tok), st),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_terms,
+       |    CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) score
+       |  FROM scored GROUP BY 1)
+       |SELECT doc_id, n_terms, score, CAST(rank AS INT) rank
+       |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) rank
+       |      FROM agg)
+       |WHERE rank <= 20""".stripMargin
+
   private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
     val o = Sources.table(s, dir, "orders")
@@ -1803,6 +1840,7 @@ object QueriesExt {
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
     "q_funnel" -> (qFunnel _),
     "q_vocab" -> (qVocab _),
     "q_moving_avg" -> (qMovingAvg _),
@@ -1868,6 +1906,7 @@ object QueriesExt {
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
     "q_funnel" -> qFunnelSql,
     "q_vocab" -> qVocabSql,
     "q_moving_avg" -> qMovingAvgSql,

@@ -138,6 +138,58 @@ object TextStats {
     * join back on token [vocab-keyed, no hot keys after the tf combine]
     * → per-doc top-k via row_number, which Spark rewrites to
     * WindowGroupLimit (map-side k-row heaps, not a full per-doc sort). */
+  /** BM25 document ranking for a (small) bag of query terms — the
+    * retrieval scorer a corpus pipeline uses to mine topical documents
+    * (and the core of quality-classifier seed selection).
+    *
+    * Two deliberate portability choices, same discipline as
+    * [[topKeywords]]:
+    *  - LINEAR idf (n_docs/df) instead of the classical
+    *    ln((N-df+.5)/(df+.5)): `ln` is where libm implementations may
+    *    diverge an ulp, and idf is a per-term constant so ranking within
+    *    a term set is order-preserved for df-monotone transforms.
+    *  - the per-term partial scores are summed as DECIMAL(18,6) — exact
+    *    and order-free — so the per-document total does not depend on
+    *    aggregation order (a raw double sum would differ run-to-run
+    *    across partitionings, let alone engines).
+    * Callers should pass k1/b values exactly representable in binary
+    * (e.g. 1.25/0.75, the defaults) so the oracle's literals are the
+    * identical doubles.
+    *
+    * Scale shape: the term list is a broadcast `isin` pushed into the
+    * scan; tf is one map-side-combined groupBy on (doc, term); df and
+    * the corpus stats are tiny broadcast sides; the per-doc fold is one
+    * narrow agg. No shuffle carries text. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75)
+      : DataFrame = {
+    val staged = docs
+      .select(col(idCol).as("id"), tokens(normalized(col(textCol))).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("dl"),
+        col("__toks"))
+    val stats = staged.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = staged
+      .select(col("id"), col("dl"), explode(col("__toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      // written in EXACTLY the association the oracle SQL uses:
+      // idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+      .withColumn("tscore",
+        (col("n_docs").cast("double") / col("df").cast("double")) *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1 - b) + lit(b) * (col("dl").cast("double") /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double"))))))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tscore").cast("decimal(18,6)")).cast("double").as("score"))
+  }
+
   def topKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -62,6 +62,26 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("BM25: hand-computed scores on a tiny corpus, decimal-exact sum") {
+    val df = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val r = TextStats.bm25(df, "doc_id", "text", Seq("apple", "cherry"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // N=3 sum_dl=8 avgdl=8/3; k1=1.25 b=0.75 k1+1=2.25 (all binary-exact)
+    def term(tf: Long, df: Long, dl: Long): Double =
+      (3.0 / df) * (tf * 2.25) /
+        (tf + 1.25 * (0.25 + 0.75 * (dl / (8.0 / 3.0))))
+    def dec6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0L) == ((1L, dec6(term(2, 1, 3)))))          // apple tf=2
+    assert(r(1L) == ((1L, dec6(term(1, 2, 2)))))          // cherry tf=1
+    assert(r(2L) == ((1L, dec6(term(3, 2, 3)))))          // cherry tf=3
+    // doc with no query terms is absent, not zero-scored
+    assert(!r.contains(3L) && r.size == 3)
+  }
+
   test("topKeywords ranks doc-frequent corpus-rare tokens first, k-capped") {
     // "zebra" appears 3x in doc 1 only; "common" in all 3 docs
     val df = Seq(
