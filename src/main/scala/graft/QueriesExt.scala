@@ -1550,6 +1550,27 @@ object QueriesExt {
        |       ELSE floor(cum_tok / 512) END AS BIGINT) chunk_id
        |FROM c""".stripMargin
 
+  /** Sliding-window chunking with overlap (window=64, stride=48 →
+    * 16-token overlap); chunk text itself is hash-compared, so slice
+    * boundaries and token order are verified to the byte. */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    ext.Packing.chunkDocs(docs(s, dir), "doc_id", "text",
+      window = 64, stride = 48)
+      .select(col("id").as("doc_id"), col("chunk_idx"),
+        col("n_doc_tokens"), col("n_chunk_tokens"), col("chunk_text"))
+
+  private val qChunkSql: String =
+    s"""WITH st AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |s2 AS (SELECT doc_id, t, CAST(len(t) AS INT) n FROM st WHERE len(t) > 0),
+       |s3 AS (SELECT doc_id, t, n,
+       |    1 + CAST(ceil(CAST(greatest(n - 64, 0) AS DOUBLE) / 48) AS INT) nchunks
+       |  FROM s2),
+       |ch AS (SELECT doc_id, t, n, unnest(range(nchunks)) ci FROM s3)
+       |SELECT doc_id, CAST(ci AS INT) chunk_idx, n AS n_doc_tokens,
+       |  CAST(least(64, n - ci * 48) AS INT) n_chunk_tokens,
+       |  array_to_string(t[ci*48+1 : ci*48+64], ' ') chunk_text
+       |FROM ch""".stripMargin
+
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
     EventsOps.funnel(events(s, dir), Seq("view", "click", "purchase"))
 
@@ -1847,6 +1868,7 @@ object QueriesExt {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),
     "q_pack" -> (qPack _),
+    "q_chunk" -> (qChunk _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -1913,6 +1935,7 @@ object QueriesExt {
     "q_mad_outliers" -> qMadOutliersSql,
     "q_lexical" -> qLexicalSql,
     "q_pack" -> qPackSql,
+    "q_chunk" -> qChunkSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_decontaminate" -> qDecontaminateSql,

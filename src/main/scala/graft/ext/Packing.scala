@@ -44,4 +44,39 @@ object Packing {
       .select(col("id"), col("bucket"), col("n_tok"), col("cum_tok"),
         col("chunk_id"))
   }
+
+  /** Sliding-window chunking WITH overlap — the per-document splitter
+    * (RAG indexing / long-doc eval prep), complementing
+    * [[packSequences]]' cross-document concat scheme. Chunk starts are
+    * 0, stride, 2*stride, …; each chunk takes `window` tokens (the last
+    * one may be shorter); a doc with <= window tokens yields exactly one
+    * chunk; empty/null docs yield none. Chunk count is
+    * 1 + ceil(max(n - window, 0) / stride) — the last chunk always
+    * reaches the document's end.
+    *
+    * Scale shape: pure narrow map (tokenize once, per-doc transform +
+    * posexplode) — no shuffle, no state; 100 TB chunks in one pass.
+    * Output rows carry the chunk TEXT (callers tokenize downstream);
+    * stride < window gives overlap stride..window-1. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val staged = docs
+      .select(col(idCol).as("id"),
+        TextStats.tokens(TextStats.normalized(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__nchunks",
+        lit(1) + ceil(greatest(col("__n") - window, lit(0)).cast("double") / stride).cast("int"))
+    staged
+      .select(col("id"), col("__n").as("n_doc_tokens"),
+        posexplode(transform(sequence(lit(0), col("__nchunks") - 1), i =>
+          concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(window)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        least(lit(window), col("n_doc_tokens") - col("chunk_idx") * stride))
+      .select(col("id"), col("chunk_idx"), col("n_doc_tokens"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
 }

@@ -136,6 +136,37 @@ class TextStatsSpec extends SparkSpec {
     assert(b1 == b2)
   }
 
+  test("chunkDocs: overlap boundaries, tail chunk, lossless reconstruction") {
+    val toks10 = (0 until 10).map(i => s"t$i").mkString(" ")
+    val toks11 = (0 until 11).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, toks10), (1L, toks11), (2L, "a b"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = graft.ext.Packing.chunkDocs(df, "doc_id", "text",
+      window = 4, stride = 3)
+      .orderBy($"id", $"chunk_idx")
+      .select($"id", $"chunk_idx", $"n_chunk_tokens", $"chunk_text")
+      .collect()
+    val byDoc = r.groupBy(_.getLong(0))
+    // 10 tokens, w=4 s=3 -> 3 chunks at starts 0,3,6; all width 4
+    assert(byDoc(0L).map(_.getString(3)).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    // 11 tokens -> 4 chunks, tail has 2
+    assert(byDoc(1L).length == 4 && byDoc(1L).last.getInt(2) == 2)
+    assert(byDoc(1L).last.getString(3) == "w9 w10")
+    // short doc: exactly one whole-doc chunk
+    assert(byDoc(2L).map(_.getString(3)).toSeq == Seq("a b"))
+    // empty and null docs yield no chunks
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // lossless: first `stride` tokens of each non-last chunk + whole last
+    for (id <- Seq(0L, 1L)) {
+      val chunks = byDoc(id).map(_.getString(3))
+      val rebuilt = (chunks.init.map(_.split(" ").take(3).mkString(" ")) :+
+        chunks.last).mkString(" ")
+      val orig = if (id == 0L) toks10 else toks11
+      assert(rebuilt == orig, s"doc $id: $rebuilt")
+    }
+  }
+
   test("fingerprints collapse case/punctuation/whitespace variants") {
     val df = Seq("Hello,  World!", "hello world", "different").toDF("t")
     val md5s = df.select(TextStats.fingerprintMd5($"t")).as[String].collect()
