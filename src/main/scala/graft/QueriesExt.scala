@@ -1621,6 +1621,44 @@ object QueriesExt {
        |      FROM scored)
        |WHERE rank <= 5""".stripMargin
 
+  /** Per-source hygiene stats: duplicates of every third src3 doc are
+    * injected so exactly one source crosses the dup-rate cap and flips
+    * its keep verdict. */
+  private def qSourceStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val injected = d.union(
+      d.filter(col("source") === "src3" && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("source")))
+    TextStats.sourceStats(injected, "text", "source",
+      minDocs = 15, maxDupRate = 0.1)
+  }
+  private val qSourceStatsSql = {
+    val stopList = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH inj AS (SELECT doc_id, text, source FROM documents
+       |    UNION ALL SELECT doc_id + 100000, text, source FROM documents
+       |    WHERE source = 'src3' AND doc_id % 3 = 0),
+       |st AS (SELECT source, md5(${normSql("text")}) fp,
+       |    ${toksSql("text")} t FROM inj),
+       |s2 AS (SELECT source, fp, CAST(len(t) AS INT) n_tok,
+       |    CAST(len(list_filter(t, x -> list_contains([$stopList], x))) AS INT) n_stop
+       |  FROM st),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+       |    CAST(count(DISTINCT fp) AS BIGINT) n_distinct,
+       |    CAST(sum(n_tok) AS BIGINT) sum_tokens,
+       |    CAST(sum(n_stop) AS BIGINT) sum_stop
+       |  FROM s2 GROUP BY 1)
+       |SELECT source, n_docs, n_distinct, sum_tokens, sum_stop,
+       |  CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) dup_rate,
+       |  CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) avg_tokens,
+       |  CASE WHEN sum_tokens > 0
+       |    THEN CAST(sum_stop AS DOUBLE) / CAST(sum_tokens AS DOUBLE)
+       |    ELSE 0.0 END stop_share,
+       |  (n_docs >= 15 AND CAST(n_docs - n_distinct AS DOUBLE)
+       |     / CAST(n_docs AS DOUBLE) <= 0.1) keep
+       |FROM a""".stripMargin
+  }
+
   /** BM25 (linear-idf, decimal-summed — see TextStats.bm25 scaladoc for
     * the two portability choices) over a 3-term query; k1=1.25 / b=0.75
     * are binary-exact so the oracle's literals are the identical
@@ -1862,6 +1900,7 @@ object QueriesExt {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_source_stats" -> (qSourceStats _),
     "q_funnel" -> (qFunnel _),
     "q_vocab" -> (qVocab _),
     "q_moving_avg" -> (qMovingAvg _),
@@ -1929,6 +1968,7 @@ object QueriesExt {
     "q_bloom_semi" -> qBloomSemiSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_source_stats" -> qSourceStatsSql,
     "q_funnel" -> qFunnelSql,
     "q_vocab" -> qVocabSql,
     "q_moving_avg" -> qMovingAvgSql,

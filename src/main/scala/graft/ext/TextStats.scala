@@ -138,6 +138,49 @@ object TextStats {
     * join back on token [vocab-keyed, no hot keys after the tf combine]
     * → per-doc top-k via row_number, which Spark rewrites to
     * WindowGroupLimit (map-side k-row heaps, not a full per-doc sort). */
+  /** Per-source corpus hygiene stats + keep/drop verdict — the
+    * domain-reputation step of a web-scale pipeline (RefinedWeb-style:
+    * judge SOURCES, not just documents; a mirror site or template farm
+    * shows up as a high within-source duplicate rate long before
+    * per-document filters notice).
+    *
+    * Per source: doc count, within-source exact-dup rate (by content
+    * fingerprint), mean tokens/doc, and the corpus-level stopword share
+    * (ratio of integer sums — order-free, unlike a mean of per-doc
+    * ratios). `keep` = enough docs AND dup rate under the cap.
+    *
+    * Scale shape: ONE two-level aggregate keyed by source. The distinct
+    * fingerprint count partially aggregates on (source, fp) first, so a
+    * mega-source's rows spread across the cluster by fingerprint and no
+    * single reducer sees a whole source. No text ever shuffles (16-byte
+    * digests + integer token counts). */
+  def sourceStats(docs: DataFrame, textCol: String, sourceCol: String,
+      minDocs: Long = 10, maxDupRate: Double = 0.25): DataFrame = {
+    val staged = docs
+      .select(col(sourceCol).as("source"),
+        fingerprintMd5(coalesce(col(textCol), lit(""))).as("fp"),
+        tokens(normalized(col(textCol))).as("__toks"))
+      .select(col("source"), col("fp"), size(col("__toks")).as("n_tok"),
+        size(filter(col("__toks"), tk => tk.isInCollection(stopwords)))
+          .as("n_stop"))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("n_stop")).as("sum_stop"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("avg_tokens",
+        col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("stop_share",
+        when(col("sum_tokens") > 0,
+          col("sum_stop").cast("double") / col("sum_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("n_docs") >= minDocs && col("dup_rate") <= maxDupRate)
+  }
+
   /** BM25 document ranking for a (small) bag of query terms — the
     * retrieval scorer a corpus pipeline uses to mine topical documents
     * (and the core of quality-classifier seed selection).

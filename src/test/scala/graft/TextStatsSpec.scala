@@ -62,6 +62,27 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("sourceStats: within-source dup rate, integer-sum ratios, keep verdict") {
+    val df = Seq(
+      (0L, "the cat sat", "a"), (1L, "the cat sat", "a"),   // exact dup pair
+      (2L, "dogs run fast here", "a"),
+      (3L, "one doc only", "b"),
+      (4L, "the the the word", "b")).toDF("doc_id", "text", "source")
+    val r = TextStats.sourceStats(df, "text", "source",
+      minDocs = 3, maxDupRate = 0.25)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_distinct") == 2)
+    assert(a.getAs[Double]("dup_rate") == 1.0 / 3.0)
+    assert(a.getAs[Double]("avg_tokens") == 10.0 / 3.0)
+    // stopword share = ratio of sums: 'the' x2 of 10 tokens
+    assert(a.getAs[Double]("stop_share") == 2.0 / 10.0)
+    assert(!a.getAs[Boolean]("keep")) // dup_rate 0.33 > 0.25
+    val b = r("b")
+    assert(b.getAs[Double]("dup_rate") == 0.0)
+    assert(!b.getAs[Boolean]("keep")) // only 2 docs < minDocs=3
+  }
+
   test("BM25: hand-computed scores on a tiny corpus, decimal-exact sum") {
     val df = Seq(
       (0L, "apple banana apple"),
