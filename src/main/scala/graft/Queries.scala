@@ -331,6 +331,39 @@ object Queries {
        |FROM dirty GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // Feature scaling (post-cleaning model prep; see Cleaning scaladoc
+  // for the exact-arithmetic determinism argument)
+  // ------------------------------------------------------------------
+  private def qScaleMinmax(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.ScaleMinMax("qty")(dirty(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("qty_scaled"))
+  private val qScaleMinmaxSql =
+    s"""WITH $dirtySql,
+       |st AS (SELECT CAST(min(qty) AS DOUBLE) mn, CAST(max(qty) AS DOUBLE) mx
+       |  FROM dirty)
+       |SELECT l_orderkey, l_linenumber, qty,
+       |  CASE WHEN mx > mn THEN (qty - mn) / (mx - mn)
+       |       WHEN qty IS NOT NULL THEN 0.0 END qty_scaled
+       |FROM dirty, st""".stripMargin
+
+  private def qScaleZscore(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.ScaleZScore("price")(dirty(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price"),
+        col("price_scaled"))
+  private val qScaleZscoreSql =
+    s"""WITH $dirtySql,
+       |st AS (SELECT CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) s,
+       |    CAST(sum(CAST(price * price AS DECIMAL(38,4))) AS DOUBLE) s2,
+       |    CAST(count(price) AS BIGINT) n FROM dirty),
+       |d AS (SELECT *, s / n m FROM st),
+       |e AS (SELECT *, sqrt(s2 / n - m * m) sd FROM d)
+       |SELECT l_orderkey, l_linenumber, price,
+       |  CASE WHEN sd > 0 THEN (price - m) / sd
+       |       WHEN price IS NOT NULL THEN 0.0 END price_scaled
+       |FROM dirty, e""".stripMargin
+
+  // ------------------------------------------------------------------
   // T9 — deterministic keep-first dedup
   // ------------------------------------------------------------------
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -703,6 +736,8 @@ object Queries {
     "q_impute_median" -> (qImputeMedian _),
     "q_impute_mode" -> (qImputeMode _),
     "q_fill_constant" -> (qFillConstant _),
+    "q_scale_minmax" -> (qScaleMinmax _),
+    "q_scale_zscore" -> (qScaleZscore _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_date_auto" -> (qDateAuto _),
     "q_date_force_dmy" -> (qDateForceDmy _),
@@ -733,6 +768,8 @@ object Queries {
     "q_impute_median" -> qImputeMedianSql,
     "q_impute_mode" -> qImputeModeSql,
     "q_fill_constant" -> qFillConstantSql,
+    "q_scale_minmax" -> qScaleMinmaxSql,
+    "q_scale_zscore" -> qScaleZscoreSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_date_auto" -> qDateAutoSql,
     "q_date_force_dmy" -> qDateForceDmySql,

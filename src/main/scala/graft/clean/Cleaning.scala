@@ -216,4 +216,52 @@ object CleaningAction {
     def yyyyMMdd(column: String): DateForceFormat =
       DateForceFormat(column, "yyyy-M-d")
   }
+
+  /** Feature scaling (the sklearn MinMaxScaler / StandardScaler pair —
+    * the standard post-cleaning prep before numeric features feed a
+    * model). Both are one tiny stats aggregate broadcast against a
+    * narrow per-row map — no shuffle of the data, any corpus size.
+    *
+    * Cross-engine determinism: min/max are order-free, so MinMax output
+    * is bit-identical everywhere with no rounding. ZScore avoids the
+    * order-DEPENDENT naive variance sum by computing exact decimal
+    * aggregates (sum at 2 decimals, sum of squares at 4 — exact for
+    * values on a 2-dp grid like money; document the grid assumption to
+    * callers) and deriving var = E[x^2] - mean^2 in plain IEEE ops, so
+    * every engine computes the identical doubles. The E[x^2] form
+    * cancels when std << |mean| — acceptable for feature scaling, and
+    * the exactness of BOTH aggregates makes the cancellation itself
+    * deterministic. Nulls stay null; a constant column scales to 0. */
+  final case class ScaleMinMax(column: String) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val st = df.agg(min(col(column)).cast("double").as("__mn"),
+        max(col(column)).cast("double").as("__mx"))
+      df.crossJoin(broadcast(st))
+        .withColumn(s"${column}_scaled",
+          when(col("__mx") > col("__mn"),
+            (col(column) - col("__mn")) / (col("__mx") - col("__mn")))
+            .otherwise(when(col(column).isNotNull, lit(0.0))))
+        .drop("__mn", "__mx")
+    }
+    def describe = s"Min-max scaled $column to [0, 1]"
+  }
+
+  final case class ScaleZScore(column: String) extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val x = col(column)
+      val st = df.agg(
+        sum(x.cast("decimal(18,2)")).cast("double").as("__s"),
+        sum((x * x).cast("decimal(38,4)")).cast("double").as("__s2"),
+        count(x).as("__n"))
+      df.crossJoin(broadcast(st))
+        .withColumn("__m", col("__s") / col("__n"))
+        .withColumn("__sd",
+          sqrt(col("__s2") / col("__n") - col("__m") * col("__m")))
+        .withColumn(s"${column}_scaled",
+          when(col("__sd") > 0, (x - col("__m")) / col("__sd"))
+            .otherwise(when(x.isNotNull, lit(0.0))))
+        .drop("__s", "__s2", "__n", "__m", "__sd")
+    }
+    def describe = s"Z-score standardized $column (population variance)"
+  }
 }

@@ -119,4 +119,31 @@ class CleaningSpec extends SparkSpec {
     assert(OutlierReplaceMedian("x")(df).filter($"x".isNull).count() == 2)
     assert(OutlierReplaceMean("x")(df).filter($"x".isNull).count() == 2)
   }
+
+  test("ScaleMinMax: [0,1] range, nulls stay null, constant column -> 0") {
+    val df = Seq(Some(2.0), None, Some(4.0), Some(8.0)).toDF("x")
+    val r = ScaleMinMax("x")(df).select($"x_scaled").as[Option[Double]]
+      .collect().toSet
+    assert(r == Set(Some(0.0), None, Some((4.0 - 2.0) / 6.0), Some(1.0)))
+    val const = ScaleMinMax("x")(Seq(Some(5.0), Some(5.0), None).toDF("x"))
+      .select($"x_scaled").as[Option[Double]].collect().toSet
+    assert(const == Set(Some(0.0), None))
+  }
+
+  test("ScaleZScore: exact decimal moments, population variance, nulls kept") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x")
+    val r = ScaleZScore("x")(df)
+      .select($"x", $"x_scaled").collect()
+      .map(x => Option(x.get(0)) -> Option(x.get(1))).toMap
+    // mean 2, var_pop = 14/3 - 4 = 2/3 — same IEEE derivation as the op
+    val sd = math.sqrt(14.0 / 3 - 4.0)
+    assert(r(Some(1.0)) == Some((1.0 - 2.0) / sd))
+    assert(r(Some(2.0)) == Some(0.0))
+    assert(r(Some(3.0)) == Some((3.0 - 2.0) / sd))
+    assert(r(None).isEmpty)
+    // degenerate: constant column standardizes to 0, not NaN
+    val const = ScaleZScore("x")(Seq(Some(7.0), Some(7.0)).toDF("x"))
+      .select($"x_scaled").as[Option[Double]].collect().toSet
+    assert(const == Set(Some(0.0)))
+  }
 }
