@@ -520,6 +520,38 @@ object QueriesExt {
        |  ${Hashing.hash64Sql("array_to_string(codes, ',')")} AS codes_h
        |FROM c""".stripMargin
 
+  /** Product-quantization codes (m=8 subspaces x 16-entry codebooks over
+    * dims=64): integer code vectors are hash-checked per vector, so
+    * subspace slicing, the argmax-dot assignment, and tie-breaks are all
+    * verified to the byte. Subspace geometry (8x8) is written into the
+    * SQL; the Spark side probes dims from the data. */
+  private def qPqCodes(s: SparkSession, dir: String): DataFrame =
+    SimSearch.productQuantize(emb(s, dir), "vec_id", "embedding",
+      m = 8, ksub = 16)
+      .select(col("id").as("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        Hashing.hash64(array_join(
+          transform(col("codes"), c => c.cast("string")), ",")).as("codes_h"))
+  private val qPqCodesSql =
+    s"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+       |ids AS (SELECT id FROM v ORDER BY id LIMIT 16),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) code, v
+       |  FROM v JOIN ids USING (id)),
+       |subs AS (SELECT unnest(range(8)) j),
+       |sv AS (SELECT id, j, v[j*8+1 : j*8+8] x FROM v, subs),
+       |cs AS (SELECT code, j, v[j*8+1 : j*8+8] c FROM cents, subs),
+       |asg AS (SELECT id, j, code FROM (
+       |    SELECT s.id, s.j, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.j
+       |        ORDER BY list_dot_product(s.x, c.c)
+       |          - 0.5 * list_dot_product(c.c, c.c) DESC, c.code ASC) rn
+       |    FROM sv s JOIN cs c ON s.j = c.j) WHERE rn = 1),
+       |codes AS (SELECT id, list(code ORDER BY j) codes FROM asg GROUP BY 1)
+       |SELECT id AS vec_id,
+       |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       |  ${Hashing.hash64Sql("array_to_string(codes, ',')")} AS codes_h
+       |FROM codes""".stripMargin
+
   /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
     * crossJoin was the one outright scale-killer). The banding and the
     * bucket cap are deterministic and mirrored bit-for-bit in the oracle:
@@ -1947,6 +1979,7 @@ object QueriesExt {
     "q_fingerprint" -> (qFingerprint _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_quantize" -> (qQuantize _),
+    "q_pq_codes" -> (qPqCodes _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -2015,6 +2048,7 @@ object QueriesExt {
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,
     "q_quantize" -> qQuantizeSql,
+    "q_pq_codes" -> qPqCodesSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,

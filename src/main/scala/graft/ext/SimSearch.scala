@@ -227,6 +227,59 @@ object SimSearch {
       .drop("__mns", "__mxs")
   }
 
+  /** Product quantization (the FAISS IVF-PQ compression scheme, public:
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): split each vector into `m` contiguous subvectors and
+    * code each against its own `ksub`-entry codebook — m bytes per
+    * vector at ksub<=256 (32x smaller than float32 at dims=64/m=8).
+    *
+    * Codebooks here are the deterministic smallest-id corpus sample
+    * (the [[ivfTopK]] convention), entries ranked 0..ksub-1 by id.
+    * Assignment uses argmin ||x-c||^2 = argmax (x·c - ||c||^2/2) so the
+    * only floating-point primitive is the left-to-right dot product both
+    * engines already mirror bit-for-bit — no engine-internal distance
+    * kernel whose summation order we can't see. Ties break to the
+    * smallest code.
+    *
+    * Scale shape: identical to [[assignLists]] — the codebook collapses
+    * to ONE broadcast row (m sorted struct arrays), coding is a pure
+    * narrow map scoring ksub entries per subspace inside a projection;
+    * the corpus is never shuffled. */
+  def productQuantize(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // ksub rows; the single-partition window is on 16 rows, not the corpus
+    val w = Window.orderBy(col("id").asc)
+    val cents = v.orderBy(col("id").asc).limit(ksub)
+      .select((row_number().over(w) - 1).cast("long").as("code"), col("v"))
+    val centAggs = (0 until m).map(j =>
+      sort_array(collect_list(struct(col("code"),
+        slice(col("v"), j * dsub + 1, dsub).as("cv")))).as(s"__carr$j"))
+    val centArr = cents.agg(centAggs.head, centAggs.tail: _*)
+    var out = v.join(broadcast(centArr), lit(true))
+    for (j <- 0 until m) {
+      out = out
+        .withColumn(s"__x$j", slice(col("v"), j * dsub + 1, dsub))
+        .withColumn(s"__code$j", element_at(array_sort(
+          transform(col(s"__carr$j"), cst => struct(
+            (dot(col(s"__x$j"), cst.getField("cv")) -
+              lit(0.5) * dot(cst.getField("cv"), cst.getField("cv"))).as("d"),
+            cst.getField("code").as("cid"))),
+          (l, r) =>
+            when(l.getField("d") > r.getField("d"), -1)
+              .when(l.getField("d") < r.getField("d"), 1)
+              .when(l.getField("cid") < r.getField("cid"), -1)
+              .when(l.getField("cid") > r.getField("cid"), 1)
+              .otherwise(0)), 1).getField("cid"))
+    }
+    out
+      .withColumn("codes", array((0 until m).map(j => col(s"__code$j")): _*))
+      .select(col("id"), col("codes"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension d): a [-0.5, 0.5) grid value derived from the Knuth
     * permutation constants — reproducible with zero egress, no stored

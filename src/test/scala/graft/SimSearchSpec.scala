@@ -109,6 +109,28 @@ class SimSearchSpec extends SparkSpec {
       nlist = 16, maxCluster = 1).isEmpty)
   }
 
+  test("product quantization: per-subspace argmin codes, self-coding codebook") {
+    // dims=4, m=2 subspaces of 2; codebook = ids 0,1 -> codes 0,1
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.1f, 0.9f, 0.0f)),   // sub0 ~ id0, sub1 ~ id1
+      (3L, Seq(0.1f, 1.0f, 0.0f, 0.9f)))   // sub0 ~ id1, sub1 ~ id0
+      .toDF("vec_id", "embedding")
+    val r = SimSearch.productQuantize(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(r(0L) == Seq(0L, 0L)) // codebook vectors code to themselves
+    assert(r(1L) == Seq(1L, 1L))
+    assert(r(2L) == Seq(0L, 1L))
+    assert(r(3L) == Seq(1L, 0L))
+    // fixture corpus: every code within [0, ksub)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = SimSearch.productQuantize(e, "vec_id", "embedding")
+      .select(explode($"codes").as("c")).as[Long].collect()
+    assert(codes.nonEmpty && codes.forall(c => c >= 0 && c < 16))
+  }
+
   /** Clustered corpus: `nClusters` unit centers, `perCluster` members
     * each at `noise * N(0, I)` around their center, ids assigned
     * cluster-by-cluster. Deterministic (fixed seed). */
