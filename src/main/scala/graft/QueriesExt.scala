@@ -532,25 +532,53 @@ object QueriesExt {
         aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
         Hashing.hash64(array_join(
           transform(col("codes"), c => c.cast("string")), ",")).as("codes_h"))
+  /** Shared PQ CTE chain (codebook + per-subspace assignment) — used by
+    * both the code dump and the ADC search oracle so the two cannot
+    * drift apart. Ends with `asg(id, j, code)` and `cs(code, j, c)`. */
+  private val pqCteSql =
+    """v AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+      |ids AS (SELECT id FROM v ORDER BY id LIMIT 16),
+      |cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) code, v
+      |  FROM v JOIN ids USING (id)),
+      |subs AS (SELECT unnest(range(8)) j),
+      |sv AS (SELECT id, j, v[j*8+1 : j*8+8] x FROM v, subs),
+      |cs AS (SELECT code, j, v[j*8+1 : j*8+8] c FROM cents, subs),
+      |asg AS (SELECT id, j, code FROM (
+      |    SELECT s.id, s.j, c.code,
+      |      row_number() OVER (PARTITION BY s.id, s.j
+      |        ORDER BY list_dot_product(s.x, c.c)
+      |          - 0.5 * list_dot_product(c.c, c.c) DESC, c.code ASC) rn
+      |    FROM sv s JOIN cs c ON s.j = c.j) WHERE rn = 1)""".stripMargin
   private val qPqCodesSql =
-    s"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
-       |ids AS (SELECT id FROM v ORDER BY id LIMIT 16),
-       |cents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) code, v
-       |  FROM v JOIN ids USING (id)),
-       |subs AS (SELECT unnest(range(8)) j),
-       |sv AS (SELECT id, j, v[j*8+1 : j*8+8] x FROM v, subs),
-       |cs AS (SELECT code, j, v[j*8+1 : j*8+8] c FROM cents, subs),
-       |asg AS (SELECT id, j, code FROM (
-       |    SELECT s.id, s.j, c.code,
-       |      row_number() OVER (PARTITION BY s.id, s.j
-       |        ORDER BY list_dot_product(s.x, c.c)
-       |          - 0.5 * list_dot_product(c.c, c.c) DESC, c.code ASC) rn
-       |    FROM sv s JOIN cs c ON s.j = c.j) WHERE rn = 1),
+    s"""WITH $pqCteSql,
        |codes AS (SELECT id, list(code ORDER BY j) codes FROM asg GROUP BY 1)
        |SELECT id AS vec_id,
        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
        |  ${Hashing.hash64Sql("array_to_string(codes, ',')")} AS codes_h
        |FROM codes""".stripMargin
+
+  /** PQ-ADC top-5: corpus represented only by its 8-byte codes; distance
+    * = decimal-summed per-subspace lookup terms, so the reported value
+    * (not just the ranking) hash-matches the SQL mirror. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16)
+  }
+  private val qAnnPqSql =
+    s"""WITH $pqCteSql,
+       |qs AS (SELECT id query_id, j, x qx FROM sv WHERE id < 10),
+       |terms AS (SELECT q.query_id, a.id, q.j,
+       |    CAST(list_dot_product(q.qx, q.qx) - 2.0 * list_dot_product(q.qx, c.c)
+       |         + list_dot_product(c.c, c.c) AS DECIMAL(18,6)) t
+       |  FROM qs q JOIN asg a ON a.id <> q.query_id AND a.j = q.j
+       |  JOIN cs c ON c.j = a.j AND c.code = a.code),
+       |d AS (SELECT query_id, id, CAST(sum(t) AS DOUBLE) adc
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank, adc
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, id ASC) rank FROM d)
+       |WHERE rank <= 5""".stripMargin
 
   /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
     * crossJoin was the one outright scale-killer). The banding and the
@@ -1980,6 +2008,7 @@ object QueriesExt {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_quantize" -> (qQuantize _),
     "q_pq_codes" -> (qPqCodes _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -2049,6 +2078,7 @@ object QueriesExt {
     "q_cosine_topk" -> qCosineTopkSql,
     "q_quantize" -> qQuantizeSql,
     "q_pq_codes" -> qPqCodesSql,
+    "q_ann_pq" -> qAnnPqSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,

@@ -245,12 +245,11 @@ object SimSearch {
     * to ONE broadcast row (m sorted struct arrays), coding is a pure
     * narrow map scoring ksub entries per subspace inside a projection;
     * the corpus is never shuffled. */
-  def productQuantize(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
-    require(dims % m == 0, s"m=$m must divide dims=$dims")
-    val dsub = dims / m
-    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+  /** One-row PQ codebook frame: for each subspace j, `__carr{j}` holds a
+    * code-ascending array of (code, cv) structs — codebook entries are
+    * the `ksub` smallest-id corpus vectors, ranked 0..ksub-1 by id. */
+  private[graft] def pqCentArr(v: DataFrame, m: Int, dsub: Int,
+      ksub: Int): DataFrame = {
     // ksub rows; the single-partition window is on 16 rows, not the corpus
     val w = Window.orderBy(col("id").asc)
     val cents = v.orderBy(col("id").asc).limit(ksub)
@@ -258,7 +257,16 @@ object SimSearch {
     val centAggs = (0 until m).map(j =>
       sort_array(collect_list(struct(col("code"),
         slice(col("v"), j * dsub + 1, dsub).as("cv")))).as(s"__carr$j"))
-    val centArr = cents.agg(centAggs.head, centAggs.tail: _*)
+    cents.agg(centAggs.head, centAggs.tail: _*)
+  }
+
+  def productQuantize(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val centArr = pqCentArr(v, m, dsub, ksub)
     var out = v.join(broadcast(centArr), lit(true))
     for (j <- 0 until m) {
       out = out
@@ -278,6 +286,53 @@ object SimSearch {
     out
       .withColumn("codes", array((0 until m).map(j => col(s"__code$j")): _*))
       .select(col("id"), col("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * search half of [[productQuantize]]: the corpus is represented ONLY
+    * by its m-byte codes; each query computes exact per-subspace
+    * distances to the ksub codebook entries and a corpus row's distance
+    * is the sum of its codes' table entries. Classic PQ trade: memory
+    * and bandwidth drop 32x, distances become quantized approximations.
+    *
+    * Per-subspace terms are ||q_j - c||^2 expanded to dot products
+    * (engine-mirrorable) and summed as DECIMAL(18,6) — exact and
+    * order-free, so the reported distance is bit-stable across engines
+    * and partitionings. Plan shape: codes scan x broadcast(queries) x
+    * broadcast(codebook row), all narrow; the only shuffle is the final
+    * per-query top-k window (WindowGroupLimit-capped). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val centArr = pqCentArr(v, m, dsub, ksub)
+    val codes = productQuantize(corpus, idCol, vecCol, m, ksub)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    var out = codes
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .join(broadcast(centArr), lit(true))
+    for (j <- 0 until m) {
+      val qx = col(s"__qx$j")
+      val cv = col(s"__cv$j")
+      out = out
+        .withColumn(s"__qx$j", slice(col("qv"), j * dsub + 1, dsub))
+        .withColumn(s"__cv$j", element_at(col(s"__carr$j"),
+          element_at(col("codes"), j + 1).cast("int") + 1).getField("cv"))
+        .withColumn(s"__t$j",
+          (dot(qx, qx) - lit(2.0) * dot(qx, cv) + dot(cv, cv))
+            .cast("decimal(18,6)"))
+    }
+    val adc = (0 until m).map(j => col(s"__t$j")).reduce(_ + _).cast("double")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("id").asc)
+    out.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("adc"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,

@@ -131,6 +131,23 @@ class SimSearchSpec extends SparkSpec {
     assert(codes.nonEmpty && codes.forall(c => c >= 0 && c < 16))
   }
 
+  test("PQ-ADC search: k rows per query, adc-consistent ranking, self excluded") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = SimSearch.pqTopK(e, e.filter($"vec_id" < 3), "vec_id", "embedding", 5)
+      .collect()
+    assert(r.length == 15) // 3 queries x k=5
+    val byQ = r.groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to 5))
+      // ranks follow adc ascending; all distances non-negative; no self
+      val adcs = sorted.map(_.getDouble(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+      assert(adcs.forall(_ >= 0.0))
+      assert(!rows.exists(_.getLong(1) == q))
+    }
+  }
+
   /** Clustered corpus: `nClusters` unit centers, `perCluster` members
     * each at `noise * N(0, I)` around their center, ids assigned
     * cluster-by-cluster. Deterministic (fixed seed). */
