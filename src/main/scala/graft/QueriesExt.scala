@@ -176,6 +176,54 @@ object QueriesExt {
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
   }
 
+  /** Incremental dedup: a synthetic "new crawl" (exact copies of every
+    * 20th doc under new ids, plus genuinely-novel docs whose text is the
+    * md5 hex of every (20k+7)th doc) banded against the indexed corpus.
+    * Only batch->index pairs exist — never a self-join of either side —
+    * and the hot-bucket cap applies to the index side (the shape that
+    * keeps each crawl O(|batch|)). */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          md5(col("text").cast("binary")).as("text")))
+    Dedup.incrementalNearDups(d, batch, "doc_id", "text",
+      threshold = 0.8, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
+  }
+  private val qIncrementalDedupSql = {
+    val sh = wordShinglesSql
+    val sigSql =
+      s"""list_transform(range(16), i ->
+         |    list_min(list_transform(h, x -> (($aList)[i+1] * (x % $P) + ($bList)[i+1]) % $P)))""".stripMargin
+    val bkeySql = Hashing.hash64Sql(
+      "array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")
+    s"""WITH bdocs AS (
+       |  SELECT doc_id + 100000 doc_id, text FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL SELECT doc_id + 200000, md5(text) FROM documents WHERE doc_id % 20 = 7),
+       |itoks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |btoks AS (SELECT doc_id, ${toksSql("text")} t FROM bdocs),
+       |ihs AS (SELECT doc_id, list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM itoks),
+       |bhs AS (SELECT doc_id, list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM btoks),
+       |isig AS (SELECT doc_id, $sigSql sg FROM ihs),
+       |bsig AS (SELECT doc_id, $sigSql sg FROM bhs),
+       |ibands AS (SELECT doc_id, band, $bkeySql bkey
+       |  FROM isig, (SELECT unnest(range(4)) band)),
+       |bbands AS (SELECT doc_id, band, $bkeySql bkey
+       |  FROM bsig, (SELECT unnest(range(4)) band)),
+       |icapped AS (SELECT doc_id, band, bkey FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM ibands)
+       |  WHERE bs <= 64),
+       |cand AS (SELECT DISTINCT b.doc_id bid, i.doc_id iid
+       |  FROM bbands b JOIN icapped i ON b.band = i.band AND b.bkey = i.bkey),
+       |pairs AS (SELECT bid, iid,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
+       |  FROM cand JOIN bhs x ON x.doc_id = bid JOIN ihs y ON y.doc_id = iid)
+       |SELECT bid AS batch_id, iid AS index_id, j AS jaccard
+       |FROM pairs WHERE j >= 0.8""".stripMargin
+  }
+
   /** Character-5-gram MinHash dedup (tokenization-free variant). The
     * bucket cap is LOAD-BEARING here: shared vocabulary makes char-gram
     * band keys collide across ~100k doc pairs at sf0.1; capping bucket
@@ -1993,6 +2041,7 @@ object QueriesExt {
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
@@ -2063,6 +2112,7 @@ object QueriesExt {
     "q_corpus_pipeline" -> qCorpusPipelineSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,

@@ -603,6 +603,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** INCREMENTAL near-dup detection: a new batch (today's crawl) checked
+    * against an existing indexed corpus — the production shape of
+    * dedup, where re-pairing the whole corpus per crawl would be
+    * O(corpus) daily. Returns (batch_id, index_id, jaccard >= threshold)
+    * pairs; callers anti-join the batch against it to admit only novel
+    * documents, and append the survivors' signatures to the index.
+    *
+    * Same MinHash/LSH machinery as [[nearDuplicates]], but the band join
+    * is batch -> index (never a self-join of either side). The
+    * hot-bucket cap applies to the INDEX side: a boilerplate band key
+    * with a huge index posting list is dropped, so each batch row joins
+    * at most bands x maxBucket index rows — work per crawl is
+    * O(|batch|), independent of corpus size. (An uncapped boilerplate
+    * batch key meets only capped index buckets, so fanout stays
+    * bounded without capping the batch.) */
+  def incrementalNearDups(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, shingleN: Int = 3,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be a multiple of bands=$bands")
+    val rowsPerBand = k / bands
+    val hi = hashedShingleFrame(index, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hb = hashedShingleFrame(batch, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(h: DataFrame): DataFrame = h
+      .select(col("id"),
+        graft.functions.VectorExprs.minhash_sig(col("h"), k).as("sig"))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val indexCapped = banded(hi)
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val cands = banded(hb)
+      .select(col("id").as("batch_id"), col("band"), col("key"))
+      .join(indexCapped.select(col("id").as("index_id"), col("band"),
+        col("key")), Seq("band", "key"))
+      .select(col("batch_id"), col("index_id")).distinct()
+    val pairs = cands
+      .join(hb.withColumnsRenamed(Map("id" -> "batch_id", "h" -> "h_b")),
+        Seq("batch_id"))
+      .join(hi.withColumnsRenamed(Map("id" -> "index_id", "h" -> "h_i")),
+        Seq("index_id"))
+      .withColumn("jaccard", jaccard(col("h_b"), col("h_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("index_id"), col("jaccard"))
+    val result = pairs.localCheckpoint(true)
+    hi.unpersist(false)
+    hb.unpersist(false)
+    result
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): semantic
     * deduplication — cluster the embedding space with k-means, then
     * compare pairs only WITHIN each cluster and drop documents whose

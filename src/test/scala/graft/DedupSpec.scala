@@ -79,6 +79,31 @@ class DedupSpec extends SparkSpec {
     assert(exact.exists(_.getInt(2) == 0), s"1 vs 4 same tokens -> hamming 0: ${pairs.mkString(",")}")
   }
 
+  test("incremental dedup: batch matches index only, novel docs pass, index cap bounds fanout") {
+    val index = corpus
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // copy of 1
+      (102L, "entirely novel document about streaming watermark semantics and state")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(index, batch, "doc_id", "text",
+      threshold = 0.8)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    // the copy matches its original (and its exact-mod-punct twin 4)
+    assert(pairs.contains((101L, 1L)) && pairs.contains((101L, 4L)))
+    assert(!pairs.exists(_._1 == 102L), s"novel doc flagged: $pairs")
+    // batch ids never pair with each other even when near-identical
+    val batchDups = batch.union(Seq((103L,
+      "entirely novel document about streaming watermark semantics and state"))
+      .toDF("doc_id", "text"))
+    val p2 = Dedup.incrementalNearDups(index, batchDups, "doc_id", "text",
+      threshold = 0.8)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(!p2.exists(p => p._1 == 102L || p._1 == 103L))
+    // cap=0 drops every index bucket -> nothing can match
+    assert(Dedup.incrementalNearDups(index, batch, "doc_id", "text",
+      threshold = 0.8, maxBucket = 0).isEmpty)
+  }
+
   test("minhash signature matches a hand-rolled reference for one doc") {
     val h = Seq(42L, 7L, 999999L)
     val expected = (0 until 16).map { i =>
