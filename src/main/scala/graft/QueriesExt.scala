@@ -1508,12 +1508,18 @@ object QueriesExt {
       .select(col("id").as("doc_id"), col("n_contaminated_grams"))
   }
 
-  private val qDecontaminateSql: String = {
+  /** Word-13-gram CASE over a token list column `t` — shared by the
+    * decontamination oracle and the prep-pipeline oracle (one source of
+    * truth, same convention as [[wordShinglesSql]]). */
+  private val word13GramSql: String = {
     val gram13 = (1 to 13).map(k => s"t[i+$k]").mkString(" || ' ' || ")
-    val sh13 =
-      s"""CASE WHEN len(t) >= 13
-         | THEN list_distinct(list_transform(range(len(t) - 12), i -> $gram13))
-         | ELSE [array_to_string(t, ' ')] END""".stripMargin
+    s"""CASE WHEN len(t) >= 13
+       | THEN list_distinct(list_transform(range(len(t) - 12), i -> $gram13))
+       | ELSE [array_to_string(t, ' ')] END""".stripMargin
+  }
+
+  private val qDecontaminateSql: String = {
+    val sh13 = word13GramSql
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
        |hashed AS (SELECT doc_id,
        |    list_transform($sh13, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
@@ -1524,6 +1530,45 @@ object QueriesExt {
        |SELECT corp.doc_id, count(*) n_contaminated_grams
        |FROM corp JOIN bench USING (hash)
        |GROUP BY 1""".stripMargin
+  }
+
+  /** End-to-end prep pipeline: exact dedup -> decontaminate (13-grams vs
+    * the doc_id%50=0 "benchmark") -> chunk (64/48) -> per-source yield
+    * report. Every stage reuses an oracle SQL fragment that already
+    * gates the standalone operator. */
+  private def qPrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ext.CorpusPipeline.prepare(
+      d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "source",
+      d.filter(col("doc_id") % 50 === 0), "text",
+      window = 64, stride = 48, n = 13)
+  }
+  private val qPrepPipelineSql: String = {
+    val sh13 = word13GramSql
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hashed AS (SELECT doc_id,
+       |    list_transform($sh13, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |keep AS (SELECT min(doc_id) doc_id FROM documents
+       |  WHERE doc_id % 50 <> 0 GROUP BY md5(${normSql("text")})),
+       |corp0 AS (SELECT d.doc_id, d.source FROM documents d
+       |  JOIN keep USING (doc_id)),
+       |bench AS (SELECT DISTINCT unnest(h) hash FROM hashed WHERE doc_id % 50 = 0),
+       |contam AS (SELECT DISTINCT cg.doc_id FROM (
+       |    SELECT h.doc_id, unnest(h.h) hash FROM hashed h
+       |    JOIN corp0 USING (doc_id)) cg
+       |  JOIN bench USING (hash)),
+       |s2 AS (SELECT c.doc_id, c.source FROM corp0 c
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |st AS (SELECT s2.doc_id, s2.source, CAST(len(t.t) AS INT) n
+       |  FROM s2 JOIN toks t USING (doc_id) WHERE len(t.t) > 0),
+       |s3 AS (SELECT doc_id, source, n,
+       |    1 + CAST(ceil(CAST(greatest(n - 64, 0) AS DOUBLE) / 48) AS INT) nchunks
+       |  FROM st),
+       |ch AS (SELECT doc_id, source, n, unnest(range(nchunks)) ci FROM s3)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+       |  CAST(count(*) AS BIGINT) n_chunks,
+       |  CAST(sum(least(64, n - ci * 48)) AS BIGINT) sum_chunk_tokens
+       |FROM ch GROUP BY 1""".stripMargin
   }
 
   private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
@@ -2039,6 +2084,7 @@ object QueriesExt {
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_prep_pipeline" -> (qPrepPipeline _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -2110,6 +2156,7 @@ object QueriesExt {
     "q_cube" -> qCubeSql,
     "q_pivot" -> qPivotSql,
     "q_corpus_pipeline" -> qCorpusPipelineSql,
+    "q_prep_pipeline" -> qPrepPipelineSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,

@@ -45,4 +45,39 @@ object CorpusPipeline {
     cfg.lang.fold(kept)(l => kept.filter(col("predicted") === l))
       .select(col("doc_id"), col("text")).as[CorpusDoc]
   }
+
+  /** End-to-end TRAINING-DATA PREP: exact dedup (min-id survivor) ->
+    * benchmark decontamination (drop docs sharing any 13-gram with the
+    * eval set) -> sliding-window chunking -> per-source accounting.
+    * The composition a pretraining data pipeline actually ships:
+    * [[clean]] curates documents; this turns the curated corpus into
+    * training sequences with an auditable per-source yield report
+    * (how many docs/chunks/tokens each source contributed — the number
+    * data governance asks for).
+    *
+    * Every stage is an already-oracle-checked operator; the stages
+    * compose as semi/anti joins on the id (16-byte shuffles, never
+    * text), the chunker is a pure narrow map, and the final report is
+    * one map-side-combined aggregate keyed by source. */
+  def prepare(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
+      window: Int = 64, stride: Int = 48, n: Int = 13)
+      : org.apache.spark.sql.DataFrame = {
+    val keep = Dedup.exactByFingerprint(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val s1 = docs.join(keep, Seq(idCol), "left_semi")
+    val contaminated = Dedup.decontaminate(s1, idCol, textCol,
+      benchmark, benchTextCol, n)
+      .select(col("id").as(idCol))
+    val s2 = s1.join(contaminated, Seq(idCol), "left_anti")
+    val chunks = Packing.chunkDocs(s2, idCol, textCol, window, stride)
+    chunks
+      .join(s2.select(col(idCol).as("id"), col(sourceCol).as("source")),
+        Seq("id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("sum_chunk_tokens"))
+  }
 }

@@ -186,6 +186,25 @@ class DedupSpec extends SparkSpec {
     assert(anyLang.collect().map(_.doc_id).toSet == Set(1L, 5L))
   }
 
+  test("prepare pipeline: dedup -> decontaminate -> chunk -> per-source yield") {
+    import graft.ext.CorpusPipeline
+    val d = Seq(
+      (1L, "aa bb cc", "s1"),
+      (2L, "aa bb cc", "s1"),        // exact dup of 1 -> dropped
+      (3L, "dd ee", "s2"),
+      (4L, "leak gram here", "s2"))  // matches the benchmark -> dropped
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((9L, "leak gram here")).toDF("doc_id", "text")
+    val r = CorpusPipeline.prepare(d, "doc_id", "text", "source",
+      bench, "text", window = 2, stride = 1)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // s1: doc 1 only, 3 tokens -> chunks "aa bb","bb cc" (2+2 tokens)
+    assert(r("s1") == ((1L, 2L, 4L)))
+    // s2: doc 3 only, one 2-token chunk
+    assert(r("s2") == ((1L, 1L, 2L)))
+  }
+
   test("connected components: chains merge, islands stay apart, min-id labels") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
