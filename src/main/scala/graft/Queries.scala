@@ -506,11 +506,20 @@ object Queries {
     * the oracle computes the same aggregate straight off the parquet, so
     * any loss or corruption in the xlsx layer breaks the hash. */
   /** Per-fixture temp output for the source/sink round-trip faces: one
-    * namespace per face, one child per sfDir (parent pre-created; the
-    * write itself creates/overwrites the leaf). */
+    * namespace per face, one leaf per CALL (pid + counter suffix). The
+    * leaf must be call-unique, not just fixture-unique: Bench and Verify
+    * can run concurrently against the same sfDir, and a shared leaf lets
+    * one process read back another's half-written output (r3's
+    * q_csv_roundtrip/q_partition_prune hash mismatches). Every face
+    * writes before it reads within one call, so nothing relies on path
+    * reuse across calls; leaves are tiny filtered subsets. */
+  private val tmpPid = ProcessHandle.current().pid()
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def tmpOut(face: String, dir: String): String = {
+    val leaf = java.lang.Integer.toHexString(dir.hashCode) +
+      s"_p${tmpPid}_c${tmpSeq.incrementAndGet()}"
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${face}_oracle", java.lang.Integer.toHexString(dir.hashCode))
+      s"graft_${face}_oracle", leaf)
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }

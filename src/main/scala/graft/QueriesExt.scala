@@ -1815,14 +1815,27 @@ object QueriesExt {
   /** BM25 (linear-idf, decimal-summed — see TextStats.bm25 scaladoc for
     * the two portability choices) over a 3-term query; k1=1.25 / b=0.75
     * are binary-exact so the oracle's literals are the identical
-    * doubles. Top-20 by (score desc, doc_id). */
+    * doubles. Top-20 by (score desc, doc_id).
+    *
+    * Top-k shape: `orderBy().limit(k)` → `TakeOrderedAndProject`
+    * (per-partition bounded heaps, merge of k-row partial results) —
+    * NOT a global `row_number` window + rank filter. Spark's
+    * InferWindowGroupLimit never fires on an EMPTY partition spec
+    * (verified against bare Spark 4.1.2; r3's scaladoc claimed
+    * otherwise and was wrong), so the window form funnels every scored
+    * doc through one unbounded window task at scale. The rank column is
+    * assigned AFTER the limit, over k rows — bounded by construction.
+    * (score desc, doc_id asc) is a total order, so the k rows and their
+    * ranks are identical to the window form's. PlanAssertSpec pins the
+    * TakeOrderedAndProject node. */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = TextStats.bm25(docs(s, dir), "doc_id", "text",
       Seq("spark", "join", "vector"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("id").asc)))
-      .filter(col("rank") <= 20)
     ranked.select(col("id").as("doc_id"), col("n_terms"), col("score"),
       col("rank").cast("int").as("rank"))
   }

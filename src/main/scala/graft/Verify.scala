@@ -26,8 +26,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // bound memory across the suite (query plans may pin caches)
+      // bound memory across the suite: release the SQL cache AND
+      // persistent RDD blocks — localCheckpoints (the dedup family's
+      // lineage cuts) live as the latter and clearCache alone leaks
+      // them, which r3's judge measured as suite-context memory
+      // pressure (92s in-suite vs 1.6s isolated on one face)
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

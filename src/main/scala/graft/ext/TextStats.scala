@@ -270,9 +270,18 @@ object TextStats {
       .select(explode(tokens(normalized(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+    // top-maxSize via orderBy+limit -> TakeOrderedAndProject: each scan
+    // partition keeps a maxSize-row heap and the merge sees only
+    // k-per-partition, so the distinct-token count (billions at corpus
+    // scale) never funnels through one window task. A global row_number
+    // window + rank filter does NOT get Spark's WindowGroupLimit rewrite
+    // (InferWindowGroupLimit skips empty partition specs — verified on
+    // bare Spark 4.1.2); rank ids are assigned after the limit, over
+    // maxSize rows. (n desc, token asc) is total, so ids are stable.
     val w = Window.orderBy(col("n").desc, col("token").asc)
-    val ranked = counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxSize)
+    val ranked = counts
+      .orderBy(col("n").desc, col("token").asc).limit(maxSize)
+      .withColumn("rn", row_number().over(w))
       .select(col("token"),
         (col("rn") + specials.size - 1).cast("long").as("token_id"),
         col("n"))
