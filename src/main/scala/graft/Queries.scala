@@ -719,6 +719,41 @@ object Queries {
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
     graft.profile.NumericProfile.histogram(li(s, dir), "l_extendedprice", 20)
 
+  /** Distribution drift between two date-sliced snapshots of lineitem
+    * prices (the "did the new crawl shift the distribution" monitor).
+    * Buckets ride the reference slice's exact integer-cents grid;
+    * negative-numerator integer division (cur rows below the ref min)
+    * differs between Spark `div` (truncate) and DuckDB `//` (floor) but
+    * both land below 0 and the GREATEST(0, ..) clamp absorbs the
+    * difference — documented so nobody "simplifies" the clamp away. */
+  private def qHistDrift(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.histogramDrift(
+      li(s, dir).filter(col("l_shipdate") < lit("1998-01-01")),
+      li(s, dir).filter(col("l_shipdate") >= lit("1998-01-01")),
+      "l_extendedprice", 20)
+
+  private val qHistDriftSql: String = {
+    def cents(pred: String) =
+      s"SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents FROM lineitem WHERE $pred"
+    val bucket = "GREATEST(0, LEAST(19, ((cents - mn) * 20) // (mx - mn + 1)))"
+    s"""WITH rf AS (${cents("l_shipdate < DATE '1998-01-01'")}),
+       |cf AS (${cents("l_shipdate >= DATE '1998-01-01'")}),
+       |b AS (SELECT min(cents) mn, max(cents) mx FROM rf),
+       |rb AS (SELECT $bucket bucket, count(*) n_ref FROM rf, b GROUP BY 1),
+       |cb AS (SELECT $bucket bucket, count(*) n_cur FROM cf, b GROUP BY 1),
+       |t AS (SELECT (SELECT count(*) FROM rf) t_ref,
+       |             (SELECT count(*) FROM cf) t_cur),
+       |j AS (SELECT COALESCE(rb.bucket, cb.bucket) bucket,
+       |    COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
+       |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket)
+       |SELECT CAST(bucket AS INT) bucket, n_ref, n_cur,
+       |  CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) share_ref,
+       |  CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) share_cur,
+       |  abs(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+       |    - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) share_gap
+       |FROM j, t""".stripMargin
+  }
+
   private val qHistogramSql: String =
     """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents
       |  FROM lineitem),
@@ -732,6 +767,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_histogram" -> (qHistogram _),
+    "q_hist_drift" -> (qHistDrift _),
     "q_profile" -> (qProfile _),
     "q_missions" -> (qMissions _),
     "q_dup_count" -> (qDupCount _),
@@ -764,6 +800,7 @@ object Queries {
   val oracle: Map[String, String] = Map(
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_histogram" -> qHistogramSql,
+    "q_hist_drift" -> qHistDriftSql,
     "q_profile" -> qProfileSql,
     "q_missions" -> qMissionsSql,
     "q_dup_count" -> qDupCountSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Multimodal, Relational, Repetition, SimSearch, TextStats}
+import graft.ext.{Dedup, EventsOps, Layout, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
 
@@ -627,6 +627,60 @@ object QueriesExt {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc ASC, id ASC) rank FROM d)
        |WHERE rank <= 5""".stripMargin
+
+  /** IVF-PQ top-5: coarse IVF probe (nlist=16, nprobe=4) + ADC over
+    * m=8/ksub=16 codes trained on the NORMALIZED corpus (non-residual).
+    * The oracle rebuilds both halves: the q_ann_ivf coarse chain (sans
+    * Lloyd) and the q_ann_pq code/ADC chain, but over normalized
+    * vectors. Every argmax tie-breaks on ids and ADC sums as
+    * DECIMAL(18,6), so the reported distance hash-matches. */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+  }
+  private val qAnnIvfPqSql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+      |asg AS (SELECT id, cent_id AS list_id FROM (
+      |    SELECT v.id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c) WHERE rn = 1),
+      |pids AS (SELECT id FROM v ORDER BY id LIMIT 16),
+      |pcents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) code, e
+      |  FROM v JOIN pids USING (id)),
+      |subs AS (SELECT unnest(range(8)) j),
+      |sv AS (SELECT id, j, e[j*8+1 : j*8+8] x FROM v, subs),
+      |cs AS (SELECT code, j, e[j*8+1 : j*8+8] c FROM pcents, subs),
+      |pasg AS (SELECT id, j, code FROM (
+      |    SELECT s.id, s.j, c.code,
+      |      row_number() OVER (PARTITION BY s.id, s.j
+      |        ORDER BY list_dot_product(s.x, c.c)
+      |          - 0.5 * list_dot_product(c.c, c.c) DESC, c.code ASC) rn
+      |    FROM sv s JOIN cs c ON s.j = c.j) WHERE rn = 1),
+      |qs AS (SELECT id query_id, e qe, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c WHERE v.id < 10) WHERE rn <= 4),
+      |qsub AS (SELECT query_id, j, qe[j*8+1 : j*8+8] qx
+      |  FROM (SELECT DISTINCT query_id, qe FROM qs), subs),
+      |cand AS (SELECT DISTINCT q.query_id, a.id
+      |  FROM asg a JOIN qs q ON a.list_id = q.list_id AND a.id <> q.query_id),
+      |terms AS (SELECT cand.query_id, cand.id, p.j,
+      |    CAST(list_dot_product(u.qx, u.qx) - 2.0 * list_dot_product(u.qx, c.c)
+      |         + list_dot_product(c.c, c.c) AS DECIMAL(18,6)) t
+      |  FROM cand JOIN pasg p ON p.id = cand.id
+      |  JOIN cs c ON c.j = p.j AND c.code = p.code
+      |  JOIN qsub u ON u.query_id = cand.query_id AND u.j = p.j),
+      |d AS (SELECT query_id, id, CAST(sum(t) AS DOUBLE) adc
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank, adc
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY adc ASC, id ASC) rank FROM d)
+      |WHERE rank <= 5""".stripMargin
 
   /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
     * crossJoin was the one outright scale-killer). The banding and the
@@ -1377,6 +1431,47 @@ object QueriesExt {
       |FROM sess JOIN last ON sess.user_id = last.user_id, wm
       |WHERE grp < mg OR en + INTERVAL 30 MINUTE < wm.w""".stripMargin
 
+  /** Sixth streaming face: stream-stream interval join
+    * (StreamProfile.intervalJoin) — view→click attribution within 120
+    * minutes per user. Both sides carry a 2-hour watermark and the
+    * range condition bounds both state buffers. Inner-join emission is
+    * not watermark-gated, so the emitted match set equals the batch
+    * join and the oracle is the PLAIN SQL interval join; the face
+    * aggregates per user (pair count + exact ms-delta sum) for a
+    * deterministic frame. */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val base = ev.filter(col("user_id") % 10 === 0)
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = graft.streaming.StreamProfile.intervalJoin(
+        views, clicks, "v_user", "c_user", "v_ts", "c_ts",
+        withinMinutes = 120)
+      val sink = "graft_stream_join"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_millis(col("c_ts")) - unix_millis(col("v_ts")))
+            .as("sum_delta_ms"))
+    }
+  private val qStreamJoinSql =
+    """WITH e AS (SELECT user_id, ts, event_type FROM events
+      |    WHERE user_id % 10 = 0),
+      |v AS (SELECT user_id, ts vts FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts cts FROM e WHERE event_type = 'click'),
+      |j AS (SELECT v.user_id, vts, cts FROM v JOIN c
+      |  ON v.user_id = c.user_id AND cts >= vts
+      |    AND cts <= vts + INTERVAL 120 MINUTE)
+      |SELECT user_id, count(*) AS n_pairs,
+      |  CAST(sum(epoch_ms(cts) - epoch_ms(vts)) AS BIGINT) AS sum_delta_ms
+      |FROM j GROUP BY 1""".stripMargin
+
   private val qStreamDedupSql =
     // n_keys mirrors Spark's countDistinct (null-excluding: count(k),
     // not count(*)) so a null event_id in a future fixture can't desync
@@ -1439,6 +1534,32 @@ object QueriesExt {
 
   /** Z-order face: Morton key over (l_orderkey, l_partkey), global
     * top-100 by (z, keys) — TakeOrderedAndProject, no full sort. */
+  /** Compaction planner over a synthetic per-day file listing derived
+    * from orders (count*200 bytes per order-date "file") — next-fit
+    * groups toward 256 KiB, then per-group file counts and byte totals.
+    * DuckDB's window sum yields HUGEINT, so the oracle casts the group
+    * id and totals back to BIGINT; `//` (floor) vs Spark `div`
+    * (truncate) agree because the exclusive prefix sum is never
+    * negative. */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val files = Sources.table(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("path"))
+      .agg((count(lit(1)) * 200).as("bytes"))
+    Layout.compactionPlan(files, "path", "bytes", targetBytes = 262144L)
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"))
+  }
+  private val qCompactionSql =
+    """WITH f AS (SELECT strftime(o_orderdate, '%Y-%m-%d') path,
+      |    CAST(count(*) * 200 AS BIGINT) bytes FROM orders GROUP BY 1),
+      |c AS (SELECT path, bytes, sum(bytes) OVER (ORDER BY path
+      |    ROWS UNBOUNDED PRECEDING) cum FROM f),
+      |g AS (SELECT path, bytes,
+      |    CAST((cum - bytes) // 262144 AS BIGINT) group_id FROM c)
+      |SELECT group_id, count(*) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS group_bytes
+      |FROM g GROUP BY 1""".stripMargin
+
   private def qZorder(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
     l.select(col("l_orderkey"), col("l_partkey"),
@@ -1862,6 +1983,23 @@ object QueriesExt {
        |      FROM agg)
        |WHERE rank <= 20""".stripMargin
 
+  /** Key-skew report over a 7-way synthetic key (user_id % 7): more
+    * keys than topK so the TakeOrderedAndProject top-k actually cuts,
+    * with the (n_rows desc, key asc) tie-break making the cut
+    * deterministic. skew_ratio's (n_rows * n_keys) / n_total
+    * association is mirrored verbatim. */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("k", col("user_id") % 7)
+    Relational.keySkewReport(ev, Seq("k"), topK = 5)
+  }
+  private val qKeySkewSql =
+    """WITH c AS (SELECT user_id % 7 k, count(*) n_rows FROM events GROUP BY 1),
+      |s AS (SELECT count(*) n_keys, CAST(sum(n_rows) AS BIGINT) n_total FROM c)
+      |SELECT k, n_rows, n_keys, n_total,
+      |  CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |    / CAST(n_total AS DOUBLE) skew_ratio
+      |FROM c, s ORDER BY n_rows DESC, k ASC LIMIT 5""".stripMargin
+
   private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
     val o = Sources.table(s, dir, "orders")
@@ -2064,6 +2202,7 @@ object QueriesExt {
     "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_source_stats" -> (qSourceStats _),
@@ -2079,6 +2218,7 @@ object QueriesExt {
     "q_decontaminate" -> (qDecontaminate _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_zorder" -> (qZorder _),
+    "q_compaction" -> (qCompaction _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -2088,6 +2228,7 @@ object QueriesExt {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_user_stats" -> (qStreamUserStats _),
     "q_stream_sessions" -> (qStreamSessions _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -2117,6 +2258,7 @@ object QueriesExt {
     "q_quantize" -> (qQuantize _),
     "q_pq_codes" -> (qPqCodes _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -2136,6 +2278,7 @@ object QueriesExt {
     "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
+    "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_source_stats" -> qSourceStatsSql,
@@ -2151,6 +2294,7 @@ object QueriesExt {
     "q_decontaminate" -> qDecontaminateSql,
     "q_corpus_diff" -> qCorpusDiffSql,
     "q_zorder" -> qZorderSql,
+    "q_compaction" -> qCompactionSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
@@ -2160,6 +2304,7 @@ object QueriesExt {
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_user_stats" -> qStreamUserStatsSql,
     "q_stream_sessions" -> qStreamSessionsSql,
+    "q_stream_join" -> qStreamJoinSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
@@ -2189,6 +2334,7 @@ object QueriesExt {
     "q_quantize" -> qQuantizeSql,
     "q_pq_codes" -> qPqCodesSql,
     "q_ann_pq" -> qAnnPqSql,
+    "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,

@@ -63,4 +63,34 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction planner: assign each file of a listing
+    * (`pathCol`, `bytesCol`) to a compaction group whose total
+    * approaches `targetBytes` — the OPTIMIZE/bin-packing step every
+    * big-table format runs when streaming ingestion has littered a
+    * partition with kilobyte files. Next-fit in path order: group id =
+    * exclusive-prefix-sum div targetBytes, so a group fills until the
+    * running total crosses the target (the straddling file may push a
+    * group at most one file past it — the accepted compaction trade;
+    * groups are contiguous in path order, preserving any existing sort
+    * locality). Fully deterministic and integer-only → oracle-mirrorable.
+    *
+    * The running sum is a single-partition window BY DESIGN: the input
+    * is file METADATA (one row per file — a 100 TB table with 128 MB
+    * files is ~800k rows of (path, long)), never the data itself. The
+    * plan that consumes the group ids (read group → write one file) is
+    * where the data parallelism lives. */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pathCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files
+      .withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("group_id",
+        expr(s"(__cum - $bytesCol) div ${targetBytes}L"))
+      .drop("__cum")
+  }
 }

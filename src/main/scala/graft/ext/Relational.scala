@@ -158,6 +158,32 @@ object Relational {
     }
   }
 
+  /** Key-skew diagnostic: the `topK` hottest keys with their row counts
+    * and their multiple of the mean key frequency — the number that
+    * decides whether a join/agg on `keyCols` needs salting (see
+    * [[saltedJoinReplicate]]) or can rely on AQE skew splitting. One
+    * partial-agg shuffle on the keys; the top-k goes through
+    * `orderBy().limit()` = TakeOrderedAndProject (per-partition heaps),
+    * NOT a global window, so the report itself is safe to run on the
+    * 100 TB input it diagnoses. Global totals re-enter via a 1-row
+    * broadcast. skew_ratio is computed as (n_rows * n_keys) / n_total
+    * in exactly that association so oracle SQL can mirror the IEEE
+    * result. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String], topK: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n_rows")).as("n_total"))
+    counts
+      .orderBy(col("n_rows").desc +: keyCols.map(c => col(c).asc): _*)
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .withColumn("skew_ratio",
+        col("n_rows").cast("double") * col("n_keys").cast("double")
+          / col("n_total").cast("double"))
+  }
+
   /** Range join: left rows matched to right rows whose [startCol, endCol)
     * interval contains the left timestamp. Implemented as an equi-join on
     * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst

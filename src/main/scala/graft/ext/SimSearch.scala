@@ -335,6 +335,93 @@ object SimSearch {
         col("adc"))
   }
 
+  /** IVF-PQ ANN — the production index composition (the FAISS `IVFx,PQy`
+    * scheme, public: Jégou et al. 2011 "Product Quantization for Nearest
+    * Neighbor Search" §IV): a coarse IVF partition bounds the scan to
+    * `nprobe/nlist` of the corpus, and inside the probed lists the
+    * corpus is represented ONLY by its m-byte PQ codes, scored by ADC.
+    * Vectors are L2-normalized first, so ADC's ||q-x||^2 ordering equals
+    * the cosine ordering the flat faces use (codes are trained on the
+    * normalized vectors, non-residual — FAISS `by_residual=false`).
+    *
+    * This composes [[ivfTopK]]'s coarse half with [[pqTopK]]'s scoring
+    * half and keeps both scale invariants: centroids AND codebook are
+    * each ONE broadcast row; coarse assignment and PQ encoding are
+    * narrow maps on the corpus scan (the encoding runs inline on the
+    * assigned frame — no self-join); the probe side broadcasts; the
+    * only Exchange in the plan is the final per-query top-k window.
+    * At 100 TB the scan carries m bytes + a list id per vector instead
+    * of 4*dims bytes — the memory/bandwidth shape that makes
+    * billion-vector ANN feasible on a cluster.
+    *
+    * Determinism for the oracle: coarse centroids = `nlist` smallest
+    * ids, codebook = `ksub` smallest ids (both deterministic samples of
+    * the normalized corpus), every argmax tie-breaks on the id, and ADC
+    * terms sum as DECIMAL(18,6) — bit-stable across engines and
+    * partitionings. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val c = corpus.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val cents = c.orderBy(col("id").asc).limit(nlist)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val assigned = assignLists(c, cents, 1)
+      .select(col("id"), col("v"), col("list_id"))
+    val centArr = pqCentArr(c, m, dsub, ksub)
+    // PQ-encode inline on the assigned frame (argmax over dot(x,c) -
+    // 0.5*||c||^2, the ||x||^2-free form of min ||x-c||^2 — identical
+    // comparator to productQuantize)
+    var coded = assigned.join(broadcast(centArr), lit(true))
+    for (j <- 0 until m) {
+      coded = coded
+        .withColumn(s"__x$j", slice(col("v"), j * dsub + 1, dsub))
+        .withColumn(s"__code$j", element_at(array_sort(
+          transform(col(s"__carr$j"), cst => struct(
+            (dot(col(s"__x$j"), cst.getField("cv")) -
+              lit(0.5) * dot(cst.getField("cv"), cst.getField("cv"))).as("d"),
+            cst.getField("code").as("cid"))),
+          (l, r) =>
+            when(l.getField("d") > r.getField("d"), -1)
+              .when(l.getField("d") < r.getField("d"), 1)
+              .when(l.getField("cid") < r.getField("cid"), -1)
+              .when(l.getField("cid") > r.getField("cid"), 1)
+              .otherwise(0)), 1).getField("cid"))
+    }
+    // the index frame: vectors DROPPED, m codes + a list id per row
+    val codes = coded.select(col("id"), col("list_id"),
+      array((0 until m).map(j => col(s"__code$j")): _*).as("codes"))
+    val q = queries.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val probes = assignLists(q, cents, nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("list_id"))
+    var out = codes.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(centArr), lit(true))
+    for (j <- 0 until m) {
+      val qx = col(s"__qx$j")
+      val cv = col(s"__cv$j")
+      out = out
+        .withColumn(s"__qx$j", slice(col("qv"), j * dsub + 1, dsub))
+        .withColumn(s"__cv$j", element_at(col(s"__carr$j"),
+          element_at(col("codes"), j + 1).cast("int") + 1).getField("cv"))
+        .withColumn(s"__t$j",
+          (dot(qx, qx) - lit(2.0) * dot(qx, cv) + dot(cv, cv))
+            .cast("decimal(18,6)"))
+    }
+    val adc = (0 until m).map(j => col(s"__t$j")).reduce(_ + _).cast("double")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("id").asc)
+    out.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("adc"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension d): a [-0.5, 0.5) grid value derived from the Knuth
     * permutation constants — reproducible with zero egress, no stored

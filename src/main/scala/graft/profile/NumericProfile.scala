@@ -111,4 +111,52 @@ object NumericProfile {
         (col("mn").cast("double") / 100).as("min_val"),
         (col("mx").cast("double") / 100).as("max_val"))
   }
+
+  /** Distribution drift between two snapshots of the same numeric
+    * column — the dataset-shift monitor a training pipeline runs when a
+    * new crawl lands: bucket both frames on the REFERENCE frame's
+    * integer-cents [min, max] grid (same exact-edge discipline as
+    * [[histogram]]; current-frame rows outside the reference range
+    * clamp into the edge buckets, so drift OUT of the range is visible
+    * as edge-bucket mass) and report per-bucket counts, shares, and the
+    * |share_ref - share_cur| gap. Total variation distance =
+    * 0.5 * sum(share_gap) — chosen over PSI/KL because it is log-free
+    * (single IEEE divisions mirror bit-for-bit in oracle SQL, `ln`
+    * diverges in last ulps across libms) and stays defined when a
+    * bucket has zero rows on one side.
+    *
+    * Scale shape: one bounds agg on the reference (1-row broadcast),
+    * one partial-agg bucket count per frame (shuffle carries nBins
+    * rows), a broadcast-able nBins-row outer join, totals re-enter as a
+    * 1-row broadcast. Nothing holds more than nBins rows. */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, colName: String,
+      nBins: Int = 20): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    def cents(df: DataFrame): DataFrame = df.select(
+      round(col(colName) * 100).cast("long").as("cents"))
+    val bounds = cents(ref).agg(min(col("cents")).as("mn"),
+      max(col("cents")).as("mx"))
+    def bucketed(df: DataFrame, out: String): DataFrame =
+      cents(df).crossJoin(broadcast(bounds))
+        .select(greatest(lit(0), least(lit(nBins - 1),
+          expr(s"((cents - mn) * $nBins) div (mx - mn + 1)"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val r = bucketed(ref, "n_ref")
+    val c = bucketed(cur, "n_cur")
+    val totals = ref.agg(count(lit(1)).as("t_ref"))
+      .crossJoin(cur.agg(count(lit(1)).as("t_cur")))
+    // an empty side yields share 0 instead of an ANSI divide-by-zero —
+    // a drift monitor must survive "the new crawl produced nothing"
+    def share(n: String, t: String) =
+      when(col(t) === 0, lit(0.0))
+        .otherwise(col(n).cast("double") / col(t).cast("double"))
+    r.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("n_ref"), col("n_cur"),
+        share("n_ref", "t_ref").as("share_ref"),
+        share("n_cur", "t_cur").as("share_cur"))
+      .withColumn("share_gap", abs(col("share_ref") - col("share_cur")))
+  }
 }

@@ -121,6 +121,31 @@ object StreamProfile {
       }
   }
 
+  /** Stream-stream interval (inner) join: left rows matched to right
+    * rows with the same key whose event time falls in
+    * [leftTs, leftTs + withinMinutes]. The sixth stateful operator
+    * class (after window aggs, watermark dedup, mapGroupsWithState,
+    * flatMapGroupsWithState sessions, and append eviction): BOTH sides
+    * buffer rows in the state store, and the combination of the two
+    * watermarks with the time-range join condition lets Spark compute a
+    * state watermark per side and EVICT buffered rows that can no
+    * longer match (public semantics: the state-cleanup condition is
+    * derived from the range predicate, so left state is held for
+    * `withinMinutes` past the right watermark and vice versa). Without
+    * the range condition an inner stream-stream join would buffer both
+    * streams forever — the range IS the scale bound.
+    *
+    * Inner-join emission is not watermark-gated (matches emit in the
+    * micro-batch where both sides are present), so the complete result
+    * equals the batch join — which is exactly what the oracle runs.
+    * Callers must `withWatermark` both inputs before calling. */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String,
+      withinMinutes: Int): DataFrame =
+    left.join(right, expr(
+      s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
+        s"$rightTs <= $leftTs + INTERVAL $withinMinutes MINUTES"))
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value total. Pass `evictAfter` (e.g. "1 hour") in production
     * so idle keys time out and state stays bounded; None disables the

@@ -45,4 +45,19 @@ class LayoutSpec extends SparkSpec {
     // and every row survives the round trip
     assert(spark.read.parquet(dir).count() == 4096)
   }
+
+  test("compaction plan: next-fit groups fill to the target in path order") {
+    val files = Seq(("a", 100L), ("b", 200L), ("c", 250L), ("d", 50L))
+      .toDF("path", "bytes")
+    val out = Layout.compactionPlan(files, "path", "bytes", targetBytes = 300L)
+      .select("path", "group_id").as[(String, Long)].collect().toMap
+    // prefix sums: a=0, b=100, c=300, d=550 -> groups {a,b} and {c,d}
+    assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 1L))
+    // a single file larger than the target gets its own group, and the
+    // next file starts a fresh one (no infinite bin)
+    val big = Seq(("a", 1000L), ("b", 10L)).toDF("path", "bytes")
+    val out2 = Layout.compactionPlan(big, "path", "bytes", targetBytes = 300L)
+      .select("path", "group_id").as[(String, Long)].collect().toMap
+    assert(out2 == Map("a" -> 0L, "b" -> 3L))
+  }
 }

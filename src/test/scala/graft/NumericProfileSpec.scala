@@ -64,4 +64,27 @@ class NumericProfileSpec extends SparkSpec {
       .select("bucket", "n_rows").as[(Int, Long)].collect()
     assert(one.toSeq == Seq((0, 3L)))
   }
+
+  test("histogram drift: identical snapshots show zero gap, shifts clamp to edges") {
+    val ref = (0 until 40).map(i => (100 + i) / 100.0).toDF("v")
+    val same = NumericProfile.histogramDrift(ref, ref, "v", nBins = 4)
+      .select("bucket", "n_ref", "n_cur", "share_gap")
+      .as[(Int, Long, Long, Double)].collect().toSeq.sorted
+    assert(same == Seq((0, 10L, 10L, 0.0), (1, 10L, 10L, 0.0),
+      (2, 10L, 10L, 0.0), (3, 10L, 10L, 0.0)))
+    // current snapshot entirely above the reference range: all its mass
+    // clamps into the LAST reference bucket (drift out of range is
+    // visible as edge-bucket pileup, not silently dropped rows)
+    val cur = (0 until 10).map(i => (900 + i) / 100.0).toDF("v")
+    val shifted = NumericProfile.histogramDrift(ref, cur, "v", nBins = 4)
+      .select("bucket", "n_ref", "n_cur", "share_ref", "share_cur")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq.sorted
+    assert(shifted == Seq(
+      (0, 10L, 0L, 0.25, 0.0), (1, 10L, 0L, 0.25, 0.0),
+      (2, 10L, 0L, 0.25, 0.0), (3, 10L, 10L, 0.25, 1.0)))
+    // total variation distance via the gap column: 0.5 * (0.25*3 + 0.75)
+    val tvd = NumericProfile.histogramDrift(ref, cur, "v", nBins = 4)
+      .agg(sum($"share_gap") * 0.5).as[Double].head()
+    assert(math.abs(tvd - 0.75) < 1e-12)
+  }
 }

@@ -41,6 +41,24 @@ class PlanAssertSpec extends SparkSpec {
       s"q_stratified_sample must keep its map-side WindowGroupLimit bound; plan:\n$plan")
   }
 
+  test("q_key_skew: hot-key top-k is TakeOrderedAndProject-bounded") {
+    val plan = planOf("q_key_skew")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_key_skew must keep its bounded top-k; plan:\n$plan")
+  }
+
+  test("q_ann_ivfpq: one shuffle total (the final top-k window)") {
+    // the IVF-PQ invariant: centroids + codebook enter as broadcasts,
+    // assignment/encoding/ADC are narrow maps — the ONLY hash exchange
+    // allowed in the whole plan is the per-query ranking window. A
+    // second one means an accidental shuffle crept into the scan side.
+    val plan = planOf("q_ann_ivfpq")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"IVF-PQ must shuffle only for the final window, found $shuffles:\n$plan")
+  }
+
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e"))

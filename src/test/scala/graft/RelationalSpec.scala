@@ -140,6 +140,21 @@ class RelationalSpec extends SparkSpec {
     assert(none.columns.toSeq == big.columns.toSeq && none.count() == 0)
   }
 
+  test("key-skew report: hottest keys first, ratio = multiple of mean frequency") {
+    val rows = Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "payload")
+    val out = Relational.keySkewReport(df, Seq("k"), topK = 2)
+      .select("k", "n_rows", "n_keys", "n_total", "skew_ratio")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // mean frequency = 8/4 = 2 rows/key: a is 2x the mean, b is 1x
+    assert(out == Seq(("a", 4L, 4L, 8L, 2.0), ("b", 2L, 4L, 8L, 1.0)))
+    // deterministic tie-break on the key when counts tie
+    val tied = Relational.keySkewReport(df, Seq("k"), topK = 4)
+      .select("k").as[String].collect().toSeq
+    assert(tied == Seq("a", "b", "c", "d"))
+  }
+
   test("range join matches rows to containing intervals across bucket edges") {
     val points = Seq(
       (1L, ts("2024-01-01 10:59:59")),

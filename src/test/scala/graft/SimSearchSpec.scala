@@ -168,6 +168,41 @@ class SimSearchSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("IVF-PQ: probing every list reproduces full-scan PQ ADC on unit vectors") {
+    // unit axis vectors: normalize is an exact no-op, so the normalized
+    // IVF-PQ codes equal pqTopK's raw-vector codes and the two searches
+    // must agree bit-for-bit when nprobe covers all lists
+    val dims = 8
+    def axis(i: Int): Seq[Float] =
+      (0 until dims).map(d => if (d == i % dims) 1.0f else 0.0f)
+    val corpus = (0 until 40).map(i => (i.toLong, axis(i)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val full = SimSearch.pqTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, m = 4, ksub = 8)
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val ivfpq = SimSearch.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(ivfpq == full, s"full=$full ivfpq=$ivfpq")
+  }
+
+  test("IVF-PQ: an exact duplicate lands in the probed list with ADC distance 0") {
+    val dims = 8
+    def axis(i: Int): Seq[Float] =
+      (0 until dims).map(d => if (d == i) 1.0f else 0.0f)
+    // 8 orthogonal vectors (= the codebook) + an exact dup of id 0
+    val corpus = ((0 until 8).map(i => (i.toLong, axis(i))) :+
+      (100L, axis(0))).toDF("vec_id", "embedding")
+    val top = SimSearch.ivfPqTopK(corpus, corpus.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 1, nlist = 4, nprobe = 1, m = 4, ksub = 8)
+      .select("neighbor_id", "adc").as[(Long, Double)].collect()
+    assert(top.toSeq == Seq((100L, 0.0)),
+      s"dup must be top-1 at ADC 0, got ${top.toSeq}")
+  }
+
   test("Lloyd-refined IVF: large recall uplift on clustered data with skewed init") {
     // 16 true clusters; ids are assigned cluster-by-cluster, so the
     // "nlist smallest ids" centroid sample lands ENTIRELY inside the

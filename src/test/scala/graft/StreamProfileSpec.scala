@@ -44,6 +44,38 @@ class StreamProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches within the window, none outside") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val v = views.toDF().select($"user_id".as("v_user"), $"ts".as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val c = clicks.toDF().select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val q = StreamProfile.intervalJoin(v, c, "v_user", "c_user",
+      "v_ts", "c_ts", withinMinutes = 30)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0),
+        Ev(2, ts("2024-01-01 10:00:00"), 2, "view", 0))
+      clicks.addData(
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "click", 0), // in window
+        Ev(4, ts("2024-01-01 10:45:00"), 1, "click", 0), // outside 30 min
+        Ev(5, ts("2024-01-01 09:50:00"), 2, "click", 0), // before the view
+        Ev(6, ts("2024-01-01 10:20:00"), 3, "click", 0)) // no such user
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select($"v_user", $"c_ts".cast("string")).as[(Long, String)]
+        .collect().toSet
+      assert(got == Set((1L, "2024-01-01 10:10:00")),
+        s"exactly the in-window same-user pair must match, got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate ids, state evicts") {
     val sparkSession = spark
     import sparkSession.implicits._
