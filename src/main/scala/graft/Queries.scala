@@ -741,17 +741,17 @@ object Queries {
        |b AS (SELECT min(cents) mn, max(cents) mx FROM rf),
        |rb AS (SELECT $bucket bucket, count(*) n_ref FROM rf, b GROUP BY 1),
        |cb AS (SELECT $bucket bucket, count(*) n_cur FROM cf, b GROUP BY 1),
-       |t AS (SELECT (SELECT count(*) FROM rf) t_ref,
-       |             (SELECT count(*) FROM cf) t_cur),
        |j AS (SELECT COALESCE(rb.bucket, cb.bucket) bucket,
        |    COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
-       |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket)
+       |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+       |w AS (SELECT bucket, n_ref, n_cur,
+       |    sum(n_ref) OVER () t_ref, sum(n_cur) OVER () t_cur FROM j)
        |SELECT CAST(bucket AS INT) bucket, n_ref, n_cur,
        |  CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) share_ref,
        |  CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) share_cur,
        |  abs(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
        |    - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) share_gap
-       |FROM j, t""".stripMargin
+       |FROM w""".stripMargin
   }
 
   private val qHistogramSql: String =

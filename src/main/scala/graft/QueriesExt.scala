@@ -1804,6 +1804,44 @@ object QueriesExt {
        |  ('<eos>', CAST(3 AS BIGINT), CAST(0 AS BIGINT))) sp(token, token_id, n)
        |UNION ALL SELECT token, token_id, n FROM r""".stripMargin
 
+  /** Vocab-encode the corpus (same vocab as q_vocab: maxSize=500,
+    * minCount=2) and hash each document's full id sequence, so OOV
+    * mapping, ordering, and empty-doc handling are all extent-checked.
+    * The oracle rebuilds the ranked vocab (specials never collide: the
+    * normalizer strips `<>`), position-explodes with
+    * generate_subscripts/unnest, left-joins ids with COALESCE 1, and
+    * re-includes token-less documents as empty arrays. */
+  private def qEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
+      .select(col("id").as("doc_id"),
+        size(col("token_ids")).as("n_tokens"),
+        size(filter(col("token_ids"), x => x === 1L)).as("n_unk"),
+        Hashing.hash64(array_join(
+          transform(col("token_ids"), x => x.cast("string")), ","))
+          .as("ids_h"))
+  }
+  private val qEncodeSql: String =
+    s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) n FROM t
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |r AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY n DESC, token ASC) + 3 AS BIGINT) token_id
+       |  FROM c
+       |  QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= 500),
+       |p AS (SELECT doc_id, generate_subscripts(tk, 1) pos, unnest(tk) token
+       |  FROM (SELECT doc_id, ${toksSql("text")} tk FROM documents)),
+       |e AS (SELECT doc_id, pos, COALESCE(token_id, 1) tid
+       |  FROM p LEFT JOIN r USING (token)),
+       |ids0 AS (SELECT doc_id, list(tid ORDER BY pos) ids FROM e GROUP BY 1),
+       |ids AS (SELECT d.doc_id, COALESCE(ids, []) ids
+       |  FROM documents d LEFT JOIN ids0 ON d.doc_id = ids0.doc_id)
+       |SELECT doc_id, CAST(len(ids) AS INT) n_tokens,
+       |  CAST(len(list_filter(ids, x -> x = 1)) AS INT) n_unk,
+       |  ${Hashing.hash64Sql("array_to_string(ids, ',')")} ids_h
+       |FROM ids""".stripMargin
+
   private def qPack(s: SparkSession, dir: String): DataFrame =
     ext.Packing.packSequences(docs(s, dir), "doc_id", "text",
       contextLen = 512, buckets = 8)
@@ -2219,6 +2257,7 @@ object QueriesExt {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_zorder" -> (qZorder _),
     "q_compaction" -> (qCompaction _),
+    "q_encode" -> (qEncode _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -2295,6 +2334,7 @@ object QueriesExt {
     "q_corpus_diff" -> qCorpusDiffSql,
     "q_zorder" -> qZorderSql,
     "q_compaction" -> qCompactionSql,
+    "q_encode" -> qEncodeSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

@@ -292,6 +292,38 @@ object TextStats {
     specialRows.unionByName(ranked)
   }
 
+  /** Encode documents into token-id sequences against a vocab from
+    * [[buildVocab]] — the step that turns a cleaned corpus into model
+    * input, completing the vocab → encode → chunk/pack chain.
+    * Out-of-vocabulary tokens map to `unkId` (buildVocab's `<unk>` =
+    * 1; the normalizer strips `<>` so no real token can collide with a
+    * special). Documents with zero tokens encode to an EMPTY array,
+    * not `[unk]`.
+    *
+    * Scale shape: tokenize+posexplode is narrow; the vocab (maxSize+4
+    * rows) enters as a broadcast hash join; the only shuffle is the
+    * per-document reassembly groupBy. Order is restored by sorting the
+    * (pos, id) structs inside each group — positions are unique per
+    * doc, so the result is deterministic under any partitioning. */
+  def encodeWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkId: Long = 1L): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode_outer(tokens(normalized(col(textCol))))
+        .as(Seq("pos", "token")))
+    toks
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy(col("id"))
+      // null struct for the posexplode_outer placeholder row of an
+      // empty doc: collect_list drops nulls -> empty ids array
+      .agg(sort_array(collect_list(
+        when(col("token").isNotNull,
+          struct(col("pos"),
+            coalesce(col("token_id"), lit(unkId)).as("tid"))))).as("__s"))
+      .select(col("id"),
+        transform(col("__s"), s => s.getField("tid")).as("token_ids"))
+  }
+
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to single spaces, trim. */
   def normalized(text: Column): Column =

@@ -125,10 +125,13 @@ object NumericProfile {
     * diverges in last ulps across libms) and stays defined when a
     * bucket has zero rows on one side.
     *
-    * Scale shape: one bounds agg on the reference (1-row broadcast),
-    * one partial-agg bucket count per frame (shuffle carries nBins
-    * rows), a broadcast-able nBins-row outer join, totals re-enter as a
-    * 1-row broadcast. Nothing holds more than nBins rows. */
+    * Scale shape: THREE scans total — one bounds agg on the reference
+    * (1-row broadcast) and one partial-agg bucket count per frame
+    * (each shuffle carries <= nBins rows). Totals are NOT separate
+    * count() scans: every row of either frame lands in some bucket
+    * (the clamp guarantees it), so t_ref/t_cur are recovered as
+    * unpartitioned window sums over the <= nBins joined bucket rows —
+    * a single-task window over a provably tiny frame. */
   def histogramDrift(ref: DataFrame, cur: DataFrame, colName: String,
       nBins: Int = 20): DataFrame = {
     require(nBins > 0, "nBins must be positive")
@@ -143,8 +146,8 @@ object NumericProfile {
         .groupBy(col("bucket")).agg(count(lit(1)).as(out))
     val r = bucketed(ref, "n_ref")
     val c = bucketed(cur, "n_cur")
-    val totals = ref.agg(count(lit(1)).as("t_ref"))
-      .crossJoin(cur.agg(count(lit(1)).as("t_cur")))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // <= nBins rows by construction
     // an empty side yields share 0 instead of an ANSI divide-by-zero —
     // a drift monitor must survive "the new crawl produced nothing"
     def share(n: String, t: String) =
@@ -152,7 +155,8 @@ object NumericProfile {
         .otherwise(col(n).cast("double") / col(t).cast("double"))
     r.join(c, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-      .crossJoin(broadcast(totals))
+      .withColumn("t_ref", sum(col("n_ref")).over(all))
+      .withColumn("t_cur", sum(col("n_cur")).over(all))
       .select(col("bucket").cast("int").as("bucket"),
         col("n_ref"), col("n_cur"),
         share("n_ref", "t_ref").as("share_ref"),

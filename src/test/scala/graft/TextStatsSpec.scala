@@ -133,6 +133,20 @@ class TextStatsSpec extends SparkSpec {
     assert(v.drop(4) == Seq(("aa", 4L, 3L), ("bb", 5L, 3L)))
   }
 
+  test("encodeWithVocab: in-vocab ids in order, OOV -> <unk>, empty doc -> empty array") {
+    val df = Seq((1L, "aa bb aa cc bb aa"), (2L, "bb dd cc")).toDF("id", "text")
+    val vocab = TextStats.buildVocab(df, "text", maxSize = 2, minCount = 2)
+    val enc = TextStats.encodeWithVocab(
+      df.union(Seq((3L, "")).toDF("id", "text")), "id", "text", vocab)
+      .orderBy("id").select("id", "token_ids")
+      .as[(Long, Seq[Long])].collect().toSeq
+    // vocab: aa=4, bb=5; cc (capped out) and dd (minCount) are OOV -> 1
+    assert(enc == Seq(
+      (1L, Seq(4L, 5L, 4L, 1L, 5L, 4L)),
+      (2L, Seq(5L, 1L, 1L)),
+      (3L, Seq.empty[Long])))
+  }
+
   test("packSequences: running chunk boundaries, truncation, determinism") {
     import graft.ext.Packing
     // force one bucket so the chunk arithmetic is easy to hand-check
