@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, EventsOps, Layout, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
+import graft.profile.Constraints
 
 /** Extension-tier queries (BASELINE.json north star): dedup family,
   * similarity search, text analysis, multimodal plumbing, events/JSON/
@@ -2058,6 +2059,57 @@ object QueriesExt {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0)
       |GROUP BY 1""".stripMargin
 
+  /** Declarative constraint suite over lineitem: seven rules covering
+    * all five rule classes, two with REAL violations in the synthetic
+    * data (l_discount tops out at 0.10 vs the 0.08 rule; (l_orderkey,
+    * l_linenumber) is deliberately non-unique) so the face proves
+    * detection, not just green-path accounting. All five row-local
+    * rules share ONE scan (fused conditional aggregation — see
+    * Constraints scaladoc); Unique adds one partial-agg shuffle,
+    * RefIntegrity one distinct-build anti join. */
+  private def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+    Constraints.validate(l, Seq(
+      Constraints.NotNull("l_orderkey"),
+      Constraints.InRange("l_quantity", 1.0, 50.0),
+      Constraints.InRange("l_discount", 0.0, 0.08),
+      Constraints.Matches("l_returnflag", "^[ANR]$"),
+      Constraints.AcceptedValues("l_linestatus", Seq("O", "F")),
+      Constraints.Unique(Seq("l_orderkey", "l_linenumber")),
+      Constraints.RefIntegrity("l_orderkey", o, "o_orderkey")))
+  }
+  private val qConstraintsSql: String =
+    """WITH rl AS (SELECT count(*) n,
+      |    count(*) FILTER (WHERE l_orderkey IS NULL) v_nn,
+      |    count(*) FILTER (WHERE l_quantity IS NOT NULL
+      |      AND (l_quantity < 1.0 OR l_quantity > 50.0)) v_rq,
+      |    count(*) FILTER (WHERE l_discount IS NOT NULL
+      |      AND (l_discount < 0.0 OR l_discount > 0.08)) v_rd,
+      |    count(*) FILTER (WHERE l_returnflag IS NOT NULL
+      |      AND NOT regexp_matches(l_returnflag, '^[ANR]$')) v_m,
+      |    count(*) FILTER (WHERE l_linestatus IS NOT NULL
+      |      AND l_linestatus NOT IN ('O', 'F')) v_a
+      |  FROM lineitem),
+      |u AS (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) v,
+      |    CAST(COALESCE(sum(c), 0) AS BIGINT) n FROM (
+      |    SELECT count(*) c FROM lineitem
+      |    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      |    GROUP BY l_orderkey, l_linenumber)),
+      |fk AS (SELECT count(*) n, count(*) FILTER (WHERE l_orderkey NOT IN (
+      |    SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) v
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |rep AS (
+      |  SELECT 'not_null' check_kind, 'l_orderkey' target, v_nn violations, n n_checked FROM rl
+      |  UNION ALL SELECT 'in_range', 'l_quantity', v_rq, n FROM rl
+      |  UNION ALL SELECT 'in_range', 'l_discount', v_rd, n FROM rl
+      |  UNION ALL SELECT 'matches', 'l_returnflag', v_m, n FROM rl
+      |  UNION ALL SELECT 'accepted_values', 'l_linestatus', v_a, n FROM rl
+      |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', v, n FROM u
+      |  UNION ALL SELECT 'ref_integrity', 'l_orderkey', v, n FROM fk)
+      |SELECT check_kind, target, violations, n_checked, violations = 0 ok
+      |FROM rep ORDER BY check_kind, target""".stripMargin
+
   private def qLineDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.lineDedup(docs(s, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
@@ -2240,6 +2292,7 @@ object QueriesExt {
     "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_constraints" -> (qConstraints _),
     "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2317,6 +2370,7 @@ object QueriesExt {
     "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
+    "q_constraints" -> qConstraintsSql,
     "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

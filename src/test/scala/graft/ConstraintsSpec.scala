@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.profile.Constraints
+import graft.profile.Constraints._
+
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(rows: Seq[(String, String, Long, Long, Boolean)]) = rows
+
+  test("all five rule classes, hand-counted violations and null scoping") {
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "A"),
+      (1L, 50.0, "B"),    // dup id, out-of-range hi, bad code
+      (2L, -1.0, "A"),    // out-of-range lo
+      (null, null, null), // null id/val/code: only not_null counts it
+      (3L, 10.0, "C")
+    ).toDF("id", "v", "code")
+    val ref = Seq(1L, 2L).toDF("k") // id=3 is an orphan
+    val got = Constraints.validate(df, Seq(
+      NotNull("id"),
+      InRange("v", 0.0, 20.0),
+      Matches("code", "^[AB]$"),
+      AcceptedValues("code", Seq("A", "B")),
+      Unique(Seq("id")),
+      RefIntegrity("id", ref, "k"),
+      Predicate("v_gt_40", col("v") > 40.0)))
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == report(Seq(
+      ("accepted_values", "code", 1L, 5L, false), // C
+      ("in_range", "v", 2L, 5L, false),           // 50, -1; null passes
+      ("matches", "code", 1L, 5L, false),         // C
+      ("not_null", "id", 1L, 5L, false),
+      ("predicate", "v_gt_40", 1L, 5L, false),    // 50
+      ("ref_integrity", "id", 1L, 4L, false),     // id=3; null FK skipped
+      ("unique", "id", 1L, 4L, false)             // two id=1 rows -> 1 surplus
+    )))
+  }
+
+  test("clean table is all-ok and row-local rules share one scan") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val rowLocalOnly = Seq(
+      NotNull("id"), NotNull("s"), InRange("id", 0.0, 10.0),
+      Matches("s", "^[a-z]+$"))
+    val got = Constraints.validate(df, rowLocalOnly)
+    assert(got.as[(String, String, Long, Long, Boolean)].collect()
+      .forall(r => r._3 == 0L && r._4 == 2L && r._5))
+    // fused row-local pass = exactly one aggregate source scan: no join,
+    // no union of per-rule subplans
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("unique with nulls: null-keyed rows are out of scope") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (1L, "b"),
+      (null, "c"), (null, "d")).toDF("k", "s")
+    val got = Constraints.validate(df, Seq(Unique(Seq("k"))))
+      .as[(String, String, Long, Long, Boolean)].head()
+    assert(got == (("unique", "k", 1L, 2L, false)))
+  }
+
+  test("empty table: zero violations, zero checked, ok") {
+    val df = Seq.empty[(Long, String)].toDF("id", "s")
+    val ref = Seq(1L).toDF("k")
+    val got = Constraints.validate(df,
+      Seq(NotNull("id"), Unique(Seq("id")), RefIntegrity("id", ref, "k")))
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == report(Seq(
+      ("not_null", "id", 0L, 0L, true),
+      ("ref_integrity", "id", 0L, 0L, true),
+      ("unique", "id", 0L, 0L, true))))
+  }
+}
