@@ -2059,6 +2059,47 @@ object QueriesExt {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0)
       |GROUP BY 1""".stripMargin
 
+  /** Bucketed co-located join: orders and customer are written as
+    * external tables bucketed 8-ways on the customer key (one write-time
+    * shuffle each), then merge-joined — the join itself runs with ZERO
+    * exchange because both scans already satisfy the key distribution
+    * (PlanAssertSpec pins it: the only exchange in the whole plan is the
+    * final per-segment aggregation). The `merge` hint keeps Catalyst
+    * from broadcasting the small test-scale side, so the plan shape is
+    * the one a 100 TB fact-fact join would get. Temp paths follow the
+    * tmpOut discipline (pid + per-call counter) so concurrent harness
+    * runs never share a directory; table names are process-local
+    * (in-memory catalog) and overwritten per call. */
+  private val bktPid = ProcessHandle.current().pid()
+  private val bktSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val leaf = java.lang.Integer.toHexString(dir.hashCode) +
+      s"_p${bktPid}_c${bktSeq.incrementAndGet()}"
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bkt_oracle", leaf)
+    val ot = Layout.writeBucketedTable(
+      Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_bkt_orders", s"$base/orders", 8,
+      Seq("o_custkey"), Seq("o_custkey"))
+    val ct = Layout.writeBucketedTable(
+      Sources.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", s"$base/customer", 8,
+      Seq("c_custkey"), Seq("c_custkey"))
+    ot.join(ct.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+  }
+  /** Bucketing is layout, not semantics: the oracle is the plain join. */
+  private val qBucketJoinSql: String =
+    """SELECT c_mktsegment, count(*) n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** Declarative constraint suite over lineitem: seven rules covering
     * all five rule classes, two with REAL violations in the synthetic
     * data (l_discount tops out at 0.10 vs the 0.08 rule; (l_orderkey,
@@ -2293,6 +2334,7 @@ object QueriesExt {
     "q_line_dedup" -> (qLineDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
+    "q_bucket_join" -> (qBucketJoin _),
     "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2371,6 +2413,7 @@ object QueriesExt {
     "q_line_dedup" -> qLineDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
+    "q_bucket_join" -> qBucketJoinSql,
     "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

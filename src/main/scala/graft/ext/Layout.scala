@@ -64,6 +64,34 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Bucketed external-table write — the co-location half of the
+    * bucketed-join strategy: both fact tables pre-hashed on the join
+    * key into the SAME bucket count means every future equi-join or
+    * aggregation on that key runs with ZERO exchange, amortizing one
+    * write-time shuffle across every downstream read. At 100 TB this is
+    * the difference between re-shuffling the fact table per query and
+    * never shuffling it again.
+    *
+    * The frame is pre-partitioned on the key into exactly `nBuckets`
+    * tasks with the SAME hash family bucketing uses (Spark bucket ids
+    * are `HashPartitioning`'s murmur3 pmod), so each task holds exactly
+    * one bucket and each bucket lands in ONE file — the layout the
+    * scan-side needs to also honor `sortCols` metadata (multi-file
+    * buckets force a re-sort). Registered as an EXTERNAL table at
+    * `path` (works on the in-memory catalog; no Hive needed). */
+  def writeBucketedTable(df: DataFrame, tableName: String, path: String,
+      nBuckets: Int, keyCols: Seq[String],
+      sortCols: Seq[String] = Nil): DataFrame = {
+    require(nBuckets > 0 && keyCols.nonEmpty,
+      "need nBuckets > 0 and at least one bucket column")
+    val writer = df.repartition(nBuckets, keyCols.map(col): _*)
+      .write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+     else writer).saveAsTable(tableName)
+    df.sparkSession.table(tableName)
+  }
+
   /** Small-file compaction planner: assign each file of a listing
     * (`pathCol`, `bytesCol`) to a compaction group whose total
     * approaches `targetBytes` — the OPTIMIZE/bin-packing step every

@@ -59,6 +59,20 @@ class PlanAssertSpec extends SparkSpec {
       s"IVF-PQ must shuffle only for the final window, found $shuffles:\n$plan")
   }
 
+  test("q_bucket_join: the join is exchange-free; only the final agg shuffles") {
+    // both sides are written bucketed on the join key with equal bucket
+    // counts, so the merge join must consume the scans' distribution
+    // directly — an Exchange under the join means bucketing was ignored
+    // (config off, bucket-count mismatch, or a broadcast stole the plan)
+    val plan = planOf("q_bucket_join")
+    assert(plan.contains("SortMergeJoin"),
+      s"q_bucket_join must exercise the co-located merge join; plan:\n$plan")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"bucketed join must not shuffle (agg only), found $shuffles:\n$plan")
+  }
+
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e"))
