@@ -2059,6 +2059,53 @@ object QueriesExt {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0)
       |GROUP BY 1""".stripMargin
 
+  /** Fuzzy join (record linkage): supplier names with one deterministic
+    * character deletion injected (suppkey % 7 == 0, position rotated by
+    * suppkey) are matched back to the clean supplier table at edit
+    * distance <= 1 via deletion-neighborhood blocking + exact
+    * levenshtein verify. Typos whose deletion falls in the zero-run can
+    * legitimately match several "Supplier#0000000NN" neighbors — the
+    * oracle reproduces exactly those extra pairs. The bucket cap (1000,
+    * nowhere near binding here) is mirrored in the oracle per the
+    * capped-band discipline. */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = Sources.table(s, dir, "supplier")
+    val pos = (expr("s_suppkey div 7") % length(col("s_name"))).cast("int") + 1
+    val typos = sup.filter(col("s_suppkey") % 7 === 0)
+      .select((col("s_suppkey") + 100000L).as("typo_id"),
+        concat(col("s_name").substr(lit(1), pos - 1),
+          col("s_name").substr(pos + 1, length(col("s_name"))))
+          .as("typo_name"))
+    Relational.fuzzyJoin(typos, sup, "typo_id", "typo_name",
+      "s_suppkey", "s_name", maxDist = 1)
+  }
+  private val qFuzzyJoinSql: String =
+    """WITH lt AS (SELECT s_suppkey + 100000 l_id,
+      |    substr(s_name, 1, CAST((s_suppkey // 7) % len(s_name) AS INT))
+      |      || substr(s_name, CAST((s_suppkey // 7) % len(s_name) AS INT) + 2,
+      |           len(s_name)) l_val
+      |  FROM supplier WHERE s_suppkey % 7 = 0),
+      |rt AS (SELECT s_suppkey r_id, s_name r_val FROM supplier),
+      |lv AS (SELECT l_id, l_val, unnest(list_distinct(list_prepend(l_val,
+      |    list_transform(range(len(l_val)),
+      |      j -> substr(l_val, 1, j) || substr(l_val, j + 2, len(l_val)))))) variant
+      |  FROM lt),
+      |rv AS (SELECT r_id, r_val, unnest(list_distinct(list_prepend(r_val,
+      |    list_transform(range(len(r_val)),
+      |      j -> substr(r_val, 1, j) || substr(r_val, j + 2, len(r_val)))))) variant
+      |  FROM rt),
+      |tag AS (SELECT variant, 0 side, l_id id, l_val v FROM lv
+      |  UNION ALL SELECT variant, 1, r_id, r_val FROM rv),
+      |capped AS (SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY variant) bs FROM tag)
+      |  WHERE bs <= 1000),
+      |cand AS (SELECT DISTINCT a.id l_id, a.v l_val, b.id r_id, b.v r_val
+      |  FROM capped a JOIN capped b USING (variant)
+      |  WHERE a.side = 0 AND b.side = 1)
+      |SELECT l_id, l_val, r_id, r_val,
+      |  CAST(levenshtein(l_val, r_val) AS INT) dist
+      |FROM cand WHERE levenshtein(l_val, r_val) <= 1""".stripMargin
+
   /** Bucketed co-located join: orders and customer are written as
     * external tables bucketed 8-ways on the customer key (one write-time
     * shuffle each), then merge-joined — the join itself runs with ZERO
@@ -2335,6 +2382,7 @@ object QueriesExt {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2414,6 +2462,7 @@ object QueriesExt {
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
     "q_bucket_join" -> qBucketJoinSql,
+    "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

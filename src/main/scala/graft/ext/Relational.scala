@@ -184,6 +184,81 @@ object Relational {
           / col("n_total").cast("double"))
   }
 
+  /** One-character deletion set of a string column (distinct, excludes
+    * the string itself); empty input yields an empty array. */
+  private def deleteOne(v: Column): Column =
+    when(length(v) > 0,
+      array_distinct(transform(sequence(lit(1), length(v)), j =>
+        concat(v.substr(lit(1), j - 1), v.substr(j + 1, length(v))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The deletion neighborhood of `s` up to depth `k`: `s` plus every
+    * string reachable by deleting at most k characters. |N_1| = len+1;
+    * each extra level multiplies by the remaining length, so keep k
+    * small (1-2 — which is also where edit-distance blocking is
+    * selective). */
+  def deletionNeighborhood(s: Column, k: Int): Column = {
+    require(k >= 1, "k must be >= 1")
+    var acc = array(s)
+    var frontier = array(s)
+    for (_ <- 1 to k) {
+      frontier = array_distinct(flatten(transform(frontier, deleteOne(_))))
+      acc = array_distinct(concat(acc, frontier))
+    }
+    acc
+  }
+
+  /** Fuzzy equi-join (record linkage): all (left, right) pairs with
+    * `levenshtein(leftStr, rightStr) <= maxDist`, without the cartesian
+    * product. Blocking is the deletion-neighborhood scheme (the FastSS
+    * family, public): if lev(s, t) = d, an optimal alignment turns s
+    * into t by deleting each substituted/deleted char of s and each
+    * substituted/inserted char of t — i.e. both reach a COMMON string
+    * with at most d deletions each. So two strings within distance
+    * `maxDist` always share a depth-`maxDist` deletion variant; pairs
+    * sharing a variant are candidates, and an exact `levenshtein`
+    * re-check makes the result EXACT (blocking is complete, never
+    * lossy — modulo the bucket cap below).
+    *
+    * Scale shape: variant generation is a narrow map (len+1 variants
+    * per row at maxDist=1); candidates come from ONE shuffle on the
+    * variant string. Boilerplate values (the same name repeated 100k
+    * times) would make a variant bucket quadratic, so buckets over
+    * `maxBucket` occupants (counted across BOTH sides, symmetric) are
+    * dropped — same capped-band discipline as the minhash family, and
+    * like there the cap must be mirrored in any oracle. Verification is
+    * per-DISTINCT-pair, so variant multiplicity never re-pays the
+    * levenshtein.
+    *
+    * Output: (l_id, l_val, r_id, r_val, dist), dist <= maxDist. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      leftIdCol: String, leftStrCol: String,
+      rightIdCol: String, rightStrCol: String,
+      maxDist: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 1 && maxBucket >= 2,
+      "need maxDist >= 1 and maxBucket >= 2")
+    def side(df: DataFrame, idCol: String, strCol: String, tag: Int) =
+      df.select(col(idCol).as("id"), col(strCol).as("v"))
+        .withColumn("variant",
+          explode(deletionNeighborhood(col("v"), maxDist)))
+        .select(lit(tag).as("side"), col("variant"), col("id"), col("v"))
+    val tagged = side(left, leftIdCol, leftStrCol, 0)
+      .unionByName(side(right, rightIdCol, rightStrCol, 1))
+    val capped = tagged
+      .withColumn("bucket_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("variant"))))
+      .filter(col("bucket_size") <= maxBucket)
+    val l = capped.filter(col("side") === 0)
+      .select(col("variant"), col("id").as("l_id"), col("v").as("l_val"))
+    val r = capped.filter(col("side") === 1)
+      .select(col("variant"), col("id").as("r_id"), col("v").as("r_val"))
+    l.join(r, Seq("variant"))
+      .select(col("l_id"), col("l_val"), col("r_id"), col("r_val"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("l_val"), col("r_val")).cast("int"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Range join: left rows matched to right rows whose [startCol, endCol)
     * interval contains the left timestamp. Implemented as an equi-join on
     * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst

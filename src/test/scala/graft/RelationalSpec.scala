@@ -155,6 +155,39 @@ class RelationalSpec extends SparkSpec {
     assert(tied == Seq("a", "b", "c", "d"))
   }
 
+  test("fuzzyJoin finds all pairs within edit distance 1 and nothing else") {
+    val left = Seq((1L, "kitten"), (2L, "kiten"), (3L, "apple"),
+      (4L, "zzz"), (5L, "")).toDF("lid", "lv")
+    val right = Seq((10L, "kitten"), (11L, "sitten"), (12L, "aple"),
+      (13L, "qqq"), (14L, "a")).toDF("rid", "rv")
+    val got = Relational.fuzzyJoin(left, right, "lid", "lv", "rid", "rv",
+      maxDist = 1)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Int)].collect().toSet
+    // kitten==kitten (0), kitten~sitten (sub, 1), kiten~kitten (ins, 1),
+    // apple~aple (del, 1), ""~"a" (ins, 1); kiten vs sitten is dist 2;
+    // zzz/qqq match nothing
+    assert(got == Set((1L, 10L, 0), (1L, 11L, 1), (2L, 10L, 1),
+      (3L, 12L, 1), (5L, 14L, 1)))
+  }
+
+  test("fuzzyJoin at maxDist=2 reaches two-edit pairs; bucket cap drops boilerplate") {
+    val left = Seq((1L, "kiten"), (2L, "dup")).toDF("lid", "lv")
+    val right = Seq((11L, "sitten"), (12L, "dup"), (13L, "dup"),
+      (14L, "dup")).toDF("rid", "rv")
+    val d2 = Relational.fuzzyJoin(left, right, "lid", "lv", "rid", "rv",
+      maxDist = 2)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(d2.contains((1L, 11L, 2))) // substitution + insertion
+    // "dup" appears 4x -> its own variant bucket holds >= 4 occupants;
+    // with maxBucket=3 every dup-variant bucket (incl. deletions, which
+    // only dup rows generate) is dropped, so the exact-dup pairs vanish
+    // while the unrelated kiten~sitten pair (2 edits) survives
+    val capped = Relational.fuzzyJoin(left, right, "lid", "lv", "rid", "rv",
+      maxDist = 2, maxBucket = 3)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 11L)))
+  }
+
   test("range join matches rows to containing intervals across bucket edges") {
     val points = Seq(
       (1L, ts("2024-01-01 10:59:59")),
