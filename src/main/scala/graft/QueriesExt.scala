@@ -1823,8 +1823,12 @@ object QueriesExt {
           transform(col("token_ids"), x => x.cast("string")), ","))
           .as("ids_h"))
   }
-  private val qEncodeSql: String =
-    s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
+  /** Shared CTE chain ending in `ids(doc_id, ids)` — each document's
+    * full token-id sequence under the q_vocab vocabulary (maxSize=500,
+    * minCount=2). One source of truth for the encode AND pack-ids
+    * oracles so the vocab/OOV rules cannot silently fork. */
+  private val encodeIdsCtes: String =
+    s"""t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
        |c AS (SELECT token, CAST(count(*) AS BIGINT) n FROM t
        |  GROUP BY 1 HAVING count(*) >= 2),
        |r AS (SELECT token,
@@ -1837,11 +1841,45 @@ object QueriesExt {
        |  FROM p LEFT JOIN r USING (token)),
        |ids0 AS (SELECT doc_id, list(tid ORDER BY pos) ids FROM e GROUP BY 1),
        |ids AS (SELECT d.doc_id, COALESCE(ids, []) ids
-       |  FROM documents d LEFT JOIN ids0 ON d.doc_id = ids0.doc_id)
+       |  FROM documents d LEFT JOIN ids0 ON d.doc_id = ids0.doc_id)""".stripMargin
+  private val qEncodeSql: String =
+    s"""WITH $encodeIdsCtes
        |SELECT doc_id, CAST(len(ids) AS INT) n_tokens,
        |  CAST(len(list_filter(ids, x -> x = 1)) AS INT) n_unk,
        |  ${Hashing.hash64Sql("array_to_string(ids, ',')")} ids_h
        |FROM ids""".stripMargin
+
+  /** Materialized training sequences: encode (same vocab as q_encode),
+    * append eos=3 per document, salt into 4 bucket streams by portable
+    * doc-id hash, cut every 256 tokens; the oracle hashes every
+    * sequence's full id stream, so placement, ordering, bucket salting,
+    * and the short tail sequences are all extent-checked. */
+  private def qPackIds(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    val enc = TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
+    ext.Packing.packTokenIds(enc, "id", "token_ids",
+      contextLen = 256, buckets = 4)
+      .select(col("bucket"), col("seq_id"), col("n_tokens"),
+        Hashing.hash64(array_join(
+          transform(col("token_ids"), x => x.cast("string")), ","))
+          .as("ids_h"))
+  }
+  private val qPackIdsSql: String =
+    s"""WITH $encodeIdsCtes,
+       |wi AS (SELECT doc_id, list_append(ids, CAST(3 AS BIGINT)) ids FROM ids),
+       |b AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) n,
+       |    CAST(${Hashing.hash64Sql("doc_id")} % 4 AS INT) bucket FROM wi),
+       |st AS (SELECT *, sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n strt FROM b),
+       |tok AS (SELECT bucket, strt + generate_subscripts(ids, 1) - 1 g,
+       |    unnest(ids) tid FROM st),
+       |agg AS (SELECT bucket, g // 256 seq_id, CAST(count(*) AS INT) n_tokens,
+       |    list(tid ORDER BY g % 256) seq_ids
+       |  FROM tok GROUP BY 1, 2)
+       |SELECT bucket, seq_id, n_tokens,
+       |  ${Hashing.hash64Sql("array_to_string(seq_ids, ',')")} ids_h
+       |FROM agg""".stripMargin
 
   private def qPack(s: SparkSession, dir: String): DataFrame =
     ext.Packing.packSequences(docs(s, dir), "doc_id", "text",
@@ -2401,6 +2439,7 @@ object QueriesExt {
     "q_zorder" -> (qZorder _),
     "q_compaction" -> (qCompaction _),
     "q_encode" -> (qEncode _),
+    "q_pack_ids" -> (qPackIds _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -2481,6 +2520,7 @@ object QueriesExt {
     "q_zorder" -> qZorderSql,
     "q_compaction" -> qCompactionSql,
     "q_encode" -> qEncodeSql,
+    "q_pack_ids" -> qPackIdsSql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

@@ -45,6 +45,51 @@ object Packing {
         col("chunk_id"))
   }
 
+  /** Pack ENCODED documents into fixed-length training sequences — the
+    * materializing sibling of [[packSequences]] (which only plans chunk
+    * boundaries from lengths): every token id is actually placed, so
+    * the output IS the model input. Each document contributes
+    * `ids ++ [eosId]` (the separator convention; empty docs contribute
+    * a lone eos, keeping document count recoverable from the stream).
+    * Documents are salted into `buckets` independent streams by
+    * portable hash of the id (deterministic under any partitioning,
+    * same scheme as packSequences); within a bucket the stream order is
+    * doc-id order, and the stream is cut every `contextLen` tokens. The
+    * last sequence of a bucket may be short (no padding — callers pad
+    * or drop).
+    *
+    * Scale shape: one window prefix-sum per bucket over DOC-level rows
+    * (cheap), then a narrow posexplode to token rows, then ONE
+    * reassembly shuffle on (bucket, seq) — token rows never pass
+    * through a window. At 100 TB set buckets ≈ a few × executor count:
+    * every prefix sum and every reassembly group stays cluster-parallel
+    * and no task ever holds more than contextLen tokens per group. */
+  def packTokenIds(encoded: DataFrame, idCol: String, idsCol: String,
+      contextLen: Int = 2048, buckets: Int = 64,
+      eosId: Long = 3L): DataFrame = {
+    require(contextLen > 0 && buckets > 0)
+    val staged = encoded.select(col(idCol).as("id"),
+      concat(col(idsCol), array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      .withColumn("bucket",
+        pmod(Hashing.hash64(col("id")), lit(buckets)).cast("int"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .select(col("bucket"), col("__start"),
+        posexplode(col("__ids")).as(Seq("__pos", "__tid")))
+      .withColumn("__g", col("__start") + col("__pos"))
+      .withColumn("seq_id", expr(s"__g div ${contextLen}L"))
+      .withColumn("__off", col("__g") % contextLen)
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("__off"), col("__tid"))))
+        .as("__s"))
+      .select(col("bucket"), col("seq_id"),
+        size(col("__s")).as("n_tokens"),
+        transform(col("__s"), s => s.getField("__tid")).as("token_ids"))
+  }
+
   /** Sliding-window chunking WITH overlap — the per-document splitter
     * (RAG indexing / long-doc eval prep), complementing
     * [[packSequences]]' cross-document concat scheme. Chunk starts are

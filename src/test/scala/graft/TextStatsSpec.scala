@@ -147,6 +147,40 @@ class TextStatsSpec extends SparkSpec {
       (3L, Seq.empty[Long])))
   }
 
+  test("packTokenIds: eos separators, fixed windows, short tail, empty doc") {
+    import graft.ext.Packing
+    val enc = Seq(
+      (1L, Seq(10L, 11L, 12L)),
+      (2L, Seq.empty[Long]),       // empty doc -> lone eos in the stream
+      (3L, Seq(20L, 21L))
+    ).toDF("id", "token_ids")
+    val got = Packing.packTokenIds(enc, "id", "token_ids",
+      contextLen = 4, buckets = 1, eosId = 3L)
+      .orderBy("seq_id")
+      .select("seq_id", "n_tokens", "token_ids")
+      .as[(Long, Int, Seq[Long])].collect().toSeq
+    // stream (doc-id order): 10 11 12 3 | 3 20 21 3 -> two full windows
+    assert(got == Seq(
+      (0L, 4, Seq(10L, 11L, 12L, 3L)),
+      (1L, 4, Seq(3L, 20L, 21L, 3L))))
+    // short tail: contextLen 3 -> windows of 3,3,2
+    val tail = Packing.packTokenIds(enc, "id", "token_ids",
+      contextLen = 3, buckets = 1, eosId = 3L)
+      .orderBy("seq_id").select("n_tokens").as[Int].collect().toSeq
+    assert(tail == Seq(3, 3, 2))
+  }
+
+  test("packTokenIds is invariant to input partitioning") {
+    import graft.ext.Packing
+    val enc = (1L to 40L).map(i => (i, (1L to (i % 5)).toSeq))
+      .toDF("id", "token_ids")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packTokenIds(df, "id", "token_ids", contextLen = 7, buckets = 3)
+        .select("bucket", "seq_id", "n_tokens", "token_ids")
+        .as[(Int, Long, Int, Seq[Long])].collect().toSet
+    assert(run(enc.repartition(7)) == run(enc.coalesce(1)))
+  }
+
   test("packSequences: running chunk boundaries, truncation, determinism") {
     import graft.ext.Packing
     // force one bucket so the chunk arithmetic is easy to hand-check
