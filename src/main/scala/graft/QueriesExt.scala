@@ -2097,6 +2097,69 @@ object QueriesExt {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0)
       |GROUP BY 1""".stripMargin
 
+  /** SCD2 merge over a synthesized customer dimension: pre-existing
+    * closed history (every 5th key), a changes batch (every 17th key ->
+    * 'WEB'), a no-op batch (every 23rd key re-asserts its current
+    * segment LATER than the change — keys divisible by both must
+    * resolve to the no-op, exercising latest-wins reduction), and
+    * brand-new keys (every 29th + 100000). The full versioned output is
+    * compared row-for-row: passthrough, close+append, no-op and insert
+    * paths all under the hash. */
+  private def qScdMerge(s: SparkSession, dir: String): DataFrame = {
+    val c = Sources.table(s, dir, "customer")
+    def ts(x: String) = to_timestamp(lit(x))
+    val cur = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+      ts("2020-01-01 00:00:00").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    val hist = c.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), lit("LEGACY").as("segment"),
+        ts("2019-01-01 00:00:00").as("valid_from"),
+        ts("2020-01-01 00:00:00").as("valid_to"))
+    val upd = c.filter(col("c_custkey") % 17 === 0)
+      .select(col("c_custkey"), lit("WEB").as("segment"),
+        ts("2024-01-01 00:00:00").as("eff_ts"))
+      .unionByName(c.filter(col("c_custkey") % 23 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          ts("2024-02-01 00:00:00").as("eff_ts")))
+      .unionByName(c.filter(col("c_custkey") % 29 === 0)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          lit("DIRECT").as("segment"),
+          ts("2024-03-01 00:00:00").as("eff_ts")))
+    Relational.scdMerge(hist.unionByName(cur), upd,
+      "c_custkey", Seq("segment"), "eff_ts")
+      .select(col("c_custkey"), col("segment"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+  private val qScdMergeSql: String =
+    """WITH cur AS (SELECT c_custkey k, c_mktsegment seg,
+      |    TIMESTAMP '2020-01-01' vf FROM customer),
+      |hist AS (SELECT c_custkey k, 'LEGACY' seg, TIMESTAMP '2019-01-01' vf,
+      |    TIMESTAMP '2020-01-01' vt FROM customer WHERE c_custkey % 5 = 0),
+      |upd0 AS (
+      |  SELECT c_custkey k, 'WEB' seg, TIMESTAMP '2024-01-01' ts
+      |    FROM customer WHERE c_custkey % 17 = 0
+      |  UNION ALL SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-02-01'
+      |    FROM customer WHERE c_custkey % 23 = 0
+      |  UNION ALL SELECT c_custkey + 100000, 'DIRECT', TIMESTAMP '2024-03-01'
+      |    FROM customer WHERE c_custkey % 29 = 0),
+      |upd AS (SELECT k, seg, ts FROM upd0
+      |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts DESC, seg DESC) = 1),
+      |j AS (SELECT cur.k ck, cur.seg cseg, cur.vf cvf, upd.k uk, upd.seg useg,
+      |    upd.ts uts FROM cur FULL OUTER JOIN upd ON cur.k = upd.k),
+      |outv AS (
+      |  SELECT ck k, cseg seg, cvf vf, CAST(NULL AS TIMESTAMP) vt FROM j
+      |    WHERE ck IS NOT NULL AND (uk IS NULL OR cseg = useg)
+      |  UNION ALL SELECT ck, cseg, cvf, uts FROM j
+      |    WHERE ck IS NOT NULL AND uk IS NOT NULL AND cseg <> useg
+      |  UNION ALL SELECT uk, useg, uts, CAST(NULL AS TIMESTAMP) FROM j
+      |    WHERE uk IS NOT NULL AND (ck IS NULL OR cseg <> useg)
+      |  UNION ALL SELECT k, seg, vf, vt FROM hist)
+      |SELECT k c_custkey, seg segment, strftime(vf, '%Y-%m-%d') valid_from,
+      |  strftime(vt, '%Y-%m-%d') valid_to, vt IS NULL is_current
+      |FROM outv""".stripMargin
+
   /** Fuzzy join (record linkage): supplier names with one deterministic
     * character deletion injected (suppkey % 7 == 0, position rotated by
     * suppkey) are matched back to the clean supplier table at edit
@@ -2421,6 +2484,7 @@ object QueriesExt {
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_scd_merge" -> (qScdMerge _),
     "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2502,6 +2566,7 @@ object QueriesExt {
     "q_constraints" -> qConstraintsSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
+    "q_scd_merge" -> qScdMergeSql,
     "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

@@ -259,6 +259,63 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
+  /** SCD Type-2 merge: apply an updates batch to a versioned dimension
+    * (the warehouse MERGE that keeps history instead of overwriting).
+    * `dim` carries `keyCol`, `attrCols`, `validFromCol`, `validToCol`
+    * (NULL valid_to = the key's current version); `updates` carries
+    * `keyCol`, `attrCols`, `effTsCol`. Semantics per key:
+    *   - attrs changed  → the current version is CLOSED (valid_to =
+    *     effective ts) and a new open version is appended;
+    *   - attrs identical (null-safe) → no-op, current row untouched;
+    *   - key unseen → new open version;
+    *   - closed history rows always pass through untouched.
+    * A batch may carry several rows per key; the LATEST by effective ts
+    * wins (ties broken by the attr struct order, deterministic). The
+    * caller is responsible for effective ts > the open version's
+    * valid_from (apply batches in order).
+    *
+    * Scale shape: history rows never enter the join — only CURRENT
+    * versions (one row per live key) meet the reduced batch in a single
+    * full-outer shuffle join; per-key the close+append rows come from
+    * one conditional array-explode, so the whole merge is one shuffle
+    * regardless of history depth. The output is a plain DataFrame —
+    * writers pair it with [[graft.ext.Layout.writeBucketedTable]] keyed
+    * on `keyCol` so successive merges join exchange-free. */
+  def scdMerge(dim: DataFrame, updates: DataFrame, keyCol: String,
+      attrCols: Seq[String], effTsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val tsType = dim.schema(validFromCol).dataType
+    val hist = dim.filter(col(validToCol).isNotNull)
+    val cur = dim.filter(col(validToCol).isNull)
+    // latest update per key: one max-struct partial agg (no window)
+    val u = updates
+      .groupBy(col(keyCol).as("__k"))
+      .agg(max(struct(col(effTsCol).as("__ts") +:
+        attrCols.map(c => col(c).as(s"__u_$c")): _*)).as("__u"))
+      .select(col("__k"), col("__u.*"))
+    val j = cur.join(u, col(keyCol) === col("__k"), "full_outer")
+    val same = attrCols.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    def mk(key: Column, attrs: Seq[Column], vf: Column, vt: Column) =
+      struct((key.as(keyCol) +:
+        attrs.zip(attrCols).map { case (c, n) => c.as(n) }) ++
+        Seq(vf.as(validFromCol), vt.as(validToCol)): _*)
+    val keep = mk(col(keyCol), attrCols.map(col),
+      col(validFromCol), lit(null).cast(tsType))
+    val closed = mk(col(keyCol), attrCols.map(col),
+      col(validFromCol), col("__ts"))
+    val fresh = mk(col("__k"), attrCols.map(c => col(s"__u_$c")),
+      col("__ts"), lit(null).cast(tsType))
+    val merged = j.select(explode(
+      when(col("__k").isNull, array(keep))        // no update for key
+        .when(col(keyCol).isNull, array(fresh))   // brand-new key
+        .when(same, array(keep))                  // no-op update
+        .otherwise(array(closed, fresh))).as("__r"))
+      .select(col("__r.*"))
+    hist.select(merged.columns.map(col): _*).unionByName(merged)
+  }
+
   /** Range join: left rows matched to right rows whose [startCol, endCol)
     * interval contains the left timestamp. Implemented as an equi-join on
     * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst

@@ -155,6 +155,34 @@ class RelationalSpec extends SparkSpec {
     assert(tied == Seq("a", "b", "c", "d"))
   }
 
+  test("scdMerge: close+append, no-op, insert, passthrough, latest-wins") {
+    val dim = Seq(
+      // closed history: must pass through untouched
+      ("A", "old", ts("2019-01-01 00:00:00"), ts("2020-01-01 00:00:00")),
+      // current versions
+      ("A", "x", ts("2020-01-01 00:00:00"), null.asInstanceOf[Timestamp]),
+      ("B", "y", ts("2020-01-01 00:00:00"), null.asInstanceOf[Timestamp]),
+      ("D", "w", ts("2020-01-01 00:00:00"), null.asInstanceOf[Timestamp])
+    ).toDF("k", "seg", "valid_from", "valid_to")
+    val upd = Seq(
+      ("A", "x2", ts("2024-01-01 00:00:00")), // superseded by the later row
+      ("A", "x3", ts("2024-06-01 00:00:00")), // latest wins -> change
+      ("B", "y", ts("2024-01-01 00:00:00")),  // no-op: same attrs
+      ("C", "z", ts("2024-01-01 00:00:00"))   // brand-new key
+    ).toDF("k", "seg", "eff_ts")
+    val got = Relational.scdMerge(dim, upd, "k", Seq("seg"), "eff_ts")
+      .select("k", "seg", "valid_from", "valid_to")
+      .as[(String, String, Timestamp, Option[Timestamp])]
+      .collect().toSet
+    assert(got == Set(
+      ("A", "old", ts("2019-01-01 00:00:00"), Some(ts("2020-01-01 00:00:00"))),
+      ("A", "x", ts("2020-01-01 00:00:00"), Some(ts("2024-06-01 00:00:00"))),
+      ("A", "x3", ts("2024-06-01 00:00:00"), None),
+      ("B", "y", ts("2020-01-01 00:00:00"), None),
+      ("C", "z", ts("2024-01-01 00:00:00"), None),
+      ("D", "w", ts("2020-01-01 00:00:00"), None)))
+  }
+
   test("fuzzyJoin finds all pairs within edit distance 1 and nothing else") {
     val left = Seq((1L, "kitten"), (2L, "kiten"), (3L, "apple"),
       (4L, "zzz"), (5L, "")).toDF("lid", "lv")
