@@ -363,6 +363,23 @@ object Queries {
        |       WHEN price IS NOT NULL THEN 0.0 END price_scaled
        |FROM dirty, e""".stripMargin
 
+  /** Robust scaler on the dirtied qty column — integer base grid plus
+    * injected outliers, so the quartiles interpolate on quarter
+    * fractions (dyadic → bit-identical literals in both engines) and
+    * the outliers that would wreck a z-score barely move them. */
+  private def qScaleRobust(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.ScaleRobust("qty")(dirty(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("qty_scaled"))
+  private val qScaleRobustSql =
+    s"""WITH $dirtySql,
+       |st AS (SELECT quantile_cont(qty, [0.25, 0.5, 0.75]) q FROM dirty),
+       |p AS (SELECT q[1] q1, q[2] med, q[3] q3 FROM st)
+       |SELECT l_orderkey, l_linenumber, qty,
+       |  CASE WHEN q3 > q1 THEN (qty - med) / (q3 - q1)
+       |       WHEN qty IS NOT NULL THEN 0.0 END qty_scaled
+       |FROM dirty, p""".stripMargin
+
   // ------------------------------------------------------------------
   // T9 — deterministic keep-first dedup
   // ------------------------------------------------------------------
@@ -783,6 +800,7 @@ object Queries {
     "q_fill_constant" -> (qFillConstant _),
     "q_scale_minmax" -> (qScaleMinmax _),
     "q_scale_zscore" -> (qScaleZscore _),
+    "q_scale_robust" -> (qScaleRobust _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_date_auto" -> (qDateAuto _),
     "q_date_force_dmy" -> (qDateForceDmy _),
@@ -816,6 +834,7 @@ object Queries {
     "q_fill_constant" -> qFillConstantSql,
     "q_scale_minmax" -> qScaleMinmaxSql,
     "q_scale_zscore" -> qScaleZscoreSql,
+    "q_scale_robust" -> qScaleRobustSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_date_auto" -> qDateAutoSql,
     "q_date_force_dmy" -> qDateForceDmySql,

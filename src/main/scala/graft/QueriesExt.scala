@@ -1570,24 +1570,54 @@ object QueriesExt {
   }
 
   /** The 5-step magic-number spread as a generated CTE chain (linear
-    * SQL size; inlining would duplicate the base expression 2^5 times). */
-  private val qZorderSql: String = {
+    * SQL size; inlining would duplicate the base expression 2^5 times).
+    * Ends in `zf(a, b, z)` — shared by the z-order and z-prune oracles. */
+  private def zSpreadCtes(table: String, a: String, b: String): String = {
     val masks = Seq(
       (16, "281470681808895"), (8, "71777214294589695"),
       (4, "1085102592571150095"), (2, "3689348814741910323"),
       (1, "6148914691236517205"))
-    val z0 = "z0 AS (SELECT l_orderkey, l_partkey, " +
-      "l_orderkey & 4294967295 va, l_partkey & 4294967295 vb FROM lineitem)"
+    val z0 = s"z0 AS (SELECT $a, $b, " +
+      s"$a & 4294967295 va, $b & 4294967295 vb FROM $table)"
     val steps = masks.zipWithIndex.map { case ((s, m), i) =>
-      s"z${i + 1} AS (SELECT l_orderkey, l_partkey, " +
+      s"z${i + 1} AS (SELECT $a, $b, " +
         s"((va | (va << $s)) & $m) va, ((vb | (vb << $s)) & $m) vb FROM z$i)"
     }
-    s"""WITH $z0,
-       |${steps.mkString(",\n")}
-       |SELECT l_orderkey, l_partkey, (va | (vb << 1)) z
-       |FROM z${masks.size}
-       |ORDER BY z, l_orderkey, l_partkey LIMIT 100""".stripMargin
+    s"""$z0,
+       |${steps.mkString(",\n")},
+       |zf AS (SELECT $a a, $b b, (va | (vb << 1)) z FROM z${masks.size})""".stripMargin
   }
+  private val qZorderSql: String =
+    s"""WITH ${zSpreadCtes("lineitem", "l_orderkey", "l_partkey")}
+       |SELECT a l_orderkey, b l_partkey, z
+       |FROM zf ORDER BY z, a, b LIMIT 100""".stripMargin
+
+  /** Data-skipping payoff report: per-z-range file envelopes over
+    * (l_orderkey, l_partkey) plus would-scan flags for one range
+    * predicate on EACH column — the checkable form of z-order's claim
+    * that min/max stats prune scans filtered on either dimension.
+    * file_id = z div 2^20 (deterministic fixed z grid, no sampled range
+    * boundaries, no global window; ~128 buckets at sf0.01). */
+  private def qZPrune(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    Layout.zRangeFileStats(l, "l_orderkey", "l_partkey", 20)
+      .withColumn("scan_for_orderkey",
+        col("max_l_orderkey") >= 1000L && col("min_l_orderkey") <= 2000L)
+      .withColumn("scan_for_partkey",
+        col("max_l_partkey") >= 100L && col("min_l_partkey") <= 150L)
+  }
+  private val qZPruneSql: String =
+    s"""WITH ${zSpreadCtes("lineitem", "l_orderkey", "l_partkey")},
+       |f AS (SELECT z // ${1L << 20} file_id, a, b FROM zf),
+       |agg AS (SELECT file_id, count(*) n_rows,
+       |    min(a) min_l_orderkey, max(a) max_l_orderkey,
+       |    min(b) min_l_partkey, max(b) max_l_partkey
+       |  FROM f GROUP BY 1)
+       |SELECT file_id, n_rows, min_l_orderkey, max_l_orderkey,
+       |  min_l_partkey, max_l_partkey,
+       |  (max_l_orderkey >= 1000 AND min_l_orderkey <= 2000) scan_for_orderkey,
+       |  (max_l_partkey >= 100 AND min_l_partkey <= 150) scan_for_partkey
+       |FROM agg""".stripMargin
 
   /** Diff face: the "next crawl" is derived deterministically from the
     * documents table — %97 ids dropped, %13 ids edited, %31 ids cloned
@@ -2097,6 +2127,46 @@ object QueriesExt {
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0)
       |GROUP BY 1""".stripMargin
 
+  /** Join advisor over lineitem x orders with a driver-policy broadcast
+    * cap of 10k rows — at every test sf both sides exceed it and the
+    * synthetic keys are near-uniform, so the verdict lands on
+    * sort_merge via the measured numbers (not a shortcut); the spec
+    * covers the broadcast and salted branches on crafted inputs. */
+  private def qJoinAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+      .withColumnRenamed("l_orderkey", "k")
+    val o = Sources.table(s, dir, "orders")
+      .withColumnRenamed("o_orderkey", "k")
+    Relational.joinAdvisor(l, o, "k", broadcastMaxRows = 10000L)
+  }
+  private val qJoinAdvisorSql: String =
+    """WITH ls AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) left_rows,
+      |    count(*) left_keys,
+      |    CAST(COALESCE(max(c), 0) AS BIGINT) left_max_key_rows
+      |  FROM (SELECT count(*) c FROM lineitem GROUP BY l_orderkey)),
+      |rs AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) right_rows,
+      |    count(*) right_keys,
+      |    CAST(COALESCE(max(c), 0) AS BIGINT) right_max_key_rows
+      |  FROM (SELECT count(*) c FROM orders GROUP BY o_orderkey)),
+      |j AS (SELECT *,
+      |    CASE WHEN left_rows = 0 THEN 0.0
+      |      ELSE CAST(left_max_key_rows AS DOUBLE) * CAST(left_keys AS DOUBLE)
+      |        / CAST(left_rows AS DOUBLE) END left_skew_ratio,
+      |    CASE WHEN right_rows = 0 THEN 0.0
+      |      ELSE CAST(right_max_key_rows AS DOUBLE) * CAST(right_keys AS DOUBLE)
+      |        / CAST(right_rows AS DOUBLE) END right_skew_ratio
+      |  FROM ls, rs),
+      |v AS (SELECT *,
+      |    CASE WHEN least(left_rows, right_rows) <= 10000 THEN 'broadcast'
+      |      WHEN greatest(left_skew_ratio, right_skew_ratio) >= 8.0
+      |        THEN 'salted_sort_merge'
+      |      ELSE 'sort_merge' END recommendation
+      |  FROM j)
+      |SELECT *, CASE WHEN recommendation = 'salted_sort_merge'
+      |    THEN CAST(ceil(greatest(left_skew_ratio, right_skew_ratio)) AS INT)
+      |    ELSE CAST(NULL AS INT) END salts
+      |FROM v""".stripMargin
+
   /** SCD2 merge over a synthesized customer dimension: pre-existing
     * closed history (every 5th key), a changes batch (every 17th key ->
     * 'WEB'), a no-op batch (every 23rd key re-asserts its current
@@ -2485,6 +2555,7 @@ object QueriesExt {
     "q_bucket_join" -> (qBucketJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_scd_merge" -> (qScdMerge _),
+    "q_join_advisor" -> (qJoinAdvisor _),
     "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2501,6 +2572,7 @@ object QueriesExt {
     "q_decontaminate" -> (qDecontaminate _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_zorder" -> (qZorder _),
+    "q_zprune" -> (qZPrune _),
     "q_compaction" -> (qCompaction _),
     "q_encode" -> (qEncode _),
     "q_pack_ids" -> (qPackIds _),
@@ -2567,6 +2639,7 @@ object QueriesExt {
     "q_bucket_join" -> qBucketJoinSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_scd_merge" -> qScdMergeSql,
+    "q_join_advisor" -> qJoinAdvisorSql,
     "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
@@ -2583,6 +2656,7 @@ object QueriesExt {
     "q_decontaminate" -> qDecontaminateSql,
     "q_corpus_diff" -> qCorpusDiffSql,
     "q_zorder" -> qZorderSql,
+    "q_zprune" -> qZPruneSql,
     "q_compaction" -> qCompactionSql,
     "q_encode" -> qEncodeSql,
     "q_pack_ids" -> qPackIdsSql,

@@ -246,6 +246,38 @@ object CleaningAction {
     def describe = s"Min-max scaled $column to [0, 1]"
   }
 
+  /** Robust scaling: (x - median) / IQR — the outlier-immune sibling of
+    * [[ScaleZScore]] (one wild value shifts mean AND stddev, but barely
+    * moves the quartiles; sklearn's RobustScaler convention). All three
+    * quartiles come from ONE exact percentile buffer, fetched as a
+    * bounded driver scalar and re-entered as literals (no broadcast
+    * join needed); `exact = false` switches to the bounded-memory GK
+    * sketch for the 100 TB path, same trade as [[OutlierReplaceMedian]].
+    * Quartile interpolation is exact on the dyadic test grids (integer
+    * values, quarter fractions), so the literals — and therefore every
+    * scaled double, one IEEE subtract + divide away — are bit-identical
+    * across engines. Nulls stay null; IQR = 0 scales non-nulls to 0. */
+  final case class ScaleRobust(column: String, exact: Boolean = true)
+      extends CleaningAction {
+    def apply(df: DataFrame): DataFrame = {
+      val x = col(column)
+      val ps = array(lit(0.25), lit(0.5), lit(0.75))
+      val row = if (exact) df.agg(percentile(x, ps)).head()
+        else df.agg(percentile_approx(x, ps, lit(10000))).head()
+      val out = s"${column}_scaled"
+      if (row.isNullAt(0)) // no non-null values: nothing to scale
+        df.withColumn(out, when(x.isNotNull, lit(0.0)))
+      else {
+        val qs = row.getSeq[Double](0)
+        val (q1, med, q3) = (qs(0), qs(1), qs(2))
+        df.withColumn(out,
+          if (q3 > q1) (x - lit(med)) / lit(q3 - q1)
+          else when(x.isNotNull, lit(0.0)))
+      }
+    }
+    def describe = s"Robust-scaled $column (median/IQR)"
+  }
+
   final case class ScaleZScore(column: String) extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       val x = col(column)

@@ -64,6 +64,34 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Per-file min/max statistics of a Z-ORDERED layout, computed from
+    * the z key itself: a z-sorted table's files cover compact z ranges,
+    * so bucketing rows by their z-value's high bits (`file_id =
+    * z div 2^shiftBits`) reproduces exactly the per-file key envelopes
+    * a writer would persist — the min/max index that data skipping
+    * consults. Pair with a range predicate to report WHICH files a scan
+    * must touch (see q_zprune): the payoff claim of z-ordering ("a
+    * filter on EITHER column prunes most files") becomes a checkable
+    * number instead of prose.
+    *
+    * Scale shape: the z key and bucket id are narrow codegen'd
+    * bit-arithmetic; the only shuffle is the partial-agg groupBy on
+    * file_id, which carries one row per z-range bucket — at 100 TB,
+    * thousands of rows. No global window, no sampling (the fixed-width
+    * z grid is deterministic where repartitionByRange's sampled
+    * boundaries are not — which is also what makes it oracle-able). */
+  def zRangeFileStats(df: DataFrame, colA: String, colB: String,
+      shiftBits: Int): DataFrame = {
+    require(shiftBits >= 0 && shiftBits < 62, "need 0 <= shiftBits < 62")
+    df.select(col(colA), col(colB),
+      zorder64(col(colA), col(colB)).as("__z"))
+      .withColumn("file_id", expr(s"__z div ${1L << shiftBits}L"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(colA)).as(s"min_$colA"), max(col(colA)).as(s"max_$colA"),
+        min(col(colB)).as(s"min_$colB"), max(col(colB)).as(s"max_$colB"))
+  }
+
   /** Bucketed external-table write — the co-location half of the
     * bucketed-join strategy: both fact tables pre-hashed on the join
     * key into the SAME bucket count means every future equi-join or

@@ -259,6 +259,53 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Join-strategy advisor: the broadcast / sort-merge / salted
+    * decision every 100 TB join hinges on, computed from the same
+    * numbers a human would pull — per-side row counts, distinct key
+    * counts, and the hottest key's multiple of the mean key frequency
+    * (the [[keySkewReport]] ratio, same IEEE association). One
+    * partial-agg shuffle per side (carrying one row per DISTINCT key,
+    * then one row); the verdict re-enters as a broadcast of two 1-row
+    * frames.
+    *
+    * Decision cascade (deterministic, thresholds are caller policy):
+    *   - either side's row count <= `broadcastMaxRows` → `broadcast`
+    *     (no skew problem exists for a broadcast join);
+    *   - else hottest-key ratio on either side >= `skewRatio` →
+    *     `salted_sort_merge` with `salts` = ceil(max ratio) (what
+    *     [[saltedJoin]] needs);
+    *   - else → `sort_merge`.
+    * Null join keys are counted like any other key (they hash-land in
+    * one reducer just the same — the classic hidden hot key). */
+  def joinAdvisor(left: DataFrame, right: DataFrame, keyCol: String,
+      broadcastMaxRows: Long = 1000000L,
+      skewRatio: Double = 8.0): DataFrame = {
+    def stats(df: DataFrame, pfx: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as(s"${pfx}_rows"),
+          count(lit(1)).as(s"${pfx}_keys"),
+          coalesce(max(col("__c")), lit(0L)).as(s"${pfx}_max_key_rows"))
+    def ratio(pfx: String): Column =
+      when(col(s"${pfx}_rows") === 0L, lit(0.0))
+        .otherwise(col(s"${pfx}_max_key_rows").cast("double")
+          * col(s"${pfx}_keys").cast("double")
+          / col(s"${pfx}_rows").cast("double"))
+    stats(left, "left").crossJoin(broadcast(stats(right, "right")))
+      .withColumn("left_skew_ratio", ratio("left"))
+      .withColumn("right_skew_ratio", ratio("right"))
+      .withColumn("recommendation",
+        when(least(col("left_rows"), col("right_rows"))
+            <= broadcastMaxRows, lit("broadcast"))
+          .when(greatest(col("left_skew_ratio"), col("right_skew_ratio"))
+            >= skewRatio, lit("salted_sort_merge"))
+          .otherwise(lit("sort_merge")))
+      .withColumn("salts",
+        when(col("recommendation") === "salted_sort_merge",
+          ceil(greatest(col("left_skew_ratio"), col("right_skew_ratio")))
+            .cast("int"))
+          .otherwise(lit(null).cast("int")))
+  }
+
   /** SCD Type-2 merge: apply an updates batch to a versioned dimension
     * (the warehouse MERGE that keeps history instead of overwriting).
     * `dim` carries `keyCol`, `attrCols`, `validFromCol`, `validToCol`

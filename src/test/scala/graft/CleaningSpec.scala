@@ -146,4 +146,24 @@ class CleaningSpec extends SparkSpec {
       .select($"x_scaled").as[Option[Double]].collect().toSet
     assert(const == Set(Some(0.0)))
   }
+
+  test("ScaleRobust: median/IQR, outlier-immune, nulls kept, IQR=0 -> 0") {
+    // 1..5: q1=2, med=3, q3=4, IQR=2 — exact on the integer grid
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0), None)
+      .toDF("x")
+    val r = ScaleRobust("x")(df).select($"x_scaled").as[Option[Double]]
+      .collect().toSet
+    assert(r == Set(Some(-1.0), Some(-0.5), Some(0.0), Some(0.5), Some(1.0),
+      None))
+    // a wild outlier replacing the max barely moves the quartiles
+    // (q1=2, med=3, q3=4 unchanged) where a z-score would collapse
+    val wild = ScaleRobust("x")(
+      Seq(1.0, 2.0, 3.0, 4.0, 1e9).toDF("x"))
+      .select($"x_scaled").as[Double].collect().sorted.take(4).toSeq
+    assert(wild == Seq(-1.0, -0.5, 0.0, 0.5))
+    // constant column: IQR = 0 -> non-nulls scale to 0
+    val const = ScaleRobust("x")(Seq(Some(7.0), Some(7.0), None).toDF("x"))
+      .select($"x_scaled").as[Option[Double]].collect().toSet
+    assert(const == Set(Some(0.0), None))
+  }
 }

@@ -46,6 +46,27 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4096)
   }
 
+  test("zRangeFileStats: per-bucket envelopes are exact and prune correctly") {
+    // 0..63 x 0..63 grid; shift 8 -> file_id = z div 256 = the 4x4
+    // "quadrant at depth 3" decomposition: 16 buckets of a 16x16 tile each
+    val df = (for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val stats = Layout.zRangeFileStats(df, "a", "b", shiftBits = 8)
+      .orderBy("file_id")
+      .select("file_id", "n_rows", "min_a", "max_a", "min_b", "max_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stats.length == 16)
+    assert(stats.forall(_._2 == 256L))
+    // every bucket is a 16x16 tile: tight envelopes, keys aligned to 16
+    stats.foreach { case (_, _, minA, maxA, minB, maxB) =>
+      assert(maxA - minA == 15 && maxB - minB == 15)
+      assert(minA % 16 == 0 && minB % 16 == 0)
+    }
+    // a one-tile range predicate on EITHER column keeps exactly 4/16 tiles
+    assert(stats.count(s => s._4 >= 16 && s._3 <= 31) == 4)  // a in [16,31]
+    assert(stats.count(s => s._6 >= 32 && s._5 <= 47) == 4)  // b in [32,47]
+  }
+
   test("compaction plan: next-fit groups fill to the target in path order") {
     val files = Seq(("a", 100L), ("b", 200L), ("c", 250L), ("d", 50L))
       .toDF("path", "bytes")

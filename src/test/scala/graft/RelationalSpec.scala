@@ -155,6 +155,31 @@ class RelationalSpec extends SparkSpec {
     assert(tied == Seq("a", "b", "c", "d"))
   }
 
+  test("joinAdvisor: broadcast, salted and sort-merge branches with exact stats") {
+    val uniform = (1L to 100L).map(k => (k, "x")).toDF("k", "v")
+    val tiny = Seq((1L, "d")).toDF("k", "d")
+    // broadcast: one side under the row cap
+    val b = Relational.joinAdvisor(uniform, tiny, "k",
+      broadcastMaxRows = 10L)
+      .select("recommendation", "right_rows").as[(String, Long)].head()
+    assert(b == (("broadcast", 1L)))
+    // salted: a hot key holding half of one side; cap forces non-broadcast
+    val hot = ((1L to 50L).map(_ => 7L) ++ (1L to 50L)).map((_, "x"))
+      .toDF("k", "v")
+    val s = Relational.joinAdvisor(hot, uniform, "k",
+      broadcastMaxRows = 0L, skewRatio = 8.0)
+      .select("recommendation", "salts", "left_max_key_rows")
+      .as[(String, Option[Int], Long)].head()
+    // hottest key: 7 appears 51x of 100 rows over 50 distinct keys
+    // -> ratio 51*50/100 = 25.5 -> 26 salts
+    assert(s == (("salted_sort_merge", Some(26), 51L)))
+    // sort-merge: big-ish uniform sides, no skew
+    val m = Relational.joinAdvisor(uniform, uniform, "k",
+      broadcastMaxRows = 0L)
+      .select("recommendation", "left_skew_ratio").as[(String, Double)].head()
+    assert(m == (("sort_merge", 1.0)))
+  }
+
   test("scdMerge: close+append, no-op, insert, passthrough, latest-wins") {
     val dim = Seq(
       // closed history: must pass through untouched
