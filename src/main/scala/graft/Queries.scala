@@ -702,6 +702,45 @@ object Queries {
   private val corrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Benford first-digit screen over order totals; the expectation
+    * literals are generated from ONE Scala constant into both engines
+    * (toString round-trips doubles exactly), so no engine runs a log. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.benford(orders(s, dir), "o_totalprice")
+  private val qBenfordSql: String = {
+    val expCase = graft.profile.NumericProfile.benfordExpected
+      .map { case (d, p) => s"WHEN $d THEN ${p}" }.mkString(" ")
+    s"""WITH src AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |    AS BIGINT) c FROM orders),
+       |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) digit
+       |  FROM src WHERE c > 0),
+       |a AS (SELECT digit, count(*) n FROM d GROUP BY 1),
+       |w AS (SELECT digit, n, sum(n) OVER () total FROM a),
+       |f AS (SELECT digit, n,
+       |    CAST(n AS DOUBLE) / CAST(total AS DOUBLE) obs_share,
+       |    CASE digit $expCase END expected
+       |  FROM w)
+       |SELECT digit, n, obs_share, expected, abs(obs_share - expected) gap
+       |FROM f""".stripMargin
+  }
+
+  /** Equal-population quantile binning on the dirtied qty column
+    * (pandas qcut / Spark ML QuantileDiscretizer semantics, exact
+    * boundaries): the oracle recomputes the same three quartile
+    * boundaries and the same when-cascade. */
+  private def qQuantileBin(s: SparkSession, dir: String): DataFrame =
+    CleaningAction.QuantileBin("qty", nBins = 4)(dirty(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("qty_bin"))
+  private val qQuantileBinSql: String =
+    s"""WITH $dirtySql,
+       |b AS (SELECT quantile_cont(qty, [0.25, 0.5, 0.75]) q FROM dirty)
+       |SELECT l_orderkey, l_linenumber, qty,
+       |  CAST(CASE WHEN qty <= q[1] THEN 1 WHEN qty <= q[2] THEN 2
+       |       WHEN qty <= q[3] THEN 3
+       |       WHEN qty IS NOT NULL THEN 4 END AS INT) qty_bin
+       |FROM dirty, b""".stripMargin
+
   private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
     graft.profile.NumericProfile.corrMatrix(li(s, dir), corrCols)
 
@@ -783,6 +822,8 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_matrix" -> (qCorrMatrix _),
+    "q_benford" -> (qBenford _),
+    "q_quantile_bin" -> (qQuantileBin _),
     "q_histogram" -> (qHistogram _),
     "q_hist_drift" -> (qHistDrift _),
     "q_profile" -> (qProfile _),
@@ -817,6 +858,8 @@ object Queries {
 
   val oracle: Map[String, String] = Map(
     "q_corr_matrix" -> qCorrMatrixSql,
+    "q_benford" -> qBenfordSql,
+    "q_quantile_bin" -> qQuantileBinSql,
     "q_histogram" -> qHistogramSql,
     "q_hist_drift" -> qHistDriftSql,
     "q_profile" -> qProfileSql,

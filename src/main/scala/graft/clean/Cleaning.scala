@@ -278,6 +278,39 @@ object CleaningAction {
     def describe = s"Robust-scaled $column (median/IQR)"
   }
 
+  /** Quantile discretizer: bin each value by the column's own
+    * distribution (equal-POPULATION bins — Spark ML's QuantileDiscretizer
+    * / pandas qcut semantics, here with exact boundaries). The nBins-1
+    * inner boundaries come from ONE percentile buffer fetched as a
+    * bounded driver scalar; binning is then a narrow literal when-cascade
+    * (codegen'd comparisons, no join, no second pass). `exact = false`
+    * switches the boundary pass to the GK sketch for the 100 TB path.
+    * Convention: bin i (1-based) is x <= boundary_i, last bin catches
+    * the rest; duplicate boundaries (heavy ties) simply leave earlier
+    * bins empty — deterministic, oracle-mirrorable. Nulls stay null. */
+  final case class QuantileBin(column: String, nBins: Int = 4,
+      exact: Boolean = true) extends CleaningAction {
+    require(nBins >= 2, "need at least 2 bins")
+    def apply(df: DataFrame): DataFrame = {
+      val x = col(column)
+      val ps = array((1 until nBins).map(i =>
+        lit(i.toDouble / nBins)): _*)
+      val row = if (exact) df.agg(percentile(x, ps)).head()
+        else df.agg(percentile_approx(x, ps, lit(10000))).head()
+      val out = s"${column}_bin"
+      if (row.isNullAt(0)) df.withColumn(out, lit(null).cast("int"))
+      else {
+        val bounds = row.getSeq[Double](0)
+        val cascade = bounds.zipWithIndex.foldRight(
+          when(x.isNotNull, lit(nBins))) { case ((b, i), rest) =>
+          when(x <= lit(b), lit(i + 1)).otherwise(rest)
+        }
+        df.withColumn(out, when(x.isNotNull, cascade).cast("int"))
+      }
+    }
+    def describe = s"Quantile-binned $column into $nBins bins"
+  }
+
   final case class ScaleZScore(column: String) extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       val x = col(column)

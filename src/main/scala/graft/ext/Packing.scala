@@ -59,15 +59,20 @@ object Packing {
     * or drop).
     *
     * Scale shape: one window prefix-sum per bucket over DOC-level rows
-    * (cheap), then a narrow posexplode to token rows, then ONE
-    * reassembly shuffle on (bucket, seq) — token rows never pass
-    * through a window. At 100 TB set buckets ≈ a few × executor count:
-    * every prefix sum and every reassembly group stays cluster-parallel
-    * and no task ever holds more than contextLen tokens per group. */
+    * (cheap), then a narrow explode to ARRAY-FRAGMENT rows — one row
+    * per (doc, chunk-it-spans), i.e. ~n/contextLen + 1 rows per doc,
+    * NOT one per token (a first cut shuffled token-level rows and
+    * measured 16.6x at 10x volume from the per-row shuffle overhead;
+    * fragments carry the same bytes in ~contextLen-fold fewer rows and
+    * re-measured linear) — then ONE reassembly shuffle on (bucket,
+    * seq). At 100 TB set buckets ≈ a few × executor count: every
+    * prefix sum and every reassembly group stays cluster-parallel and
+    * no group ever holds more than contextLen tokens. */
   def packTokenIds(encoded: DataFrame, idCol: String, idsCol: String,
       contextLen: Int = 2048, buckets: Int = 64,
       eosId: Long = 3L): DataFrame = {
     require(contextLen > 0 && buckets > 0)
+    val L = lit(contextLen.toLong)
     val staged = encoded.select(col(idCol).as("id"),
       concat(col(idsCol), array(lit(eosId))).as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
@@ -75,19 +80,32 @@ object Packing {
         pmod(Hashing.hash64(col("id")), lit(buckets)).cast("int"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    staged
+    // fragment of __ids that lands in chunk c: global positions
+    // [max(start, c*L), min(start + n, (c+1)*L)); __n >= 1 always (eos),
+    // so firstChunk..lastChunk is never empty
+    val fragments = staged
       .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
-      .select(col("bucket"), col("__start"),
-        posexplode(col("__ids")).as(Seq("__pos", "__tid")))
-      .withColumn("__g", col("__start") + col("__pos"))
-      .withColumn("seq_id", expr(s"__g div ${contextLen}L"))
-      .withColumn("__off", col("__g") % contextLen)
-      .groupBy(col("bucket"), col("seq_id"))
-      .agg(sort_array(collect_list(struct(col("__off"), col("__tid"))))
-        .as("__s"))
+      .withColumn("__frag", explode(transform(
+        sequence(expr(s"__start div ${contextLen}L"),
+          expr(s"(__start + __n - 1) div ${contextLen}L")),
+        c => {
+          val fragStart = greatest(c * L - col("__start"), lit(0L))
+          val fragEnd = least((c + 1) * L - col("__start"), col("__n"))
+          struct(c.as("seq"),
+            greatest(col("__start") - c * L, lit(0L)).as("off"),
+            slice(col("__ids"), (fragStart + 1).cast("int"),
+              (fragEnd - fragStart).cast("int")).as("ids"))
+        })))
+    fragments
+      .groupBy(col("bucket"), col("__frag.seq").as("seq_id"))
+      .agg(sort_array(collect_list(struct(col("__frag.off").as("off"),
+        col("__frag.ids").as("ids")))).as("__f"))
       .select(col("bucket"), col("seq_id"),
-        size(col("__s")).as("n_tokens"),
-        transform(col("__s"), s => s.getField("__tid")).as("token_ids"))
+        flatten(transform(col("__f"), f => f.getField("ids")))
+          .as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .select(col("bucket"), col("seq_id"), col("n_tokens"),
+        col("token_ids"))
   }
 
   /** Sliding-window chunking WITH overlap — the per-document splitter

@@ -23,6 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object NumericProfile {
 
+  /** First-digit probabilities log10(1 + 1/d) — the Benford's-law
+    * expectation. Computed once here and embedded as LITERALS in both
+    * the Spark plan and (via toString round-trip) the oracle SQL, so no
+    * engine evaluates a log. */
+  val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law leading-digit check — the classic fabricated-numbers
+    * screen for financial/count columns (naturally-grown magnitudes
+    * follow log10(1+1/d); invented ones rarely do). Values are taken on
+    * the 2-dp money grid: an exact decimal(18,2) scale-to-cents, so the
+    * leading digit is the first character of an exact INTEGER's string
+    * rendering — no float formatting, no logs (expectations are baked
+    * literals, see [[benfordExpected]]). Zero and negative values are
+    * out of scope (Benford applies to positive magnitudes).
+    *
+    * Scale shape: one narrow map + one partial-agg shuffle carrying at
+    * most 9 rows; the total re-enters as an unpartitioned window sum
+    * over those 9 rows (the histogramDrift trick — no second scan).
+    * Output: (digit, n, obs_share, expected, gap) for observed digits
+    * (`obs_share`, not `share` — SHARE is a DuckDB reserved word). */
+  def benford(df: DataFrame, colName: String): DataFrame = {
+    val cents = (col(colName).cast("decimal(18,2)") * 100).cast("long")
+    val expectCol = benfordExpected.foldRight(lit(null).cast("double")) {
+      case ((d, p), rest) => when(col("digit") === d, lit(p)).otherwise(rest)
+    }
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.select(cents.as("__c")).filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(all)) // <= 9 rows
+      .withColumn("obs_share",
+        col("n").cast("double") / col("__total").cast("double"))
+      .withColumn("expected", expectCol)
+      .withColumn("gap", abs(col("obs_share") - col("expected")))
+      .drop("__total")
+  }
+
   /** Pairwise Pearson correlation over `cols` (2-dp-or-integer numeric
     * columns), long format: (col_x, col_y, corr) for each ordered pair
     * x < y in `cols` order. Null corr when a column is constant.

@@ -166,4 +166,18 @@ class CleaningSpec extends SparkSpec {
       .select($"x_scaled").as[Option[Double]].collect().toSet
     assert(const == Set(Some(0.0), None))
   }
+
+  test("QuantileBin: equal-population bins, boundary inclusivity, nulls") {
+    // 1..8: quartile boundaries 2.75, 4.5, 6.25 -> bins of exactly 2
+    val df = (1 to 8).map(i => Some(i.toDouble)).toDF("x")
+    val bins = QuantileBin("x", nBins = 4)(df)
+      .select($"x", $"x_bin").as[(Double, Int)].collect().toMap
+    assert(bins == Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 2, 4.0 -> 2,
+      5.0 -> 3, 6.0 -> 3, 7.0 -> 4, 8.0 -> 4))
+    // nulls stay null; values AT a boundary take the lower bin
+    val edge = QuantileBin("x", nBins = 2)(
+      Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x"))
+      .select($"x_bin").as[Option[Int]].collect().toSet
+    assert(edge == Set(Some(1), Some(2), None)) // median 2.0 -> bin 1
+  }
 }

@@ -87,4 +87,19 @@ class NumericProfileSpec extends SparkSpec {
       .agg(sum($"share_gap") * 0.5).as[Double].head()
     assert(math.abs(tvd - 0.75) < 1e-12)
   }
+
+  test("benford: exact leading digits on the cents grid; zero/negative/null out of scope") {
+    val df = Seq(Some(1.23), Some(19.99), Some(250.0), Some(2.0),
+      Some(0.0), Some(-5.0), None, Some(0.09)).toDF("v")
+    val got = NumericProfile.benford(df, "v")
+      .select("digit", "n", "obs_share").as[(Int, Long, Double)]
+      .collect().toSeq.sorted
+    // cents: 123, 1999, 25000, 200, 9 -> digits 1,1,2,2,9 (0/-5/null skipped)
+    assert(got == Seq((1, 2L, 0.4), (2, 2L, 0.4), (9, 1L, 0.2)))
+    // expectations are the baked literals and gaps derive from them
+    val row = NumericProfile.benford(df, "v").filter($"digit" === 1)
+      .select("expected", "gap").as[(Double, Double)].head()
+    assert(row._1 == math.log10(2.0))
+    assert(math.abs(row._2 - math.abs(0.4 - math.log10(2.0))) < 1e-15)
+  }
 }
