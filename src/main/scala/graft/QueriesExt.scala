@@ -886,6 +886,27 @@ object QueriesExt {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Gap detector with KNOWN injected gaps: every hour bucket with
+    * bucket % 7 == 3 is deleted from the stream, so the detector must
+    * report exactly those hours (plus any organically empty ones) —
+    * detection is proven, not just green-path accounting. */
+  private def qTimeGaps(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .filter(expr("(unix_timestamp(ts) div 3600) % 7") =!= 3)
+    EventsOps.timeGaps(e, "ts", bucketSeconds = 3600)
+  }
+  private val qTimeGapsSql: String =
+    """WITH b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 bucket
+      |  FROM events),
+      |p AS (SELECT DISTINCT bucket FROM b WHERE bucket % 7 <> 3),
+      |bounds AS (SELECT min(bucket) mn, max(bucket) mx FROM p),
+      |spine AS (SELECT unnest(range(mn, mx + 1)) bucket FROM bounds
+      |  WHERE mn IS NOT NULL)
+      |SELECT bucket,
+      |  strftime(make_timestamp(bucket * 3600 * 1000000),
+      |    '%Y-%m-%d %H:%M:%S') gap_start
+      |FROM spine WHERE bucket NOT IN (SELECT bucket FROM p)""".stripMargin
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventsOps.sessionStats(events(s, dir), gapMinutes = 30)
       .groupBy(col("user_id"))
@@ -2556,6 +2577,7 @@ object QueriesExt {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_scd_merge" -> (qScdMerge _),
     "q_join_advisor" -> (qJoinAdvisor _),
+    "q_time_gaps" -> (qTimeGaps _),
     "q_key_skew" -> (qKeySkew _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2640,6 +2662,7 @@ object QueriesExt {
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_scd_merge" -> qScdMergeSql,
     "q_join_advisor" -> qJoinAdvisorSql,
+    "q_time_gaps" -> qTimeGapsSql,
     "q_key_skew" -> qKeySkewSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

@@ -130,4 +130,35 @@ object EventsOps {
         max(col("ts")).as("session_end"))
       .withColumn("duration_sec",
         unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+
+  /** Coverage-gap detector: time buckets between the stream's first and
+    * last event that contain ZERO events — the "did ingestion silently
+    * stop for an hour" monitor every event pipeline wants on a
+    * dashboard. Returns (bucket, gap_start) per missing bucket, where
+    * bucket = floor(epoch / bucketSeconds).
+    *
+    * Scale shape: present buckets come from one partial-agg distinct
+    * (the shuffle carries one row per OCCUPIED bucket — hours, not
+    * events); the calendar spine explodes from a single bounds row
+    * (span-bounded: a decade of hours is ~90k rows) and anti-joins the
+    * present set broadcast-style. Event rows are scanned once,
+    * narrowly. */
+  def timeGaps(events: DataFrame, tsCol: String,
+      bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val present = events
+      .select(expr(s"unix_timestamp(`$tsCol`) div ${bucketSeconds}L")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .select(col("bucket"))
+    val bounds = present.agg(min(col("bucket")).as("__mn"),
+      max(col("bucket")).as("__mx"))
+    val spine = bounds
+      .filter(col("__mn").isNotNull) // empty input -> no spine, no gaps
+      .select(explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+    spine.join(present, Seq("bucket"), "left_anti")
+      .select(col("bucket"),
+        date_format(timestamp_seconds(col("bucket") * bucketSeconds),
+          "yyyy-MM-dd HH:mm:ss").as("gap_start"))
+  }
 }

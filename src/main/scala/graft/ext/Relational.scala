@@ -255,8 +255,12 @@ object Relational {
     l.join(r, Seq("variant"))
       .select(col("l_id"), col("l_val"), col("r_id"), col("r_val"))
       .distinct()
-      .withColumn("dist", levenshtein(col("l_val"), col("r_val")).cast("int"))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein (returns -1 past maxDist): the banded
+      // O(maxDist * len) early-exit form — at scale the verify step pays
+      // per candidate, so the bound matters more than the blocking did
+      .withColumn("dist",
+        levenshtein(col("l_val"), col("r_val"), maxDist).cast("int"))
+      .filter(col("dist") >= 0)
   }
 
   /** Join-strategy advisor: the broadcast / sort-merge / salted

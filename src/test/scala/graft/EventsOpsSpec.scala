@@ -133,4 +133,23 @@ class EventsOpsSpec extends SparkSpec {
     val r = Multimodal.resize(media, 224, 224).select("meta.*").head()
     assert(r.getAs[Int]("width") == 224 && r.getAs[Int]("n_frames") == 11)
   }
+
+  test("timeGaps reports exactly the empty interior buckets; empty input -> no rows") {
+    // events at hours 10, 11, 14, 15 of one day -> gaps at 12, 13; the
+    // spine is bounded by the occupied range (no phantom edge gaps)
+    val e = Seq(
+      (1L, ts("2024-03-01 10:05:00")), (2L, ts("2024-03-01 10:55:00")),
+      (3L, ts("2024-03-01 11:30:00")), (4L, ts("2024-03-01 14:00:00")),
+      (5L, ts("2024-03-01 15:59:59"))).toDF("id", "ts")
+    val gaps = EventsOps.timeGaps(e, "ts")
+      .select("gap_start").as[String].collect().toSeq.sorted
+    assert(gaps == Seq("2024-03-01 12:00:00", "2024-03-01 13:00:00"))
+    // sub-hour buckets see finer gaps
+    val fine = EventsOps.timeGaps(e, "ts", bucketSeconds = 1800)
+      .count()
+    // occupied: 10:00,10:30,11:30,14:00,15:30 -> missing 11:00, 12:00,
+    // 12:30, 13:00, 13:30, 14:30, 15:00
+    assert(fine == 7)
+    assert(EventsOps.timeGaps(e.filter($"id" < 0), "ts").count() == 0)
+  }
 }

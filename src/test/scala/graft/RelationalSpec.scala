@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.levenshtein
+
 import graft.ext.Relational
 
 class RelationalSpec extends SparkSpec {
@@ -153,6 +155,25 @@ class RelationalSpec extends SparkSpec {
     val tied = Relational.keySkewReport(df, Seq("k"), topK = 4)
       .select("k").as[String].collect().toSeq
     assert(tied == Seq("a", "b", "c", "d"))
+  }
+
+  test("fuzzyJoin equals the brute-force cross join on random-ish strings") {
+    // deterministic pseudo-random word soup: every true pair within
+    // distance 2 must survive blocking (completeness) and none beyond
+    val words = (0 until 60).map { i =>
+      val base = s"w${i % 7}rd${i % 5}x${i % 3}"
+      (i.toLong, base.drop(i % 3)) // vary lengths too
+    }
+    val left = words.toDF("lid", "lv")
+    val right = words.map { case (i, w) => (i + 1000, w.reverse) }
+      .toDF("rid", "rv")
+    val fast = Relational.fuzzyJoin(left, right, "lid", "lv", "rid", "rv",
+      maxDist = 2, maxBucket = 100000)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .filter(levenshtein($"lv", $"rv") <= 2)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
   }
 
   test("joinAdvisor: broadcast, salted and sort-merge branches with exact stats") {

@@ -170,6 +170,24 @@ class TextStatsSpec extends SparkSpec {
     assert(tail == Seq(3, 3, 2))
   }
 
+  test("packTokenIds conserves every token: sum of windows == sum of (len+1)") {
+    import graft.ext.Packing
+    val enc = (1L to 100L).map(i => (i, (0L until (i % 9)).toSeq))
+      .toDF("id", "token_ids")
+    val packed = Packing.packTokenIds(enc, "id", "token_ids",
+      contextLen = 10, buckets = 4)
+    val total = packed.agg(sum($"n_tokens")).as[Long].head()
+    assert(total == (1L to 100L).map(i => (i % 9) + 1).sum)
+    // and every window except each bucket's last is exactly contextLen
+    val windows = packed.select("bucket", "seq_id", "n_tokens")
+      .as[(Int, Long, Int)].collect().groupBy(_._1)
+    windows.values.foreach { ws =>
+      val sorted = ws.sortBy(_._2)
+      assert(sorted.init.forall(_._3 == 10))
+      assert(sorted.last._3 <= 10)
+    }
+  }
+
   test("packTokenIds is invariant to input partitioning") {
     import graft.ext.Packing
     val enc = (1L to 40L).map(i => (i, (1L to (i % 5)).toSeq))
