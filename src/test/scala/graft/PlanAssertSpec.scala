@@ -73,6 +73,27 @@ class PlanAssertSpec extends SparkSpec {
       s"bucketed join must not shuffle (agg only), found $shuffles:\n$plan")
   }
 
+  test("q_fuzzy_join: blocked join never degrades to a cartesian") {
+    // the deletion-neighborhood block exists to avoid the n x m compare;
+    // a refactor that breaks the equi-join on `variant` would silently
+    // re-plan as CartesianProduct/BroadcastNestedLoop and still return
+    // correct rows — only the plan betrays it
+    val plan = planOf("q_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy join must stay an equi-join on the variant key; plan:\n$plan")
+  }
+
+  test("q_scd_merge: bounded shuffles (batch reduce + join), history never shuffles") {
+    val plan = planOf("q_scd_merge")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    // one partial-agg reduce of the batch + the full-outer join's two
+    // sides (the agg side's partitioning is reusable but not guaranteed)
+    assert(shuffles <= 3,
+      s"scdMerge grew extra shuffles ($shuffles):\n$plan")
+  }
+
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e"))
