@@ -61,6 +61,13 @@ object Bench {
     var failures = List.empty[String]
     var flaky = List.empty[(String, Int)] // partial rep failures, kept visible
     var budgetHit = false
+    // per-query (reps_used, max/min spread): this VM shows 3-40x
+    // single-run noise spikes even on quiet runs (r4: q_rollup 43s
+    // in-suite vs 0.97s isolated), so the artifact itself must say how
+    // trustworthy each number is — spread ~1 means believe it, spread
+    // >> 1 means the median/min absorbed a spike
+    var repsUsed = Map.empty[String, Int]
+    var spreads = Map.empty[String, Double]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def runOnce(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -92,6 +99,9 @@ object Bench {
       else {
         // a query that crashed on SOME reps must not look healthy
         if (times.size < attempts) flaky ::= (name, attempts - times.size)
+        repsUsed += name -> times.size
+        if (times.size >= 2)
+          spreads += name -> (math.round(times.max / times.min * 100) / 100.0)
         val t =
           if (first.exists(_ >= heavyCut) && times.size == 2) times.min
           else times.sorted.apply(times.size / 2)
@@ -104,7 +114,11 @@ object Bench {
     val errs = failures.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val flk = flaky.map { case (n, f) => s"\"" + n + "\":" + f }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"budget_hit":$budgetHit,"wall_sec":$elapsed,"sf":"$sfDir"}""")
+    val ru = repsUsed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"budget_hit":$budgetHit,"wall_sec":$elapsed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
