@@ -225,6 +225,90 @@ object QueriesExt {
        |FROM pairs WHERE j >= 0.8""".stripMargin
   }
 
+  /** Streaming continuous-crawl dedup under the oracle: documents split
+    * into 3 deterministic "crawls" (doc_id % 3), staged as one file per
+    * crawl with ordered mtimes, consumed with maxFilesPerTrigger=1 so
+    * each crawl is one micro-batch. Crawl 0 seeds the index; crawl 1 is
+    * screened against it; crawl 2 is screened against crawl 0 PLUS
+    * crawl 1's survivors — so a hash match proves the evolving-index
+    * path, not just one batch-vs-index call. The oracle replays the
+    * same two incremental steps as chained CTEs (shared fragment
+    * generator, same minhash/cap constants as q_incremental_dedup). */
+  private def qStreamCrawlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val leaf = java.lang.Integer.toHexString(dir.hashCode) +
+      s"_p${bktPid}_c${bktSeq.incrementAndGet()}"
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_crawl_stream", leaf)
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    (0 until 3).foreach { c =>
+      val stage = base.resolve(s"stage_$c")
+      d.filter(col("doc_id") % 3 === c).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for crawl $c"))
+      val dst = inDir.resolve(s"crawl_$c.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // mtime order = processing order for the file stream source
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + c * 60000L))
+    }
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val pairsOut = base.resolve("pairs").toString
+    graft.streaming.StreamProfile.crawlDedupStream(stream, "doc_id", "text",
+      pairsOut, threshold = 0.8, shingleN = 3, k = 16, bands = 4,
+      maxBucket = 64)
+    s.read.parquet(pairsOut)
+  }
+  /** One incremental minhash step as suffixed CTEs ending in
+    * `pairs<sfx>(bid, iid, j)` — instantiated twice by the streaming
+    * crawl oracle, identical constants to qIncrementalDedupSql. */
+  private def crawlChainSql(sfx: String, batchCte: String,
+      indexCte: String): String = {
+    val sh = wordShinglesSql
+    val sigSql =
+      s"""list_transform(range(16), i ->
+         |    list_min(list_transform(h, x -> (($aList)[i+1] * (x % $P) + ($bList)[i+1]) % $P)))""".stripMargin
+    val bkeySql = Hashing.hash64Sql(
+      "array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")
+    s"""itoks$sfx AS (SELECT doc_id, ${toksSql("text")} t FROM $indexCte),
+       |btoks$sfx AS (SELECT doc_id, ${toksSql("text")} t FROM $batchCte),
+       |ihs$sfx AS (SELECT doc_id, list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM itoks$sfx),
+       |bhs$sfx AS (SELECT doc_id, list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM btoks$sfx),
+       |isig$sfx AS (SELECT doc_id, $sigSql sg FROM ihs$sfx),
+       |bsig$sfx AS (SELECT doc_id, $sigSql sg FROM bhs$sfx),
+       |ibands$sfx AS (SELECT doc_id, band, $bkeySql bkey
+       |  FROM isig$sfx, (SELECT unnest(range(4)) band)),
+       |bbands$sfx AS (SELECT doc_id, band, $bkeySql bkey
+       |  FROM bsig$sfx, (SELECT unnest(range(4)) band)),
+       |icapped$sfx AS (SELECT doc_id, band, bkey FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) bs FROM ibands$sfx)
+       |  WHERE bs <= 64),
+       |cand$sfx AS (SELECT DISTINCT b.doc_id bid, i.doc_id iid
+       |  FROM bbands$sfx b JOIN icapped$sfx i ON b.band = i.band AND b.bkey = i.bkey),
+       |pairs$sfx AS (SELECT bid, iid,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
+       |  FROM cand$sfx JOIN bhs$sfx x ON x.doc_id = bid JOIN ihs$sfx y ON y.doc_id = iid
+       |  WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) >= 0.8)""".stripMargin
+  }
+  private val qStreamCrawlDedupSql: String =
+    s"""WITH ca AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |cb AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       |cc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+       |${crawlChainSql("1", "cb", "ca")},
+       |survb AS (SELECT doc_id, text FROM cb
+       |  WHERE doc_id NOT IN (SELECT bid FROM pairs1)),
+       |idx2 AS (SELECT doc_id, text FROM ca
+       |  UNION ALL SELECT doc_id, text FROM survb),
+       |${crawlChainSql("2", "cc", "idx2")}
+       |SELECT bid batch_id, iid index_id, j jaccard FROM pairs1
+       |UNION ALL SELECT bid, iid, j FROM pairs2""".stripMargin
+
   /** Character-5-gram MinHash dedup (tokenization-free variant). The
     * bucket cap is LOAD-BEARING here: shared vocabulary makes char-gram
     * band keys collide across ~100k doc pairs at sf0.1; capping bucket
@@ -2621,6 +2705,7 @@ object QueriesExt {
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_stream_crawl_dedup" -> (qStreamCrawlDedup _),
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
@@ -2706,6 +2791,7 @@ object QueriesExt {
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
+    "q_stream_crawl_dedup" -> qStreamCrawlDedupSql,
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,

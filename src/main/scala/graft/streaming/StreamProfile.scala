@@ -139,6 +139,64 @@ object StreamProfile {
     * micro-batch where both sides are present), so the complete result
     * equals the batch join — which is exactly what the oracle runs.
     * Callers must `withWatermark` both inputs before calling. */
+  /** Continuous-crawl near-dup screening — the production shape for
+    * dedup in a training-data INGESTION pipeline: a micro-batched
+    * document stream where each batch is checked against the
+    * accumulated SURVIVOR INDEX (batch-vs-index banded minhash,
+    * [[graft.ext.Dedup.incrementalNearDups]]) and only its survivors
+    * join the index. Implemented with `foreachBatch`: the batch hook is
+    * where streaming meets arbitrary batch operators — exactly what
+    * Structured Streaming provides it for.
+    *
+    * Per micro-batch: O(batch) work against the capped index (never
+    * index x index); near-dup pairs are APPENDED to `pairsOut` as
+    * parquet (a real sink — no driver collects); the index evolves as
+    * `index ∪ (batch \ matched)`, with a `localCheckpoint` per batch to
+    * cut the union lineage (the dedup family's pin discipline). The
+    * FIRST batch seeds the index by definition (nothing to compare
+    * against); within-batch duplicates are the batch dedup family's
+    * job, same contract as the batch incremental operator.
+    *
+    * Determinism contract: one source file per micro-batch
+    * (`maxFilesPerTrigger=1`, mtime-ordered staging) makes the
+    * batch sequence — and therefore the evolving index — reproducible,
+    * which is what lets the face put a STREAMING dedup run under the
+    * DuckDB oracle. */
+  def crawlDedupStream(docStream: DataFrame, idCol: String,
+      textCol: String, pairsOut: String, threshold: Double = 0.8,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 64): Unit = {
+    val spark = docStream.sparkSession
+    // seed the sink with a typed empty frame so a pairless run still
+    // reads back with the right schema
+    import org.apache.spark.sql.types._
+    val pairSchema = StructType(Seq(
+      StructField("batch_id", LongType), StructField("index_id", LongType),
+      StructField("jaccard", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
+      .write.mode("overwrite").parquet(pairsOut)
+    var index: Option[DataFrame] = None
+    val q = docStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+        index match {
+          case None => index = Some(b)
+          case Some(idx) =>
+            val pairs = graft.ext.Dedup.incrementalNearDups(idx, b,
+              idCol, textCol, threshold, shingleN, k, bands, maxBucket)
+            pairs.write.mode("append").parquet(pairsOut)
+            val surv = b.join(
+              pairs.select(col("batch_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            index = Some(idx.unionByName(surv).localCheckpoint(true))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTs: String, rightTs: String,
       withinMinutes: Int): DataFrame =

@@ -195,4 +195,41 @@ class StreamProfileSpec extends SparkSpec {
       assert(byUser(2L) == ((2L, 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("crawlDedupStream: evolving index catches dups of earlier-batch SURVIVORS") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_crawl_spec")
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    val crawls = Seq(
+      Seq((3L, tA)),                         // crawl 0 seeds the index
+      Seq((4L, tA), (7L, tB)),               // 4 dups the index; 7 survives
+      Seq((5L, tB), (8L, tA)))               // 5 dups SURVIVOR 7; 8 dups 3
+    crawls.zipWithIndex.foreach { case (rows, c) =>
+      val stage = base.resolve(s"stage_$c")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = inDir.resolve(s"crawl_$c.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + c * 60000L))
+    }
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val pairsOut = base.resolve("pairs").toString
+    StreamProfile.crawlDedupStream(stream, "doc_id", "text", pairsOut)
+    val got = spark.read.parquet(pairsOut)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    // (5,7) is the load-bearing pair: 7 was never in crawl 0 — it can
+    // only be found if crawl 1's survivors actually joined the index
+    assert(got == Set((4L, 3L), (5L, 7L), (8L, 3L)))
+  }
 }
