@@ -60,4 +60,24 @@ class QualitySpec extends SparkSpec {
     // and the original pipeline state is untouched
     assert(p.work.count() == 198)
   }
+
+  test("round-4 actions compose into the lifecycle like the originals") {
+    import graft.clean.CleaningAction.{QuantileBin, ScaleRobust}
+    val p = CleaningPipeline(SampleData.load(spark))
+      .apply(ScaleRobust("price"))
+      .apply(QuantileBin("price", nBins = 4))
+    assert(p.missionsLog == Seq(
+      "Robust-scaled price (median/IQR)",
+      "Quantile-binned price into 4 bins"))
+    val out = p.work
+    assert(out.columns.contains("price_scaled") &&
+      out.columns.contains("price_bin"))
+    // replay on fresh data recomputes ITS OWN quartiles (a recipe, not
+    // frozen literals): every non-null value still lands in a bin
+    val fresh = SampleData.load(spark, seed = 999L)
+    val replayed = p.replay(fresh)
+    assert(replayed.filter(replayed("price").isNotNull &&
+      replayed("price_bin").isNull).count() == 0)
+    p.reset()
+  }
 }
