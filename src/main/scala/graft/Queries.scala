@@ -810,6 +810,41 @@ object Queries {
        |FROM w""".stripMargin
   }
 
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.ksDrift(
+      li(s, dir).filter(col("l_shipdate") < lit("1998-01-01")),
+      li(s, dir).filter(col("l_shipdate") >= lit("1998-01-01")),
+      "l_extendedprice", 20)
+
+  private val qKsDriftSql: String = {
+    def cents(pred: String) =
+      s"SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents FROM lineitem WHERE $pred"
+    val bucket = "GREATEST(0, LEAST(19, ((cents - mn) * 20) // (mx - mn + 1)))"
+    s"""WITH rf AS (${cents("l_shipdate < DATE '1998-01-01'")}),
+       |cf AS (${cents("l_shipdate >= DATE '1998-01-01'")}),
+       |b AS (SELECT min(cents) mn, max(cents) mx FROM rf),
+       |rb AS (SELECT $bucket bucket, count(*) n_ref FROM rf, b GROUP BY 1),
+       |cb AS (SELECT $bucket bucket, count(*) n_cur FROM cf, b GROUP BY 1),
+       |j AS (SELECT COALESCE(rb.bucket, cb.bucket) bucket,
+       |    COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
+       |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+       |w AS (SELECT bucket,
+       |    sum(n_ref) OVER () t_ref, sum(n_cur) OVER () t_cur,
+       |    sum(n_ref) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_ref,
+       |    sum(n_cur) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_cur
+       |  FROM j),
+       |g AS (SELECT bucket, abs(
+       |    (CASE WHEN t_ref = 0 THEN 0.0
+       |      ELSE CAST(cum_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) END)
+       |    - (CASE WHEN t_cur = 0 THEN 0.0
+       |      ELSE CAST(cum_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) END)) cdf_gap
+       |  FROM w)
+       |SELECT CAST(bucket AS INT) at_bucket, round(cdf_gap, 6) ks_stat
+       |FROM g ORDER BY cdf_gap DESC, bucket ASC LIMIT 1""".stripMargin
+  }
+
   private val qHistogramSql: String =
     """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents
       |  FROM lineitem),
@@ -826,6 +861,7 @@ object Queries {
     "q_quantile_bin" -> (qQuantileBin _),
     "q_histogram" -> (qHistogram _),
     "q_hist_drift" -> (qHistDrift _),
+    "q_ks_drift" -> (qKsDrift _),
     "q_profile" -> (qProfile _),
     "q_missions" -> (qMissions _),
     "q_dup_count" -> (qDupCount _),
@@ -862,6 +898,7 @@ object Queries {
     "q_quantile_bin" -> qQuantileBinSql,
     "q_histogram" -> qHistogramSql,
     "q_hist_drift" -> qHistDriftSql,
+    "q_ks_drift" -> qKsDriftSql,
     "q_profile" -> qProfileSql,
     "q_missions" -> qMissionsSql,
     "q_dup_count" -> qDupCountSql,

@@ -2650,6 +2650,184 @@ object QueriesExt {
   }
 
   // ------------------------------------------------------------------
+  // Round-4 second wave: hard negatives, graded contamination, linear
+  // quality classifier, token-budget selection, moving z-score anomaly
+  // ------------------------------------------------------------------
+
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.hardNegatives(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qHardNegativesSql =
+    """WITH q AS (SELECT vec_id query_id, label q_label,
+      |    embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id id, label n_label, embedding::DOUBLE[] v
+      |  FROM embeddings),
+      |s AS (SELECT query_id, q_label, id, n_label,
+      |    list_cosine_similarity(v, qv) cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(v, qv) DESC, id ASC) rank
+      |  FROM c, q WHERE n_label <> q_label)
+      |SELECT query_id, q_label AS query_label, id AS neighbor_id,
+      |  n_label AS neighbor_label, CAST(rank AS INT) rank,
+      |  round(cosine, 6) AS cosine_r
+      |FROM s WHERE rank <= 5""".stripMargin
+
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationReport(
+      d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      d.filter(col("doc_id") % 50 === 0), "text", n = 13)
+      .select(col("id").as("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        col("n_contaminated"),
+        round(col("contaminated_frac"), 6).as("frac_r"), col("verdict"))
+  }
+  private val qContaminationSql: String = {
+    val sh13 = word13GramSql
+    // thresholds interpolated from the library defaults (0.05 / 0.5) so
+    // the oracle cannot drift from contaminationReport's signature
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hashed AS (SELECT doc_id,
+       |    list_transform($sh13, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |bench AS (SELECT DISTINCT unnest(h) hash FROM hashed
+       |  WHERE doc_id % 50 = 0),
+       |tot AS (SELECT doc_id, len(h) n_grams FROM hashed
+       |  WHERE doc_id % 50 <> 0),
+       |corp AS (SELECT doc_id, unnest(h) hash FROM hashed
+       |  WHERE doc_id % 50 <> 0),
+       |hits AS (SELECT corp.doc_id, count(*) n_contaminated
+       |  FROM corp JOIN bench USING (hash) GROUP BY 1),
+       |f AS (SELECT t.doc_id, CAST(t.n_grams AS BIGINT) n_grams,
+       |    COALESCE(h.n_contaminated, 0) n_contaminated,
+       |    CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+       |      / CAST(t.n_grams AS DOUBLE) frac
+       |  FROM tot t LEFT JOIN hits h USING (doc_id))
+       |SELECT doc_id, n_grams, n_contaminated, round(frac, 6) frac_r,
+       |  CASE WHEN frac >= 0.5 THEN 'drop'
+       |    WHEN frac >= 0.05 THEN 'flag' ELSE 'keep' END verdict
+       |FROM f""".stripMargin
+  }
+
+  private def qContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+      threshold = 0.5, shingleN = 3, maxDocFreq = 100)
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("int").as("n_a"), col("n_b").cast("int").as("n_b"),
+        round(col("containment_ab"), 6).as("cab_r"),
+        round(col("containment_ba"), 6).as("cba_r"))
+  private val qContainmentPairsSql = {
+    val sh = wordShinglesSql
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hs AS (SELECT doc_id,
+       |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |ex0 AS (SELECT doc_id, unnest(h) hash FROM hs),
+       |ex AS (SELECT doc_id, hash FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY hash) df FROM ex0)
+       |  WHERE df <= 100),
+       |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+       |  FROM ex a JOIN ex b ON a.hash = b.hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(h) n FROM hs),
+       |c AS (SELECT ia, ib, CAST(x.n AS INT) n_a, CAST(y.n AS INT) n_b,
+       |    CAST(shared AS DOUBLE) / CAST(x.n AS DOUBLE) cab,
+       |    CAST(shared AS DOUBLE) / CAST(y.n AS DOUBLE) cba
+       |  FROM pairs JOIN sizes x ON x.doc_id = ia
+       |  JOIN sizes y ON y.doc_id = ib)
+       |SELECT ia AS id_a, ib AS id_b, n_a, n_b,
+       |  round(cab, 6) cab_r, round(cba, 6) cba_r
+       |FROM c WHERE cab >= 0.5 OR cba >= 0.5""".stripMargin
+  }
+
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextStats.classifyQuality(docs(s, dir), "text")
+      .select(col("doc_id"), round(col("quality_logit"), 6).as("logit_r"),
+        col("keep"))
+  private val qQualityClassifierSql: String = {
+    val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val (b, wStop, wPunct, wAvg, wLen) = TextStats.qualityClassifierWeights
+    // association mirrors classifyQuality verbatim: ((((b+s)+p)+a)+l)
+    val score = s"(((($b + ($wStop * stopword_ratio)) + ($wPunct * punct_ratio))" +
+      s" + ($wAvg * avg_token_len)) + ($wLen * len_ok))"
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) toks,
+       |    length(text) n_chars,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) n_punct
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(toks) n_tokens,
+       |    len(list_filter(toks, t -> list_contains($sw, lower(t)))) n_stopwords,
+       |    n_punct, n_chars,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) tok_chars
+       |  FROM f),
+       |feats AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END avg_token_len,
+       |    CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END stopword_ratio,
+       |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END punct_ratio,
+       |    CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END len_ok
+       |  FROM g),
+       |sc AS (SELECT doc_id, $score score FROM feats)
+       |SELECT doc_id, round(score, 6) logit_r, score > 0.0 AS keep
+       |FROM sc""".stripMargin
+  }
+
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.tokenBudget(docs(s, dir), "doc_id", "text", "source",
+      budgetTokens = 700L, bucketWidth = 64L)
+      .select(col("id").as("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+  private val qTokenBudgetSql: String =
+    // the oracle IS the sequential spec (one window per source); the
+    // Spark side must reproduce it exactly from the two-level
+    // distributed prefix sum — integer token counts make that exact
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> len(x) > 0)) AS BIGINT) n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) cum_tokens
+      |FROM c WHERE cum_tokens <= 700""".stripMargin
+
+  private def qTsAnomaly(s: SparkSession, dir: String): DataFrame =
+    EventsOps.movingZScore(events(s, dir), windowSec = 3600, zThresh = 3.0)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("n_window"),
+        // + 0.0 collapses IEEE -0.0 (a tiny-negative variance rounds to
+        // signed zero differently across engines) to +0.0
+        (round(col("mean_w"), 6) + lit(0.0)).as("mean_r"),
+        (round(col("var_w"), 6) + lit(0.0)).as("var_r"), col("is_anomaly"))
+  private val qTsAnomalySql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+      |    CAST(floor(epoch(ts)) AS BIGINT) sec,
+      |    CAST(value AS DECIMAL(18,2)) v
+      |  FROM events),
+      |w AS (SELECT event_id, user_id, ts_us, v,
+      |    count(*) OVER win n_window,
+      |    CAST(sum(v) OVER win AS DOUBLE) s,
+      |    CAST(sum(v * v) OVER win AS DOUBLE) s2
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
+      |m AS (SELECT event_id, user_id, ts_us, n_window,
+      |    s / CAST(n_window AS DOUBLE) mean_w,
+      |    s2 / CAST(n_window AS DOUBLE)
+      |      - (s / CAST(n_window AS DOUBLE)) * (s / CAST(n_window AS DOUBLE)) var_w,
+      |    CAST(v AS DOUBLE) - s / CAST(n_window AS DOUBLE) dev
+      |  FROM w)
+      |SELECT event_id, user_id, ts_us, n_window,
+      |  round(mean_w, 6) + 0.0 mean_r, round(var_w, 6) + 0.0 var_r,
+      |  (n_window > 1 AND var_w > 0.0
+      |    AND dev * dev > 9.0 * var_w) AS is_anomaly
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (qRepetition _),
     "q_gopher_filter" -> (qGopherFilter _),
@@ -2719,6 +2897,12 @@ object QueriesExt {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_cosine_topk" -> (qCosineTopk _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_contamination" -> (qContamination _),
+    "q_containment" -> (qContainmentPairs _),
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_ts_anomaly" -> (qTsAnomaly _),
     "q_quantize" -> (qQuantize _),
     "q_pq_codes" -> (qPqCodes _),
     "q_ann_pq" -> (qAnnPq _),
@@ -2805,6 +2989,12 @@ object QueriesExt {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,
+    "q_hard_negatives" -> qHardNegativesSql,
+    "q_contamination" -> qContaminationSql,
+    "q_containment" -> qContainmentPairsSql,
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_ts_anomaly" -> qTsAnomalySql,
     "q_quantize" -> qQuantizeSql,
     "q_pq_codes" -> qPqCodesSql,
     "q_ann_pq" -> qAnnPqSql,

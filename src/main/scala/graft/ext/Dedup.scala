@@ -258,6 +258,54 @@ object Dedup {
     materializeAndRelease(hashed, pairs)
   }
 
+  /** Directed containment pairs (quote/subset detection): for each
+    * unordered pair, the fraction of EACH side's distinct shingles
+    * found in the other — containment_ab = |A&B|/|A| (how much of A is
+    * inside B) and the mirror. Near-dup Jaccard misses the short doc
+    * fully quoted by a long one (the union dilutes J below any useful
+    * threshold); containment is the right statistic for "this doc is a
+    * subset/quote of that one" — boilerplate extraction, license-text
+    * detection, prompt-in-corpus leakage. A pair is emitted when EITHER
+    * direction clears `threshold`.
+    *
+    * Scale shape: identical to [[jaccardPairs]] (shared posting-list
+    * machinery: df-capped inverted index, posting self-join, per-pair
+    * count) — the two statistics differ only in the final denominator,
+    * so the candidate bound and the cap caveat (df-capped containment
+    * is a lower bound on pairs dominated by ultra-common shingles)
+    * carry over unchanged. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, shingleN: Int = 3,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hashed.select(col("id"), size(col("h")).as("n"))
+    val postings0 = hashed.select(col("id"), explode(col("h")).as("hash"))
+    val postings =
+      if (maxDocFreq == Int.MaxValue) postings0
+      else postings0.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hash"))))
+        .filter(col("df") <= maxDocFreq).drop("df")
+    val shared = postings.select(col("id").as("id_a"), col("hash"))
+      .join(postings.select(col("id").as("id_b"), col("hash")), Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val pairs = shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .withColumn("containment_ab",
+        col("shared").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_ba",
+        col("shared").cast("double") / col("n_b").cast("double"))
+      .filter(col("containment_ab") >= threshold ||
+        col("containment_ba") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("containment_ab"), col("containment_ba"))
+    materializeAndRelease(hashed, pairs)
+  }
+
   /** Exact n-gram Jaccard via PREFIX FILTERING (AllPairs/PPJoin family,
     * Bayardo et al., WWW'07; Xiao et al., WWW'08) — the exact-semantics
     * scale path. [[jaccardPairs]]' doc-frequency cap bounds the posting
@@ -437,6 +485,46 @@ object Dedup {
       .join(benchHashes, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** Graded decontamination: [[decontaminate]] reports only the hit
+    * count over contaminated docs; real pipelines threshold on the
+    * contaminated FRACTION of a document's n-grams (a 10k-gram doc
+    * quoting one benchmark sentence is salvageable; a 20-gram doc that
+    * is 80% benchmark is not). Emits every corpus doc with its total
+    * distinct gram count, contaminated gram count, fraction, and a
+    * keep/flag/drop verdict at the given thresholds.
+    *
+    * Scale shape: same as [[decontaminate]] — distinct benchmark hashes
+    * build once, one hash-join on the exploded corpus grams, one
+    * partial-agg groupBy on doc id — plus one extra shuffle joining the
+    * per-doc totals (computed narrow, before the explode) to the hit
+    * counts. Linear in corpus grams; never quadratic. */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      flagFrac: Double = 0.05, dropFrac: Double = 0.5): DataFrame = {
+    require(flagFrac <= dropFrac, "flag threshold must not exceed drop")
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
+      .distinct()
+    // per-doc gram arrays staged once: totals read the array size
+    // narrow, hits explode the same array (no re-shingling)
+    val grams = corpus.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("hs"))
+    val totals = grams.select(col("id"), size(col("hs")).as("n_grams"))
+    val hits = grams.select(col("id"), explode(col("hs")).as("h"))
+      .join(benchHashes, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val frac = col("n_contaminated").cast("double") /
+      col("n_grams").cast("double")
+    totals.join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contaminated_frac", frac)
+      .withColumn("verdict",
+        when(col("contaminated_frac") >= dropFrac, lit("drop"))
+          .when(col("contaminated_frac") >= flagFrac, lit("flag"))
+          .otherwise(lit("keep")))
   }
 
   /** End-to-end near-dup removal: pair generation → connected

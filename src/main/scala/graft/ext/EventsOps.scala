@@ -120,6 +120,48 @@ object EventsOps {
       .drop("__epoch", "sum_window")
   }
 
+  /** Trailing-window z-score anomaly flag per event — the streaming-ish
+    * metric monitor: each event's `value` scored against the mean and
+    * population variance of its user's trailing `windowSec` window
+    * (self-inclusive, like [[movingAverage]]). An event is anomalous
+    * when (v-mean)^2 > thresh^2 * variance — the squared form needs no
+    * sqrt, so every op stays engine-portable correctly-rounded double
+    * arithmetic over EXACT decimal window sums (count/sum/sum-of-squares
+    * are order-free decimals; the window frame is the only shuffle; no
+    * second pass). Singleton windows have variance 0 and never flag.
+    *
+    * At 100 TB the shape holds: one range-frame window per user
+    * partition, three co-computed frame aggregates (Spark evaluates
+    * them in one WindowExec pass), state bounded by windowSec. */
+  def movingZScore(events: DataFrame, windowSec: Long = 3600,
+      zThresh: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__epoch"))
+      .rangeBetween(-windowSec, 0)
+    val v = col("value").cast("decimal(18,2)")
+    val mean = col("sum_w").cast("double") / col("n_window").cast("double")
+    events
+      .withColumn("__epoch", unix_timestamp(col("ts")))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_w", sum(v).over(w))
+      .withColumn("sumsq_w", sum(v * v).over(w))
+      .withColumn("mean_w", mean)
+      // E[v^2] - mean^2: both terms one correctly-rounded op from exact
+      // inputs; association mirrored verbatim in the oracle
+      .withColumn("var_w",
+        col("sumsq_w").cast("double") / col("n_window").cast("double")
+          - col("mean_w") * col("mean_w"))
+      // deviation measured on the same cents grid the moments use
+      .withColumn("dev", v.cast("double") - col("mean_w"))
+      // var>0 guard: an all-equal window's variance rounds to +-1 ULP
+      // noise; requiring strict positivity keeps singletons and
+      // constant windows unflagged in both engines
+      .withColumn("is_anomaly",
+        col("n_window") > 1 && col("var_w") > 0.0 &&
+          col("dev") * col("dev") > lit(zThresh * zThresh) * col("var_w"))
+      .drop("__epoch", "sum_w", "sumsq_w", "dev")
+  }
+
   /** Per-session rollup: bounds, length, event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30,
       tieBreak: Seq[String] = Seq("event_id")): DataFrame =

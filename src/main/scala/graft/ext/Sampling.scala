@@ -83,6 +83,51 @@ object Sampling {
     df.filter(draw(idCol, salt) < rate)
   }
 
+  /** Per-source token-budget selection (the "N billion tokens from each
+    * source" step of corpus assembly): within each source, take docs in
+    * ascending id order while the running token total stays within
+    * `budgetTokens`; emit the kept docs with their running totals.
+    *
+    * An ordered prefix sum is inherently sequential, so a single
+    * per-source window would serialize each source through one task. We
+    * use the two-level distributed prefix sum instead (same scheme as
+    * [[Packing.packSequences]], but with ORDER-PRESERVING range buckets
+    * `id div bucketWidth` rather than hashed streams, because a budget
+    * prefix must respect the global doc order): (1) per-(source,bucket)
+    * token sums — one partial-agg shuffle; (2) per-source running
+    * offsets across buckets — a window over |docs|/bucketWidth rows
+    * (raise `bucketWidth` to shrink it); (3) within-bucket prefix sums
+    * + offset — windows bounded by bucketWidth docs each, fully
+    * parallel. The budget filter cannot be pushed below the prefix sum
+    * (whether a doc survives depends on every earlier doc), but buckets
+    * whose offset already exceeds the budget are eliminated by the
+    * filter without their inner window ever producing survivors. */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long,
+      bucketWidth: Long = 4096): DataFrame = {
+    require(budgetTokens >= 0 && bucketWidth > 0)
+    val staged = docs.select(col(idCol).cast("long").as("id"),
+      col(sourceCol).as("source"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      // integer div, not double `/`: exact for the full bigint id range
+      expr(s"CAST(`$idCol` AS BIGINT) div $bucketWidth").as("bkt"))
+    val perBucket = staged.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+    val wAcross = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perBucket
+      .withColumn("offset", sum(col("bkt_tokens")).over(wAcross)
+        - col("bkt_tokens"))
+      .select(col("source"), col("bkt"), col("offset"))
+    val wIn = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged.join(offsets, Seq("source", "bkt"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Stratified exact-quota sample: per stratum, the `quota` rows with
     * the smallest (salted draw, id) — a deterministic "random" top-k
     * per group. One shuffle on the strata columns; WindowGroupLimit

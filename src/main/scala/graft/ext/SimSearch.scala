@@ -63,6 +63,40 @@ object SimSearch {
         col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-`k` most-similar corpus vectors carrying a
+    * DIFFERENT label — the near-misses a contrastive/triplet loss
+    * learns most from (same role as the in-batch-negatives upgrade in
+    * dense-retrieval training). Plan shape matches [[bruteTopK]]: the
+    * labeled probe set is broadcast (small by construction — you mine
+    * negatives for a training batch, not the whole corpus), the corpus
+    * scan stays narrow with a codegen'd dot per pair, and the only
+    * shuffle is the per-query top-k window. Deterministic tie-break on
+    * neighbor id. At 100 TB swap the corpus side for [[ivfTopK]]'s
+    * probed lists; the contract (different-label filter + exact rerank)
+    * is unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(labelCol).as("neighbor_label"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"),
+      normalize(toDouble(col(vecCol))).as("qv"))
+    // the label inequality rides the broadcast join condition, so
+    // same-label pairs are dropped before the dot product is evaluated
+    val joined = c.join(broadcast(q),
+        col("neighbor_label") =!= col("query_label"))
+      .withColumn("cosine", dot(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"),
+        col("id").as("neighbor_id"), col("neighbor_label"),
+        col("rank"), col("cosine"))
+  }
+
   /** IVF-Flat ANN: partition the corpus into `nlist` inverted lists by
     * nearest centroid; queries scan only the `nprobe` closest lists and
     * rerank exactly. Centroids here are a deterministic id-sample of the

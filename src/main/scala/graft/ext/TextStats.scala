@@ -67,6 +67,38 @@ object TextStats {
           + when(col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
           + when(col("punct_ratio") <= 0.2, 0.3).otherwise(0.0), 2))
 
+  /** Fasttext-style model-based quality filter, INFERENCE side: a
+    * linear classifier over the deterministic quality features of
+    * [[withQualityFeatures]] plus a mid-length indicator. Production
+    * pipelines (CCNet, DCLM — public papers) run a trained
+    * fasttext/logreg model here; this container has no training libs,
+    * so the weight vector is a compile-time literal standing in for an
+    * offline-trained model — swapping in real weights changes only the
+    * five constants, not the plan. Scale shape: a pure narrow
+    * projection (feature extraction + dot product fuse into one
+    * codegen'd pass over the scan; no shuffle, no UDF). The score is
+    * left-to-right associated so the oracle reproduces it bit-for-bit;
+    * `keep` thresholds the raw score at 0 (sigmoid is monotone, so the
+    * decision is identical without evaluating exp). */
+  val qualityClassifierWeights: (Double, Double, Double, Double, Double) =
+    // (bias, w_stopword_ratio, w_punct_ratio, w_avg_token_len, w_len_ok)
+    (-0.45, 1.6, -2.4, 0.09, 0.55)
+
+  def classifyQuality(df: DataFrame, textCol: String): DataFrame = {
+    val (b, wStop, wPunct, wAvg, wLen) = qualityClassifierWeights
+    val feats = withQualityFeatures(df, textCol)
+    val lenOk = when(col("n_tokens") >= 10 && col("n_tokens") <= 100000,
+      1.0).otherwise(0.0)
+    // association is load-bearing: ((((b + a) + c) + d) + e) mirrors the
+    // oracle's parenthesization, so both engines round identically
+    val score = lit(b) + (lit(wStop) * col("stopword_ratio")) +
+      (lit(wPunct) * col("punct_ratio")) +
+      (lit(wAvg) * col("avg_token_len")) + (lit(wLen) * lenOk)
+    feats.withColumn("len_ok", lenOk)
+      .withColumn("quality_logit", score)
+      .withColumn("keep", score > 0.0)
+  }
+
   /** Language ID via stopword-hit voting: tiny per-language function-word
     * lists (public knowledge), argmax with deterministic (count desc,
     * lang asc) tie-break. N-gram-free but the same shape as a production

@@ -202,4 +202,44 @@ object NumericProfile {
         share("n_cur", "t_cur").as("share_cur"))
       .withColumn("share_gap", abs(col("share_ref") - col("share_cur")))
   }
+
+  /** Two-sample Kolmogorov-Smirnov statistic on the binned grid: the
+    * max absolute gap between the two empirical CDFs, evaluated at the
+    * [[histogramDrift]] bucket boundaries (binned KS — the standard
+    * streaming/monitoring approximation; the exact statistic needs a
+    * global sort of both samples). Complements TVD ([[histogramDrift]]'s
+    * share_gap): KS sees cumulative location shifts that per-bucket
+    * gaps dilute. Returns ONE row: (at_bucket, ks_stat), smallest
+    * bucket on ties.
+    *
+    * Scale shape: inherits histogramDrift's (two linear bucket-count
+    * aggregations); the CDF prefix sum and the argmax both run over
+    * <= nBins rows by construction — same documented bound as the
+    * share-total window. The prefix order is fixed (bucket ascending),
+    * so the double cumsum is bit-identical across engines. */
+  def ksDrift(ref: DataFrame, cur: DataFrame, colName: String,
+      nBins: Int = 20): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1)) // <= nBins rows by construction
+    val wCdf = W.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // CDFs accumulate INTEGER counts, divided once at the end: a double
+    // running sum would depend on each engine's window summation order
+    // (sequential vs segment-tree), and a 1-ULP pseudo-tie would make
+    // the argmax engine-dependent; integer cumsums are exact, so ties
+    // are exact and the (gap desc, bucket asc) tie-break is portable
+    def cdf(cum: String, t: String) =
+      when(col(t) === 0, lit(0.0))
+        .otherwise(col(cum).cast("double") / col(t).cast("double"))
+    histogramDrift(ref, cur, colName, nBins)
+      .withColumn("t_ref", sum(col("n_ref")).over(wAll))
+      .withColumn("t_cur", sum(col("n_cur")).over(wAll))
+      .withColumn("cum_ref", sum(col("n_ref")).over(wCdf))
+      .withColumn("cum_cur", sum(col("n_cur")).over(wCdf))
+      .withColumn("cdf_gap", abs(cdf("cum_ref", "t_ref") - cdf("cum_cur", "t_cur")))
+      .orderBy(col("cdf_gap").desc, col("bucket").asc)
+      .limit(1)
+      .select(col("bucket").as("at_bucket"),
+        round(col("cdf_gap"), 6).as("ks_stat"))
+  }
 }

@@ -272,6 +272,62 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("containment: full quote scores 1.0 one-way where jaccard stays low") {
+    val quoted = (1 to 6).map(i => s"quote$i").mkString(" ") // 4 shingles
+    val long = s"a lot of framing text comes first then $quoted and then " +
+      "plenty of trailing prose that keeps going for quite a while more"
+    val corpus = Seq((1L, quoted), (2L, long),
+      (3L, "an unrelated document about something else entirely today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+        threshold = 0.9, shingleN = 3)
+      .select("id_a", "id_b", "containment_ab", "containment_ba")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1, s"only the quote pair qualifies: ${out.toSeq}")
+    val (a, b, cab, cba) = out.head
+    assert((a, b) == ((1L, 2L)))
+    assert(cab == 1.0, "every shingle of the short doc is in the long one")
+    assert(cba < 0.9, "the long doc is NOT contained in the short one")
+    // jaccard on the same pair is diluted below any useful threshold
+    val j = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.0)
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .select("jaccard").as[Double].head()
+    assert(j < 0.5, s"union dilution must keep jaccard low, got $j")
+  }
+
+  test("contamination report: fraction + verdict, clean docs kept at frac 0") {
+    val secret = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val bench = Seq((100L, s"question preamble $secret answer choices"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"training text containing $secret verbatim plus more words"),
+      (2L, "completely unrelated training document with plenty of words " +
+        "that never overlap the benchmark thirteen gram at all"),
+      (3L, s"$secret")) // one shingle, fully contained -> frac 1.0
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, "doc_id", "text",
+        bench, "text")
+      .select("id", "n_grams", "n_contaminated", "contaminated_frac",
+        "verdict")
+      .as[(Long, Int, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // every corpus doc appears, including the clean one
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val (_, g2, c2, f2, v2) = out(2L)
+    assert(g2 > 0 && c2 == 0L && f2 == 0.0 && v2 == "keep")
+    val (_, g3, c3, f3, v3) = out(3L)
+    assert(g3 == 1 && c3 == 1L && f3 == 1.0 && v3 == "drop")
+    val (_, g1, c1, f1, v1) = out(1L)
+    assert(c1 >= 1L && f1 > 0.0 && f1 < 1.0 && c1 <= g1)
+    // doc 1's handful of contaminated grams out of many -> flag or keep
+    assert(v1 == "flag" || v1 == "keep")
+    // thresholds: frac >= dropFrac wins over flagFrac
+    val strict = Dedup.contaminationReport(corpus, "doc_id", "text",
+        bench, "text", flagFrac = 0.0, dropFrac = 2.0)
+      .select("id", "verdict").as[(Long, String)].collect().toMap
+    assert(strict(3L) == "flag") // frac 1.0 < dropFrac 2.0, >= flagFrac 0
+  }
+
   test("line dedup: first occurrence wins corpus-wide, in-doc repeats collapse") {
     val df = Seq(
       (1L, "alpha\nshared nav\nbeta\nalpha"), // "alpha" repeats in-doc

@@ -32,6 +32,31 @@ class EventsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_users") == 2)
   }
 
+  test("moving z-score: spike flags, constant windows and singletons never do") {
+    // a self-inclusive window bounds the reachable z at sqrt(n_baseline)
+    // (the spike inflates its own variance), so the stable run must hold
+    // >= 10 points for a z=3 flag to be possible at all
+    val base = (1 to 12).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i min 59}%02d:00"), 1L, "m", 10.0, "{}"))
+    val evz = (base :+
+      (13L, ts("2024-01-01 10:30:00"), 1L, "m", 500.0, "{}")) ++ Seq( // spike
+      // user 2: all-identical values -> variance rounds to ~0, no flags
+      (21L, ts("2024-01-01 10:00:00"), 2L, "m", 3.3, "{}"),
+      (22L, ts("2024-01-01 10:01:00"), 2L, "m", 3.3, "{}"),
+      // user 3: singleton window
+      (31L, ts("2024-01-01 10:00:00"), 3L, "m", 42.0, "{}"))
+    val out = EventsOps.movingZScore(evz.toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props"),
+        windowSec = 3600, zThresh = 3.0)
+      .select("event_id", "n_window", "is_anomaly")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(13L)._3, "the 500.0 spike must flag")
+    (1 to 12).foreach(i =>
+      assert(!out(i.toLong)._3, s"stable reading $i must not flag"))
+    assert(!out(21L)._3 && !out(22L)._3, "constant window must not flag")
+    assert(!out(31L)._3 && out(31L)._2 == 1L, "singleton must not flag")
+  }
+
   test("sessionization: 30-min inactivity splits sessions") {
     val st = EventsOps.sessionStats(ev)
     val u7 = st.filter($"user_id" === 7).orderBy($"session_seq").collect()

@@ -88,6 +88,26 @@ class NumericProfileSpec extends SparkSpec {
     assert(math.abs(tvd - 0.75) < 1e-12)
   }
 
+  test("ks drift: zero for identical snapshots, exact for a known shift, ties break low") {
+    val ref = (0 until 40).map(i => (100 + i) / 100.0).toDF("v")
+    val same = NumericProfile.ksDrift(ref, ref, "v", nBins = 4)
+      .select("at_bucket", "ks_stat").as[(Int, Double)].head()
+    // all gaps are exactly 0 -> argmax tie-break lands on bucket 0
+    assert(same == ((0, 0.0)))
+    // cur entirely above ref: its CDF is 0 until the last bucket, so the
+    // max gap is ref's CDF through bucket 2 = 0.75
+    val cur = (0 until 10).map(i => (900 + i) / 100.0).toDF("v")
+    val shifted = NumericProfile.ksDrift(ref, cur, "v", nBins = 4)
+      .select("at_bucket", "ks_stat").as[(Int, Double)].head()
+    assert(shifted == ((2, 0.75)))
+    // shift by exactly one bucket width (0.10): cur occupies buckets
+    // 1,2,3 (top clamps), each CDF step lags ref by 0.25
+    val oneOver = (0 until 40).map(i => (110 + i) / 100.0).toDF("v")
+    val ks = NumericProfile.ksDrift(ref, oneOver, "v", nBins = 4)
+      .select("ks_stat").as[Double].head()
+    assert(math.abs(ks - 0.25) < 1e-12)
+  }
+
   test("benford: exact leading digits on the cents grid; zero/negative/null out of scope") {
     val df = Seq(Some(1.23), Some(19.99), Some(250.0), Some(2.0),
       Some(0.0), Some(-5.0), None, Some(0.09)).toDF("v")

@@ -94,6 +94,40 @@ class PlanAssertSpec extends SparkSpec {
       s"scdMerge grew extra shuffles ($shuffles):\n$plan")
   }
 
+  test("q_quality_classifier: pure narrow projection, zero exchanges") {
+    // the classifier's whole value at 100 TB is that feature extraction
+    // + the literal dot product fuse into the scan; any Exchange means
+    // someone added a join or window to a map-only operator
+    val plan = planOf("q_quality_classifier")
+    assert(!plan.contains("Exchange"),
+      s"classifyQuality must stay shuffle-free; plan:\n$plan")
+  }
+
+  test("q_hard_negatives: probe set broadcasts, corpus never shuffles pre-rank") {
+    // the label-inequality join must plan as a broadcast nested-loop of
+    // the TINY query side, and the only hash exchange is the per-query
+    // ranking window — a SortMergeJoin here would shuffle the corpus
+    val plan = planOf("q_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"hardNegatives must broadcast the probe set; plan:\n$plan")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"hardNegatives must shuffle only for the rank window, found $shuffles:\n$plan")
+  }
+
+  test("q_token_budget + q_ts_anomaly: no single-partition stage anywhere") {
+    // tokenBudget exists BECAUSE a naive per-source prefix sum funnels
+    // each source through one task; its two-level form must never plan
+    // an Exchange SinglePartition (and neither may the per-user anomaly
+    // window) — catching a refactor back to a global window
+    Seq("q_token_budget", "q_ts_anomaly").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SinglePartition"),
+        s"$q grew a single-partition stage; plan:\n$plan")
+    }
+  }
+
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e"))

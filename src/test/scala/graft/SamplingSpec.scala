@@ -43,6 +43,36 @@ class SamplingSpec extends SparkSpec {
     sub.foreach { case (id, sp) => assert(full(id) == sp) }
   }
 
+  test("token budget: equals the sequential single-window spec, edges hold") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 700L
+    // tiny bucketWidth forces many buckets -> the two-level offsets path
+    // is actually exercised (a huge width would degenerate to 1 bucket)
+    val got = Sampling.tokenBudget(docs, "doc_id", "text", "source",
+        budget, bucketWidth = 16)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.select($"doc_id", $"source",
+        graft.ext.TextStats.tokenCount($"text").cast("long").as("n"))
+      .withColumn("cum", sum($"n").over(w))
+      .filter($"cum" <= budget)
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == ref, "two-level prefix sum must reproduce the global window")
+    assert(got.nonEmpty, "budget must keep something")
+    val all = docs.count()
+    assert(got.size < all, "budget must also cut something")
+    // kept set is a per-source id-prefix: every kept doc's predecessors
+    // within its source are kept too
+    val bySource = docs.select("doc_id", "source").as[(Long, String)]
+      .collect().groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    bySource.foreach { case (_, ids) =>
+      val kept = ids.takeWhile(got.contains)
+      assert(ids.filter(got.contains).toSeq == kept.toSeq,
+        "kept docs must form a prefix in doc-id order")
+    }
+  }
+
   test("mixture sample: per-group rates, default rate, determinism") {
     val rates = Seq("src0" -> 1000, "src1" -> 0)
     val m = Sampling.mixtureSample(docs, "doc_id", "source", rates,

@@ -285,4 +285,24 @@ class SimSearchSpec extends SparkSpec {
     val first = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(first == again)
   }
+
+  test("hard negatives: same-label excluded, equals brute top-k over other labels") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.99f, 0.1f), 1), // same label as query
+      (2L, Seq(0.9f, 0.2f), 2), (3L, Seq(0.0f, 1.0f), 2),
+      (4L, Seq(-1.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label")
+    val got = SimSearch.hardNegatives(corpus,
+        corpus.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 2)
+      .orderBy($"rank")
+      .select("neighbor_id", "neighbor_label", "rank").collect()
+    // nearest different-label vector is 2 (cos ~0.976), then 3 (cos 0)
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(got.forall(_.getInt(1) != 1), "no same-label neighbor may appear")
+    // equivalent to brute top-k run against the other-label corpus
+    val brute = SimSearch.bruteTopK(corpus.filter($"label" =!= 1),
+        corpus.filter($"vec_id" === 0), "vec_id", "embedding", 2,
+        excludeSelf = false)
+      .orderBy($"rank").select("neighbor_id").as[Long].collect()
+    assert(brute.toSeq == got.map(_.getLong(0)).toSeq)
+  }
 }

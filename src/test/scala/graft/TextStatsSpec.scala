@@ -29,6 +29,25 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("quality_score") == 0.6)
   }
 
+  test("quality classifier: linear logit exact on known features, keep thresholds at 0") {
+    // 12 tokens (len_ok=1), 6 stopwords (ratio .5), 0 punct, avg len known
+    val good = "the cat and the dog sat on that old mat in peace"
+    // junk: no stopwords, all punct noise
+    val junk = "@@@ ### $$$ %%% ^^^ &&&"
+    val out = TextStats.classifyQuality(
+        Seq((1L, good), (2L, junk)).toDF("id", "t"), "t")
+      .select("id", "quality_logit", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val (b, wS, wP, wA, wL) = TextStats.qualityClassifierWeights
+    // hand-computed expectation with the SAME association as the impl
+    val avgLen = good.split("\\s+").map(_.length).sum.toDouble / 12
+    val expGood = b + (wS * 0.5) + (wP * 0.0) + (wA * avgLen) + (wL * 1.0)
+    assert(out(1L)._2 == expGood, s"got ${out(1L)._2}, want $expGood")
+    assert(out(1L)._3, "clean prose must keep")
+    assert(!out(2L)._3, "punctuation junk must drop")
+    assert(out(2L)._2 < 0.0)
+  }
+
   test("language id: stopword voting with deterministic tie-break") {
     val df = Seq(
       "the cat and the dog is in that house",  // en
