@@ -2827,6 +2827,105 @@ object QueriesExt {
       |    AND dev * dev > 9.0 * var_w) AS is_anomaly
       |FROM m""".stripMargin
 
+  /** CDC op-log fixture, derived deterministically from orders: updates
+    * for keys %10=3 (seq 1), deletes for %10=7, a SECOND-generation
+    * delete (seq 2) for %20=3 — overriding half the updates, which is
+    * what proves latest-wins — and inserts at key+10^9 for %50=0. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    val snap = o.select(col("o_orderkey").as("key"),
+      col("o_orderstatus"), col("o_totalprice"))
+    def op(pred: Column, key: Column, seq: Long, opc: String,
+        st: Column, pr: Column) =
+      o.filter(pred).select(key.as("key"), lit(seq).as("seq"),
+        lit(opc).as("op"), st.as("o_orderstatus"), pr.as("o_totalprice"))
+    val nullS = lit(null).cast("string"); val nullD = lit(null).cast("double")
+    val ops = op(col("o_orderkey") % 10 === 3, col("o_orderkey"), 1L, "U",
+        lit("U1"), col("o_totalprice"))
+      .unionByName(op(col("o_orderkey") % 10 === 7, col("o_orderkey"), 1L,
+        "D", nullS, nullD))
+      .unionByName(op(col("o_orderkey") % 20 === 3, col("o_orderkey"), 2L,
+        "D", nullS, nullD))
+      .unionByName(op(col("o_orderkey") % 50 === 0,
+        col("o_orderkey") + 1000000000L, 1L, "I", lit("NEW"),
+        col("o_totalprice")))
+    Relational.cdcApply(snap, ops, "key", "seq", "op",
+      Seq("o_orderstatus", "o_totalprice"))
+  }
+  private val qCdcApplySql =
+    """WITH snap AS (SELECT o_orderkey k, o_orderstatus st, o_totalprice pr
+      |  FROM orders),
+      |ops AS (
+      |  SELECT o_orderkey k, 1 seq, 'U' op, 'U1' st, o_totalprice pr
+      |    FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL SELECT o_orderkey, 1, 'D', NULL, NULL
+      |    FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL
+      |    FROM orders WHERE o_orderkey % 20 = 3
+      |  UNION ALL SELECT o_orderkey + 1000000000, 1, 'I', 'NEW', o_totalprice
+      |    FROM orders WHERE o_orderkey % 50 = 0),
+      |last AS (SELECT k, op, st, pr FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) rn
+      |    FROM ops) WHERE rn = 1),
+      |j AS (SELECT COALESCE(s.k, l.k) AS "key", l.op,
+      |    CASE WHEN l.k IS NOT NULL THEN l.st ELSE s.st END o_orderstatus,
+      |    CASE WHEN l.k IS NOT NULL THEN l.pr ELSE s.pr END o_totalprice
+      |  FROM snap s FULL OUTER JOIN last l ON s.k = l.k)
+      |SELECT "key", o_orderstatus, o_totalprice FROM j
+      |WHERE op IS NULL OR op <> 'D'""".stripMargin
+
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.temperatureWeights(docs(s, dir), "source",
+      alpha = 0.5, budgetDocs = 100000L)
+  private val qTemperatureMixSql =
+    """WITH c AS (SELECT source, count(*) n_docs,
+      |    CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,10)) w
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(w) wt FROM c),
+      |sh AS (SELECT source, n_docs,
+      |    round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS "share"
+      |  FROM c, t)
+      |SELECT source, n_docs, "share",
+      |  CAST(floor("share" * 100000 + 0.5) AS BIGINT) quota
+      |FROM sh""".stripMargin
+
+  private def qShardPlan(s: SparkSession, dir: String): DataFrame =
+    Layout.shardPlan(docs(s, dir), "doc_id", "text", nShards = 8)
+  private val qShardPlanSql =
+    s"""WITH d AS (SELECT
+       |    ${Hashing.hash64Sql("CAST(doc_id AS VARCHAR)")} % 8 shard,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) tok,
+       |    CAST(strlen(text) AS BIGINT) b
+       |  FROM documents),
+       |p AS (SELECT shard, count(*) n_docs, sum(tok) n_tokens,
+       |    sum(b) n_bytes FROM d GROUP BY 1),
+       |t AS (SELECT sum(n_docs) tt FROM p)
+       |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) n_tokens,
+       |  CAST(n_bytes AS BIGINT) n_bytes,
+       |  CAST(n_docs * 8 AS DOUBLE) / CAST(tt AS DOUBLE) doc_skew
+       |FROM p, t""".stripMargin
+
+  private def qResampleFfill(s: SparkSession, dir: String): DataFrame =
+    EventsOps.resampleFill(events(s, dir), bucketSec = 14400)
+  private val qResampleFfillSql =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) sec,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 14400 bucket
+      |  FROM events),
+      |b AS (SELECT user_id, bucket, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+      |      ORDER BY sec DESC, event_id DESC) rn FROM e) WHERE rn = 1),
+      |sp AS (SELECT user_id, unnest(range(mn, mx + 1)) bucket FROM (
+      |    SELECT user_id, min(bucket) mn, max(bucket) mx FROM b GROUP BY 1)),
+      |j AS (SELECT sp.user_id, sp.bucket, b.value v
+      |  FROM sp LEFT JOIN b ON sp.user_id = b.user_id AND sp.bucket = b.bucket)
+      |SELECT user_id, bucket, bucket * 14400 bucket_start_sec,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) value_filled,
+      |  v IS NULL AS is_gap
+      |FROM j""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (qRepetition _),
@@ -2903,6 +3002,10 @@ object QueriesExt {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_token_budget" -> (qTokenBudget _),
     "q_ts_anomaly" -> (qTsAnomaly _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_shard_plan" -> (qShardPlan _),
+    "q_resample_ffill" -> (qResampleFfill _),
     "q_quantize" -> (qQuantize _),
     "q_pq_codes" -> (qPqCodes _),
     "q_ann_pq" -> (qAnnPq _),
@@ -2995,6 +3098,10 @@ object QueriesExt {
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_ts_anomaly" -> qTsAnomalySql,
+    "q_cdc_apply" -> qCdcApplySql,
+    "q_temperature_mix" -> qTemperatureMixSql,
+    "q_shard_plan" -> qShardPlanSql,
+    "q_resample_ffill" -> qResampleFfillSql,
     "q_quantize" -> qQuantizeSql,
     "q_pq_codes" -> qPqCodesSql,
     "q_ann_pq" -> qAnnPqSql,

@@ -507,10 +507,13 @@ object Dedup {
     val benchHashes = benchmark
       .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
       .distinct()
-    // per-doc gram arrays staged once: totals read the array size
-    // narrow, hits explode the same array (no re-shingling)
+    // per-doc gram arrays PINNED: totals and hits are two consumers of
+    // the same frame, and without the persist each re-runs the full
+    // tokenize->shingle->hash pipeline (ScaleBench measured the unpinned
+    // form at 4x the decontaminate cost on the same corpus)
     val grams = corpus.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = grams.select(col("id"), size(col("hs")).as("n_grams"))
     val hits = grams.select(col("id"), explode(col("hs")).as("h"))
       .join(benchHashes, Seq("h"))
@@ -518,13 +521,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
     val frac = col("n_contaminated").cast("double") /
       col("n_grams").cast("double")
-    totals.join(hits, Seq("id"), "left")
+    val out = totals.join(hits, Seq("id"), "left")
       .na.fill(0L, Seq("n_contaminated"))
       .withColumn("contaminated_frac", frac)
       .withColumn("verdict",
         when(col("contaminated_frac") >= dropFrac, lit("drop"))
           .when(col("contaminated_frac") >= flagFrac, lit("flag"))
           .otherwise(lit("keep")))
+    materializeAndRelease(grams, out)
   }
 
   /** End-to-end near-dup removal: pair generation → connected

@@ -173,6 +173,47 @@ object EventsOps {
       .withColumn("duration_sec",
         unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
 
+  /** Resample + forward-fill: each user's `value` series regularized to
+    * a fixed `bucketSec` grid between that user's first and last event
+    * — the pandas `resample().ffill()` staple, distributed. Buckets
+    * with events take the bucket's LAST value (deterministic: latest
+    * ts, event id as tie-break); empty buckets carry the previous
+    * value forward and are marked `is_gap`. Values are carried, never
+    * recomputed, so the output is bit-identical across engines.
+    *
+    * Scale shape: in-bucket last = one max-struct partial agg (no
+    * window over raw events); the per-user spine explodes from one
+    * bounds row per user (span-bounded, same argument as [[timeGaps]]);
+    * the forward fill is a per-user window over BUCKET rows (hours,
+    * not events). Nothing global, nothing single-partition. */
+  def resampleFill(events: DataFrame, bucketSec: Long = 3600): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bucketed = events.select(col("user_id"),
+      expr(s"unix_timestamp(ts) div ${bucketSec}L").as("bucket"),
+      unix_timestamp(col("ts")).as("__sec"), col("event_id"), col("value"))
+    // last event of each occupied (user, bucket): max-struct keeps the
+    // partial agg; (sec, event_id) is a total order
+    val lastPer = bucketed.groupBy(col("user_id"), col("bucket"))
+      .agg(max(struct(col("__sec"), col("event_id"), col("value")))
+        .as("__last"))
+      .select(col("user_id"), col("bucket"),
+        col("__last.value").as("__v"))
+    val spine = lastPer.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col("user_id"),
+        explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+    val wFill = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(lastPer, Seq("user_id", "bucket"), "left")
+      .withColumn("value_filled", last(col("__v"), ignoreNulls = true).over(wFill))
+      .withColumn("is_gap", col("__v").isNull)
+      .select(col("user_id"), col("bucket"),
+        (col("bucket") * bucketSec).as("bucket_start_sec"),
+        col("value_filled"), col("is_gap"))
+  }
+
   /** Coverage-gap detector: time buckets between the stream's first and
     * last event that contain ZERO events — the "did ingestion silently
     * stop for an hour" monitor every event pipeline wants on a

@@ -149,4 +149,36 @@ object Layout {
         expr(s"(__cum - $bytesCol) div ${targetBytes}L"))
       .drop("__cum")
   }
+
+  /** Training-shard assignment plan: every doc lands in one of
+    * `nShards` output shards by portable hash of its id (deterministic
+    * under any partitioning/parallelism — NOT round-robin), and the
+    * report shows each shard's doc/token/byte load plus its skew
+    * against the ideal uniform share. This is the export step of a
+    * training-data pipeline (webdataset/TFRecord-style sharding), and
+    * the skew column is the number that says whether shard-parallel
+    * training will stall on a hot shard.
+    *
+    * Scale shape: one narrow projection (hash + token count + byte
+    * length fused into the scan) and one partial-agg shuffle carrying
+    * `nShards` rows. The skew ratio is integer-derived
+    * (docs * nShards / total) so the report is engine-exact. */
+  def shardPlan(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val staged = docs.select(
+      pmod(graft.functions.Hashing.hash64(col(idCol).cast("string")),
+        lit(nShards.toLong)).as("shard"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("__tok"),
+      octet_length(col(textCol)).cast("long").as("__bytes"))
+    val perShard = staged.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        sum(col("__bytes")).as("n_bytes"))
+    val total = perShard.agg(sum(col("n_docs")).as("__t"))
+    perShard.crossJoin(broadcast(total))
+      .withColumn("doc_skew",
+        (col("n_docs") * nShards).cast("double") / col("__t").cast("double"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        col("doc_skew"))
+  }
 }

@@ -367,6 +367,37 @@ object Relational {
     hist.select(merged.columns.map(col): _*).unionByName(merged)
   }
 
+  /** CDC apply: roll an insert/update/delete op log forward onto a
+    * snapshot (the lakehouse MERGE INTO / Debezium-sink pattern; the
+    * hard-delete sibling of [[scdMerge]]'s versioned upsert). Ops carry
+    * (key, seq, op in {I,U,D}, payload); the HIGHEST seq per key wins,
+    * regardless of how deep the per-key op history is. 'D' removes the
+    * key; 'I'/'U' both upsert the payload (idempotent on replayed logs,
+    * the CDC-consumer convention).
+    *
+    * Scale shape, same discipline as scdMerge: per-key op history
+    * collapses in ONE max-struct partial agg (map-side combine absorbs
+    * hot keys; no window, no sort), then a single full-outer join with
+    * the snapshot — cost independent of ops-per-key. (key, seq) must be
+    * unique; seq defines the total order. */
+  def cdcApply(snapshot: DataFrame, ops: DataFrame, keyCol: String,
+      seqCol: String, opCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    val last = ops
+      .groupBy(col(keyCol).as("__k"))
+      .agg(max(struct(col(seqCol).as("__seq") +: col(opCol).as("__op") +:
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)).as("__l"))
+      .select(col("__k"), col("__l.*"))
+    snapshot.join(last, col(keyCol) === col("__k"), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D") // delete wins
+      .select(
+        coalesce(col(keyCol), col("__k")).as(keyCol) +:
+          payloadCols.map(c =>
+            // upsert payload when an op survives, else snapshot value
+            when(col("__op").isNotNull, col(s"__p_$c"))
+              .otherwise(col(c)).as(c)): _*)
+  }
+
   /** Range join: left rows matched to right rows whose [startCol, endCol)
     * interval contains the left timestamp. Implemented as an equi-join on
     * a bucketized time grid (bucket width = maxIntervalWidth) so Catalyst

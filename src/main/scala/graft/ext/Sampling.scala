@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,47 @@ object Sampling {
       case ((g, p), els) => when(col(groupCol) === g, lit(p)).otherwise(els)
     }
     df.filter(draw(idCol, salt) < rate)
+  }
+
+  /** Temperature-based mixture weights (the multilingual/multi-source
+    * rebalancing rule of mBERT/XLM-R and LLM data mixing — public
+    * papers): source s gets sampling weight proportional to n_s^alpha,
+    * alpha < 1 flattening the head so small sources are not drowned.
+    * Returns one row per source: count, weight share, and a doc quota
+    * out of `budgetDocs`.
+    *
+    * Portability discipline: alpha is restricted to quarters
+    * {0.25, 0.5, 0.75, 1.0} so n^alpha evaluates as sqrt compositions
+    * (each sqrt is IEEE-correctly-rounded in both engines; pow() is
+    * not) — the oracle mirrors the same composition. Each weight is
+    * then quantized to decimal(28,10) BEFORE the total: a double sum's
+    * value depends on accumulation order (and Spark's partial-agg order
+    * is not even run-stable), while the decimal sum is exact and
+    * order-free. Quotas derive from the 6-dp-rounded share so the
+    * integer never sits on an engine-dependent boundary.
+    *
+    * Scale shape: one partial-agg count shuffle over the source column
+    * (rows = #sources), one broadcast single-row total re-entry. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+      alpha: Double = 0.5, budgetDocs: Long = 1000000L): DataFrame = {
+    def pows(n: Column): Column = alpha match {
+      case 1.0  => n.cast("double")
+      case 0.5  => sqrt(n.cast("double"))
+      case 0.25 => sqrt(sqrt(n.cast("double")))
+      case 0.75 => sqrt(n.cast("double")) * sqrt(sqrt(n.cast("double")))
+      case _ => throw new IllegalArgumentException(
+        s"alpha must be one of 0.25/0.5/0.75/1.0 (sqrt-composable), got $alpha")
+    }
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pows(col("n_docs")).cast("decimal(28,10)"))
+    val total = counts.agg(sum(col("w")).as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("w").cast("double") / col("w_total").cast("double"), 6))
+      .withColumn("quota",
+        floor(col("share") * budgetDocs + lit(0.5)).cast("long"))
+      .select(col("source"), col("n_docs"), col("share"), col("quota"))
   }
 
   /** Per-source token-budget selection (the "N billion tokens from each

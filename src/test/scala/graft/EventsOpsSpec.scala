@@ -32,6 +32,29 @@ class EventsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_users") == 2)
   }
 
+  test("resample + ffill: grid spans each user, gaps carry last value, in-bucket last wins") {
+    val evr = Seq(
+      // user 1: events in hours 10 and 13; 11 and 12 are gaps
+      (1L, ts("2024-01-01 10:05:00"), 1L, "m", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:40:00"), 1L, "m", 2.0, "{}"), // later in-bucket: wins
+      (3L, ts("2024-01-01 13:10:00"), 1L, "m", 9.0, "{}"),
+      // user 2: single event -> single-bucket grid, no fill needed
+      (4L, ts("2024-01-01 10:30:00"), 2L, "m", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsOps.resampleFill(evr, bucketSec = 3600)
+      .select("user_id", "bucket", "value_filled", "is_gap")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000 / 3600
+    assert(out.keySet == Set((1L, h10), (1L, h10 + 1), (1L, h10 + 2),
+      (1L, h10 + 3), (2L, h10)), "grid spans min..max bucket per user")
+    assert(out((1L, h10)) == ((2.0, false)), "bucket takes its LAST event")
+    assert(out((1L, h10 + 1)) == ((2.0, true)), "gap carries value forward")
+    assert(out((1L, h10 + 2)) == ((2.0, true)))
+    assert(out((1L, h10 + 3)) == ((9.0, false)))
+    assert(out((2L, h10)) == ((5.0, false)))
+  }
+
   test("moving z-score: spike flags, constant windows and singletons never do") {
     // a self-inclusive window bounds the reachable z at sqrt(n_baseline)
     // (the spike inflates its own variance), so the stable run must hold

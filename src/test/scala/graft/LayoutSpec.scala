@@ -81,4 +81,30 @@ class LayoutSpec extends SparkSpec {
       .select("path", "group_id").as[(String, Long)].collect().toMap
     assert(out2 == Map("a" -> 0L, "b" -> 3L))
   }
+
+  test("shard plan: total partition, deterministic assignment, exact loads") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Layout.shardPlan(docs, "doc_id", "text", nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(plan.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(plan.values.map(_._1).sum == docs.count(), "every doc in one shard")
+    // loads agree with an independent per-doc recomputation
+    val byDoc = docs.select(
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.Hashing.hash64($"doc_id".cast("string")),
+          lit(4L)).as("shard"),
+        graft.ext.TextStats.tokenCount($"text").cast("long").as("t"))
+      .groupBy("shard").agg(sum($"t")).as[(Long, Long)].collect().toMap
+    plan.foreach { case (s, (_, tok, _, _)) => assert(byDoc(s) == tok) }
+    // skew ratios average to 1 across occupied shards weighted by docs
+    val n = docs.count().toDouble
+    plan.foreach { case (_, (d, _, _, skew)) =>
+      assert(math.abs(skew - d * 4 / n) < 1e-12)
+    }
+    // determinism under different parallelism
+    val again = Layout.shardPlan(docs.repartition(7), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == plan.view.mapValues(_._1).toMap)
+  }
 }

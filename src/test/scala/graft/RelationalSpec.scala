@@ -277,4 +277,27 @@ class RelationalSpec extends SparkSpec {
     // 1 and 2 fall inside the interval (straddling the hour boundary); 3 outside
     assert(out == Set((1L, 10L), (2L, 10L)))
   }
+
+  test("cdc apply: latest-wins upsert/delete/insert, untouched rows pass through") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("key", "attr", "price")
+    val ops = Seq(
+      (2L, 1L, "U", "b2", 21.0),   // plain update
+      (3L, 1L, "D", null, 0.0),    // delete
+      (4L, 1L, "U", "d2", 41.0),   // update...
+      (4L, 2L, "D", null, 0.0),    // ...then delete: latest wins
+      (5L, 1L, "I", "e", 50.0),    // brand-new key
+      (6L, 1L, "D", null, 0.0),    // delete of a key not in the snapshot
+      (6L, 2L, "I", "f", 60.0))    // ...resurrected by a later insert
+      .toDF("key", "seq", "op", "attr", "price")
+    val out = Relational.cdcApply(snap, ops, "key", "seq", "op",
+        Seq("attr", "price"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L) - 4L,
+      s"3 deleted, 4 update-then-deleted; got ${out.keySet}")
+    assert(out(1L) == ((1L, "a", 10.0)), "untouched row passes through")
+    assert(out(2L) == ((2L, "b2", 21.0)), "update replaces payload")
+    assert(out(5L) == ((5L, "e", 50.0)), "insert lands")
+    assert(out(6L) == ((6L, "f", 60.0)), "later insert overrides delete")
+  }
 }

@@ -73,6 +73,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature weights: alpha flattens the head, quotas track shares") {
+    val df = (1 to 900).map(i => (i.toLong,
+      if (i <= 800) "big" else if (i <= 890) "mid" else "small"))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val w = Sampling.temperatureWeights(df, "source", alpha = 0.5,
+        budgetDocs = 1000L)
+      .select("source", "n_docs", "share", "quota")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(w("big")._2 == 800 && w("mid")._2 == 90 && w("small")._2 == 10)
+    // alpha=1 would give big 800/900 = .889 of the budget; sqrt flattens
+    val shares = w.view.mapValues(_._3).toMap
+    assert(shares("big") < 0.8 && shares("big") > 0.6)
+    assert(shares("small") > 10.0 / 900.0, "small source gains share")
+    assert(math.abs(shares.values.sum - 1.0) < 1e-5)
+    // quota = round(share * budget) exactly
+    w.values.foreach { case (_, _, s, q) =>
+      assert(q == math.floor(s * 1000 + 0.5).toLong)
+    }
+    // alpha=1.0 reduces to plain proportions
+    val plain = Sampling.temperatureWeights(df, "source", alpha = 1.0,
+        budgetDocs = 900L)
+      .select("source", "quota").as[(String, Long)].collect().toMap
+    assert(plain == Map("big" -> 800L, "mid" -> 90L, "small" -> 10L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(df, "source", alpha = 0.3)
+        .collect()
+    }
+  }
+
   test("mixture sample: per-group rates, default rate, determinism") {
     val rates = Seq("src0" -> 1000, "src1" -> 0)
     val m = Sampling.mixtureSample(docs, "doc_id", "source", rates,
