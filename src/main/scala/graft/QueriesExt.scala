@@ -2746,13 +2746,18 @@ object QueriesExt {
     TextStats.classifyQuality(docs(s, dir), "text")
       .select(col("doc_id"), round(col("quality_logit"), 6).as("logit_r"),
         col("keep"))
-  private val qQualityClassifierSql: String = {
+
+  /** Shared quality-classifier CTE chain ending in `sc(doc_id, score)` —
+    * used by the classifier face AND the curate-pipeline oracle so the
+    * feature derivations and the weight association cannot fork.
+    * Weights interpolate from [[TextStats.qualityClassifierWeights]];
+    * association mirrors classifyQuality verbatim: ((((b+s)+p)+a)+l). */
+  private val qualityScoreCte: String = {
     val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     val (b, wStop, wPunct, wAvg, wLen) = TextStats.qualityClassifierWeights
-    // association mirrors classifyQuality verbatim: ((((b+s)+p)+a)+l)
     val score = s"(((($b + ($wStop * stopword_ratio)) + ($wPunct * punct_ratio))" +
       s" + ($wAvg * avg_token_len)) + ($wLen * len_ok))"
-    s"""WITH f AS (
+    s"""f AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) toks,
        |    length(text) n_chars,
@@ -2771,9 +2776,130 @@ object QueriesExt {
        |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END punct_ratio,
        |    CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END len_ok
        |  FROM g),
-       |sc AS (SELECT doc_id, $score score FROM feats)
+       |sc AS (SELECT doc_id, $score score FROM feats)""".stripMargin
+  }
+
+  private val qQualityClassifierSql: String =
+    s"""WITH $qualityScoreCte
        |SELECT doc_id, round(score, 6) logit_r, score > 0.0 AS keep
        |FROM sc""".stripMargin
+
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame =
+    EventsOps.resampleInterpolate(events(s, dir), bucketSec = 14400)
+      .select(col("user_id"), col("bucket"), col("bucket_start_sec"),
+        (round(col("value_interp"), 6) + lit(0.0)).as("value_interp_r"),
+        col("is_gap"))
+  private val qInterpolateSql =
+    """WITH e AS (SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) sec,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 14400 bucket
+      |  FROM events),
+      |b AS (SELECT user_id, bucket, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+      |      ORDER BY sec DESC, event_id DESC) rn FROM e) WHERE rn = 1),
+      |sp AS (SELECT user_id, unnest(range(mn, mx + 1)) bucket FROM (
+      |    SELECT user_id, min(bucket) mn, max(bucket) mx FROM b GROUP BY 1)),
+      |j AS (SELECT sp.user_id, sp.bucket, b.value v
+      |  FROM sp LEFT JOIN b ON sp.user_id = b.user_id AND sp.bucket = b.bucket),
+      |w AS (SELECT user_id, bucket, v,
+      |    last_value(v IGNORE NULLS) OVER back pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER back pb,
+      |    first_value(v IGNORE NULLS) OVER fwd nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER fwd nb
+      |  FROM j WINDOW
+      |    back AS (PARTITION BY user_id ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    fwd AS (PARTITION BY user_id ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, bucket, bucket * 14400 bucket_start_sec,
+      |  round(CASE WHEN v IS NOT NULL THEN v
+      |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |      THEN pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+      |        / CAST(nb - pb AS DOUBLE))
+      |    WHEN pv IS NOT NULL THEN pv ELSE NULL END, 6) + 0.0 value_interp_r,
+      |  v IS NULL AS is_gap
+      |FROM w""".stripMargin
+
+  /** Melt/unpivot face: wide per-line measures to long (metric, value)
+    * form — built-in `Dataset.unpivot` (a pure narrow map; each input
+    * row expands to 4 output rows with no shuffle), mirrored by
+    * DuckDB's UNPIVOT. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+  private val qUnpivotSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    l_quantity, l_extendedprice, l_discount, l_tax
+      |  FROM lineitem WHERE l_orderkey % 7 = 0)
+      |UNPIVOT (value FOR metric IN
+      |  (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin
+
+  /** Curation funnel: quality classifier -> exact dedup -> 13-gram
+    * decontamination -> per-source token budget; every stage's oracle
+    * fragment already gates the standalone face (same convention as
+    * q_prep_pipeline). */
+  private def qCuratePipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ext.CorpusPipeline.curate(
+      d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", "source",
+      d.filter(col("doc_id") % 50 === 0), "text",
+      budgetTokens = 500L, n = 13, bucketWidth = 64L)
+  }
+  private val qCuratePipelineSql: String = {
+    val sh13 = word13GramSql
+    s"""WITH $qualityScoreCte,
+       |q AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN sc USING (doc_id)
+       |  WHERE d.doc_id % 50 <> 0 AND sc.score > 0.0),
+       |keep AS (SELECT min(doc_id) doc_id FROM q
+       |  GROUP BY md5(${normSql("text")})),
+       |s2 AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       |toks13 AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |hashed AS (SELECT doc_id,
+       |    list_transform($sh13, s -> ${Hashing.hash64Sql("s")}) h
+       |  FROM toks13),
+       |bench AS (SELECT DISTINCT unnest(h) hash FROM hashed
+       |  WHERE doc_id % 50 = 0),
+       |contam AS (SELECT DISTINCT cg.doc_id FROM (
+       |    SELECT h.doc_id, unnest(h.h) hash FROM hashed h
+       |    JOIN s2 ON h.doc_id = s2.doc_id) cg
+       |  JOIN bench USING (hash)),
+       |s3 AS (SELECT s2.* FROM s2
+       |  WHERE s2.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |tk AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) n_tokens
+       |  FROM s3),
+       |cum AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) c
+       |  FROM tk),
+       |kept AS (SELECT * FROM cum WHERE c <= 500),
+       |base AS (SELECT source, count(*) n_in FROM documents
+       |  WHERE doc_id % 50 <> 0 GROUP BY 1),
+       |c1 AS (SELECT source, count(*) n_quality FROM q GROUP BY 1),
+       |c2 AS (SELECT source, count(*) n_unique FROM s2 GROUP BY 1),
+       |c3 AS (SELECT source, count(*) n_clean FROM s3 GROUP BY 1),
+       |c4 AS (SELECT source, count(*) n_kept,
+       |    CAST(sum(n_tokens) AS BIGINT) tokens_kept FROM kept GROUP BY 1)
+       |SELECT base.source, n_in,
+       |  COALESCE(n_quality, 0) n_quality, COALESCE(n_unique, 0) n_unique,
+       |  COALESCE(n_clean, 0) n_clean, COALESCE(n_kept, 0) n_kept,
+       |  COALESCE(tokens_kept, 0) tokens_kept
+       |FROM base LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+       |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)""".stripMargin
   }
 
   private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
@@ -3006,6 +3132,9 @@ object QueriesExt {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_shard_plan" -> (qShardPlan _),
     "q_resample_ffill" -> (qResampleFfill _),
+    "q_curate_pipeline" -> (qCuratePipeline _),
+    "q_interpolate" -> (qInterpolate _),
+    "q_unpivot" -> (qUnpivot _),
     "q_quantize" -> (qQuantize _),
     "q_pq_codes" -> (qPqCodes _),
     "q_ann_pq" -> (qAnnPq _),
@@ -3102,6 +3231,9 @@ object QueriesExt {
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_shard_plan" -> qShardPlanSql,
     "q_resample_ffill" -> qResampleFfillSql,
+    "q_curate_pipeline" -> qCuratePipelineSql,
+    "q_interpolate" -> qInterpolateSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_quantize" -> qQuantizeSql,
     "q_pq_codes" -> qPqCodesSql,
     "q_ann_pq" -> qAnnPqSql,

@@ -80,4 +80,45 @@ object CorpusPipeline {
         count(lit(1)).as("n_chunks"),
         sum(col("n_chunk_tokens")).as("sum_chunk_tokens"))
   }
+
+  /** Full curation funnel, v2 of [[prepare]] with the model-based and
+    * budgeted stages: quality-classifier filter -> exact dedup (min-id
+    * survivor) -> benchmark decontamination -> per-source token-budget
+    * selection, reported as a per-source FUNNEL (docs surviving each
+    * stage + tokens finally kept) — the drop accounting a
+    * data-governance review asks for, and the quickest way to see which
+    * stage is eating a source.
+    *
+    * Composition discipline matches [[prepare]]: every stage is an
+    * already-oracle-checked operator, stages connect by semi/anti joins
+    * on the id (never text), and each funnel counter is one
+    * map-side-combined aggregate keyed by source. */
+  def curate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
+      budgetTokens: Long, n: Int = 13, bucketWidth: Long = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    val s1 = TextStats.classifyQuality(docs, textCol)
+      .filter(col("keep"))
+      .select(docs.columns.map(col): _*)
+    val keep = Dedup.exactByFingerprint(s1, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val s2 = s1.join(keep, Seq(idCol), "left_semi")
+    val contaminated = Dedup.decontaminate(s2, idCol, textCol,
+      benchmark, benchTextCol, n)
+      .select(col("id").as(idCol))
+    val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
+    val kept = Sampling.tokenBudget(s3, idCol, textCol, sourceCol,
+      budgetTokens, bucketWidth)
+    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as(name))
+    cnt(docs, "n_in")
+      .join(cnt(s1, "n_quality"), Seq("source"), "left")
+      .join(cnt(s2, "n_unique"), Seq("source"), "left")
+      .join(cnt(s3, "n_clean"), Seq("source"), "left")
+      .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept")), Seq("source"), "left")
+      .na.fill(0L, Seq("n_quality", "n_unique", "n_clean", "n_kept",
+        "tokens_kept"))
+  }
 }

@@ -214,6 +214,54 @@ object EventsOps {
         col("value_filled"), col("is_gap"))
   }
 
+  /** Resample + LINEAR interpolation — the `interpolate()` sibling of
+    * [[resampleFill]]: interior gaps take the straight line between the
+    * surrounding known bucket values, leading gaps stay null (nothing
+    * to anchor the left end), trailing gaps carry the last known value.
+    * Interpolation arithmetic is three correctly-rounded double ops
+    * from integer bucket distances, mirrored verbatim in the oracle.
+    *
+    * Scale shape: identical to resampleFill (same staged frames) plus
+    * one forward-looking window per user over bucket rows. */
+  def resampleInterpolate(events: DataFrame, bucketSec: Long = 3600)
+      : DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bucketed = events.select(col("user_id"),
+      expr(s"unix_timestamp(ts) div ${bucketSec}L").as("bucket"),
+      unix_timestamp(col("ts")).as("__sec"), col("event_id"), col("value"))
+    val lastPer = bucketed.groupBy(col("user_id"), col("bucket"))
+      .agg(max(struct(col("__sec"), col("event_id"), col("value")))
+        .as("__last"))
+      .select(col("user_id"), col("bucket"), col("__last.value").as("__v"))
+    val spine = lastPer.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col("user_id"),
+        explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+    val W = org.apache.spark.sql.expressions.Window
+    val back = W.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val fwd = W.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val knownB = when(col("__v").isNotNull, col("bucket"))
+    spine.join(lastPer, Seq("user_id", "bucket"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(knownB, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(knownB, ignoreNulls = true).over(fwd))
+      .withColumn("value_interp",
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((col("bucket") - col("__pb")).cast("double") /
+                (col("__nb") - col("__pb")).cast("double")))
+          .when(col("__pv").isNotNull, col("__pv")) // trailing: carry last
+          .otherwise(lit(null).cast("double")))     // leading: no anchor
+      .withColumn("is_gap", col("__v").isNull)
+      .select(col("user_id"), col("bucket"),
+        (col("bucket") * bucketSec).as("bucket_start_sec"),
+        col("value_interp"), col("is_gap"))
+  }
+
   /** Coverage-gap detector: time buckets between the stream's first and
     * last event that contain ZERO events — the "did ingestion silently
     * stop for an hour" monitor every event pipeline wants on a

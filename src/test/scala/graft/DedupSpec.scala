@@ -205,6 +205,33 @@ class DedupSpec extends SparkSpec {
     assert(r("s2") == ((1L, 1L, 2L)))
   }
 
+  test("curate funnel: every stage drops its own defect class, budget binds last") {
+    import graft.ext.CorpusPipeline
+    val prose = "the cat and the dog sat on that old mat in peace today"
+    val secret = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val d = Seq(
+      (1L, prose, "s1"),
+      (2L, "@@@ ### $$$ %%% ^^^ &&&", "s1"),     // classifier junk -> quality
+      (3L, prose, "s1"),                          // exact dup of 1 -> dedup
+      (4L, s"$prose $secret", "s1"),              // contaminated -> decontam
+      (5L, prose + " two", "s1"),                 // survives; budget decides
+      (6L, prose + " three", "s1"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((9L, secret)).toDF("doc_id", "text")
+    // budget = doc1 (13 tokens) + doc5 (14) = 27; doc 6 (14 more) over
+    val r = CorpusPipeline.curate(d, "doc_id", "text", "source",
+        bench, "text", budgetTokens = 27L, bucketWidth = 2L)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r.length == 1)
+    val (src, nIn, nQ, nU, nC, nK, tok) = r.head
+    assert(src == "s1" && nIn == 6)
+    assert(nQ == 5, "classifier drops the junk doc")
+    assert(nU == 4, "exact dedup drops the copy")
+    assert(nC == 3, "decontamination drops the leaked doc")
+    assert(nK == 2 && tok == 27L, "budget keeps docs 1+5, cuts doc 6")
+  }
+
   test("connected components: chains merge, islands stay apart, min-id labels") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6

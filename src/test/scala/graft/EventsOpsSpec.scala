@@ -55,6 +55,28 @@ class EventsOpsSpec extends SparkSpec {
     assert(out((2L, h10)) == ((5.0, false)))
   }
 
+  test("resample + interpolate: interior gaps linear, trailing carries, known exact") {
+    val evi = Seq(
+      // user 1: known at hours 10 and 13 -> 11,12 interpolate at 1/3, 2/3
+      (1L, ts("2024-01-01 10:30:00"), 1L, "m", 3.0, "{}"),
+      (2L, ts("2024-01-01 13:10:00"), 1L, "m", 9.0, "{}"),
+      // user 2: known at 10, gap at 11, known at 12, gaps have no right
+      // anchor after 12 -> none here (max bucket = last known)
+      (3L, ts("2024-01-01 10:00:00"), 2L, "m", 4.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "m", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsOps.resampleInterpolate(evi, bucketSec = 3600)
+      .select("user_id", "bucket", "value_interp", "is_gap")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000 / 3600
+    assert(out((1L, h10)) == ((3.0, false)))
+    assert(out((1L, h10 + 1)) == ((5.0, true)), "1/3 of the way 3->9")
+    assert(out((1L, h10 + 2)) == ((7.0, true)), "2/3 of the way 3->9")
+    assert(out((1L, h10 + 3)) == ((9.0, false)))
+    assert(out((2L, h10 + 1)) == ((6.0, true)), "midpoint 4->8")
+  }
+
   test("moving z-score: spike flags, constant windows and singletons never do") {
     // a self-inclusive window bounds the reachable z at sqrt(n_baseline)
     // (the spike inflates its own variance), so the stable run must hold

@@ -116,16 +116,27 @@ class PlanAssertSpec extends SparkSpec {
       s"hardNegatives must shuffle only for the rank window, found $shuffles:\n$plan")
   }
 
-  test("q_token_budget + q_ts_anomaly: no single-partition stage anywhere") {
+  test("q_token_budget + q_ts_anomaly + q_resample_ffill + q_interpolate: no single-partition stage") {
     // tokenBudget exists BECAUSE a naive per-source prefix sum funnels
     // each source through one task; its two-level form must never plan
     // an Exchange SinglePartition (and neither may the per-user anomaly
-    // window) — catching a refactor back to a global window
-    Seq("q_token_budget", "q_ts_anomaly").foreach { q =>
+    // window nor the resample fill/interpolate windows) — catching a
+    // refactor back to a global window
+    Seq("q_token_budget", "q_ts_anomaly", "q_resample_ffill",
+      "q_interpolate").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("SinglePartition"),
         s"$q grew a single-partition stage; plan:\n$plan")
     }
+  }
+
+  test("q_cdc_apply: op-history collapse is a partial agg, not a window sort") {
+    // the latest-wins reduce must stay a max-struct HashAggregate (hot
+    // keys absorbed map-side); a row_number-window rewrite would plan a
+    // per-key sort and ship every op row to the reducer
+    val plan = planOf("q_cdc_apply")
+    assert(!plan.contains("Window"),
+      s"cdcApply must not collapse ops via a window; plan:\n$plan")
   }
 
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
