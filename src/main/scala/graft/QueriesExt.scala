@@ -2504,6 +2504,40 @@ object QueriesExt {
       |  COALESCE(agg.n_kept, 0) n_kept, COALESCE(agg.cleaned, '') cleaned
       |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** Exact-substring duplication pairs via winnowing fingerprints
+    * (guarantee: shared normalized spans >= w+k-1 = 23 chars are always
+    * caught). Oracle re-derives the window-min gram selection with
+    * list_reduce rolling hashes + list_min slices — O(len * w) in SQL,
+    * O(len) rolled in the Scala kernel, identical selected VALUES (the
+    * min is by value only, so no tie-break can diverge). */
+  private def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupPairs(docs(s, dir), "doc_id", "text",
+      k = 16, w = 8, maxDocFreq = 64, minShared = 2)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+  private val qSubstringDedupSql: String = {
+    val K = 16; val W = 8; val P = Hashing.P
+    s"""WITH nt AS (SELECT doc_id, ${normSql("text")} nt FROM documents),
+       |gh AS (SELECT doc_id, CASE
+       |    WHEN len(nt) = 0 THEN [CAST(0 AS BIGINT)]
+       |    WHEN len(nt) < $K THEN [list_reduce(
+       |      list_transform(range(len(nt)), j -> CAST(ord(substr(nt, CAST(j+1 AS INT), 1)) AS BIGINT)),
+       |      (a, x) -> (a * 31 + x) % $P)]
+       |    ELSE list_transform(range(len(nt) - $K + 1), i -> list_reduce(
+       |      list_transform(range($K), j -> CAST(ord(substr(nt, CAST(i+j+1 AS INT), 1)) AS BIGINT)),
+       |      (a, x) -> (a * 31 + x) % $P)) END g
+       |  FROM nt),
+       |fps AS (SELECT doc_id, unnest(list_distinct(CASE
+       |    WHEN len(g) <= $W THEN [list_min(g)]
+       |    ELSE list_transform(range(len(g) - $W + 1), j ->
+       |      list_min(list_slice(g, j+1, j+$W))) END)) fp
+       |  FROM gh),
+       |dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+       |kept AS (SELECT doc_id, f.fp FROM fps f JOIN dupfp USING (fp))
+       |SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+  }
+
   /** DuckDB mirror of [[Repetition.wordGrams]] over a token-list column
     * named `toks` (1-based inclusive slice = n consecutive tokens). */
   private def gramsSql(n: Int): String =
@@ -3058,6 +3092,7 @@ object QueriesExt {
     "q_gopher_filter" -> (qGopherFilter _),
     "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_substring_dedup" -> (qSubstringDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -3157,6 +3192,7 @@ object QueriesExt {
     "q_gopher_filter" -> qGopherFilterSql,
     "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,
+    "q_substring_dedup" -> qSubstringDedupSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
     "q_bucket_join" -> qBucketJoinSql,

@@ -596,6 +596,53 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Cross-document EXACT-SUBSTRING duplication via winnowing
+    * fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the
+    * Spark-first re-expression of suffix-array substring dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a global suffix sort is inherently sequential, so
+    * instead every document emits window-minimum k-gram hashes at
+    * expected density 2/(w+1)
+    * ([[graft.functions.ExprKernels.winnowFingerprints]], one fused
+    * codegen pass per row) and shared substrings become a posting-list
+    * join. Detection guarantee: any shared NORMALIZED substring of
+    * length >= w + k - 1 contributes at least one shared fingerprint
+    * to both documents, regardless of where it sits in either.
+    *
+    * Scale shape: one shuffle on the 8-byte fingerprint. The document-
+    * frequency band [2, maxDocFreq] prunes BOTH singleton fingerprints
+    * (no duplication evidence — the overwhelming majority of the
+    * stream) and boilerplate fingerprints (the n^2 posting-list bomb,
+    * same cap discipline as [[jaccardPairs]]), so each surviving
+    * posting list yields <= C(maxDocFreq, 2) pairs. The cap caveat
+    * carries over: spans shared by more than maxDocFreq documents are
+    * deliberately not reported as pairs (route those through
+    * [[lineDedup]]-style keep-first instead).
+    *
+    * Returns (id_a, id_b, n_shared): pairs sharing >= minShared
+    * fingerprints, strongest evidence first only by n_shared value. */
+  def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, maxDocFreq: Int = 64, minShared: Int = 2)
+      : DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.functions.VectorExprs.winnow_fingerprints(
+        TextStats.normalized(col(textCol)), k, w)).as("fp"))
+    // agg+join rather than a count-window (contrast jaccardPairs's
+    // measured choice): the df>=2 filter keeps only the tiny duplicated
+    // slice, so the partial agg collapses the stream map-side and there
+    // is no big both-sides exchange worth reusing
+    val dupFps = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(dupFps, Seq("fp"))
+    kept.select(col("id").as("id_a"), col("fp"))
+      .join(kept.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 32-bit SimHash from token hashes: bit j of the fingerprint is the
     * sign of the sum of (+1/-1) votes of each token's j-th hash bit. */
   def simhash32(text: Column): Column = {

@@ -130,6 +130,68 @@ object ExprKernels extends Serializable {
     }
     ArrayData.toArrayData(out.toArray)
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * public paper): distinct window-minimum Karp-Rabin k-gram hashes.
+    * Guarantee: any substring of length >= w + k - 1 shared by two
+    * documents contributes at least one SHARED fingerprint to both —
+    * position-independent (the selection is content-defined), so
+    * cross-document matches are caught at any alignment, at expected
+    * density 2/(w+1) of the gram stream. This is the Spark-first
+    * re-expression of suffix-array exact-substring dedup (Lee et al.
+    * 2022): instead of a global suffix sort, each doc emits O(n/w)
+    * fingerprints and duplication becomes a hash-join problem.
+    *
+    * Gram hash = polynomial (h*31 + char) mod (2^31-1), rolled in O(1)
+    * per position; window min is by VALUE only (positions are not
+    * emitted), so no tie-break is needed and the DuckDB mirror is a
+    * plain `list_min` over a slice. ASCII-normalized input expected
+    * (same contract as [[charShingleHashes]]); strings shorter than k
+    * fingerprint as one whole-string hash (so exact duplicates always
+    * share fingerprints regardless of length); the empty string hashes
+    * to 0. */
+  def winnowFingerprints(u: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val P = 2147483647L
+    def polyAll(): Long = {
+      var h = 0L; var i = 0
+      while (i < n) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+      h
+    }
+    if (n < k) return ArrayData.toArrayData(Array(polyAll()))
+    val nGrams = n - k + 1
+    val gh = new Array[Long](nGrams)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow = (pow * 31) % P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    gh(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = ((h - (s.charAt(i - 1) * pow) % P + P) * 31 + s.charAt(i + k - 1)) % P
+      gh(i) = h
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[Long]()
+    if (nGrams <= w) {
+      var m = gh(0); i = 1
+      while (i < nGrams) { if (gh(i) < m) m = gh(i); i += 1 }
+      out += m
+    } else {
+      var j = 0
+      while (j + w <= nGrams) {
+        var m = gh(j); var t = j + 1
+        while (t < j + w) { if (gh(t) < m) m = gh(t); t += 1 }
+        if (seen.add(m)) out += m
+        j += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
 }
 
 case class DotProductD(left: Expression, right: Expression)
@@ -235,6 +297,26 @@ case class CharShingleHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** See [[ExprKernels.winnowFingerprints]] — one fused pass (rolling
+  * hash + window min) per document, O(len * w) worst case with w a
+  * small constant; the HOF formulation would be two materialized
+  * intermediate arrays and ~len * w boxed lambda calls. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernels", ExprKernels,
+      "graft.functions.ExprKernels$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernel.winnowFingerprints($c, $k, $w);")
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 /** See [[ExprKernels.md5h64]] — the shingle-hashing hot path runs
   * millions of these per corpus pass. */
 case class StringHash64(child: Expression) extends UnaryExpression {
@@ -264,4 +346,6 @@ object VectorExprs {
     GraftBridge.column(NormalizeD(GraftBridge.expression(v)))
   def char_shingle_hashes(norm: Column, k: Int): Column =
     GraftBridge.column(CharShingleHashes(GraftBridge.expression(norm), k))
+  def winnow_fingerprints(norm: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(norm), k, w))
 }

@@ -232,6 +232,65 @@ class DedupSpec extends SparkSpec {
     assert(nK == 2 && tok == 27L, "budget keeps docs 1+5, cuts doc 6")
   }
 
+  test("winnow fingerprints: kernel matches a naive re-derivation, short/empty degenerate") {
+    import graft.functions.ExprKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 2147483647L
+    def naive(s: String, k: Int, w: Int): Set[Long] = {
+      def poly(g: String): Long = g.foldLeft(0L)((h, c) => (h * 31 + c) % P)
+      if (s.length < k) Set(poly(s))
+      else {
+        val gh = (0 to s.length - k).map(i => poly(s.substring(i, i + k)))
+        if (gh.length <= w) Set(gh.min)
+        else (0 to gh.length - w).map(j => gh.slice(j, j + w).min).toSet
+      }
+    }
+    def kernel(s: String, k: Int, w: Int): Set[Long] = {
+      val a = ExprKernels.winnowFingerprints(UTF8String.fromString(s), k, w)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val samples = Seq("", "ab", "abcdefghijklmnop",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // constant string: one fingerprint
+      "abc abc abc abc abc abc abc abc abc")
+    for (s <- samples; (k, w) <- Seq((16, 8), (5, 3))) {
+      assert(kernel(s, k, w) == naive(s, k, w), s"mismatch on '$s' k=$k w=$w")
+    }
+    assert(kernel("", 16, 8) == Set(0L), "empty string fingerprints as [0]")
+  }
+
+  test("substring dedup: shared >=23-char span always caught, disjoint text never") {
+    // guarantee: shared normalized substring of length >= w+k-1 = 23
+    // must yield a shared fingerprint at ANY alignment in either doc
+    val span = "zebra quantum voltage crystal" // 29 chars, survives norm
+    val d = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"one two three four five six seven $span"),
+      (3L, "nothing in common with anyone here at all today ok"),
+      (4L, s"alpha beta gamma $span delta epsilon")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringDupPairs(d, "doc_id", "text",
+        k = 16, w = 8, maxDocFreq = 64, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "shared span at different offsets")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair")
+  }
+
+  test("substring dedup: boilerplate fingerprints above maxDocFreq are capped out") {
+    val boiler = "standard license header text for everyone"
+    val d = (1L to 10L).map(i => (i, s"$boiler unique tail $i"))
+      .toDF("doc_id", "text")
+    // every fingerprint from the shared prefix sits in all 10 docs ->
+    // df cap at 4 suppresses them; unique tails share nothing
+    val capped = Dedup.substringDupPairs(d, "doc_id", "text",
+      k = 16, w = 8, maxDocFreq = 4, minShared = 1)
+    assert(capped.count() == 0, "capped boilerplate must not emit pairs")
+    val uncapped = Dedup.substringDupPairs(d, "doc_id", "text",
+      k = 16, w = 8, maxDocFreq = 64, minShared = 1)
+    assert(uncapped.count() == 45, "all C(10,2) pairs share the header")
+  }
+
   test("connected components: chains merge, islands stay apart, min-id labels") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
