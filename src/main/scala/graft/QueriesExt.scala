@@ -1925,6 +1925,15 @@ object QueriesExt {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextStats.buildVocab(docs(s, dir), "text", maxSize = 500, minCount = 2)
 
+  /** Distributed BPE merge learning — the merge table is the product of
+    * a data-dependent iterative argmax, which SQL cannot replay without
+    * procedural recursion, so this face is rows-only (`no_oracle`, the
+    * q_ann_lsh precedent); determinism + reference-parity are pinned by
+    * TextStatsSpec's golden corpus test instead. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextStats.bpeTrain(docs(s, dir), "text", numMerges = 24,
+      minPairCount = 2)
+
   private val qVocabSql: String =
     s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
        |c AS (SELECT token, CAST(count(*) AS BIGINT) n FROM t
@@ -3106,6 +3115,7 @@ object QueriesExt {
     "q_source_stats" -> (qSourceStats _),
     "q_funnel" -> (qFunnel _),
     "q_vocab" -> (qVocab _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),

@@ -356,6 +356,113 @@ object TextStats {
         transform(col("__s"), s => s.getField("tid")).as("token_ids"))
   }
 
+  /** One greedy left-to-right BPE contraction of adjacent (l, r) symbol
+    * pairs in an array column — the fold keeps an accumulator whose
+    * last element either absorbs the incoming symbol (last == l and
+    * x == r → replace last with l+r) or is appended to. Merging
+    * consumes both symbols, so overlapping runs contract
+    * non-overlapping left-to-right ("aaa" + merge(a,a) → ["aa","a"]),
+    * exactly the reference BPE semantics (Sennrich et al. 2016). */
+  private def bpeContract(syms: Column, l: String, r: String): Column =
+    when(size(syms) < 2, syms).otherwise(
+      aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        slice(syms, 1, 1),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+
+  /** Distributed BPE merge learning (Sennrich/Haddow/Birch 2016, public
+    * paper): learn `numMerges` byte-pair merges from the corpus by
+    * repeatedly merging the globally most frequent adjacent symbol
+    * pair. Classic BPE trains on the WORD-FREQUENCY dictionary, not the
+    * raw corpus — so the iteration runs over `distinct words × counts`
+    * (bounded by vocabulary size, millions of rows at 100 TB corpus
+    * scale, never the corpus itself), which is what makes the
+    * driver-coordinated loop legitimate: per round, one
+    * map-side-combined pair-count aggregation over the dictionary, one
+    * TakeOrderedAndProject argmax (a single-row driver fetch, the Lloyd-
+    * rounds pattern), one narrow contraction map, one localCheckpoint
+    * to cut the per-round lineage (the [[Dedup.connectedComponents]]
+    * discipline).
+    *
+    * Ties break (pair_count DESC, left ASC, right ASC) — a total order,
+    * so the learned merge table is deterministic. Stops early when no
+    * pair reaches `minPairCount`.
+    *
+    * Returns (rank, left, right, pair_count), rank = merge order. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int = 30,
+      minPairCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(0, length(w) - 1), i -> substr(w, i + 1, 1))"))
+      .select(col("cnt"), col("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as l, syms[i + 1] as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("rt"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("rt").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, rt, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rt, pc))
+        val prev = words
+        words = words
+          .withColumn("syms", bpeContract(col("syms"), l, rt))
+          .localCheckpoint(true)
+        prev.unpersist(false)
+        r += 1
+      }
+    }
+    words.unpersist(false)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned merge table ([[bpeTrain]] order) to segment
+    * documents into BPE pieces. Applying the merges in rank order, each
+    * once over the whole symbol sequence, IS the BPE encode algorithm.
+    *
+    * Scale shape: the merge fold runs on the DISTINCT-word frame only
+    * (vocabulary-sized); documents then re-enter through one word join
+    * and one per-doc aggregation — corpus text never carries the fold
+    * chain. The fold is checkpointed every 10 merges so the nested
+    * higher-order expressions never grow past analyzer comfort.
+    *
+    * Returns (id, n_words, n_pieces). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .distinct()
+      .withColumn("syms",
+        expr("transform(sequence(0, length(w) - 1), i -> substr(w, i + 1, 1))"))
+    val encoded = merges.zipWithIndex.foldLeft(words) {
+      case (df, ((l, rt), i)) =>
+        val next = df.withColumn("syms", bpeContract(col("syms"), l, rt))
+        if ((i + 1) % 10 == 0) next.localCheckpoint(true) else next
+    }
+    docs.select(col(idCol).as("id"),
+      explode(tokens(normalized(col(textCol)))).as("w"))
+      .join(encoded.select(col("w"), size(col("syms")).as("np")), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+  }
+
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to single spaces, trim. */
   def normalized(text: Column): Column =

@@ -313,4 +313,48 @@ class TextStatsSpec extends SparkSpec {
     assert(r(5L).getAs[Int]("n_lines") == 0 && !r(5L).getAs[Boolean]("keep_page"))
     assert(r(5L).getAs[String]("clean_text") == "")
   }
+
+  test("BPE train: classic corpus learns the hand-derived merge sequence") {
+    // Sennrich et al.'s worked example: low x5, lower x2, newest x6,
+    // widest x3. Hand-derived greedy merges under the (count DESC,
+    // left ASC, right ASC) tie-break:
+    //   1. (e,s)  9   [newest 6 + widest 3; ties (s,t) on count, e < s]
+    //   2. (es,t) 9
+    //   3. (l,o)  7   [ties (o,w); l < o]
+    //   4. (lo,w) 7
+    //   5. (e,w)  6   [ties (n,e), (w,est); e first]
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(docs, "text", numMerges = 5)
+      .orderBy($"rank")
+      .select($"rank", $"left", $"right", $"pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L),
+      (3, "lo", "w", 7L), (4, "e", "w", 6L)))
+  }
+
+  test("BPE encode: rank-ordered merge application segments unseen words") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val train = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(train, "text", numMerges = 5)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    // "lowest" is NOT in the training text; merges segment it low|est
+    // (l,o w,e,s,t -> es -> est -> lo -> low|est); "newest" -> n|ew|est
+    val out = TextStats.bpeEncode(
+        Seq((7L, "lowest newest")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((7L, 2L, 5L)), "low|est (2) + n|ew|est (3) pieces")
+  }
+
+  test("BPE train: single-char words exhaust merges early, empty corpus yields none") {
+    val single = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(TextStats.bpeTrain(single, "text", numMerges = 5).count() == 0)
+    val empty = Seq((1L, "!!!")).toDF("doc_id", "text")
+    assert(TextStats.bpeTrain(empty, "text", numMerges = 5).count() == 0)
+  }
 }
