@@ -1925,6 +1925,21 @@ object QueriesExt {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextStats.buildVocab(docs(s, dir), "text", maxSize = 500, minCount = 2)
 
+  /** Exact heavy hitters over the corpus token stream: the
+    * Misra-Gries sketch pass bounds the work, the exact re-count pass
+    * makes the output sketch-independent, so the oracle is a plain
+    * GROUP BY / HAVING with the identical floor(n*s)+1 threshold
+    * (identical IEEE double product in both engines). */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      explode(TextStats.tokens(TextStats.normalized(col("text")))).as("token"))
+    Relational.heavyHitters(toks, "token", support = 0.034)
+  }
+  private val qHeavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents)
+       |SELECT token, count(*) cnt FROM t GROUP BY 1
+       |HAVING count(*) >= CAST(floor((SELECT count(*) FROM t) * 0.034) AS BIGINT) + 1""".stripMargin
+
   /** Distributed BPE merge learning — the merge table is the product of
     * a data-dependent iterative argmax, which SQL cannot replay without
     * procedural recursion, so this face is rows-only (`no_oracle`, the
@@ -3116,6 +3131,7 @@ object QueriesExt {
     "q_funnel" -> (qFunnel _),
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),
@@ -3203,6 +3219,7 @@ object QueriesExt {
     "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_substring_dedup" -> qSubstringDedupSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
     "q_bucket_join" -> qBucketJoinSql,

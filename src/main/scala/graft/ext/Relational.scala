@@ -184,6 +184,43 @@ object Relational {
           / col("n_total").cast("double"))
   }
 
+  /** EXACT frequent-item mining (heavy hitters) at one-pass-sketch
+    * shuffle cost. Pass 1: Spark's `stat.freqItems` — the Karp /
+    * Misra-Gries bounded-counter summary, whose merged result is a
+    * guaranteed SUPERSET of every item with frequency > n/k (false
+    * positives possible, false negatives impossible) — run at
+    * `support / 2`, so the sketch's retention boundary sits strictly
+    * BELOW the reporting threshold and its exact position (n/k vs
+    * n/(k+1), an implementation detail) can never clip a reported
+    * item. Pass 2 re-counts only the <= k candidates exactly
+    * (broadcast isin filter, map-side-combined count) and applies
+    * `count > floor(n * support)`. The output is therefore EXACT and
+    * independent of sketch internals — which is what lets a plain
+    * GROUP BY / HAVING oracle gate it.
+    *
+    * Scale shape: the naive alternative shuffles every distinct key
+    * (billions for token streams); here pass 1 merges k-entry partial
+    * maps on the driver, pass 2 shuffles <= k pre-combined keys, and
+    * the count() is a column-pruned scan. Three linear passes, no
+    * wide shuffle. */
+  def heavyHitters(df: DataFrame, colName: String, support: Double)
+      : DataFrame = {
+    require(support > 0.0 && support < 1.0,
+      s"support must be in (0,1), got $support")
+    val cands = df.stat.freqItems(Array(colName), support / 2)
+      .head.getSeq[Any](0)
+    val n = df.count()
+    val thresh = math.floor(n * support).toLong + 1
+    if (cands.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(null).cast(df.schema(colName).dataType).as(colName),
+          lit(0L).as("cnt")).limit(0)
+    df.filter(col(colName).isin(cands: _*))
+      .groupBy(col(colName))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thresh)
+  }
+
   /** One-character deletion set of a string column (distinct, excludes
     * the string itself); empty input yields an empty array. */
   private def deleteOne(v: Column): Column =

@@ -300,4 +300,26 @@ class RelationalSpec extends SparkSpec {
     assert(out(5L) == ((5L, "e", 50.0)), "insert lands")
     assert(out(6L) == ((6L, "f", 60.0)), "later insert overrides delete")
   }
+
+  test("heavy hitters: exact at the threshold boundary, sketch noise invisible") {
+    import graft.ext.Relational
+    // n = 100; support 0.2 -> threshold floor(20)+1 = 21: an item at
+    // EXACTLY 20 must be excluded, 21 included — and the result must be
+    // exact even though the MG sketch itself has no such guarantee at
+    // the boundary (the re-count pass is what's under test)
+    val items = Seq.fill(40)("a") ++ Seq.fill(21)("b") ++
+      Seq.fill(20)("c") ++ (1 to 19).map(i => s"x$i")
+    val df = items.toDF("item")
+    assert(df.count() == 100)
+    val out = Relational.heavyHitters(df, "item", 0.2)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 40L, "b" -> 21L),
+      s"c sits exactly AT floor(n*s) and must be excluded; got $out")
+  }
+
+  test("heavy hitters: nothing frequent yields empty, not an error") {
+    import graft.ext.Relational
+    val df = (1 to 50).map(i => s"u$i").toDF("item")
+    assert(Relational.heavyHitters(df, "item", 0.5).count() == 0)
+  }
 }
