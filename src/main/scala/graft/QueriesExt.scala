@@ -812,6 +812,22 @@ object QueriesExt {
        |WHERE list_cosine_similarity(x.e, y.e) >= 0.99""".stripMargin
   }
 
+  /** JL random projection 64 -> 16 dims: one narrow map of 16 codegen
+    * dots against literal grid planes; components rounded at 6 places
+    * in BOTH engines (the established embed-oracle float discipline). */
+  private def qRandomProj(s: SparkSession, dir: String): DataFrame =
+    SimSearch.randomProject(emb(s, dir), "vec_id", "embedding",
+      dims = 64, outDims = 16)
+      .select(col("id").as("vec_id"),
+        transform(col("proj"), x => round(x, 6)).as("proj_r"))
+  private val qRandomProjSql: String = {
+    val exprs = (0 until 16).map(p =>
+      s"round(list_dot_product(${planeSql(p)}, e), 6)")
+      .mkString("[", ",\n  ", "]")
+    s"""SELECT vec_id, $exprs proj_r
+       |FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)""".stripMargin
+  }
+
   /** SemDeDup (semantic dedup, Abbas et al. 2023): k-means-cluster the
     * embedding space (deterministic smallest-id centroids — the same
     * ones q_ann_ivf mirrors), pair only within clusters, keep pairs with
@@ -3201,6 +3217,7 @@ object QueriesExt {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_random_proj" -> (qRandomProj _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3302,6 +3319,7 @@ object QueriesExt {
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_random_proj" -> qRandomProjSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,
     // q_ann_lsh: approximate -> rows-only check, no oracle

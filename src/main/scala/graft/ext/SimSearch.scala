@@ -484,6 +484,30 @@ object SimSearch {
     }.reduce(_ + _)
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions
+    * (Johnson & Lindenstrauss 1984; Achlioptas 2003 showed coarse
+    * discrete projections suffice): each output component is the dot
+    * of the input with one deterministic [[planeComponent]] grid plane
+    * — zero stored model, zero egress, and exactly oracle-mirrorable
+    * because both engines evaluate the identical IEEE arithmetic.
+    * Pairwise distances are preserved up to the JL distortion bound in
+    * expectation; the conventional sqrt(dims/outDims) calibration
+    * factor is deliberately NOT applied (irrational — it would break
+    * bit-mirroring; rankings and relative comparisons are
+    * scale-invariant, callers needing calibrated distances multiply
+    * externally).
+    *
+    * Scale shape: pure narrow map — outDims codegen'd dot products per
+    * row, no shuffle, no model broadcast (planes are literals folded
+    * into the generated code). The 4x-16x narrower output is what the
+    * downstream ANN / clustering / dedup stages then shuffle instead
+    * of the full vectors. */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, outDims: Int): DataFrame =
+    emb.select(col(idCol).as("id"),
+      array((0 until outDims).map(p =>
+        dot(planeArray(p, dims), toDouble(col(vecCol)))): _*).as("proj"))
+
   /** ANN top-k: candidates share the hyperplane bucket or differ in at
     * most 2 bits (multi-probe), exact cosine rerank inside candidates.
     * Recall < 1 by construction: strong when true neighbors are close

@@ -305,4 +305,34 @@ class SimSearchSpec extends SparkSpec {
       .orderBy($"rank").select("neighbor_id").as[Long].collect()
     assert(brute.toSeq == got.map(_.getLong(0)).toSeq)
   }
+
+  test("random projection: linear, deterministic, separates near from far pairs") {
+    val dims = 8
+    def vec(xs: Double*) = xs.map(_.toFloat)
+    val base = Seq.tabulate(dims)(i => math.sin(i + 1.0))
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 1e-4 else 0.0) }
+    val far = Seq.tabulate(dims)(i => math.cos(3.0 * i) * 2.0)
+    val df = Seq(
+      (1L, vec(base: _*)), (2L, vec(near: _*)), (3L, vec(far: _*)))
+      .toDF("vec_id", "embedding")
+    val p = SimSearch.randomProject(df, "vec_id", "embedding", dims, 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(p(1L), p(2L)) < 1e-4, "near pair stays near after projection")
+    assert(d2(p(1L), p(3L)) > 0.1, "far pair stays separated")
+    // determinism: planes are pure functions of (plane, dim), no state
+    val p2 = SimSearch.randomProject(df, "vec_id", "embedding", dims, 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p == p2)
+    // linearity: proj(a) - proj(b) == proj(a - b) up to fp tolerance
+    val diffVec = base.zip(far).map { case (x, y) => x - y }
+    val pd = SimSearch.randomProject(
+        Seq((9L, vec(diffVec: _*))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims, 4)
+      .as[(Long, Seq[Double])].collect().head._2
+    val manual = p(1L).zip(p(3L)).map { case (x, y) => x - y }
+    // float32 storage rounds diffVec's components -> ~1e-5 slack
+    assert(pd.zip(manual).forall { case (x, y) => math.abs(x - y) < 1e-5 })
+  }
 }
