@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, EventsOps, Layout, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
-import graft.profile.Constraints
+import graft.profile.{Constraints, Privacy}
 
 /** Extension-tier queries (BASELINE.json north star): dedup family,
   * similarity search, text analysis, multimodal plumbing, events/JSON/
@@ -1941,6 +1941,18 @@ object QueriesExt {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextStats.buildVocab(docs(s, dir), "text", maxSize = 500, minCount = 2)
 
+  /** k-anonymity release-risk report over (nation, segment) quasi-
+    * identifiers: class-size histogram with at-risk marking (k=10). */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityHistogram(Sources.table(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+  private val qKAnonymitySql: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) class_size
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT class_size, count(*) n_classes,
+      |  class_size * count(*) n_rows, class_size < 10 at_risk
+      |FROM cls GROUP BY 1""".stripMargin
+
   /** Exact heavy hitters over the corpus token stream: the
     * Misra-Gries sketch pass bounds the work, the exact re-count pass
     * makes the output sketch-independent, so the oracle is a plain
@@ -3148,6 +3160,7 @@ object QueriesExt {
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),
@@ -3237,6 +3250,7 @@ object QueriesExt {
     "q_line_dedup" -> qLineDedupSql,
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_k_anonymity" -> qKAnonymitySql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
     "q_bucket_join" -> qBucketJoinSql,
