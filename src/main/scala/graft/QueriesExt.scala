@@ -1941,6 +1941,60 @@ object QueriesExt {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextStats.buildVocab(docs(s, dir), "text", maxSize = 500, minCount = 2)
 
+  /** HTML -> text extraction: documents wrapped in deterministic HTML
+    * (tags, a style block, a script block containing a bare '<', the
+    * core entities), then stripped back. The `ok` column proves the
+    * round trip recovers the original text exactly; both engines
+    * synthesize AND strip with the identical regex chain (RE2 ∩
+    * java.util.regex subset). The script body's `1 < 2` guards the
+    * order of operations: script blocks must drop before tag removal,
+    * or the stray '<' swallows text. */
+  private def qHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val head = "<html><head><style>p { color: red; }</style>" +
+      "<script type=\"text/javascript\">if (1 < 2) { go(\"x\"); }</script>" +
+      "</head><body><h1>Doc "
+    val html = concat(lit(head), col("doc_id").cast("string"),
+      lit("</h1><p>"), regexp_replace(col("text"), " ", " <br/> "),
+      lit(" &amp; tail &#39;quoted&#39;</p></body></html>"))
+    val expected = concat(lit("Doc "), col("doc_id").cast("string"),
+      lit(" "), trim(regexp_replace(col("text"), "\\s+", " ")),
+      lit(" & tail 'quoted'"))
+    docs(s, dir)
+      .select(col("doc_id"), html.as("html"), expected.as("expected"))
+      .select(col("doc_id"),
+        regexp_count(col("html"), lit("<[^>]*>")).cast("long").as("n_tags"),
+        TextStats.stripHtml(col("html")).as("clean"), col("expected"))
+      .select(col("doc_id"), col("n_tags"),
+        length(col("clean")).cast("long").as("clean_len"),
+        (col("clean") === col("expected")).as("ok"))
+  }
+  private val qHtmlStripSql: String = {
+    val strip =
+      """trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(html,
+        |        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', chr(38)),
+        |    '\s+', ' ', 'g'))""".stripMargin
+    s"""WITH h AS (SELECT doc_id,
+       |    '<html><head><style>p { color: red; }</style>' ||
+       |    '<script type="text/javascript">if (1 < 2) { go("x"); }</script>' ||
+       |    '</head><body><h1>Doc ' || doc_id || '</h1><p>' ||
+       |    regexp_replace(text, ' ', ' <br/> ', 'g') ||
+       |    ' &amp; tail &#39;quoted&#39;</p></body></html>' html,
+       |    'Doc ' || doc_id || ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+       |    ' ' || chr(38) || ' tail ' || chr(39) || 'quoted' || chr(39) expected
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, expected,
+       |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) n_tags,
+       |    $strip clean
+       |  FROM h)
+       |SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) clean_len,
+       |  clean = expected AS ok
+       |FROM s1""".stripMargin
+  }
+
   /** k-anonymity release-risk report over (nation, segment) quasi-
     * identifiers: class-size histogram with at-risk marking (k=10). */
   private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
@@ -3161,6 +3215,7 @@ object QueriesExt {
     "q_bpe_train" -> (qBpeTrain _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_html_strip" -> (qHtmlStrip _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),
@@ -3251,6 +3306,7 @@ object QueriesExt {
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_k_anonymity" -> qKAnonymitySql,
+    "q_html_strip" -> qHtmlStripSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
     "q_bucket_join" -> qBucketJoinSql,

@@ -356,6 +356,30 @@ object TextStats {
         transform(col("__s"), s => s.getField("tid")).as("token_ids"))
   }
 
+  /** HTML -> text extraction for web-crawl corpora (the step before
+    * every quality/dedup stage when the source is raw crawl):
+    * script/style blocks drop entirely (their content is code, not
+    * prose), remaining tags become spaces, the six core character
+    * entities decode (&amp; deliberately LAST, so source text that
+    * spells "&amp;lt;" decodes exactly once to "&lt;" and never
+    * double-decodes to "<"), whitespace collapses to single spaces.
+    *
+    * Patterns are restricted to the java.util.regex ∩ RE2 common
+    * subset (same discipline as [[piiRedact]]): inline (?is) flags,
+    * lazy .*?, no lookaround — so the DuckDB oracle applies the
+    * IDENTICAL chain. Pure narrow map; at crawl scale this is one
+    * codegen'd projection, no shuffle. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** One greedy left-to-right BPE contraction of adjacent (l, r) symbol
     * pairs in an array column — the fold keeps an accumulator whose
     * last element either absorbs the incoming symbol (last == l and

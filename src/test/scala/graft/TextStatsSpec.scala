@@ -314,6 +314,28 @@ class TextStatsSpec extends SparkSpec {
     assert(r(5L).getAs[String]("clean_text") == "")
   }
 
+  test("stripHtml: tags, script/style blocks, entities, whitespace — and the traps") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "<p>plain</p>", "plain"),
+      // script containing a bare '<' must vanish BEFORE tag stripping
+      (2L, "<script>if (1 < 2) x();</script>after", "after"),
+      (3L, "<STYLE a=b>p { x }</style>mixed<ScRiPt>\nmulti\nline\n</script>case",
+        "mixed case"),
+      // &amp;lt; decodes exactly once: to the TEXT "&lt;", never to "<"
+      (4L, "a &amp;lt; b &gt; c &quot;q&quot; &#39;s&#39; x&nbsp;y", "a &lt; b > c \"q\" 's' x y"),
+      (5L, "  <div> <b>bold</b>\t\ntext </div> ", "bold text"),
+      (6L, "no markup at all", "no markup at all"),
+      (7L, "<br/><br/>", ""))
+      .toDF("id", "html", "expected")
+    val out = cases.select(col("id"),
+        TextStats.stripHtml(col("html")).as("got"), col("expected"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (id, got, exp) =>
+      assert(got == exp, s"case $id: got '$got' expected '$exp'")
+    }
+  }
+
   test("BPE train: classic corpus learns the hand-derived merge sequence") {
     // Sennrich et al.'s worked example: low x5, lower x2, newest x6,
     // widest x3. Hand-derived greedy merges under the (count DESC,
