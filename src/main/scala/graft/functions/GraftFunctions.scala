@@ -30,6 +30,9 @@ object GraftFunctions {
       MinHashSig(es.head, intArg(es(1), "graft_minhash(k)"))),
     "graft_char_shingles" -> ((es: Seq[Expression]) =>
       CharShingleHashes(es.head, intArg(es(1), "graft_char_shingles(k)"))),
+    "graft_winnow" -> ((es: Seq[Expression]) =>
+      WinnowFingerprints(es.head, intArg(es(1), "graft_winnow(k)"),
+        intArg(es(2), "graft_winnow(w)"))),
     // UDTF: one row per distinct word n-gram (LATERAL VIEW / SELECT-list)
     "graft_shingles" -> ((es: Seq[Expression]) =>
       ShingleExplode(es.head, intArg(es(1), "graft_shingles(n)"))))

@@ -30,6 +30,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("literal INT"))
   }
 
+  test("GraftExtensions: a session built with the extension resolves graft_* with no register() call") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared test session to restore
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf read from the
+      // SparkContext at session build — unreachable under the suite's
+      // shared context, so drive the same class through the builder's
+      // withExtensions hook (identical injection path)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT graft_hash64('abc') h,
+          |  size(graft_winnow('the quick brown fox jumps over it', 16, 8)) nw""".stripMargin)
+        .collect().head
+      val expected = {
+        import prev.implicits._
+        Seq("abc").toDF("t").select(Hashing.hash64($"t")).as[Long].collect().head
+      }
+      assert(r.getLong(0) == expected, "extension-injected fn == Column API")
+      assert(r.getInt(1) >= 1)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("graft_shingles UDTF rows equal the wordShingles column formula") {
     GraftFunctions.register(spark)
     val df = Seq(
