@@ -1561,6 +1561,33 @@ object QueriesExt {
     * join and the oracle is the PLAIN SQL interval join; the face
     * aggregates per user (pair count + exact ms-delta sum) for a
     * deterministic frame. */
+  /** Stream-static enrichment (eighth streaming face): streaming events
+    * broadcast-join the static customer dimension per micro-batch
+    * (stateless — no watermark, no state store), then a complete-mode
+    * aggregate per (segment, event_type). The oracle is the plain batch
+    * join+group: stream-static inner joins drop nothing and buffer
+    * nothing, so batch equivalence is exact. */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val dim = Sources.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = graft.streaming.StreamProfile
+        .enrichEvents(ev, dim, "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      val sink = "graft_stream_enrich"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }
+  private val qStreamEnrichSql: String =
+    """SELECT c_mktsegment, event_type, count(*) n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   private def qStreamJoin(s: SparkSession, dir: String): DataFrame =
     withStagedEventsStream(s, dir) { ev =>
       val base = ev.filter(col("user_id") % 10 === 0)
@@ -3240,6 +3267,7 @@ object QueriesExt {
     "q_stream_user_stats" -> (qStreamUserStats _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -3344,6 +3372,7 @@ object QueriesExt {
     "q_stream_user_stats" -> qStreamUserStatsSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,
+    "q_stream_enrich" -> qStreamEnrichSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,

@@ -204,6 +204,19 @@ object StreamProfile {
       s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
         s"$rightTs <= $leftTs + INTERVAL $withinMinutes MINUTES"))
 
+  /** Stream-static enrichment join — the dimension-lookup shape of
+    * every production event pipeline (events arrive as a stream, the
+    * user/product/geo dimension lives in a table). Stateless: no
+    * watermark, no state store — Spark re-plans the join per
+    * micro-batch, so the static side is re-read and (at dimension
+    * size) BROADCAST each batch, which is also what picks up dimension
+    * updates between batches at no extra machinery. At 100 TB-stream
+    * scale the knobs are the usual batch-join ones (broadcast
+    * threshold, bucketed dim) — nothing stream-specific accumulates. */
+  def enrichEvents(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value total. Pass `evictAfter` (e.g. "1 hour") in production
     * so idle keys time out and state stays bounded; None disables the

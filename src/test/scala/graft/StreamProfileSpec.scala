@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamProfile
@@ -41,6 +42,32 @@ class StreamProfileSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)),
         s"10:00 click window finalized without the late event: ${rows.mkString("; ")}")
       assert(!rows.exists(_._4 == 100.0), "late event must not appear")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment: per-batch dim join, matches the batch equivalent") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val input = MemoryStream[Ev]
+    val agg = StreamProfile.enrichEvents(input.toDF(), dim, "user_id", "cust_id")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+    val q = agg.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 2, "click", 5.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 1, "view", 2.0),
+        Ev(4, ts("2024-01-01 10:03:00"), 9, "view", 99.0)) // no dim row -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, t) => k -> ((n, t)) }.toMap
+      assert(rows == Map("gold" -> ((2L, 12.0)), "basic" -> ((1L, 5.0))),
+        s"got $rows")
     } finally q.stop()
   }
 
