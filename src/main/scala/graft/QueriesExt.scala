@@ -2637,6 +2637,29 @@ object QueriesExt {
       |  COALESCE(agg.n_kept, 0) n_kept, COALESCE(agg.cleaned, '') cleaned
       |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** Split-leakage audit on the injected-dup corpus: the id-hash split
+    * is leak-free by id, but injected content copies straddle splits —
+    * the report counts fingerprints per split combination. */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = ext.Sampling.assignSplit(injectedDocs(s, dir), "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    Dedup.crossSplitLeakage(split, "text", "split")
+  }
+  private val qSplitLeakageSql: String = {
+    val dr = ext.Sampling.drawSql("doc_id", "split")
+    s"""WITH $injectedDocsSql,
+       |d AS (SELECT text, CASE WHEN dr < 800 THEN 'train'
+       |    WHEN dr < 900 THEN 'val' ELSE 'test' END split
+       |  FROM (SELECT doc_id, text, $dr AS dr FROM inj)),
+       |f AS (SELECT split, md5(${normSql("text")}) fp FROM d),
+       |g AS (SELECT fp, list_sort(list(DISTINCT split)) splits,
+       |    count(*) n FROM f GROUP BY fp),
+       |l AS (SELECT array_to_string(splits, '+') split_combo, n
+       |  FROM g WHERE len(splits) >= 2)
+       |SELECT split_combo, count(*) n_fingerprints, sum(n) n_docs
+       |FROM l GROUP BY 1""".stripMargin
+  }
+
   /** Exact-substring duplication pairs via winnowing fingerprints
     * (guarantee: shared normalized spans >= w+k-1 = 23 chars are always
     * caught). Oracle re-derives the window-min gram selection with
@@ -3226,6 +3249,7 @@ object QueriesExt {
     "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -3333,6 +3357,7 @@ object QueriesExt {
     "q_line_dedup" -> qLineDedupSql,
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_split_leakage" -> qSplitLeakageSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_html_strip" -> qHtmlStripSql,
     "q_bloom_semi" -> qBloomSemiSql,

@@ -596,6 +596,31 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Train/test SPLIT-LEAKAGE audit: content fingerprints that appear
+    * in more than one split. Splits are assigned by ID (the right
+    * primitive — membership must be stable under re-runs), but
+    * duplicated CONTENT carries different ids, so exact copies land on
+    * both sides of the train/eval fence and the benchmark leaks into
+    * training. This face quantifies that: one row per observed split
+    * COMBINATION (e.g. "test+train") with how many distinct
+    * fingerprints and documents straddle it. Zero rows = clean split.
+    *
+    * Scale shape: one shuffle on the 16-byte fingerprint (partial aggs
+    * absorb hot content), then a combo-keyed agg over the LEAKED
+    * slice only (output scales with the leak, not the corpus). The
+    * remedy pipeline is [[exactByFingerprint]] dedup BEFORE splitting
+    * — this is the detector that proves you needed it. */
+  def crossSplitLeakage(docs: DataFrame, textCol: String,
+      splitCol: String): DataFrame =
+    docs.select(col(splitCol).as("split"),
+      TextStats.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("split"))).as("splits"),
+        count(lit(1)).as("n"))
+      .filter(size(col("splits")) >= 2)
+      .groupBy(array_join(col("splits"), "+").as("split_combo"))
+      .agg(count(lit(1)).as("n_fingerprints"), sum(col("n")).as("n_docs"))
+
   /** Cross-document EXACT-SUBSTRING duplication via winnowing
     * fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the
     * Spark-first re-expression of suffix-array substring dedup (Lee et

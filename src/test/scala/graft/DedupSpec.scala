@@ -291,6 +291,22 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 45, "all C(10,2) pairs share the header")
   }
 
+  test("cross-split leakage: straddling content reported, within-split dups are not leaks") {
+    val d = Seq(
+      (1L, "same words here", "train"), (2L, "Same words, here!", "test"), // leak (normalized)
+      (3L, "dup in one split", "train"), (4L, "dup in one split", "train"), // not a leak
+      (5L, "three way leak", "train"), (6L, "three way leak", "val"),
+      (7L, "three way leak", "test"),
+      (8L, "clean unique doc", "val"))
+      .toDF("doc_id", "text", "split")
+    val r = Dedup.crossSplitLeakage(d, "text", "split")
+      .as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r == Map(
+      "test+train" -> ((1L, 2L)),
+      "test+train+val" -> ((1L, 3L))))
+  }
+
   test("connected components: chains merge, islands stay apart, min-id labels") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
