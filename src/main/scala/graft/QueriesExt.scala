@@ -2637,6 +2637,59 @@ object QueriesExt {
       |  COALESCE(agg.n_kept, 0) n_kept, COALESCE(agg.cleaned, '') cleaned
       |FROM base LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** URL canonicalization: three deterministic messy variants per doc
+    * (uppercase host + default port + tracking params + fragment /
+    * default port + gclid / bare host with no path) collapse to
+    * canonical forms; both engines synthesize AND canonicalize with
+    * the identical regex chain. Variants 0 and 1 of the same doc
+    * differ only by scheme after cleanup — the canonical-URL dedup
+    * count at the end proves the collapse happened. */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Urls
+    val m = col("doc_id") % 3
+    val url = when(m === 0, concat(lit("HTTPS://"), upper(col("source")),
+        lit(".Example.COM:443/d/"), col("doc_id").cast("string"),
+        lit("?utm_source=tw&z=9&a=1#top")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".example.com:80/d/"), col("doc_id").cast("string"),
+        lit("?z=9&gclid=abc&a=1")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".example.com")))
+    docs(s, dir).select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), Urls.canonicalize(col("url")).as("canonical"))
+      .select(col("doc_id"), col("canonical"),
+        Urls.apexDomain(Urls.hostOf(col("canonical"))).as("apex"))
+  }
+  private val qUrlNormalizeSql: String =
+    s"""WITH u AS (SELECT doc_id, CASE
+       |    WHEN doc_id % 3 = 0 THEN 'HTTPS://' || upper(source) ||
+       |      '.Example.COM:443/d/' || doc_id || '?utm_source=tw&z=9&a=1#top'
+       |    WHEN doc_id % 3 = 1 THEN 'http://' || source ||
+       |      '.example.com:80/d/' || doc_id || '?z=9&gclid=abc&a=1'
+       |    ELSE 'https://' || source || '.example.com' END url
+       |  FROM documents),
+       |p AS (SELECT doc_id,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) hostport,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) path0,
+       |    regexp_extract(url, '\\?([^#]*)', 1) q0
+       |  FROM u),
+       |c AS (SELECT doc_id, scheme ||
+       |    '://' ||
+       |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |          ELSE hostport END) ||
+       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) canonical
+       |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+       |      string_split(q0, '&'),
+       |      x -> NOT regexp_matches(x, '${graft.ext.Urls.trackingParams}')
+       |        AND x <> '')), '&'), '') kept FROM p))
+       |SELECT doc_id, canonical,
+       |  regexp_extract(lower(regexp_extract(canonical,
+       |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+       |    '([^.]+\\.[^.]+)$$', 1) apex
+       |FROM c""".stripMargin
+
   /** Split-leakage audit on the injected-dup corpus: the id-hash split
     * is leak-free by id, but injected content copies straddle splits —
     * the report counts fingerprints per split combination. */
@@ -3250,6 +3303,7 @@ object QueriesExt {
     "q_line_dedup" -> (qLineDedup _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_url_normalize" -> (qUrlNormalize _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -3358,6 +3412,7 @@ object QueriesExt {
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_split_leakage" -> qSplitLeakageSql,
+    "q_url_normalize" -> qUrlNormalizeSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_html_strip" -> qHtmlStripSql,
     "q_bloom_semi" -> qBloomSemiSql,

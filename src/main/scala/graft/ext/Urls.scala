@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the FIRST dedup key of any web-crawl
+  * pipeline (two fetches of the same page differ by case, default
+  * ports, tracking params, fragments long before their content
+  * differs). Everything here is a pure narrow map built from the
+  * java.util.regex ∩ RE2 subset so the DuckDB oracle can apply the
+  * identical chain.
+  *
+  * Canonical form: lowercase scheme and host, default port stripped
+  * (:80 for http, :443 for https), fragment dropped, tracking
+  * parameters removed (utm_*, gclid, fbclid, ref), remaining query
+  * params sorted bytewise, empty path normalized to "/".
+  */
+object Urls {
+
+  /** Tracking-parameter pattern (anchored at the param name). */
+  val trackingParams = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path0 = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(q0, "&"),
+      x => !(x.rlike(trackingParams) || (x === "")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Naive apex domain: the last two host labels. (A faithful
+    * registered-domain needs the public-suffix LIST — a data file, not
+    * an algorithm — so e.g. `foo.co.uk` comes out as `co.uk` here;
+    * documented limit, same honesty tier as the lang-id heuristic.) */
+  def apexDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Host of an (already canonicalized or raw) URL, lowercased, port
+    * included if non-default. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+}
