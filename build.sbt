@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout UNPREFIXED: sbt's default logger
+// wraps every line as "[info] ...", which breaks any line-oriented JSON
+// consumer of `runMain graft.Bench` (the per-round bench artifact showed
+// parsed:null every round because the one JSON line carried the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

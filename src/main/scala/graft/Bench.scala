@@ -108,9 +108,16 @@ object Bench {
         name -> t
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // STDOUT gets ONE compact JSON line (the driver's contract): metric,
+    // value, unit, per-query seconds (3 decimals), errors, sf. Everything
+    // else (reps used, noise spreads, flaky reps, wall time) goes to
+    // bench_detail.json in the CWD — keeping the stdout line short makes
+    // it survive tail-truncating log captures (the archived artifact
+    // keeps only the last 2000 chars of output).
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = r3(results.values.filter(_ >= 0).sum)
     val errs = failures.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val flk = flaky.map { case (n, f) => s"\"" + n + "\":" + f }
       .mkString("{", ",", "}")
@@ -118,7 +125,14 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"budget_hit":$budgetHit,"wall_sec":$elapsed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -599,7 +599,7 @@ object Queries {
       |    CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END flag
       |  FROM lineitem WHERE l_orderkey % 50 = 0)
       |SELECT count(*) AS n_rows,
-      |  sum(l_orderkey + l_linenumber) AS key_sum,
+      |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_sum,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  count(CASE WHEN flag IS NULL THEN 1 END) AS n_null_flag,
       |  count(DISTINCT flag) AS n_flag,
@@ -680,7 +680,7 @@ object Queries {
   }
   private val qPartitionPruneSql =
     """SELECT count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-      |  sum(l_orderkey + l_linenumber) AS key_sum
+      |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
       |FROM lineitem WHERE l_orderkey % 20 = 0 AND l_returnflag = 'R'""".stripMargin
 
   private def qHead(s: SparkSession, dir: String): DataFrame =

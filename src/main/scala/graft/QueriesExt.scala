@@ -814,18 +814,25 @@ object QueriesExt {
 
   /** JL random projection 64 -> 16 dims: one narrow map of 16 codegen
     * dots against literal grid planes; components rounded at 6 places
-    * in BOTH engines (the established embed-oracle float discipline). */
+    * in BOTH engines (the established embed-oracle float discipline).
+    * The face EXPLODES the projected vector to (vec_id, dim, comp_r)
+    * rows: the compared output must not carry an array column — the
+    * driver's pandas row-sort cannot order ndarray cells (r4: the
+    * oracle crashed with "unhashable type" and the face went
+    * unverified). The library API still returns the packed vector. */
   private def qRandomProj(s: SparkSession, dir: String): DataFrame =
     SimSearch.randomProject(emb(s, dir), "vec_id", "embedding",
       dims = 64, outDims = 16)
-      .select(col("id").as("vec_id"),
-        transform(col("proj"), x => round(x, 6)).as("proj_r"))
+      .select(col("id").as("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 6).as("comp_r"))
   private val qRandomProjSql: String = {
-    val exprs = (0 until 16).map(p =>
-      s"round(list_dot_product(${planeSql(p)}, e), 6)")
-      .mkString("[", ",\n  ", "]")
-    s"""SELECT vec_id, $exprs proj_r
-       |FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)""".stripMargin
+    val branches = (0 until 16).map(p =>
+      s"SELECT vec_id, CAST($p AS BIGINT) dim, " +
+        s"round(list_dot_product(${planeSql(p)}, e), 6) comp_r FROM v")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
+       |$branches""".stripMargin
   }
 
   /** SemDeDup (semantic dedup, Abbas et al. 2023): k-means-cluster the
@@ -1369,44 +1376,34 @@ object QueriesExt {
     * machinery itself under the driver's DuckDB gate. */
   /** Stages the single-file events fixture under a temp DIRECTORY (the
     * file streaming source requires one) and returns it as a streaming
-    * DataFrame with `ts` converted from long nanos to a timestamp.
+    * DataFrame with `ts` normalized to a timestamp (fixture generations
+    * differ — see [[Sources.normalizeEventsTs]]).
     * Freshness-checked (size + mtime, not bare existence: a regenerated
     * fixture or an interrupted copy must not permanently desync the
-    * stream from the oracle) and staged via temp-name + atomic move.
-    * Runs `body` with the nanosAsLong conf set, restoring it after. */
+    * stream from the oracle) and staged via temp-name + atomic move. */
   private def withStagedEventsStream(s: SparkSession, dir: String)
       (body: DataFrame => DataFrame): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema // ts: long nanos
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_stream_events",
-        java.lang.Integer.toHexString(dir.hashCode))
-      java.nio.file.Files.createDirectories(streamDir)
-      val dst = streamDir.resolve("events.parquet")
-      val stale = !java.nio.file.Files.exists(dst) ||
-        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
-        java.nio.file.Files.getLastModifiedTime(dst)
-          .compareTo(java.nio.file.Files.getLastModifiedTime(src)) < 0
-      if (stale) {
-        val tmp = streamDir.resolve("events.parquet.tmp")
-        java.nio.file.Files.copy(src, tmp,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        java.nio.file.Files.move(tmp, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      val raw = s.readStream.schema(schema).parquet(streamDir.toString)
-      body(raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-    } finally {
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+    val schema = Sources.eventsRaw(s, dir).schema
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_events",
+      java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val dst = streamDir.resolve("events.parquet")
+    val stale = !java.nio.file.Files.exists(dst) ||
+      java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+      java.nio.file.Files.getLastModifiedTime(dst)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      val tmp = streamDir.resolve("events.parquet.tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+    body(Sources.normalizeEventsTs(raw))
   }
 
   private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
@@ -2138,8 +2135,8 @@ object QueriesExt {
        |wi AS (SELECT doc_id, list_append(ids, CAST(3 AS BIGINT)) ids FROM ids),
        |b AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) n,
        |    CAST(${Hashing.hash64Sql("doc_id")} % 4 AS INT) bucket FROM wi),
-       |st AS (SELECT *, sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
-       |    ROWS UNBOUNDED PRECEDING) - n strt FROM b),
+       |st AS (SELECT *, CAST(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n AS BIGINT) strt FROM b),
        |tok AS (SELECT bucket, strt + generate_subscripts(ids, 1) - 1 g,
        |    unnest(ids) tid FROM st),
        |agg AS (SELECT bucket, g // 256 seq_id, CAST(count(*) AS INT) n_tokens,
@@ -2709,7 +2706,8 @@ object QueriesExt {
        |    count(*) n FROM f GROUP BY fp),
        |l AS (SELECT array_to_string(splits, '+') split_combo, n
        |  FROM g WHERE len(splits) >= 2)
-       |SELECT split_combo, count(*) n_fingerprints, sum(n) n_docs
+       |SELECT split_combo, count(*) n_fingerprints,
+       |  CAST(sum(n) AS BIGINT) n_docs
        |FROM l GROUP BY 1""".stripMargin
   }
 

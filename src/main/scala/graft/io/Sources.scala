@@ -32,34 +32,59 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses by default. Read nanos as long (legacy conf), then
-    * floor-convert to a microsecond TimestampType — the same truncation
-    * DuckDB applies when it reads nanos into its micro-precision
-    * timestamps, so both engines see identical values. */
-  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
-    // scope the legacy conf: set -> read -> force schema resolution ->
-    // restore, so other parquet reads in the session keep the default
-    // fail-fast behavior on nano timestamps (verified: execution of the
-    // returned plan does not re-read the conf)
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+  /** The `events` fixture has shipped with two `ts` physical types across
+    * fixture generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+    * by default and must read as long nanos under the legacy conf) and
+    * plain TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ). Both
+    * normalize to a session-zone micro-precision TimestampType — the same
+    * value DuckDB sees for either encoding (it truncates nanos to its
+    * micro-precision timestamps), so engine and oracle always agree. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
     try {
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.schema // resolve under the conf
+      val raw = spark.read.parquet(path)
+      raw.schema // force resolution — nano-timestamp fixtures throw here
+      raw
+    } catch {
+      case _: Exception =>
+        // legacy nanos fixture: scope the conf (set -> read -> resolve ->
+        // restore) so other parquet reads keep fail-fast behavior
+        // (verified: executing the returned plan does not re-read it)
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          val raw = spark.read.parquet(path)
+          raw.schema
+          raw
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+    }
+  }
+
+  /** Normalizes the `ts` column of an events frame (batch or streaming)
+    * to TimestampType, whatever the fixture generation produced. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
       // integral division: `/` on longs is DOUBLE division in Spark and
       // loses exactness above 2^53 (2024-era nanos are ~1.7e18) — `div`
       // truncates in the long domain, matching DuckDB's truncation
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // NTZ -> session-zone timestamp: bit-identical micros under the
+      // UTC session zone every entry point pins
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
+
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventsTs(eventsRaw(spark, sfDir))
 }
 
 object Sinks {

@@ -40,9 +40,8 @@ object StateStoreProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // base events with real timestamps (fixture stores ts as long nanos)
-    val base = spark.read.parquet(s"$baseDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // base events with real timestamps (ts normalized per fixture vintage)
+    val base = graft.io.Sources.eventsTable(spark, baseDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val activeUsers = base.filter(col("user_id") % 50 === 0)
       .select(col("user_id")).distinct().count()
