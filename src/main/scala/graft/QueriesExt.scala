@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Layout, Multimodal, Relational, Repetition, SimSearch, TextStats}
+import graft.ext.{Dedup, EventsOps, Graph, LangModel, Layout, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
 import graft.profile.{Constraints, Privacy}
@@ -3293,8 +3293,126 @@ object QueriesExt {
       |  v IS NULL AS is_gap
       |FROM j""".stripMargin
 
+  // ---- graph analytics (ext/Graph.scala) ---------------------------
+
+  /** PageRank over the part<->supplier co-purchase graph from lineitem
+    * (symmetrized, so no dangling nodes and ranks sum to 1). The oracle
+    * unrolls the same 5 iterations as CTEs with the identical
+    * decimal-summed contribution arithmetic. */
+  private val prIters = 5
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    // long node ids (parts even, suppliers odd): graph shuffles are
+    // key-dominated and a long key beats a string key 2-3x
+    val l = Sources.table(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val und = l.union(l.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(und, "src", "dst", iterations = prIters)
+      .select(col("node"), round(col("rank"), 9).as("rank_r"))
+  }
+  private val qPageRankSql: String = {
+    val iters = (1 to prIters).map { k =>
+      s"""c$k AS (SELECT e.dst node, CAST(r.rank / e.deg AS DECIMAL(28,14)) ct
+         |  FROM ed e JOIN r${k - 1} r ON r.node = e.src),
+         |r$k AS (SELECT n.node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+         |      + CAST(0.85 AS DOUBLE) *
+         |        COALESCE(CAST(s.sm AS DOUBLE), CAST(0.0 AS DOUBLE)) rank
+         |  FROM nodes n LEFT JOIN
+         |    (SELECT node, sum(ct) sm FROM c$k GROUP BY 1) s USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 src,
+       |    l_suppkey * 2 + 1 dst FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |nodes AS (SELECT src node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+       |nn AS (SELECT count(*) c FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) rank
+       |  FROM nodes),
+       |$iters
+       |SELECT node, round(rank, 9) rank_r FROM r$prIters""".stripMargin
+  }
+
+  /** Directed-degree profile of the part->supplier edge list (out-degree
+    * for parts, in-degree for suppliers, full outer join). */
+  private def qDegreeProfile(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeProfile(
+      Sources.table(s, dir, "lineitem").select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")),
+      "src", "dst")
+  private val qDegreeProfileSql =
+    """WITH e AS (SELECT DISTINCT l_partkey * 2 src,
+      |    l_suppkey * 2 + 1 dst FROM lineitem),
+      |od AS (SELECT src node, count(*) out_deg FROM e GROUP BY 1),
+      |id_ AS (SELECT dst node, count(*) in_deg FROM e GROUP BY 1)
+      |SELECT COALESCE(od.node, id_.node) node,
+      |  COALESCE(out_deg, 0) out_deg, COALESCE(in_deg, 0) in_deg
+      |FROM od FULL JOIN id_ ON od.node = id_.node""".stripMargin
+
+  // ---- LM scoring for curation (ext/LangModel.scala) ---------------
+
+  /** CCNet-style quality score: per-doc average log-prob under the
+    * corpus's own add-one unigram LM. Per-vocab-entry ln rounded at 8
+    * places before the exact decimal per-doc sum (libm last-ulp
+    * discipline), final score rounded at 6. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    LangModel.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tok"),
+        round(col("avg_logp"), 6).as("avg_logp_r"))
+  private val qLmScoreSql =
+    s"""WITH toks AS (SELECT doc_id id, unnest(${toksSql("text")}) tok
+       |  FROM documents),
+       |counts AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) nv FROM counts),
+       |lp AS (SELECT tok,
+       |    round(ln(CAST(c + 1 AS DOUBLE) / (SELECT nv FROM tot)), 8) lp
+       |  FROM counts),
+       |sc AS (SELECT id, count(*) n_tok,
+       |    CAST(sum(CAST(lp AS DECIMAL(28,14))) AS DOUBLE) / count(*) avg_logp
+       |  FROM toks JOIN lp USING (tok) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_tok, CAST(0 AS BIGINT)) n_tok,
+       |  round(avg_logp, 6) avg_logp_r
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
+
+  /** DSIR importance weights: hashed-unigram (4096-bucket) log-ratio of
+    * a target slice (sources src1/src3) vs the whole corpus, summed per
+    * doc. Same rounding discipline as q_lm_score. */
+  private val dsirBuckets = 4096
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    LangModel.importanceWeights(docs(s, dir), "doc_id", "text",
+      col("source").isin("src1", "src3"), buckets = dsirBuckets)
+      .select(col("id").as("doc_id"), col("n_tok"),
+        round(col("weight"), 6).as("weight_r"))
+  private val qDsirWeightsSql =
+    s"""WITH toks AS (SELECT doc_id id, source IN ('src1','src3') tgt,
+       |    unnest(${toksSql("text")}) tok FROM documents),
+       |tb AS (SELECT id, tgt, ${Hashing.hash64Sql("tok")} % $dsirBuckets b
+       |  FROM toks),
+       |counts AS (SELECT b, count(*) cc,
+       |    count(CASE WHEN tgt THEN 1 END) ct FROM tb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cc) + $dsirBuckets AS DOUBLE) ncb,
+       |    CAST(sum(ct) + $dsirBuckets AS DOUBLE) ntb FROM counts),
+       |lr AS (SELECT b,
+       |    round(ln(CAST(ct + 1 AS DOUBLE) / (SELECT ntb FROM tot))
+       |      - ln(CAST(cc + 1 AS DOUBLE) / (SELECT ncb FROM tot)), 8) lr
+       |  FROM counts),
+       |sc AS (SELECT id, count(*) n_tok,
+       |    CAST(sum(CAST(lr AS DECIMAL(28,14))) AS DOUBLE) w
+       |  FROM tb JOIN lr USING (b) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_tok, CAST(0 AS BIGINT)) n_tok,
+       |  round(w, 6) weight_r
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPageRank _),
+    "q_degree_profile" -> (qDegreeProfile _),
+    "q_lm_score" -> (qLmScore _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_repetition" -> (qRepetition _),
     "q_gopher_filter" -> (qGopherFilter _),
     "q_c4_filter" -> (qC4Filter _),
@@ -3403,6 +3521,10 @@ object QueriesExt {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> qPageRankSql,
+    "q_degree_profile" -> qDegreeProfileSql,
+    "q_lm_score" -> qLmScoreSql,
+    "q_dsir_weights" -> qDsirWeightsSql,
     "q_repetition" -> qRepetitionSql,
     "q_gopher_filter" -> qGopherFilterSql,
     "q_c4_filter" -> qC4FilterSql,

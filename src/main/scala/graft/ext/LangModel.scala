@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Statistical language-model scoring for corpus curation — the CCNet /
+  * DSIR tier: score every document against distributions ESTIMATED FROM
+  * THE CORPUS ITSELF (or a target slice of it), no shipped model weights.
+  *
+  *  - [[unigramLogProb]] is the CCNet-style quality signal (Wenzek et
+  *    al. 2020 use a pretrained KenLM; the self-trained unigram variant
+  *    keeps the identical pipeline shape — train counts, score docs by
+  *    average log-probability, filter by percentile).
+  *  - [[importanceWeights]] is DSIR (Xie et al. 2023 "Data Selection
+  *    for Language Models via Importance Resampling"): hashed n-gram
+  *    features, per-bucket log-ratio of target vs corpus unigram
+  *    distributions, per-doc summed importance weight.
+  *
+  * Scale shape: both are "small model, huge corpus" operators — the
+  * learned table (vocab counts / 2^k hash buckets) is tiny relative to
+  * the corpus, so training is ONE shuffle (token count aggregation,
+  * map-side combined) and scoring is a BROADCAST join over the exploded
+  * token stream followed by one per-doc aggregation. Nothing iterates;
+  * nothing is collected to the driver except two scalar totals. At
+  * 100 TB the hashed-bucket variant is the safe default (bounded table
+  * regardless of vocab growth), which is exactly why DSIR hashes.
+  *
+  * Determinism for the oracle: per-entry log-probabilities are rounded
+  * at 8 decimals BEFORE the per-doc sum (ln() may differ in the last
+  * ulp across libm implementations; at 1e-8 granularity both engines
+  * agree), then summed as DECIMAL(28,14) — exact and order-free — so
+  * per-doc scores are bit-stable across engines and partitionings. */
+object LangModel {
+
+  /** Per-document average log-probability under an add-one-smoothed
+    * unigram LM trained on `docs` itself: p(w) = (c(w)+1) / (N+V).
+    * Returns (id, n_tok, avg_logp); higher = more "in-distribution".
+    * Empty docs are kept with n_tok = 0 and NULL avg_logp. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextStats.tokens(TextStats.normalized(col(textCol))))
+        .as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")), count(lit(1))).head()
+    val n = tot.getLong(0); val v = tot.getLong(1)
+    // one ln per VOCAB ENTRY (not per token instance), rounded at 8
+    // places so libm last-ulp differences cannot reach the sum
+    val lp = counts.withColumn("lp",
+      round(log((col("c") + 1).cast("double") / lit((n + v).toDouble)), 8))
+    val scored = toks.join(broadcast(lp.select(col("tok"), col("lp"))), "tok")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("lp").cast("decimal(28,14)")).as("lpsum"))
+      .select(col("id"), col("n_tok"),
+        (col("lpsum").cast("double") / col("n_tok")).as("avg_logp"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        col("avg_logp"))
+  }
+
+  /** DSIR importance weight per document: unigram tokens hashed into
+    * `buckets` features; per-bucket log-ratio
+    * ln((ct+1)/(Nt+B)) - ln((cc+1)/(Nc+B)) between the target slice
+    * (`isTarget`) and the whole corpus; per-doc weight = sum of its
+    * token instances' bucket ratios. Positive = target-like. Returns
+    * (id, n_tok, weight); empty docs keep n_tok = 0, NULL weight. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+      explode(TextStats.tokens(TextStats.normalized(col(textCol))))
+        .as("tok"))
+      .withColumn("b", Hashing.hash64(col("tok")) % buckets)
+    // one aggregation computes both distributions (conditional count)
+    val counts = toks.groupBy("b").agg(
+      count(lit(1)).as("cc"),
+      count(when(col("tgt"), 1)).as("ct"))
+    val tot = counts.agg(sum(col("cc")), sum(col("ct"))).head()
+    val nc = tot.getLong(0); val nt = tot.getLong(1)
+    val ratio = counts.withColumn("lr",
+      round(log((col("ct") + 1).cast("double") / lit((nt + buckets).toDouble))
+        - log((col("cc") + 1).cast("double") / lit((nc + buckets).toDouble)),
+        8))
+    val scored = toks.join(broadcast(ratio.select(col("b"), col("lr"))), "b")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("lr").cast("decimal(28,14)")).as("wsum"))
+      .select(col("id"), col("n_tok"),
+        col("wsum").cast("double").as("weight"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        col("weight"))
+  }
+}

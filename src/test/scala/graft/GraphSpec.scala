@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: uniform on a symmetric cycle, mass conserved") {
+    // directed 4-cycle: every node has in/out degree 1 -> rank = 1/4 each
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(r.size == 4)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12, r))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "no dangling -> mass 1")
+  }
+
+  test("pageRank: hub outranks leaves on a symmetrized star") {
+    // star a--{b,c,d,e}, both directions so nothing dangles
+    val out = Seq("b", "c", "d", "e").map(("a", _))
+    val e = (out ++ out.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 8)
+      .as[(String, Double)].collect().toMap
+    assert(r("a") > r("b") * 2, s"hub must dominate: $r")
+    Seq("c", "d", "e").foreach(n =>
+      assert(math.abs(r(n) - r("b")) < 1e-12, "leaves symmetric"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: duplicate edges collapse (no multigraph double-count)") {
+    val once = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"),
+      ("c", "a"), ("c", "a")).toDF("src", "dst")
+    val r1 = Graph.pageRank(once, "src", "dst", iterations = 5)
+      .as[(String, Double)].collect().toMap
+    val r2 = Graph.pageRank(dup, "src", "dst", iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == r2)
+  }
+
+  test("pageRank: dangling node keeps teleport floor, leaks the rest") {
+    // b has no out-edges: its mass (beyond teleport) leaves the system
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r("b") > r("a"), "b receives, a only teleports")
+    assert(r.values.sum < 1.0, "documented dangling leak")
+    assert(r("a") > 0.0)
+  }
+
+  test("degreeProfile: out/in split with zero-fill") {
+    val e = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"))
+      .toDF("src", "dst")
+    val d = Graph.degreeProfile(e, "src", "dst")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d("a") == ((2L, 0L)), "duplicate edge collapsed")
+    assert(d("b") == ((1L, 0L)))
+    assert(d("x") == ((0L, 2L)))
+    assert(d("y") == ((0L, 1L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.LangModel
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramLogProb: common-word docs score higher, empties kept") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the the the"), // all max-frequency tokens
+      (3L, "zyx qwv jkq pfx bnm vvv"), // all singletons
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = LangModel.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(4L) == ((0L, None)), "empty doc: n_tok 0, null score")
+    assert(r(1L)._1 == 6L && r(3L)._1 == 6L)
+    val s2 = r(2L)._2.get; val s1 = r(1L)._2.get; val s3 = r(3L)._2.get
+    assert(s2 > s1 && s1 > s3,
+      s"frequency must order scores: $s2 > $s1 > $s3")
+    assert(s3 < 0 && s2 < 0, "log-probs are negative")
+  }
+
+  test("unigramLogProb: tokenization matches the corpus normalizer") {
+    // punctuation folds away, case folds: both docs identical tokens
+    val docs = Seq((1L, "Hello, World!"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val r = LangModel.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3.get).toMap
+    assert(r(1L) == r(2L))
+  }
+
+  test("importanceWeights: target-like docs weigh positive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "alpha beta gamma epsilon", true),
+      (3L, "omega sigma tau phi", false),
+      (4L, "omega sigma tau psi", false),
+      (5L, "alpha beta gamma delta", false), // target-like content
+      (6L, "", false)
+    ).toDF("doc_id", "text", "tgt")
+    val r = LangModel.importanceWeights(docs, "doc_id", "text",
+      col("tgt"), buckets = 64)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(6L) == ((0L, None)))
+    // smoothing dominates absolute signs at toy counts — the operator's
+    // guarantee is the ORDERING: target-like content outweighs off-target
+    val w5 = r(5L)._2.get; val w3 = r(3L)._2.get
+    assert(w5 > w3, s"target-like content must outweigh: $w5 > $w3")
+    assert(r(1L)._2.get > w3, "in-target above off-target")
+    assert(r(2L)._2.get > r(4L)._2.get)
+  }
+
+  test("importanceWeights: deterministic across runs and partitionings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = LangModel.importanceWeights(
+      docs.repartition(parts), "doc_id", "text",
+      col("source").isin("src1", "src3"))
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(run(3) == run(13), "decimal sums are partitioning-invariant")
+  }
+}
