@@ -3407,9 +3407,40 @@ object QueriesExt {
        |  round(w, 6) weight_r
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
 
+  /** Tokenizer coverage / OOV-rate report per source — the screen run
+    * after vocab build and before committing to an encode: sources with
+    * high unk rates need vocab growth or exclusion. Reuses the q_vocab /
+    * q_encode vocabulary and the shared encode CTE chain; the rate is a
+    * single IEEE divide of two exact long sums (no float discipline
+    * needed). Scale: narrow encode + broadcast vocab + one per-source
+    * agg. */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
+      .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("token_ids"))).as("n_tokens"),
+        sum(size(filter(col("token_ids"), x => x === 1L))).as("n_unk"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_unk"),
+        (col("n_unk").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+  private val qOovRateSql: String =
+    s"""WITH $encodeIdsCtes
+       |SELECT source, count(*) n_docs,
+       |  CAST(sum(len(ids)) AS BIGINT) n_tokens,
+       |  CAST(sum(len(list_filter(ids, x -> x = 1))) AS BIGINT) n_unk,
+       |  CAST(sum(len(list_filter(ids, x -> x = 1))) AS DOUBLE)
+       |    / CAST(sum(len(ids)) AS DOUBLE) oov_rate
+       |FROM ids JOIN documents USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPageRank _),
+    "q_oov_rate" -> (qOovRate _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
     "q_dsir_weights" -> (qDsirWeights _),
@@ -3522,6 +3553,7 @@ object QueriesExt {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
+    "q_oov_rate" -> qOovRateSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
     "q_dsir_weights" -> qDsirWeightsSql,
