@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Graph, LangModel, Layout, Multimodal, Relational, Repetition, SimSearch, TextStats}
+import graft.ext.{Dedup, EventsOps, Graph, LangModel, Layout, MLFit, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
 import graft.profile.{Constraints, Privacy}
@@ -3437,10 +3437,90 @@ object QueriesExt {
        |FROM ids JOIN documents USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** Distributed logistic-regression TRAINING (ext/MLFit.scala): learn
+    * is-English weights from the deterministic quality features — the
+    * training side of q_quality_classifier's literal-weight inference.
+    * 3 full-batch GD steps; the oracle unrolls the identical iterations
+    * (zero start, left-associated logit, grad terms rounded@8 before
+    * decimal sums, update `w - (lr * (g / n))`). */
+  private val lfIters = 3
+  private val lfLr = 0.5
+  private val lfFeatures =
+    Seq("stopword_ratio", "punct_ratio", "avg_token_len", "len_ok")
+  private def qLogisticFit(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextStats.classifyQuality(docs(s, dir), "text")
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      .select((lfFeatures.map(col) :+ col("y")): _*)
+      .localCheckpoint() // every GD step re-scans; tokenize once
+    MLFit.logisticFitDF(feats, lfFeatures, "y",
+      iterations = lfIters, lr = lfLr)
+      .select(col("feature"), round(col("weight"), 8).as("weight_r"))
+  }
+  private val qLogisticFitSql: String = {
+    val d = lfFeatures.size
+    def zSql(w: String): String =
+      (1 to d).foldLeft(s"$w.w0") { (acc, j) => s"($acc + ($w.w$j * x$j))" }
+    val iters = (1 to lfIters).map { k =>
+      val pw = s"wi${k - 1}"
+      val gs = (0 to d).map { j =>
+        val term = if (j == 0) "round(p - y, 8)" else s"round((p - y) * x$j, 8)"
+        s"CAST(sum(CAST($term AS DECIMAL(28,14))) AS DOUBLE) g$j"
+      }.mkString(",\n    ")
+      val ws = (0 to d).map(j =>
+        s"($pw.w$j - (CAST($lfLr AS DOUBLE) * (g$j / (SELECT nn FROM cnt)))) w$j")
+        .mkString(",\n    ")
+      s"""g$k AS (SELECT
+         |    $gs
+         |  FROM (SELECT x.*, CAST(1 AS DOUBLE) /
+         |      (CAST(1 AS DOUBLE) + exp(-(${zSql(pw)}))) p
+         |    FROM x, $pw)),
+         |wi$k AS (SELECT
+         |    $ws
+         |  FROM $pw, g$k)""".stripMargin
+    }.mkString(",\n")
+    val zeros = (0 to d).map(j => s"CAST(0 AS DOUBLE) w$j").mkString(", ")
+    val out = ("bias" +: lfFeatures).zipWithIndex.map { case (f, j) =>
+      s"SELECT '$f' feature, round(w$j, 8) weight_r FROM wi$lfIters"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $qualityScoreCte,
+       |x AS (SELECT stopword_ratio x1, punct_ratio x2, avg_token_len x3,
+       |    len_ok x4, CASE WHEN d.lang = 'en' THEN CAST(1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END y
+       |  FROM feats JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT CAST(count(*) AS DOUBLE) nn FROM x),
+       |wi0 AS (SELECT $zeros),
+       |$iters
+       |$out""".stripMargin
+  }
+
+  /** Erasure propagation over the injected-dup corpus: delete requests =
+    * doc_id % 40 == 0; the audit must flag their injected content copies
+    * too. Report = verdict counts (retained rows carry a null verdict ->
+    * 'retained' for the compare). */
+  private def qErasure(s: SparkSession, dir: String): DataFrame = {
+    val d = injectedDocs(s, dir)
+    Dedup.erasureAudit(d, "doc_id", "text",
+      d.filter(col("doc_id") % 40 === 0).select(col("doc_id")))
+      .groupBy(coalesce(col("erasure"), lit("retained")).as("erasure"))
+      .agg(count(lit(1)).as("n"))
+  }
+  private val qErasureSql: String =
+    s"""WITH $injectedDocsSql,
+       |fps AS (SELECT doc_id, md5(${normSql("text")}) fp FROM inj),
+       |delfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 40 = 0),
+       |v AS (SELECT f.doc_id,
+       |    CASE WHEN f.doc_id % 40 = 0 THEN 'requested'
+       |         WHEN d.fp IS NOT NULL THEN 'content_copy'
+       |         ELSE 'retained' END erasure
+       |  FROM fps f LEFT JOIN delfp d ON f.fp = d.fp)
+       |SELECT erasure, count(*) n FROM v GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPageRank _),
     "q_oov_rate" -> (qOovRate _),
+    "q_logistic_fit" -> (qLogisticFit _),
+    "q_erasure" -> (qErasure _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
     "q_dsir_weights" -> (qDsirWeights _),
@@ -3554,6 +3634,8 @@ object QueriesExt {
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_oov_rate" -> qOovRateSql,
+    "q_logistic_fit" -> qLogisticFitSql,
+    "q_erasure" -> qErasureSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
     "q_dsir_weights" -> qDsirWeightsSql,

@@ -450,6 +450,33 @@ object Dedup {
       .select(col("id"), col("status"))
   }
 
+  /** Erasure propagation audit — the right-to-be-forgotten primitive
+    * for a training corpus: a delete request must remove not only the
+    * requested ids but every CONTENT COPY of their documents (crawl
+    * mirrors, injected duplicates), or the erased text survives
+    * training. Returns per-doc erasure verdicts: `requested` (in the
+    * delete set), `content_copy` (same normalized fingerprint as a
+    * requested doc, not itself requested), or null (retained).
+    *
+    * Scale shape: the delete set is tiny relative to the corpus — its
+    * distinct fingerprints broadcast into one semi-join probe over the
+    * corpus fingerprint frame (16-byte digests; document text never
+    * shuffles). One narrow fingerprint pass + one join. */
+  def erasureAudit(docs: DataFrame, idCol: String, textCol: String,
+      deleteIds: DataFrame): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      TextStats.fingerprintMd5(coalesce(col(textCol), lit(""))).as("fp"))
+    val del = deleteIds.select(col(deleteIds.columns.head).as("id"))
+      .withColumn("__req", lit(true))
+    val withReq = fps.join(broadcast(del), Seq("id"), "left")
+    val delFps = withReq.filter(col("__req")).select(col("fp")).distinct()
+    withReq
+      .join(broadcast(delFps.withColumn("__hit", lit(true))), Seq("fp"), "left")
+      .select(col("id"),
+        when(col("__req"), "requested")
+          .when(col("__hit"), "content_copy").as("erasure"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM training-prep step,
     * public papers): flag training documents that share any word
     * `n`-gram with a benchmark/eval set, so eval questions don't leak

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed model FITTING on Spark — the training side of the
+  * quality-classifier story ([[TextStats.classifyQuality]] is the
+  * inference side with literal weights; this learns such weights from
+  * labels, entirely in-engine, no ML library).
+  *
+  * Full-batch gradient descent for logistic regression is the textbook
+  * data-parallel shape (public: e.g. the original Spark/MLlib papers):
+  * broadcast the (d+1)-vector of weights into the plan as literals,
+  * compute per-row sigmoid residuals in one codegen'd projection, reduce
+  * d+1 gradient sums with map-side partial aggregation, update weights
+  * on the driver (d+1 scalars — a bounded collect by contract). Each
+  * iteration is therefore ONE aggregation job over the feature frame;
+  * at 100 TB the only data movement per step is one partial-agg row per
+  * partition. Callers should cache/checkpoint the feature frame —
+  * every iteration re-scans it.
+  *
+  * Determinism (the oracle discipline): the logit is LEFT-ASSOCIATED
+  * (((b + w1*x1) + w2*x2) + ...), per-row gradient terms are rounded at
+  * 8 decimals BEFORE the exact DECIMAL(28,14) sums (libm `exp` may
+  * differ in the last ulp across engines; at 1e-8 granularity both
+  * agree), and the driver update mirrors the SQL op order
+  * `w - (lr * (g / n))`. Weights are bit-stable across engines and
+  * partitionings.
+  */
+object MLFit {
+
+  /** Fit logistic-regression weights by `iterations` full-batch GD steps
+    * from a zero start. `featureCols` must be DOUBLE columns; `labelCol`
+    * is 0/1 (any numeric). Returns `bias +: featureCols`-ordered
+    * weights. */
+  def logisticFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      iterations: Int = 3, lr: Double = 0.5): Array[Double] = {
+    val n = df.count().toDouble
+    require(n > 0, "logisticFit on an empty frame")
+    var w = Array.fill(featureCols.size + 1)(0.0)
+    for (_ <- 1 to iterations) {
+      val z = featureCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+        case (acc, (f, j)) => acc + (lit(w(j + 1)) * col(f))
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val r = p - col(labelCol).cast("double")
+      val terms = round(r, 8).cast("decimal(28,14)") +:
+        featureCols.map(f => round(r * col(f), 8).cast("decimal(28,14)"))
+      val sums = df.agg(sum(terms.head), terms.tail.map(sum): _*).head()
+      w = w.indices.map { j =>
+        val g = sums.getDecimal(j).doubleValue
+        w(j) - (lr * (g / n))
+      }.toArray
+    }
+    w
+  }
+
+  /** [[logisticFit]] as a (feature, weight) frame — "bias" first, then
+    * the feature columns in call order. */
+  def logisticFitDF(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iterations: Int = 3, lr: Double = 0.5): DataFrame = {
+    val w = logisticFit(df, featureCols, labelCol, iterations, lr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    ("bias" +: featureCols).zip(w).toSeq.toDF("feature", "weight")
+  }
+}

@@ -449,6 +449,23 @@ class DedupSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_lines") == 1 && out(2).getAs[Int]("n_kept") == 0)
   }
 
+  test("erasureAudit: requests flagged, content copies caught, rest retained") {
+    val docs = Seq(
+      (1L, "the secret document"),
+      (2L, "The SECRET document!"), // content copy of 1 (normalizes equal)
+      (3L, "unrelated text"),
+      (4L, "another doc"),
+      (5L, null.asInstanceOf[String]) // null text must not match anything
+    ).toDF("doc_id", "text")
+    val del = Seq(1L).toDF("doc_id")
+    val v = graft.ext.Dedup.erasureAudit(docs, "doc_id", "text", del)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(v(1L).contains("requested"))
+    assert(v(2L).contains("content_copy"), "normalized copy must be flagged")
+    assert(v(3L).isEmpty && v(4L).isEmpty, "retained docs carry null")
+    assert(v(5L).isEmpty, "null text stays retained unless '' is requested")
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)

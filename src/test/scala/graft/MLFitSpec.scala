@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.MLFit
+
+class MLFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+
+  test("logisticFit: first step from zero matches the closed form") {
+    // at w=0 every p=0.5, so g = mean((0.5 - y) * x) exactly
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (-1.0, 0.0), (-2.0, 0.0))
+      .toDF("x", "y")
+    val w = MLFit.logisticFit(df, Seq("x"), "y", iterations = 1, lr = 0.5)
+    // g_bias = mean(0.5 - y) = -0.0 + ... = (0.5-1)+(0.5-1)+(0.5)+(0.5) = 0 -> /4 = 0
+    assert(w(0) == 0.0)
+    // g_x = ((0.5-1)*1 + (0.5-1)*2 + 0.5*(-1) + 0.5*(-2))/4 = -3.0/4
+    assert(math.abs(w(1) - 0.5 * 3.0 / 4) < 1e-9, w.mkString(","))
+  }
+
+  test("logisticFit: separable data -> growing positive weight, loss falls") {
+    val rows = (1 to 40).map(i => (i % 2 * 2 - 1.0, i % 2 * 1.0)) // x=±1, y=(x>0)
+    val df = rows.toDF("x", "y").localCheckpoint()
+    def loss(w: Array[Double]): Double = rows.map { case (x, y) =>
+      val p = sigmoid(w(0) + w(1) * x)
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / rows.size
+    val w1 = MLFit.logisticFit(df, Seq("x"), "y", iterations = 1)
+    val w3 = MLFit.logisticFit(df, Seq("x"), "y", iterations = 3)
+    val w6 = MLFit.logisticFit(df, Seq("x"), "y", iterations = 6)
+    assert(w3(1) > w1(1) && w6(1) > w3(1), "weight grows toward separation")
+    assert(loss(w6) < loss(w3) && loss(w3) < loss(w1), "GD reduces loss")
+    assert(math.abs(w6(0)) < 1e-6, "balanced classes keep bias ~0")
+  }
+
+  test("logisticFit: partitioning-invariant (decimal gradient sums)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = {
+      val f = graft.ext.TextStats.classifyQuality(docs.repartition(parts), "text")
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+        .localCheckpoint()
+      MLFit.logisticFit(f,
+        Seq("stopword_ratio", "punct_ratio", "avg_token_len", "len_ok"), "y")
+        .toSeq
+    }
+    assert(run(3) == run(13), "weights must be bit-identical")
+  }
+
+  test("logisticFit: learned weights actually separate the labels") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val f = graft.ext.TextStats.classifyQuality(docs, "text")
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      .localCheckpoint()
+    val names = Seq("stopword_ratio", "punct_ratio", "avg_token_len", "len_ok")
+    val w = MLFit.logisticFit(f, names, "y", iterations = 10, lr = 1.0)
+    // score rows with the learned weights; English docs lean on English
+    // stopwords, so mean score(en) must exceed mean score(other)
+    val z = names.zipWithIndex.foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
+      case (acc, (c, j)) => acc + (lit(w(j + 1)) * col(c))
+    }
+    val m = f.withColumn("z", z).groupBy("y").agg(avg("z")).as[(Double, Double)]
+      .collect().toMap
+    assert(m(1.0) > m(0.0), s"en mean logit ${m(1.0)} must beat ${m(0.0)}")
+  }
+}
