@@ -3515,12 +3515,70 @@ object QueriesExt {
        |  FROM fps f LEFT JOIN delfp d ON f.fp = d.fp)
        |SELECT erasure, count(*) n FROM v GROUP BY 1""".stripMargin
 
+  /** Chi-square categorical drift on event_type between the even/odd
+    * event-id halves (a null-drift pair: the statistic should be small
+    * — what matters for the gate is that both engines derive it
+    * bit-identically via the rounded-term decimal sum). */
+  private def qChiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    profile.NumericProfile.chiSquareDrift(
+      e.filter(col("event_id") % 2 === 0),
+      e.filter(col("event_id") % 2 === 1), "event_type")
+  }
+  private val qChiDriftSql: String = {
+    val eSql = "(CAST(t_cur AS DOUBLE) * (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))"
+    s"""WITH rc AS (SELECT event_type cat, count(*) n_ref FROM events
+       |    WHERE event_id % 2 = 0 GROUP BY 1),
+       |cc AS (SELECT event_type cat, count(*) n_cur FROM events
+       |    WHERE event_id % 2 = 1 GROUP BY 1),
+       |j AS (SELECT COALESCE(rc.cat, cc.cat) cat,
+       |    COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
+       |  FROM rc FULL JOIN cc ON rc.cat = cc.cat),
+       |t AS (SELECT *, sum(n_ref) OVER () t_ref, sum(n_cur) OVER () t_cur
+       |  FROM j),
+       |p AS (SELECT *, CASE WHEN n_ref > 0 THEN round(
+       |    (CAST(n_cur AS DOUBLE) - $eSql) * (CAST(n_cur AS DOUBLE) - $eSql)
+       |      / $eSql, 8) END term FROM t)
+       |SELECT CAST(sum(CASE WHEN n_ref > 0 THEN 1 ELSE 0 END) AS BIGINT) n_categories,
+       |  CAST(sum(CASE WHEN n_ref = 0 AND n_cur > 0 THEN 1 ELSE 0 END) AS BIGINT) n_unseen,
+       |  round(CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE), 6) chi2_r,
+       |  CAST(sum(CASE WHEN n_ref > 0 THEN 1 ELSE 0 END) - 1 AS BIGINT) dof
+       |FROM p""".stripMargin
+  }
+
+  /** Closed-form OLS: l_extendedprice ~ l_quantity (a real linear
+    * relationship in the data — extendedprice is quantity times a unit
+    * price). Oracle mirrors the five decimal moment sums and the exact
+    * closed-form op order. */
+  private def qLinearFit(s: SparkSession, dir: String): DataFrame =
+    MLFit.simpleLinearFit(Sources.table(s, dir, "lineitem"),
+      "l_quantity", "l_extendedprice")
+      .select(col("n"), round(col("b0"), 6).as("b0_r"),
+        round(col("b1"), 6).as("b1_r"), round(col("r2"), 6).as("r2_r"))
+  private val qLinearFitSql: String =
+    """WITH s AS (SELECT count(*) n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) sy,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) sxy,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) sxx,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) syy
+      |  FROM lineitem),
+      |c AS (SELECT *, CAST(n AS DOUBLE) * sxy - sx * sy num,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx den FROM s),
+      |b AS (SELECT *, num / den b1 FROM c)
+      |SELECT n, round((sy - (b1 * sx)) / CAST(n AS DOUBLE), 6) b0_r,
+      |  round(b1, 6) b1_r,
+      |  round((num * num) / (den * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) r2_r
+      |FROM b""".stripMargin
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPageRank _),
     "q_oov_rate" -> (qOovRate _),
     "q_logistic_fit" -> (qLogisticFit _),
     "q_erasure" -> (qErasure _),
+    "q_chi_drift" -> (qChiDrift _),
+    "q_linear_fit" -> (qLinearFit _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
     "q_dsir_weights" -> (qDsirWeights _),
@@ -3636,6 +3694,8 @@ object QueriesExt {
     "q_oov_rate" -> qOovRateSql,
     "q_logistic_fit" -> qLogisticFitSql,
     "q_erasure" -> qErasureSql,
+    "q_chi_drift" -> qChiDriftSql,
+    "q_linear_fit" -> qLinearFitSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
     "q_dsir_weights" -> qDsirWeightsSql,

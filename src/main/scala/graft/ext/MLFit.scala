@@ -55,6 +55,39 @@ object MLFit {
     w
   }
 
+  /** Closed-form simple linear regression (one feature) — the exact
+    * counterpart to [[logisticFit]]'s iterative fitting: slope,
+    * intercept, and R^2 derive from five moment sums in ONE aggregation
+    * pass (map-side combined; the reduce sees one 6-column row per
+    * partition), with no driver collect at all — the result is a
+    * 1-row DataFrame computed in-plan.
+    *
+    * Determinism: each moment term (x, y, xy, x^2, y^2) is cast to
+    * DECIMAL(38,12) per row and summed exactly (order-free), then the
+    * closed-form arithmetic runs on the summed doubles in a fixed op
+    * order — bit-stable across engines and partitionings, same
+    * discipline as [[graft.profile.NumericProfile.corrMatrix]].
+    * Multi-feature fits: use [[logisticFit]]'s GD shape with an
+    * identity link, or normal equations over [[graft.profile
+    * .NumericProfile.corrMatrix]]'s co-moments. */
+  def simpleLinearFit(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
+    val nD = col("n").cast("double")
+    df.agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .withColumn("num", nD * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", nD * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b1", col("num") / col("den"))
+      .withColumn("b0", (col("sy") - (col("b1") * col("sx"))) / nD)
+      .withColumn("r2", (col("num") * col("num")) /
+        (col("den") * (nD * col("syy") - col("sy") * col("sy"))))
+      .select(col("n"), col("b0"), col("b1"), col("r2"))
+  }
+
   /** [[logisticFit]] as a (feature, weight) frame — "bias" first, then
     * the feature columns in call order. */
   def logisticFitDF(df: DataFrame, featureCols: Seq[String],

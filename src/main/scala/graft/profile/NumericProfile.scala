@@ -242,4 +242,50 @@ object NumericProfile {
       .select(col("bucket").as("at_bucket"),
         round(col("cdf_gap"), 6).as("ks_stat"))
   }
+
+  /** Pearson chi-square drift statistic for a CATEGORICAL column — the
+    * third drift lens beside [[histogramDrift]] (TVD, magnitude) and
+    * [[ksDrift]] (numeric CDF shift): chi2 weights rare-category shifts
+    * by 1/expected, which TVD underweights. Expected counts derive from
+    * the reference distribution scaled to the current total; categories
+    * absent from the reference are excluded from the statistic (their
+    * expectation is 0) and reported in `n_unseen` instead — at corpus
+    * scale a new category appearing IS the drift signal.
+    *
+    * Scale shape: two partial-agg category counts + a full join over
+    * distinct categories (bounded by cardinality, not rows). Float
+    * discipline: per-category terms are exact-integer-derived doubles
+    * rounded at 8, then DECIMAL(28,14)-summed — order-free,
+    * engine-portable. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame, colName: String)
+      : DataFrame = {
+    val rc = ref.groupBy(col(colName).as("cat"))
+      .agg(count(lit(1)).as("n_ref"))
+    val cc = cur.groupBy(col(colName).as("cat"))
+      .agg(count(lit(1)).as("n_cur"))
+    val j = rc.join(cc, Seq("cat"), "full")
+      .select(col("cat"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals via a window over the (small) category frame: one pass,
+    // no second scan of the inputs
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+    val e = col("t_cur").cast("double") *
+      (col("n_ref").cast("double") / col("t_ref").cast("double"))
+    val term = (col("n_cur").cast("double") - e) *
+      (col("n_cur").cast("double") - e) / e
+    j.withColumn("t_ref", sum(col("n_ref")).over(wAll))
+      .withColumn("t_cur", sum(col("n_cur")).over(wAll))
+      .withColumn("term",
+        when(col("n_ref") > 0, round(term, 8)).otherwise(lit(null)))
+      .agg(
+        sum(when(col("n_ref") > 0, 1).otherwise(0)).as("n_categories"),
+        sum(when(col("n_ref") === 0 && col("n_cur") > 0, 1).otherwise(0))
+          .as("n_unseen"),
+        sum(col("term").cast("decimal(28,14)")).cast("double").as("chi2"))
+      .select(col("n_categories"), col("n_unseen"),
+        round(col("chi2"), 6).as("chi2_r"),
+        (col("n_categories") - 1).cast("long").as("dof"))
+  }
 }

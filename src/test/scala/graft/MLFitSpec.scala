@@ -49,6 +49,34 @@ class MLFitSpec extends SparkSpec {
     assert(run(3) == run(13), "weights must be bit-identical")
   }
 
+  test("simpleLinearFit: exact line recovered, R^2 = 1") {
+    val df = Seq((1.0, 5.0), (2.0, 7.0), (3.0, 9.0), (10.0, 23.0))
+      .toDF("x", "y") // y = 2x + 3 exactly
+    val r = MLFit.simpleLinearFit(df, "x", "y")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 4L)
+    assert(math.abs(r._2 - 3.0) < 1e-9 && math.abs(r._3 - 2.0) < 1e-9, r)
+    assert(math.abs(r._4 - 1.0) < 1e-12)
+  }
+
+  test("simpleLinearFit: noisy fit matches hand-computed OLS, partition-invariant") {
+    val pts = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 7.8), (5.0, 10.1))
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b0 = (sy - b1 * sx) / n
+    val df = pts.toDF("x", "y")
+    val r = MLFit.simpleLinearFit(df, "x", "y")
+      .as[(Long, Double, Double, Double)].head()
+    assert(math.abs(r._2 - b0) < 1e-9 && math.abs(r._3 - b1) < 1e-9)
+    assert(r._4 > 0.99 && r._4 < 1.0, "strong but not perfect fit")
+    val r13 = MLFit.simpleLinearFit(df.repartition(13), "x", "y")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r == r13, "decimal moment sums are partitioning-invariant")
+  }
+
   test("logisticFit: learned weights actually separate the labels") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

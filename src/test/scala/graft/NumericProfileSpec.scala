@@ -108,6 +108,27 @@ class NumericProfileSpec extends SparkSpec {
     assert(math.abs(ks - 0.25) < 1e-12)
   }
 
+  test("chiSquareDrift: zero on identical, grows with shift, counts unseen") {
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
+      .toDF("cat")
+    val same = NumericProfile.chiSquareDrift(ref, ref, "cat")
+      .as[(Long, Long, Double, Long)].head()
+    assert(same == ((3L, 0L, 0.0, 2L)), s"identical halves -> chi2 0: $same")
+    // hand-computed: cur (20a, 60b, 20c), expected (60, 30, 10) scaled
+    // to 100 -> chi2 = 40^2/60 + 30^2/30 + 10^2/10 = 26.666667 + 30 + 10
+    val cur = (Seq.fill(20)("a") ++ Seq.fill(60)("b") ++ Seq.fill(20)("c"))
+      .toDF("cat")
+    val drift = NumericProfile.chiSquareDrift(ref, cur, "cat")
+      .as[(Long, Long, Double, Long)].head()
+    assert(drift._1 == 3L && drift._4 == 2L)
+    assert(math.abs(drift._3 - (1600.0 / 60 + 30 + 10)) < 1e-6, drift)
+    // a category unseen in ref is excluded from the statistic, reported
+    val withNew = cur.union(Seq.fill(5)("zzz").toDF("cat"))
+    val u = NumericProfile.chiSquareDrift(ref, withNew, "cat")
+      .as[(Long, Long, Double, Long)].head()
+    assert(u._2 == 1L, "new category counted as unseen")
+  }
+
   test("benford: exact leading digits on the cents grid; zero/negative/null out of scope") {
     val df = Seq(Some(1.23), Some(19.99), Some(250.0), Some(2.0),
       Some(0.0), Some(-5.0), None, Some(0.09)).toDF("v")
