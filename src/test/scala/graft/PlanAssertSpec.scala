@@ -139,6 +139,34 @@ class PlanAssertSpec extends SparkSpec {
       s"cdcApply must not collapse ops via a window; plan:\n$plan")
   }
 
+  test("q_lm_score + q_dsir_weights: the scoring join broadcasts the learned table") {
+    // train = one count shuffle; score = the vocab/bucket table enters
+    // as a broadcast — if it ever shuffles, the corpus-side token
+    // stream would sort-merge against it and the linear scale claim
+    // (SCALE.md round-5 rows) breaks
+    for (q <- Seq("q_lm_score", "q_dsir_weights")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q scoring join must broadcast the learned table; plan:\n$plan")
+    }
+  }
+
+  test("q_pagerank: no cartesian, no broadcast nested loop in the iteration") {
+    // every per-round join is an equi-join on node/src keys; a
+    // refactor that loses the join keys would quietly go O(V*E)
+    val plan = planOf("q_pagerank")
+    assert(!plan.contains("CartesianProduct"),
+      s"pageRank iteration must stay equi-join; plan:\n$plan")
+  }
+
+  test("q_linear_fit: one aggregation, no window, no join") {
+    // the closed form is five moment sums in a single partial+final
+    // agg pair; a window or join here means the one-pass claim broke
+    val plan = planOf("q_linear_fit")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"simpleLinearFit must stay a single agg pass; plan:\n$plan")
+  }
+
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e"))
