@@ -3571,6 +3571,27 @@ object QueriesExt {
       |  round((num * num) / (den * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) r2_r
       |FROM b""".stripMargin
 
+  /** Weighted sample without replacement (A-ES): 10 docs per language,
+    * weighted by length — the "sample long docs preferentially" draw a
+    * curriculum builder makes. Oracle mirrors the exponential-key
+    * competition exactly. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.weightedSample(docs(s, dir), Seq("lang"), "doc_id",
+      "n_chars", k = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+  private val qWeightedSampleSql: String = {
+    val h = Hashing.hash64Sql("CAST(doc_id AS VARCHAR) || ':wsample'")
+    s"""WITH u AS (SELECT lang, doc_id, n_chars,
+       |    CAST($h % 1000000 AS DOUBLE) h
+       |  FROM documents WHERE n_chars > 0),
+       |k AS (SELECT lang, doc_id, n_chars,
+       |    ln((h + 1.0) / 1000001.0) / CAST(n_chars AS DOUBLE) kk
+       |  FROM u)
+       |SELECT lang, doc_id, n_chars FROM k
+       |QUALIFY row_number() OVER (PARTITION BY lang
+       |  ORDER BY kk DESC, doc_id ASC) <= 10""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPageRank _),
@@ -3579,6 +3600,7 @@ object QueriesExt {
     "q_erasure" -> (qErasure _),
     "q_chi_drift" -> (qChiDrift _),
     "q_linear_fit" -> (qLinearFit _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
     "q_dsir_weights" -> (qDsirWeights _),
@@ -3696,6 +3718,7 @@ object QueriesExt {
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
     "q_linear_fit" -> qLinearFitSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
     "q_dsir_weights" -> qDsirWeightsSql,

@@ -182,4 +182,35 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Weighted sample WITHOUT replacement, k per group — Efraimidis-
+    * Spirakis A-ES (public algorithm): each row draws a deterministic
+    * hash-uniform u and competes on key `ln(u)/w`; the k largest keys
+    * per group are a proper weighted sample, heavier rows
+    * proportionally likelier, no row twice. The exponential-key form
+    * avoids `pow` (ln composes with the repo's hash-uniform in one
+    * codegen'd expression).
+    *
+    * Deterministic: u is a pure function of (id, salt) — membership is
+    * reproducible across runs, engines, and partitionings (the same
+    * contract as [[hashSample]]/[[assignSplit]]). Rows with
+    * non-positive weight are excluded (ln(u)/w flips sign).
+    *
+    * Scale: one shuffle on the group columns; the per-group top-k is a
+    * rank<=k window, so WindowGroupLimit caps each map partition at k
+    * rows per group BEFORE the exchange. */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
+    val h = Hashing.hash64(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 1000000L
+    val key = log((h.cast("double") + lit(1.0)) / lit(1000001.0)) /
+      col(weightCol).cast("double")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__k").desc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__k", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__k", "__rn")
+  }
 }

@@ -24,6 +24,25 @@ class SamplingSpec extends SparkSpec {
     assert(c.size > n * 0.06 && c.size < n * 0.14)
   }
 
+  test("weightedSample: k per group, deterministic, weight-responsive") {
+    val rows = (1L to 200L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i, if (i == 42) 1.0e9 else 1.0)
+    ) ++ Seq(("a", 500L, 0.0), ("a", 501L, -3.0)) // excluded weights
+    val df = rows.toDF("g", "id", "w")
+    val s1 = Sampling.weightedSample(df, Seq("g"), "id", "w", k = 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(s1.count(_._1 == "a") == 5 && s1.count(_._1 == "b") == 5)
+    assert(!s1.exists(r => r._2 >= 500L), "non-positive weights excluded")
+    assert(s1.contains(("a", 42L)),
+      "a weight 1e9 outdraws 99 weight-1 rivals for any fixed salt")
+    val s2 = Sampling.weightedSample(df.repartition(13), Seq("g"), "id", "w",
+      k = 5).select("g", "id").as[(String, Long)].collect().toSet
+    assert(s1 == s2, "membership is partitioning-invariant")
+    val s3 = Sampling.weightedSample(df, Seq("g"), "id", "w", k = 5,
+      salt = "other").select("g", "id").as[(String, Long)].collect().toSet
+    assert(s1 != s3, "different salt draws a different sample")
+  }
+
   test("split: total partition, disjoint, proportions, stable membership") {
     val split = Sampling.assignSplit(docs, "doc_id",
       Seq("train" -> 800, "val" -> 100, "test" -> 100))
