@@ -708,8 +708,13 @@ object Queries {
   private def qBenford(s: SparkSession, dir: String): DataFrame =
     graft.profile.NumericProfile.benford(orders(s, dir), "o_totalprice")
   private val qBenfordSql: String = {
+    // STRING-cast each literal: DuckDB types a bare 0.30102999... as
+    // DECIMAL and the decimal->double hop computes m/10^s in floating
+    // point, off by an ulp from Spark's direct double literal on one of
+    // the nine digits; a string parse is correctly rounded (caught by
+    // tools/strictcheck.py)
     val expCase = graft.profile.NumericProfile.benfordExpected
-      .map { case (d, p) => s"WHEN $d THEN ${p}" }.mkString(" ")
+      .map { case (d, p) => s"WHEN $d THEN CAST('$p' AS DOUBLE)" }.mkString(" ")
     s"""WITH src AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
        |    AS BIGINT) c FROM orders),
        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) digit
