@@ -746,8 +746,15 @@ object Queries {
        |       WHEN qty IS NOT NULL THEN 4 END AS INT) qty_bin
        |FROM dirty, b""".stripMargin
 
+  /** corr rounded at 12 places in BOTH engines: above ~2^53 the
+    * squared-cents sums stop being double-exact, and DuckDB's
+    * decimal->double conversion rounds those big mantissas differently
+    * from Java's (one ulp; surfaced by tools/strictcheck.py at sf0.1 —
+    * sf0.01 sums stay exact). 1e-12 is far inside the formula's own
+    * ~1e-14-relative accuracy. */
   private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
     graft.profile.NumericProfile.corrMatrix(li(s, dir), corrCols)
+      .select(col("col_x"), col("col_y"), round(col("corr"), 12).as("corr"))
 
   /** Mirror of [[NumericProfile.corrMatrix]]: exact decimal sums, then
     * the identical double formula per pair (see that scaladoc). */
@@ -764,12 +771,12 @@ object Queries {
           s"sum(CAST(CAST(round($a * 100) AS DECIMAL(18,0)) * CAST(round($b * 100) AS DECIMAL(18,0)) AS DECIMAL(38,0))) sp_${a}_$b" }
     val pairSelects = pairs.map { case (a, b) =>
       s"""SELECT '$a' col_x, '$b' col_y,
-         |  CASE WHEN sqrt(n * CAST(sq_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
+         |  round(CASE WHEN sqrt(n * CAST(sq_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
          |        AND sqrt(n * CAST(sq_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0
          |  THEN (n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
          |    / (sqrt(n * CAST(sq_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
          |       * sqrt(n * CAST(sq_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
-         |  ELSE NULL END corr
+         |  ELSE NULL END, 12) corr
          |FROM agg""".stripMargin }
     s"""WITH agg AS (
        |  SELECT CAST(count(*) AS DOUBLE) n, ${sums.mkString(",\n    ")}
