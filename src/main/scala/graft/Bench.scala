@@ -68,6 +68,7 @@ object Bench {
     // >> 1 means the median/min absorbed a spike
     var repsUsed = Map.empty[String, Int]
     var spreads = Map.empty[String, Double]
+    var perQueryTimes = Map.empty[String, List[Double]]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def runOnce(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -100,6 +101,7 @@ object Bench {
         // a query that crashed on SOME reps must not look healthy
         if (times.size < attempts) flaky ::= (name, attempts - times.size)
         repsUsed += name -> times.size
+        perQueryTimes += name -> times.toList
         if (times.size >= 2)
           spreads += name -> (math.round(times.max / times.min * 100) / 100.0)
         val t =
@@ -108,12 +110,15 @@ object Bench {
         name -> t
       }
     }
-    // STDOUT gets ONE compact JSON line (the driver's contract): metric,
-    // value, unit, per-query seconds (3 decimals), errors, sf. Everything
-    // else (reps used, noise spreads, flaky reps, wall time) goes to
-    // bench_detail.json in the CWD — keeping the stdout line short makes
-    // it survive tail-truncating log captures (the archived artifact
-    // keeps only the last 2000 chars of output).
+    // STDOUT gets ONE compact JSON line (the driver's contract). Five
+    // straight rounds of BENCH_r{N}.json arrived `parsed:null` because the
+    // driver archives only the LAST 2000 CHARS of stdout and the line —
+    // which used to carry the full 151-entry per-query map (~3.3 KB) —
+    // was truncated mid-JSON. The stdout contract is therefore now the
+    // summary ONLY (metric/value/unit/errors/n_queries/sf, well under
+    // 1 KB even with a handful of error names); the per-query map, reps
+    // used, noise spreads, flaky reps and wall time live exclusively in
+    // bench_detail.json, committed each round.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -125,12 +130,59 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Regression-proof perf protocol (VERDICT r5 Next #2): per-query
+    // best-of-run floors. A floor (min over reps) can't be inflated by a
+    // noise spike, so floor-vs-floor movement >1.5x is a REAL plan or
+    // code regression, while suite-total movement with stable floors is
+    // environment drift. We read the previous round's floors from
+    // bench_floor.json, report movers in bench_detail.json, then
+    // overwrite bench_floor.json with this round's floors.
+    val floors: Map[String, Double] = results.collect {
+      case (k, v) if v >= 0 =>
+        k -> r3(perQueryTimes.getOrElse(k, List(v)).min)
+    }.toMap
+    // Floors are only comparable at the same scale factor, and the
+    // OFFICIAL per-round bench runs at sf0.1 — that run owns
+    // bench_floor.json; any other sf (dev smokes at sf0.001/sf0.01)
+    // keeps its own baseline in bench_floor_dev.json so it can neither
+    // pollute nor clobber the official one. The file records its sf and
+    // a mismatch (e.g. a hand-copied file) skips the comparison.
+    val official = new java.io.File(sfDir).getName == "sf0.1"
+    val floorPath = java.nio.file.Paths.get(
+      if (official) "bench_floor.json" else "bench_floor_dev.json")
+    val prevFloors: Map[String, Double] = {
+      try {
+        if (java.nio.file.Files.exists(floorPath)) {
+          val txt = java.nio.file.Files.readString(floorPath)
+          val prevSf = "\"__sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+          else
+            // tiny flat {"name":sec,...} parser — no JSON lib on classpath
+            "\"(q_[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    val floorMoves = floors.flatMap { case (k, cur) =>
+      prevFloors.get(k).collect {
+        case prev if prev > 0 && cur / prev > 1.5 =>
+          k -> (math.round(cur / prev * 100) / 100.0)
+      }
+    }
+    val floorsJson = (Seq("\"__sf\":\"" + sfDir + "\"") ++
+      floors.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v })
+      .mkString("{", ",", "}")
+    val movesJson = floorMoves.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"floor_regressions":${floorMoves.size},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(floorPath, floorsJson + "\n")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

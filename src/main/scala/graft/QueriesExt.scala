@@ -3494,22 +3494,29 @@ object QueriesExt {
   }
 
   /** Erasure propagation over the injected-dup corpus: delete requests =
-    * doc_id % 40 == 0; the audit must flag their injected content copies
-    * too. Report = verdict counts (retained rows carry a null verdict ->
-    * 'retained' for the compare). */
+    * ORIGINAL docs with doc_id % 40 == 0 (`doc_id < 1000000` excludes the
+    * injected copies — their offset 1000000 is itself divisible by 40, so
+    * without the bound every copy of a requested doc would be `requested`
+    * in its own right and the content_copy verdict would be vacuously
+    * untested; ADVICE r5). With the bound, copies of requested docs
+    * (orig % 400 == 0, i.e. % 40 and % 10) land in `content_copy`, so the
+    * gate exercises all three verdicts. Report = verdict counts
+    * (retained rows carry a null verdict -> 'retained' for the compare). */
   private def qErasure(s: SparkSession, dir: String): DataFrame = {
     val d = injectedDocs(s, dir)
     Dedup.erasureAudit(d, "doc_id", "text",
-      d.filter(col("doc_id") % 40 === 0).select(col("doc_id")))
+      d.filter(col("doc_id") % 40 === 0 && col("doc_id") < 1000000)
+        .select(col("doc_id")))
       .groupBy(coalesce(col("erasure"), lit("retained")).as("erasure"))
       .agg(count(lit(1)).as("n"))
   }
   private val qErasureSql: String =
     s"""WITH $injectedDocsSql,
        |fps AS (SELECT doc_id, md5(${normSql("text")}) fp FROM inj),
-       |delfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 40 = 0),
+       |delfp AS (SELECT DISTINCT fp FROM fps
+       |  WHERE doc_id % 40 = 0 AND doc_id < 1000000),
        |v AS (SELECT f.doc_id,
-       |    CASE WHEN f.doc_id % 40 = 0 THEN 'requested'
+       |    CASE WHEN f.doc_id % 40 = 0 AND f.doc_id < 1000000 THEN 'requested'
        |         WHEN d.fp IS NOT NULL THEN 'content_copy'
        |         ELSE 'retained' END erasure
        |  FROM fps f LEFT JOIN delfp d ON f.fp = d.fp)
@@ -3564,11 +3571,15 @@ object QueriesExt {
       |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) syy
       |  FROM lineitem),
       |c AS (SELECT *, CAST(n AS DOUBLE) * sxy - sx * sy num,
-      |    CAST(n AS DOUBLE) * sxx - sx * sx den FROM s),
-      |b AS (SELECT *, num / den b1 FROM c)
-      |SELECT n, round((sy - (b1 * sx)) / CAST(n AS DOUBLE), 6) b0_r,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx den,
+      |    CAST(n AS DOUBLE) * syy - sy * sy deny FROM s),
+      |b AS (SELECT *, CASE WHEN den > 0 THEN num / den END b1 FROM c)
+      |SELECT n,
+      |  round(CASE WHEN den > 0
+      |    THEN (sy - (b1 * sx)) / CAST(n AS DOUBLE) END, 6) b0_r,
       |  round(b1, 6) b1_r,
-      |  round((num * num) / (den * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) r2_r
+      |  round(CASE WHEN den > 0 AND deny > 0
+      |    THEN (num * num) / (den * deny) END, 6) r2_r
       |FROM b""".stripMargin
 
   /** Weighted sample without replacement (A-ES): 10 docs per language,
@@ -3585,7 +3596,7 @@ object QueriesExt {
        |    CAST($h % 1000000 AS DOUBLE) h
        |  FROM documents WHERE n_chars > 0),
        |k AS (SELECT lang, doc_id, n_chars,
-       |    ln((h + 1.0) / 1000001.0) / CAST(n_chars AS DOUBLE) kk
+       |    round(ln((h + 1.0) / 1000001.0) / CAST(n_chars AS DOUBLE), 12) kk
        |  FROM u)
        |SELECT lang, doc_id, n_chars FROM k
        |QUALIFY row_number() OVER (PARTITION BY lang

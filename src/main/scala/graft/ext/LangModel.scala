@@ -45,7 +45,13 @@ object LangModel {
         .as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = counts.agg(sum(col("c")), count(lit(1))).head()
-    val n = tot.getLong(0); val v = tot.getLong(1)
+    // sum() over an empty vocab frame is NULL — fail with a clear
+    // message instead of an NPE (mirrors logisticFit's require(n > 0))
+    val nBoxed = tot.getAs[java.lang.Long](0)
+    require(nBoxed != null,
+      "unigramLogProb: corpus has zero tokens (all documents empty or " +
+        "whitespace) — cannot train a unigram LM")
+    val n = nBoxed.longValue(); val v = tot.getLong(1)
     // one ln per VOCAB ENTRY (not per token instance), rounded at 8
     // places so libm last-ulp differences cannot reach the sum
     val lp = counts.withColumn("lp",
@@ -78,7 +84,12 @@ object LangModel {
       count(lit(1)).as("cc"),
       count(when(col("tgt"), 1)).as("ct"))
     val tot = counts.agg(sum(col("cc")), sum(col("ct"))).head()
-    val nc = tot.getLong(0); val nt = tot.getLong(1)
+    // both sums are NULL on a zero-token corpus — fail descriptively
+    val ncBoxed = tot.getAs[java.lang.Long](0)
+    require(ncBoxed != null,
+      "importanceWeights: corpus has zero tokens (all documents empty " +
+        "or whitespace) — cannot estimate unigram distributions")
+    val nc = ncBoxed.longValue(); val nt = tot.getLong(1)
     val ratio = counts.withColumn("lr",
       round(log((col("ct") + 1).cast("double") / lit((nt + buckets).toDouble))
         - log((col("cc") + 1).cast("double") / lit((nc + buckets).toDouble)),

@@ -81,10 +81,15 @@ object MLFit {
         dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
       .withColumn("num", nD * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", nD * col("sxx") - col("sx") * col("sx"))
-      .withColumn("b1", col("num") / col("den"))
-      .withColumn("b0", (col("sy") - (col("b1") * col("sx"))) / nD)
-      .withColumn("r2", (col("num") * col("num")) /
-        (col("den") * (nD * col("syy") - col("sy") * col("sy"))))
+      // Degenerate-variance guard (corrMatrix's CASE WHEN sqrt(...) > 0
+      // convention): constant x (den = 0) or constant y (deny = 0)
+      // yields NULL slope/intercept/R^2 instead of NaN/Infinity.
+      .withColumn("deny", nD * col("syy") - col("sy") * col("sy"))
+      .withColumn("b1", when(col("den") > 0, col("num") / col("den")))
+      .withColumn("b0",
+        when(col("den") > 0, (col("sy") - (col("b1") * col("sx"))) / nD))
+      .withColumn("r2", when(col("den") > 0 && col("deny") > 0,
+        (col("num") * col("num")) / (col("den") * col("deny"))))
       .select(col("n"), col("b0"), col("b1"), col("r2"))
   }
 

@@ -203,8 +203,16 @@ object Sampling {
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
     val h = Hashing.hash64(
       concat(col(idCol).cast("string"), lit(":" + salt))) % 1000000L
-    val key = log((h.cast("double") + lit(1.0)) / lit(1000001.0)) /
-      col(weightCol).cast("double")
+    // The competition key is rounded@12 BEFORE ranking: ln() can differ
+    // from another libm in the last ulp, and an unrounded key at rank k
+    // could flip sample membership across platforms/engines (the repo
+    // rounds every other log output at 8 decimals for the same reason;
+    // 12 keeps far more weight resolution than the gate needs while
+    // still absorbing 1-ulp drift). Ties after rounding fall to the
+    // deterministic (key, id) order below.
+    val key = round(
+      log((h.cast("double") + lit(1.0)) / lit(1000001.0)) /
+        col(weightCol).cast("double"), 12)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__k").desc, col(idCol).asc)
     df.filter(col(weightCol) > 0)
