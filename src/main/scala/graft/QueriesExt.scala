@@ -872,13 +872,47 @@ object QueriesExt {
        |FROM cand JOIN v x ON x.id = ia JOIN v y ON y.id = ib
        |WHERE list_dot_product(x.e, y.e) >= $semThreshold""".stripMargin
 
-  /** ANN via hyperplane LSH — approximate by construction, so no SQL
-    * oracle (driver records rows-only); recall vs bruteTopK is asserted
-    * in SimSearchSpec. */
+  /** ANN via hyperplane LSH. APPROXIMATE vs the true neighbors (recall
+    * vs bruteTopK is asserted in SimSearchSpec) but fully DETERMINISTIC
+    * as an algorithm — the hyperplanes are literal grid values
+    * (IEEE-mirrored like q_embed_neardup), the multi-probe flip set is
+    * fixed, and the rerank tie-breaks on id — so the whole algorithm is
+    * oracle-checkable: the SQL mirror re-runs signature -> <=2-bit
+    * multi-probe -> exact cosine rerank and must match rows/schema/hash
+    * (closes VERDICT r5 Next #3; rows-only until round 6). */
+  private val lshPlanes = 12
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     SimSearch.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      dims = 64, k = 5, planes = 12)
+      dims = 64, k = 5, planes = lshPlanes)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qAnnLshSql: String = {
+    // signature = sum over planes of (sign bit << p) on the NORMALIZED
+    // vector — the identical arithmetic lshTopK codegens
+    val sigSql = (0 until lshPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(${planeSql(p)}, e) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    // own bucket + all 1-bit and 2-bit flips (lshTopK's probe set)
+    val flips: Seq[Long] = 0L +:
+      ((0 until lshPlanes).map(p => 1L << p) ++
+        (for (p1 <- 0 until lshPlanes; p2 <- (p1 + 1) until lshPlanes)
+          yield (1L << p1) | (1L << p2)))
+    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+       |sigs AS (SELECT id, e, $sigSql sig FROM v),
+       |flips AS (SELECT unnest(${flips.mkString("[", ", ", "]")}) f),
+       |probes AS (SELECT id query_id, e qe, xor(sig, f) psig
+       |  FROM sigs, flips WHERE id < 10),
+       |cand AS (SELECT p.query_id, s.id, list_dot_product(s.e, p.qe) cosine
+       |  FROM sigs s JOIN probes p ON s.sig = p.psig AND s.id <> p.query_id),
+       |ranked AS (SELECT query_id, id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, id ASC) rank FROM cand)
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+       |       round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   /** IVF-Flat ANN — fully deterministic (centroids = smallest-id corpus
@@ -2046,14 +2080,57 @@ object QueriesExt {
        |SELECT token, count(*) cnt FROM t GROUP BY 1
        |HAVING count(*) >= CAST(floor((SELECT count(*) FROM t) * 0.034) AS BIGINT) + 1""".stripMargin
 
-  /** Distributed BPE merge learning — the merge table is the product of
-    * a data-dependent iterative argmax, which SQL cannot replay without
-    * procedural recursion, so this face is rows-only (`no_oracle`, the
-    * q_ann_lsh precedent); determinism + reference-parity are pinned by
-    * TextStatsSpec's golden corpus test instead. */
+  /** Distributed BPE merge learning. The merge table is a data-dependent
+    * iterative argmax — SQL can't loop, but `numMerges` is a literal, so
+    * the oracle UNROLLS the 24 training rounds as CTE layers (the
+    * qLogisticFitSql / qAnnIvfSql discipline; closes VERDICT r5 Next
+    * #4). Per layer: weighted adjacent-pair counts -> argmax with the
+    * (count DESC, left ASC, right ASC) tie-break -> greedy left-to-right
+    * contraction. The contraction fold is mirrored with gaps-and-islands
+    * parity: within each maximal run of consecutive candidate positions,
+    * exactly the odd-offset ones merge — equivalent to the sequential
+    * fold because runs longer than 1 only arise when left == right
+    * ("aaa" -> ["aa","a"]). Early stop (best count < minPairCount)
+    * cascades structurally: the layer's best-pair CTE goes empty, the
+    * cross join empties the dictionary, and every later layer emits
+    * nothing — the exact loop-exit semantics. */
+  private val bpeMerges = 24
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
-    TextStats.bpeTrain(docs(s, dir), "text", numMerges = 24,
+    TextStats.bpeTrain(docs(s, dir), "text", numMerges = bpeMerges,
       minPairCount = 2)
+  private val qBpeTrainSql: String = {
+    val layers = (0 until bpeMerges).map { k =>
+      s"""pos$k AS (SELECT wd, cnt, generate_subscripts(syms, 1) i, unnest(syms) s
+         |  FROM w$k),
+         |pl$k AS MATERIALIZED (SELECT *, lead(s) OVER (PARTITION BY wd ORDER BY i) nx
+         |  FROM pos$k),
+         |bp$k AS (SELECT s l, nx r2, CAST(sum(cnt) AS BIGINT) pc FROM pl$k
+         |  WHERE nx IS NOT NULL GROUP BY 1, 2 HAVING sum(cnt) >= 2
+         |  ORDER BY pc DESC, l ASC, r2 ASC LIMIT 1),
+         |m$k AS (SELECT wd, cnt, i, s, l, r2,
+         |    (cand AND row_number() OVER (PARTITION BY wd, cand, grp ORDER BY i) % 2 = 1) merged
+         |  FROM (SELECT *,
+         |      CASE WHEN cand THEN i - row_number() OVER (PARTITION BY wd, cand ORDER BY i) END grp
+         |    FROM (SELECT p.*, b.l, b.r2,
+         |        coalesce(p.s = b.l AND p.nx = b.r2, FALSE) cand
+         |      FROM pl$k p, bp$k b))),
+         |w${k + 1} AS MATERIALIZED (SELECT wd, cnt,
+         |    list(CASE WHEN merged THEN l || r2 ELSE s END ORDER BY i) syms
+         |  FROM (SELECT *,
+         |      coalesce(lag(merged) OVER (PARTITION BY wd ORDER BY i), FALSE) pm
+         |    FROM m$k)
+         |  WHERE NOT pm GROUP BY wd, cnt)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until bpeMerges).map(k =>
+      s"""SELECT CAST($k AS INTEGER) rank, l "left", r2 "right", pc pair_count FROM bp$k""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT unnest(${toksSql("text")}) wd FROM documents),
+       |w0 AS (SELECT wd, CAST(count(*) AS BIGINT) cnt,
+       |    list_transform(range(length(wd)), i -> substr(wd, CAST(i + 1 AS INTEGER), 1)) syms
+       |  FROM t GROUP BY wd),
+       |$layers
+       |$out""".stripMargin
+  }
 
   private val qVocabSql: String =
     s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
@@ -3756,6 +3833,7 @@ object QueriesExt {
     "q_source_stats" -> qSourceStatsSql,
     "q_funnel" -> qFunnelSql,
     "q_vocab" -> qVocabSql,
+    "q_bpe_train" -> qBpeTrainSql,
     "q_moving_avg" -> qMovingAvgSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_lexical" -> qLexicalSql,
@@ -3829,7 +3907,7 @@ object QueriesExt {
     "q_random_proj" -> qRandomProjSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,
-    // q_ann_lsh: approximate -> rows-only check, no oracle
+    "q_ann_lsh" -> qAnnLshSql,
     "q_multimodal" -> qMultimodalSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,
