@@ -114,6 +114,19 @@ object Queries {
     s.createDataFrame(profs.map(p => (p.column, p.nNull, p.nDistinct)))
       .toDF("column_name", "n_null", "n_distinct")
   }
+
+  /** q_profile's HLL-sketch twin — NOT in the registry (no SQL oracle
+    * can mirror Spark's HLL++), timed by ScaleBench only, as the
+    * measured evidence that the approx path's slope stays ~volume while
+    * exact q_profile tracks distinct growth (11.8x at 10x). Same frame,
+    * same columns, exact = false. */
+  private[graft] def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val profs = Profiler.profile(dirty(s, dir)
+      .select("qty", "price", "flag", "ship_str"), exact = false,
+      sampleRows = 0)
+    s.createDataFrame(profs.map(p => (p.column, p.nNull, p.nDistinct, p.exact)))
+      .toDF("column_name", "n_null", "n_distinct_approx", "is_exact")
+  }
   private val qProfileSql =
     s"""WITH $dirtySql
        |SELECT 'qty' AS column_name, count(*) - count(qty) AS n_null, count(DISTINCT qty) AS n_distinct FROM dirty

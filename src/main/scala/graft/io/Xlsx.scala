@@ -34,7 +34,23 @@ import org.apache.spark.sql.types._
   */
 object Xlsx {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Driver-side size cap for [[read]] (bytes, compressed file size).
+    * The parse is deliberately single-node (scaladoc above) and a .xlsx
+    * deflate stream can expand 10-50x in memory — without a guard a
+    * multi-GB upload would OOM the driver silently. 256 MB compressed
+    * is far beyond the reference's ~10 MB interactive cap while still
+    * bounding driver heap; override via the parameter for a bigger
+    * driver, or land the data as CSV/Parquet for a parallel scan. */
+  val DefaultMaxBytes: Long = 256L * 1024 * 1024
+
+  def read(spark: SparkSession, path: String,
+      maxBytes: Long = DefaultMaxBytes): DataFrame = {
+    val size = new java.io.File(path).length()
+    require(size <= maxBytes,
+      s".xlsx file is $size bytes (cap $maxBytes): Xlsx.read parses on " +
+        "the DRIVER (single deflate stream, no parallel scan) and a " +
+        "file this size risks driver OOM - convert to CSV/Parquet for " +
+        "a distributed read, or raise maxBytes explicitly")
     val (header, rows) = readRaw(path)
     val nCols = header.length
     // pandas-style inference per column over data rows

@@ -29,13 +29,17 @@ object Mission {
   }
 }
 
-/** One row of the column profiler output (app.py:43-60). */
+/** One row of the column profiler output (app.py:43-60). `exact` is
+  * false when nDistinct came from the HLL sketch path (the scale-aware
+  * default above [[graft.profile.Profiler.ExactDistinctMaxRows]] rows)
+  * — surfaced so downstream consumers/reports can label the estimate. */
 final case class ColumnProfile(
     column: String,
     dtype: String,
     nNull: Long,
     nDistinct: Long,
-    sampleValues: Seq[String])
+    sampleValues: Seq[String],
+    exact: Boolean = true)
 
 /** Summary insights (app.py:372-376). */
 final case class Insights(

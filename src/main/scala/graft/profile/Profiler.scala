@@ -62,7 +62,7 @@ object Profiler {
       return fields.zipWithIndex.map { case (f, i) =>
         ColumnProfile(f.name, f.dataType.simpleString,
           row.getLong(i), row.getLong(fields.length + i),
-          sampleValues(sample, f.name))
+          sampleValues(sample, f.name), exact = false)
       }
     }
     // float/double columns: NaN counts as null-like (pandas isnull parity,
@@ -88,6 +88,30 @@ object Profiler {
         sampleValues(sample, f.name))
     }
   }
+
+  /** Row-count threshold above which [[profileAuto]] flips from exact
+    * distinct counts to the HLL sketch. The exact path's shuffle volume
+    * is the table's distinct (column, value) pairs — the
+    * information-theoretic minimum but still LINEAR in distinct growth
+    * (ScaleBench measured q_profile's 10x slope at 11.8x, tracked to
+    * distinct-value growth); the sketch path's exchange is a fixed-size
+    * HLL per column per partition, cost independent of cardinality. At
+    * 1e7 rows the exact shuffle is comfortably in-memory on any
+    * executor; beyond it the estimate (rsd ~2%) is the sane default and
+    * the profile row says so via [[graft.model.ColumnProfile.exact]]. */
+  val ExactDistinctMaxRows: Long = 10000000L
+
+  /** P1 with a SCALE-AWARE exactness default: exact distinct counts up
+    * to `exactMaxRows` rows, HLL above (VERDICT r5 Next #5). The choice
+    * is surfaced per row in `ColumnProfile.exact`; callers wanting a
+    * forced mode use [[profile]] directly (the oracle gate pins
+    * exact = true). Costs one `count()` pre-pass — parquet/DataSourceV2
+    * row counts come from file metadata, so at 100 TB this is a
+    * metadata scan, not a data scan. */
+  def profileAuto(df: DataFrame,
+      exactMaxRows: Long = ExactDistinctMaxRows,
+      sampleRows: Int = 64): Seq[ColumnProfile] =
+    profile(df, exact = df.count() <= exactMaxRows, sampleRows)
 
   private def sampleValues(sample: Array[org.apache.spark.sql.Row],
       name: String): Seq[String] =

@@ -48,7 +48,7 @@ object ScaleBench {
   private val dimTables = Seq("nation", "region")
 
   private val defaultQueries = Seq(
-    "q_missions", "q_profile", "q_dup_count", "q_outlier_iqr",
+    "q_missions", "q_profile", "q_profile_approx", "q_dup_count", "q_outlier_iqr",
     "q_outlier_clip", "q_date_auto", "q_jaccard_ngram", "q_dedup_minhash",
     "q_dedup_minhash_char", "q_dedup_simhash", "q_dedup_docs_exact",
     "q_dedup_exact", "q_embed_neardup", "q_cosine_topk", "q_ann_ivf",
@@ -77,12 +77,16 @@ object ScaleBench {
 
     buildFixture(spark, baseDir, outDir, factor, docMode)
 
+    // probe-only faces: timed here for slope evidence but NOT in the
+    // registry (no SQL oracle exists — e.g. Spark's HLL++ sketch)
+    val probeQueries: Map[String, (SparkSession, String) => DataFrame] =
+      Map("q_profile_approx" -> (graft.Queries.qProfileApprox _))
     def timeQuery(name: String, dir: String, reps: Int): Double = {
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val dt =
           try {
-            graft.SparkEntry.queries(name)(spark, dir)
+            probeQueries.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
               .write.format("noop").mode("overwrite").save()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>

@@ -32,6 +32,21 @@ class IoSpec extends SparkSpec {
       (3L, Some(2.0), None, None)))
   }
 
+  test("S2 xlsx driver-side size guard rejects files over the cap") {
+    val path = Files.createTempDirectory("graft_xlsx_cap")
+      .resolve("big.xlsx").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Xlsx.writeSingleSheet(df, path)
+    val size = new java.io.File(path).length()
+    // a cap below the file size must refuse with the CSV/Parquet pointer
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, path, maxBytes = size - 1)
+    }
+    assert(e.getMessage.contains("CSV/Parquet"))
+    // at or above the size it reads fine
+    assert(Xlsx.read(spark, path, maxBytes = size).count() == 2)
+  }
+
   test("S2 xlsx date-styled cells roundtrip as timestamps (1900-system serials)") {
     val path = Files.createTempDirectory("graft_xlsx3").resolve("d.xlsx").toString
     val t1 = java.sql.Timestamp.valueOf("2024-03-15 13:45:30")

@@ -24,6 +24,25 @@ class ProfilerSpec extends SparkSpec {
     assert(Profiler.profile(df).head.nNull == 1)
   }
 
+  test("P1 profileAuto flips to HLL above the row threshold and flags it") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (None, Some("a")), (Some(2.0), None),
+      (Some(2.0), Some("b"))).toDF("x", "s")
+    // under the threshold: exact counts, exact = true on every row
+    val small = Profiler.profileAuto(df)
+    assert(small.forall(_.exact))
+    assert(small.map(c => c.column -> c.nDistinct).toMap ==
+      Map("x" -> 2L, "s" -> 2L))
+    // over the (forced tiny) threshold: HLL path, flagged not-exact;
+    // at this cardinality HLL is exact-valued, so counts still agree
+    val approx = Profiler.profileAuto(df, exactMaxRows = 2L)
+    assert(approx.forall(!_.exact))
+    assert(approx.map(c => c.column -> c.nDistinct).toMap ==
+      Map("x" -> 2L, "s" -> 2L))
+    // the forced-exact oracle path stays flagged exact
+    assert(Profiler.profile(df, exact = true).forall(_.exact))
+  }
+
   test("P2 duplicate count = total - distinct, single shuffle") {
     val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     assert(Profiler.duplicateCount(df) == 2)
