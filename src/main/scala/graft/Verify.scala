@@ -36,6 +36,47 @@ object Verify {
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
     }
+    // RocksDB state-store parity (VERDICT r5 Next #7): re-run the five
+    // core streaming faces under the production provider and require
+    // byte-identical results vs the default-provider dump above, so a
+    // provider-specific regression can't hide behind the HDFS-backed
+    // default. Runs in the official full pass and whenever a listed
+    // face is explicitly selected.
+    val rocksFaces = Seq("q_stream_hourly", "q_stream_append",
+      "q_stream_dedup", "q_stream_sessions", "q_stream_join")
+      .filter(n => only.isEmpty || only(n))
+    if (rocksFaces.nonEmpty) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val parity = rocksFaces.map { name =>
+        val status =
+          try {
+            val rocks = SparkEntry.queries(name)(spark, sfDir)
+              .collect().map(_.toString).sorted.toSeq
+            val dumped = spark.read.parquet(s"$outDir/$name")
+              .collect().map(_.toString).sorted.toSeq
+            if (rocks == dumped) "match"
+            else s"MISMATCH (rocksdb ${rocks.size} rows vs ${dumped.size})"
+          } catch { case e: Throwable =>
+            s"ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+          }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        name -> status
+      }
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      System.err.println("[verify] rocksdb parity: " +
+        parity.map { case (n, st) => s"$n=$st" }.mkString(", "))
+      val pj = parity.map { case (n, st) =>
+        "\"" + n + "\":\"" + st.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ") + "\""
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/rocksdb_parity.json"), pj)
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
