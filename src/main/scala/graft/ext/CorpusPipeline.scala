@@ -66,6 +66,10 @@ object CorpusPipeline {
       : org.apache.spark.sql.DataFrame = {
     val keep = Dedup.exactByFingerprint(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+    // NOT checkpointed (unlike curate below): s1/s2 here are cheap
+    // scan+semi-join chains re-derived at most twice each, and a
+    // measured attempt at materializing them came out ~4% SLOWER at
+    // sf0.1 (the corpus write costs more than the saved recompute)
     val s1 = docs.join(keep, Seq(idCol), "left_semi")
     val contaminated = Dedup.decontaminate(s1, idCol, textCol,
       benchmark, benchTextCol, n)
@@ -98,16 +102,26 @@ object CorpusPipeline {
       benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
       budgetTokens: Long, n: Int = 13, bucketWidth: Long = 4096)
       : org.apache.spark.sql.DataFrame = {
+    // the funnel is a multi-OUTPUT dag: every stage feeds both the next
+    // stage and its own per-source counter below, so without a
+    // materialization the classifier chain re-tokenizes the corpus once
+    // per consumer (~8 evaluations end-to-end; measured 8.5s -> see
+    // STATUS r6). One eager localCheckpoint per stage = one tokenize
+    // pass + narrow cached joins; at cluster scale this is the standard
+    // cache/checkpoint of each funnel stage, each strictly smaller than
+    // the last
     val s1 = TextStats.classifyQuality(docs, textCol)
       .filter(col("keep"))
       .select(docs.columns.map(col): _*)
+      .localCheckpoint(true)
     val keep = Dedup.exactByFingerprint(s1, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val s2 = s1.join(keep, Seq(idCol), "left_semi")
+    val s2 = s1.join(keep, Seq(idCol), "left_semi").localCheckpoint(true)
     val contaminated = Dedup.decontaminate(s2, idCol, textCol,
       benchmark, benchTextCol, n)
       .select(col("id").as(idCol))
     val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
     val kept = Sampling.tokenBudget(s3, idCol, textCol, sourceCol,
       budgetTokens, bucketWidth)
     def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
