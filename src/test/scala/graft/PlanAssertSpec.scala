@@ -116,6 +116,22 @@ class PlanAssertSpec extends SparkSpec {
       s"hardNegatives must shuffle only for the rank window, found $shuffles:\n$plan")
   }
 
+  test("q_ann_lsh: probe signatures broadcast; corpus never shuffles pre-rank") {
+    // the signature-bucket join must broadcast the multi-probe set (79
+    // sigs per query vector x 10 queries), leaving the corpus scan
+    // narrow; the only hash exchange is the per-query rerank window
+    val plan = planOf("q_ann_lsh")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"lshTopK must broadcast the probe set; plan:\n$plan")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"lshTopK must shuffle only for the rank window, found $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"lshTopK must never plan a cartesian; plan:\n$plan")
+  }
+
   test("q_token_budget + q_ts_anomaly + q_resample_ffill + q_interpolate: no single-partition stage") {
     // tokenBudget exists BECAUSE a naive per-source prefix sum funnels
     // each source through one task; its two-level form must never plan
