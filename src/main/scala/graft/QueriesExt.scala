@@ -3455,6 +3455,48 @@ object QueriesExt {
        |  round(avg_logp, 6) avg_logp_r
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
 
+  /** CCNet selection (Wenzek et al. 2020): head/middle/tail terciles of
+    * the q_lm_score signal per language, via histogram-derived cutoffs
+    * (no per-language global doc sort — see LangModel.perplexityBuckets
+    * scaladoc). Report = per (lang, bucket) doc/token counts + score
+    * extent, so cutoff picks, tie handling, and assignment are all
+    * extent-checked. */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    LangModel.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
+      .groupBy(col("grp").as("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        min(col("score_r")).as("min_score_r"),
+        max(col("score_r")).as("max_score_r"))
+  private val qCcnetBucketsSql =
+    s"""WITH toks AS (SELECT doc_id id, unnest(${toksSql("text")}) tok
+       |  FROM documents),
+       |counts AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) nv FROM counts),
+       |lp AS (SELECT tok,
+       |    round(ln(CAST(c + 1 AS DOUBLE) / (SELECT nv FROM tot)), 8) lp
+       |  FROM counts),
+       |sc AS (SELECT id, count(*) n_tok,
+       |    CAST(sum(CAST(lp AS DECIMAL(28,14))) AS DOUBLE) / count(*) avg_logp
+       |  FROM toks JOIN lp USING (tok) GROUP BY 1),
+       |scored AS (SELECT d.lang grp, sc.n_tok, round(sc.avg_logp, 6) s
+       |  FROM documents d JOIN sc ON d.doc_id = sc.id WHERE sc.n_tok > 0),
+       |hist AS (SELECT grp, s, count(*) c FROM scored GROUP BY 1, 2),
+       |cum AS (SELECT grp, s, c,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY s DESC) cum,
+       |    sum(c) OVER (PARTITION BY grp) n FROM hist),
+       |cuts AS (SELECT grp,
+       |    max(CASE WHEN cum >= (n + 2) // 3 THEN s END) c1,
+       |    max(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) c2
+       |  FROM cum GROUP BY 1),
+       |b AS (SELECT scored.grp, n_tok, s,
+       |    CASE WHEN s >= c1 THEN 'head' WHEN s >= c2 THEN 'middle'
+       |         ELSE 'tail' END bucket
+       |  FROM scored JOIN cuts USING (grp))
+       |SELECT grp AS lang, bucket, CAST(count(*) AS BIGINT) n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) sum_tok,
+       |  min(s) min_score_r, max(s) max_score_r
+       |FROM b GROUP BY 1, 2""".stripMargin
+
   /** DSIR importance weights: hashed-unigram (4096-bucket) log-ratio of
     * a target slice (sources src1/src3) vs the whole corpus, summed per
     * doc. Same rounding discipline as q_lm_score. */
@@ -3691,6 +3733,7 @@ object QueriesExt {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_repetition" -> (qRepetition _),
     "q_gopher_filter" -> (qGopherFilter _),
@@ -3809,6 +3852,7 @@ object QueriesExt {
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_repetition" -> qRepetitionSql,
     "q_gopher_filter" -> qGopherFilterSql,

@@ -67,6 +67,53 @@ object LangModel {
         col("avg_logp"))
   }
 
+  /** CCNet's selection step (Wenzek et al. 2020): split the corpus into
+    * head / middle / tail TERCILES of LM score per language — the
+    * published pipeline keeps "head" (most in-distribution) for
+    * training and drops or down-weights the tail. Consumes
+    * [[unigramLogProb]]'s score; returns one row per scored doc:
+    * (id, group, n_tok, score_r, bucket). Docs with zero tokens are
+    * excluded (they have no score).
+    *
+    * Scale shape — deliberately NOT a per-language global sort
+    * (`ntile` would funnel every doc of a language through one
+    * partition): bucket cutoffs derive from a HISTOGRAM of the
+    * @6-rounded score. The histogram's cardinality is bounded by the
+    * score GRID (score range x 1e6 buckets), not the corpus, so the
+    * per-language cumulative window runs over histogram rows only;
+    * assignment back to docs is a broadcast join + comparison (narrow
+    * map). Ties AT a cutoff all take the better bucket, so tercile
+    * sizes are approximate by design — the honest histogram semantics,
+    * and deterministic without any per-doc tiebreak.
+    *
+    * Determinism for the oracle: the score is rounded at 6 BEFORE the
+    * histogram in both engines (the [[unigramLogProb]] discipline), and
+    * cutoffs are exact integer-arithmetic picks over exact counts. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs, idCol, textCol)
+      .filter(col("n_tok") > 0)
+      .join(docs.select(col(idCol).as("id"), col(groupCol).as("grp")), "id")
+      .withColumn("s", round(col("avg_logp"), 6))
+    val hist = scored.groupBy(col("grp"), col("s"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("grp")).orderBy(col("s").desc)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    // head cutoff = highest score whose best-first cumulative count
+    // reaches ceil(n/3); middle cutoff likewise at ceil(2n/3)
+    val cuts = cum.groupBy(col("grp")).agg(
+      max(when(expr("cum >= (n + 2) div 3"), col("s"))).as("c1"),
+      max(when(expr("cum >= (2 * n + 2) div 3"), col("s"))).as("c2"))
+    scored.join(broadcast(cuts), "grp")
+      .select(col("id"), col("grp"), col("n_tok"), col("s").as("score_r"),
+        when(col("s") >= col("c1"), "head")
+          .when(col("s") >= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR importance weight per document: unigram tokens hashed into
     * `buckets` features; per-bucket log-ratio
     * ln((ct+1)/(Nt+B)) - ln((cc+1)/(Nc+B)) between the target slice

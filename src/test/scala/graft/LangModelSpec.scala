@@ -66,4 +66,34 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
     assert(run(3) == run(13), "decimal sums are partitioning-invariant")
   }
+
+  test("perplexityBuckets: ~terciles per group, head scores >= tail, " +
+      "empties excluded, partitioning-invariant") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = LangModel.perplexityBuckets(docs, "doc_id", "text", "lang")
+    val rows = b.as[(Long, String, Long, Double, String)].collect()
+    val n = docs.count()
+    assert(rows.length <= n && rows.length > 0)
+    // per language: every bucket non-empty, sizes within histogram-tie
+    // slack of n/3, and the head's WORST score >= the tail's BEST
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._5).view.mapValues(_.toSeq).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang: ${byBucket.keySet}")
+      val third = rs.length / 3.0
+      assert(byBucket("head").size >= third * 0.5 &&
+        byBucket("head").size <= third * 1.5,
+        s"$lang head=${byBucket("head").size} of ${rs.length}")
+      val headMin = byBucket("head").map(_._4).min
+      val tailMax = byBucket("tail").map(_._4).max
+      assert(headMin >= tailMax, s"$lang: head $headMin < tail $tailMax")
+    }
+    // deterministic under repartitioning (histogram + integer cutoffs)
+    def run(parts: Int) = LangModel.perplexityBuckets(
+      docs.repartition(parts), "doc_id", "text", "lang")
+      .as[(Long, String, Long, Double, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(run(3) == run(13))
+  }
 }
