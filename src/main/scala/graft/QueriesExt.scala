@@ -3526,6 +3526,35 @@ object QueriesExt {
        |  round(w, 6) weight_r
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
 
+  /** Interpolated bigram LM score (one order up from q_lm_score, toward
+    * CCNet's KenLM): per-doc average ln of the Jelinek-Mercer mix
+    * 0.75 * bigram-MLE + 0.25 * add-one unigram. One ln per bigram TYPE
+    * rounded at 8 (libm discipline), decimal per-doc sums, score
+    * rounded at 6. Lambda terms are binary-exact (0.75/0.25), so both
+    * engines form bit-identical probabilities from exact counts. */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    LangModel.bigramLogProb(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("avg_logp"), 6).as("avg_logp_r"))
+  private val qBigramLmSql =
+    s"""WITH t AS (SELECT doc_id id, ${toksSql("text")} t FROM documents),
+       |toks AS (SELECT id, unnest(t) tok FROM t),
+       |uni AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) nv FROM uni),
+       |bg AS (SELECT id, t[i + 1] w1, t[i + 2] w2
+       |  FROM t CROSS JOIN unnest(range(len(t) - 1)) AS u(i)),
+       |bic AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+       |lp AS (SELECT b.w1, b.w2,
+       |    round(ln(0.75 * (CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+       |      + 0.25 * (CAST(u2.c + 1 AS DOUBLE) / (SELECT nv FROM tot))), 8) lp
+       |  FROM bic b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok),
+       |sc AS (SELECT id, count(*) nb,
+       |    CAST(sum(CAST(lp AS DECIMAL(28,14))) AS DOUBLE) / count(*) a
+       |  FROM bg JOIN lp USING (w1, w2) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(nb, CAST(0 AS BIGINT)) n_bigrams,
+       |  round(a, 6) avg_logp_r
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
+
   /** Tokenizer coverage / OOV-rate report per source — the screen run
     * after vocab build and before committing to an encode: sources with
     * high unk rates need vocab growth or exclusion. Reuses the q_vocab /
@@ -3733,6 +3762,7 @@ object QueriesExt {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
+    "q_bigram_lm" -> (qBigramLm _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_repetition" -> (qRepetition _),
@@ -3852,6 +3882,7 @@ object QueriesExt {
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_bigram_lm" -> qBigramLmSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_repetition" -> qRepetitionSql,

@@ -67,6 +67,76 @@ object LangModel {
         col("avg_logp"))
   }
 
+  /** Per-document average log-probability under an INTERPOLATED BIGRAM
+    * LM trained on `docs` itself — one order up from [[unigramLogProb]],
+    * a step toward the 5-gram KenLM the published CCNet pipeline scores
+    * with (Wenzek et al. 2020). Per bigram position i (i >= 1):
+    *
+    *   p(w_i | w_{i-1}) = lambda * c(w_{i-1} w_i) / c(w_{i-1})
+    *                    + (1 - lambda) * (c(w_i) + 1) / (N + V)
+    *
+    * i.e. Jelinek-Mercer interpolation of the bigram MLE with the
+    * add-one unigram (the MLE's conditioning count c(w_{i-1}) is always
+    * >= 1 because the model is trained on the scored corpus itself).
+    * Returns (id, n_bigrams, avg_logp); docs with fewer than 2 tokens
+    * keep n_bigrams = 0 and NULL avg_logp. A doc of globally common
+    * WORDS in an unusual ORDER now scores below the same words in their
+    * common order — the context signal the unigram scorer cannot see.
+    *
+    * Scale shape: same "small model, huge corpus" contract as the
+    * unigram scorer — training is count aggregation (map-side combined,
+    * one shuffle per order), and the learned table is vocabulary-scale
+    * (bigram TYPES grow sublinearly in corpus size by Heaps' law), not
+    * corpus-scale. Scoring joins the exploded bigram stream to that
+    * table; the join is left unhinted so AQE broadcasts it while it
+    * fits and degrades to a shuffle hash join when a 100 TB corpus's
+    * bigram vocabulary outgrows the broadcast threshold — unlike the
+    * unigram path, that fallback is the expected regime at full scale.
+    *
+    * Determinism for the oracle: `lambda` must be binary-exact (the
+    * 0.75 default is) so both engines form bit-identical interpolation
+    * terms from exact integer counts; the single ln per bigram TYPE is
+    * rounded at 8 decimals before the exact DECIMAL(28,14) per-doc sum
+    * (the [[unigramLogProb]] libm discipline). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val base = docs.select(col(idCol).as("id"),
+      TextStats.tokens(TextStats.normalized(col(textCol))).as("t"))
+    val toks = base.select(col("id"), explode(col("t")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")), count(lit(1))).head()
+    val nBoxed = tot.getAs[java.lang.Long](0)
+    require(nBoxed != null,
+      "bigramLogProb: corpus has zero tokens (all documents empty or " +
+        "whitespace) — cannot train a bigram LM")
+    val n = nBoxed.longValue(); val v = tot.getLong(1)
+    // adjacent pairs via a narrow per-row transform (no self-join, no
+    // window): slice off the last token and pair each with its successor
+    val bg = base.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(w, i) -> struct(w as w1, element_at(t, i + 2) as w2))")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lp = bic
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("lp", round(log(
+        lit(lambda) * (col("c12").cast("double") / col("c1").cast("double"))
+          + lit(1.0 - lambda)
+            * ((col("c2") + 1).cast("double") / lit((n + v).toDouble))), 8))
+    val scored = bg.join(lp.select("w1", "w2", "lp"), Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(28,14)")).as("lpsum"))
+      .select(col("id"), col("n_bigrams"),
+        (col("lpsum").cast("double") / col("n_bigrams")).as("avg_logp"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
   /** CCNet's selection step (Wenzek et al. 2020): split the corpus into
     * head / middle / tail TERCILES of LM score per language — the
     * published pipeline keeps "head" (most in-distribution) for

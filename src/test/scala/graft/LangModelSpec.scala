@@ -35,6 +35,43 @@ class LangModelSpec extends SparkSpec {
     assert(r(1L) == r(2L))
   }
 
+  test("bigramLogProb: word ORDER matters (context signal the unigram " +
+      "scorer cannot see), short docs kept with null score") {
+    // every word appears exactly 5 times corpus-wide, so the UNIGRAM
+    // score of docs 1-5 is identical — only bigram order separates them
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (4L, "alpha beta gamma"),
+      (5L, "gamma beta alpha"), // same words, scrambled order
+      (6L, "alpha"),            // 1 token: no bigrams
+      (7L, "")                  // empty
+    ).toDF("doc_id", "text")
+    val u = LangModel.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(u(1L) == u(5L), "unigram is order-blind by construction")
+    val r = LangModel.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(6L) == ((0L, None)), "1-token doc: no bigrams, null score")
+    assert(r(7L) == ((0L, None)), "empty doc: no bigrams, null score")
+    assert(r(1L)._1 == 2L, "n-1 bigrams for n tokens")
+    assert(r(1L)._2 == r(4L)._2, "identical docs score identically")
+    val common = r(1L)._2.get; val scrambled = r(5L)._2.get
+    assert(common > scrambled,
+      s"common word order must outscore scrambled: $common > $scrambled")
+    assert(common < 0 && scrambled < 0, "log-probs are negative")
+  }
+
+  test("bigramLogProb: deterministic across partitionings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = LangModel.bigramLogProb(
+      docs.repartition(parts), "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(run(3) == run(13), "decimal sums are partitioning-invariant")
+  }
+
   test("importanceWeights: target-like docs weigh positive") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", true),
