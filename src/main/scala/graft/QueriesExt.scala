@@ -964,6 +964,50 @@ object QueriesExt {
       |       round(cosine, 6) AS cosine_r
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Full spherical k-means training (SimSearch.kmeansFit): 3 Lloyd
+    * rounds over the embedding corpus, reporting per-cluster size +
+    * inertia. Fully deterministic (smallest-id seeds, argmax-dot
+    * assignment with id tie-break, means rounded at 6 before
+    * renormalization — the qAnnIvf discipline); the oracle unrolls each
+    * round as CTE layers exactly like qPageRankSql unrolls its
+    * iterations, then mirrors the distance-term rounding + decimal
+    * inertia sums. */
+  private val kmRounds = 3
+  private def qKmeansFit(s: SparkSession, dir: String): DataFrame =
+    SimSearch.kmeansFit(emb(s, dir), "vec_id", "embedding",
+      k = 16, rounds = kmRounds, meanRound = 6)
+  private val qKmeansFitSql: String = {
+    def asg(r: Int): String =
+      s"""asg$r AS (SELECT id, e, cent_id AS list_id FROM (
+         |    SELECT v.id, v.e, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.id
+         |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+         |    FROM v, cents$r c) WHERE rn = 1)""".stripMargin
+    val layers = (0 until kmRounds).map { r =>
+      s"""${asg(r)},
+         |mx$r AS (SELECT list_id, generate_subscripts(e, 1) d, unnest(e) x FROM asg$r),
+         |mm$r AS (SELECT list_id, d, round(sum(x) / count(*), 6) m FROM mx$r GROUP BY 1, 2),
+         |mv$r AS (SELECT list_id, list(m ORDER BY d) mvec FROM mm$r GROUP BY 1),
+         |cents${r + 1} AS (SELECT c.cent_id, CASE WHEN mv.list_id IS NULL THEN c.ce
+         |    ELSE list_transform(mvec, x -> x / sqrt(list_dot_product(mvec, mvec))) END ce
+         |  FROM cents$r c LEFT JOIN mv$r mv ON c.cent_id = mv.list_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+       |cents0 AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+       |$layers,
+       |${asg(kmRounds)},
+       |fin AS (SELECT a.list_id,
+       |    round(1.0 - list_dot_product(a.e, c.ce), 8) term
+       |  FROM asg$kmRounds a JOIN cents$kmRounds c ON a.list_id = c.cent_id),
+       |stats AS (SELECT list_id, count(*) n_vecs,
+       |    CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE) isum
+       |  FROM fin GROUP BY 1)
+       |SELECT c.cent_id cluster_id, COALESCE(n_vecs, CAST(0 AS BIGINT)) n_vecs,
+       |  round(isum, 6) inertia_r
+       |FROM cents$kmRounds c LEFT JOIN stats s ON c.cent_id = s.list_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -3863,6 +3907,7 @@ object QueriesExt {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_kmeans_fit" -> (qKmeansFit _),
     "q_multimodal" -> (qMultimodal _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
@@ -3983,6 +4028,7 @@ object QueriesExt {
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_lsh" -> qAnnLshSql,
+    "q_kmeans_fit" -> qKmeansFitSql,
     "q_multimodal" -> qMultimodalSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,

@@ -214,6 +214,55 @@ object SimSearch {
     cents
   }
 
+  /** Full spherical k-means TRAINING over an embedding corpus — the
+    * clustering step a curation pipeline runs before SemDeDup-style
+    * semantic dedup, per-cluster sampling, or IVF index builds (the
+    * single-round refinement inside [[ivfTopK]] is this operator with
+    * `rounds = 1`). Deterministic end to end: centroids seed from the
+    * `k` smallest-id vectors, each Lloyd round is [[lloydRefine]]'s
+    * map-side argmax assignment + one k-key mean aggregation, and the
+    * final report is per cluster: (cluster_id, n_vecs, inertia_r) where
+    * inertia is the summed spherical distance 1 - cos(v, centroid) of
+    * the cluster's members (the quantity Lloyd descends). Clusters that
+    * end a round empty keep their previous centroid and report
+    * n_vecs = 0 with NULL inertia.
+    *
+    * Scale shape: per round, the corpus is scanned once with a
+    * broadcast 1-row centroid array (zero Exchange — [[assignLists]]),
+    * and the only aggregation is k x dims scalar means (map-side
+    * combined). Rounds are a driver-side loop over plan construction,
+    * not data: nothing iterates per row, nothing is collected. At
+    * 100 TB cost is rounds x (one corpus scan + one k-key shuffle) —
+    * the FAISS training recipe, minus its sampling (add `.sample` on
+    * the input if even that is too much).
+    *
+    * Determinism for the oracle: `meanRound >= 0` makes both engines
+    * derive bit-identical centroids (see [[lloydRefine]]); each
+    * member's distance term is rounded at 8 before the exact
+    * DECIMAL(28,14) per-cluster sum, so inertia is order-free. */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, rounds: Int = 3, meanRound: Int = -1): DataFrame = {
+    val c = emb.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val cents0 = c.orderBy(col("id").asc).limit(k)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val cents = lloydRefine(c, cents0, rounds, meanRound)
+    val assigned = assignLists(c, cents, 1)
+      .select(col("id"), col("v"), col("list_id"))
+    // re-derive the member->centroid cosine via a broadcast join (the
+    // identical IEEE dot the assignment argmax computed)
+    val stats = assigned
+      .join(broadcast(cents), assigned("list_id") === cents("cent_id"))
+      .withColumn("term", round(lit(1.0) - dot(col("v"), col("cv")), 8))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("term").cast("decimal(28,14)")).as("isum"))
+    cents.join(stats, cents("cent_id") === stats("list_id"), "left")
+      .select(col("cent_id").as("cluster_id"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        round(col("isum").cast("double"), 6).as("inertia_r"))
+  }
+
   /** Int8 scalar quantization (the compression step of a vector index —
     * the FAISS SQ8 scheme, public): per-dimension [min, max] over the
     * corpus; code = floor((x - min) / (max - min) * 255) clamped to

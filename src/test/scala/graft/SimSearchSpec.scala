@@ -229,6 +229,30 @@ class SimSearchSpec extends SparkSpec {
     assert(refined >= 0.6, s"refined recall too low: $refined")
   }
 
+  test("kmeansFit: exact partition of the corpus, Lloyd descends total " +
+      "inertia from the skewed init, partitioning-invariant") {
+    // same bad-init regime as the IVF Lloyd test: smallest-id seeds all
+    // land in the first clusters, so refinement has real work to do
+    val corpus = clusteredCorpus(dims = 16, nClusters = 16, perCluster = 20,
+      noise = 0.25)
+    def fit(rounds: Int) = SimSearch.kmeansFit(corpus, "vec_id", "embedding",
+      k = 16, rounds = rounds, meanRound = 6)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val r0 = fit(0); val r3 = fit(3)
+    assert(r3.map(_._2).sum == 320L, "every vector in exactly one cluster")
+    assert(r3.map(_._1).distinct.size == 16, "k clusters reported")
+    assert(r3.forall(r => (r._2 == 0L) == r._3.isEmpty),
+      "inertia is NULL exactly for empty clusters")
+    def inertia(rs: Seq[(Long, Long, Option[Double])]) = rs.flatMap(_._3).sum
+    val i0 = inertia(r0); val i3 = inertia(r3)
+    info(s"total inertia: rounds0=$i0 rounds3=$i3")
+    assert(i3 < i0, s"Lloyd must descend total inertia: $i0 -> $i3")
+    val again = SimSearch.kmeansFit(corpus.repartition(7), "vec_id",
+      "embedding", k = 16, rounds = 3, meanRound = 6)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(again == r3, "decimal sums + rounded means: partitioning-invariant")
+  }
+
   test("LSH ANN recall gate: recall@5 >= 0.9 on clustered data at shipped params") {
     // The numeric gate VERDICT r2 asked for on the one rows-only query
     // (q_ann_lsh has no SQL oracle): same dims and planes as the shipped
