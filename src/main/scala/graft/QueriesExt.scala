@@ -1008,6 +1008,48 @@ object QueriesExt {
        |FROM cents$kmRounds c LEFT JOIN stats s ON c.cent_id = s.list_id""".stripMargin
   }
 
+  /** Distributed PCA (ext/Pca.scala): top principal component of the
+    * embedding corpus via 8 power iterations on the long-format
+    * covariance matrix, then per-vector projection — the
+    * reduce-then-cluster step of embedding curation. Fully
+    * deterministic: fixed start vector, every re-entering quantity
+    * (means / covariance entries / iterated components) rounded at 8,
+    * decimal cross-row sums. The oracle mirrors the entire chain, with
+    * the 8 iterations unrolled as CTE layers (qPageRankSql /
+    * qKmeansFitSql discipline). */
+  private val pcaIters = 8
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame =
+    ext.Pca.projectTop(emb(s, dir), "vec_id", "embedding",
+      iterations = pcaIters)
+      .select(col("id").as("vec_id"), round(col("proj"), 6).as("proj_r"))
+  private val qPcaProjectSql: String = {
+    val layers = (1 to pcaIters).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(c.c * v.vv AS DECIMAL(28,14)))
+         |    AS DOUBLE) mv FROM cov c JOIN v${t - 1} v ON c.j = v.j GROUP BY 1),
+         |n$t AS (SELECT sqrt(CAST(sum(CAST(mv * mv AS DECIMAL(28,14)))
+         |    AS DOUBLE)) nn FROM p$t),
+         |v$t AS MATERIALIZED (SELECT i j, CASE WHEN nn > 0 THEN round(mv / nn, 8) END vv
+         |  FROM p$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings),
+       |ex AS (SELECT id, generate_subscripts(e, 1) j, unnest(e) x FROM raw),
+       |mn AS (SELECT j, round(CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+       |    / count(*), 8) m FROM ex GROUP BY 1),
+       |cx AS MATERIALIZED (SELECT id, j, x - m y FROM ex JOIN mn USING (j)),
+       |cov0 AS MATERIALIZED (SELECT a.j i, b.j j,
+       |    round(CAST(sum(CAST(a.y * b.y AS DECIMAL(28,14))) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM raw) AS DOUBLE), 8) c
+       |  FROM cx a JOIN cx b ON a.id = b.id AND a.j <= b.j GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT i, j, c FROM cov0
+       |  UNION ALL SELECT j, i, c FROM cov0 WHERE i < j),
+       |v0 AS (SELECT j, 1.0 / sqrt(CAST((SELECT count(*) FROM mn) AS DOUBLE)) vv
+       |  FROM mn),
+       |$layers,
+       |pr AS (SELECT id, CAST(sum(CAST(y * vv AS DECIMAL(28,14))) AS DOUBLE) pd
+       |  FROM cx JOIN v$pcaIters USING (j) GROUP BY 1)
+       |SELECT id vec_id, round(pd, 6) proj_r FROM pr""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
@@ -3908,6 +3950,7 @@ object QueriesExt {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_kmeans_fit" -> (qKmeansFit _),
+    "q_pca_project" -> (qPcaProject _),
     "q_multimodal" -> (qMultimodal _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
@@ -4029,6 +4072,7 @@ object QueriesExt {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_kmeans_fit" -> qKmeansFitSql,
+    "q_pca_project" -> qPcaProjectSql,
     "q_multimodal" -> qMultimodalSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,

@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column (`array<float>`): top
+  * principal component via POWER ITERATION on the covariance matrix,
+  * plus projection of the corpus onto it — the reduce-then-cluster step
+  * of embedding curation (SemDeDup runs its clustering on PCA-reduced
+  * vectors; whitening/projection is also the standard pre-step before
+  * quantization and visualization).
+  *
+  * Algorithm (all public, Golub & Van Loan power method):
+  *   1. per-dimension mean  m_j  (one aggregation),
+  *   2. covariance  C = E[(x-m)(x-m)^T]  as long-format (i, j, c) rows —
+  *      computed on the UPPER TRIANGLE only and mirrored (halves the
+  *      pair volume),
+  *   3. T iterations of  v <- normalize(C v)  from the fixed start
+  *      v0 = 1/sqrt(d) * ones  (distributed join+agg over the d^2-row
+  *      matrix — the PageRank shape, never collected),
+  *   4. projection  p = (x - m) . v  per vector (broadcast of the d-row
+  *      component).
+  *
+  * Scale shape at 100 TB: the corpus is touched exactly twice — once for
+  * means+covariance, once for projection; both are narrow scans whose
+  * shuffles carry DIMENSION-indexed aggregates (d and d^2 keys), not
+  * corpus rows. The iteration loop runs over the d^2-row covariance
+  * frame only (KBs), so its cost is independent of corpus size. The
+  * covariance pair explosion is n * d(d+1)/2 rows — the one term that
+  * scales with both n and d^2; for d in the hundreds that is the
+  * standard cost (FAISS trains PCA the same way on a sample; pass a
+  * `.sample` as input if even that is too much).
+  *
+  * Determinism for the oracle: every cross-row sum is an exact
+  * DECIMAL(28,14) fold of per-row IEEE products (order-free), and every
+  * quantity that RE-ENTERS arithmetic (means, covariance entries,
+  * iterated components) is rounded at 8 decimals first, so both engines
+  * iterate over bit-identical values. The start vector is fixed, making
+  * the component's SIGN deterministic too. */
+object Pca {
+
+  private val all = Window.partitionBy(lit(1))
+
+  /** (id, j, x) long form of the embedding column, j 1-based (matches
+    * SQL generate_subscripts), x cast to double once. */
+  private def longForm(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+      posexplode(SimSearch.toDouble(col(vecCol))).as(Seq("p", "x")))
+      .select(col("id"), (col("p") + 1).as("j"), col("x"))
+
+  /** Centered long form + its per-dimension means: (cx, mn). */
+  private def centered(emb: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
+    val ex = longForm(emb, idCol, vecCol)
+    val mn = ex.groupBy(col("j"))
+      .agg(round(sum(col("x").cast("decimal(28,14)")).cast("double")
+        / count(lit(1)), 8).as("m"))
+    (ex.join(broadcast(mn), "j").select(col("id"), col("j"),
+      (col("x") - col("m")).as("y")), mn)
+  }
+
+  /** Long-format covariance (i, j, c): upper triangle aggregated, then
+    * mirrored. One shuffle on id (pair build), one on (i, j). */
+  private def covariance(cx: DataFrame, n: Long): DataFrame = {
+    val a = cx.select(col("id"), col("j").as("i"), col("y").as("ya"))
+    val b = cx.select(col("id"), col("j"), col("y").as("yb"))
+    val upper = a.join(b, Seq("id")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum((col("ya") * col("yb")).cast("decimal(28,14)"))
+        .cast("double") / lit(n.toDouble), 8).as("c"))
+    upper.union(upper.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c")))
+  }
+
+  /** Top principal component by `iterations` power-method steps:
+    * (j, loading) with j 1-based, loadings rounded at 8. Loadings come
+    * back NULL if the covariance is identically zero (constant corpus —
+    * nothing to normalize). */
+  def topComponent(emb: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 8): DataFrame = {
+    val (cx, mn, n) = prepared(emb, idCol, vecCol)
+    iterate(cx, mn, n, iterations).select(col("j"), col("vv").as("loading"))
+  }
+
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, Long) = {
+    val n = emb.count()
+    require(n > 0, "Pca: empty corpus")
+    val (cx, mn) = centered(emb, idCol, vecCol)
+    (cx, mn, n)
+  }
+
+  private def iterate(cx: DataFrame, mn: DataFrame, n: Long,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one power iteration")
+    val d = mn.count()
+    // materialize the tiny (d^2-row) matrix once: the corpus scan would
+    // otherwise replay per iteration through the lazy plan
+    val cov = covariance(cx, n).localCheckpoint()
+    var v = mn.select(col("j"), lit(1.0 / math.sqrt(d.toDouble)).as("vv"))
+    for (_ <- 1 to iterations) {
+      val p = cov.join(v, cov("j") === v("j"))
+        .groupBy(cov("i"))
+        .agg(sum((col("c") * col("vv")).cast("decimal(28,14)")).as("mvd"))
+        .select(col("i"), col("mvd").cast("double").as("mv"))
+      v = p.withColumn("nn",
+          sqrt(sum((col("mv") * col("mv")).cast("decimal(28,14)"))
+            .over(all).cast("double")))
+        .select(col("i").as("j"),
+          when(col("nn") > 0, round(col("mv") / col("nn"), 8)).as("vv"))
+    }
+    v
+  }
+
+  /** Projection of every vector onto the top component:
+    * (id, proj) = ((x - m) . v). The component is computed once and
+    * broadcast; the corpus-side work is one narrow scan + one id-keyed
+    * aggregation of decimal terms. */
+  def projectTop(emb: DataFrame, idCol: String, vecCol: String,
+      iterations: Int = 8): DataFrame = {
+    val (cx, mn, n) = prepared(emb, idCol, vecCol)
+    val v = iterate(cx, mn, n, iterations)
+    cx.join(broadcast(v), "j")
+      .groupBy(col("id"))
+      .agg(sum((col("y") * col("vv")).cast("decimal(28,14)"))
+        .as("pd"))
+      .select(col("id"), col("pd").cast("double").as("proj"))
+  }
+}
