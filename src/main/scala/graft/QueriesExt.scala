@@ -2309,6 +2309,31 @@ object QueriesExt {
        |  ${Hashing.hash64Sql("array_to_string(seq_ids, ',')")} ids_h
        |FROM agg""".stripMargin
 
+  /** Packing-efficiency report over the q_pack_ids configuration (same
+    * vocab, eos, contextLen=256, 4 buckets): per-bucket sequence count,
+    * padded slots, fill ratio — computed from doc lengths alone (no
+    * sequence materialization); TextStatsSpec cross-checks it against
+    * the materialized packTokenIds output exactly. */
+  private def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    val enc = TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
+    ext.Packing.packingEfficiency(enc, "id", "token_ids",
+      contextLen = 256, buckets = 4)
+  }
+  private val qPackEfficiencySql: String =
+    s"""WITH $encodeIdsCtes,
+       |wi AS (SELECT doc_id, CAST(len(ids) + 1 AS BIGINT) n,
+       |    CAST(${Hashing.hash64Sql("doc_id")} % 4 AS INT) bucket FROM ids),
+       |a AS (SELECT bucket, count(*) n_docs, CAST(sum(n) AS BIGINT) n_tokens
+       |  FROM wi GROUP BY 1)
+       |SELECT bucket, n_docs, n_tokens,
+       |  CAST((n_tokens + 255) // 256 AS BIGINT) n_seqs,
+       |  CAST((n_tokens + 255) // 256 * 256 - n_tokens AS BIGINT) n_pad,
+       |  round(CAST(n_tokens AS DOUBLE)
+       |    / CAST((n_tokens + 255) // 256 * 256 AS DOUBLE), 6) fill_r
+       |FROM a""".stripMargin
+
   private def qPack(s: SparkSession, dir: String): DataFrame =
     ext.Packing.packSequences(docs(s, dir), "doc_id", "text",
       contextLen = 512, buckets = 8)
@@ -3889,6 +3914,7 @@ object QueriesExt {
     "q_compaction" -> (qCompaction _),
     "q_encode" -> (qEncode _),
     "q_pack_ids" -> (qPackIds _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -4011,6 +4037,7 @@ object QueriesExt {
     "q_compaction" -> qCompactionSql,
     "q_encode" -> qEncodeSql,
     "q_pack_ids" -> qPackIdsSql,
+    "q_pack_efficiency" -> qPackEfficiencySql,
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,

@@ -108,6 +108,37 @@ object Packing {
         col("token_ids"))
   }
 
+  /** Packing-efficiency report — the utilization check a training-prep
+    * pipeline runs BEFORE paying for [[packTokenIds]]: per bucket
+    * stream, the doc count, token count (each doc contributes
+    * `len(ids) + 1` for its eos, the packTokenIds convention), sequence
+    * count at `contextLen`, padded slots, and fill ratio. Exact for the
+    * concat-then-chunk scheme, where padding exists only in each
+    * bucket's final short sequence: n_seqs = ceil(tokens / L),
+    * n_pad = n_seqs * L - tokens.
+    *
+    * Scale shape: computed from doc LENGTHS alone — one narrow map +
+    * one `buckets`-key aggregation (map-side combined). No window, no
+    * prefix sum, no token materialization; the 100 TB cost is a scan.
+    * All arithmetic is integer except the final fill ratio (one IEEE
+    * divide of exact longs — bit-portable). Buckets no doc hashes into
+    * are absent from the report. */
+  def packingEfficiency(encoded: DataFrame, idCol: String, idsCol: String,
+      contextLen: Int = 2048, buckets: Int = 64): DataFrame = {
+    require(contextLen > 0 && buckets > 0)
+    val L = contextLen.toLong
+    encoded.select(
+        pmod(Hashing.hash64(col(idCol)), lit(buckets)).cast("int")
+          .as("bucket"),
+        (size(col(idsCol)) + 1).cast("long").as("__n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .withColumn("n_seqs", expr(s"(n_tokens + ${L - 1}) div $L"))
+      .withColumn("n_pad", col("n_seqs") * L - col("n_tokens"))
+      .withColumn("fill_r", round(col("n_tokens").cast("double")
+        / (col("n_seqs") * L).cast("double"), 6))
+  }
+
   /** Sliding-window chunking WITH overlap — the per-document splitter
     * (RAG indexing / long-doc eval prep), complementing
     * [[packSequences]]' cross-document concat scheme. Chunk starts are

@@ -207,6 +207,30 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("packingEfficiency agrees exactly with materialized packTokenIds") {
+    import graft.ext.Packing
+    val enc = (1L to 100L).map(i => (i, (0L until (i % 9)).toSeq))
+      .toDF("id", "token_ids")
+    val packed = Packing.packTokenIds(enc, "id", "token_ids",
+      contextLen = 10, buckets = 4)
+      .select("bucket", "seq_id", "n_tokens")
+      .as[(Int, Long, Int)].collect().groupBy(_._1)
+    val report = Packing.packingEfficiency(enc, "id", "token_ids",
+      contextLen = 10, buckets = 4)
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report.keySet == packed.keySet, "same buckets observed")
+    report.foreach { case (b, (_, nDocs, nTok, nSeqs, nPad, fill)) =>
+      val ws = packed(b)
+      assert(nSeqs == ws.length.toLong, s"bucket $b: seq count")
+      assert(nTok == ws.map(_._3.toLong).sum, s"bucket $b: token total")
+      assert(nPad == ws.map(w => 10L - w._3).sum, s"bucket $b: padding " +
+        "only in the final short window — report matches materialization")
+      assert(math.abs(fill - nTok.toDouble / (nSeqs * 10L)) < 1e-6)
+      assert(nDocs > 0 && fill > 0.0 && fill <= 1.0)
+    }
+  }
+
   test("packTokenIds is invariant to input partitioning") {
     import graft.ext.Packing
     val enc = (1L to 40L).map(i => (i, (1L to (i % 5)).toSeq))
