@@ -177,6 +177,38 @@ object QueriesExt {
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
   }
 
+  /** MinHash calibration: signature-agreement estimate vs exact shingle
+    * Jaccard for every LSH candidate pair at the q_dedup_minhash
+    * config — the (k, bands, threshold) tuning report. Runs on the
+    * injected corpus so exact-copy pairs anchor the est=jac=1 end. */
+  private def qMinhashCalibration(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(injectedDocs(s, dir), "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, maxBucket = 64)
+  private val qMinhashCalibrationSql = {
+    val sh = wordShinglesSql
+    s"""WITH $injectedDocsSql,
+       |toks AS (SELECT doc_id, ${toksSql("text")} t FROM inj),
+       |hs AS (SELECT doc_id,
+       |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
+       |sig AS (SELECT doc_id, h,
+       |  list_transform(range(16), i ->
+       |    list_min(list_transform(h, x -> (($aList)[i+1] * (x % $P) + ($bList)[i+1]) % $P))) sg
+       |  FROM hs),
+       |bands AS (SELECT doc_id, band,
+       |  ${Hashing.hash64Sql("array_to_string(list_slice(sg, band*4+1, band*4+4), ',')")} bkey
+       |  FROM sig, (SELECT unnest(range(4)) band)),
+       |${cappedSql("doc_id, band, bkey", "bands", "band", "bkey", 64)},
+       |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT ia, ib,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j,
+       |  CAST(list_sum(list_transform(range(16), i ->
+       |    CASE WHEN x.sg[i+1] = y.sg[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 est
+       |  FROM cand JOIN sig x ON x.doc_id = ia JOIN sig y ON y.doc_id = ib)
+       |SELECT ia AS id_a, ib AS id_b, round(est, 6) est_r,
+       |  round(j, 6) jac_r, round(abs(est - j), 6) err_r FROM pairs""".stripMargin
+  }
+
   /** Incremental dedup: a synthetic "new crawl" (exact copies of every
     * 20th doc under new ids, plus genuinely-novel docs whose text is the
     * md5 hex of every (20k+7)th doc) banded against the indexed corpus.
@@ -3938,6 +3970,7 @@ object QueriesExt {
     "q_prep_pipeline" -> (qPrepPipeline _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_calibration" -> (qMinhashCalibration _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_stream_crawl_dedup" -> (qStreamCrawlDedup _),
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
@@ -4061,6 +4094,7 @@ object QueriesExt {
     "q_prep_pipeline" -> qPrepPipelineSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_stream_crawl_dedup" -> qStreamCrawlDedupSql,
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,

@@ -220,6 +220,52 @@ object Dedup {
     materializeAndRelease(hashed, verifyCandidates(hashed, cands, threshold))
   }
 
+  /** MinHash calibration report — the run that TUNES a dedup config
+    * before committing a full corpus to it: for every LSH candidate
+    * pair (same banding + hot-bucket cap as [[nearDuplicates]]), the
+    * signature-agreement ESTIMATE of Jaccard (matching minhash slots
+    * out of k — the quantity banding actually thresholds on) next to
+    * the EXACT shingle Jaccard, with the absolute error. Reading the
+    * error distribution by estimate bucket tells you whether k is big
+    * enough and where to put the verify threshold; pairs with high
+    * estimate but low exact Jaccard are the false-candidate load the
+    * verify join must absorb.
+    *
+    * Scale shape: identical to [[nearDuplicates]] (this IS that
+    * pipeline minus the threshold filter, plus one signature join) —
+    * banded, capped, pair volume bounded by the bucket cap; signatures
+    * are k longs per doc. Run it on a sample; the estimate error is
+    * distribution-free, so a sample calibrates the full corpus.
+    *
+    * Determinism: both ratios are single IEEE divides of exact small
+    * integers; rounded at 6 for the report. */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = hashed.select(col("id"),
+      graft.functions.VectorExprs.minhash_sig(col("h"), k).as("sig"))
+    val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val out = cands
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est", est)
+      .join(hashed.withColumnsRenamed(Map("id" -> "id_a", "h" -> "h_a")), Seq("id_a"))
+      .join(hashed.withColumnsRenamed(Map("id" -> "id_b", "h" -> "h_b")), Seq("id_b"))
+      .withColumn("jac", jaccard(col("h_a"), col("h_b")))
+      .select(col("id_a"), col("id_b"),
+        round(col("est"), 6).as("est_r"),
+        round(col("jac"), 6).as("jac_r"),
+        round(abs(col("est") - col("jac")), 6).as("err_r"))
+    materializeAndRelease(hashed, out)
+  }
+
   /** Exact n-gram Jaccard over ALL qualifying pairs via an inverted
     * index: explode shingle hashes, self-join on hash, count shared
     * shingles per pair, derive |A u B| = |A| + |B| - shared. The

@@ -31,6 +31,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashCalibration: exact dups anchor est=jac=1, estimates are " +
+      "k-quantized, candidate set matches the LSH path") {
+    val r = Dedup.minhashCalibration(corpus, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val cands = Dedup.lshCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(r.map(p => (p._1, p._2)).toSet == cands,
+      "one calibration row per LSH candidate pair")
+    val exact = r.find(p => (p._1, p._2) == ((1L, 4L))).get
+    assert(exact._3 == 1.0 && exact._4 == 1.0 && exact._5 == 0.0,
+      s"exact-copy pair must read est=jac=1, err=0: $exact")
+    r.foreach { p =>
+      assert(p._3 >= 0.0 && p._3 <= 1.0 && p._4 >= 0.0 && p._4 <= 1.0)
+      // est is (matching slots)/16 rounded at 6
+      val slots = p._3 * 16
+      assert(math.abs(slots - math.round(slots)) < 1e-4,
+        s"estimate must be a multiple of 1/16: ${p._3}")
+      assert(math.abs(p._5 - math.abs(p._3 - p._4)) < 1e-5)
+    }
+  }
+
   test("jaccard is exact on known shingle sets") {
     // doc 1 vs doc 2: 12 word-3-shingles each, 11 shared
     val h = corpus.filter($"doc_id".isin(1, 2))
