@@ -1008,14 +1008,18 @@ object QueriesExt {
   private def qKmeansFit(s: SparkSession, dir: String): DataFrame =
     SimSearch.kmeansFit(emb(s, dir), "vec_id", "embedding",
       k = 16, rounds = kmRounds, meanRound = 6)
-  private val qKmeansFitSql: String = {
+  /** Shared WITH-body prefix for the k-means-trained oracles
+    * (qKmeansFitSql, qClusterSampleSql): normalized vectors, smallest-id
+    * seeds, `rounds` unrolled Lloyd layers, final assignment
+    * `asg$rounds` against `cents$rounds`. */
+  private def kmeansCtesSql(rounds: Int): String = {
     def asg(r: Int): String =
       s"""asg$r AS (SELECT id, e, cent_id AS list_id FROM (
          |    SELECT v.id, v.e, c.cent_id,
          |      row_number() OVER (PARTITION BY v.id
          |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
          |    FROM v, cents$r c) WHERE rn = 1)""".stripMargin
-    val layers = (0 until kmRounds).map { r =>
+    val layers = (0 until rounds).map { r =>
       s"""${asg(r)},
          |mx$r AS (SELECT list_id, generate_subscripts(e, 1) d, unnest(e) x FROM asg$r),
          |mm$r AS (SELECT list_id, d, round(sum(x) / count(*), 6) m FROM mx$r GROUP BY 1, 2),
@@ -1024,11 +1028,14 @@ object QueriesExt {
          |    ELSE list_transform(mvec, x -> x / sqrt(list_dot_product(mvec, mvec))) END ce
          |  FROM cents$r c LEFT JOIN mv$r mv ON c.cent_id = mv.list_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+    s"""v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
        |cents0 AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
        |$layers,
-       |${asg(kmRounds)},
+       |${asg(rounds)}""".stripMargin
+  }
+  private val qKmeansFitSql: String = {
+    s"""WITH ${kmeansCtesSql(kmRounds)},
        |fin AS (SELECT a.list_id,
        |    round(1.0 - list_dot_product(a.e, c.ce), 8) term
        |  FROM asg$kmRounds a JOIN cents$kmRounds c ON a.list_id = c.cent_id),
@@ -1039,6 +1046,26 @@ object QueriesExt {
        |  round(isum, 6) inertia_r
        |FROM cents$kmRounds c LEFT JOIN stats s ON c.cent_id = s.list_id""".stripMargin
   }
+
+  /** Cluster-balanced diversity selection (SimSearch.clusterSample):
+    * the 8 most-central members of each of the 16 trained clusters —
+    * even coverage of the embedding space for a prototype set. Shares
+    * the kmeansCtesSql training chain with q_kmeans_fit. */
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame =
+    SimSearch.clusterSample(emb(s, dir), "vec_id", "embedding",
+      perCluster = 8, k = 16, rounds = kmRounds, meanRound = 6)
+      .select(col("cluster_id"), col("id").as("vec_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  private val qClusterSampleSql: String =
+    s"""WITH ${kmeansCtesSql(kmRounds)},
+       |fin AS (SELECT a.id, a.list_id, list_dot_product(a.e, c.ce) cosine
+       |  FROM asg$kmRounds a JOIN cents$kmRounds c ON a.list_id = c.cent_id),
+       |ranked AS (SELECT list_id, id, cosine,
+       |    row_number() OVER (PARTITION BY list_id
+       |      ORDER BY cosine DESC, id ASC) rank FROM fin)
+       |SELECT list_id cluster_id, id vec_id, CAST(rank AS INT) rank,
+       |  round(cosine, 6) cosine_r
+       |FROM ranked WHERE rank <= 8""".stripMargin
 
   /** Distributed PCA (ext/Pca.scala): top principal component of the
     * embedding corpus via 8 power iterations on the long-format
@@ -4010,6 +4037,7 @@ object QueriesExt {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
+    "q_cluster_sample" -> (qClusterSample _),
     "q_multimodal" -> (qMultimodal _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
@@ -4134,6 +4162,7 @@ object QueriesExt {
     "q_ann_lsh" -> qAnnLshSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,
+    "q_cluster_sample" -> qClusterSampleSql,
     "q_multimodal" -> qMultimodalSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,

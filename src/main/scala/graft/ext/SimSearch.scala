@@ -240,13 +240,21 @@ object SimSearch {
     * derive bit-identical centroids (see [[lloydRefine]]); each
     * member's distance term is rounded at 8 before the exact
     * DECIMAL(28,14) per-cluster sum, so inertia is order-free. */
+  /** Deterministic training entry shared by [[kmeansFit]] and
+    * [[clusterSample]]: smallest-id seed sample + `rounds` Lloyd
+    * iterations. */
+  private[graft] def trainedCentroids(c: DataFrame, k: Int, rounds: Int,
+      meanRound: Int): DataFrame = {
+    val cents0 = c.orderBy(col("id").asc).limit(k)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    lloydRefine(c, cents0, rounds, meanRound)
+  }
+
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, rounds: Int = 3, meanRound: Int = -1): DataFrame = {
     val c = emb.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
-    val cents0 = c.orderBy(col("id").asc).limit(k)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cents = lloydRefine(c, cents0, rounds, meanRound)
+    val cents = trainedCentroids(c, k, rounds, meanRound)
     val assigned = assignLists(c, cents, 1)
       .select(col("id"), col("v"), col("list_id"))
     // re-derive the member->centroid cosine via a broadcast join (the
@@ -261,6 +269,38 @@ object SimSearch {
       .select(col("cent_id").as("cluster_id"),
         coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
         round(col("isum").cast("double"), 6).as("inertia_r"))
+  }
+
+  /** Cluster-balanced ("diversity") selection — the DataComp-style draw
+    * that samples the embedding space EVENLY instead of letting dense
+    * regions dominate: train spherical k-means ([[trainedCentroids]],
+    * same determinism contract as [[kmeansFit]]), then keep the
+    * `perCluster` most-central members of every cluster (cosine to the
+    * cluster centroid, ties on id). Most-central-first makes the draw a
+    * prototype set; pair it with an outer id-ordered slice if you want
+    * uniform-within-cluster instead.
+    *
+    * Scale shape: training as [[kmeansFit]]; selection is one broadcast
+    * join (k centroid rows) + one per-cluster top-k window whose input
+    * Spark bounds map-side via WindowGroupLimit — the same
+    * plan-asserted shape as the stratified-quota sampler. Output is
+    * k x perCluster rows regardless of corpus size. */
+  def clusterSample(emb: DataFrame, idCol: String, vecCol: String,
+      perCluster: Int = 8, k: Int = 16, rounds: Int = 3,
+      meanRound: Int = -1): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    val c = emb.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val cents = trainedCentroids(c, k, rounds, meanRound)
+    val scored = assignLists(c, cents, 1)
+      .join(broadcast(cents), col("list_id") === col("cent_id"))
+      .withColumn("cosine", dot(col("v"), col("cv")))
+    val w = Window.partitionBy(col("list_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("list_id").as("cluster_id"), col("id"), col("rank"),
+        col("cosine"))
   }
 
   /** Int8 scalar quantization (the compression step of a vector index —

@@ -35,6 +35,12 @@ class PlanAssertSpec extends SparkSpec {
       s"q_vocab must keep its bounded global top-k; plan:\n$plan")
   }
 
+  test("q_cluster_sample: per-cluster top-k window is WindowGroupLimit-bounded") {
+    val plan = planOf("q_cluster_sample")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_cluster_sample must keep its map-side per-cluster bound; plan:\n$plan")
+  }
+
   test("q_stratified_sample: per-stratum quota window is WindowGroupLimit-bounded") {
     val plan = planOf("q_stratified_sample")
     assert(plan.contains("WindowGroupLimit"),
