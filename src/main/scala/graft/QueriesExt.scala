@@ -3725,6 +3725,51 @@ object QueriesExt {
        |  round(a, 6) avg_logp_r
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
 
+  /** Trigram stupid-backoff scoring (Brants et al. 2007): trained on
+    * the src1/src3 slice (the DSIR target convention), scored over ALL
+    * docs so every backoff tier fires — src2/src4 docs carry unseen
+    * trigrams (0.5 * bigram tier), unseen bigrams, and unseen words
+    * (0.25 * add-one unigram tier). One ln per trigram type rounded@8;
+    * binary-exact 0.5/0.25 factors; decimal per-doc sums. */
+  private def qTrigramLm(s: SparkSession, dir: String): DataFrame =
+    LangModel.stupidBackoff(docs(s, dir), "doc_id", "text",
+      col("source").isin("src1", "src3"))
+      .select(col("id").as("doc_id"), col("n_trigrams"),
+        round(col("avg_logp"), 6).as("avg_logp_r"))
+  private val qTrigramLmSql =
+    s"""WITH t AS (SELECT doc_id id, source IN ('src1','src3') trn,
+       |    ${toksSql("text")} t FROM documents),
+       |s3 AS (SELECT id, t[i+1] w1, t[i+2] w2, t[i+3] w3
+       |  FROM t CROSS JOIN unnest(range(len(t) - 2)) AS u(i)),
+       |tt AS (SELECT t FROM t WHERE trn),
+       |uni AS (SELECT w, count(*) c FROM (SELECT unnest(t) w FROM tt) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) nv FROM uni),
+       |bi AS (SELECT w1, w2, count(*) c FROM (SELECT t[i+1] w1, t[i+2] w2
+       |    FROM tt CROSS JOIN unnest(range(len(t) - 1)) AS u(i)) GROUP BY 1, 2),
+       |tri AS (SELECT w1, w2, w3, count(*) c FROM (SELECT t[i+1] w1, t[i+2] w2, t[i+3] w3
+       |    FROM tt CROSS JOIN unnest(range(len(t) - 2)) AS u(i)) GROUP BY 1, 2, 3),
+       |types AS (SELECT DISTINCT w1, w2, w3 FROM s3),
+       |sc0 AS (SELECT ty.w1, ty.w2, ty.w3, tri.c c3, bx.c ctx2, by_.c c2,
+       |    ux.c c1ctx, uy.c c1
+       |  FROM types ty
+       |  LEFT JOIN tri ON tri.w1 = ty.w1 AND tri.w2 = ty.w2 AND tri.w3 = ty.w3
+       |  LEFT JOIN bi bx ON bx.w1 = ty.w1 AND bx.w2 = ty.w2
+       |  LEFT JOIN bi by_ ON by_.w1 = ty.w2 AND by_.w2 = ty.w3
+       |  LEFT JOIN uni ux ON ux.w = ty.w2
+       |  LEFT JOIN uni uy ON uy.w = ty.w3),
+       |lp AS (SELECT w1, w2, w3, round(ln(
+       |    CASE WHEN COALESCE(c3, 0) > 0 THEN CAST(c3 AS DOUBLE) / CAST(ctx2 AS DOUBLE)
+       |         WHEN COALESCE(c2, 0) > 0 THEN 0.5 * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+       |         ELSE 0.25 * (CAST(COALESCE(c1, 0) + 1 AS DOUBLE) / (SELECT nv FROM tot))
+       |    END), 8) lp
+       |  FROM sc0),
+       |sc AS (SELECT id, count(*) nt,
+       |    CAST(sum(CAST(lp AS DECIMAL(28,14))) AS DOUBLE) / count(*) a
+       |  FROM s3 JOIN lp USING (w1, w2, w3) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(nt, CAST(0 AS BIGINT)) n_trigrams,
+       |  round(a, 6) avg_logp_r
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
+
   /** Tokenizer coverage / OOV-rate report per source — the screen run
     * after vocab build and before committing to an encode: sources with
     * high unk rates need vocab growth or exclusion. Reuses the q_vocab /
@@ -3933,6 +3978,7 @@ object QueriesExt {
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_trigram_lm" -> (qTrigramLm _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_repetition" -> (qRepetition _),
@@ -4058,6 +4104,7 @@ object QueriesExt {
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,
     "q_bigram_lm" -> qBigramLmSql,
+    "q_trigram_lm" -> qTrigramLmSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_repetition" -> qRepetitionSql,

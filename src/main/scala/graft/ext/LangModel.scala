@@ -137,6 +137,91 @@ object LangModel {
         col("avg_logp"))
   }
 
+  /** Trigram STUPID BACKOFF scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the scheme invented
+    * precisely for MapReduce-scale LMs: no normalization, no
+    * discounting state, just counts and a constant backoff factor):
+    *
+    *   S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)           if seen
+    *                 | lambda  * c(w2 w3) / c(w2)        else if seen
+    *                 | lambda^2 * (c(w3)+1) / (N+V)      otherwise
+    *
+    * trained on the `isTrain` slice and scored over ALL docs — the
+    * held-out-scoring shape (scoring the training slice itself never
+    * exercises backoff; a cross-slice score exercises all three tiers).
+    * The final unigram tier is add-one smoothed (the [[unigramLogProb]]
+    * convention) so unseen words score finite. Backoff factor is 0.5
+    * (binary-exact for the oracle; Brants' 0.4 is not an IEEE-exact
+    * literal — at the diagnostic level the constant is arbitrary).
+    * Returns (id, n_trigrams, avg_logp); docs with < 3 tokens keep
+    * n_trigrams = 0 and NULL score.
+    *
+    * Scale shape: training = three count aggregations over the exploded
+    * train stream (map-side combined); the score table is built over
+    * the DISTINCT trigram types of the scored stream (Heaps-law
+    * sublinear) via LEFT joins to the three count tables; scoring joins
+    * the per-doc trigram stream to that table. Unhinted joins — AQE
+    * broadcasts while tables fit, shuffles when they outgrow it (the
+    * expected regime at 100 TB, exactly why Brants et al. shard counts).
+    *
+    * Determinism: one ln per trigram TYPE rounded at 8 before the
+    * DECIMAL(28,14) per-doc sum; every ratio is an IEEE divide of
+    * exact counts scaled by binary-exact constants. */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+      isTrain: Column): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), isTrain.as("trn"),
+      TextStats.tokens(TextStats.normalized(col(textCol))).as("t"))
+    def grams(df: DataFrame, n: Int): DataFrame = {
+      val cols = (1 to n).map(k => s"element_at(t, i + $k) as w$k")
+        .mkString(", ")
+      df.filter(size(col("t")) >= n)
+        .select(col("id"), explode(expr(
+          s"transform(sequence(0, size(t) - $n), i -> struct($cols))"))
+          .as("g"))
+        .select(col("id") +: (1 to n).map(k => col(s"g.w$k").as(s"w$k")): _*)
+    }
+    val train = base.filter(col("trn"))
+    val uni = grams(train, 1).groupBy("w1").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")), count(lit(1))).head()
+    val nBoxed = tot.getAs[java.lang.Long](0)
+    require(nBoxed != null,
+      "stupidBackoff: training slice has zero tokens — cannot train")
+    val nv = (nBoxed.longValue() + tot.getLong(1)).toDouble
+    val bi = grams(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val tri = grams(train, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c"))
+    // score one row per trigram TYPE of the scored stream
+    val stream = grams(base, 3)
+    val types = stream.select(col("w1"), col("w2"), col("w3")).distinct()
+      .join(tri.withColumnRenamed("c", "c3"), Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c").as("ctx2")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c").as("c2")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c").as("c1ctx")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("c").as("c1")),
+        Seq("w3"), "left")
+    val s = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("ctx2").cast("double"))
+      .when(coalesce(col("c2"), lit(0L)) > 0,
+        lit(0.5) * (col("c2").cast("double") / col("c1ctx").cast("double")))
+      .otherwise(lit(0.25)
+        * ((coalesce(col("c1"), lit(0L)) + 1).cast("double") / lit(nv)))
+    val lp = types.withColumn("lp", round(log(s), 8))
+      .select(col("w1"), col("w2"), col("w3"), col("lp"))
+    val scored = stream.join(lp, Seq("w1", "w2", "w3"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("lp").cast("decimal(28,14)")).as("lpsum"))
+      .select(col("id"), col("n_trigrams"),
+        (col("lpsum").cast("double") / col("n_trigrams")).as("avg_logp"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logp"))
+  }
+
   /** CCNet's selection step (Wenzek et al. 2020): split the corpus into
     * head / middle / tail TERCILES of LM score per language — the
     * published pipeline keeps "head" (most in-distribution) for

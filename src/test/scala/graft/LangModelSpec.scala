@@ -72,6 +72,43 @@ class LangModelSpec extends SparkSpec {
     assert(run(3) == run(13), "decimal sums are partitioning-invariant")
   }
 
+  test("stupidBackoff: each tier hand-computed (trigram hit, bigram " +
+      "backoff, unigram floor), short docs null") {
+    // train corpus: "a b c a b c" -> trigrams (a,b,c)x2, (b,c,a), (c,a,b);
+    // bigrams (a,b)x2, (b,c)x2, (c,a); unigrams a:2 b:2 c:2, N=6, V=3
+    val docs = Seq(
+      (1L, "a b c a b c", true),
+      (2L, "a b c", false),  // seen trigram: S = c3/ctx2 = 2/2 = 1
+      (3L, "b b c", false),  // unseen trigram, seen bigram (b,c):
+                             // S = 0.5 * c2/c1ctx = 0.5 * 2/2 = 0.5
+      (4L, "b a x", false),  // unseen everything incl. word x:
+                             // S = 0.25 * (0+1)/(6+3)
+      (5L, "a b", false)     // < 3 tokens: no trigrams
+    ).toDF("doc_id", "text", "trn")
+    val r = LangModel.stupidBackoff(docs, "doc_id", "text", col("trn"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(5L) == ((0L, None)), s"2-token doc: no trigrams: ${r(5L)}")
+    assert(r(2L)._1 == 1L && math.abs(r(2L)._2.get - 0.0) < 1e-6,
+      s"trigram-tier: ln(1) = 0, got ${r(2L)}")
+    assert(math.abs(r(3L)._2.get - math.log(0.5)) < 1e-6,
+      s"bigram-tier: ln(0.5), got ${r(3L)}")
+    assert(math.abs(r(4L)._2.get - math.log(0.25 / 9.0)) < 1e-6,
+      s"unigram-floor: ln(0.25/9), got ${r(4L)}")
+    // tier ordering: seen > bigram-backoff > unseen-word floor
+    assert(r(2L)._2.get > r(3L)._2.get && r(3L)._2.get > r(4L)._2.get)
+  }
+
+  test("stupidBackoff: deterministic across partitionings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = LangModel.stupidBackoff(
+      docs.repartition(parts), "doc_id", "text",
+      col("source").isin("src1", "src3"))
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(run(3) == run(13))
+  }
+
   test("importanceWeights: target-like docs weigh positive") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", true),
