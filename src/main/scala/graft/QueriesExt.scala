@@ -1067,6 +1067,34 @@ object QueriesExt {
        |  round(cosine, 6) cosine_r
        |FROM ranked WHERE rank <= 8""".stripMargin
 
+  /** Embedding drift across label slices (SimSearch.embeddingDrift):
+    * per-group centroid dispersion (mean resultant length) + cosine to
+    * the global centroid — the encoder/crawl drift monitor. Per-dim
+    * means rounded@8 re-enter products; decimal cross-dim sums; final
+    * stats rounded@6. */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame =
+    SimSearch.embeddingDrift(emb(s, dir), "vec_id", "embedding", "label")
+  private val qEmbedDriftSql =
+    """WITH v AS (SELECT label grp, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |ex AS (SELECT grp, generate_subscripts(e, 1) j, unnest(e) x FROM v),
+      |gm AS (SELECT grp, j,
+      |    round(CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*), 8) m
+      |  FROM ex GROUP BY 1, 2),
+      |gl AS (SELECT j,
+      |    round(CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*), 8) g
+      |  FROM ex GROUP BY 1),
+      |sums AS (SELECT grp,
+      |    CAST(sum(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE) s_gg,
+      |    CAST(sum(CAST(m * g AS DECIMAL(28,14))) AS DOUBLE) s_gl,
+      |    CAST(sum(CAST(g * g AS DECIMAL(28,14))) AS DOUBLE) s_ll
+      |  FROM gm JOIN gl USING (j) GROUP BY 1),
+      |c AS (SELECT label grp, count(*) n_vecs FROM embeddings GROUP BY 1)
+      |SELECT c.grp, n_vecs, round(sqrt(s_gg), 6) centroid_norm_r,
+      |  round(CASE WHEN s_gg > 0 AND s_ll > 0
+      |    THEN s_gl / (sqrt(s_gg) * sqrt(s_ll)) END, 6) cos_global_r
+      |FROM c JOIN sums USING (grp)""".stripMargin
+
   /** Distributed PCA (ext/Pca.scala): top principal component of the
     * embedding corpus via 8 power iterations on the long-format
     * covariance matrix, then per-vector projection — the
@@ -4084,6 +4112,7 @@ object QueriesExt {
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_multimodal" -> (qMultimodal _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
@@ -4210,6 +4239,7 @@ object QueriesExt {
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,
+    "q_embed_drift" -> qEmbedDriftSql,
     "q_multimodal" -> qMultimodalSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,

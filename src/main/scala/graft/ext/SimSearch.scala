@@ -303,6 +303,54 @@ object SimSearch {
         col("cosine"))
   }
 
+  /** Embedding drift report across corpus slices — the monitoring face
+    * a pipeline runs when crawls/encoder versions land: per group, the
+    * centroid of the NORMALIZED vectors, reported as
+    * (n_vecs, centroid_norm, cos_global):
+    *  - `centroid_norm` is the mean resultant length ||mean(unit
+    *    vectors)|| in [0,1] — a standard directional-dispersion
+    *    statistic (1 = all vectors aligned, ~0 = isotropic);
+    *  - `cos_global` is the cosine between the group centroid and the
+    *    whole-corpus centroid — a group drifting away from the corpus
+    *    (new encoder, new domain, broken crawl) drops toward 0.
+    *
+    * Scale shape: one narrow explode to (grp, dim) keyed decimal sums
+    * (map-side combined — the shuffle carries groups x d rows, not the
+    * corpus), then joins over those tiny per-dim mean frames. Nothing
+    * is collected; at 100 TB the cost is the scan.
+    *
+    * Determinism: per-dim means rounded at 8 re-enter the dot/norm
+    * products; cross-dim sums are exact decimals; final cosine is one
+    * IEEE divide, rounded at 6. */
+  def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val ex = emb.select(col(groupCol).as("grp"),
+        posexplode(normalize(toDouble(col(vecCol)))).as(Seq("p", "e")))
+      .select(col("grp"), (col("p") + 1).as("j"), col("e"))
+    def meanOf(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(round(sum(col("e").cast("decimal(28,14)")).cast("double")
+          / count(lit(1)), 8).as("m"))
+    val gm = meanOf(ex, Seq("grp", "j"))
+    val glob = meanOf(ex, Seq("j")).withColumnRenamed("m", "g")
+    val sums = gm.join(broadcast(glob), "j")
+      .groupBy(col("grp"))
+      .agg(sum((col("m") * col("m")).cast("decimal(28,14)"))
+          .cast("double").as("s_gg"),
+        sum((col("m") * col("g")).cast("decimal(28,14)"))
+          .cast("double").as("s_gl"),
+        sum((col("g") * col("g")).cast("decimal(28,14)"))
+          .cast("double").as("s_ll"))
+    val counts = emb.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_vecs"))
+    counts.join(sums, Seq("grp"))
+      .select(col("grp"), col("n_vecs"),
+        round(sqrt(col("s_gg")), 6).as("centroid_norm_r"),
+        round(when(col("s_gg") > 0 && col("s_ll") > 0,
+          col("s_gl") / (sqrt(col("s_gg")) * sqrt(col("s_ll"))))
+          , 6).as("cos_global_r"))
+  }
+
   /** Int8 scalar quantization (the compression step of a vector index —
     * the FAISS SQ8 scheme, public): per-dimension [min, max] over the
     * corpus; code = floor((x - min) / (max - min) * 255) clamped to

@@ -281,6 +281,37 @@ class SimSearchSpec extends SparkSpec {
       s.sortBy(r => (r._1, r._3)).toSeq, "partitioning-invariant")
   }
 
+  test("embeddingDrift: drifted slice drops cos_global, dispersion shows " +
+      "in centroid_norm, deterministic") {
+    val dims = 8
+    def vec(axis: Int, eps: Double, i: Int): Seq[Float] =
+      (0 until dims).map(j => (
+        (if (j == axis) 1.0 else 0.0) +
+          (if (j == (i + axis) % dims) eps else 0.0)).toFloat)
+    // majority group 0 hugs axis 0; drifted group 1 sits on axis 4
+    // (orthogonal); group 2 is spread across all axes (isotropic-ish)
+    val rows =
+      (0 until 40).map(i => (i.toLong, vec(0, 0.05, i), 0)) ++
+        (0 until 10).map(i => ((100 + i).toLong, vec(4, 0.05, i), 1)) ++
+        (0 until 16).map(i => ((200 + i).toLong,
+          (0 until dims).map(j => if (j == i % dims) 1.0f else 0.0f), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = SimSearch.embeddingDrift(df, "vec_id", "embedding", "label")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(0)._1 == 40L && r(1)._1 == 10L && r(2)._1 == 16L)
+    assert(r(0)._2 > 0.95, s"tight slice: centroid_norm ~1, got ${r(0)._2}")
+    assert(r(2)._2 < 0.5,
+      s"spread slice: low mean resultant length, got ${r(2)._2}")
+    assert(r(0)._3 > 0.9, s"majority slice tracks global: ${r(0)._3}")
+    assert(r(1)._3 < r(0)._3 - 0.3,
+      s"orthogonal drifted slice must read far lower: ${r(1)._3} vs ${r(0)._3}")
+    val again = SimSearch.embeddingDrift(df.repartition(7), "vec_id",
+      "embedding", "label").as[(Int, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(again == r, "partitioning-invariant")
+  }
+
   test("LSH ANN recall gate: recall@5 >= 0.9 on clustered data at shipped params") {
     // The numeric gate VERDICT r2 asked for on the one rows-only query
     // (q_ann_lsh has no SQL oracle): same dims and planes as the shipped
