@@ -3973,6 +3973,41 @@ object QueriesExt {
       |    THEN (num * num) / (den * deny) END, 6) r2_r
       |FROM b""".stripMargin
 
+  /** Zipf rank-frequency diagnostic (TextStats.zipfFit): ln-ln OLS over
+    * the top-500 token types — slope ~ -1 + high R^2 on natural text;
+    * boilerplate flattens it. Reuses the q_linear_fit moment-sum
+    * arithmetic over rounded@8 log points. */
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame =
+    TextStats.zipfFit(docs(s, dir), "text", topR = 500)
+      .select(col("n"), round(col("b0"), 6).as("b0_r"),
+        round(col("b1"), 6).as("b1_r"), round(col("r2"), 6).as("r2_r"))
+  private val qZipfFitSql: String =
+    s"""WITH toks AS (SELECT unnest(${toksSql("text")}) tok FROM documents),
+       |cnt AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+       |top AS (SELECT tok, c,
+       |    row_number() OVER (ORDER BY c DESC, tok ASC) rank FROM cnt
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= 500),
+       |pts AS (SELECT round(ln(CAST(rank AS DOUBLE)), 8) lx,
+       |    round(ln(CAST(c AS DOUBLE)), 8) ly FROM top),
+       |s AS (SELECT count(*) n,
+       |    CAST(sum(CAST(lx AS DECIMAL(38,12))) AS DOUBLE) sx,
+       |    CAST(sum(CAST(ly AS DECIMAL(38,12))) AS DOUBLE) sy,
+       |    CAST(sum(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) sxy,
+       |    CAST(sum(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) sxx,
+       |    CAST(sum(CAST(ly * ly AS DECIMAL(38,12))) AS DOUBLE) syy
+       |  FROM pts),
+       |c AS (SELECT *, CAST(n AS DOUBLE) * sxy - sx * sy num,
+       |    CAST(n AS DOUBLE) * sxx - sx * sx den,
+       |    CAST(n AS DOUBLE) * syy - sy * sy deny FROM s),
+       |b AS (SELECT *, CASE WHEN den > 0 THEN num / den END b1 FROM c)
+       |SELECT n,
+       |  round(CASE WHEN den > 0
+       |    THEN (sy - (b1 * sx)) / CAST(n AS DOUBLE) END, 6) b0_r,
+       |  round(b1, 6) b1_r,
+       |  round(CASE WHEN den > 0 AND deny > 0
+       |    THEN (num * num) / (den * deny) END, 6) r2_r
+       |FROM b""".stripMargin
+
   /** Weighted sample without replacement (A-ES): 10 docs per language,
     * weighted by length — the "sample long docs preferentially" draw a
     * curriculum builder makes. Oracle mirrors the exponential-key
@@ -4002,6 +4037,7 @@ object QueriesExt {
     "q_erasure" -> (qErasure _),
     "q_chi_drift" -> (qChiDrift _),
     "q_linear_fit" -> (qLinearFit _),
+    "q_zipf_fit" -> (qZipfFit _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_lm_score" -> (qLmScore _),
@@ -4129,6 +4165,7 @@ object QueriesExt {
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
     "q_linear_fit" -> qLinearFitSql,
+    "q_zipf_fit" -> qZipfFitSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_lm_score" -> qLmScoreSql,

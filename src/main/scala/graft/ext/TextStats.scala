@@ -186,6 +186,37 @@ object TextStats {
     * mega-source's rows spread across the cluster by fingerprint and no
     * single reducer sees a whole source. No text ever shuffles (16-byte
     * digests + integer token counts). */
+  /** Zipf rank-frequency diagnostic: OLS fit of ln(count) against
+    * ln(rank) over the top `topR` token types — natural text tracks
+    * slope ~ -1 with high R^2 (Zipf's law); template/boilerplate spam
+    * flattens the head (slope toward 0) and machine-generated noise
+    * breaks the linearity (R^2 drops). The screen a curation pipeline
+    * runs per source/crawl before trusting its token statistics.
+    *
+    * Scale shape: one token-count aggregation (map-side combined), a
+    * TakeOrderedAndProject top-R (bounded heaps, q_vocab's discipline —
+    * rank is assigned AFTER the limit, over R rows), then
+    * [[MLFit.simpleLinearFit]]'s one-pass decimal moment sums over R
+    * points. Corpus size only affects the count pass.
+    *
+    * Determinism: ln(rank)/ln(count) rounded at 8 before the decimal
+    * moment sums (the libm discipline); ties in the ranking break on
+    * token. Returns simpleLinearFit's (n, b0, b1, r2) row. */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int = 500)
+      : DataFrame = {
+    require(topR >= 2, s"need at least 2 ranks to fit: $topR")
+    val counts = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("tok").asc).limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    val pts = top.withColumn("rank", row_number().over(w))
+      .select(round(log(col("rank").cast("double")), 8).as("lx"),
+        round(log(col("c").cast("double")), 8).as("ly"))
+    MLFit.simpleLinearFit(pts, "lx", "ly")
+  }
+
   def sourceStats(docs: DataFrame, textCol: String, sourceCol: String,
       minDocs: Long = 10, maxDupRate: Double = 0.25): DataFrame = {
     val staged = docs

@@ -35,6 +35,12 @@ class PlanAssertSpec extends SparkSpec {
       s"q_vocab must keep its bounded global top-k; plan:\n$plan")
   }
 
+  test("q_zipf_fit: top-R spectrum goes through TakeOrderedAndProject") {
+    val plan = planOf("q_zipf_fit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_zipf_fit must keep its bounded global top-R; plan:\n$plan")
+  }
+
   test("q_cluster_sample: per-cluster top-k window is WindowGroupLimit-bounded") {
     val plan = planOf("q_cluster_sample")
     assert(plan.contains("WindowGroupLimit"),

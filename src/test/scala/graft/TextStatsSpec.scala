@@ -166,6 +166,32 @@ class TextStatsSpec extends SparkSpec {
       (3L, Seq.empty[Long])))
   }
 
+  test("zipfFit: slope ~ -1 with high R^2 on a Zipfian corpus, flat " +
+      "corpus degrades to zero slope with null R^2") {
+    import graft.ext.TextStats
+    // token k gets floor(1600/k) occurrences: ln(c) ~ -1 * ln(rank) + b
+    val zipfText = (1 to 16).flatMap(k =>
+      Seq.fill(1600 / k)(f"w$k%02d")).mkString(" ")
+    val z = TextStats.zipfFit(Seq((1L, zipfText)).toDF("id", "text"), "text")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(z._1 == 16L)
+    val slope = z._3.get
+    assert(slope > -1.1 && slope < -0.85, s"Zipf slope ~ -1, got $slope")
+    assert(z._4.get > 0.98, s"Zipf linearity: R^2 high, got ${z._4}")
+    // flat spectrum: every token equally frequent -> ly constant ->
+    // slope 0, R^2 NULL (degenerate y-variance, the corrMatrix guard)
+    val flatText = (1 to 16).flatMap(k => Seq.fill(100)(f"w$k%02d"))
+      .mkString(" ")
+    val f = TextStats.zipfFit(Seq((1L, flatText)).toDF("id", "text"), "text")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(math.abs(f._3.get) < 1e-9,
+      s"flat spectrum: slope ~0 (decimal-grid residue only), got ${f._3}")
+    // y-variance collapses to the decimal-grid residue: R^2 is either
+    // NULL (exact-zero deny fires the guard) or indistinguishable from 0
+    assert(f._4.forall(r2 => math.abs(r2) < 1e-9),
+      s"flat spectrum: no linear relation, got ${f._4}")
+  }
+
   test("packTokenIds: eos separators, fixed windows, short tail, empty doc") {
     import graft.ext.Packing
     val enc = Seq(
