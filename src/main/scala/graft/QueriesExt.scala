@@ -502,6 +502,39 @@ object QueriesExt {
        |FROM s GROUP BY 1""".stripMargin
   }
 
+  /** Leakage-proof content-keyed split (Sampling.assignSplitByContent)
+    * on the injected corpus (which CARRIES exact duplicates): per-split
+    * doc/fingerprint counts plus the cross-split-leakage audit result,
+    * which is structurally ZERO because copies share the draw key — the
+    * property the oracle re-derives end to end. */
+  private def qContentSplit(s: SparkSession, dir: String): DataFrame = {
+    val split = ext.Sampling.assignSplitByContent(injectedDocs(s, dir),
+      "text", Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    val leaks = Dedup.crossSplitLeakage(split, "text", "split")
+      .agg(coalesce(sum(col("n_fingerprints")), lit(0L)).as("n_cross_fps"))
+    split
+      .withColumn("fp", TextStats.fingerprintMd5(col("text")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fps"))
+      .join(leaks, lit(true))
+  }
+  private val qContentSplitSql = {
+    val dr = ext.Sampling.drawSql("fp", "csplit")
+    s"""WITH $injectedDocsSql,
+       |f AS (SELECT doc_id, md5(${normSql("text")}) fp FROM inj),
+       |d AS (SELECT doc_id, fp, $dr AS dr FROM f),
+       |s AS (SELECT doc_id, fp, CASE WHEN dr < 800 THEN 'train'
+       |    WHEN dr < 900 THEN 'val' WHEN dr < 1000 THEN 'test' END split
+       |  FROM d),
+       |leak AS (SELECT CAST(count(*) AS BIGINT) c FROM (
+       |  SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT split) >= 2))
+       |SELECT split, count(*) n_docs,
+       |  CAST(count(DISTINCT fp) AS BIGINT) n_fps,
+       |  (SELECT c FROM leak) n_cross_fps
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
   /** Stratified exact-quota sample: per language, the 20 docs with the
     * smallest (salted draw, id) — deterministic "random" top-k per
     * stratum, one shuffle, WindowGroupLimit capping map-side. */
@@ -4114,6 +4147,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
+    "q_content_split" -> (qContentSplit _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -4242,6 +4276,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
+    "q_content_split" -> qContentSplitSql,
     "q_mixture_sample" -> qMixtureSampleSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_stratified_sample" -> qStratifiedSampleSql,

@@ -59,6 +59,22 @@ object Sampling {
     df.withColumn("split", chain)
   }
 
+  /** Leakage-proof split assignment: the draw key is the normalized
+    * CONTENT fingerprint (md5 of the fold used by the dedup tier), not
+    * the row id — every exact copy of a text therefore lands in the
+    * SAME split by construction (equal fingerprint => equal draw), so
+    * exact-duplicate cross-split leakage is structurally zero rather
+    * than something to audit after the fact. This is the standard fix
+    * once [[graft.ext.Dedup.crossSplitLeakage]] flags an id-keyed
+    * split; near-duplicates still need the near-dup pass first. Same
+    * narrow, shuffle-free shape as [[assignSplit]]. */
+  def assignSplitByContent(df: DataFrame, textCol: String,
+      fractions: Seq[(String, Int)], salt: String = "csplit"): DataFrame = {
+    val withFp = df.withColumn("__fp",
+      TextStats.fingerprintMd5(col(textCol)))
+    assignSplit(withFp, "__fp", fractions, salt).drop("__fp")
+  }
+
   /** Data-mixture downsampling (the "data mixing" step of LLM corpus
     * assembly, e.g. The Pile / LLaMA mixture tables — public papers):
     * each group keeps its own permille of rows via the hash-Bernoulli

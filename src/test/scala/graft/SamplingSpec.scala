@@ -62,6 +62,40 @@ class SamplingSpec extends SparkSpec {
     sub.foreach { case (id, sp) => assert(full(id) == sp) }
   }
 
+  test("content-keyed split: exact copies always co-locate, leakage " +
+      "audit reads zero, proportions hold") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // inject an exact copy of EVERY doc under a new id — the worst case
+    // for an id-keyed split (every fingerprint now has 2 chances to
+    // straddle)
+    val docs = base.union(base.select(($"doc_id" + 1000000).as("doc_id"),
+      $"text"))
+    val split = graft.ext.Sampling.assignSplitByContent(docs, "text",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    // co-location property: one split per original id-pair
+    val pairSplits = split
+      .withColumn("orig", $"doc_id" % 1000000)
+      .groupBy("orig")
+      .agg(countDistinct($"split").as("k"))
+      .filter($"k" > 1).count()
+    assert(pairSplits == 0L, "every copy pair must land in ONE split")
+    val leaks = graft.ext.Dedup.crossSplitLeakage(split, "text", "split")
+    assert(leaks.count() == 0L, "leakage audit structurally empty")
+    // id-keyed split on the same corpus DOES straddle (the failure mode
+    // this operator removes)
+    val idSplit = graft.ext.Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(graft.ext.Dedup.crossSplitLeakage(idSplit, "text", "split")
+      .count() > 0L, "id-keyed split must show straddlers on this corpus")
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9,
+      s"~80% train, got ${counts("train") / n}")
+  }
+
   test("token budget: equals the sequential single-window spec, edges hold") {
     import org.apache.spark.sql.expressions.Window
     val budget = 700L
