@@ -535,6 +535,28 @@ object QueriesExt {
        |FROM s GROUP BY 1""".stripMargin
   }
 
+  /** Per-language percentile normalization of document length
+    * (NumericProfile.percentileNormalize): midrank percentiles from a
+    * (lang, n_chars) histogram — no per-language sort; thresholds
+    * become cross-language comparable (the CCNet per-language
+    * percentile convention). */
+  private def qScorePercentile(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.percentileNormalize(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      "n_chars", "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pct"), 6).as("pct_r"))
+  private val qScorePercentileSql =
+    """WITH h AS (SELECT lang, n_chars s, count(*) c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT lang, s, c,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY s) - c lt,
+      |    sum(c) OVER (PARTITION BY lang) n FROM h)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  round(CAST(2 * lt + c + 1 AS DOUBLE)
+      |    / CAST(2 * n AS DOUBLE), 6) pct_r
+      |FROM documents d JOIN cum ON d.lang = cum.lang AND d.n_chars = cum.s""".stripMargin
+
   /** Stratified exact-quota sample: per language, the 20 docs with the
     * smallest (salted draw, id) — deterministic "random" top-k per
     * stratum, one shuffle, WindowGroupLimit capping map-side. */
@@ -4148,6 +4170,7 @@ object QueriesExt {
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
     "q_content_split" -> (qContentSplit _),
+    "q_score_percentile" -> (qScorePercentile _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_stratified_sample" -> (qStratifiedSample _),
@@ -4277,6 +4300,7 @@ object QueriesExt {
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
     "q_content_split" -> qContentSplitSql,
+    "q_score_percentile" -> qScorePercentileSql,
     "q_mixture_sample" -> qMixtureSampleSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_stratified_sample" -> qStratifiedSampleSql,

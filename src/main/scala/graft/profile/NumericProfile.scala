@@ -100,6 +100,45 @@ object NumericProfile {
         col("p.corr").as("corr"))
   }
 
+  /** Group-wise percentile normalization WITHOUT a per-group global
+    * sort — the step that makes quality/score thresholds comparable
+    * across sources or languages (CCNet thresholds per-language by
+    * percentile, not by raw score). Each row gets its MIDRANK
+    * percentile within its group: for a value with `lt` strictly
+    * smaller rows and `c` ties in a group of `n`,
+    * pct = (2*lt + c + 1) / (2*n)  — in (0, 1], mean 0.5 over any
+    * group, ties share one value, integer-exact until the single final
+    * IEEE divide (bit-portable, no float discipline needed).
+    *
+    * Scale shape: the [[graft.ext.LangModel.perplexityBuckets]] trick —
+    * a (group, value) HISTOGRAM (one map-side-combined aggregation,
+    * cardinality bounded by the value grid x groups, not the corpus)
+    * carries the cumulative window; rows re-join the broadcast
+    * histogram narrowly. An `ntile`/`percent_rank` window would funnel
+    * every row of a group through one partition; this never touches
+    * corpus rows with a window. Round the value first if it is a
+    * continuous double (the grid bounds the histogram). Rows with NULL
+    * values are dropped (no rank exists for them). */
+  def percentileNormalize(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol).as("__g"),
+        col(valueCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+    val cum = hist
+      .withColumn("__lt", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col("__g"))))
+      .withColumn("__pct",
+        (lit(2) * col("__lt") + col("__c") + 1).cast("double")
+          / (lit(2) * col("__n")).cast("double"))
+    df.join(broadcast(cum.select(col("__g"), col("__s"), col("__pct"))),
+        col(groupCol) === col("__g") && col(valueCol) === col("__s"))
+      .drop("__g", "__s")
+      .withColumnRenamed("__pct", "pct")
+  }
+
   /** Group-wise robust outlier profile via MAD (median absolute
     * deviation) — the z-score detector's heavy-tail-safe sibling (one
     * extreme value shifts a mean/stddev arbitrarily; it moves a median

@@ -129,6 +129,26 @@ class NumericProfileSpec extends SparkSpec {
     assert(u._2 == 1L, "new category counted as unseen")
   }
 
+  test("percentileNormalize: hand-computed midranks with ties, group " +
+      "mean (n+1)/2n, nulls dropped, partitioning-invariant") {
+    val df = Seq(
+      ("a", 1L, Some(10)), ("a", 2L, Some(20)), ("a", 3L, Some(20)),
+      ("a", 4L, Some(30)), ("b", 5L, Some(7)), ("b", 6L, None)
+    ).toDF("grp", "id", "v")
+    val r = NumericProfile.percentileNormalize(df, "v", "grp")
+      .select($"id", $"pct").as[(Long, Double)].collect().toMap
+    // group a of 4: 10 -> (2*0+1+1)/8, 20 ties -> (2*1+2+1)/8, 30 -> 8/8
+    assert(r(1L) == 0.25 && r(2L) == 0.625 && r(3L) == 0.625 &&
+      r(4L) == 1.0, s"midranks: $r")
+    assert(r(5L) == 1.0, "singleton group: its one value is the top")
+    assert(!r.contains(6L), "null value has no rank")
+    val meanA = Seq(r(1L), r(2L), r(3L), r(4L)).sum / 4
+    assert(meanA == 0.625, s"group mean must be (n+1)/2n: $meanA")
+    val again = NumericProfile.percentileNormalize(df.repartition(5),
+      "v", "grp").select($"id", $"pct").as[(Long, Double)].collect().toMap
+    assert(again == r, "partitioning-invariant")
+  }
+
   test("benford: exact leading digits on the cents grid; zero/negative/null out of scope") {
     val df = Seq(Some(1.23), Some(19.99), Some(250.0), Some(2.0),
       Some(0.0), Some(-5.0), None, Some(0.09)).toDF("v")
