@@ -53,6 +53,30 @@ class PlanAssertSpec extends SparkSpec {
       s"q_stratified_sample must keep its map-side WindowGroupLimit bound; plan:\n$plan")
   }
 
+  test("dynamic partition pruning fires on a partitioned-fact x " +
+      "filtered-dim join (the 100 TB scan-elimination path)") {
+    // At cluster scale the fact table is partition-laid-out (zorder /
+    // writeZOrdered / partitionBy date or source); a dim-filtered join
+    // must prune fact PARTITIONS at runtime, not scan-and-discard.
+    // Pin Spark's DPP so a conf or layout regression can't silently
+    // turn selective joins into full scans.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$dir/docs_by_lang")
+    val fact = spark.read.parquet(s"$dir/docs_by_lang")
+    val dim = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("source")).distinct()
+      .filter(col("source") === "src1")
+    val joined = fact.join(dim, Seq("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned fact scan must carry a dynamicpruning filter; plan:\n$plan")
+    assert(joined.collect().nonEmpty, "and the pruned join still answers")
+  }
+
   test("q_key_skew: hot-key top-k is TakeOrderedAndProject-bounded") {
     val plan = planOf("q_key_skew")
     assert(plan.contains("TakeOrderedAndProject"),
