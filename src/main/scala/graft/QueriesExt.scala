@@ -1229,6 +1229,54 @@ object QueriesExt {
       |       CAST((f - 1) // 4 + 1 AS INT) AS n_sampled
       |FROM m""".stripMargin
 
+  /** Frame-level media dedup (Multimodal.frameDupPairs): injected
+    * re-uploads (same bytes, new media_id) of every third video are
+    * found by frame-digest Jaccard at threshold 0.9 — the multimodal
+    * face of the dedup tier. The oracle re-derives the synthetic
+    * payloads, frame sampling, digests, the df cap, and the capped-set
+    * Jaccard. */
+  private def qFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+      "doc_id", "video")
+    val withCopies = media.union(
+      media.filter(col("media_id") % 15 === 0)
+        .select((col("media_id") + 1000000).as("media_id"), col("kind"),
+          col("bytes")))
+    Multimodal.frameDupPairs(withCopies, stride = 4, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+  }
+  private val qFrameDedupSql: String = {
+    val payload = (0 to 8).map(i => s"sha256(src || ':$i')")
+      .mkString(" || ")
+    s"""WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 5 = 0),
+       |mids AS (SELECT id media_id, id src FROM ids
+       |  UNION ALL SELECT id + 1000000, id FROM ids WHERE id % 15 = 0),
+       |m AS (SELECT media_id, CAST(src % 16 + 1 AS INT) f,
+       |    'MM01' || printf('%04x', CAST(src % 64 + 8 AS INT))
+       |      || printf('%04x', CAST(src % 48 + 6 AS INT))
+       |      || printf('%04x', CAST(src % 16 + 1 AS INT))
+       |      || substr($payload, 1, 256) b
+       |  FROM mids),
+       |fr AS (SELECT DISTINCT media_id,
+       |    md5(substr(b, 17 + (fi * 16) % 256, 16)) fh
+       |  FROM m CROSS JOIN unnest(range(0, f, 4)) AS u(fi)),
+       |cap AS (SELECT fh, media_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY fh) df FROM fr)
+       |  WHERE df <= 16),
+       |sz AS (SELECT media_id, count(*) nf FROM cap GROUP BY 1),
+       |sh AS (SELECT a.media_id ia, b.media_id ib, count(*) shared
+       |  FROM cap a JOIN cap b ON a.fh = b.fh AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT ia, ib, shared,
+       |    CAST(shared AS DOUBLE) / CAST(x.nf + y.nf - shared AS DOUBLE) j
+       |  FROM sh JOIN sz x ON x.media_id = ia JOIN sz y ON y.media_id = ib)
+       |SELECT ia id_a, ib id_b, CAST(shared AS BIGINT) shared,
+       |  round(j, 6) jaccard_r
+       |FROM p WHERE j >= 0.9""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Events: JSON, windows, sessionization
   // ------------------------------------------------------------------
@@ -4207,6 +4255,7 @@ object QueriesExt {
     "q_cluster_sample" -> (qClusterSample _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_multimodal" -> (qMultimodal _),
+    "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -4337,6 +4386,7 @@ object QueriesExt {
     "q_cluster_sample" -> qClusterSampleSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_multimodal" -> qMultimodalSql,
+    "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,
     "q_sessionize" -> qSessionizeSql,

@@ -87,6 +87,68 @@ object Multimodal {
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
+  /** Per-frame content digest — the FAKE sibling of a perceptual frame
+    * hash (a production build decodes the frame and hashes pixels /
+    * a pHash; the plan shape — narrow map per sampled frame — is
+    * identical). Here frame i's "content" is the 16-char payload slice
+    * at offset (i*16 mod payload), digested. */
+  def frameDigest(bytes: Column, frameIdx: Column): Column = {
+    val txt = bytes.cast(StringType)
+    md5(txt.substr(lit(17) + (frameIdx * 16) % 256, lit(16))
+      .cast(BinaryType))
+  }
+
+  /** Frame-level near-duplicate detection ACROSS media — the multimodal
+    * face of the dedup tier (re-encoded/re-uploaded videos share frame
+    * content even when file bytes differ): sample every `stride`-th
+    * frame, digest each frame ([[frameDigest]]), and pair media by
+    * frame-set Jaccard over a posting-list join on the digest.
+    *
+    * Scale shape: the [[graft.ext.Dedup.jaccardPairs]] shape exactly —
+    * the shuffle carries (media_id, frame_digest) rows, never media
+    * bytes; `maxFrameFreq` drops digests appearing in more media than
+    * that (intro/logo/black frames are the boilerplate regime — a
+    * frame in f media contributes f^2/2 pairs), keeping the pair join
+    * linear. Returns (id_a, id_b, shared, jaccard) for pairs at or
+    * above `threshold`; Jaccard is over DISTINCT sampled digests, so
+    * it is exact for the sampled frame sets.
+    *
+    * Determinism: counts are exact integers; the Jaccard is one IEEE
+    * divide. */
+  def frameDupPairs(media: DataFrame, stride: Int = 4,
+      threshold: Double = 0.5, maxFrameFreq: Int = 16): DataFrame = {
+    val f = media.withColumn("meta", decodeMeta(col("bytes")))
+      .filter(col("meta").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
+          .as("frame_idx"),
+        col("bytes"))
+      .select(col("media_id"),
+        frameDigest(col("bytes"), col("frame_idx")).as("fh"))
+      .distinct()
+    val df = f.join(
+      f.groupBy(col("fh")).agg(count(lit(1)).as("__df")), Seq("fh"))
+      .filter(col("__df") <= maxFrameFreq)
+      .select(col("fh"), col("media_id"))
+    val shared = df.select(col("fh"), col("media_id").as("id_a"))
+      .join(df.select(col("fh"), col("media_id").as("id_b")), Seq("fh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    // sizes over the SAME capped universe as the intersection, so the
+    // ratio is a true Jaccard of the retained digest sets
+    val sizes = df.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    shared
+      .join(sizes.select(col("media_id").as("id_a"), col("nf").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("nf").as("nb")),
+        Seq("id_b"))
+      .withColumn("jaccard", col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+  }
+
   /** Resize stub: recomputes metadata only (a real kernel would remap
     * payload bytes); keeps the contract `media -> media` with changed
     * meta. */

@@ -135,6 +135,43 @@ class EventsOpsSpec extends SparkSpec {
     assert(garbage.filter($"meta".isNull).count() == 1)
   }
 
+  test("frameDupPairs: exact re-upload reads jaccard 1, crafted partial " +
+      "overlap reads exactly 1/3, boilerplate frames are capped out") {
+    // hand-built media: header MM01 + w=8 h=6 f=8 (hex, 4 chars each),
+    // payload 256 chars; stride 4 samples frames 0 and 4 -> payload
+    // slices [1..16] and [65..80]
+    def media(id: Long, frame0: String, frame4: String): (Long, String, Array[Byte]) = {
+      val payload = frame0 + "x" * 48 + frame4 + "y" * (256 - 80)
+      (id, "video", ("MM01" + "0008" + "0006" + "0008" + payload)
+        .getBytes("UTF-8"))
+    }
+    val rows = Seq(
+      media(1L, "A" * 16, "B" * 16),
+      media(2L, "A" * 16, "B" * 16), // exact frame-set copy of 1
+      media(3L, "A" * 16, "C" * 16)  // shares frame 0 only with 1 and 2
+    )
+    val df = rows.toDF("media_id", "kind", "bytes")
+    val pairs = Multimodal.frameDupPairs(df, stride = 4, threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> ((p._3, p._4))).toMap
+    assert(pairs((1L, 2L)) == ((2L, 1.0)), s"exact copy: $pairs")
+    assert(pairs((1L, 3L)) == ((1L, 1.0 / 3.0)),
+      s"partial: 1 shared of 3 distinct: $pairs")
+    assert(pairs((2L, 3L)) == ((1L, 1.0 / 3.0)))
+    // raising the threshold drops the partial pairs
+    val strict = Multimodal.frameDupPairs(df, stride = 4, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(strict.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // boilerplate: 20 single-frame media sharing one slice -> the digest
+    // df-cap (16) removes it and NO pairs emerge
+    val boiler = (1 to 20).map { i =>
+      ((100 + i).toLong, "video",
+        ("MM01000800060001" + "Z" * 256).getBytes("UTF-8"))
+    }.toDF("media_id", "kind", "bytes")
+    assert(Multimodal.frameDupPairs(boiler, stride = 4, threshold = 0.1)
+      .count() == 0L, "capped boilerplate frame must not pair")
+  }
+
   test("funnel: stage order enforced, same-instant counts, dropouts excluded") {
     def ev(id: Long, u: Long, t: String, typ: String) =
       (id, java.sql.Timestamp.valueOf(t), u, typ)
