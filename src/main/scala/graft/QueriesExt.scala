@@ -2233,6 +2233,40 @@ object QueriesExt {
       |  count(CASE WHEN abs(value - med) > 3.5 * mad THEN 1 END) n_outliers
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Embedding-corruption screen: per-label MAD outliers over vector
+    * NORMS on a corpus with injected 10x-rescaled rows (the broken
+    * encoder / wrong-normalization failure mode — norms are the
+    * cheapest place it shows). Composes SimSearch.norm with
+    * NumericProfile.madOutliers; norms rounded@6 re-enter the
+    * median/MAD chain under the q_mad_outliers convention. */
+  private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("label"),
+      SimSearch.toDouble(col("embedding")).as("v"))
+    val corrupt = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        transform(col("v"), x => x * 10).as("v"))
+    val norms = base.union(corrupt)
+      .select(col("label"),
+        round(SimSearch.norm(col("v")), 6).as("nrm"))
+    graft.profile.NumericProfile.madOutliers(norms, "nrm", "label", k = 3.5)
+      .select(col("label"), col("n_rows"), col("med"), col("mad"),
+        col("n_outliers"))
+  }
+  private val qEmbedOutliersSql: String =
+    """WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      |c AS (SELECT vec_id + 1000000 vec_id, label,
+      |    list_transform(v, x -> x * 10) v FROM b WHERE vec_id % 25 = 0),
+      |a AS (SELECT label, round(sqrt(list_dot_product(v, v)), 6) nrm
+      |  FROM (SELECT * FROM b UNION ALL SELECT * FROM c)),
+      |med AS (SELECT label, round(median(nrm), 4) med FROM a GROUP BY 1),
+      |mad AS (SELECT e.label, round(median(abs(e.nrm - m.med)), 4) mad
+      |  FROM a e JOIN med m USING (label) GROUP BY 1),
+      |j AS (SELECT e.label, e.nrm, m.med, d.mad
+      |  FROM a e JOIN med m USING (label) JOIN mad d USING (label))
+      |SELECT label, count(*) n_rows, min(med) med, min(mad) mad,
+      |  count(CASE WHEN abs(nrm - med) > 3.5 * mad THEN 1 END) n_outliers
+      |FROM j GROUP BY 1""".stripMargin
+
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
     EventsOps.movingAverage(events(s, dir), windowSec = 3600)
       .select(col("event_id"), col("user_id"),
@@ -4254,6 +4288,7 @@ object QueriesExt {
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_embed_drift" -> (qEmbedDrift _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
     "q_multimodal" -> (qMultimodal _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -4385,6 +4420,7 @@ object QueriesExt {
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,
     "q_embed_drift" -> qEmbedDriftSql,
+    "q_embed_outliers" -> qEmbedOutliersSql,
     "q_multimodal" -> qMultimodalSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -312,6 +312,24 @@ class SimSearchSpec extends SparkSpec {
     assert(again == r, "partitioning-invariant")
   }
 
+  test("norm-based corruption screen: rescaled rows flag as MAD " +
+      "outliers, healthy unit rows never do") {
+    val dims = 8
+    def axis(i: Int, scale: Float): Seq[Float] =
+      (0 until dims).map(d => if (d == i % dims) scale else 0.0f)
+    val rows = (0 until 20).map(i => (i.toLong, axis(i, 1.0f), 0)) ++
+      Seq((100L, axis(0, 10.0f), 0), (101L, axis(1, 10.0f), 0))
+    val norms = rows.toDF("vec_id", "embedding", "label")
+      .select($"label", round(SimSearch.norm(
+        SimSearch.toDouble($"embedding")), 6).as("nrm"))
+    val r = graft.profile.NumericProfile
+      .madOutliers(norms, "nrm", "label", k = 3.5)
+      .select($"n_rows", $"n_outliers").as[(Long, Long)].head()
+    assert(r == ((22L, 2L)),
+      s"exactly the two rescaled rows must flag (MAD=0 degrades to the " +
+        s"any-deviation test): $r")
+  }
+
   test("LSH ANN recall gate: recall@5 >= 0.9 on clustered data at shipped params") {
     // The numeric gate VERDICT r2 asked for on the one rows-only query
     // (q_ann_lsh has no SQL oracle): same dims and planes as the shipped
