@@ -1716,6 +1716,57 @@ object QueriesExt {
     body(Sources.normalizeEventsTs(raw))
   }
 
+  /** Embeddings staged as a file stream (same freshness-checked atomic
+    * staging as [[withStagedEventsStream]]). */
+  private def withStagedEmbeddingsStream(s: SparkSession, dir: String)
+      (body: DataFrame => DataFrame): DataFrame = {
+    val schema = emb(s, dir).schema
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_emb",
+      java.lang.Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val dst = streamDir.resolve("embeddings.parquet")
+    val stale = !java.nio.file.Files.exists(dst) ||
+      java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+      java.nio.file.Files.getLastModifiedTime(dst)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      val tmp = streamDir.resolve("embeddings.parquet.tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    body(s.readStream.schema(schema).parquet(streamDir.toString))
+  }
+
+  /** STREAMING embedding-drift monitor: the stream maintains
+    * SimSearch.driftStats's per-(label, dim) decimal sums + counts (one
+    * streaming aggregation, complete mode — decimal sums are exact and
+    * associative, so incremental maintenance is lossless), and the
+    * report derives from the sink per trigger via driftFromStats. The
+    * result is BIT-IDENTICAL to the batch q_embed_drift (same oracle
+    * SQL), which is the whole point: the monitor can run on the live
+    * crawl and agree with the nightly batch number. */
+  private def qStreamDrift(s: SparkSession, dir: String): DataFrame =
+    withStagedEmbeddingsStream(s, dir) { em =>
+      val stats = SimSearch.driftStats(em, "embedding", "label")
+      val sink = "graft_stream_drift"
+      val q = stats.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // the memory sink is ALREADY driver-resident and bounded at
+      // groups x dims rows; re-wrap it as a fresh frame because the
+      // sink VIEW reuses one set of attribute ids and driftFromStats's
+      // self-joins then fail resolution (MemoryPlan does not
+      // deduplicate). No new scale hazard is introduced.
+      val t = s.table(sink)
+      SimSearch.driftFromStats(
+        s.createDataFrame(t.collectAsList(), t.schema))
+    }
+
   private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     withStagedEventsStream(s, dir) { ev =>
       val prof = graft.streaming.StreamProfile.hourlyProfile(ev)
@@ -4232,6 +4283,7 @@ object QueriesExt {
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
+    "q_stream_drift" -> (qStreamDrift _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -4364,6 +4416,7 @@ object QueriesExt {
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,
     "q_stream_enrich" -> qStreamEnrichSql,
+    "q_stream_drift" -> qEmbedDriftSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,

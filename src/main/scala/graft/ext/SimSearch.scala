@@ -323,17 +323,40 @@ object SimSearch {
     * products; cross-dim sums are exact decimals; final cosine is one
     * IEEE divide, rounded at 6. */
   def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String,
-      groupCol: String): DataFrame = {
-    val ex = emb.select(col(groupCol).as("grp"),
+      groupCol: String): DataFrame =
+    driftFromStats(driftStats(emb, vecCol, groupCol))
+
+  /** The SUFFICIENT STATISTICS of [[embeddingDrift]]: per (group, dim),
+    * the exact decimal component sum and the vector count. Split out so
+    * a STREAMING monitor can maintain exactly these (one streaming
+    * aggregation in complete mode — decimal sums are associative and
+    * exact, so incremental maintenance is lossless) and hand them to
+    * [[driftFromStats]] per trigger; the batch operator is the same two
+    * steps fused. */
+  def driftStats(emb: DataFrame, vecCol: String,
+      groupCol: String): DataFrame =
+    emb.select(col(groupCol).as("grp"),
         posexplode(normalize(toDouble(col(vecCol)))).as(Seq("p", "e")))
       .select(col("grp"), (col("p") + 1).as("j"), col("e"))
-    def meanOf(df: DataFrame, keys: Seq[String]): DataFrame =
-      df.groupBy(keys.map(col): _*)
-        .agg(round(sum(col("e").cast("decimal(28,14)")).cast("double")
-          / count(lit(1)), 8).as("m"))
-    val gm = meanOf(ex, Seq("grp", "j"))
-    val glob = meanOf(ex, Seq("j")).withColumnRenamed("m", "g")
-    val sums = gm.join(broadcast(glob), "j")
+      .groupBy(col("grp"), col("j"))
+      .agg(sum(col("e").cast("decimal(28,14)")).as("sm"),
+        count(lit(1)).as("n"))
+
+  /** Finisher over [[driftStats]] output: derives per-group means, the
+    * global mean (sum-of-sums — exact, so identical to a direct global
+    * aggregation), and the (n_vecs, centroid_norm_r, cos_global_r)
+    * report. */
+  def driftFromStats(stats: DataFrame): DataFrame = {
+    val gm = stats.select(col("grp"), col("j"),
+      round(col("sm").cast("double") / col("n"), 8).as("m"))
+    // rename the key on the aggregate side: when `stats` is a sink/view
+    // re-read, both sides would otherwise carry the SAME attribute ids
+    // and the self-join fails resolution
+    val glob = stats.groupBy(col("j"))
+      .agg(round(sum(col("sm")).cast("double") / sum(col("n")), 8).as("g"))
+      .select(col("j").as("__gj"), col("g"))
+    val sums = gm.join(broadcast(glob), col("j") === col("__gj"))
+      .drop("__gj")
       .groupBy(col("grp"))
       .agg(sum((col("m") * col("m")).cast("decimal(28,14)"))
           .cast("double").as("s_gg"),
@@ -341,8 +364,9 @@ object SimSearch {
           .cast("double").as("s_gl"),
         sum((col("g") * col("g")).cast("decimal(28,14)"))
           .cast("double").as("s_ll"))
-    val counts = emb.groupBy(col(groupCol).as("grp"))
-      .agg(count(lit(1)).as("n_vecs"))
+    // every vector contributes one row per dim, so any dim's count is
+    // the group's vector count
+    val counts = stats.groupBy(col("grp")).agg(max(col("n")).as("n_vecs"))
     counts.join(sums, Seq("grp"))
       .select(col("grp"), col("n_vecs"),
         round(sqrt(col("s_gg")), 6).as("centroid_norm_r"),

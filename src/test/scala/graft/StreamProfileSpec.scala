@@ -223,6 +223,17 @@ class StreamProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor is bit-identical to the batch report") {
+    // the contract: the stream maintains exact decimal sufficient stats,
+    // so the live monitor and the nightly batch CANNOT disagree
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val stream = rows("q_stream_drift")
+    val batch = rows("q_embed_drift")
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("crawlDedupStream: evolving index catches dups of earlier-batch SURVIVORS") {
     val sparkSession = spark
     import sparkSession.implicits._
