@@ -3799,6 +3799,38 @@ object QueriesExt {
        |SELECT node, round(rank, 9) rank_r FROM r$prIters""".stripMargin
   }
 
+  /** Triangle count over the part co-occurrence graph (parts sharing an
+    * order — the part->supplier graph is bipartite and trivially
+    * triangle-free): degree-ordered orientation (Graph.triangleCount),
+    * exact integer result. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = l.alias("x").join(l.alias("y"),
+      col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+    Graph.triangleCount(e, "src", "dst")
+  }
+  private val qTrianglesSql =
+    """WITH e0 AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (SELECT v, count(*) d FROM (
+      |    SELECT a v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |wd AS (SELECT a, b, da.d da, db.d db
+      |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+      |o AS (SELECT
+      |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END u,
+      |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END v,
+      |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END dv
+      |  FROM wd),
+      |w AS (SELECT e1.v x, e2.v y FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |t AS (SELECT count(*) c FROM w JOIN o ON o.u = w.x AND o.v = w.y)
+      |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) n_vertices,
+      |  CAST((SELECT count(*) FROM e0) AS BIGINT) n_edges,
+      |  CAST((SELECT c FROM t) AS BIGINT) n_triangles""".stripMargin
+
   /** Directed-degree profile of the part->supplier edge list (out-degree
     * for parts, in-degree for suppliers, full outer join). */
   private def qDegreeProfile(s: SparkSession, dir: String): DataFrame =
@@ -4228,6 +4260,7 @@ object QueriesExt {
     "q_zipf_fit" -> (qZipfFit _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
+    "q_triangles" -> (qTriangles _),
     "q_lm_score" -> (qLmScore _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_trigram_lm" -> (qTrigramLm _),
@@ -4361,6 +4394,7 @@ object QueriesExt {
     "q_zipf_fit" -> qZipfFitSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
+    "q_triangles" -> qTrianglesSql,
     "q_lm_score" -> qLmScoreSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_trigram_lm" -> qTrigramLmSql,

@@ -117,4 +117,53 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Triangle counting via DEGREE-ORDERED ORIENTATION (the standard
+    * distributed algorithm — Suri & Vassilvitskii 2011 "Counting
+    * Triangles and the Curse of the Last Reducer"): canonicalize the
+    * edge list (undirected, dedup'd, no self-loops), orient every edge
+    * from its lower (degree, id) endpoint to the higher, build wedges
+    * by self-joining oriented edges on their source, and close each
+    * wedge against the oriented edge list. Orientation is the whole
+    * trick: a vertex's ORIENTED out-degree is O(sqrt(m)) even when its
+    * raw degree is huge, so the wedge join never explodes on hub
+    * vertices — the "last reducer" a naive neighbor self-join dies on
+    * at 100 TB.
+    *
+    * Every triangle is counted exactly once (its vertices have a unique
+    * (degree, id) order). Returns one row:
+    * (n_vertices, n_edges, n_triangles) — all exact integers, so the
+    * result is trivially bit-portable. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("v"),
+      when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    // wedge (x, y) ordered by the same (degree, id) key, so the closing
+    // edge — if present — is oriented exactly x -> y
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tris.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -52,6 +52,26 @@ class GraphSpec extends SparkSpec {
     assert(r("a") > 0.0)
   }
 
+  test("triangleCount: known graphs exact — triangle, K4, square, star; " +
+      "duplicates/reversals/self-loops normalize away") {
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+        .as[(Long, Long, Long)].head()
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == ((3L, 3L, 1L)))
+    // K4: every 3-subset closes
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(count(k4) == ((4L, 6L, 4L)))
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ==
+      ((4L, 4L, 0L)), "square has no triangle")
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) ==
+      ((5L, 4L, 0L)), "star has no triangle")
+    // messy input: duplicate edges, reversed copies, a self-loop —
+    // canonicalization must make it the plain triangle
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    assert(count(messy) == ((3L, 3L, 1L)))
+  }
+
   test("degreeProfile: out/in split with zero-fill") {
     val e = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"))
       .toDF("src", "dst")
