@@ -4193,6 +4193,27 @@ object QueriesExt {
       |    THEN (num * num) / (den * deny) END, 6) r2_r
       |FROM b""".stripMargin
 
+  /** PMI collocations (TextStats.collocations): top-50 adjacent pairs
+    * by rounded PMI at minCount 5 — phrase/boilerplate surfacing. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    TextStats.collocations(docs(s, dir), "text", minCount = 5, k = 50)
+  private val qCollocationsSql =
+    s"""WITH t AS (SELECT ${toksSql("text")} t FROM documents),
+       |toks AS (SELECT unnest(t) tok FROM t),
+       |uni AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c) AS DOUBLE) v FROM uni),
+       |bg AS (SELECT t[i + 1] w1, t[i + 2] w2
+       |  FROM t CROSS JOIN unnest(range(len(t) - 1)) AS u(i)),
+       |nb AS (SELECT CAST(count(*) AS DOUBLE) v FROM bg),
+       |bic AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2
+       |  HAVING count(*) >= 5),
+       |p AS (SELECT b.w1, b.w2, b.c12,
+       |    round(ln((CAST(b.c12 AS DOUBLE) * (SELECT v FROM nu) * (SELECT v FROM nu))
+       |      / ((SELECT v FROM nb) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) pmi_r
+       |  FROM bic b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok)
+       |SELECT w1, w2, CAST(c12 AS BIGINT) c12, pmi_r FROM p
+       |ORDER BY pmi_r DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
   /** Zipf rank-frequency diagnostic (TextStats.zipfFit): ln-ln OLS over
     * the top-500 token types — slope ~ -1 + high R^2 on natural text;
     * boilerplate flattens it. Reuses the q_linear_fit moment-sum
@@ -4258,6 +4279,7 @@ object QueriesExt {
     "q_chi_drift" -> (qChiDrift _),
     "q_linear_fit" -> (qLinearFit _),
     "q_zipf_fit" -> (qZipfFit _),
+    "q_collocations" -> (qCollocations _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_triangles" -> (qTriangles _),
@@ -4392,6 +4414,7 @@ object QueriesExt {
     "q_chi_drift" -> qChiDriftSql,
     "q_linear_fit" -> qLinearFitSql,
     "q_zipf_fit" -> qZipfFitSql,
+    "q_collocations" -> qCollocationsSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_triangles" -> qTrianglesSql,

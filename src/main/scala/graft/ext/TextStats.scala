@@ -217,6 +217,52 @@ object TextStats {
     MLFit.simpleLinearFit(pts, "lx", "ly")
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the corpus's top
+    * adjacent word pairs by pointwise mutual information
+    * ln(p(w1 w2) / (p(w1) p(w2))) — the multi-word-expression /
+    * boilerplate-phrase surfacing pass ("los angeles", "click here")
+    * run before tokenizer training or phrase-aware dedup. `minCount`
+    * suppresses the low-frequency noise PMI is notorious for; the
+    * ranking orders by ROUNDED pmi with (w1, w2) tie-breaks so the
+    * top-k is deterministic across engines.
+    *
+    * Scale shape: two count aggregations (unigram + adjacent-bigram,
+    * both map-side combined) + a TakeOrderedAndProject top-k. The pair
+    * stream is a narrow per-row transform — no self-join anywhere.
+    *
+    * Determinism: pmi is one ln of a product/quotient chain over exact
+    * counts (left-associated identically in the SQL mirror), rounded
+    * at 6 BEFORE ranking. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    val base = docs.select(tokens(normalized(col(textCol))).as("t"))
+    val toks = base.select(explode(col("t")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c"))).head()
+    val nuBoxed = tot.getAs[java.lang.Long](0)
+    require(nuBoxed != null, "collocations: corpus has zero tokens")
+    val nu = nuBoxed.longValue().toDouble
+    val bg = base.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(w, i) -> struct(w as w1, element_at(t, i + 2) as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nb = bg.count().toDouble
+    val bic = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bic
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .withColumn("pmi_r", round(log(
+        (col("c12").cast("double") * lit(nu) * lit(nu))
+          / (lit(nb) * col("c1").cast("double")
+            * col("c2").cast("double"))), 6))
+      .orderBy(col("pmi_r").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_r"))
+  }
+
   def sourceStats(docs: DataFrame, textCol: String, sourceCol: String,
       minDocs: Long = 10, maxDupRate: Double = 0.25): DataFrame = {
     val staged = docs

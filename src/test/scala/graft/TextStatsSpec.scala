@@ -166,6 +166,34 @@ class TextStatsSpec extends SparkSpec {
       (3L, Seq.empty[Long])))
   }
 
+  test("collocations: the fixed phrase tops PMI, value matches the " +
+      "hand formula, minCount suppresses rare pairs") {
+    import graft.ext.TextStats
+    // "san francisco" always adjacent; "the" is frequent and promiscuous
+    val docs = (
+      Seq.fill(6)("san francisco the end") ++
+        Seq.fill(6)("the cat saw the dog") ++
+        Seq("rare pair") // c12 = 1 -> under minCount, must not appear
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val r = TextStats.collocations(docs, "text", minCount = 5, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    // "cat saw" shares identical stats (both phrases always adjacent,
+    // same frequencies) so it ties; the fixed phrase must sit in the
+    // top tie group at the max pmi
+    val topPmi = r.head._4
+    val topGroup = r.filter(_._4 == topPmi).map(p => (p._1, p._2)).toSet
+    assert(topGroup.contains(("san", "francisco")),
+      s"fixed phrase must share the top PMI: ${r.toSeq}")
+    // hand PMI: c12=6, c(san)=6, c(francisco)=6; tokens Nu=6*4+6*5+2=56,
+    // adjacent pairs Nb=6*3+6*4+1=43
+    val expected = math.log((6.0 * 56 * 56) / (43.0 * 6 * 6))
+    assert(math.abs(r.head._4 - expected) < 1e-5,
+      s"pmi formula: got ${r.head._4}, want ~$expected")
+    assert(!r.exists(p => p._1 == "rare" || p._2 == "pair"),
+      "minCount must suppress the singleton pair")
+    r.foreach(p => assert(p._3 >= 5L))
+  }
+
   test("zipfFit: slope ~ -1 with high R^2 on a Zipfian corpus, flat " +
       "corpus degrades to zero slope with null R^2") {
     import graft.ext.TextStats
