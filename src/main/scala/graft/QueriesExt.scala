@@ -156,9 +156,13 @@ object QueriesExt {
       threshold = 0.5, shingleN = 3, k = 16, bands = 4,
       maxBucket = 64)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  private val qDedupMinhashSql = {
+  /** The word-minhash LSH candidate chain over `documents` (toks -> hs
+    * -> sig -> bands -> capped -> cand) — ONE source of truth shared by
+    * the q_dedup_minhash and q_edit_verify oracles, mirroring how both
+    * Scala faces route through `lshCandidatesFromHashes`. */
+  private val minhashCandCtesSql: String = {
     val sh = wordShinglesSql
-    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+    s"""toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
        |hs AS (SELECT doc_id,
        |  list_transform($sh, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
        |sig AS (SELECT doc_id, h,
@@ -170,11 +174,38 @@ object QueriesExt {
        |  FROM sig, (SELECT unnest(range(4)) band)),
        |${cappedSql("doc_id, h, band, bkey", "bands", "band", "bkey", 64)},
        |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
-       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+  private val qDedupMinhashSql =
+    s"""WITH $minhashCandCtesSql,
        |pairs AS (SELECT ia, ib,
        |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
        |  FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib)
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
+
+  /** Bounded-Levenshtein verification of the SAME LSH candidate set as
+    * q_dedup_minhash — the character-level confirm stage. The oracle
+    * computes the full distance and applies the band as a CASE (DuckDB
+    * has no threshold-banded levenshtein); banding cannot flip a
+    * verdict (see [[Dedup.editVerify]]'s bound derivation). */
+  private def qEditVerify(s: SparkSession, dir: String): DataFrame =
+    Dedup.editVerify(docs(s, dir), "doc_id", "text",
+      simThreshold = 0.7, prefixLen = 256, shingleN = 3, k = 16,
+      bands = 4, maxBucket = 64)
+  private val qEditVerifySql: String = {
+    val bound = 76 // floor(256 * (1 - 0.7)), mirrored from editVerify
+    s"""WITH $minhashCandCtesSql,
+       |prefs AS (SELECT doc_id, substr(${normSql("text")}, 1, 256) p FROM documents),
+       |lv AS (SELECT ia, ib,
+       |    CASE WHEN levenshtein(x.p, y.p) <= $bound
+       |      THEN levenshtein(x.p, y.p) ELSE -1 END d,
+       |    greatest(len(x.p), len(y.p)) ml
+       |  FROM cand JOIN prefs x ON x.doc_id = ia JOIN prefs y ON y.doc_id = ib),
+       |sims AS (SELECT ia, ib, d, CASE WHEN ml = 0 THEN 1.0
+       |    WHEN d >= 0 THEN 1.0 - CAST(d AS DOUBLE) / CAST(ml AS DOUBLE) END s
+       |  FROM lv)
+       |SELECT ia AS id_a, ib AS id_b, CAST(d AS INT) edit_dist,
+       |  round(s, 6) edit_sim, COALESCE(s >= 0.7, FALSE) dup FROM sims""".stripMargin
   }
 
   /** MinHash calibration: signature-agreement estimate vs exact shingle
@@ -2161,6 +2192,18 @@ object QueriesExt {
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      d.filter(col("doc_id") % 50 === 0), "text", n = 13)
+      .select(col("id").as("doc_id"), col("n_contaminated_grams"))
+  }
+
+  /** Bloom-prefiltered decontamination — same split as q_decontaminate,
+    * routed through [[Dedup.decontaminateBloom]]. The Bloom prefilter is
+    * exact-confirmed, so the ORACLE IS THE EXACT PATH's SQL: any false
+    * positive leaking through (or true hit dropped) breaks the hash. */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminateBloom(
       d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
       d.filter(col("doc_id") % 50 === 0), "text", n = 13)
       .select(col("id").as("doc_id"), col("n_contaminated_grams"))
@@ -4320,6 +4363,7 @@ object QueriesExt {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_zorder" -> (qZorder _),
     "q_zprune" -> (qZPrune _),
@@ -4351,6 +4395,7 @@ object QueriesExt {
     "q_prep_pipeline" -> (qPrepPipeline _),
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_edit_verify" -> (qEditVerify _),
     "q_minhash_calibration" -> (qMinhashCalibration _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_stream_crawl_dedup" -> (qStreamCrawlDedup _),
@@ -4455,6 +4500,7 @@ object QueriesExt {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_corpus_diff" -> qCorpusDiffSql,
     "q_zorder" -> qZorderSql,
     "q_zprune" -> qZPruneSql,
@@ -4486,6 +4532,7 @@ object QueriesExt {
     "q_prep_pipeline" -> qPrepPipelineSql,
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_edit_verify" -> qEditVerifySql,
     "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_stream_crawl_dedup" -> qStreamCrawlDedupSql,

@@ -266,6 +266,62 @@ object Dedup {
     materializeAndRelease(hashed, out)
   }
 
+  /** Edit-distance verification of LSH candidate pairs — the
+    * character-level confirm stage a near-dup pipeline runs when
+    * shingle Jaccard is too coarse (token reorderings and boilerplate
+    * templates can score high Jaccard while being different documents;
+    * bounded Levenshtein on the normalized text is the classic
+    * second-opinion statistic). For every MinHash candidate pair (same
+    * banding + hot-bucket cap as [[nearDuplicates]]): the Levenshtein
+    * distance between the two normalized-text PREFIXES (capped at
+    * `prefixLen` chars), the normalized similarity
+    * 1 - dist/max(len), and a `dup` verdict at `simThreshold`.
+    *
+    * Cost bounds, because unbounded Levenshtein is the classic scale
+    * trap: (a) pair volume is the capped LSH candidate set, never the
+    * corpus square; (b) each compare is O(prefixLen^2) worst-case on a
+    * fixed prefix, so the per-pair cost is a CONSTANT, not O(doc^2);
+    * (c) the distance is threshold-banded (Spark's 3-arg levenshtein
+    * stops at the bound and returns -1) — the bound
+    * floor(prefixLen * (1 - simThreshold)) is the largest distance any
+    * pair with max(len) <= prefixLen could have and still clear
+    * `simThreshold`, so banding can never flip a verdict. Text travels
+    * into the pair join capped at prefixLen chars per side.
+    *
+    * Determinism: integer edit distance, one IEEE divide for the
+    * similarity (rounded at 6 for the report; the verdict compares the
+    * unrounded single divide — same bits in any engine). Two empty
+    * prefixes (non-Latin text normalizing to "") are identical:
+    * sim 1, dup true. */
+  def editVerify(docs: DataFrame, idCol: String, textCol: String,
+      simThreshold: Double = 0.7, prefixLen: Int = 256,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    require(simThreshold > 0.0 && simThreshold <= 1.0,
+      s"simThreshold must be in (0, 1]: $simThreshold")
+    require(prefixLen > 0, s"prefixLen must be positive: $prefixLen")
+    val bound = math.floor(prefixLen * (1.0 - simThreshold)).toInt
+    val hashed = hashedShingleFrame(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesFromHashes(hashed, k, bands, maxBucket)
+    val prefixes = docs.select(col(idCol).as("id"),
+      substring(TextStats.normalized(col(textCol)), 1, prefixLen).as("p"))
+    val d = levenshtein(col("p_a"), col("p_b"), bound)
+    val maxLen = greatest(length(col("p_a")), length(col("p_b")))
+    val sim = when(maxLen === 0, lit(1.0))
+      .when(col("edit_dist") >= 0,
+        lit(1.0) - col("edit_dist").cast("double") / maxLen.cast("double"))
+    val out = cands
+      .join(prefixes.withColumnsRenamed(Map("id" -> "id_a", "p" -> "p_a")), Seq("id_a"))
+      .join(prefixes.withColumnsRenamed(Map("id" -> "id_b", "p" -> "p_b")), Seq("id_b"))
+      .withColumn("edit_dist", d)
+      .withColumn("sim", sim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        round(col("sim"), 6).as("edit_sim"),
+        coalesce(col("sim") >= simThreshold, lit(false)).as("dup"))
+    materializeAndRelease(hashed, out)
+  }
+
   /** Exact n-gram Jaccard over ALL qualifying pairs via an inverted
     * index: explode shingle hashes, self-join on hash, count shared
     * shingles per pair, derive |A u B| = |A| + |B| - shared. The
@@ -558,6 +614,42 @@ object Dedup {
       .join(benchHashes, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontaminate]]. The exact path explodes every corpus 13-gram
+    * and ships ALL of them into the hash join, but almost none of them
+    * are contaminated: the join's output is a vanishing fraction of its
+    * input. A Bloom filter over the benchmark's distinct gram hashes
+    * (built once, a few MB even for a large eval suite) is applied to
+    * the corpus gram stream BEFORE the exchange, so only probable hits
+    * ever shuffle; the exact hash join then confirms each survivor, so
+    * Bloom false positives cannot leak into the result. Output is
+    * therefore IDENTICAL to [[decontaminate]] — same rows, same counts
+    * — which is exactly what lets one oracle gate both paths.
+    *
+    * Scale shape: benchmark side = one bounded-driver-fetch Bloom build
+    * ([[Relational.bloomSemiJoin]] — xxhash64 keys, auto-sized from the
+    * build-side count); corpus side = narrow explode + codegen'd
+    * might_contain filter riding the scan; the exchange carries only
+    * candidate grams (at the default 3% fpp: ~3% of clean grams + all
+    * real hits), then the same join/groupBy as the exact path. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13)
+      : DataFrame = {
+    // pinned: the bench hash set has three consumers inside
+    // bloomSemiJoin (count, Bloom build, semi target) — without the pin
+    // each re-runs the bench tokenize->shingle->distinct
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+    materializeAndRelease(benchHashes,
+      Relational.bloomSemiJoin(corpusGrams, benchHashes, "h")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_contaminated_grams")))
   }
 
   /** Graded decontamination: [[decontaminate]] reports only the hit

@@ -395,6 +395,69 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("editVerify: candidate set matches LSH, exact dups at dist 0, " +
+      "banding never flips a verdict") {
+    val r = Dedup.editVerify(corpus, "doc_id", "text",
+        simThreshold = 0.7, prefixLen = 256)
+      .as[(Long, Long, Int, Double, Boolean)].collect()
+    val cands = Dedup.lshCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(r.map(p => (p._1, p._2)).toSet == cands,
+      "editVerify must score exactly the LSH candidate pairs")
+    val byPair = r.map(p => (p._1, p._2) -> p).toMap
+    // 1 and 4 are identical after normalization -> distance 0, dup
+    val exact = byPair((1L, 4L))
+    assert(exact._3 == 0 && exact._4 == 1.0 && exact._5)
+    // 1 and 2 differ only in the last word -> small distance, dup
+    val near = byPair((1L, 2L))
+    assert(near._3 > 0 && near._3 <= 6 && near._5, s"near pair: $near")
+    // banded (-1) distances must only occur where the unbounded
+    // similarity is below threshold anyway (the bound derivation)
+    val texts = corpus.as[(Long, String)].collect().toMap
+    def norm(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.take(256)
+    r.foreach { case (a, b, dist, _, dup) =>
+      val (pa, pb) = (norm(texts(a)), norm(texts(b)))
+      val full = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(pa, pb)
+      val ml = math.max(pa.length, pb.length)
+      val trueDup = ml == 0 || 1.0 - full.toDouble / ml >= 0.7
+      assert(dup == trueDup, s"verdict flip on ($a,$b): dist=$dist")
+      if (dist >= 0) assert(dist == full, s"unbanded dist mismatch ($a,$b)")
+    }
+  }
+
+  test("editVerify: two docs normalizing to empty are identical (sim 1)") {
+    val cjk = Seq((1L, "中文文档内容"), (2L, "另一个中文文档")).toDF("doc_id", "text")
+    val r = Dedup.editVerify(cjk, "doc_id", "text")
+      .as[(Long, Long, Int, Double, Boolean)].collect()
+    assert(r.length == 1 && r.head._4 == 1.0 && r.head._5,
+      s"empty-normalized docs collapse to one bucket and score sim 1: ${r.toSeq}")
+  }
+
+  test("decontaminateBloom: exact-confirmed, result identical to the exact path") {
+    val secret = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val bench = Seq((100L, s"question preamble $secret answer choices"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"training text containing $secret verbatim plus more words"),
+      (2L, "completely unrelated training document with plenty of words " +
+        "that never overlap the benchmark thirteen gram at all"),
+      (3L, s"$secret"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.decontaminateBloom(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact, "Bloom prefilter must not change the result " +
+      s"(exact=$exact bloom=$bloom)")
+    // empty benchmark: no contaminated docs, and the empty-build-side
+    // fast path must not blow up
+    val emptyBench = bench.filter($"doc_id" < 0)
+    assert(Dedup.decontaminateBloom(corpus, "doc_id", "text",
+      emptyBench, "text").count() == 0L)
+  }
+
   test("containment: full quote scores 1.0 one-way where jaccard stays low") {
     val quoted = (1 to 6).map(i => s"quote$i").mkString(" ") // 4 shingles
     val long = s"a lot of framing text comes first then $quoted and then " +
