@@ -1153,6 +1153,28 @@ object QueriesExt {
        |  round(cosine, 6) cosine_r
        |FROM ranked WHERE rank <= 8""".stripMargin
 
+  /** k-NN graph over the embedding corpus via the trained IVF clusters
+    * (SimSearch.knnGraph): each vector's 5 most-similar cluster-mates.
+    * Shares the kmeansCtesSql training chain; the oracle mirrors the
+    * mega-cluster cap and the within-cluster ranking exactly. */
+  private def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    SimSearch.knnGraph(emb(s, dir), "vec_id", "embedding",
+      kNbrs = 5, k = 16, rounds = kmRounds, meanRound = 6,
+      maxCluster = 1000)
+  private val qKnnGraphSql: String =
+    s"""WITH ${kmeansCtesSql(kmRounds)},
+       |sz AS (SELECT list_id, count(*) cs FROM asg$kmRounds GROUP BY 1),
+       |cp AS (SELECT a.id, a.e, a.list_id FROM asg$kmRounds a
+       |  JOIN sz USING (list_id) WHERE cs <= 1000),
+       |pr AS (SELECT a.id ia, b.id ib, list_dot_product(a.e, b.e) cosine
+       |  FROM cp a JOIN cp b ON a.list_id = b.list_id AND a.id <> b.id),
+       |rk AS (SELECT ia, ib, cosine,
+       |    row_number() OVER (PARTITION BY ia
+       |      ORDER BY cosine DESC, ib ASC) rank FROM pr)
+       |SELECT ia src_id, ib nbr_id, CAST(rank AS INT) rank,
+       |  round(cosine, 6) cosine_r
+       |FROM rk WHERE rank <= 5""".stripMargin
+
   /** Embedding drift across label slices (SimSearch.embeddingDrift):
     * per-group centroid dispersion (mean resultant length) + cosine to
     * the global centroid — the encoder/crawl drift monitor. Per-dim
@@ -4439,6 +4461,7 @@ object QueriesExt {
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
+    "q_knn_graph" -> (qKnnGraph _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_multimodal" -> (qMultimodal _),
@@ -4576,6 +4599,7 @@ object QueriesExt {
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,
+    "q_knn_graph" -> qKnnGraphSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_multimodal" -> qMultimodalSql,

@@ -303,6 +303,56 @@ object SimSearch {
         col("cosine"))
   }
 
+  /** k-NN graph over the embedding corpus — the adjacency structure
+    * semantic-dedup clustering, label propagation over embeddings, and
+    * graph-based coreset selection all start from. Exact all-pairs kNN
+    * is O(n^2); the scalable approximation here is the IVF family's:
+    * train spherical k-means ([[trainedCentroids]], same determinism
+    * contract as [[kmeansFit]]), then rank neighbors only WITHIN each
+    * vector's cluster (nprobe=1) — for each vector, its `kNbrs`
+    * most-cosine-similar cluster-mates. Boundary vectors may miss a
+    * cross-cluster true neighbor (the standard IVF recall trade; raise
+    * `k` and sharpen clusters to tighten it — the spec measures recall
+    * against brute-force).
+    *
+    * Scale shape: training as [[kmeansFit]]; the pair stage is a
+    * self-join keyed on cluster id, so its volume is sum(cluster^2),
+    * bounded by `maxCluster` (the same mega-cluster frequency guard as
+    * SemDeDup — an over-cap cluster is EXCLUDED, never joined); at
+    * 100 TB, nlist scales with the corpus so E[cluster] stays small
+    * and the stage is linear. Per-vector top-k is a WindowGroupLimit-
+    * bounded window — map-side truncated before the final rank.
+    *
+    * Determinism: ranking on the raw IEEE cosine (a single dot of
+    * meanRound-stabilized unit vectors — same bits in any engine) with
+    * id tiebreak; reported cosine rounded at 6. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      kNbrs: Int = 5, k: Int = 16, rounds: Int = 3, meanRound: Int = -1,
+      maxCluster: Int = 1000): DataFrame = {
+    require(kNbrs > 0, s"kNbrs must be positive: $kNbrs")
+    val c = emb.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val cents = trainedCentroids(c, k, rounds, meanRound)
+    val assigned = assignLists(c, cents, 1)
+      .select(col("id"), col("v"), col("list_id"))
+    val capped = assigned.withColumn("__cs",
+      count(lit(1)).over(Window.partitionBy(col("list_id"))))
+      .filter(col("__cs") <= maxCluster).drop("__cs")
+    val a = capped.select(col("list_id"), col("id").as("src_id"),
+      col("v").as("v_a"))
+    val b = capped.select(col("list_id"), col("id").as("nbr_id"),
+      col("v").as("v_b"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    a.join(b, Seq("list_id"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("cosine", dot(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNbrs)
+      .select(col("src_id"), col("nbr_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
   /** Embedding drift report across corpus slices — the monitoring face
     * a pipeline runs when crawls/encoder versions land: per group, the
     * centroid of the NORMALIZED vectors, reported as

