@@ -2491,6 +2491,28 @@ object QueriesExt {
       |  class_size * count(*) n_rows, class_size < 10 at_risk
       |FROM cls GROUP BY 1""".stripMargin
 
+  /** DP-noised (lang, source) corpus composition release
+    * (Privacy.dpGroupCounts): seeded Laplace(1/eps) noise +
+    * below-threshold suppression. The oracle mirrors the hash ->
+    * uniform -> inverse-CDF transform digit for digit. */
+  private def qDpHistogram(s: SparkSession, dir: String): DataFrame =
+    Privacy.dpGroupCounts(docs(s, dir), Seq("lang", "source"),
+      eps = 1.0, threshold = 5.0, salt = "dp")
+  private val qDpHistogramSql: String = {
+    val keyExpr = "COALESCE(CAST(lang AS VARCHAR), ' ') || '|' || " +
+      "COALESCE(CAST(source AS VARCHAR), ' ') || '|' || 'dp'"
+    val h = Hashing.hash64Sql(keyExpr)
+    s"""WITH g AS (SELECT lang, source, count(*) n, $h % 1000000 hh
+       |  FROM documents GROUP BY 1, 2),
+       |u AS (SELECT lang, source, n,
+       |    (CAST(hh AS DOUBLE) + 0.5) / 1000000.0 - 0.5 uu FROM g),
+       |z AS (SELECT lang, source, CAST(n AS DOUBLE) +
+       |    round(-1.0 * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 8) noisy
+       |  FROM u)
+       |SELECT lang, source, round(noisy, 6) noisy_count FROM z
+       |WHERE noisy >= 5.0""".stripMargin
+  }
+
   /** Exact heavy hitters over the corpus token stream: the
     * Misra-Gries sketch pass bounds the work, the exact re-count pass
     * makes the output sketch-independent, so the oracle is a plain
@@ -4376,6 +4398,7 @@ object QueriesExt {
     "q_bpe_train" -> (qBpeTrain _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_dp_histogram" -> (qDpHistogram _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -4500,6 +4523,7 @@ object QueriesExt {
     "q_split_leakage" -> qSplitLeakageSql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_k_anonymity" -> qKAnonymitySql,
+    "q_dp_histogram" -> qDpHistogramSql,
     "q_html_strip" -> qHtmlStripSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,

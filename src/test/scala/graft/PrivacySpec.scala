@@ -41,4 +41,47 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymityHistogram(people, Seq("city"), k = 1)
     }
   }
+
+  test("dpGroupCounts: noise bounded by the inverse CDF's support, " +
+      "deterministic per salt, distinct across salts, threshold suppresses") {
+    val rows = (0 until 200).map(i => (s"g${i % 40}", i)).toDF("g", "x")
+    val out = Privacy.dpGroupCounts(rows, Seq("g"), eps = 1.0)
+      .as[(String, Double)].collect().toMap
+    assert(out.size == 40)
+    // true count is 5 per group; |noise| <= ln(1e6) ~ 13.82 at eps 1
+    out.values.foreach(v => assert(math.abs(v - 5.0) <= 13.9, s"noise bound: $v"))
+    assert(out.values.exists(v => v != 5.0), "noise actually applied")
+    val again = Privacy.dpGroupCounts(rows, Seq("g"), eps = 1.0)
+      .as[(String, Double)].collect().toMap
+    assert(again == out, "same salt -> identical release")
+    val fresh = Privacy.dpGroupCounts(rows, Seq("g"), eps = 1.0, salt = "r2")
+      .as[(String, Double)].collect().toMap
+    assert(fresh != out, "fresh salt -> fresh draw")
+    // Laplace scale: mean |noise| over 40 groups should be near b=1/eps
+    val meanAbs = out.values.map(v => math.abs(v - 5.0)).sum / out.size
+    assert(meanAbs > 0.2 && meanAbs < 3.0, s"Laplace scale sanity: $meanAbs")
+    // tighter eps -> proportionally wider noise, same underlying u
+    val wide = Privacy.dpGroupCounts(rows, Seq("g"), eps = 0.5)
+      .as[(String, Double)].collect().toMap
+    wide.foreach { case (g, v) =>
+      assert(math.abs((v - 5.0) - 2.0 * (out(g) - 5.0)) < 1e-5,
+        s"eps halved must double the draw for $g")
+    }
+    // suppression: singleton groups vanish at threshold 10, big survive
+    val mixed = ((0 until 50).map(i => ("big", i)) ++ Seq(("rare", 1)))
+      .toDF("g", "x")
+    val rel = Privacy.dpGroupCounts(mixed, Seq("g"), eps = 1.0,
+      threshold = 10.0).as[(String, Double)].collect().toMap
+    assert(rel.contains("big") && !rel.contains("rare"))
+    // null group values are releasable (hash key coalesces)
+    val withNull = Seq((null.asInstanceOf[String], 1), ("a", 2), ("a", 3))
+      .toDF("g", "x")
+    assert(Privacy.dpGroupCounts(withNull, Seq("g"), eps = 1.0).count() == 2)
+    intercept[IllegalArgumentException] {
+      Privacy.dpGroupCounts(rows, Seq.empty, eps = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpGroupCounts(rows, Seq("g"), eps = 0.0)
+    }
+  }
 }
