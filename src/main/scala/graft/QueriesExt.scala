@@ -2065,6 +2065,49 @@ object QueriesExt {
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         col("keep"), col("reasons"))
 
+  /** Intra-doc repeated-span removal (Repetition.removeRepeatedSpans):
+    * docs with doc_id % 7 == 0 are self-concatenated (the doubled-body
+    * crawl artifact) so the removal path is exercised hard; natural
+    * docs carry no repeated 10-gram (verified against the fixtures) and
+    * must come through untouched. clean_text is hash-checked — match
+    * extent, not just counts. */
+  private def qIntradocDedup(s: SparkSession, dir: String): DataFrame = {
+    val doubled = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    Repetition.removeRepeatedSpans(doubled, "text", n = 10)
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("n_removed"), col("clean_text"))
+  }
+  private val qIntradocDedupSql: String = {
+    val gram10 = (1 to 10).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+       |  FROM documents),
+       |toks AS (SELECT doc_id, ${toksSql("text")} t FROM base),
+       |g AS (SELECT doc_id, t,
+       |    list_transform(range(len(t) - 9), i -> $gram10) gr FROM toks),
+       |gp AS (SELECT doc_id, t, list_transform(range(len(gr)),
+       |    i -> struct_pack(g := gr[i+1], p := i)) pr FROM g),
+       |srt AS (SELECT doc_id, t, list_sort(pr) s FROM gp),
+       |dup AS (SELECT doc_id, t, list_filter(
+       |    list_transform(range(len(s)), i -> CASE
+       |      WHEN i >= 1 AND s[i].g = s[i+1].g THEN s[i+1].p ELSE -1 END),
+       |    x -> x >= 0) d FROM srt),
+       |cov AS (SELECT doc_id, t, d, list_distinct(flatten(
+       |    list_transform(d, x -> range(x, x + 10)))) c FROM dup),
+       |kept AS (SELECT doc_id, len(t) n_tokens, len(d) n_dup_spans,
+       |    list_filter(list_transform(range(len(t)),
+       |      i -> struct_pack(tok := t[i+1], p := i)),
+       |      e -> NOT list_contains(c, e.p)) k
+       |  FROM cov)
+       |SELECT doc_id, CAST(n_tokens AS INT) n_tokens,
+       |  CAST(n_dup_spans AS INT) n_dup_spans,
+       |  CAST(n_tokens - len(k) AS INT) n_removed,
+       |  array_to_string(list_transform(k, e -> e.tok), ' ') clean_text
+       |FROM kept""".stripMargin
+  }
+
   /** C4 line filter: the cleaned text is hash-checked (match EXTENT, not
     * just counts — same discipline as q_pii_redact). The documents corpus
     * is single-line word soup (every line would fail every rule — a
@@ -4376,6 +4419,7 @@ object QueriesExt {
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_repetition" -> (qRepetition _),
+    "q_intradoc_dedup" -> (qIntradocDedup _),
     "q_gopher_filter" -> (qGopherFilter _),
     "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
@@ -4515,6 +4559,7 @@ object QueriesExt {
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_repetition" -> qRepetitionSql,
+    "q_intradoc_dedup" -> qIntradocDedupSql,
     "q_gopher_filter" -> qGopherFilterSql,
     "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,

@@ -200,4 +200,60 @@ object Repetition {
       .withColumn("reasons", reasons)
       .withColumn("keep", col("reasons") === "")
   }
+
+  /** Intra-document repeated-span REMOVAL (the ExactSubstr-remove
+    * convention of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — public): inside each
+    * document, every LATER occurrence of a token `n`-gram that already
+    * appeared earlier in the same document marks its n token positions
+    * for removal; the first occurrence survives. Catches the
+    * within-page duplication (doubled article bodies, repeated nav
+    * blocks) that corpus-level dedup never sees because the DOCUMENT
+    * is unique. Returns the input ids plus
+    * (n_tokens, n_dup_spans, n_removed, clean_text) where clean_text
+    * is the surviving tokens rejoined — a token-space transform, like
+    * every operator in this module (original punctuation/casing do not
+    * survive; run it before tokenized packing, not as a display edit).
+    *
+    * Scale shape: ALL per-row — grams, duplicate detection (array_sort
+    * + adjacent-equal scan, the module's run-length idiom: O(G log G)
+    * per doc, never explode + groupBy(doc, gram) whose shuffle key
+    * count is tokens x docs), covered-position union, and the
+    * filter-rebuild. Zero shuffle; embarrassingly parallel at 100 TB.
+    * Worst case per doc is O(dups x tokens) for the coverage filter —
+    * bounded by the doc's own length, the usual HOF budget here.
+    *
+    * Determinism: duplicate-start selection sorts (gram, pos) structs
+    * — ties order by pos ascending in any engine, so the SMALLEST
+    * position survives, in both this code and the SQL mirror. */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, n: Int = 10)
+      : DataFrame = {
+    require(n >= 2, s"span length n must be >= 2: $n")
+    val staged = df
+      .withColumn("__t", TextStats.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("__g", wordGrams(col("__t"), n))
+      .withColumn("__gp", transform(col("__g"),
+        (g, i) => struct(g.as("g"), i.as("p"))))
+      .withColumn("__srt", array_sort(col("__gp")))
+      // a gram equal to its sorted predecessor is a repeat; its start
+      // position is marked (the predecessor — smallest pos — survives)
+      .withColumn("__dups", filter(
+        transform(col("__srt"), (e, i) =>
+          when(i > lit(0) &&
+            element_at(col("__srt"), i).getField("g") === e.getField("g"),
+            e.getField("p")).otherwise(lit(-1))),
+        x => x >= 0))
+      .withColumn("__cov", array_distinct(flatten(
+        transform(col("__dups"), s => sequence(s, s + lit(n - 1))))))
+      .withColumn("__kept", filter(
+        transform(col("__t"), (tok, i) => struct(tok.as("tok"), i.as("p"))),
+        e => !array_contains(col("__cov"), e.getField("p"))))
+    staged
+      .withColumn("n_tokens", size(col("__t")))
+      .withColumn("n_dup_spans", size(col("__dups")))
+      .withColumn("n_removed", size(col("__t")) - size(col("__kept")))
+      .withColumn("clean_text", array_join(
+        transform(col("__kept"), e => e.getField("tok")), " "))
+      .drop("__t", "__g", "__gp", "__srt", "__dups", "__cov", "__kept")
+  }
 }

@@ -86,4 +86,27 @@ class RepetitionSpec extends SparkSpec {
     // reasons list is alphabetical (deterministic for the oracle)
     assert(r(1).getString(1).split(",").toSeq.sorted == r(1).getString(1).split(",").toSeq)
   }
+
+  test("removeRepeatedSpans: hand-computed removal, first occurrence " +
+      "survives, clean docs untouched") {
+    val df = Seq(
+      (1L, "a b c d e a b c d e"),   // exact self-repeat
+      (2L, "one two three four five"), // no repeated 3-gram
+      (3L, "hi there"),               // shorter than n: no grams
+      (4L, "x y x y x y x y"),        // dense overlapping repeats
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = Repetition.removeRepeatedSpans(df, "text", n = 3)
+      .select("doc_id", "n_tokens", "n_dup_spans", "n_removed", "clean_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    // doc 1: grams abc..eab + repeat of abc/bcd/cde at 5/6/7 ->
+    // covered positions 5..9, the SECOND copy is removed, first kept
+    assert(r(1L) == ((10, 3, 5, "a b c d e")))
+    assert(r(2L) == ((5, 0, 0, "one two three four five")))
+    assert(r(3L) == ((2, 0, 0, "hi there")))
+    // doc 4: xyx repeats at 2,4; yxy at 3,5 -> covered 2..7, "x y" left
+    assert(r(4L) == ((8, 4, 6, "x y")))
+    assert(r(5L) == ((0, 0, 0, "")))
+  }
 }
