@@ -1914,6 +1914,37 @@ object QueriesExt {
     """SELECT user_id, count(*) AS n_events
       |FROM events WHERE user_id % 100 = 0 GROUP BY 1""".stripMargin
 
+  /** Streaming heavy hitters over user_id: sharded Misra-Gries
+    * candidates from the stream (bounded state), exact re-count +
+    * floor(n*s)+1 threshold against the batch table — the re-count
+    * makes the output sketch- and order-independent, so the oracle is
+    * a plain GROUP BY / HAVING (the q_heavy_hitters discipline).
+    * capacity 200 >= 1/support, the superset-guarantee condition. */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val cands = graft.streaming.StreamProfile
+        .heavyHitterCandidates(ev, "user_id", capacity = 200, shards = 8)
+      val sink = "graft_stream_topk"
+      val q = cands.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // union across shards and batches: a superset of a superset is
+      // still a superset — the re-count discharges it either way
+      val candKeys = s.table(sink)
+        .select(explode(col("candidates")).as("k")).distinct()
+      val batch = events(s, dir)
+      val thresh = math.floor(batch.count() * 0.005).toLong + 1
+      batch.withColumn("k", col("user_id").cast("string"))
+        .join(broadcast(candKeys), Seq("k"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thresh)
+        .select(col("user_id"), col("cnt"))
+    }
+  private val qStreamTopkSql =
+    """SELECT user_id, count(*) cnt FROM events GROUP BY 1
+      |HAVING count(*) >=
+      |  CAST(floor((SELECT count(*) FROM events) * 0.005) AS BIGINT) + 1""".stripMargin
+
   /** Fifth streaming face: flatMapGroupsWithState sessionization with
     * EVENT-TIME timeout (StreamProfile.streamingSessions). A session
     * reaches the sink exactly two ways — closed inline by a later
@@ -4468,6 +4499,7 @@ object QueriesExt {
     "q_stream_append" -> (qStreamAppend _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_user_stats" -> (qStreamUserStats _),
+    "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -4608,6 +4640,7 @@ object QueriesExt {
     "q_stream_append" -> qStreamAppendSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_user_stats" -> qStreamUserStatsSql,
+    "q_stream_topk" -> qStreamTopkSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,
     "q_stream_enrich" -> qStreamEnrichSql,

@@ -245,4 +245,59 @@ object StreamProfile {
           }
       }
   }
+
+  final case class ShardCandidates(shard: Int, candidates: Seq[String])
+
+  /** Streaming heavy-hitter CANDIDATES: a sharded Misra-Gries sketch
+    * over an unbounded key column (Misra & Gries 1982, public; the
+    * streaming face of [[graft.ext.Relational.heavyHitters]]). Each
+    * key hashes to one shard; each shard keeps at most `capacity`
+    * counters in mapGroupsWithState (hit -> increment; miss with room
+    * -> insert; miss at capacity -> decrement all, drop zeros). State
+    * is O(shards x capacity) FOREVER, independent of stream length or
+    * key cardinality — that bound is the whole point.
+    *
+    * Guarantee (per shard, any arrival order): every key whose total
+    * count exceeds shardEvents/(capacity+1) survives in that shard's
+    * counters; since a key's events all hash to one shard, any key
+    * with GLOBAL count > totalEvents/(capacity+1) is in the union of
+    * shard candidates. So with capacity >= 1/support, the candidate
+    * union is a SUPERSET of the true support-heavy hitters — an exact
+    * re-count + threshold downstream makes the final answer
+    * sketch-independent and deterministic (the q_stream_topk face; the
+    * same superset-refine contract as the batch freqItems path).
+    * Candidate SETS between the guaranteed keys vary with arrival
+    * order — consume them only through a re-count.
+    *
+    * Scale shape: `shards` spreads sketch work across tasks (one
+    * group = one task's state row); raise it with input rate. Null
+    * keys are dropped (a count of nulls is a different query). */
+  def heavyHitterCandidates(events: DataFrame, keyCol: String,
+      capacity: Int, shards: Int = 16): Dataset[ShardCandidates] = {
+    import events.sparkSession.implicits._
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(shards > 0, s"shards must be positive: $shards")
+    events
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        pmod(xxhash64(col(keyCol).cast("string")), lit(shards))
+          .cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[Map[String, Long], ShardCandidates](
+        GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        var m = state.getOption.getOrElse(Map.empty[String, Long])
+        rows.foreach { case (k, _) =>
+          m.get(k) match {
+            case Some(v) => m = m.updated(k, v + 1L)
+            case None if m.size < capacity => m = m.updated(k, 1L)
+            case None =>
+              m = m.flatMap { case (kk, v) =>
+                if (v > 1L) Some(kk -> (v - 1L)) else None }
+          }
+        }
+        state.update(m)
+        ShardCandidates(shard, m.keys.toSeq.sorted)
+      }
+  }
 }

@@ -12,6 +12,8 @@ class StreamProfileSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  case class KV(k: String)
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -269,5 +271,65 @@ class StreamProfileSpec extends SparkSpec {
     // (5,7) is the load-bearing pair: 7 was never in crawl 0 — it can
     // only be found if crawl 1's survivors actually joined the index
     assert(got == Set((4L, 3L), (5L, 7L), (8L, 3L)))
+  }
+
+  test("heavyHitterCandidates: bounded state, decrement path exercised, " +
+      "heavy keys guaranteed across micro-batches") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 1 shard, capacity 3, 20 distinct light keys + 2 heavy keys:
+    // n = 20 + 30 + 25 = 75; guarantee threshold n/(cap+1) = 18.75 —
+    // both heavy keys MUST survive no matter how the 20 lights churn
+    // the counters; capacity < distinct forces constant decrements
+    val input = MemoryStream[KV]
+    val out = StreamProfile.heavyHitterCandidates(
+      input.toDF(), "k", capacity = 3, shards = 1)
+    val q = out.toDF().writeStream.format("memory").queryName("hhc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: half the noise + heavy traffic
+      input.addData((0 until 10).map(i => KV(s"light$i")) ++
+        Seq.fill(15)(KV("heavyA")) ++ Seq.fill(12)(KV("heavyB")): _*)
+      q.processAllAvailable()
+      // batch 2: state must carry over; more noise + the rest
+      input.addData((10 until 20).map(i => KV(s"light$i")) ++
+        Seq.fill(15)(KV("heavyA")) ++ Seq.fill(13)(KV("heavyB")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hhc")
+      .select("shard", "candidates").as[(Int, Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cs) =>
+      assert(cs.length <= 3, s"capacity bound violated: $cs")
+    }
+    // the LAST emitted row carries the final sketch
+    val finalCands = rows.last._2.toSet
+    assert(finalCands.contains("heavyA") && finalCands.contains("heavyB"),
+      s"heavy keys must survive the sketch: $finalCands")
+  }
+
+  test("heavyHitterCandidates: keys spread across shards, nulls dropped, " +
+      "exact regime when capacity covers the key space") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KV]
+    val out = StreamProfile.heavyHitterCandidates(
+      input.toDF(), "k", capacity = 100, shards = 4)
+    val q = out.toDF().writeStream.format("memory").queryName("hhc2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData((0 until 50).map(i => KV(s"k$i")) :+
+        KV(null.asInstanceOf[String]): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hhc2")
+      .select("shard", "candidates").as[(Int, Seq[String])].collect()
+    val all = rows.flatMap(_._2)
+    assert(all.length == all.distinct.length, "one shard per key")
+    assert(all.toSet == (0 until 50).map(i => s"k$i").toSet,
+      "capacity >= keyspace keeps every key; null dropped")
+    assert(rows.map(_._1).distinct.length > 1, "multiple shards active")
   }
 }
