@@ -3280,6 +3280,57 @@ object QueriesExt {
       .select(col("doc_id"), col("canonical"),
         Urls.apexDomain(Urls.hostOf(col("canonical"))).as("apex"))
   }
+  /** URL-keyed keep-best dedup (Urls.dedupByCanonicalUrl): refetch
+    * variants of one page (tracking params, default ports, case) share
+    * a path bucket doc_id % 97, so each canonical URL collects ~5
+    * fetches at sf0.01; the richest (n_chars, tie min id) survives.
+    * The %3=2 host-only arm exercises hot-URL groups (one canonical
+    * per source). */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Urls
+    val m = col("doc_id") % 3
+    val url = when(m === 0, concat(lit("HTTPS://"), upper(col("source")),
+        lit(".Example.COM:443/p/"), (col("doc_id") % 97).cast("string"),
+        lit("?utm_source=tw&z=9#top")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".example.com:80/p/"), (col("doc_id") % 97).cast("string"),
+        lit("?z=9&gclid=abc")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".example.com")))
+    Urls.dedupByCanonicalUrl(
+      docs(s, dir).select(col("doc_id"), url.as("url"), col("n_chars")),
+      "doc_id", "url", "n_chars")
+  }
+  private val qUrlDedupSql: String =
+    s"""WITH u AS (SELECT doc_id, n_chars, CASE
+       |    WHEN doc_id % 3 = 0 THEN 'HTTPS://' || upper(source) ||
+       |      '.Example.COM:443/p/' || (doc_id % 97) || '?utm_source=tw&z=9#top'
+       |    WHEN doc_id % 3 = 1 THEN 'http://' || source ||
+       |      '.example.com:80/p/' || (doc_id % 97) || '?z=9&gclid=abc'
+       |    ELSE 'https://' || source || '.example.com' END url
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_chars,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) hostport,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) path0,
+       |    regexp_extract(url, '\\?([^#]*)', 1) q0
+       |  FROM u),
+       |c AS (SELECT doc_id, n_chars, scheme || '://' ||
+       |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |          ELSE hostport END) ||
+       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) canonical
+       |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+       |      string_split(q0, '&'),
+       |      x -> NOT regexp_matches(x, '${graft.ext.Urls.trackingParams}')
+       |        AND x <> '')), '&'), '') kept FROM p)),
+       |g AS (SELECT canonical,
+       |    max(struct_pack(score := n_chars, ni := -doc_id)) best,
+       |    count(*) n_copies
+       |  FROM c GROUP BY 1)
+       |SELECT canonical, -best.ni keep_id, best.score best_score, n_copies
+       |FROM g""".stripMargin
+
   private val qUrlNormalizeSql: String =
     s"""WITH u AS (SELECT doc_id, CASE
        |    WHEN doc_id % 3 = 0 THEN 'HTTPS://' || upper(source) ||
@@ -4457,6 +4508,7 @@ object QueriesExt {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_url_normalize" -> (qUrlNormalize _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -4599,6 +4651,7 @@ object QueriesExt {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_url_normalize" -> qUrlNormalizeSql,
+    "q_url_dedup" -> qUrlDedupSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_dp_histogram" -> qDpHistogramSql,
     "q_html_strip" -> qHtmlStripSql,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the FIRST dedup key of any web-crawl
@@ -48,4 +48,26 @@ object Urls {
     * included if non-default. */
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+  /** URL-keyed dedup with a keep-BEST survivor — the crawl-side dedup
+    * that runs before any content hashing: refetches of one page land
+    * under one canonical URL, and the pipeline keeps the richest fetch
+    * (highest `scoreCol`; CommonCrawl-style pipelines use length or a
+    * quality score), not an arbitrary one. Ties break to the smallest
+    * id, so the survivor is deterministic in any engine.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the canonical URL
+    * string carrying a (score, -id) struct max — no window, no sort,
+    * no second pass; partial aggregation absorbs hot URLs (the same
+    * keep-first min-struct idiom as CCNet line dedup). Page CONTENT
+    * never enters the shuffle — only the id rides along. */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
+      scoreCol: String): DataFrame =
+    df.select(col(idCol).as("id"), canonicalize(col(urlCol)).as("canonical"),
+      col(scoreCol).as("score"))
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("score"), (-col("id")).as("ni"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("canonical"), (-col("best.ni")).as("keep_id"),
+        col("best.score").as("best_score"), col("n_copies"))
 }

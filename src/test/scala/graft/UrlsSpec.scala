@@ -32,4 +32,24 @@ class UrlsSpec extends SparkSpec {
       .toDF("h").select(Urls.apexDomain(col("h"))).as[String].collect().toSeq
     assert(out == Seq("example.com", "c.co", ""))
   }
+
+  test("dedupByCanonicalUrl: refetch variants collapse, best score " +
+      "survives, ties to smallest id, singletons pass through") {
+    val df = Seq(
+      // three fetches of one page: tracking params / port / case noise
+      (1L, "https://E.com/p?utm_source=a", 100L),
+      (2L, "https://e.com:443/p", 300L),
+      (3L, "http://other.com/q", 50L),
+      (4L, "https://e.com/p?fbclid=z", 300L), // ties doc 2 on score
+      (5L, "https://other.com/q", 70L))       // DIFFERENT scheme: not a dup
+      .toDF("doc_id", "url", "chars")
+    val r = Urls.dedupByCanonicalUrl(df, "doc_id", "url", "chars")
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r("https://e.com/p") == ((2L, 300L, 3L)),
+      "best score wins; score tie keeps the smaller id")
+    assert(r("http://other.com/q") == ((3L, 50L, 1L)))
+    assert(r("https://other.com/q") == ((5L, 70L, 1L)))
+    assert(r.size == 3)
+  }
 }
