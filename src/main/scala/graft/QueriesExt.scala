@@ -4043,6 +4043,38 @@ object QueriesExt {
       |  CAST((SELECT count(*) FROM e0) AS BIGINT) n_edges,
       |  CAST((SELECT c FROM t) AS BIGINT) n_triangles""".stripMargin
 
+  /** k-core of the part<->supplier graph at k=32 (Graph.kCore, 6
+    * peel rounds — past the fixture's fixpoint at both sfs, measured:
+    * one removal round then no-ops, i.e. converged; the multi-round
+    * cascade is spec-driven on a path graph). The oracle unrolls each
+    * peel as MATERIALIZED CTE layers (the PCA/BPE discipline — DuckDB
+    * inlines CTEs and 6 self-referencing layers otherwise explode). */
+  private val kcK = 32
+  private val kcRounds = 6
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.kCore(l, "src", "dst", k = kcK, rounds = kcRounds)
+  }
+  private val qKcoreSql: String = {
+    val layers = (1 to kcRounds).map { i =>
+      s"""kp$i AS MATERIALIZED (SELECT v FROM (
+         |    SELECT a v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1 HAVING count(*) >= $kcK),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN kp$i x ON e.a = x.v JOIN kp$i y ON e.b = y.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+       |    least(l_partkey * 2, l_suppkey * 2 + 1) a,
+       |    greatest(l_partkey * 2, l_suppkey * 2 + 1) b
+       |  FROM lineitem WHERE l_partkey * 2 <> l_suppkey * 2 + 1),
+       |$layers
+       |SELECT v node, CAST(count(*) AS BIGINT) core_deg FROM (
+       |  SELECT a v FROM e$kcRounds UNION ALL SELECT b FROM e$kcRounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Directed-degree profile of the part->supplier edge list (out-degree
     * for parts, in-degree for suppliers, full outer join). */
   private def qDegreeProfile(s: SparkSession, dir: String): DataFrame =
@@ -4494,6 +4526,7 @@ object QueriesExt {
     "q_collocations" -> (qCollocations _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
+    "q_kcore" -> (qKcore _),
     "q_triangles" -> (qTriangles _),
     "q_lm_score" -> (qLmScore _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -4636,6 +4669,7 @@ object QueriesExt {
     "q_collocations" -> qCollocationsSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
+    "q_kcore" -> qKcoreSql,
     "q_triangles" -> qTrianglesSql,
     "q_lm_score" -> qLmScoreSql,
     "q_bigram_lm" -> qBigramLmSql,

@@ -166,4 +166,52 @@ object Graph {
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
   }
+
+  /** k-core peeling (Seidman 1983, public): repeatedly delete vertices
+    * of degree < k (with their edges) until only the k-core — the
+    * maximal subgraph where every vertex keeps >= k neighbors —
+    * remains. The graph-density screen of link-spam filtering and the
+    * seed-selection step of crawl curation (a page cluster that
+    * survives a high k is structurally dense, not accidentally
+    * linked). Runs a FIXED `rounds` of synchronous peels (every
+    * sub-threshold vertex in a round is removed together) so the
+    * computation unrolls for the oracle; when a round removes nothing
+    * the remaining rounds are structural no-ops, which is also the
+    * convergence check — a k-core face should pick `rounds` past the
+    * fixture's fixpoint (the spec drives a long path-graph cascade).
+    *
+    * Returns (node, core_deg): the surviving vertices with their
+    * degree inside the surviving subgraph (all >= k iff converged).
+    *
+    * Scale shape: per round one map-side-combined degree aggregation
+    * (explode to 2E (v) rows) + two semi-joins of the edge list
+    * against the keep set — O(E) per round on a monotonically
+    * SHRINKING edge list, the standard synchronous-peel trade (exact
+    * coreness needs O(max-degeneracy) rounds; fixed `rounds` bounds
+    * the job count, same contract as [[pageRank]]'s fixed
+    * iterations). The canonical edge list is materialized once;
+    * lineage is cut every `checkpointEvery` rounds, lazy in between
+    * (the pageRank measurement: eager per-round checkpoints pay a
+    * full job of fixed overhead each). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpointEvery: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    for (i <- 1 to rounds) {
+      val keep = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      if (i % checkpointEvery == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -72,6 +72,35 @@ class GraphSpec extends SparkSpec {
     assert(count(messy) == ((3L, 3L, 1L)))
   }
 
+  test("kCore: path graph cascades one layer per round, cycle survives, " +
+      "extra rounds are no-ops, messy input canonicalized") {
+    // path 1-2-...-8 at k=2: each round peels both current endpoints
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val after2 = Graph.kCore(path, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(after2 == Map(3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 1L),
+      s"two peel rounds leave the middle segment: $after2")
+    val after4 = Graph.kCore(path, "src", "dst", k = 2, rounds = 4)
+      .collect()
+    assert(after4.isEmpty, "a path has no 2-core")
+    // cycle 1-2-3-4-1 with tail 4-5-6: the tail peels over two rounds,
+    // the cycle IS the 2-core; more rounds must not change it
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L),
+      (5L, 6L)).toDF("src", "dst")
+    val core3 = Graph.kCore(cyc, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(core3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    val core6 = Graph.kCore(cyc, "src", "dst", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(core6 == core3, "converged core is a fixpoint")
+    // messy input: duplicates, reversed copies, self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L),
+      (2L, 2L)).toDF("src", "dst")
+    val tri = Graph.kCore(messy, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("degreeProfile: out/in split with zero-fill") {
     val e = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"))
       .toDF("src", "dst")
