@@ -4458,6 +4458,39 @@ object QueriesExt {
        |SELECT w1, w2, CAST(c12 AS BIGINT) c12, pmi_r FROM p
        |ORDER BY pmi_r DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
+  /** PPMI word vectors (TextStats.ppmiVectors): symmetric window-1
+    * co-occurrence over the top-200 tokens, positive PMI, ±1-hash
+    * projection to 16 dims — corpus-intrinsic static embeddings. */
+  private def qPpmiEmbed(s: SparkSession, dir: String): DataFrame =
+    TextStats.ppmiVectors(docs(s, dir), "text", vocabSize = 200, dims = 16)
+  private val qPpmiEmbedSql: String = {
+    val sgn = "(" + Hashing.hash64Sql("w2 || ':' || d") + " % 2) * 2 - 1"
+    s"""WITH t AS (SELECT ${toksSql("text")} t FROM documents),
+       |uni AS (SELECT tok, count(*) c FROM
+       |  (SELECT unnest(t) tok FROM t) GROUP BY 1),
+       |vocab AS (SELECT tok FROM uni
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= 200),
+       |bg AS (SELECT t[i + 1] w1, t[i + 2] w2
+       |  FROM t CROSS JOIN unnest(range(len(t) - 1)) AS u(i)),
+       |sym AS (SELECT w1, w2 FROM bg UNION ALL SELECT w2, w1 FROM bg),
+       |co AS (SELECT w1, w2, count(*) n FROM sym
+       |  JOIN vocab v1 ON w1 = v1.tok JOIN vocab v2 ON w2 = v2.tok
+       |  GROUP BY 1, 2),
+       |marg AS (SELECT w1, sum(n) m FROM co GROUP BY 1),
+       |nt AS (SELECT CAST(sum(n) AS DOUBLE) v FROM co),
+       |pm AS (SELECT c.w1, c.w2,
+       |    round(ln((CAST(c.n AS DOUBLE) * (SELECT v FROM nt))
+       |      / (CAST(m1.m AS DOUBLE) * CAST(m2.m AS DOUBLE))), 8) ppmi
+       |  FROM co c JOIN marg m1 ON c.w1 = m1.w1
+       |    JOIN marg m2 ON c.w2 = m2.w1),
+       |pmf AS (SELECT w1, w2, ppmi FROM pm WHERE ppmi > 0),
+       |proj AS (SELECT w1, d, ppmi, $sgn sgn
+       |  FROM pmf CROSS JOIN unnest(range(16)) AS u(d))
+       |SELECT w1 token, CAST(d AS INT) dim,
+       |  round(CAST(sum(CAST(ppmi * sgn AS DECIMAL(28,14))) AS DOUBLE), 6) v_r
+       |FROM proj GROUP BY 1, 2""".stripMargin
+  }
+
   /** Zipf rank-frequency diagnostic (TextStats.zipfFit): ln-ln OLS over
     * the top-500 token types — slope ~ -1 + high R^2 on natural text;
     * boilerplate flattens it. Reuses the q_linear_fit moment-sum
@@ -4524,6 +4557,7 @@ object QueriesExt {
     "q_linear_fit" -> (qLinearFit _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_collocations" -> (qCollocations _),
+    "q_ppmi_embed" -> (qPpmiEmbed _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_kcore" -> (qKcore _),
@@ -4667,6 +4701,7 @@ object QueriesExt {
     "q_linear_fit" -> qLinearFitSql,
     "q_zipf_fit" -> qZipfFitSql,
     "q_collocations" -> qCollocationsSql,
+    "q_ppmi_embed" -> qPpmiEmbedSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_kcore" -> qKcoreSql,

@@ -263,6 +263,64 @@ object TextStats {
       .select(col("w1"), col("w2"), col("c12"), col("pmi_r"))
   }
 
+  /** Static word vectors from PPMI + deterministic random-sign
+    * projection (Levy & Goldberg 2014 showed PPMI factorization ~
+    * skip-gram embeddings — public; the projection is the
+    * count-sketch/JL trick): symmetric window-1 co-occurrence over the
+    * top-`vocabSize` tokens, positive PMI per pair, then each context
+    * dimension is folded into `dims` buckets with a ±1 hash sign —
+    * v[w][d] = Σ_c ppmi(w,c) · sign(hash(c:d)). Cheap corpus-intrinsic
+    * embeddings for drift checks and nearest-word analysis when no
+    * encoder is available.
+    *
+    * Scale shape: token/co-occurrence aggs are map-side combined; the
+    * PPMI frame is at most vocab² rows (vocab is a knob, not the
+    * corpus); the projection explodes it by `dims` and re-aggregates —
+    * all narrow keys. The corpus-size term is the one token scan.
+    *
+    * Determinism: the single ln is rounded at 8 (libm discipline),
+    * ppmi·(±1) products are exact at 8 decimals, summed as
+    * DECIMAL(28,14), rounded at 6 for the report. Returns
+    * (token, dim, v_r). */
+  def ppmiVectors(docs: DataFrame, textCol: String, vocabSize: Int = 200,
+      dims: Int = 16): DataFrame = {
+    require(vocabSize > 0 && dims > 0, "vocabSize and dims must be positive")
+    val base = docs.select(tokens(normalized(col(textCol))).as("t"))
+    val uni = base.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = uni.orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"))
+    val bg = base.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(w, i) -> struct(w as w1, element_at(t, i + 2) as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val sym = bg.union(bg.select(col("w2").as("w1"), col("w1").as("w2")))
+    val co = sym
+      .join(broadcast(vocab.select(col("tok").as("w1"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("tok").as("w2"))), Seq("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val marg = co.groupBy(col("w1")).agg(sum(col("n")).as("m"))
+    val tot = co.agg(sum(col("n")).cast("double").as("nt"))
+    val ppmi = co
+      .join(marg.select(col("w1"), col("m").as("m1")), Seq("w1"))
+      .join(marg.select(col("w1").as("w2"), col("m").as("m2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ppmi_r", round(log(
+        (col("n").cast("double") * col("nt")) /
+          (col("m1").cast("double") * col("m2").cast("double"))), 8))
+      .filter(col("ppmi_r") > 0.0)
+    ppmi
+      .withColumn("d", explode(sequence(lit(0), lit(dims - 1))))
+      .withColumn("sgn",
+        (graft.functions.Hashing.hash64(
+          concat(col("w2"), lit(":"), col("d").cast("string"))) % 2) * 2 - 1)
+      .groupBy(col("w1").as("token"), col("d").as("dim"))
+      .agg(sum((col("ppmi_r") * col("sgn")).cast("decimal(28,14)")).as("s"))
+      .select(col("token"), col("dim"),
+        round(col("s").cast("double"), 6).as("v_r"))
+  }
+
   def sourceStats(docs: DataFrame, textCol: String, sourceCol: String,
       minDocs: Long = 10, maxDupRate: Double = 0.25): DataFrame = {
     val staged = docs

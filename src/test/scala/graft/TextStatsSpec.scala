@@ -457,4 +457,37 @@ class TextStatsSpec extends SparkSpec {
     val empty = Seq((1L, "!!!")).toDF("doc_id", "text")
     assert(TextStats.bpeTrain(empty, "text", numMerges = 5).count() == 0)
   }
+
+  test("ppmiVectors: shared-context words embed closer than unrelated, " +
+      "deterministic across partitionings, dims bounded") {
+    // cat and dog share contexts (feeds/sleeps); rock shares none
+    val rows = (0 until 20).flatMap(i => Seq(
+      (i * 4 + 0L, "the cat feeds daily and the cat sleeps nightly"),
+      (i * 4 + 1L, "the dog feeds daily and the dog sleeps nightly"),
+      (i * 4 + 2L, "a rock erodes slowly under rain under wind"),
+      (i * 4 + 3L, "a rock sits inert beside gravel beside sand")))
+    val df = rows.toDF("doc_id", "text")
+    val v = TextStats.ppmiVectors(df, "text", vocabSize = 30, dims = 8)
+      .as[(String, Int, Double)].collect()
+    assert(v.map(_._2).distinct.sorted.toSeq.forall(d => d >= 0 && d < 8))
+    val byTok = v.groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(_._3)
+      }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val catDog = cos(byTok("cat"), byTok("dog"))
+    val catRock = cos(byTok("cat"), byTok("rock"))
+    assert(catDog > catRock,
+      s"shared contexts must dominate: cos(cat,dog)=$catDog cos(cat,rock)=$catRock")
+    val again = TextStats.ppmiVectors(df.repartition(7), "text",
+      vocabSize = 30, dims = 8)
+      .as[(String, Int, Double)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ==
+      v.sortBy(r => (r._1, r._2)).toSeq, "partitioning-invariant")
+  }
 }
