@@ -4458,6 +4458,44 @@ object QueriesExt {
        |SELECT w1, w2, CAST(c12 AS BIGINT) c12, pmi_r FROM p
        |ORDER BY pmi_r DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
+  /** Token-distribution JS divergence per source vs its complement
+    * (TextStats.tokenJsDivergence) — the text-native slice-drift
+    * monitor over the top-200-token + <oov> simplex. */
+  private def qJsDivergence(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenJsDivergence(docs(s, dir), "text", "source",
+      vocabSize = 200)
+  private val qJsDivergenceSql: String =
+    s"""WITH tk AS (SELECT source slice, unnest(${toksSql("text")}) tok
+       |  FROM documents),
+       |vocab AS (SELECT tok FROM
+       |  (SELECT tok, count(*) c FROM tk GROUP BY 1)
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= 200),
+       |mapped AS (SELECT slice,
+       |    CASE WHEN v.tok IS NULL THEN '<oov>' ELSE tk.tok END tok
+       |  FROM tk LEFT JOIN vocab v ON tk.tok = v.tok),
+       |sc AS (SELECT slice, tok, count(*) cs FROM mapped GROUP BY 1, 2),
+       |stot AS (SELECT slice, sum(cs) ns FROM sc GROUP BY 1),
+       |ttot AS (SELECT tok, sum(cs) ct FROM sc GROUP BY 1),
+       |nn AS (SELECT sum(ns) n FROM stot),
+       |grid AS (SELECT st.slice, tt.tok, st.ns, tt.ct, (SELECT n FROM nn) n,
+       |    COALESCE(sc.cs, 0) cs FROM stot st CROSS JOIN ttot tt
+       |  LEFT JOIN sc ON sc.slice = st.slice AND sc.tok = tt.tok),
+       |ext AS (SELECT *, ct - cs cq, n - ns nq,
+       |    CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) p,
+       |    CAST(ct - cs AS DOUBLE) / CAST(n - ns AS DOUBLE) q
+       |  FROM grid),
+       |terms AS (SELECT slice, ns, nq,
+       |    CASE WHEN cs > 0 AND nq > 0
+       |      THEN round(p * ln(p / ((p + q) / 2.0)), 12) ELSE 0.0 END tp,
+       |    CASE WHEN cq > 0 AND nq > 0
+       |      THEN round(q * ln(q / ((p + q) / 2.0)), 12) ELSE 0.0 END tq
+       |  FROM ext)
+       |SELECT slice, CAST(max(ns) AS BIGINT) n_tokens,
+       |  CASE WHEN max(nq) > 0 THEN round(0.5 * CAST(
+       |    sum(CAST(tp AS DECIMAL(28,14))) + sum(CAST(tq AS DECIMAL(28,14)))
+       |    AS DOUBLE), 6) END js_r
+       |FROM terms GROUP BY 1""".stripMargin
+
   /** PPMI word vectors (TextStats.ppmiVectors): symmetric window-1
     * co-occurrence over the top-200 tokens, positive PMI, ±1-hash
     * projection to 16 dims — corpus-intrinsic static embeddings. */
@@ -4558,6 +4596,7 @@ object QueriesExt {
     "q_zipf_fit" -> (qZipfFit _),
     "q_collocations" -> (qCollocations _),
     "q_ppmi_embed" -> (qPpmiEmbed _),
+    "q_js_divergence" -> (qJsDivergence _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_kcore" -> (qKcore _),
@@ -4702,6 +4741,7 @@ object QueriesExt {
     "q_zipf_fit" -> qZipfFitSql,
     "q_collocations" -> qCollocationsSql,
     "q_ppmi_embed" -> qPpmiEmbedSql,
+    "q_js_divergence" -> qJsDivergenceSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_kcore" -> qKcoreSql,

@@ -263,6 +263,64 @@ object TextStats {
       .select(col("w1"), col("w2"), col("c12"), col("pmi_r"))
   }
 
+  /** Jensen-Shannon divergence of each corpus SLICE's token
+    * distribution against its complement — the text-native drift
+    * statistic (bounded [0, ln 2], symmetric, defined even where KL
+    * blows up on zero counts) a pipeline reads per source/crawl/
+    * encoder-version before mixing: a slice whose JS jumps is writing
+    * a different language than the rest of the corpus. Distributions
+    * live on the global top-`vocabSize` tokens plus one `<oov>`
+    * bucket, so they are complete (sum to 1) and comparable across
+    * slices.
+    *
+    * Scale shape: one token scan -> map-side-combined (slice, token)
+    * counts; everything after runs on the (slices x vocab) grid — a
+    * few hundred rows regardless of corpus size (the grid cross-join
+    * is slices x vocab, both knobs). Returns (slice, n_tokens, js_r).
+    *
+    * Determinism: p, q, m are single IEEE divides of exact counts;
+    * each p·ln(p/m) term is rounded at 12 before the exact decimal
+    * sum (order-free); JS rounded at 6. Slices with an empty
+    * complement (single-slice corpus) report null. */
+  def tokenJsDivergence(docs: DataFrame, textCol: String, sliceCol: String,
+      vocabSize: Int = 200): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val toks = docs.select(col(sliceCol).as("slice"),
+      explode(tokens(normalized(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok")).withColumn("__v", lit(true))
+    val mapped = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("slice"),
+        when(col("__v"), col("tok")).otherwise(lit("<oov>")).as("tok"))
+    val sc = mapped.groupBy(col("slice"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    val stot = sc.groupBy(col("slice")).agg(sum(col("cs")).as("ns"))
+    val ttot = sc.groupBy(col("tok")).agg(sum(col("cs")).as("ct"))
+    val n = stot.agg(sum(col("ns")).as("n"))
+    val grid = stot.crossJoin(broadcast(ttot)).crossJoin(broadcast(n))
+      .join(sc, Seq("slice", "tok"), "left")
+      .na.fill(0L, Seq("cs"))
+      .withColumn("cq", col("ct") - col("cs"))
+      .withColumn("nq", col("n") - col("ns"))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("cq").cast("double") / col("nq").cast("double")
+    val m = (p + q) / lit(2.0)
+    val terms = grid
+      .withColumn("tp", when(col("cs") > 0 && col("nq") > 0,
+        round(p * log(p / m), 12)).otherwise(lit(0.0)))
+      .withColumn("tq", when(col("cq") > 0 && col("nq") > 0,
+        round(q * log(q / m), 12)).otherwise(lit(0.0)))
+    terms.groupBy(col("slice"))
+      .agg(max(col("ns")).as("n_tokens"),
+        sum(col("tp").cast("decimal(28,14)")).as("sp"),
+        sum(col("tq").cast("decimal(28,14)")).as("sq"),
+        max(col("nq")).as("nq"))
+      .select(col("slice"), col("n_tokens"),
+        when(col("nq") > 0, round(lit(0.5) *
+          (col("sp") + col("sq")).cast("double"), 6)).as("js_r"))
+  }
+
   /** Static word vectors from PPMI + deterministic random-sign
     * projection (Levy & Goldberg 2014 showed PPMI factorization ~
     * skip-gram embeddings — public; the projection is the

@@ -458,6 +458,32 @@ class TextStatsSpec extends SparkSpec {
     assert(TextStats.bpeTrain(empty, "text", numMerges = 5).count() == 0)
   }
 
+  test("tokenJsDivergence: identical slices score 0, disjoint slices " +
+      "approach ln 2, drifted slice ranks above twins, single slice null") {
+    val twinA = (1L, "alpha beta gamma delta alpha beta", "a")
+    val twinB = (2L, "alpha beta gamma delta alpha beta", "b")
+    val alien = (3L, "zeta eta theta iota kappa lambda", "c")
+    val js = TextStats.tokenJsDivergence(
+      Seq(twinA, twinB, alien).toDF("doc_id", "text", "source"),
+      "text", "source", vocabSize = 50)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    // c shares no token with a+b: JS = ln 2 exactly
+    assert(math.abs(js("c") - math.log(2)) < 1e-6, s"disjoint: ${js("c")}")
+    // a's complement (b+c) still contains a twin of a -> far below ln 2
+    assert(js("a") < js("c") && js("a") > 0)
+    assert(js("a") == js("b"), "symmetric twins")
+    val single = TextStats.tokenJsDivergence(
+      Seq(twinA).toDF("doc_id", "text", "source"), "text", "source")
+      .as[(String, Long, Option[Double])].collect()
+    assert(single.head._3.isEmpty, "single-slice corpus has no complement")
+    // identical distributions: two slices with the same text -> JS 0
+    val same = TextStats.tokenJsDivergence(
+      Seq(twinA, twinB).toDF("doc_id", "text", "source"),
+      "text", "source").as[(String, Long, Option[Double])].collect()
+    same.foreach(r => assert(r._3.get == 0.0, s"identical slices: $r"))
+  }
+
   test("ppmiVectors: shared-context words embed closer than unrelated, " +
       "deterministic across partitionings, dims bounded") {
     // cat and dog share contexts (feeds/sleeps); rock shares none
