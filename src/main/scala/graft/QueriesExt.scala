@@ -1153,6 +1153,36 @@ object QueriesExt {
        |  round(cosine, 6) cosine_r
        |FROM ranked WHERE rank <= 8""".stripMargin
 
+  /** Greedy k-center selection (SimSearch.kCenterSelect): 8 rounds of
+    * farthest-point traversal over the embedding corpus, coverage
+    * radius per round. The oracle unrolls each round as MATERIALIZED
+    * center/min-dist CTE layers. */
+  private val kcsK = 8
+  private def qKcenter(s: SparkSession, dir: String): DataFrame =
+    SimSearch.kCenterSelect(emb(s, dir), "vec_id", "embedding", k = kcsK)
+  private val qKcenterSql: String = {
+    val layers = (2 to kcsK).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT id, e FROM m${t - 1}
+         |  ORDER BY md DESC, id ASC LIMIT 1),
+         |m$t AS MATERIALIZED (SELECT id, e,
+         |    least(md, 1.0 - list_dot_product(e, (SELECT e FROM c$t))) md
+         |  FROM m${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to kcsK).map { t =>
+      s"""SELECT $t rank, (SELECT id FROM c$t) id,
+         |  round((SELECT max(md) FROM m$t), 6) radius_r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id id,
+       |    list_transform(embedding::DOUBLE[], x -> x /
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id, e FROM v ORDER BY id LIMIT 1),
+       |m1 AS MATERIALIZED (SELECT id, e,
+       |    1.0 - list_dot_product(e, (SELECT e FROM c1)) md FROM v),
+       |$layers
+       |$rows""".stripMargin
+  }
+
   /** k-NN graph over the embedding corpus via the trained IVF clusters
     * (SimSearch.knnGraph): each vector's 5 most-similar cluster-mates.
     * Shares the kmeansCtesSql training chain; the oracle mirrors the
@@ -4719,6 +4749,7 @@ object QueriesExt {
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_knn_graph" -> (qKnnGraph _),
+    "q_kcenter" -> (qKcenter _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_multimodal" -> (qMultimodal _),
@@ -4864,6 +4895,7 @@ object QueriesExt {
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_graph" -> qKnnGraphSql,
+    "q_kcenter" -> qKcenterSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_multimodal" -> qMultimodalSql,

@@ -353,6 +353,64 @@ object SimSearch {
         round(col("cosine"), 6).as("cosine_r"))
   }
 
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal,
+    * public; the 2-approximation for max-min coverage): start from the
+    * smallest-id vector, then repeatedly pick the point FARTHEST (in
+    * cosine distance) from every center chosen so far. Where
+    * [[clusterSample]] draws evenly from density, k-center maximizes
+    * COVERAGE — the outlier-inclusive prototype set used for data
+    * pruning and eval-set seeding. Returns one row per selection
+    * round: (rank, id, radius_r) where radius is the max over the
+    * corpus of the min-distance to the first `rank` centers — the
+    * coverage guarantee the selection has achieved so far
+    * (non-increasing by construction; the spec asserts it).
+    *
+    * Scale shape: the corpus frame is pinned once; every round adds
+    * one LITERAL center vector (a handful of doubles — no join, no
+    * shuffle) to a running `least` column, and fetches exactly two
+    * bounded scalars: the 1-row argmax (TakeOrderedAndProject) and the
+    * max radius. k driver-fetches of one row each is the canonical
+    * greedy loop; each round costs one scan. Runs k <= corpus rounds.
+    *
+    * Determinism: distances are IEEE dots of normalized vectors
+    * (cross-engine-stable like every ANN face); argmax ties break on
+    * id; radius rounded at 6 for the report. */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val s = emb.sparkSession
+    import s.implicits._
+    val v = emb.select(col(idCol).cast("long").as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = v.count()
+    require(n > 0, "kCenterSelect on an empty corpus")
+    val rounds = math.min(k.toLong, n).toInt
+    val first = v.orderBy(col("id").asc).limit(1)
+      .select(col("id"), col("v")).head()
+    var picked = List((1, first.getAs[Long]("id")))
+    var cur = v.withColumn("md",
+      lit(1.0) - dot(col("v"), typedLit(first.getAs[Seq[Double]]("v"))))
+    var radii = List.empty[Double]
+    for (t <- 2 to rounds + 1) {
+      radii = cur.agg(max(col("md"))).head().getDouble(0) :: radii
+      if (t <= rounds) {
+        val next = cur.orderBy(col("md").desc, col("id").asc).limit(1)
+          .select(col("id"), col("v")).head()
+        picked = (t, next.getAs[Long]("id")) :: picked
+        cur = cur.withColumn("md", least(col("md"),
+          lit(1.0) - dot(col("v"), typedLit(next.getAs[Seq[Double]]("v")))))
+      }
+    }
+    v.unpersist(false)
+    picked.reverse.zip(radii.reverse)
+      .map { case ((rank, id), r) =>
+        (rank, id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      .toDF("rank", "id", "radius_r")
+  }
+
   /** Embedding drift report across corpus slices — the monitoring face
     * a pipeline runs when crawls/encoder versions land: per group, the
     * centroid of the NORMALIZED vectors, reported as

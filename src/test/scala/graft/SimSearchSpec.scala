@@ -316,6 +316,32 @@ class SimSearchSpec extends SparkSpec {
       g.sortBy(r => (r._1, r._3)).toSeq, "partitioning-invariant")
   }
 
+  test("kCenterSelect: jumps to uncovered clusters, radius non-increasing, " +
+      "k capped at corpus size, partitioning-invariant") {
+    val corpus = clusteredCorpus(dims = 16, nClusters = 16, perCluster = 20,
+      noise = 0.1)
+    val sel = SimSearch.kCenterSelect(corpus, "vec_id", "embedding", k = 8)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(sel.map(_._1).toSeq == (1 to 8).toSeq)
+    assert(sel.head._2 == corpus.agg(min($"vec_id")).as[Long].head(),
+      "seed is the smallest id")
+    // well-separated clusters: every pick lands in a NEW true cluster
+    val trueClusters = sel.map(_._2 / 20).toSeq
+    assert(trueClusters.distinct.length == 8,
+      s"farthest-point must cover distinct clusters: $trueClusters")
+    val radii = sel.map(_._3).toSeq
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radius must be non-increasing: $radii")
+    val again = SimSearch.kCenterSelect(corpus.repartition(7), "vec_id",
+      "embedding", k = 8).as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == sel.toSeq, "partitioning-invariant")
+    // k beyond the corpus: every point selected once, no duplicates
+    val tiny = corpus.filter($"vec_id" < 3)
+    val all = SimSearch.kCenterSelect(tiny, "vec_id", "embedding", k = 10)
+      .as[(Int, Long, Double)].collect()
+    assert(all.length == 3 && all.map(_._2).distinct.length == 3)
+  }
+
   test("knnGraph: over-cap clusters are excluded, never joined") {
     // one giant cluster (ids 0-29 identical direction) + two far points
     val rows = (0 until 30).map(i => (i.toLong,
