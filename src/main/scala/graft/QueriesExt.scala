@@ -4488,6 +4488,67 @@ object QueriesExt {
        |SELECT w1, w2, CAST(c12 AS BIGINT) c12, pmi_r FROM p
        |ORDER BY pmi_r DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
+  /** Poisson-bootstrap CI for mean n_chars
+    * (NumericProfile.bootstrapMeanCI): 40 seeded resamples, 5th/95th
+    * order statistics of the resample means. The Poisson CDF literal
+    * table is shared with the Scala side via
+    * NumericProfile.poissonCdf. */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.profile.NumericProfile.bootstrapMeanCI(
+      docs(s, dir), "doc_id", "n_chars", b = 40)
+  private val qBootstrapCiSql: String = {
+    val h = Hashing.hash64Sql("id || ':' || rep || ':' || 'boot'")
+    val arms = graft.profile.NumericProfile.poissonCdf.zipWithIndex
+      .map { case (thr, k) => s"WHEN u <= $thr THEN $k" }.mkString(" ")
+    val cap = graft.profile.NumericProfile.poissonCdf.size
+    s"""WITH rws AS (SELECT CAST(doc_id AS VARCHAR) id,
+       |    CAST(n_chars AS DECIMAL(18,2)) x
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |rp AS (SELECT id, x, unnest(range(40)) rep FROM rws),
+       |hu AS (SELECT id, x, rep,
+       |    (CAST($h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 u FROM rp),
+       |wt AS (SELECT rep, x, CASE $arms ELSE $cap END w FROM hu),
+       |mn AS (SELECT rep, sum(x * w) swx, sum(w) sw FROM wt GROUP BY 1),
+       |mm AS (SELECT rep, CASE WHEN sw > 0
+       |    THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) END m FROM mn),
+       |rk AS (SELECT rep, m,
+       |    row_number() OVER (ORDER BY m ASC NULLS LAST, rep ASC) rn FROM mm),
+       |fl AS (SELECT count(*) n_rows, sum(x) sx FROM rws)
+       |SELECT CAST(n_rows AS BIGINT) n_rows, 40 n_resamples,
+       |  round(CASE WHEN n_rows > 0
+       |    THEN CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) END, 6) mean_r,
+       |  round((SELECT m FROM rk WHERE rn = 2), 6) lo_r,
+       |  round((SELECT m FROM rk WHERE rn = 38), 6) hi_r
+       |FROM fl""".stripMargin
+  }
+
+  /** Character-entropy gibberish screen (TextStats.charEntropy) over
+    * the normalized alphabet. */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextStats.charEntropy(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_alnum_chars"),
+        col("n_distinct_chars"), col("entropy_r"))
+  private val qCharEntropySql: String =
+    s"""WITH base AS (SELECT doc_id,
+       |    replace(${normSql("text")}, ' ', '') st FROM documents),
+       |ch AS (SELECT doc_id, substr(st, CAST(i + 1 AS INT), 1) ch
+       |  FROM base CROSS JOIN unnest(range(len(st))) AS u(i)
+       |  WHERE len(st) > 0),
+       |cnt AS (SELECT doc_id, ch, count(*) c FROM ch GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(c) n, count(*) nd FROM cnt GROUP BY 1),
+       |tm AS (SELECT cnt.doc_id, tot.n, tot.nd,
+       |    round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) term
+       |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id),
+       |st AS (SELECT doc_id, CAST(max(n) AS BIGINT) n_alnum_chars,
+       |    CAST(max(nd) AS BIGINT) n_distinct_chars,
+       |    round(CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE), 6) entropy_r
+       |  FROM tm GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_alnum_chars, 0) n_alnum_chars,
+       |  COALESCE(n_distinct_chars, 0) n_distinct_chars,
+       |  COALESCE(entropy_r, 0.0) entropy_r
+       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
+
   /** Token-distribution JS divergence per source vs its complement
     * (TextStats.tokenJsDivergence) — the text-native slice-drift
     * monitor over the top-200-token + <oov> simplex. */
@@ -4627,6 +4688,8 @@ object QueriesExt {
     "q_collocations" -> (qCollocations _),
     "q_ppmi_embed" -> (qPpmiEmbed _),
     "q_js_divergence" -> (qJsDivergence _),
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_kcore" -> (qKcore _),
@@ -4773,6 +4836,8 @@ object QueriesExt {
     "q_collocations" -> qCollocationsSql,
     "q_ppmi_embed" -> qPpmiEmbedSql,
     "q_js_divergence" -> qJsDivergenceSql,
+    "q_char_entropy" -> qCharEntropySql,
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_kcore" -> qKcoreSql,

@@ -263,6 +263,50 @@ object TextStats {
       .select(col("w1"), col("w2"), col("c12"), col("pmi_r"))
   }
 
+  /** Per-document character-level Shannon entropy — the gibberish /
+    * encoding-noise screen (mojibake, base64 blobs, and key-mash text
+    * sit at abnormally HIGH char entropy for their length; run-on
+    * repeated characters sit abnormally LOW; natural language
+    * occupies a narrow band). Computed over the normalized alphabet
+    * ([a-z0-9], spaces dropped), so the distribution has at most 36
+    * outcomes and the statistic is comparable across docs.
+    *
+    * Scale shape: explode to (doc, char) -> one map-side-combined
+    * count agg (keys = docs x <=36 chars) -> per-doc decimal sum of
+    * rounded -p·ln(p) terms. Linear in corpus chars; the alternative
+    * per-row fold avoids the shuffle but cannot be mirrored order-free
+    * in SQL — the agg shape is the (doc, gram) discipline used by the
+    * oracle-gated repetition stats.
+    *
+    * Returns (id, n_alnum_chars, n_distinct_chars, entropy_r); docs
+    * with no alphanumeric content report zeros. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val s = regexp_replace(normalized(coalesce(col(textCol), lit(""))),
+      " ", "")
+    val chars = df.select(col(idCol).as("id"), s.as("s"))
+      .filter(length(col("s")) > 0)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), length(col("s")) - 1),
+        i => col("s").substr(i + 1, lit(1)))).as("ch"))
+    val counts = chars.groupBy(col("id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val stats = counts.join(totals, Seq("id"))
+      .withColumn("term", round(-p * log(p), 12))
+      .groupBy(col("id"))
+      .agg(max(col("n")).as("n_alnum_chars"),
+        max(col("n_distinct")).as("n_distinct_chars"),
+        round(sum(col("term").cast("decimal(28,14)")).cast("double"), 6)
+          .as("entropy_r"))
+    ids.join(stats, Seq("id"), "left")
+      .na.fill(0L, Seq("n_alnum_chars", "n_distinct_chars"))
+      .na.fill(0.0, Seq("entropy_r"))
+  }
+
   /** Jensen-Shannon divergence of each corpus SLICE's token
     * distribution against its complement — the text-native drift
     * statistic (bounded [0, ln 2], symmetric, defined even where KL

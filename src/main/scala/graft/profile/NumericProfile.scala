@@ -327,4 +327,72 @@ object NumericProfile {
         round(col("chi2"), 6).as("chi2_r"),
         (col("n_categories") - 1).cast("long").as("dof"))
   }
+
+  /** Cumulative Poisson(1) thresholds for the seeded bootstrap weight
+    * draw (P(X <= k), k = 0..7; shared literal table with the oracle
+    * SQL — a desynced copy would silently shift every resample). */
+  val poissonCdf: Seq[Double] = Seq(0.36787944, 0.73575888, 0.91969860,
+    0.98101184, 0.99634015, 0.99940582, 0.99991676, 0.99998975)
+
+  /** Poisson bootstrap confidence interval for the MEAN of a column
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams" — the distributed bootstrap: instead of resampling n
+    * rows with replacement (which needs global coordination), each row
+    * draws an independent Poisson(1) multiplicity per resample, which
+    * converges to the multinomial bootstrap and runs as one narrow
+    * map). The draw here is a SEEDED inverse-CDF transform of a
+    * (row id, resample, salt) hash — deterministic and oracle-checkable,
+    * same reproducibility contract (and caveat) as
+    * [[Privacy.dpGroupCounts]].
+    *
+    * Scale shape: explode by `b` resamples -> ONE map-side-combined
+    * aggregation to b (sum(w·x), sum(w)) pairs; the quantile selection
+    * runs on the b-row means frame. No collect, no global sort of data
+    * rows. Weight products are exact decimals; each resample mean is
+    * one IEEE divide.
+    *
+    * Returns one row: (n_rows, n_resamples, mean_r, lo_r, hi_r) where
+    * lo/hi are the ceil(q·b)-th order statistics of the resample
+    * means (no interpolation — deterministic selection). */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 40, loQ: Double = 0.05, hiQ: Double = 0.95,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 2, s"need at least 2 resamples: $b")
+    require(loQ > 0 && loQ < hiQ && hiQ < 1, s"bad quantiles ($loQ, $hiQ)")
+    val rows = df.select(col(idCol).cast("string").as("id"),
+      col(valueCol).cast("decimal(18,2)").as("x"))
+      .filter(col("x").isNotNull)
+    val reps = rows.withColumn("rep",
+      explode(sequence(lit(0), lit(b - 1))))
+    val h = graft.functions.Hashing.hash64(concat(col("id"), lit(":"),
+      col("rep").cast("string"), lit(":"), lit(salt))) % 1000000L
+    val u = (h.cast("double") + lit(0.5)) / lit(1000000.0)
+    // foldRight so the SMALLEST threshold is the outermost CASE arm —
+    // first matching arm wins, mirroring the oracle's CASE order
+    val w = poissonCdf.zipWithIndex
+      .foldRight(lit(poissonCdf.size): Column) {
+        case ((thr, k), acc) => when(u <= thr, k).otherwise(acc)
+      }
+    val means = reps.withColumn("w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("x") * col("w")).as("swx"), sum(col("w")).as("sw"))
+      .withColumn("m", when(col("sw") > 0,
+        col("swx").cast("double") / col("sw").cast("double")))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("m").asc_nulls_last, col("rep").asc)
+    val ranked = means.withColumn("rn", row_number().over(wOrd))
+    val loIdx = math.max(1, math.ceil(loQ * b).toInt)
+    val hiIdx = math.min(b, math.ceil(hiQ * b).toInt)
+    val full = rows.agg(count(lit(1)).as("n_rows"),
+      sum(col("x")).as("sx"))
+    full.crossJoin(broadcast(
+        ranked.filter(col("rn") === loIdx).select(col("m").as("lo"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rn") === hiIdx).select(col("m").as("hi"))))
+      .select(col("n_rows"), lit(b).as("n_resamples"),
+        round(when(col("n_rows") > 0,
+          col("sx").cast("double") / col("n_rows").cast("double")), 6)
+          .as("mean_r"),
+        round(col("lo"), 6).as("lo_r"), round(col("hi"), 6).as("hi_r"))
+  }
 }

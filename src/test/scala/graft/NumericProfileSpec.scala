@@ -163,4 +163,31 @@ class NumericProfileSpec extends SparkSpec {
     assert(row._1 == math.log10(2.0))
     assert(math.abs(row._2 - math.abs(0.4 - math.log10(2.0))) < 1e-15)
   }
+
+  test("bootstrapMeanCI: brackets the mean, scatters with the data, " +
+      "degenerates to a point for constants, deterministic") {
+    val df = (1L to 200L).map(i => (i, (i % 50) + 10.0)).toDF("id", "v")
+    val r = NumericProfile.bootstrapMeanCI(df, "id", "v", b = 40)
+      .as[(Long, Int, Double, Double, Double)].head()
+    val (n, b, mean, lo, hi) = r
+    assert(n == 200L && b == 40)
+    assert(math.abs(mean - 34.5) < 1e-9) // true mean of (i%50)+10
+    assert(lo < mean && mean < hi, s"CI must bracket the mean: $r")
+    assert(hi - lo > 0.1 && hi - lo < 10.0,
+      s"CI width must reflect sampling noise, not blow up: $r")
+    val again = NumericProfile.bootstrapMeanCI(df.repartition(7), "id", "v",
+      b = 40).as[(Long, Int, Double, Double, Double)].head()
+    assert(again == r, "partitioning-invariant")
+    val fresh = NumericProfile.bootstrapMeanCI(df, "id", "v", b = 40,
+      salt = "other").as[(Long, Int, Double, Double, Double)].head()
+    assert(fresh._4 != lo || fresh._5 != hi, "fresh salt -> fresh draw")
+    // constant column: every resample mean is the constant
+    val const = (1L to 50L).map(i => (i, 7.0)).toDF("id", "v")
+    val c = NumericProfile.bootstrapMeanCI(const, "id", "v", b = 40)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(c._3 == 7.0 && c._4 == 7.0 && c._5 == 7.0)
+    intercept[IllegalArgumentException] {
+      NumericProfile.bootstrapMeanCI(df, "id", "v", b = 1)
+    }
+  }
 }

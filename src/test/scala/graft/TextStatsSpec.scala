@@ -458,6 +458,27 @@ class TextStatsSpec extends SparkSpec {
     assert(TextStats.bpeTrain(empty, "text", numMerges = 5).count() == 0)
   }
 
+  test("charEntropy: hand-computed endpoints, normalization folds case " +
+      "and punctuation, degenerate docs report zeros") {
+    val df = Seq(
+      (1L, "aaaa"),            // one symbol: entropy 0
+      (2L, "AB, ab!"),         // normalizes to abab: ln 2
+      (3L, "abcd"),            // uniform over 4: ln 4
+      (4L, "!!! ..."),         // nothing alphanumeric
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextStats.charEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((4L, 1L, 0.0)))
+    assert(r(2L)._1 == 4L && r(2L)._2 == 2L &&
+      math.abs(r(2L)._3 - math.log(2)) < 1e-6)
+    assert(r(3L)._1 == 4L && r(3L)._2 == 4L &&
+      math.abs(r(3L)._3 - math.log(4)) < 1e-6)
+    assert(r(4L) == ((0L, 0L, 0.0)))
+    assert(r(5L) == ((0L, 0L, 0.0)))
+  }
+
   test("tokenJsDivergence: identical slices score 0, disjoint slices " +
       "approach ln 2, drifted slice ranks above twins, single slice null") {
     val twinA = (1L, "alpha beta gamma delta alpha beta", "a")
