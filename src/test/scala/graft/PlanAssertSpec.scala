@@ -47,6 +47,23 @@ class PlanAssertSpec extends SparkSpec {
       s"q_cluster_sample must keep its map-side per-cluster bound; plan:\n$plan")
   }
 
+  test("q_knn_graph: per-node neighbor window is WindowGroupLimit-bounded " +
+      "and the pair join never goes cartesian") {
+    val plan = planOf("q_knn_graph")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q_knn_graph must keep its map-side per-node bound; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the within-cluster pair join must stay keyed on list_id; plan:\n$plan")
+  }
+
+  test("q_url_dedup: keep-best survivor is a partial agg, not a window sort") {
+    val plan = planOf("q_url_dedup")
+    assert(!plan.contains("Window"),
+      s"q_url_dedup must use the struct-max agg, not a per-URL window; plan:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"the struct max must map-side combine; plan:\n$plan")
+  }
+
   test("q_stratified_sample: per-stratum quota window is WindowGroupLimit-bounded") {
     val plan = planOf("q_stratified_sample")
     assert(plan.contains("WindowGroupLimit"),
