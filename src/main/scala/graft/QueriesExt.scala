@@ -1554,6 +1554,32 @@ object QueriesExt {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** GROUPING SETS with heterogeneous sets ((flag, status), (ship
+    * year), ()) + grouping_id to disambiguate "NULL because aggregated"
+    * from a NULL group value — the multi-report-in-one-scan surface
+    * (cube/rollup's general form; one Expand + one agg, not three
+    * scans). Bit order (first col = MSB) verified identical in both
+    * engines. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+    l.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) ship_year,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT)) AS BIGINT) gid,
+      |  count(*) n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (CAST(year(l_shipdate) AS BIGINT)), ())""".stripMargin
+
   private val pivotTypes = Seq("click", "view", "purchase", "signup", "error")
   private def qPivot(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -2092,6 +2118,56 @@ object QueriesExt {
       |SELECT user_id, count(*) AS n_pairs,
       |  CAST(sum(epoch_ms(cts) - epoch_ms(vts)) AS BIGINT) AS sum_delta_ms
       |FROM j GROUP BY 1""".stripMargin
+
+  /** STREAM-STREAM LEFT OUTER interval join — the "did this view ever
+    * convert?" shape. Append mode can only emit a null-matched left row
+    * once the right-side watermark proves no future match can arrive,
+    * so the unmatched tail (views within watermark+interval of the
+    * stream's end) is legitimately WITHHELD in state: that eviction
+    * boundary is the semantics under test, and the oracle mirrors it
+    * explicitly — global watermark = min(max v_ts, max c_ts) - 2h,
+    * unmatched views emitted iff v_ts + 120min < watermark. Matched
+    * pairs emit unconditionally (inner-join results don't wait).
+    *
+    * 100 TB/day shape: state is bounded by (watermark delay + join
+    * interval) of per-key left rows — eviction is what makes an
+    * infinite stream joinable at all. */
+  private def qStreamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val base = ev.filter(col("user_id") % 10 === 1)
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val buys = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = views.join(buys, expr(
+        "v_user = c_user AND c_ts >= v_ts AND " +
+          "c_ts <= v_ts + INTERVAL 120 MINUTES"), "left_outer")
+      val sink = "graft_stream_left_join"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy(col("v_user").as("user_id"))
+        .agg(count(col("c_ts")).as("n_matched"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    }
+  private val qStreamLeftJoinSql =
+    """WITH e AS (SELECT user_id, ts, event_type FROM events
+      |    WHERE user_id % 10 = 1),
+      |v AS (SELECT user_id, ts vts FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts cts FROM e WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(cts) FROM c))
+      |    - INTERVAL 2 HOUR w),
+      |j AS (SELECT v.user_id u, vts, cts FROM v LEFT JOIN c
+      |  ON v.user_id = c.user_id AND cts >= vts
+      |    AND cts <= vts + INTERVAL 120 MINUTE),
+      |emit AS (SELECT * FROM j WHERE cts IS NOT NULL
+      |  UNION ALL SELECT * FROM j WHERE cts IS NULL
+      |    AND vts + INTERVAL 120 MINUTE < (SELECT w FROM wm))
+      |SELECT u user_id, count(cts) n_matched,
+      |  CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_unmatched
+      |FROM emit GROUP BY 1""".stripMargin
 
   private val qStreamDedupSql =
     // n_keys mirrors Spark's countDistinct (null-excluding: count(k),
@@ -2868,6 +2944,55 @@ object QueriesExt {
       |  offset_days, count(*) n_users
       |FROM d WHERE offset_days BETWEEN 0 AND 7
       |GROUP BY 1, 2""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event streams
+    * (EventsOps.transitionMatrix): one user_id shuffle, pair frame
+    * bounded by |types|^2. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame =
+    EventsOps.transitionMatrix(events(s, dir))
+  private val qMarkovSql: String =
+    """WITH p AS (SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) nt
+      |  FROM events),
+      |c AS (SELECT event_type from_type, nt to_type, count(*) n FROM p
+      |  WHERE nt IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT *, sum(n) OVER (PARTITION BY from_type) nf FROM c)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / CAST(nf AS DOUBLE), 6) p FROM m""".stripMargin
+
+  /** A/B readout: deterministic hash-bucketed arms, purchase
+    * conversion, pooled two-proportion z (EventsOps.abTestReport). On
+    * this fixture the split is a null experiment — the gate checks both
+    * engines derive the same z from the same assignment, not that the
+    * fixture moved a metric. */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame =
+    EventsOps.abTestReport(events(s, dir), "purchase", salt = "ab")
+  private val qAbTestSql: String = {
+    val h = Hashing.hash64Sql(
+      "COALESCE(CAST(user_id AS VARCHAR), '') || '|' || 'ab'")
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) conv,
+       |    $h % 2 arm
+       |  FROM events GROUP BY user_id),
+       |a AS (SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT) conv_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT) conv_b
+       |  FROM u),
+       |z AS (SELECT *,
+       |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) pa,
+       |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) pb,
+       |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) pool
+       |  FROM a)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  round(pa, 6) rate_a, round(pb, 6) rate_b, round(pb - pa, 6) lift,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1
+       |    THEN round((pb - pa) / sqrt(pool * (1.0 - pool)
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       |  END z
+       |FROM z""".stripMargin
+  }
 
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     TextStats.topKeywords(docs(s, dir), "doc_id", "text", k = 5)
@@ -4105,6 +4230,40 @@ object QueriesExt {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Label-propagation communities over the part-supplier graph
+    * (Graph.labelPropagation, 4 synchronous rounds, self-vote damped,
+    * min-label tie-break): one community-size row per surviving label.
+    * Oracle unrolls the 4 rounds as MATERIALIZED CTE layers (the
+    * qKcoreSql discipline), mirroring the vote count and the
+    * (c DESC, label ASC) argmax via the same struct-max encoding. */
+  private val lpRounds = 4
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.labelPropagation(l, "src", "dst", rounds = lpRounds)
+  }
+  private val qLabelPropSql: String = {
+    val layers = (1 to lpRounds).map { i =>
+      s"""c$i AS (SELECT v, nl, count(*) c FROM (
+         |    SELECT u.v, l.lbl nl FROM und u JOIN l${i - 1} l ON u.nb = l.v
+         |    UNION ALL SELECT v, lbl FROM l${i - 1}) GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT v, -best.mn lbl FROM (
+         |    SELECT v, max(struct_pack(c := c, mn := -nl)) best
+         |    FROM c$i GROUP BY v))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+       |    least(l_partkey * 2, l_suppkey * 2 + 1) a,
+       |    greatest(l_partkey * 2, l_suppkey * 2 + 1) b
+       |  FROM lineitem WHERE l_partkey * 2 <> l_suppkey * 2 + 1),
+       |und AS MATERIALIZED (
+       |  SELECT a v, b nb FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT DISTINCT v, v lbl FROM und),
+       |$layers
+       |SELECT lbl community, count(*) n_members FROM l$lpRounds
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Directed-degree profile of the part->supplier edge list (out-degree
     * for parts, in-degree for suppliers, full outer join). */
   private def qDegreeProfile(s: SparkSession, dir: String): DataFrame =
@@ -4438,6 +4597,82 @@ object QueriesExt {
        |FROM p""".stripMargin
   }
 
+  /** l-diversity release report over (nation, segment) classes with
+    * account-balance bins (floor(bal/1000)) as the sensitive attribute
+    * (Privacy.lDiversityHistogram, l=4): k-anonymity's blind spot is a
+    * large-but-homogeneous class — this measures it. */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversityHistogram(
+      Sources.table(s, dir, "customer").withColumn("bal_bin",
+        floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bin", l = 4)
+  private val qLDiversitySql: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) class_size,
+      |    count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) l_value
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT l_value, count(*) n_classes,
+      |  CAST(sum(class_size) AS BIGINT) n_rows, l_value < 4 at_risk
+      |FROM cls GROUP BY 1""".stripMargin
+
+  /** DP bounded mean of event value per event_type
+    * (Privacy.dpGroupMeans): values clamped to [0, 100], eps=0.8 split
+    * between the sum and count releases, seeded Laplace noise mirrored
+    * digit-for-digit by the oracle. */
+  private def qDpMean(s: SparkSession, dir: String): DataFrame =
+    Privacy.dpGroupMeans(events(s, dir), Seq("event_type"), "value",
+      lo = 0.0, hi = 100.0, eps = 0.8, salt = "dpm")
+  private val qDpMeanSql: String = {
+    def noiseSql(tag: String, scale: String): String = {
+      val keyExpr =
+        s"COALESCE(CAST(event_type AS VARCHAR), ' ') || '|' || 'dpm$tag'"
+      val h = Hashing.hash64Sql(keyExpr)
+      s"""round(-$scale * sign((CAST($h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5)
+         | * ln(1.0 - 2.0 * abs((CAST($h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5)), 8)""".stripMargin
+    }
+    s"""WITH g AS (SELECT event_type,
+       |    CAST(sum(CAST(round(greatest(least(CAST(value AS DOUBLE), 100.0), 0.0), 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) s,
+       |    count(*) n
+       |  FROM events GROUP BY 1),
+       |z AS (SELECT event_type, s + ${noiseSql("#s", "250.0")} ns,
+       |    greatest(CAST(n AS DOUBLE) + ${noiseSql("#c", "2.5")}, 1.0) nc
+       |  FROM g)
+       |SELECT event_type, round(nc, 6) noisy_count,
+       |  round(ns / nc, 6) dp_mean FROM z""".stripMargin
+  }
+
+  /** Mutual information between lang and source on documents
+    * (NumericProfile.mutualInformation): the composition-redundancy
+    * diagnostic, with marginal entropies and min-normalized NMI; ln
+    * rounded at 8, per-cell terms at 12, decimal-summed. */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.mutualInformation(docs(s, dir), "lang", "source")
+  private val qMutualInfoSql: String = {
+    val pxy = "(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH cells AS (SELECT lang x, source y, count(*) nxy
+       |  FROM documents GROUP BY 1, 2),
+       |m AS (SELECT *, sum(nxy) OVER (PARTITION BY x) nx,
+       |    sum(nxy) OVER (PARTITION BY y) ny, sum(nxy) OVER () n
+       |  FROM cells),
+       |t AS (SELECT *,
+       |    round($pxy * round(ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+       |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 8), 12) mi_term,
+       |    round($pxy * -round(ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 8), 12) hx_term,
+       |    round($pxy * -round(ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 8), 12) hy_term
+       |  FROM m),
+       |a AS (SELECT CAST(max(n) AS BIGINT) n_rows, count(DISTINCT x) x_vals,
+       |    count(DISTINCT y) y_vals,
+       |    CAST(sum(CAST(mi_term AS DECIMAL(28,14))) AS DOUBLE) mi0,
+       |    CAST(sum(CAST(hx_term AS DECIMAL(28,14))) AS DOUBLE) hx0,
+       |    CAST(sum(CAST(hy_term AS DECIMAL(28,14))) AS DOUBLE) hy0
+       |  FROM t)
+       |SELECT n_rows, x_vals, y_vals, round(mi0, 6) mi,
+       |  round(hx0, 6) h_x, round(hy0, 6) h_y,
+       |  CASE WHEN least(hx0, hy0) > 0
+       |    THEN round(mi0 / least(hx0, hy0), 6) END nmi
+       |FROM a""".stripMargin
+  }
+
   /** Closed-form OLS: l_extendedprice ~ l_quantity (a real linear
     * relationship in the data — extendedprice is quantity times a unit
     * price). Oracle mirrors the five decimal moment sums and the exact
@@ -4683,6 +4918,9 @@ object QueriesExt {
     "q_logistic_fit" -> (qLogisticFit _),
     "q_erasure" -> (qErasure _),
     "q_chi_drift" -> (qChiDrift _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_dp_mean" -> (qDpMean _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_linear_fit" -> (qLinearFit _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_collocations" -> (qCollocations _),
@@ -4693,6 +4931,7 @@ object QueriesExt {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_degree_profile" -> (qDegreeProfile _),
     "q_kcore" -> (qKcore _),
+    "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
     "q_lm_score" -> (qLmScore _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -4720,6 +4959,8 @@ object QueriesExt {
     "q_bm25" -> (qBm25 _),
     "q_source_stats" -> (qSourceStats _),
     "q_funnel" -> (qFunnel _),
+    "q_markov" -> (qMarkov _),
+    "q_ab_test" -> (qAbTest _),
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -4753,6 +4994,7 @@ object QueriesExt {
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -4762,6 +5004,7 @@ object QueriesExt {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_asof_join" -> (qAsofJoin _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_prep_pipeline" -> (qPrepPipeline _),
@@ -4831,6 +5074,9 @@ object QueriesExt {
     "q_logistic_fit" -> qLogisticFitSql,
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
+    "q_l_diversity" -> qLDiversitySql,
+    "q_dp_mean" -> qDpMeanSql,
+    "q_mutual_info" -> qMutualInfoSql,
     "q_linear_fit" -> qLinearFitSql,
     "q_zipf_fit" -> qZipfFitSql,
     "q_collocations" -> qCollocationsSql,
@@ -4841,6 +5087,7 @@ object QueriesExt {
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_degree_profile" -> qDegreeProfileSql,
     "q_kcore" -> qKcoreSql,
+    "q_label_prop" -> qLabelPropSql,
     "q_triangles" -> qTrianglesSql,
     "q_lm_score" -> qLmScoreSql,
     "q_bigram_lm" -> qBigramLmSql,
@@ -4872,6 +5119,8 @@ object QueriesExt {
     "q_bm25" -> qBm25Sql,
     "q_source_stats" -> qSourceStatsSql,
     "q_funnel" -> qFunnelSql,
+    "q_markov" -> qMarkovSql,
+    "q_ab_test" -> qAbTestSql,
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_moving_avg" -> qMovingAvgSql,
@@ -4901,6 +5150,7 @@ object QueriesExt {
     "q_stream_topk" -> qStreamTopkSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,
+    "q_stream_left_join" -> qStreamLeftJoinSql,
     "q_stream_enrich" -> qStreamEnrichSql,
     "q_stream_drift" -> qEmbedDriftSql,
     "q_semi_anti" -> qSemiAntiSql,
@@ -4910,6 +5160,7 @@ object QueriesExt {
     "q_salted_agg" -> qSaltedAggSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,
     "q_corpus_pipeline" -> qCorpusPipelineSql,
     "q_prep_pipeline" -> qPrepPipelineSql,

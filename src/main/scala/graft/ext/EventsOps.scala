@@ -49,6 +49,81 @@ object EventsOps {
       .drop("prev_ts", "new_session")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream: (from_type, to_type, n, p) for every observed consecutive
+    * pair, p conditioned on the from state — the behavioral summary a
+    * next-event model trains on, and the quickest anomaly screen for
+    * instrumentation bugs (impossible transitions appearing).
+    *
+    * Scale shape: ONE shuffle on user_id for the per-user lead window
+    * (each user's stream sorts within its partition); the pair count is
+    * map-side combined, and the from-state marginal runs as a window
+    * over the PAIR frame, which is bounded by |types|^2 — so nothing
+    * downstream of the first exchange scales with volume. */
+  def transitionMatrix(events: DataFrame,
+      tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts") +: tieBreak.map(col): _*)
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+  }
+
+  /** A/B experiment readout with deterministic hash assignment: each
+    * user lands in arm 0/1 via hash64(user_id|salt) — the standard
+    * stateless bucketing (no assignment table to join, re-derivable
+    * anywhere) — conversion is "has >= 1 `convType` event", and the
+    * report is the two-proportion pooled z statistic (Fleiss, public
+    * textbook form). |z| >~ 1.96 is the usual 5% call; the sign is
+    * arm1 minus arm0. z is null when either arm is empty or the pooled
+    * rate is degenerate (0 or 1 — no variance to test against).
+    *
+    * Scale shape: one user-keyed conversion agg (map-side combined),
+    * one 2-row arm agg, then scalar arithmetic on a 1-row frame. The
+    * assignment hash is a narrow expression — no join, no broadcast,
+    * nothing driver-side. */
+  def abTestReport(events: DataFrame, convType: String,
+      salt: String = "ab"): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+    // coalesce BEFORE concat_ws: a null user_id must hash as the empty
+    // string in both engines, not silently drop its separator
+    val arm = graft.functions.Hashing.hash64(
+      concat_ws("|", coalesce(col("user_id").cast("string"), lit("")),
+        lit(salt))) % 2L
+    val arms = users.withColumn("arm", arm)
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val one = arms.agg(
+      sum(when(col("arm") === 0L, col("n_users"))).as("n_a"),
+      sum(when(col("arm") === 0L, col("n_conv"))).as("conv_a"),
+      sum(when(col("arm") === 1L, col("n_users"))).as("n_b"),
+      sum(when(col("arm") === 1L, col("n_conv"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    one.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(pb - pa, 6).as("lift"),
+      when(col("n_a") > 0 && col("n_b") > 0 && pool > 0 && pool < 1,
+        round((pb - pa) / se, 6)).as("z"))
+  }
+
   /** Ordered conversion funnel: stage i is reached when the user has an
     * event of `stages(i)` at-or-after their stage i-1 time (>=, so a
     * same-instant next stage counts; each stage time is the EARLIEST

@@ -193,6 +193,57 @@ object Graph {
     * lineage is cut every `checkpointEvery` rounds, lazy in between
     * (the pageRank measurement: eager per-round checkpoints pay a
     * full job of fixed overhead each). */
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures" — public): every
+    * node starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors PLUS one self-vote, ties broken
+    * by the smallest label. The self-vote is the determinism/stability
+    * device: plain synchronous LPA oscillates on bipartite structures
+    * (two nodes swapping labels forever), while a self-vote makes the
+    * tie land on min(own, neighbor) and the labels flow monotonically
+    * downward — every step is a pure function of the previous frame, so
+    * the fixed-round unrolled oracle mirrors it exactly.
+    *
+    * Returns one row per community: `(community, n_members)` with
+    * `community` the minimum surviving label.
+    *
+    * Scale shape: the undirected message list is materialized ONCE
+    * (localCheckpoint) with duplicate edges collapsed; each round is
+    * one labels-keyed join (O(V) frame moves, the edge frame reuses its
+    * layout), one map-side-combined (v, label) count, and one struct-max
+    * argmax — the same per-round O(V)-shuffle discipline as [[pageRank]].
+    * Label lineage cuts every `checkpointEvery` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val und = e.select(col("a").as("v"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("nb")))
+      .localCheckpoint()
+    var labels = und.select(col("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (i <- 1 to rounds) {
+      val nbLabels = und.join(
+        labels.select(col("v").as("nb"), col("lbl").as("nl")), Seq("nb"))
+        .select(col("v"), col("nl"))
+      val votes = nbLabels
+        .unionAll(labels.select(col("v"), col("lbl").as("nl")))
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("nl")).as("mn"))).as("s"))
+        .select(col("v"), (-col("s.mn")).as("lbl"))
+      if (i % checkpointEvery == 0 && i < rounds)
+        labels = labels.localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int, checkpointEvery: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

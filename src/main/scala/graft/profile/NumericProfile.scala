@@ -328,6 +328,56 @@ object NumericProfile {
         (col("n_categories") - 1).cast("long").as("dof"))
   }
 
+  /** Mutual information between two categorical columns (nats), with
+    * marginal entropies and the min-entropy-normalized NMI — the
+    * dataset-composition diagnostic ("how redundant are lang and
+    * source?", "does the split leak the label?"). All from one
+    * contingency pass: MI = sum p_xy * ln(N*n_xy / (n_x*n_y)).
+    *
+    * Scale shape: one map-side-combined groupBy on the (x, y) cell;
+    * marginals and the total come from windows over the CELL frame
+    * (cardinality-bound, not the input), so the inputs are scanned
+    * once. Float discipline: ln rounded at 8 before re-entering
+    * arithmetic, per-cell terms rounded at 12, decimal-summed
+    * (order-independent), outputs rounded at 6. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val W = org.apache.spark.sql.expressions.Window
+    val withM = cells
+      .withColumn("nx", sum(col("nxy")).over(W.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("nxy")).over(W.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(W.partitionBy(lit(1))))
+    val pxy = col("nxy").cast("double") / col("n").cast("double")
+    val lnR = round(log(col("n").cast("double") * col("nxy").cast("double")
+      / (col("nx").cast("double") * col("ny").cast("double"))), 8)
+    val px = col("nx").cast("double") / col("n").cast("double")
+    val py = col("ny").cast("double") / col("n").cast("double")
+    // entropy terms weighted per CELL by nxy/nx (resp. nxy/ny) so each
+    // marginal term totals p ln p without a second distinct frame
+    val hxTerm = round(pxy * -round(log(px), 8), 12)
+    val hyTerm = round(pxy * -round(log(py), 8), 12)
+    withM
+      .withColumn("mi_term", round(pxy * lnR, 12))
+      .withColumn("hx_term", hxTerm)
+      .withColumn("hy_term", hyTerm)
+      .agg(
+        max(col("n")).as("n_rows"),
+        countDistinct(col("x")).as("x_vals"),
+        countDistinct(col("y")).as("y_vals"),
+        sum(col("mi_term").cast("decimal(28,14)")).cast("double").as("mi0"),
+        sum(col("hx_term").cast("decimal(28,14)")).cast("double").as("hx0"),
+        sum(col("hy_term").cast("decimal(28,14)")).cast("double").as("hy0"))
+      .select(col("n_rows"), col("x_vals"), col("y_vals"),
+        round(col("mi0"), 6).as("mi"),
+        round(col("hx0"), 6).as("h_x"),
+        round(col("hy0"), 6).as("h_y"),
+        when(least(col("hx0"), col("hy0")) > 0,
+          round(col("mi0") / least(col("hx0"), col("hy0")), 6))
+          .as("nmi"))
+  }
+
   /** Cumulative Poisson(1) thresholds for the seeded bootstrap weight
     * draw (P(X <= k), k = 0..7; shared literal table with the oracle
     * SQL — a desynced copy would silently shift every resample). */

@@ -112,4 +112,44 @@ class GraphSpec extends SparkSpec {
     assert(d("x") == ((0L, 2L)))
     assert(d("y") == ((0L, 1L)))
   }
+
+  test("labelPropagation: two cliques with a bridge resolve to two " +
+      "communities; labels flow to the minimum; no bipartite oscillation") {
+    import org.apache.spark.sql.functions.col
+    def edges(ps: (Long, Long)*) = ps.toDF("s", "d")
+    // two 4-cliques {1..4} and {11..14} joined by one bridge 4-11
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val g = edges(clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ ((4L, 11L)): _*)
+    val out = Graph.labelPropagation(g, "s", "d", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // hand-traced: round 1 pulls each clique to its min (bridge node 11
+    // briefly adopts 4), round 2 the clique majority pulls 11 back to
+    // 11 — the single bridge edge can never outvote 3 clique neighbors,
+    // so the two communities are STABLE, not absorbed into one
+    assert(out == Map(1L -> 4L, 11L -> 4L),
+      s"bridged cliques must stay two communities: $out")
+    // fewer rounds on a long path: label 1 travels one hop per round,
+    // so round 2 leaves the far end of a 6-path in its own community
+    val path = edges((1L to 5L).map(i => (i, i + 1)): _*)
+    val partial = Graph.labelPropagation(path, "s", "d", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.values.sum == 6L, "every node in exactly one community")
+    assert(partial.keySet.min == 1L && partial.size > 1,
+      s"2 rounds cannot absorb a 6-path: $partial")
+    // the classic sync-LPA pathology: a single edge (bipartite K1,1)
+    // oscillates under pure synchronous updates; the self-vote pins it
+    val pair = edges((7L, 9L))
+    val p = Graph.labelPropagation(pair, "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(p == Map(7L -> 2L), s"self-vote must stop the flip-flop: $p")
+    // duplicate + self edges collapse; isolated direction irrelevant
+    val messy = edges((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (1L, 2L))
+    assert(Graph.labelPropagation(messy, "s", "d", rounds = 2)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 2L))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(g, "s", "d", rounds = 0)
+    }
+  }
 }

@@ -190,4 +190,40 @@ class NumericProfileSpec extends SparkSpec {
       NumericProfile.bootstrapMeanCI(df, "id", "v", b = 1)
     }
   }
+
+  test("mutualInformation: zero for independent, equals entropy for " +
+      "identical, hand-computed asymmetric case, constant-column guard") {
+    // balanced independent pair: every cell p_xy = p_x * p_y -> MI 0
+    val ind = (0 until 100).map(i => (s"x${i % 2}", s"y${(i / 2) % 2}"))
+      .toDF("a", "b")
+    val r0 = NumericProfile.mutualInformation(ind, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(r0._1 == 100L && r0._2 == 2L && r0._3 == 2L)
+    assert(r0._4 == 0.0, s"independent -> MI 0: $r0")
+    assert(math.abs(r0._5 - math.log(2.0)) < 1e-6, s"H_x = ln 2: $r0")
+    assert(r0._7.contains(0.0), s"NMI 0: $r0")
+    // y == x: MI = H_x = H_y, NMI = 1
+    val dup = (0 until 90).map(i => (s"c${i % 3}", s"c${i % 3}"))
+      .toDF("a", "b")
+    val r1 = NumericProfile.mutualInformation(dup, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(math.abs(r1._4 - math.log(3.0)) < 1e-6, s"MI = ln 3: $r1")
+    assert(r1._4 == r1._5 && r1._5 == r1._6, s"MI = H_x = H_y: $r1")
+    assert(r1._7.contains(1.0), s"NMI 1: $r1")
+    // hand case: cells (a,p) (a,q) (b,p), each once ->
+    // MI = (ln .75 + 2 ln 1.5) / 3 = 0.174416 at the 8/12/6 rounding
+    val hand = Seq(("a", "p"), ("a", "q"), ("b", "p")).toDF("a", "b")
+    val r2 = NumericProfile.mutualInformation(hand, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(r2._4 == 0.174416, s"hand MI: $r2")
+    // constant y: H_y = 0 -> MI 0 and NMI must be null, not Infinity
+    val const = (0 until 10).map(i => (s"x$i", "only")).toDF("a", "b")
+    val r3 = NumericProfile.mutualInformation(const, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(r3._4 == 0.0 && r3._6 == 0.0 && r3._7.isEmpty, s"guard: $r3")
+    // partitioning-invariant (decimal-summed terms)
+    val again = NumericProfile.mutualInformation(ind.repartition(7), "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(again == r0)
+  }
 }

@@ -84,4 +84,79 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpGroupCounts(rows, Seq("g"), eps = 0.0)
     }
   }
+
+  // sensitive values: (NY,M) -> {a,a,b,b} l=2, (NY,F) -> {a,c} l=2,
+  // (LA,M) -> {a} l=1
+  private val sensPeople = Seq(
+    ("NY", "M", "a"), ("NY", "M", "a"), ("NY", "M", "b"), ("NY", "M", "b"),
+    ("NY", "F", "a"), ("NY", "F", "c"),
+    ("LA", "M", "a")
+  ).toDF("city", "sex", "diag")
+
+  test("l-diversity histogram: distinct-sensitive counts per class, " +
+      "row accounting, threshold marking") {
+    val h = Privacy.lDiversityHistogram(sensPeople, Seq("city", "sex"),
+        "diag", l = 4)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(h == Map(
+      2L -> ((2L, 6L, true)), // two classes with 2 distinct diagnoses
+      1L -> ((1L, 1L, true))))
+    assert(h.values.map(_._2).sum == 7L, "every row accounted for once")
+    // a homogeneous-but-large class is exactly what l-diversity flags
+    // and k-anonymity misses: size 4 passes k=3, l=2 fails l=4
+    val k = Privacy.kAnonymityHistogram(sensPeople, Seq("city", "sex"), k = 3)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(k(4L) == false && h(2L)._3 == true)
+    // at l=2 the 2-diverse classes clear the bar
+    val h2 = Privacy.lDiversityHistogram(sensPeople, Seq("city", "sex"),
+        "diag", l = 2)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(h2 == Map(2L -> false, 1L -> true))
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityHistogram(sensPeople, Seq.empty, "diag", l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityHistogram(sensPeople, Seq("city"), "diag", l = 1)
+    }
+  }
+
+  test("dpGroupMeans: clamping bounds the release, near-exact at huge " +
+      "eps, deterministic per salt, count floored at 1") {
+    // group "hi" has values far above the clamp cap
+    val rows = ((0 until 100).map(i => ("a", (i % 10).toDouble)) ++
+      (0 until 50).map(_ => ("hi", 1e9))).toDF("g", "v")
+    // eps so large the noise is negligible -> release ~= clamped truth
+    val out = Privacy.dpGroupMeans(rows, Seq("g"), "v",
+        lo = 0.0, hi = 10.0, eps = 1e9)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(out("a")._1 - 100.0) < 1e-3, s"count a: ${out("a")}")
+    assert(math.abs(out("a")._2 - 4.5) < 1e-3, s"mean a: ${out("a")}")
+    // the 1e9 values were clamped to hi BEFORE aggregation
+    assert(math.abs(out("hi")._2 - 10.0) < 1e-3, s"clamp: ${out("hi")}")
+    // determinism + fresh-salt freshness at a realistic eps
+    val r1 = Privacy.dpGroupMeans(rows, Seq("g"), "v", 0.0, 10.0, eps = 0.5)
+      .as[(String, Double, Double)].collect().toSet
+    val r2 = Privacy.dpGroupMeans(rows, Seq("g"), "v", 0.0, 10.0, eps = 0.5)
+      .as[(String, Double, Double)].collect().toSet
+    assert(r1 == r2, "same salt -> identical release")
+    val r3 = Privacy.dpGroupMeans(rows, Seq("g"), "v", 0.0, 10.0,
+      eps = 0.5, salt = "fresh").as[(String, Double, Double)].collect().toSet
+    assert(r3 != r1, "fresh salt -> fresh draw")
+    // a tiny group at tight eps: the count release is floored at 1 so
+    // the mean can never divide by <= 0
+    val tiny = Seq(("solo", 5.0)).toDF("g", "v")
+    val t = Privacy.dpGroupMeans(tiny, Seq("g"), "v", 0.0, 10.0, eps = 0.01)
+      .as[(String, Double, Double)].collect().head
+    assert(t._2 >= 1.0, s"noisy count floored: $t")
+    intercept[IllegalArgumentException] {
+      Privacy.dpGroupMeans(rows, Seq("g"), "v", 10.0, 0.0, eps = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpGroupMeans(rows, Seq("g"), "v", 0.0, 10.0, eps = -1.0)
+    }
+  }
 }
