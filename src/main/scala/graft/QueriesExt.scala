@@ -3420,6 +3420,102 @@ object QueriesExt {
     * the identical regex chain. Variants 0 and 1 of the same doc
     * differ only by scheme after cleanup — the canonical-URL dedup
     * count at the end proves the collapse happened. */
+  /** Per-apex-domain crawl rollup (Urls.domainStats) over synthesized
+    * URLs: subdomain variants (www./cdn.) fold into one apex, %97 paths
+    * produce refetches, so domains, page dedup, and refetch rate are
+    * all exercised. */
+  private def qDomainStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Urls
+    val m = col("doc_id") % 3
+    val site = concat(col("source"), (col("doc_id") % 7).cast("string"))
+    val url = when(m === 0, concat(lit("HTTPS://WWW."), upper(site),
+        lit(".ORG:443/p/"), (col("doc_id") % 97).cast("string"),
+        lit("?utm_source=tw")))
+      .when(m === 1, concat(lit("http://"), site,
+        lit(".org:80/p/"), (col("doc_id") % 97).cast("string"), lit("?z=9")))
+      .otherwise(concat(lit("https://cdn."), site,
+        lit(".org/p/"), (col("doc_id") % 97).cast("string")))
+    Urls.domainStats(
+      docs(s, dir).select(url.as("url"), col("n_chars")), "url", "n_chars")
+  }
+  private val qDomainStatsSql: String =
+    s"""WITH u AS (SELECT n_chars, CASE
+       |    WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || upper(source || CAST(doc_id % 7 AS VARCHAR)) ||
+       |      '.ORG:443/p/' || (doc_id % 97) || '?utm_source=tw'
+       |    WHEN doc_id % 3 = 1 THEN 'http://' || source || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.org:80/p/' || (doc_id % 97) || '?z=9'
+       |    ELSE 'https://cdn.' || source || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.org/p/' || (doc_id % 97) END url
+       |  FROM documents),
+       |p AS (SELECT n_chars,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) hostport,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) path0,
+       |    regexp_extract(url, '\\?([^#]*)', 1) q0
+       |  FROM u),
+       |c AS (SELECT n_chars, scheme || '://' ||
+       |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |          ELSE hostport END) ||
+       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) canonical,
+       |    regexp_extract(regexp_replace(
+       |      (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |            WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |            ELSE hostport END), ':[0-9]+$$', ''),
+       |      '([^.]+\\.[^.]+)$$', 1) dom
+       |  FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+       |      string_split(q0, '&'),
+       |      x -> NOT regexp_matches(x, '${graft.ext.Urls.trackingParams}')
+       |        AND x <> '')), '&'), '') kept FROM p)),
+       |g AS (SELECT dom AS "domain", count(*) n_docs,
+       |    count(DISTINCT canonical) n_pages,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT) sum_chars
+       |  FROM c GROUP BY 1)
+       |SELECT "domain", n_docs, n_pages,
+       |  round(1.0 - CAST(n_pages AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) refetch_rate,
+       |  sum_chars,
+       |  round(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) mean_chars
+       |FROM g""".stripMargin
+
+  /** Corpus concentration panel over char-weighted source shares
+    * (NumericProfile.concentrationReport): entropy, effective sources,
+    * HHI, Gini, top-1/top-10 share. */
+  private def qConcentration(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.concentrationReport(docs(s, dir), "source",
+      weightCol = Some("n_chars"))
+  private val qConcentrationSql: String = {
+    val share = "(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+    s"""WITH g AS (SELECT CAST(source AS VARCHAR) gg,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT) n
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT *, sum(n) OVER () t,
+       |    row_number() OVER (ORDER BY n ASC, gg ASC) rk_asc,
+       |    row_number() OVER (ORDER BY n DESC, gg ASC) rk_desc
+       |  FROM g),
+       |tm AS (SELECT *,
+       |    round($share * -round(ln($share), 8), 12) h_term,
+       |    round($share * $share, 12) hhi_term,
+       |    round(CAST(rk_asc AS DOUBLE) * $share, 12) gini_term
+       |  FROM w),
+       |a AS (SELECT count(*) n_groups,
+       |    CAST(sum(CAST(h_term AS DECIMAL(28,14))) AS DOUBLE) h0,
+       |    CAST(sum(CAST(hhi_term AS DECIMAL(28,14))) AS DOUBLE) hhi0,
+       |    CAST(sum(CAST(gini_term AS DECIMAL(28,14))) AS DOUBLE) g0,
+       |    max(CASE WHEN rk_desc = 1 THEN $share END) top1,
+       |    CAST(sum(CASE WHEN rk_desc <= 10
+       |      THEN CAST(round($share, 12) AS DECIMAL(28,14)) END) AS DOUBLE) top10
+       |  FROM tm)
+       |SELECT n_groups, round(h0, 6) entropy,
+       |  round(exp(round(h0, 8)), 6) effective_groups,
+       |  round(hhi0, 6) hhi,
+       |  round(2.0 * g0 / CAST(n_groups AS DOUBLE)
+       |    - CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) gini,
+       |  round(top1, 6) top1_share,
+       |  round(least(top10, 1.0), 6) top10_share
+       |FROM a""".stripMargin
+  }
+
   private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.Urls
     val m = col("doc_id") % 3
@@ -4947,6 +5043,8 @@ object QueriesExt {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_url_dedup" -> (qUrlDedup _),
+    "q_domain_stats" -> (qDomainStats _),
+    "q_concentration" -> (qConcentration _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -5104,6 +5202,8 @@ object QueriesExt {
     "q_split_leakage" -> qSplitLeakageSql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_url_dedup" -> qUrlDedupSql,
+    "q_domain_stats" -> qDomainStatsSql,
+    "q_concentration" -> qConcentrationSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_dp_histogram" -> qDpHistogramSql,
     "q_html_strip" -> qHtmlStripSql,

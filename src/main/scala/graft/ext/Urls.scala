@@ -61,6 +61,36 @@ object Urls {
     * no second pass; partial aggregation absorbs hot URLs (the same
     * keep-first min-struct idiom as CCNet line dedup). Page CONTENT
     * never enters the shuffle — only the id rides along. */
+  /** Per-domain crawl curation rollup: docs, distinct pages (canonical
+    * URLs), refetch rate, and size stats per apex domain — the frame a
+    * curation pipeline ranks/caps/blocklists domains from (domain-level
+    * quotas are the standard counter to a single crawler-trap domain
+    * flooding the corpus).
+    *
+    * Scale shape: canonicalization is a narrow per-row expression; ONE
+    * map-side-combined groupBy on the domain carries the counts, the
+    * exact distinct-page count (two-phase expand/agg), and a
+    * decimal-folded char sum; output is domain-cardinality-bound. */
+  def domainStats(df: DataFrame, urlCol: String, charsCol: String)
+      : DataFrame = {
+    val canon = canonicalize(col(urlCol))
+    val host = regexp_replace(
+      regexp_extract(canon, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      ":\\d+$", "")
+    df.select(apexDomain(host).as("domain"), canon.as("canonical"),
+        col(charsCol).as("chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical")).as("n_pages"),
+        sum(col("chars").cast("decimal(28,0)")).cast("long").as("sum_chars"))
+      .select(col("domain"), col("n_docs"), col("n_pages"),
+        round(lit(1.0) - col("n_pages").cast("double") /
+          col("n_docs").cast("double"), 6).as("refetch_rate"),
+        col("sum_chars"),
+        round(col("sum_chars").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_chars"))
+  }
+
   def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
       scoreCol: String): DataFrame =
     df.select(col(idCol).as("id"), canonicalize(col(urlCol)).as("canonical"),

@@ -378,6 +378,64 @@ object NumericProfile {
           .as("nmi"))
   }
 
+  /** Source-concentration report for a categorical column — one row:
+    * group count, Shannon entropy (nats), effective group count
+    * (exp H, "how many equally-sized sources is this worth"), HHI
+    * (sum of squared shares — the antitrust concentration index), Gini
+    * over group shares, and top-1/top-10 share. The corpus-composition
+    * red-flag panel: a 0.9 top-10 share or a near-1 Gini says the
+    * "diverse" corpus is one crawler trap plus a tail.
+    *
+    * Scale shape: one map-side-combined groupBy on the column; every
+    * downstream step (windows for ranks, term sums) runs over the
+    * GROUP frame, bounded by cardinality, not volume. Float
+    * discipline: ln rounded at 8, per-group terms at 12,
+    * decimal-summed; Gini rank ties broken by the group value. */
+  def concentrationReport(df: DataFrame, colName: String,
+      weightCol: Option[String] = None): DataFrame = {
+    // weighted shares (e.g. chars/tokens per source — what temperature
+    // sampling actually allocates) or plain doc counts
+    val g = df.groupBy(col(colName).cast("string").as("g"))
+      .agg(weightCol.fold(count(lit(1)))(w =>
+        sum(col(w).cast("decimal(28,0)")).cast("long")).as("n"))
+    val W = org.apache.spark.sql.expressions.Window
+    val share = col("n").cast("double") / col("t").cast("double")
+    val withT = g.withColumn("t", sum(col("n")).over(W.partitionBy(lit(1))))
+      // ascending rank for the Gini sum, descending for top-k; both
+      // total orders (group value breaks count ties)
+      .withColumn("rk_asc", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("n").asc, col("g").asc)))
+      .withColumn("rk_desc", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("n").desc, col("g").asc)))
+      .withColumn("share", share)
+      .withColumn("h_term",
+        round(share * -round(log(share), 8), 12))
+      .withColumn("hhi_term", round(share * share, 12))
+      .withColumn("gini_term",
+        round(col("rk_asc").cast("double") * share, 12))
+    withT.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("h_term").cast("decimal(28,14)")).cast("double").as("h0"),
+        sum(col("hhi_term").cast("decimal(28,14)")).cast("double").as("hhi0"),
+        sum(col("gini_term").cast("decimal(28,14)")).cast("double").as("g0"),
+        max(when(col("rk_desc") === 1, col("share"))).as("top1"),
+        // round before the decimal cast: Spark casts half-up, DuckDB
+        // half-even — a pre-rounded value makes the cast exact in both
+        sum(when(col("rk_desc") <= 10,
+          round(col("share"), 12).cast("decimal(28,14)")))
+          .cast("double").as("top10"))
+      .select(col("n_groups"),
+        round(col("h0"), 6).as("entropy"),
+        round(exp(round(col("h0"), 8)), 6).as("effective_groups"),
+        round(col("hhi0"), 6).as("hhi"),
+        // G = 2*sum(i*s_i)/n - (n+1)/n with shares ascending
+        round(lit(2.0) * col("g0") / col("n_groups").cast("double") -
+          (col("n_groups") + 1).cast("double") /
+            col("n_groups").cast("double"), 6).as("gini"),
+        round(col("top1"), 6).as("top1_share"),
+        round(least(col("top10"), lit(1.0)), 6).as("top10_share"))
+  }
+
   /** Cumulative Poisson(1) thresholds for the seeded bootstrap weight
     * draw (P(X <= k), k = 0..7; shared literal table with the oracle
     * SQL — a desynced copy would silently shift every resample). */

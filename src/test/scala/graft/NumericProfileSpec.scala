@@ -226,4 +226,35 @@ class NumericProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double, Double, Option[Double])].head()
     assert(again == r0)
   }
+
+  test("concentrationReport: uniform vs monopoly endpoints, weighted " +
+      "shares, top-k accounting") {
+    // 4 equal groups: H = ln 4, effective 4, HHI 1/4, Gini 0, top1 1/4
+    val uniform = (0 until 80).map(i => (s"g${i % 4}", 10L)).toDF("g", "w")
+    val u = NumericProfile.concentrationReport(uniform, "g")
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(u._1 == 4L)
+    assert(math.abs(u._2 - math.log(4.0)) < 1e-6)
+    assert(math.abs(u._3 - 4.0) < 1e-5, s"effective groups: $u")
+    assert(u._4 == 0.25 && u._5 == 0.0 && u._6 == 0.25 && u._7 == 1.0)
+    // near-monopoly: 97 docs in one group, 1 in each of 3 others
+    val mono = ((0 until 97).map(_ => "big") ++ Seq("a", "b", "c"))
+      .toDF("g")
+    val m = NumericProfile.concentrationReport(mono, "g").as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(m._6 == 0.97 && m._1 == 4L)
+    assert(m._4 > 0.9, s"HHI near 1: $m")
+    assert(m._5 > 0.7, s"Gini high: $m")
+    assert(m._3 < 1.3, s"effective groups collapse toward 1: $m")
+    // weighting flips the story: equal doc counts, skewed chars
+    val wdf = Seq(("x", 970L), ("y", 10L), ("z", 20L)).toDF("g", "w")
+    val byDocs = NumericProfile.concentrationReport(wdf, "g").as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    val byChars = NumericProfile.concentrationReport(wdf, "g",
+      weightCol = Some("w")).as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(byDocs._6 < 0.34 && byChars._6 == 0.97,
+      s"doc-count vs char-weighted top1: $byDocs vs $byChars")
+    // single group: entropy 0, gini 0, all shares 1
+    val one = Seq("only", "only").toDF("g")
+    val o = NumericProfile.concentrationReport(one, "g").as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(o == ((1L, 0.0, 1.0, 1.0, 0.0, 1.0, 1.0)), s"single group: $o")
+  }
 }

@@ -52,4 +52,28 @@ class UrlsSpec extends SparkSpec {
     assert(r("https://other.com/q") == ((5L, 70L, 1L)))
     assert(r.size == 3)
   }
+
+  test("domainStats: subdomains fold to the apex, refetch rate counts " +
+      "canonical collisions, char sums exact") {
+    val rows = Seq(
+      // www.a.org, a.org, cdn.a.org are DIFFERENT pages (canonical
+      // keeps the host) but the SAME apex domain; case/port/tracking
+      // variants of one host+path are the same page
+      ("HTTPS://WWW.A.ORG:443/x?utm_source=t", 100L),
+      ("https://www.a.org/x", 200L), // same canonical as above
+      ("https://a.org/x", 300L), // same apex, different page
+      ("http://cdn.a.org:80/y", 400L), // same apex, third page
+      ("https://b.net/z", 50L),
+      ("https://b.net/z?gclid=1", 60L) // same canonical as /z
+    ).toDF("url", "chars")
+    val d = graft.ext.Urls.domainStats(rows, "url", "chars")
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = d("a.org")
+    assert(a._2 == 4L && a._3 == 3L, s"4 docs, 3 distinct pages: $a")
+    assert(a._4 == 0.25 && a._5 == 1000L && a._6 == 250.0)
+    val b = d("b.net")
+    assert(b._2 == 2L && b._3 == 1L && b._4 == 0.5 && b._5 == 110L)
+    assert(d.size == 2)
+  }
 }
