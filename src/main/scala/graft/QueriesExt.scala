@@ -3647,9 +3647,14 @@ object QueriesExt {
     Dedup.substringDupPairs(docs(s, dir), "doc_id", "text",
       k = 16, w = 8, maxDocFreq = 64, minShared = 2)
       .select(col("id_a"), col("id_b"), col("n_shared"))
-  private val qSubstringDedupSql: String = {
-    val K = 16; val W = 8; val P = Hashing.P
-    s"""WITH nt AS (SELECT doc_id, ${normSql("text")} nt FROM documents),
+  /** Shared winnowing-fingerprint CTE chain ending in
+    * `fps(doc_id, fp)` — the ONE DuckDB mirror of
+    * `VectorExprs.winnow_fingerprints` (k-gram rolling hashes, min per
+    * w-window, per-doc distinct), used by both the substring-dup and
+    * novelty oracles so the scheme cannot silently fork. */
+  private def winnowFpsCtes(K: Int, W: Int): String = {
+    val P = Hashing.P
+    s"""nt AS (SELECT doc_id, ${normSql("text")} nt FROM documents),
        |gh AS (SELECT doc_id, CASE
        |    WHEN len(nt) = 0 THEN [CAST(0 AS BIGINT)]
        |    WHEN len(nt) < $K THEN [list_reduce(
@@ -3663,13 +3668,84 @@ object QueriesExt {
        |    WHEN len(g) <= $W THEN [list_min(g)]
        |    ELSE list_transform(range(len(g) - $W + 1), j ->
        |      list_min(list_slice(g, j+1, j+$W))) END)) fp
-       |  FROM gh),
+       |  FROM gh)""".stripMargin
+  }
+  private val qSubstringDedupSql: String =
+    s"""WITH ${winnowFpsCtes(16, 8)},
        |dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
        |kept AS (SELECT doc_id, f.fp FROM fps f JOIN dupfp USING (fp))
        |SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_shared
        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Per-doc winnowing-fingerprint novelty (Dedup.fingerprintNovelty):
+    * share of the doc's fingerprints unique corpus-wide — the
+    * per-document boilerplate screen next to the per-pair detectors. */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintNovelty(docs(s, dir), "doc_id", "text", k = 16, w = 8)
+  private val qNgramNoveltySql: String =
+    s"""WITH ${winnowFpsCtes(16, 8)},
+       |dfc AS (SELECT fp, count(*) df FROM fps GROUP BY 1)
+       |SELECT f.doc_id, count(*) n_fp,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) n_novel,
+       |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) novelty
+       |FROM fps f JOIN dfc USING (fp) GROUP BY 1""".stripMargin
+
+  /** Exact per-(lang) quantile panel over n_chars
+    * (NumericProfile.quantilePanel): lower quantiles off the
+    * (group x distinct-value) grid, no percentile_approx. */
+  private def qQuantilePanel(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.quantilePanel(docs(s, dir), "n_chars", "lang")
+  private val qQuantilePanelSql: String = {
+    val picks = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75, 90 -> 0.9,
+      99 -> 0.99).map { case (p, q) =>
+      s"min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * $q) THEN v END) p$p"
+    }.mkString(",\n|  ")
+    s"""WITH c AS (SELECT lang g, n_chars v, count(*) c FROM documents
+       |  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+       |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) n,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+       |  FROM c)
+       |SELECT g, max(n) n_rows,
+       |  $picks
+       |FROM w GROUP BY 1""".stripMargin
   }
+
+  /** Rare-category collapse (Cleaning.CollapseRareCategories, share
+    * threshold 0.13) on lang, then the post-collapse census — the
+    * one-hot-prep guard. */
+  private def qRareCollapse(s: SparkSession, dir: String): DataFrame =
+    graft.clean.CleaningAction.CollapseRareCategories("lang", 0.13)
+      .apply(docs(s, dir))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+  private val qRareCollapseSql: String =
+    """WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+      |k AS (SELECT lang FROM (SELECT *, sum(n) OVER () t FROM c)
+      |  WHERE lang IS NOT NULL
+      |    AND CAST(n AS DOUBLE) / CAST(t AS DOUBLE) >= 0.13)
+      |SELECT CASE WHEN k.lang IS NOT NULL THEN d.lang
+      |  ELSE '__other' END lang, count(*) n_docs
+      |FROM documents d LEFT JOIN k ON d.lang = k.lang
+      |GROUP BY 1""".stripMargin
+
+  /** Bayesian-smoothed target encoding of event_type against value
+    * (MLFit.targetEncode, m = 50 pseudo-observations of the global
+    * mean). */
+  private def qTargetEncode(s: SparkSession, dir: String): DataFrame =
+    MLFit.targetEncode(events(s, dir), "event_type", "value", m = 50.0)
+  private val qTargetEncodeSql: String =
+    """WITH a AS (SELECT event_type category, count(*) n,
+      |    sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6))) sdec
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |w AS (SELECT *, CAST(sum(sdec) OVER () AS DOUBLE) gs,
+      |    CAST(sum(n) OVER () AS BIGINT) gn, CAST(sdec AS DOUBLE) s
+      |  FROM a)
+      |SELECT category, n, round(s / CAST(n AS DOUBLE), 6) raw_mean,
+      |  round((s + 50.0 * (gs / CAST(gn AS DOUBLE)))
+      |    / (CAST(n AS DOUBLE) + 50.0), 6) encoded
+      |FROM w""".stripMargin
 
   /** DuckDB mirror of [[Repetition.wordGrams]] over a token-list column
     * named `toks` (1-based inclusive slice = n consecutive tokens). */
@@ -5040,6 +5116,10 @@ object QueriesExt {
     "q_c4_filter" -> (qC4Filter _),
     "q_line_dedup" -> (qLineDedup _),
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_quantile_panel" -> (qQuantilePanel _),
+    "q_rare_collapse" -> (qRareCollapse _),
+    "q_target_encode" -> (qTargetEncode _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_url_dedup" -> (qUrlDedup _),
@@ -5198,6 +5278,10 @@ object QueriesExt {
     "q_c4_filter" -> qC4FilterSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_substring_dedup" -> qSubstringDedupSql,
+    "q_ngram_novelty" -> qNgramNoveltySql,
+    "q_quantile_panel" -> qQuantilePanelSql,
+    "q_rare_collapse" -> qRareCollapseSql,
+    "q_target_encode" -> qTargetEncodeSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_url_normalize" -> qUrlNormalizeSql,

@@ -311,6 +311,37 @@ object CleaningAction {
     def describe = s"Quantile-binned $column into $nBins bins"
   }
 
+  /** Collapse categories holding less than `minShare` of the rows into
+    * a sentinel — the standard guard before one-hot/target encoding (a
+    * long categorical tail becomes one feature, and unseen-at-serving
+    * categories have a home). A SHARE threshold, not a count, so the
+    * same config behaves identically across scale factors. NULL
+    * categories collapse too (they are "not a known-frequent level").
+    *
+    * Scale shape: one map-side-combined count agg; the keep-list is
+    * category-cardinality-bound and broadcast back — rows never
+    * shuffle. */
+  final case class CollapseRareCategories(column: String,
+      minShare: Double, other: String = "__other") extends CleaningAction {
+    require(minShare > 0.0 && minShare < 1.0,
+      s"minShare must lie in (0, 1): $minShare")
+    def apply(df: DataFrame): DataFrame = {
+      val counts = df.groupBy(col(column).as("__cat"))
+        .agg(count(lit(1)).as("__n"))
+      val keep = counts
+        .withColumn("__t", sum(col("__n")).over(Window.partitionBy(lit(1))))
+        .filter(col("__cat").isNotNull &&
+          col("__n").cast("double") / col("__t").cast("double") >= minShare)
+        .select(col("__cat"))
+      df.join(broadcast(keep), df(column) === keep("__cat"), "left")
+        .withColumn(column,
+          when(col("__cat").isNotNull, col(column)).otherwise(lit(other)))
+        .drop("__cat")
+    }
+    def describe =
+      s"Collapsed categories of $column below share $minShare into '$other'"
+  }
+
   final case class ScaleZScore(column: String) extends CleaningAction {
     def apply(df: DataFrame): DataFrame = {
       val x = col(column)

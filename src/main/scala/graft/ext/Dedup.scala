@@ -833,6 +833,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-doc fingerprint novelty: the share of a document's winnowing
+    * fingerprints (same k-gram/window scheme as [[substringDupPairs]])
+    * that appear in NO other document. Low novelty = the doc is mostly
+    * phrases the corpus already has (boilerplate, templates, near-copies
+    * below the pair-detection threshold) — a per-document curation
+    * score where the pair detectors give a per-PAIR verdict.
+    *
+    * Scale shape: the same posting-list machinery as the substring
+    * detectors — explode is narrow, the document-frequency agg is
+    * map-side combined on the fingerprint, and the join back is
+    * fp-keyed; no pair enumeration at all, so this stays linear even
+    * where the pair detectors need caps. `winnow_fingerprints` emits at
+    * least one fingerprint per doc (empty docs hash to a sentinel), so
+    * the ratio is total. */
+  def fingerprintNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(graft.functions.VectorExprs.winnow_fingerprints(
+        TextStats.normalized(col(textCol)), k, w)).as("fp"))
+    val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    fps.join(dfc, Seq("fp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as("doc_id"), col("n_fp"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_fp").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** 32-bit SimHash from token hashes: bit j of the fingerprint is the
     * sign of the sum of (+1/-1) votes of each token's j-th hash bit. */
   def simhash32(text: Column): Column = {

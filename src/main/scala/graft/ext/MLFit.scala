@@ -102,4 +102,36 @@ object MLFit {
     import spark.implicits._
     ("bias" +: featureCols).zip(w).toSeq.toDF("feature", "weight")
   }
+
+  /** Bayesian-smoothed target (mean) encoding per category (the
+    * Micci-Barreca 2001 empirical-Bayes form, public): encoded =
+    * (sum_y + m * global_mean) / (n + m). The m pseudo-observations of
+    * the global mean keep a 3-row category from memorizing its labels
+    * — the standard high-cardinality-categorical feature prep.
+    *
+    * Scale shape: one map-side-combined groupBy on the category; the
+    * global mean comes from a window over the CATEGORY frame
+    * (cardinality-bound). Float discipline: targets rounded at 6 and
+    * decimal-summed (order-free), so the encoding is bit-stable across
+    * partitionings and engines. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      m: Double = 50.0): DataFrame = {
+    require(m > 0.0, s"smoothing m must be positive: $m")
+    val W = org.apache.spark.sql.expressions.Window
+    val agg = df.filter(col(targetCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(targetCol).cast("double"), 6).cast("decimal(28,6)"))
+          .as("sdec"))
+    agg
+      .withColumn("gs",
+        sum(col("sdec")).over(W.partitionBy(lit(1))).cast("double"))
+      .withColumn("gn", sum(col("n")).over(W.partitionBy(lit(1))))
+      .withColumn("s", col("sdec").cast("double"))
+      .withColumn("gmean", col("gs") / col("gn").cast("double"))
+      .select(col("category"), col("n"),
+        round(col("s") / col("n").cast("double"), 6).as("raw_mean"),
+        round((col("s") + lit(m) * col("gmean")) /
+          (col("n").cast("double") + lit(m)), 6).as("encoded"))
+  }
 }

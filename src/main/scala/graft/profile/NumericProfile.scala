@@ -378,6 +378,38 @@ object NumericProfile {
           .as("nmi"))
   }
 
+  /** Exact per-group quantile panel for a grid-valued column (ints,
+    * cents — anything with bounded distinct values): for each group,
+    * the lower quantile `min {v : cum(v) >= ceil(q*n)}` at each
+    * requested q. Exact and engine-portable where percentile_approx is
+    * neither — the profiler's "p25/p50/p75/p90/p99 per slice" panel.
+    *
+    * Scale shape: one map-side-combined groupBy on (group, value); the
+    * cumulative window runs over the (group x distinct-value) GRID,
+    * bounded by value cardinality, not row volume — the histogram-
+    * midrank discipline (percentileNormalize). NOT for continuous
+    * doubles: a near-unique column makes the grid the data. */
+  def quantilePanel(df: DataFrame, valueCol: String, groupCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: $qs")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("g"))))
+      .withColumn("cum", sum(col("c")).over(W.partitionBy(col("g"))
+        .orderBy(col("v")).rowsBetween(W.unboundedPreceding, 0)))
+    val panel = qs.map { q =>
+      min(when(col("cum") >=
+        ceil(col("n").cast("double") * lit(q)), col("v")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n_rows"), panel: _*)
+  }
+
   /** Source-concentration report for a categorical column — one row:
     * group count, Shannon entropy (nats), effective group count
     * (exp H, "how many equally-sized sources is this worth"), HHI

@@ -180,4 +180,30 @@ class CleaningSpec extends SparkSpec {
       .select($"x_bin").as[Option[Int]].collect().toSet
     assert(edge == Set(Some(1), Some(2), None)) // median 2.0 -> bin 1
   }
+
+  test("CollapseRareCategories: share threshold, nulls collapse, " +
+      "frequent categories untouched, rows preserved") {
+    // 20 rows: a x10 (0.50), b x6 (0.30), c x3 (0.15), null x1 (0.05)
+    val df = (Seq.fill(10)(Some("a")) ++ Seq.fill(6)(Some("b")) ++
+      Seq.fill(3)(Some("c")) ++ Seq(None)).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "cat")
+    val out = CollapseRareCategories("cat", minShare = 0.2)
+      .apply(df)
+    val census = out.groupBy("cat").count().as[(String, Long)]
+      .collect().toMap
+    assert(census == Map("a" -> 10L, "b" -> 6L, "__other" -> 4L),
+      s"c (0.15) and null fold into __other: $census")
+    assert(out.count() == 20L, "row count preserved")
+    assert(out.columns.toSeq == df.columns.toSeq, "schema preserved")
+    // boundary: share EXACTLY at the threshold survives (>=)
+    val at = CollapseRareCategories("cat", minShare = 0.15)
+      .apply(df).groupBy("cat").count().as[(String, Long)].collect().toMap
+    assert(at("c") == 3L, s"0.15 >= 0.15 keeps c: $at")
+    intercept[IllegalArgumentException] {
+      CollapseRareCategories("cat", minShare = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      CollapseRareCategories("cat", minShare = 1.0)
+    }
+  }
 }

@@ -298,6 +298,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair")
   }
 
+  test("fingerprintNovelty: exact copies read 0, disjoint text reads 1, " +
+      "a shared span drags novelty strictly below 1, totals account") {
+    val span = "zebra quantum voltage crystal"
+    val d = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"one two three four five six seven $span"),
+      (3L, "nothing in common with anyone here at all today ok"),
+      (4L, s"alpha beta gamma $span delta epsilon")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val nv = Dedup.fingerprintNovelty(d, "doc_id", "text", k = 16, w = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(nv.size == 4, "every doc gets a score")
+    // docs 1 and 4 are identical: every fingerprint of each appears in
+    // the other, so nothing is corpus-unique
+    assert(nv(1L)._4 == 0.0 && nv(4L)._4 == 0.0, s"exact copies: $nv")
+    assert(nv(3L)._4 == 1.0, s"fully disjoint doc is fully novel: $nv")
+    // doc 2 shares the span with 1/4 but keeps its own prefix
+    assert(nv(2L)._4 > 0.0 && nv(2L)._4 < 1.0, s"partial overlap: $nv")
+    nv.values.foreach { r =>
+      assert(r._2 >= 1L && r._3 >= 0L && r._3 <= r._2, s"accounting: $r")
+    }
+    // single-doc corpus: everything it says is novel
+    val solo = Dedup.fingerprintNovelty(
+      d.filter($"doc_id" === 3L), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].head()
+    assert(solo._4 == 1.0)
+  }
+
   test("substring dedup: boilerplate fingerprints above maxDocFreq are capped out") {
     val boiler = "standard license header text for everyone"
     val d = (1L to 10L).map(i => (i, s"$boiler unique tail $i"))

@@ -94,4 +94,36 @@ class MLFitSpec extends SparkSpec {
       .collect().toMap
     assert(m(1.0) > m(0.0), s"en mean logit ${m(1.0)} must beat ${m(0.0)}")
   }
+
+  test("targetEncode: hand-computed smoothing, tiny category shrinks to " +
+      "the global mean, nulls excluded, partitioning-invariant") {
+    import graft.ext.MLFit
+    // big: 100 rows of 10.0; tiny: 2 rows of 100.0; global mean
+    // = (1000 + 200) / 102 = 11.764706
+    val df = ((1 to 100).map(_ => ("big", Some(10.0))) ++
+      Seq(("tiny", Some(100.0)), ("tiny", Some(100.0)),
+        ("tiny", None))).toDF("cat", "y")
+    val out = MLFit.targetEncode(df, "cat", "y", m = 50.0)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val gm = 1200.0 / 102.0
+    assert(out("big")._2 == 100L && out("big")._3 == 10.0)
+    assert(out("tiny")._2 == 2L && out("tiny")._3 == 100.0,
+      "null target rows excluded from the encoding stats")
+    val encTiny = (200.0 + 50.0 * gm) / 52.0
+    val encBig = (1000.0 + 50.0 * gm) / 150.0
+    assert(math.abs(out("tiny")._4 - encTiny) < 1e-6, s"tiny: ${out("tiny")}")
+    assert(math.abs(out("big")._4 - encBig) < 1e-6, s"big: ${out("big")}")
+    // the shrinkage direction: tiny lands far from its raw mean,
+    // big stays near its own
+    assert(math.abs(out("tiny")._4 - gm) < math.abs(100.0 - gm) / 2)
+    assert(math.abs(out("big")._4 - 10.0) < 1.0)
+    val again = MLFit.targetEncode(df.repartition(7), "cat", "y", m = 50.0)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out, "decimal sums make the encoding partition-stable")
+    intercept[IllegalArgumentException] {
+      MLFit.targetEncode(df, "cat", "y", m = 0.0)
+    }
+  }
 }

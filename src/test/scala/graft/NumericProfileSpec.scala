@@ -257,4 +257,34 @@ class NumericProfileSpec extends SparkSpec {
     val o = NumericProfile.concentrationReport(one, "g").as[(Long, Double, Double, Double, Double, Double, Double)].head()
     assert(o == ((1L, 0.0, 1.0, 1.0, 0.0, 1.0, 1.0)), s"single group: $o")
   }
+
+  test("quantilePanel: hand-checked lower quantiles on a known grid, " +
+      "ties and nulls handled, degenerate single value") {
+    // group a: values 1..100 once each -> p25=25, p50=50, p75=75,
+    // p90=90, p99=99 (lower quantile: min v with cum >= ceil(q*n))
+    val a = (1 to 100).map(v => ("a", Some(v.toLong)))
+    // group b: heavy ties — 10 at value 5, 10 at value 9
+    //   n=20: p25 -> ceil(5)=5 -> v=5; p50 -> cum>=10 -> 5;
+    //   p75 -> cum>=15 -> 9; p90/p99 -> 9
+    val b = (1 to 10).map(_ => ("b", Some(5L))) ++
+      (1 to 10).map(_ => ("b", Some(9L)))
+    // group c: single value + a null (ignored)
+    val c = Seq(("c", Some(7L)), ("c", Option.empty[Long]))
+    val out = NumericProfile.quantilePanel(
+      (a ++ b ++ c).toDF("g", "v"), "v", "g")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 100L, 25L, 50L, 75L, 90L, 99L)), out("a"))
+    assert(out("b") == (("b", 20L, 5L, 5L, 9L, 9L, 9L)), out("b"))
+    assert(out("c") == (("c", 1L, 7L, 7L, 7L, 7L, 7L)), out("c"))
+    // partitioning-invariant (grid windows, not row order)
+    val again = NumericProfile.quantilePanel(
+      (a ++ b ++ c).toDF("g", "v").repartition(7), "v", "g")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      NumericProfile.quantilePanel(a.toDF("g", "v"), "v", "g", Seq(1.5))
+    }
+  }
 }
