@@ -880,7 +880,32 @@ object Queries {
       |FROM c, b
       |GROUP BY 1, 3, 4""".stripMargin
 
+  /** Missingness-pattern census (Profiler.nullPatterns) over the
+    * dirtied frame: qty and flag go null TOGETHER (same %7 injection)
+    * and the unparseable ship strings add an independent effective-null
+    * axis — exactly the coupled-missingness structure per-column rates
+    * cannot show. */
+  private def qNullPatterns(s: SparkSession, dir: String): DataFrame = {
+    val d = dirty(s, dir).withColumn("ship_parsed",
+      Profiler.lenientParseDate(col("ship_str")))
+    Profiler.nullPatterns(d, Seq("qty", "flag", "ship_parsed"))
+  }
+  private val qNullPatternsSql: String =
+    s"""WITH $dirtySql,
+       |p AS (SELECT
+       |    (CASE WHEN qty IS NULL THEN 'N' ELSE '-' END) ||
+       |    (CASE WHEN flag IS NULL THEN 'N' ELSE '-' END) ||
+       |    (CASE WHEN ${parseSql("ship_str")} IS NULL THEN 'N' ELSE '-' END)
+       |      pattern
+       |  FROM dirty),
+       |g AS (SELECT pattern, count(*) n_rows FROM p GROUP BY 1),
+       |w AS (SELECT *, CAST(sum(n_rows) OVER () AS BIGINT) t FROM g)
+       |SELECT pattern, n_rows,
+       |  round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS "share"
+       |FROM w""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_patterns" -> (qNullPatterns _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_benford" -> (qBenford _),
     "q_quantile_bin" -> (qQuantileBin _),
@@ -918,6 +943,7 @@ object Queries {
     "q_partition_prune" -> (qPartitionPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q_null_patterns" -> qNullPatternsSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_benford" -> qBenfordSql,
     "q_quantile_bin" -> qQuantileBinSql,

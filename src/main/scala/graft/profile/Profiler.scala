@@ -346,4 +346,27 @@ object Profiler {
 
     outliers ++ nulls ++ dups ++ dates
   }
+
+  /** Missingness-pattern mining: one row per NULL-pattern across the
+    * given columns ('N' = null, '-' = present, in column order) with
+    * count and share. Per-column null RATES (the profiler) can't see
+    * that two columns go missing TOGETHER — a broken upstream join or
+    * a form version — which is exactly what the pattern census shows
+    * (the pandas `df.isna().value_counts()` idiom, distributed).
+    *
+    * Scale shape: the pattern string is a narrow per-row expression;
+    * one map-side-combined groupBy on it; the share window runs over
+    * the pattern frame (<= 2^k rows). */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pat = concat(cols.map(c =>
+      when(col(c).isNull, lit("N")).otherwise(lit("-"))): _*)
+    df.groupBy(pat.as("pattern"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__t", sum(col("n_rows")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("pattern"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+  }
 }

@@ -64,6 +64,31 @@ class PlanAssertSpec extends SparkSpec {
       s"the struct max must map-side combine; plan:\n$plan")
   }
 
+  test("q_label_prop: every vote round stays keyed — no cartesian, " +
+      "no broadcast nested loop") {
+    val plan = planOf("q_label_prop")
+    assert(!plan.contains("CartesianProduct"),
+      s"LPA joins must stay label/neighbor-keyed; plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LPA joins must stay equi-joins; plan:\n$plan")
+  }
+
+  test("q_rare_collapse: the keep-list comes back as a broadcast join, " +
+      "rows never shuffle for the collapse") {
+    val plan = planOf("q_rare_collapse")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keep-list must broadcast; plan:\n$plan")
+  }
+
+  test("q_domain_stats: keep-best census is pure aggregation — no " +
+      "window over the row stream") {
+    val plan = planOf("q_domain_stats")
+    assert(!plan.contains("Window"),
+      s"domain rollup must be agg-only; plan:\n$plan")
+    assert(plan.contains("partial_"),
+      s"the domain agg must map-side combine; plan:\n$plan")
+  }
+
   test("q_stratified_sample: per-stratum quota window is WindowGroupLimit-bounded") {
     val plan = planOf("q_stratified_sample")
     assert(plan.contains("WindowGroupLimit"),

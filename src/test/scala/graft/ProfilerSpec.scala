@@ -121,4 +121,31 @@ class ProfilerSpec extends SparkSpec {
       .select("date").as[String].collect()
     assert(dates.toSeq == Seq("2024/13/01", "01-02-2024"))
   }
+
+  test("nullPatterns: coupled missingness shows as one pattern, shares " +
+      "total 1, column order fixes the string") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a"), Some(1.0)), // ---
+      (Some(2), Some("b"), Some(2.0)),
+      (None, None, Some(3.0)), // NN- twice: x,y missing TOGETHER
+      (None, None, Some(4.0)),
+      (Some(5), Some("c"), None), // --N
+      (None, Some("d"), Some(6.0))) // N--
+      .toDF("x", "y", "z")
+    val out = Profiler.nullPatterns(df, Seq("x", "y", "z"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      "---" -> ((2L, 0.333333)),
+      "NN-" -> ((2L, 0.333333)),
+      "--N" -> ((1L, 0.166667)),
+      "N--" -> ((1L, 0.166667))), s"patterns: $out")
+    // the census SEES the coupling: x-null rows are 3, y-null rows 2,
+    // but joint NN- is 2 — higher than independence (3*2/6 = 1) predicts
+    assert(out("NN-")._1 == 2L)
+    intercept[IllegalArgumentException] {
+      Profiler.nullPatterns(df, Seq.empty)
+    }
+  }
 }
