@@ -183,6 +183,27 @@ object QueriesExt {
        |  FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib)
        |SELECT ia AS id_a, ib AS id_b, j AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin
 
+  /** Duplicate-flow attribution matrix (Dedup.dupAttribution): the
+    * q_dedup_minhash pair stream labeled by source and rolled up to a
+    * canonical (source_a <= source_b) matrix — within-source spam on
+    * the diagonal, cross-source syndication off it. Shares the
+    * minhashCandCtesSql chain. */
+  private def qDupAttribution(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupAttribution(docs(s, dir), "doc_id", "text", "source",
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
+  private val qDupAttributionSql: String =
+    s"""WITH $minhashCandCtesSql,
+       |pairs AS (SELECT ia, ib,
+       |  CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) j
+       |  FROM cand JOIN hs x ON x.doc_id = ia JOIN hs y ON y.doc_id = ib),
+       |lab AS (SELECT da.source sa, db.source sb
+       |  FROM pairs p JOIN documents da ON da.doc_id = p.ia
+       |    JOIN documents db ON db.doc_id = p.ib
+       |  WHERE p.j >= 0.5)
+       |SELECT least(sa, sb) source_a, greatest(sa, sb) source_b,
+       |  count(*) n_pairs
+       |FROM lab GROUP BY 1, 2""".stripMargin
+
   /** Bounded-Levenshtein verification of the SAME LSH candidate set as
     * q_dedup_minhash — the character-level confirm stage. The oracle
     * computes the full distance and applies the band as a CASE (DuckDB
@@ -5189,6 +5210,7 @@ object QueriesExt {
     "q_dedup_docs_exact" -> (qDedupDocsExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_verify" -> (qEditVerify _),
+    "q_dup_attribution" -> (qDupAttribution _),
     "q_minhash_calibration" -> (qMinhashCalibration _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_stream_crawl_dedup" -> (qStreamCrawlDedup _),
@@ -5351,6 +5373,7 @@ object QueriesExt {
     "q_dedup_docs_exact" -> qDedupDocsExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_edit_verify" -> qEditVerifySql,
+    "q_dup_attribution" -> qDupAttributionSql,
     "q_minhash_calibration" -> qMinhashCalibrationSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_stream_crawl_dedup" -> qStreamCrawlDedupSql,

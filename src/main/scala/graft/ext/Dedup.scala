@@ -142,6 +142,33 @@ object Dedup {
       hashedShingleFrame(docs, idCol, textCol, shingleN),
       threshold, k, bands, maxBucket)
 
+  /** Duplicate-flow attribution: the near-dup pair stream rolled up to
+    * a (group_a, group_b, n_pairs) matrix over a grouping column
+    * (source, domain, crawl snapshot) — "which sources copy from
+    * which". The diagonal is within-source duplication (template spam);
+    * off-diagonal mass is cross-source syndication, the thing a
+    * source-level dedup priority list is built from.
+    *
+    * Scale shape: the pair stream is already banding-capped
+    * ([[nearDuplicates]]); the two labeling joins are id-keyed against
+    * the (id, group) projection — text never rides along — and the
+    * final agg is map-side combined on a groups² -bounded key. */
+  def dupAttribution(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, threshold: Double = 0.5, shingleN: Int = 3,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, threshold, shingleN,
+      k, bands, maxBucket)
+    val g = docs.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.select(col(idCol).as("id_a"), col(groupCol).as("__ga")),
+        Seq("id_a"))
+      .join(g.select(col(idCol).as("id_b"), col(groupCol).as("__gb")),
+        Seq("id_b"))
+      .groupBy(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Character-shingle variant (robust to tokenization differences in
     * Latin-script text: punctuation, concatenation, casing).
     *

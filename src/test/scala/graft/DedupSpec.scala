@@ -298,6 +298,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair")
   }
 
+  test("dupAttribution: within-source pairs land on the diagonal, " +
+      "cross-source off it, canonical source order, clean docs absent") {
+    val body = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the whole corpus has seen this sentence"
+    val d = Seq(
+      (1L, "A", body), (2L, "B", body + " tail"), // cross-source near-dup
+      (3L, "A", s"$body exactly"), (4L, "A", s"$body exactly"), // within A
+      (5L, "C", "completely unrelated content about databases and " +
+        "distributed systems running on large clusters"))
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.dupAttribution(d, "doc_id", "text", "source",
+        threshold = 0.5)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("A", "A")) >= 1L, s"within-source diagonal: $m")
+    assert(m(("A", "B")) >= 1L, s"cross-source flow: $m")
+    assert(!m.keys.exists(k => k._1 == "C" || k._2 == "C"),
+      s"the clean source stays out of the matrix: $m")
+    assert(m.keys.forall(k => k._1 <= k._2), s"canonical order: $m")
+  }
+
   test("fingerprintNovelty: exact copies read 0, disjoint text reads 1, " +
       "a shared span drags novelty strictly below 1, totals account") {
     val span = "zebra quantum voltage crystal"
