@@ -738,6 +738,69 @@ object QueriesExt {
        |  CAST(len(regexp_extract_all(lower(text), '${TextStats.bpeishPattern}')) AS INT) n_bpeish
        |FROM documents""".stripMargin
 
+  /** Spearman rank correlation between doc length and BPE-ish token
+    * count (NumericProfile.spearman): grid midranks, five decimal
+    * moments — the scale-free monotone-association check. */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.spearman(
+      docs(s, dir).select(col("n_chars"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_toks")),
+      "n_chars", "n_toks")
+  private val qSpearmanSql: String = {
+    def rmap(src: String, c: String) =
+      s"""(SELECT $c, (CAST(cum - cnt + 1 + cum AS DOUBLE)) / 2.0 r FROM (
+         |  SELECT $c, count(*) cnt,
+         |    sum(count(*)) OVER (ORDER BY $c ROWS UNBOUNDED PRECEDING) cum
+         |  FROM $src GROUP BY $c))""".stripMargin
+    s"""WITH b AS (SELECT n_chars,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextStats.bpeishPattern}')) AS BIGINT) n_toks
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |rx AS ${rmap("b", "n_chars")},
+       |ry AS ${rmap("b", "n_toks")},
+       |r AS (SELECT rx.r xr, ry.r yr FROM b
+       |  JOIN rx USING (n_chars) JOIN ry USING (n_toks)),
+       |a AS (SELECT count(*) n,
+       |    CAST(sum(CAST(xr AS DECIMAL(38,8))) AS DOUBLE) sx,
+       |    CAST(sum(CAST(yr AS DECIMAL(38,8))) AS DOUBLE) sy,
+       |    CAST(sum(CAST(xr * yr AS DECIMAL(38,8))) AS DOUBLE) sxy,
+       |    CAST(sum(CAST(xr * xr AS DECIMAL(38,8))) AS DOUBLE) sxx,
+       |    CAST(sum(CAST(yr * yr AS DECIMAL(38,8))) AS DOUBLE) syy
+       |  FROM r),
+       |f AS (SELECT n,
+       |    CAST(n AS DOUBLE) * sxy - sx * sy num,
+       |    CAST(n AS DOUBLE) * sxx - sx * sx denx,
+       |    CAST(n AS DOUBLE) * syy - sy * sy deny
+       |  FROM a)
+       |SELECT n, CASE WHEN denx > 0 AND deny > 0
+       |  THEN round(num / sqrt(denx * deny), 6) END rho
+       |FROM f""".stripMargin
+  }
+
+  /** Per-lang 5-95 trimmed mean of n_chars (NumericProfile.trimmedMean)
+    * with auditable bounds and the raw mean for contrast. */
+  private def qTrimmedMean(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.trimmedMean(docs(s, dir), "n_chars", "lang",
+      loQ = 0.05, hiQ = 0.95)
+  private val qTrimmedMeanSql: String =
+    """WITH g AS (SELECT lang g, round(CAST(n_chars AS DOUBLE), 6) v,
+      |    count(*) c FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) n,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM g),
+      |b AS (SELECT g, max(n) n_rows,
+      |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.05) THEN v END) lo,
+      |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.95) THEN v END) hi
+      |  FROM w GROUP BY 1),
+      |j AS (SELECT w.*, b.n_rows, b.lo, b.hi FROM w JOIN b USING (g))
+      |SELECT g, max(n_rows) n_rows, max(lo) lo, max(hi) hi,
+      |  round(CAST(sum(CASE WHEN v >= lo AND v <= hi
+      |      THEN CAST(round(v * c, 6) AS DECIMAL(38,6)) END) AS DOUBLE)
+      |    / CAST(sum(CASE WHEN v >= lo AND v <= hi THEN c END) AS DOUBLE), 6)
+      |    trimmed_mean,
+      |  round(CAST(sum(CAST(round(v * c, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(max(n_rows) AS DOUBLE), 6) raw_mean
+      |FROM j GROUP BY 1""".stripMargin
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextStats.fingerprintMd5(col("text")).as("fp"))
@@ -1665,6 +1728,57 @@ object QueriesExt {
     * the registered graft_* functions (the reference has no SQL face at
     * all — SURVEY §2.5). Fingerprint + minhash head via SQL, oracle in
     * DuckDB. */
+  /** Recursive-CTE month spine (Spark 4's WITH RECURSIVE — new SQL
+    * surface): generate every (year*12+month) serial between the
+    * first and last order month RECURSIVELY, left-join the monthly
+    * rollup, zero-fill empty cells. The all-orders census occupies
+    * every month; the > 450k big-order census leaves gaps — so the
+    * zero-fill path is exercised, not just planned. The spine is
+    * bounds-driven (two scalar subqueries), so new data widens it
+    * without a config change — the thing a literal `sequence()` spine
+    * can't do declaratively.
+    *
+    * Scale shape: recursion depth = #months (dozens), each step a
+    * 1-row frame; the rollup is one map-side-combined agg on the month
+    * serial; the spine join broadcasts. */
+  private def qRecursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    Sources.table(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql(
+      """WITH RECURSIVE spine (ym) AS (
+        |  SELECT (SELECT min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+        |          FROM graft_orders) AS ym
+        |  UNION ALL
+        |  SELECT ym + 1 FROM spine
+        |  WHERE ym < (SELECT max(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+        |              FROM graft_orders)),
+        |m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) ym,
+        |    count(*) n_orders,
+        |    CAST(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) n_big,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) total
+        |  FROM graft_orders GROUP BY 1)
+        |SELECT s.ym, CAST(s.ym DIV 12 AS INT) yr, CAST(s.ym % 12 AS INT) mo,
+        |  coalesce(m.n_orders, 0) n_orders, coalesce(m.n_big, 0) n_big,
+        |  coalesce(m.total, 0.0) total
+        |FROM spine s LEFT JOIN m ON s.ym = m.ym""".stripMargin)
+  }
+  private val qRecursiveSpineSql: String =
+    """WITH RECURSIVE spine (ym) AS (
+      |  SELECT (SELECT min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+      |          FROM orders) AS ym
+      |  UNION ALL
+      |  SELECT ym + 1 FROM spine
+      |  WHERE ym < (SELECT max(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+      |              FROM orders)),
+      |m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) ym,
+      |    count(*) n_orders,
+      |    CAST(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) n_big,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) total
+      |  FROM orders GROUP BY 1)
+      |SELECT s.ym, CAST(s.ym // 12 AS INT) yr, CAST(s.ym % 12 AS INT) mo,
+      |  coalesce(m.n_orders, 0) n_orders, coalesce(m.n_big, 0) n_big,
+      |  coalesce(m.total, 0.0) total
+      |FROM spine s LEFT JOIN m ON s.ym = m.ym""".stripMargin
+
   private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docs(s, dir).createOrReplaceTempView("graft_docs")
@@ -5199,6 +5313,7 @@ object QueriesExt {
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
+    "q_recursive_spine" -> (qRecursiveSpine _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_asof_join" -> (qAsofJoin _),
@@ -5227,6 +5342,8 @@ object QueriesExt {
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
+    "q_spearman" -> (qSpearman _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
     "q_fingerprint" -> (qFingerprint _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -5362,6 +5479,7 @@ object QueriesExt {
     "q_semi_anti" -> qSemiAntiSql,
     "q_running_total" -> qRunningTotalSql,
     "q_sql_surface" -> qSqlSurfaceSql,
+    "q_recursive_spine" -> qRecursiveSpineSql,
     "q_pricing_summary" -> qPricingSummarySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_asof_join" -> qAsofJoinSql,
@@ -5390,6 +5508,8 @@ object QueriesExt {
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
+    "q_spearman" -> qSpearmanSql,
+    "q_trimmed_mean" -> qTrimmedMeanSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,
     "q_hard_negatives" -> qHardNegativesSql,

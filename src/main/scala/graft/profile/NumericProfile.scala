@@ -410,6 +410,93 @@ object NumericProfile {
       .agg(max(col("n")).as("n_rows"), panel: _*)
   }
 
+  /** Spearman rank correlation between two GRID-valued columns: the
+    * Pearson correlation of midranks (average rank over ties) — the
+    * monotone-association measure that ignores the columns' scales.
+    * Same grid caveat as [[quantilePanel]]: ranks come off the
+    * per-column (value, count) grid, so this is for ints/cents/counts,
+    * not near-unique continuous doubles (a rank statistic on those
+    * needs a global sort by definition).
+    *
+    * Scale shape: two grid aggs (map-side combined); the cumulative
+    * midrank windows run over the GRIDS (cardinality-bound); the rank
+    * maps broadcast back onto the rows; one five-moment decimal agg
+    * finishes. Midranks are multiples of 0.5 — exact in decimals, so
+    * the result is partition- and engine-stable. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def rankMap(c: String, out: String): DataFrame = {
+      val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+      g.withColumn("__cum", sum(col("__c")).over(W.partitionBy(lit(1))
+          .orderBy(col("__v")).rowsBetween(W.unboundedPreceding, 0)))
+        // midrank of a tie block ending at cum with size c:
+        // (cum - c + 1 + cum) / 2
+        .select(col("__v").as(c),
+          ((col("__cum") - col("__c") + 1 + col("__cum")).cast("double") /
+            lit(2.0)).as(out))
+    }
+    val ranked = base
+      .join(broadcast(rankMap(xCol, "__rx")), Seq(xCol))
+      .join(broadcast(rankMap(yCol, "__ry")), Seq(yCol))
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val rx = col("__rx"); val ry = col("__ry")
+    val nD = col("n").cast("double")
+    ranked.agg(count(lit(1)).as("n"),
+        dsum(rx).as("sx"), dsum(ry).as("sy"), dsum(rx * ry).as("sxy"),
+        dsum(rx * rx).as("sxx"), dsum(ry * ry).as("syy"))
+      .withColumn("num", nD * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", nD * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", nD * col("syy") - col("sy") * col("sy"))
+      .select(col("n"),
+        when(col("denx") > 0 && col("deny") > 0,
+          round(col("num") / sqrt(col("denx") * col("deny")), 6))
+          .as("rho"))
+  }
+
+  /** Per-group trimmed mean on a grid column: the mean of values
+    * between the loQ and hiQ lower quantiles (inclusive) — the robust
+    * center that ignores both tails, off the same (group x value) grid
+    * as [[quantilePanel]]. Returns the bounds so the trim is
+    * auditable, plus the raw mean for contrast.
+    *
+    * Scale shape: one grid agg; quantile bounds and the trimmed sums
+    * all come off the grid frame (cardinality-bound); values rounded
+    * at 6 and decimal-weighted, so exact under any partitioning. */
+  def trimmedMean(df: DataFrame, valueCol: String, groupCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"bad trim bounds: $loQ, $hiQ")
+    val W = org.apache.spark.sql.expressions.Window
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        round(col(valueCol).cast("double"), 6).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = g
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("g"))))
+      .withColumn("cum", sum(col("c")).over(W.partitionBy(col("g"))
+        .orderBy(col("v")).rowsBetween(W.unboundedPreceding, 0)))
+    def q(p: Double) =
+      min(when(col("cum") >= ceil(col("n").cast("double") * lit(p)),
+        col("v")))
+    val bounds = cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n_rows"), q(loQ).as("lo"), q(hiQ).as("hi"))
+    val joined = cum.join(bounds, Seq("g"))
+    val inRange = col("v") >= col("lo") && col("v") <= col("hi")
+    // round the weighted term before the decimal cast (the cast's
+    // rounding mode differs across engines on exact ties)
+    val wterm = round(col("v") * col("c").cast("double"), 6)
+      .cast("decimal(38,6)")
+    joined.groupBy(col("g"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(inRange, wterm)).cast("double").as("ts"),
+        sum(when(inRange, col("c"))).as("tn"),
+        sum(wterm).cast("double").as("rs"))
+      .select(col("g"), col("n_rows"), col("lo"), col("hi"),
+        round(col("ts") / col("tn").cast("double"), 6).as("trimmed_mean"),
+        round(col("rs") / col("n_rows").cast("double"), 6).as("raw_mean"))
+  }
+
   /** Source-concentration report for a categorical column — one row:
     * group count, Shannon entropy (nats), effective group count
     * (exp H, "how many equally-sized sources is this worth"), HHI

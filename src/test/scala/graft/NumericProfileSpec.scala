@@ -287,4 +287,49 @@ class NumericProfileSpec extends SparkSpec {
       NumericProfile.quantilePanel(a.toDF("g", "v"), "v", "g", Seq(1.5))
     }
   }
+
+  test("spearman: monotone nonlinear reads 1, classic hand case -0.5, " +
+      "tie midranks, constant guard, scale-free") {
+    // y = x^2 is nonlinear but perfectly monotone -> rho exactly 1
+    val mono = (1L to 30L).map(i => (i, i * i)).toDF("x", "y")
+    val m = NumericProfile.spearman(mono, "x", "y")
+      .as[(Long, Option[Double])].head()
+    assert(m == ((30L, Some(1.0))), s"monotone: $m")
+    // textbook: ranks x=(1,2,3) vs y=(3,1,2) -> rho = -0.5
+    val hand = Seq((1L, 30L), (2L, 10L), (3L, 20L)).toDF("x", "y")
+    assert(NumericProfile.spearman(hand, "x", "y")
+      .as[(Long, Option[Double])].head() == ((3L, Some(-0.5))))
+    // identical tie structure on both sides -> midranks equal -> 1
+    val ties = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L))
+      .toDF("x", "y")
+    assert(NumericProfile.spearman(ties, "x", "y")
+      .as[(Long, Option[Double])].head() == ((4L, Some(1.0))))
+    // constant column: zero rank variance -> null, not NaN
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    assert(NumericProfile.spearman(const, "x", "y")
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+    // rank stats ignore scale: multiplying y by 1000 changes nothing
+    val scaled = (1L to 30L).map(i => (i, i * i * 1000L)).toDF("x", "y")
+    assert(NumericProfile.spearman(scaled, "x", "y")
+      .as[(Long, Option[Double])].head()._2.contains(1.0))
+  }
+
+  test("trimmedMean: 5-95 bounds on a known grid, outlier immunity, " +
+      "nulls dropped") {
+    val a = (1 to 100).map(v => ("a", Some(v.toLong)))
+    // group b: 19 x 10 + one 1000 -> hi bound lands on 10, the
+    // outlier is trimmed; raw mean is dragged to 59.5
+    val b = (1 to 19).map(_ => ("b", Some(10L))) :+ (("b", Some(1000L)))
+    val c = Seq(("c", Some(5L)), ("c", Option.empty[Long]))
+    val out = NumericProfile.trimmedMean(
+      (a ++ b ++ c).toDF("g", "v"), "v", "g")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 100L, 5.0, 95.0, 50.0, 50.5)), out("a"))
+    assert(out("b") == (("b", 20L, 10.0, 10.0, 10.0, 59.5)), out("b"))
+    assert(out("c") == (("c", 1L, 5.0, 5.0, 5.0, 5.0)), out("c"))
+    intercept[IllegalArgumentException] {
+      NumericProfile.trimmedMean(a.toDF("g", "v"), "v", "g", 0.9, 0.1)
+    }
+  }
 }
