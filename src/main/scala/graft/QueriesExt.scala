@@ -4613,6 +4613,44 @@ object QueriesExt {
        |  round(avg_logp, 6) avg_logp_r
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
 
+  /** DoReMi final-step domain weights over source slices
+    * (LangModel.doremiWeights, eta=5, smoothing=0.1): unigram-NLL
+    * excess loss -> smoothed exponential reweighting. Shares the
+    * qLmScoreSql unigram chain. */
+  private def qDoremiWeights(s: SparkSession, dir: String): DataFrame =
+    LangModel.doremiWeights(docs(s, dir), "doc_id", "text", "source",
+      eta = 5.0, smoothing = 0.1)
+  private val qDoremiWeightsSql: String =
+    s"""WITH toks AS (SELECT doc_id id, unnest(${toksSql("text")}) tok
+       |  FROM documents),
+       |counts AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) nv FROM counts),
+       |lp AS (SELECT tok,
+       |    round(ln(CAST(c + 1 AS DOUBLE) / (SELECT nv FROM tot)), 8) lp
+       |  FROM counts),
+       |sc AS (SELECT id, count(*) n_tok,
+       |    CAST(sum(CAST(lp AS DECIMAL(28,14))) AS DOUBLE) / count(*) avg_logp
+       |  FROM toks JOIN lp USING (tok) GROUP BY 1),
+       |bd AS (SELECT d.source "domain", count(*) n_docs,
+       |    sum(CAST(round(-avg_logp, 8) AS DECIMAL(28,14))) sdec
+       |  FROM sc JOIN documents d ON d.doc_id = sc.id
+       |  WHERE n_tok > 0 GROUP BY 1),
+       |wg AS (SELECT *, sum(sdec) OVER () gs,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) gn,
+       |    CAST(count(*) OVER () AS BIGINT) dd,
+       |    CAST(sdec AS DOUBLE) / CAST(n_docs AS DOUBLE) mean_nll
+       |  FROM bd),
+       |ex AS (SELECT *,
+       |    round(mean_nll - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE), 8) excess
+       |  FROM wg),
+       |ee AS (SELECT *, round(exp(5.0 * excess), 8) e FROM ex),
+       |zz AS (SELECT *, CAST(sum(CAST(e AS DECIMAL(28,14))) OVER () AS DOUBLE) z
+       |  FROM ee)
+       |SELECT "domain", n_docs, round(mean_nll, 6) mean_nll,
+       |  round(excess, 6) excess,
+       |  round(0.9 * e / z + 0.1 / CAST(dd AS DOUBLE), 6) weight
+       |FROM zz""".stripMargin
+
   /** CCNet selection (Wenzek et al. 2020): head/middle/tail terciles of
     * the q_lm_score signal per language, via histogram-derived cutoffs
     * (no per-language global doc sort — see LangModel.perplexityBuckets
@@ -5241,6 +5279,7 @@ object QueriesExt {
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
     "q_lm_score" -> (qLmScore _),
+    "q_doremi_weights" -> (qDoremiWeights _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_trigram_lm" -> (qTrigramLm _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
@@ -5407,6 +5446,7 @@ object QueriesExt {
     "q_label_prop" -> qLabelPropSql,
     "q_triangles" -> qTrianglesSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_doremi_weights" -> qDoremiWeightsSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_trigram_lm" -> qTrigramLmSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,

@@ -67,6 +67,61 @@ object LangModel {
         col("avg_logp"))
   }
 
+  /** DoReMi-style domain weights (Xie et al. 2023 "DoReMi: Optimizing
+    * data mixtures speeds up language model pretraining" — public):
+    * the published pipeline's FINAL step, exponential reweighting of
+    * domain shares by excess loss, smoothed with uniform:
+    *
+    *   w_d  ∝  exp(eta * (loss_d - global_loss)),
+    *   weight_d = (1 - s) * softmax_d + s / D.
+    *
+    * Harder-than-average domains get upweighted — the mixture a proxy
+    * run hands to the main run. Loss here is the self-trained unigram
+    * NLL ([[unigramLogProb]]) — the same honest-proxy tier as
+    * q_lm_score (the full method re-trains the proxy per round; with a
+    * FIXED loss the iteration collapses algebraically to one step, so
+    * one step is what ships — no fake unrolling).
+    *
+    * Scale shape: one corpus scoring pass (the unigram machinery);
+    * everything after lives on the DOMAIN frame. Float discipline:
+    * per-doc NLL rounded at 8 and decimal-summed per domain; the
+    * global sums are WINDOW sums of the decimals (exact, order-free —
+    * a double window sum would depend on partition order); exp output
+    * rounded at 8 before the softmax's decimal normalizer. */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, eta: Double = 5.0, smoothing: Double = 0.1)
+      : DataFrame = {
+    require(eta > 0.0, s"eta must be positive: $eta")
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      s"smoothing must lie in [0, 1): $smoothing")
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs, idCol, textCol)
+      .filter(col("n_tok") > 0)
+      .join(docs.select(col(idCol).as("id"), col(domainCol).as("domain")),
+        Seq("id"))
+    val byDom = scored.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(-col("avg_logp"), 8).cast("decimal(28,14)")).as("sdec"))
+    val withG = byDom
+      .withColumn("gs", sum(col("sdec")).over(W.partitionBy(lit(1))))
+      .withColumn("gn", sum(col("n_docs")).over(W.partitionBy(lit(1))))
+      .withColumn("d", count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("mean_nll",
+        col("sdec").cast("double") / col("n_docs").cast("double"))
+      .withColumn("excess", round(col("mean_nll") -
+        col("gs").cast("double") / col("gn").cast("double"), 8))
+      .withColumn("e", round(exp(lit(eta) * col("excess")), 8))
+    withG
+      .withColumn("z",
+        sum(col("e").cast("decimal(28,14)")).over(W.partitionBy(lit(1)))
+          .cast("double"))
+      .select(col("domain"), col("n_docs"),
+        round(col("mean_nll"), 6).as("mean_nll"),
+        round(col("excess"), 6).as("excess"),
+        round(lit(1.0 - smoothing) * col("e") / col("z") +
+          lit(smoothing) / col("d").cast("double"), 6).as("weight"))
+  }
+
   /** Per-document average log-probability under an INTERPOLATED BIGRAM
     * LM trained on `docs` itself — one order up from [[unigramLogProb]],
     * a step toward the 5-gram KenLM the published CCNet pipeline scores

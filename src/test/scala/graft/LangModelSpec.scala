@@ -170,4 +170,36 @@ class LangModelSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(run(3) == run(13))
   }
+
+  test("doremiWeights: harder domain upweighted, weights sum to 1, " +
+      "smoothing floors every domain, eta->0 goes uniform") {
+    // easy: repeats of the corpus's most common words; hard: each doc
+    // mostly unique tokens -> high self-trained unigram NLL
+    val docs = ((1L to 20L).map(i => (i, "the data the data the data", "easy")) ++
+      (21L to 40L).map(i => (i, s"zx$i qq$i ww$i ee$i rr$i tt$i", "hard")))
+      .toDF("doc_id", "text", "src")
+    val w = LangModel.doremiWeights(docs, "doc_id", "text", "src",
+        eta = 5.0, smoothing = 0.1)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(w("hard")._3 > w("easy")._3, s"hard NLL must exceed easy: $w")
+    assert(w("hard")._4 > 0 && w("easy")._4 < 0, s"excess signs: $w")
+    assert(w("hard")._5 > w("easy")._5, s"hard domain upweighted: $w")
+    val total = w.values.map(_._5).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"weights sum to 1: $total")
+    // smoothing floor: no domain below s/D = 0.05
+    assert(w.values.forall(_._5 >= 0.05 - 1e-9), s"floor: $w")
+    // eta -> 0: softmax flattens, weights -> uniform regardless of loss
+    val flat = LangModel.doremiWeights(docs, "doc_id", "text", "src",
+        eta = 1e-9, smoothing = 0.1)
+      .as[(String, Long, Double, Double, Double)].collect()
+    flat.foreach(r => assert(math.abs(r._5 - 0.5) < 1e-4, s"uniform: $r"))
+    intercept[IllegalArgumentException] {
+      LangModel.doremiWeights(docs, "doc_id", "text", "src", eta = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      LangModel.doremiWeights(docs, "doc_id", "text", "src",
+        smoothing = 1.0)
+    }
+  }
 }
