@@ -1744,13 +1744,12 @@ object QueriesExt {
   private def qRecursiveSpine(s: SparkSession, dir: String): DataFrame = {
     Sources.table(s, dir, "orders").createOrReplaceTempView("graft_orders")
     s.sql(
-      """WITH RECURSIVE spine (ym) AS (
-        |  SELECT (SELECT min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
-        |          FROM graft_orders) AS ym
+      """WITH RECURSIVE spine (ym, hi) AS (
+        |  SELECT min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)),
+        |         max(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+        |  FROM graft_orders
         |  UNION ALL
-        |  SELECT ym + 1 FROM spine
-        |  WHERE ym < (SELECT max(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
-        |              FROM graft_orders)),
+        |  SELECT ym + 1, hi FROM spine WHERE ym < hi),
         |m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) ym,
         |    count(*) n_orders,
         |    CAST(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) n_big,
@@ -1762,13 +1761,12 @@ object QueriesExt {
         |FROM spine s LEFT JOIN m ON s.ym = m.ym""".stripMargin)
   }
   private val qRecursiveSpineSql: String =
-    """WITH RECURSIVE spine (ym) AS (
-      |  SELECT (SELECT min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
-      |          FROM orders) AS ym
+    """WITH RECURSIVE spine (ym, hi) AS (
+      |  SELECT min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)),
+      |         max(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+      |  FROM orders
       |  UNION ALL
-      |  SELECT ym + 1 FROM spine
-      |  WHERE ym < (SELECT max(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
-      |              FROM orders)),
+      |  SELECT ym + 1, hi FROM spine WHERE ym < hi),
       |m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) ym,
       |    count(*) n_orders,
       |    CAST(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) n_big,
@@ -3997,11 +3995,15 @@ object QueriesExt {
        |FROM k""".stripMargin
   }
 
-  private val qGopherFilterSql: String = {
+  /** Gopher flag CTEs (`qf`, `flags(doc_id, n_tokens, fl)`) on top of
+    * [[repetitionCtes]] — the ONE mirror of
+    * `Repetition.withGopherFilter`'s rule list, shared by the gopher
+    * face and the quality-ensemble oracle (a forked copy would let the
+    * two faces' rule sets drift). Flag list alphabetical, as in the
+    * Scala. */
+  private val gopherFlagsCtes: String = {
     val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    // flag list mirrors Repetition.withGopherFilter (alphabetical)
-    s"""WITH $repetitionCtes,
-       |qf AS (
+    s"""qf AS (
        |  SELECT doc_id,
        |    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) n_tokens,
        |    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0),
@@ -4021,11 +4023,14 @@ object QueriesExt {
        |      CASE WHEN rep.top2_char_frac > ${Repetition.maxTop2CharFrac} THEN 'top2_chars' END,
        |      CASE WHEN rep.top3_char_frac > ${Repetition.maxTop3CharFrac} THEN 'top3_chars' END
        |    ], x -> x IS NOT NULL) fl
-       |  FROM rep JOIN qf USING (doc_id))
-       |SELECT doc_id, CAST(n_tokens AS INT) n_tokens,
-       |  len(fl) = 0 AS keep, COALESCE(array_to_string(fl, ','), '') reasons
-       |FROM flags""".stripMargin
+       |  FROM rep JOIN qf USING (doc_id))""".stripMargin
   }
+  private val qGopherFilterSql: String =
+    s"""WITH $repetitionCtes,
+       |$gopherFlagsCtes
+       |SELECT doc_id, CAST(n_tokens AS INT) n_tokens,
+       |  len(fl) = 0 AS keep, COALESCE(array_to_string(fl, ',' ), '') reasons
+       |FROM flags""".stripMargin
 
   // ------------------------------------------------------------------
   // Round-4 second wave: hard negatives, graded contamination, linear
@@ -4156,6 +4161,47 @@ object QueriesExt {
        |  FROM g),
        |sc AS (SELECT doc_id, $score score FROM feats)""".stripMargin
   }
+
+  /** Quality-filter agreement census
+    * (CorpusPipeline.qualityAgreement): per-doc keep verdicts from the
+    * Gopher rules, the quality classifier, and the char-entropy screen,
+    * counted per verdict triple. Oracle composes the three faces' OWN
+    * shared chains (repetitionCtes+gopherFlagsCtes, qualityScoreCte,
+    * the entropy chain) so no rule can fork. */
+  private def qQualityEnsemble(s: SparkSession, dir: String): DataFrame =
+    graft.ext.CorpusPipeline.qualityAgreement(docs(s, dir), "doc_id", "text",
+      minEntropy = 2.5)
+  private val qQualityEnsembleSql: String =
+    s"""WITH $repetitionCtes,
+       |$gopherFlagsCtes,
+       |$qualityScoreCte,
+       |base AS (SELECT doc_id,
+       |    replace(${normSql("text")}, ' ', '') st FROM documents),
+       |ch AS (SELECT doc_id, substr(st, CAST(i + 1 AS INT), 1) ch
+       |  FROM base CROSS JOIN unnest(range(len(st))) AS u(i)
+       |  WHERE len(st) > 0),
+       |cnt AS (SELECT doc_id, ch, count(*) c FROM ch GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(c) n FROM cnt GROUP BY 1),
+       |tm AS (SELECT cnt.doc_id,
+       |    round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) term
+       |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id),
+       |st AS (SELECT doc_id,
+       |    round(CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE), 6) entropy_r
+       |  FROM tm GROUP BY 1),
+       |v AS (SELECT flags.doc_id,
+       |    len(flags.fl) = 0 gopher_keep,
+       |    sc.score > 0.0 clf_keep,
+       |    COALESCE(st.entropy_r, 0.0) >= 2.5 entropy_keep
+       |  FROM flags JOIN sc ON sc.doc_id = flags.doc_id
+       |    LEFT JOIN st ON st.doc_id = flags.doc_id),
+       |census AS (SELECT gopher_keep, clf_keep, entropy_keep,
+       |    count(*) n_docs FROM v GROUP BY 1, 2, 3),
+       |w AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) t FROM census)
+       |SELECT gopher_keep, clf_keep, entropy_keep,
+       |  gopher_keep AND clf_keep AND entropy_keep AS unanimous, n_docs,
+       |  round(CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS "share"
+       |FROM w""".stripMargin
 
   private val qQualityClassifierSql: String =
     s"""WITH $qualityScoreCte
@@ -5389,6 +5435,7 @@ object QueriesExt {
     "q_contamination" -> (qContamination _),
     "q_containment" -> (qContainmentPairs _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_quality_ensemble" -> (qQualityEnsemble _),
     "q_token_budget" -> (qTokenBudget _),
     "q_ts_anomaly" -> (qTsAnomaly _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5556,6 +5603,7 @@ object QueriesExt {
     "q_contamination" -> qContaminationSql,
     "q_containment" -> qContainmentPairsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
+    "q_quality_ensemble" -> qQualityEnsembleSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_ts_anomaly" -> qTsAnomalySql,
     "q_cdc_apply" -> qCdcApplySql,

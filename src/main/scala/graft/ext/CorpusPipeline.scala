@@ -59,6 +59,44 @@ object CorpusPipeline {
     * compose as semi/anti joins on the id (16-byte shuffles, never
     * text), the chunker is a pure narrow map, and the final report is
     * one map-side-combined aggregate keyed by source. */
+  /** Quality-filter agreement census: every doc gets an independent
+    * keep verdict from three orthogonal screens — the Gopher
+    * repetition/length rules, the feature-weight quality classifier,
+    * and the char-entropy gibberish screen — and the census counts
+    * docs per verdict TRIPLE. The off-diagonal cells are the
+    * interesting ones: classifier-keep/gopher-drop is usually
+    * repetitive-but-fluent boilerplate, gopher-keep/entropy-drop is
+    * structured gibberish — the disagreement census is how a curation
+    * team decides which screen to trust where (and which thresholds to
+    * move) BEFORE committing to a filter stack.
+    *
+    * Scale shape: the three screens are each one corpus pass (their
+    * own documented shapes); the verdict join is id-keyed (text never
+    * rides into the join); the census is an 8-row frame, share via a
+    * window over it. */
+  def qualityAgreement(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minEntropy: Double = 2.5)
+      : org.apache.spark.sql.DataFrame = {
+    val gop = Repetition.withGopherFilter(docs, textCol)
+      .select(col(idCol).as("id"), col("keep").as("gopher_keep"))
+    val clf = TextStats.classifyQuality(docs, textCol)
+      .select(col(idCol).as("id"), col("keep").as("clf_keep"))
+    val ent = TextStats.charEntropy(docs, idCol, textCol)
+      .select(col("id"), (col("entropy_r") >= minEntropy).as("entropy_keep"))
+    val census = gop.join(clf, Seq("id")).join(ent, Seq("id"))
+      .groupBy(col("gopher_keep"), col("clf_keep"), col("entropy_keep"))
+      .agg(count(lit(1)).as("n_docs"))
+    census
+      .withColumn("__t", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .select(col("gopher_keep"), col("clf_keep"), col("entropy_keep"),
+        (col("gopher_keep") && col("clf_keep") && col("entropy_keep"))
+          .as("unanimous"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+  }
+
   def prepare(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,

@@ -298,6 +298,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair")
   }
 
+  test("qualityAgreement: unanimous keeps and hand-built disagreements " +
+      "land in the right census cells, shares total 1") {
+    import graft.ext.CorpusPipeline
+    // fluent + long + varied: all three screens keep it
+    val good = "the data pipeline reads and the filters keep what is " +
+      "useful because the quality of a corpus is decided by many " +
+      "independent screens working together on every single document"
+    // repetitive boilerplate but fluent words: gopher flags dup lines,
+    // classifier/entropy still pass
+    val boiler = (("the offer ends today and you should click here now\n" * 8)
+      + "the unique closing line differs")
+    // low-entropy structured gibberish: long enough for gopher, but
+    // one repeated character dominates the alphabet
+    val gibber = ("a" * 400) + " " + good
+    val d = Seq((1L, good), (2L, boiler), (3L, gibber))
+      .toDF("doc_id", "text")
+    val cells = CorpusPipeline.qualityAgreement(d, "doc_id", "text",
+        minEntropy = 2.5)
+      .as[(Boolean, Boolean, Boolean, Boolean, Long, Double)].collect()
+    assert(cells.map(_._5).sum == 3L, "every doc in exactly one cell")
+    assert(math.abs(cells.map(_._6).sum - 1.0) < 1e-5, "shares total 1")
+    val byCell = cells.map(c => (c._1, c._2, c._3) -> c._5).toMap
+    assert(byCell.contains((true, true, true)), s"good doc unanimous: $byCell")
+    assert(byCell.keys.exists(k => !k._1 && k._2),
+      s"boilerplate: gopher drops what the classifier keeps: $byCell")
+    assert(byCell.keys.exists(k => !k._3),
+      s"gibberish fails the entropy screen: $byCell")
+    cells.foreach(c =>
+      assert(c._4 == (c._1 && c._2 && c._3), s"unanimous flag: $c"))
+  }
+
   test("dupAttribution: within-source pairs land on the diagonal, " +
       "cross-source off it, canonical source order, clean docs absent") {
     val body = "the quick brown fox jumps over the lazy dog again and " +
