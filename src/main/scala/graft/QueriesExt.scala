@@ -1362,6 +1362,37 @@ object QueriesExt {
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
+  /** Audio energy / silence profile over synthesized audio media
+    * (Multimodal.audioEnergy): per-media frame energies off the fake
+    * 4-bit samples, silence ratio, mean/peak — deterministic plumbing
+    * for the trim-silence report (codec honestly fake, offline). */
+  private def qMediaEnergy(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      docs(s, dir).filter(col("doc_id") % 4 === 1).select(col("doc_id")),
+      "doc_id", "audio")
+    Multimodal.audioEnergy(media, frameChars = 16, silenceBelow = 100)
+  }
+  private val qMediaEnergySql: String = {
+    // payload mirror of Multimodal.synthesize: sha2 chain from the id
+    val pay = (0 until 9).map(i => s"sha256(CAST(doc_id AS VARCHAR) || ':$i')")
+      .mkString("substr(", " || ", ", 1, 256)")
+    s"""WITH m AS (SELECT doc_id media_id, $pay p FROM documents
+       |  WHERE doc_id % 4 = 1),
+       |fr AS (SELECT media_id, p, unnest(range(len(p) // 16)) f FROM m
+       |  WHERE len(p) >= 16),
+       |en AS (SELECT media_id,
+       |    list_sum(list_transform(range(16), j ->
+       |      CAST(('0x' || substr(p, CAST(f * 16 + j + 1 AS INT), 1)) AS BIGINT))) e
+       |  FROM fr)
+       |SELECT media_id, count(*) n_frames,
+       |  CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS BIGINT) n_silent,
+       |  round(CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) silence_ratio,
+       |  round(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) mean_energy,
+       |  CAST(max(e) AS BIGINT) peak_energy
+       |FROM en GROUP BY 1""".stripMargin
+  }
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
       docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
@@ -5462,6 +5493,7 @@ object QueriesExt {
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_multimodal" -> (qMultimodal _),
+    "q_media_energy" -> (qMediaEnergy _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_event_window" -> (qEventWindow _),
@@ -5630,6 +5662,7 @@ object QueriesExt {
     "q_embed_drift" -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_multimodal" -> qMultimodalSql,
+    "q_media_energy" -> qMediaEnergySql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_event_window" -> qEventWindowSql,

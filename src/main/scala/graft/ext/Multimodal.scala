@@ -76,6 +76,50 @@ object Multimodal {
       substring(md5(bytes), 1, 8).as("digest8"))
   }
 
+  /** Audio energy / silence profile — the FAKE sibling of a PCM energy
+    * pass (a production build decodes real samples; the plan shape —
+    * explode fixed-size frames, fold a per-frame energy, aggregate per
+    * media — is identical). Here each payload hex char stands in for a
+    * 4-bit sample: frame energy = sum of the char values over a
+    * `frameChars` window, a frame is silent below `silenceBelow`.
+    * Returns per media: frames analyzed, silent count, silence ratio,
+    * mean and peak energy — the trim-silence / clipping-screen report.
+    *
+    * Scale shape: narrow explode (bounded by payload/frameChars per
+    * media) + a codegen'd HOF fold per frame + one map-side-combined
+    * groupBy on media_id; audio bytes never shuffle — only (media_id,
+    * energy) rows do. */
+  def audioEnergy(media: DataFrame, frameChars: Int = 16,
+      silenceBelow: Int = 100): DataFrame = {
+    require(frameChars > 0, s"frameChars must be positive: $frameChars")
+    val payload = substring(col("bytes").cast(StringType), 17, 1000000)
+    val frames = media
+      .select(col("media_id"), payload.as("p"))
+      .filter(length(col("p")) >= frameChars)
+      .select(col("media_id"), col("p"),
+        explode(sequence(lit(0),
+          floor(length(col("p")) / lit(frameChars)).cast("int") - 1))
+          .as("f"))
+    val energy = aggregate(
+      transform(sequence(lit(1), lit(frameChars)),
+        j => conv(col("p").substr(col("f") * frameChars + j, lit(1)),
+          16, 10).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    frames.withColumn("e", energy)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("e") < silenceBelow, 1L).otherwise(0L))
+          .as("n_silent"),
+        sum(col("e")).as("esum"),
+        max(col("e")).as("peak_energy"))
+      .select(col("media_id"), col("n_frames"), col("n_silent"),
+        round(col("n_silent").cast("double") /
+          col("n_frames").cast("double"), 6).as("silence_ratio"),
+        round(col("esum").cast("double") /
+          col("n_frames").cast("double"), 6).as("mean_energy"),
+        col("peak_energy"))
+  }
+
   /** Frame sampling for video-kind media: every `stride`-th frame index
     * up to n_frames — the explode side of a frame pipeline. Returns one
     * row per sampled frame. */

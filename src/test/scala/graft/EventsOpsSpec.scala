@@ -260,6 +260,35 @@ class EventsOpsSpec extends SparkSpec {
     assert(EventsOps.timeGaps(e.filter($"id" < 0), "ts").count() == 0)
   }
 
+  test("audioEnergy: fixed frame grid, threshold extremes, peak bounds " +
+      "mean, deterministic") {
+    val ids = (1L to 10L).map(Tuple1(_)).toDF("id")
+    val media = Multimodal.synthesize(ids, "id", "audio")
+    val out = Multimodal.audioEnergy(media, frameChars = 16,
+        silenceBelow = 100)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r._2 == 16L, s"256-char payload / 16 = 16 frames: $r")
+      assert(r._3 >= 0L && r._3 <= r._2, s"silent count bounded: $r")
+      assert(r._6 >= r._5.toLong, s"peak >= mean: $r")
+      // a 16-hex-char frame's energy lies in [0, 240]
+      assert(r._6 <= 240L && r._5 >= 0.0, s"energy range: $r")
+    }
+    // threshold extremes flip everything
+    val none = Multimodal.audioEnergy(media, silenceBelow = 0)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(none.forall(_._4 == 0.0), "nothing below 0")
+    val all = Multimodal.audioEnergy(media, silenceBelow = 1000)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(all.forall(_._4 == 1.0), "everything below 1000")
+    // deterministic across partitionings
+    val again = Multimodal.audioEnergy(media.repartition(3),
+        frameChars = 16, silenceBelow = 100)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("transitionMatrix: per-user ordering, cross-user isolation, " +
       "probabilities condition on the from state, tie-break total") {
     def ev(id: Long, u: Long, t: String, typ: String) =
