@@ -3109,6 +3109,45 @@ object QueriesExt {
       |FROM d WHERE offset_days BETWEEN 0 AND 7
       |GROUP BY 1, 2""".stripMargin
 
+  /** Conversion-lag panel: per user, seconds from FIRST view to the
+    * first purchase at-or-after it, then the exact quantile panel over
+    * the lag grid (NumericProfile.quantilePanel) — "how long does
+    * conversion take", p25..p99. Lags are integer seconds, so the grid
+    * discipline holds. */
+  private def qConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("vts"))
+      .groupBy(col("user_id"), col("vts")).agg(min(col("ts")).as("pts"))
+      .select((unix_timestamp(col("pts")) - unix_timestamp(col("vts")))
+        .as("lag_sec"), lit("all").as("g"))
+    profile.NumericProfile.quantilePanel(p, "lag_sec", "g")
+  }
+  private val qConversionLagSql: String =
+    """WITH v AS (SELECT user_id, min(ts) vts FROM events
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT e.user_id, v.vts, min(e.ts) pts FROM events e
+      |  JOIN v USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= v.vts
+      |  GROUP BY 1, 2),
+      |l AS (SELECT 'all' g,
+      |    CAST(floor(epoch(pts)) AS BIGINT) - CAST(floor(epoch(vts)) AS BIGINT) v
+      |  FROM p),
+      |c AS (SELECT g, v, count(*) c FROM l GROUP BY 1, 2),
+      |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) n,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM c)
+      |SELECT g, max(n) n_rows,
+      |  min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.25) THEN v END) p25,
+      |  min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.5) THEN v END) p50,
+      |  min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.75) THEN v END) p75,
+      |  min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.9) THEN v END) p90,
+      |  min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.99) THEN v END) p99
+      |FROM w GROUP BY 1""".stripMargin
+
   /** First-order Markov transition matrix over per-user event streams
     * (EventsOps.transitionMatrix): one user_id shuffle, pair frame
     * bounded by |types|^2. */
@@ -5389,6 +5428,7 @@ object QueriesExt {
     "q_source_stats" -> (qSourceStats _),
     "q_funnel" -> (qFunnel _),
     "q_markov" -> (qMarkov _),
+    "q_conversion_lag" -> (qConversionLag _),
     "q_ab_test" -> (qAbTest _),
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -5562,6 +5602,7 @@ object QueriesExt {
     "q_source_stats" -> qSourceStatsSql,
     "q_funnel" -> qFunnelSql,
     "q_markov" -> qMarkovSql,
+    "q_conversion_lag" -> qConversionLagSql,
     "q_ab_test" -> qAbTestSql,
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
