@@ -1623,6 +1623,54 @@ object QueriesExt {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
 
+  /** MULTISET set ops (exceptAll / intersectAll): duplicate counts
+    * matter — per customer, the SURPLUS of open over filled orders and
+    * the overlap multiplicity, summarized as counts (the distinct
+    * variants in q_set_ops can't see multiplicity at all). */
+  private def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.exceptAll(done)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .withColumn("bucket", lit("open_surplus"))
+      .unionByName(open.intersectAll(done)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .withColumn("bucket", lit("overlap")))
+  }
+  private val qSetOpsAllSql =
+    """SELECT o_custkey, count(*) n, 'open_surplus' AS bucket FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT o_custkey, count(*) n, 'overlap' AS bucket FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY 1""".stripMargin
+
+  /** Correlated LATERAL subquery surface (Spark 4 SQL): per-nation
+    * top-2 customers by balance — the "top-k per outer row" idiom
+    * written as the optimizer-recognized lateral form (planned as a
+    * rewritten window/limit join, not N subquery executions). Ties
+    * break on custkey, so the pick is total-ordered. */
+  private def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Sources.table(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    Sources.table(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM graft_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+  }
+  private val qLateralSql =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
   /** As-of join: each purchase annotated with the user's latest
     * prior-or-simultaneous view. Oracle = DuckDB's native ASOF JOIN —
     * independent implementations of the same operator. */
@@ -5541,7 +5589,9 @@ object QueriesExt {
     "q_star_join" -> (qStarJoin _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_rollup" -> (qRollup _),
-    "q_set_ops" -> (qSetOps _))
+    "q_set_ops" -> (qSetOps _),
+    "q_set_ops_all" -> (qSetOpsAll _),
+    "q_lateral" -> (qLateral _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
@@ -5711,5 +5761,7 @@ object QueriesExt {
     "q_star_join" -> qStarJoinSql,
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_rollup" -> qRollupSql,
-    "q_set_ops" -> qSetOpsSql)
+    "q_set_ops" -> qSetOpsSql,
+    "q_set_ops_all" -> qSetOpsAllSql,
+    "q_lateral" -> qLateralSql)
 }
