@@ -2088,6 +2088,32 @@ object QueriesExt {
         s.createDataFrame(t.collectAsList(), t.schema))
     }
 
+  /** STREAMING categorical drift monitor: the stream maintains per-
+    * event_type counts for the CURRENT half (complete mode — counts are
+    * exact and associative, incremental maintenance lossless), the
+    * even-id half is the static reference, and the chi-square report
+    * runs over the (tiny, driver-resident) sink — bit-identical to the
+    * batch q_chi_drift by construction, which is exactly the claim
+    * under test: a drift monitor whose streaming deployment provably
+    * computes the batch statistic. State = one row per category. */
+  private def qStreamChiDrift(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val counts = ev.filter(col("event_id") % 2 === 1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_cur"))
+      val sink = "graft_stream_chi_drift"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val cur = s.table(sink)
+      val ref = events(s, dir).filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_ref"))
+      // re-wrap the sink (attribute-id reuse, see qStreamDrift) and
+      // feed the counts through the SAME report code as the batch face
+      val curDf = s.createDataFrame(cur.collectAsList(), cur.schema)
+      profile.NumericProfile.chiSquareDriftFromCounts(ref, curDf,
+        "event_type")
+    }
+
   private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     withStagedEventsStream(s, dir) { ev =>
       val prof = graft.streaming.StreamProfile.hourlyProfile(ev)
@@ -5514,6 +5540,7 @@ object QueriesExt {
     "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_drift" -> (qStreamDrift _),
+    "q_stream_chi_drift" -> (qStreamChiDrift _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -5599,6 +5626,7 @@ object QueriesExt {
     "q_logistic_fit" -> qLogisticFitSql,
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
+    "q_stream_chi_drift" -> qChiDriftSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_dp_mean" -> qDpMeanSql,
     "q_mutual_info" -> qMutualInfoSql,

@@ -297,11 +297,21 @@ object NumericProfile {
     * rounded at 8, then DECIMAL(28,14)-summed — order-free,
     * engine-portable. */
   def chiSquareDrift(ref: DataFrame, cur: DataFrame, colName: String)
-      : DataFrame = {
-    val rc = ref.groupBy(col(colName).as("cat"))
-      .agg(count(lit(1)).as("n_ref"))
-    val cc = cur.groupBy(col(colName).as("cat"))
-      .agg(count(lit(1)).as("n_cur"))
+      : DataFrame =
+    chiSquareDriftFromCounts(
+      ref.groupBy(col(colName).as("cat")).agg(count(lit(1)).as("n_ref")),
+      cur.groupBy(col(colName).as("cat")).agg(count(lit(1)).as("n_cur")),
+      "cat")
+
+  /** The count-frame face of [[chiSquareDrift]]: takes ALREADY
+    * aggregated (category, n_ref) / (category, n_cur) frames — the
+    * entry point a STREAMING deployment uses (its state store holds
+    * the counts; the report re-runs this same code, so batch and
+    * stream provably compute one statistic). */
+  def chiSquareDriftFromCounts(rc0: DataFrame, cc0: DataFrame,
+      catCol: String): DataFrame = {
+    val rc = rc0.select(col(catCol).as("cat"), col("n_ref"))
+    val cc = cc0.select(col(catCol).as("cat"), col("n_cur"))
     val j = rc.join(cc, Seq("cat"), "full")
       .select(col("cat"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
