@@ -1490,6 +1490,86 @@ object QueriesExt {
       |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Spark 4 VARIANT surface: props parsed once to the open VARIANT
+    * type (parse_json), typed field extraction via variant_get, plus
+    * schema_of_variant — the semi-structured path that replaces
+    * per-path string re-parsing (one parse, many typed gets). Oracle
+    * mirrors with DuckDB's JSON extraction on the same paths. */
+  private def qVariantJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        schema_of_variant(col("v")).as("vschema"))
+      .groupBy(col("event_type"), col("vschema"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  private val qVariantJsonSql =
+    """SELECT event_type, 'OBJECT<k: BIGINT>' AS vschema, count(*) n,
+      |  count(CAST(json_extract(props, '$.k') AS BIGINT)) n_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) min_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) max_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Error-safe arithmetic/cast surface under ANSI semantics: try_cast
+    * salvages the parseable fraction of a deliberately messy string
+    * column (plain ints, decimals, spaces, garbage, overflows) and
+    * try_divide nulls division by zero — the cleaning-adjacent "never
+    * throw, count what failed" contract. */
+  private def qTryCast(s: SparkSession, dir: String): DataFrame = {
+    val m = col("o_orderkey") % 5
+    val raw = when(m === 0, col("o_custkey").cast("string"))
+      .when(m === 1, concat(lit(" "), col("o_custkey").cast("string"), lit(" ")))
+      .when(m === 2, concat(col("o_custkey").cast("string"), lit(".75")))
+      .when(m === 3, lit("12x34"))
+      .otherwise(lit("99999999999999999999"))
+    Sources.table(s, dir, "orders")
+      .select(m.as("variant"), raw.as("raw"),
+        try_divide(lit(100.0), col("o_orderkey") % 3).as("dv"))
+      .withColumn("iv", expr("try_cast(raw AS BIGINT)"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), count(col("iv")).as("n_parsed"),
+        sum(col("iv")).as("sum_parsed"),
+        count(col("dv")).as("n_div_ok"))
+  }
+  private val qTryCastSql =
+    """WITH r AS (SELECT o_orderkey % 5 variant,
+      |    CASE o_orderkey % 5
+      |      WHEN 0 THEN CAST(o_custkey AS VARCHAR)
+      |      WHEN 1 THEN ' ' || CAST(o_custkey AS VARCHAR) || ' '
+      |      WHEN 2 THEN CAST(o_custkey AS VARCHAR) || '.75'
+      |      WHEN 3 THEN '12x34'
+      |      ELSE '99999999999999999999' END raw,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |      ELSE 100.0 / (o_orderkey % 3) END dv
+      |  FROM orders),
+      |c AS (SELECT variant,
+      |    CASE WHEN regexp_matches(trim(raw), '^[+-]?[0-9]+$')
+      |      THEN TRY_CAST(trim(raw) AS BIGINT) END iv, dv FROM r)
+      |SELECT variant, count(*) n, count(iv) n_parsed,
+      |  CAST(sum(iv) AS BIGINT) sum_parsed, count(dv) n_div_ok
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** listagg surface (Spark 4): deterministic WITHIN GROUP ordered
+    * string aggregation — the report-rendering shape (top nations'
+    * customer segments as one cell). Bounded per group by the
+    * distinct-segment cardinality. */
+  private def qListagg(s: SparkSession, dir: String): DataFrame = {
+    Sources.table(s, dir, "customer").createOrReplaceTempView("graft_cust")
+    s.sql(
+      """SELECT c_nationkey,
+        |  listagg(DISTINCT c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment) segs,
+        |  count(*) n
+        |FROM graft_cust GROUP BY c_nationkey""".stripMargin)
+  }
+  private val qListaggSql =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) segs,
+      |  count(*) n
+      |FROM customer GROUP BY 1""".stripMargin
+
   private def qEventWindow(s: SparkSession, dir: String): DataFrame =
     EventsOps.hourlyProfile(events(s, dir))
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
@@ -5611,6 +5691,9 @@ object QueriesExt {
     "q_media_energy" -> (qMediaEnergy _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_variant_json" -> (qVariantJson _),
+    "q_try_cast" -> (qTryCast _),
+    "q_listagg" -> (qListagg _),
     "q_event_window" -> (qEventWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_star_join" -> (qStarJoin _),
@@ -5784,6 +5867,9 @@ object QueriesExt {
     "q_media_energy" -> qMediaEnergySql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
+    "q_variant_json" -> qVariantJsonSql,
+    "q_try_cast" -> qTryCastSql,
+    "q_listagg" -> qListaggSql,
     "q_event_window" -> qEventWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_star_join" -> qStarJoinSql,
