@@ -1490,6 +1490,47 @@ object QueriesExt {
       |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Parquet AGGREGATE pushdown: with
+    * spark.sql.parquet.aggregatePushdown, whole-table min/max/count
+    * come from the parquet FOOTER statistics — the scan reads metadata
+    * pages, not row groups. The 100 TB difference between a statistics
+    * lookup and a full-column scan for the commonest profiling
+    * question ("how many rows, what's the range"). PlanAssertSpec pins
+    * `PushedAggregation` in the scan node. Conf is set per-query and
+    * restored (the rest of the suite keeps its default plans). */
+  private def qAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    // two confs: the pushdown switch AND the v2 datasource path (the
+    // default v1 FileScan has no aggregate pushdown at all); both are
+    // restored so the rest of the suite keeps its default v1 plans.
+    // Columns are int64 — parquet footer min/max pushdown excludes
+    // timestamps (rebase ambiguity) and floating point (NaN ordering).
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"))
+      df.queryExecution.executedPlan // force planning under the confs
+      df
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+  private val qAggPushdownSql =
+    """SELECT count(*) n_rows,
+      |  min(l_orderkey) min_ok, max(l_orderkey) max_ok,
+      |  min(l_partkey) min_pk, max(l_partkey) max_pk
+      |FROM lineitem""".stripMargin
+
   /** Spark 4 VARIANT surface: props parsed once to the open VARIANT
     * type (parse_json), typed field extraction via variant_get, plus
     * schema_of_variant — the semi-structured path that replaces
@@ -5692,6 +5733,7 @@ object QueriesExt {
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_json" -> (qVariantJson _),
+    "q_agg_pushdown" -> (qAggPushdown _),
     "q_try_cast" -> (qTryCast _),
     "q_listagg" -> (qListagg _),
     "q_event_window" -> (qEventWindow _),
@@ -5868,6 +5910,7 @@ object QueriesExt {
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_json" -> qVariantJsonSql,
+    "q_agg_pushdown" -> qAggPushdownSql,
     "q_try_cast" -> qTryCastSql,
     "q_listagg" -> qListaggSql,
     "q_event_window" -> qEventWindowSql,

@@ -64,6 +64,13 @@ class PlanAssertSpec extends SparkSpec {
       s"the struct max must map-side combine; plan:\n$plan")
   }
 
+  test("q_agg_pushdown: min/max/count come from parquet footer stats " +
+      "(PushedAggregation), not a row-group scan") {
+    val plan = planOf("q_agg_pushdown")
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"the aggregate must push into the scan; plan:\n$plan")
+  }
+
   test("q_label_prop: every vote round stays keyed — no cartesian, " +
       "no broadcast nested loop") {
     val plan = planOf("q_label_prop")
