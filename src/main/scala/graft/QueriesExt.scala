@@ -3067,6 +3067,66 @@ object QueriesExt {
        |SELECT token, count(*) cnt FROM t GROUP BY 1
        |HAVING count(*) >= CAST(floor((SELECT count(*) FROM t) * 0.034) AS BIGINT) + 1""".stripMargin
 
+  /** Unigram-LM tokenizer training (TextStats.unigramTokenizerTrain):
+    * frequency-initialized piece probs -> exact Viterbi E-step over
+    * every distinct word -> usage-count M-step; top-40 pieces. The
+    * Spark side runs the DP as a codegen'd HOF fold per word; the
+    * oracle UNROLLS the 12 Viterbi positions as MATERIALIZED CTE
+    * layers (the qKcoreSql discipline), each layer an argmin over the
+    * <=4 source layers via a (cost, piece) row_number — same rounding
+    * (@8 per accumulate), same tie-break, layer-for-layer. */
+  private val utVocab = 120; private val utWordLen = 12
+  private val utPieceLen = 4; private val utTopK = 40
+  private def qUnigramTokenizer(s: SparkSession, dir: String): DataFrame =
+    TextStats.unigramTokenizerTrain(docs(s, dir), "text",
+      vocabSize = utVocab, maxWordLen = utWordLen,
+      maxPieceLen = utPieceLen, topK = utTopK)
+  private val qUnigramTokenizerSql: String = {
+    val layers = (1 to utWordLen).map { i =>
+      val srcs = (1 to utPieceLen).filter(_ <= i).map { len =>
+        val j = i - len
+        s"""SELECT p.w, p.cnt, round(p.c + vc.pcost, 8) c,
+           |      p.seg || [vc.piece] seg, vc.piece piece
+           |    FROM l$j p JOIN vc ON vc.piece = substr(p.w, ${j + 1}, $len)
+           |    WHERE length(p.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""l$i AS MATERIALIZED (SELECT w, cnt, c, seg FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, piece) rn
+         |  FROM ($srcs)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to utWordLen)
+      .map(i => s"SELECT cnt, seg FROM l$i WHERE length(w) = $i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS MATERIALIZED (SELECT substr(t, 1, $utWordLen) w, count(*) cnt
+       |  FROM (SELECT unnest(${toksSql("text")}) t FROM documents) GROUP BY 1),
+       |cand AS (SELECT piece, CAST(sum(cnt) AS BIGINT) pc FROM (
+       |    SELECT cnt, substr(w, i + 1, l) piece FROM w
+       |    CROSS JOIN unnest(range($utWordLen)) u(i)
+       |    CROSS JOIN unnest(range(1, ${utPieceLen + 1})) v(l)
+       |    WHERE i < length(w) AND l <= least($utPieceLen, length(w) - i))
+       |  GROUP BY 1),
+       |topv AS (SELECT piece, pc FROM cand ORDER BY pc DESC, piece LIMIT $utVocab),
+       |chars AS (SELECT piece, pc FROM cand WHERE length(piece) = 1),
+       |vocab AS (SELECT piece, max(pc) pc FROM (
+       |    SELECT * FROM topv UNION ALL SELECT * FROM chars) GROUP BY 1),
+       |tt AS (SELECT CAST(sum(pc) AS BIGINT) t, count(*) v FROM vocab),
+       |vc AS MATERIALIZED (SELECT piece,
+       |    round(-round(ln(CAST(pc + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 8), 8) pcost
+       |  FROM vocab, tt),
+       |l0 AS (SELECT w, cnt, CAST(0.0 AS DOUBLE) c, CAST([] AS VARCHAR[]) seg
+       |  FROM w),
+       |$layers,
+       |fin AS ($finals),
+       |use AS (SELECT piece, CAST(sum(cnt) AS BIGINT) n_use FROM (
+       |    SELECT cnt, unnest(seg) piece FROM fin) GROUP BY 1),
+       |tot2 AS (SELECT CAST(sum(n_use) AS BIGINT) tot FROM use)
+       |SELECT piece, n_use,
+       |  round(ln(CAST(n_use + 1 AS DOUBLE) /
+       |    CAST(tot + (SELECT v FROM tt) AS DOUBLE)), 8) logp
+       |FROM use, tot2
+       |ORDER BY n_use DESC, piece LIMIT $utTopK""".stripMargin
+  }
+
   /** Distributed BPE merge learning. The merge table is a data-dependent
     * iterative argmax — SQL can't loop, but `numMerges` is a literal, so
     * the oracle UNROLLS the 24 training rounds as CTE layers (the
@@ -5627,6 +5687,7 @@ object QueriesExt {
     "q_ab_test" -> (qAbTest _),
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_unigram_tokenizer" -> (qUnigramTokenizer _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_histogram" -> (qDpHistogram _),
@@ -5809,6 +5870,7 @@ object QueriesExt {
     "q_ab_test" -> qAbTestSql,
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
+    "q_unigram_tokenizer" -> qUnigramTokenizerSql,
     "q_moving_avg" -> qMovingAvgSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_lexical" -> qLexicalSql,

@@ -653,6 +653,109 @@ object TextStats {
     * pair reaches `minPairCount`.
     *
     * Returns (rank, left, right, pair_count), rank = merge order. */
+  /** Unigram-LM tokenizer training (the SentencePiece-unigram scheme,
+    * Kudo 2018 "Subword regularization" — public), simplified to one
+    * deterministic EM round: (1) candidate pieces = all substrings up
+    * to `maxPieceLen` of the (truncated) word list, vocab = top
+    * `vocabSize` by weighted frequency UNION every single character
+    * (full coverage, so Viterbi never dead-ends); (2) E-step = exact
+    * Viterbi segmentation of every distinct word under the
+    * frequency-initialized piece log-probs; (3) M-step = re-estimate
+    * piece probabilities from the Viterbi usage counts. Returns the
+    * top `topK` pieces by usage: (piece, n_use, logp).
+    *
+    * With FIXED segmentations further EM rounds only re-normalize, so
+    * one round is the honest unit here (the full method re-runs E
+    * under the new probs; that second round is the natural next
+    * extension and changes none of the machinery).
+    *
+    * Determinism (the oracle contract): costs are -logp rounded at 8,
+    * the DP accumulates with a round@8 per step, and the per-position
+    * argmin tie-breaks on (cost, piece) — a total order since the
+    * piece fixes the back-pointer. The vocab is collected to the
+    * driver (bounded: vocabSize + alphabet, the IVF-centroid idiom)
+    * and re-enters both engines as a literal map.
+    *
+    * Scale shape: the E-step DP is a per-DISTINCT-WORD narrow
+    * expression (codegen'd HOF fold, no shuffle) weighted by word
+    * count — corpus volume moves only the word-count agg; vocab
+    * candidate explode is bounded by maxWordLen * maxPieceLen per
+    * distinct word; the M-step is one map-side-combined piece agg. */
+  def unigramTokenizerTrain(docs: DataFrame, textCol: String,
+      vocabSize: Int = 200, maxWordLen: Int = 20, maxPieceLen: Int = 5,
+      topK: Int = 50): DataFrame = {
+    require(vocabSize > 0 && maxWordLen > 0 && maxPieceLen > 0 && topK > 0,
+      "unigramTokenizerTrain: all knobs must be positive")
+    val words = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("w0"))
+      .select(substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // candidate substrings, weighted by word frequency
+    val cands = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(0, length(w) - 1), i ->
+         |  transform(sequence(1, least($maxPieceLen, length(w) - i)), l ->
+         |    substr(w, i + 1, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("pc"))
+      .localCheckpoint(true)
+    val top = cands
+      .orderBy(col("pc").desc, col("piece").asc).limit(vocabSize)
+    val chars = cands.filter(length(col("piece")) === 1)
+    val vocab0 = top.unionByName(chars).groupBy(col("piece"))
+      .agg(max(col("pc")).as("pc"))
+    val rows = vocab0.collect()
+    require(rows.nonEmpty,
+      "unigramTokenizerTrain: corpus has zero tokens")
+    val totalPc = rows.map(_.getLong(1)).sum
+    val v = rows.length
+    // frequency-initialized log-probs, ln rounded at 8 (libm discipline)
+    val logp0: Map[String, Double] = rows.map { r =>
+      r.getString(0) -> BigDecimal(
+        math.log((r.getLong(1) + 1).toDouble / (totalPc + v).toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val costMap = map(logp0.toSeq.sortBy(_._1).flatMap { case (k, lp) =>
+      Seq(lit(k), lit(BigDecimal(-lp).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }: _*)
+    // Viterbi fold: state = array of (cost, seg) for positions 0..i,
+    // growing one entry per step; candidates at i are the <= maxPieceLen
+    // pieces ending there, argmin by (cost, piece)
+    val dp = words
+      .withColumn("cm", costMap)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  array(struct(cast(0.0 as double) as c, cast(array() as array<string>) as seg)),
+           |  (st, i) -> st || array(
+           |    aggregate(
+           |      filter(
+           |        transform(sequence(greatest(0, i - $maxPieceLen), i - 1), j ->
+           |          struct(
+           |            round(element_at(st, j + 1).c +
+           |              coalesce(element_at(cm, substr(w, j + 1, i - j)), cast(1.0e15 as double)), 8) as c,
+           |            substr(w, j + 1, i - j) as piece,
+           |            j as j)),
+           |        x -> x.c < cast(1.0e14 as double)),
+           |      struct(cast(1.0e18 as double) as c, '' as piece, -1 as j),
+           |      (best, x) -> if(x.c < best.c or (x.c = best.c and x.piece < best.piece), x, best),
+           |      best -> struct(best.c as c,
+           |        element_at(st, best.j + 1).seg || array(best.piece) as seg))))""".stripMargin))
+      .select(col("cnt"),
+        element_at(col("st"), length(col("w")) + 1).as("fin"))
+    // M-step: Viterbi usage counts -> re-estimated log-probs
+    val use = dp.select(col("cnt"), explode(col("fin.seg")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n_use"))
+    val W = org.apache.spark.sql.expressions.Window
+    use
+      .withColumn("tot", sum(col("n_use")).over(W.partitionBy(lit(1))))
+      .select(col("piece"), col("n_use"),
+        round(log((col("n_use") + 1).cast("double") /
+          (col("tot") + v).cast("double")), 8).as("logp"))
+      .orderBy(col("n_use").desc, col("piece").asc)
+      .limit(topK)
+  }
+
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int = 30,
       minPairCount: Long = 2): DataFrame = {
     val spark = docs.sparkSession

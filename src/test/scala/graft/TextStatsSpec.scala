@@ -537,4 +537,43 @@ class TextStatsSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq ==
       v.sortBy(r => (r._1, r._2)).toSeq, "partitioning-invariant")
   }
+
+  test("unigramTokenizerTrain: frequent multi-char pieces win the " +
+      "Viterbi, coverage never dead-ends, counts weight by frequency, " +
+      "deterministic") {
+    val docs = Seq(
+      (1L, "the data the data banana bandana"),
+      (2L, "banana banana band and hand"),
+      (3L, "the band and the hand")).toDF("doc_id", "text")
+    val out = TextStats.unigramTokenizerTrain(docs, "text",
+        vocabSize = 30, maxWordLen = 12, maxPieceLen = 4, topK = 20)
+      .as[(String, Long, Double)].collect()
+    val use = out.map(r => r._1 -> r._2).toMap
+    // "banana" x3 segments as ban|ana and "bandana" as band|ana: the
+    // shared pieces out-count any single char in the top usage
+    assert(use("ana") == 4L && use("the") == 4L, s"usage: $use")
+    assert(use("ban") == 3L && use("band") == 3L, s"usage: $use")
+    assert(use.keys.forall(_.nonEmpty))
+    // logp ordering follows usage (same smoothing denominator)
+    val sorted = out.sortBy(r => (-r._2, r._1))
+    assert(out.toSeq == sorted.toSeq, "output ordered (n_use desc, piece)")
+    // a word of corpus-rare characters still segments: single chars
+    // are always in vocab, so Viterbi cannot dead-end
+    val weird = docs.union(Seq((4L, "zqxj")).toDF("doc_id", "text"))
+    val w = TextStats.unigramTokenizerTrain(weird, "text",
+        vocabSize = 10, maxWordLen = 12, maxPieceLen = 4, topK = 40)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(Seq("z", "q", "x", "j").forall(c => w.getOrElse(c, 0L) >= 1L),
+      s"rare chars covered: $w")
+    // deterministic across partitionings (the whole chain)
+    val again = TextStats.unigramTokenizerTrain(docs.repartition(5),
+        "text", vocabSize = 30, maxWordLen = 12, maxPieceLen = 4,
+        topK = 20)
+      .as[(String, Long, Double)].collect()
+    assert(again.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] {
+      TextStats.unigramTokenizerTrain(docs, "text", vocabSize = 0)
+    }
+  }
 }
