@@ -3081,23 +3081,30 @@ object QueriesExt {
     TextStats.unigramTokenizerTrain(docs(s, dir), "text",
       vocabSize = utVocab, maxWordLen = utWordLen,
       maxPieceLen = utPieceLen, topK = utTopK)
-  private val qUnigramTokenizerSql: String = {
-    val layers = (1 to utWordLen).map { i =>
+  /** Shared DP-layer generator for the unigram oracles: positions
+    * 1..utWordLen unrolled, layer `prefix$i` argmins over the <=
+    * utPieceLen source layers via (cost, piece) row_number. */
+  private def unigramLayersSql(prefix: String, vcName: String): String =
+    (1 to utWordLen).map { i =>
       val srcs = (1 to utPieceLen).filter(_ <= i).map { len =>
         val j = i - len
         s"""SELECT p.w, p.cnt, round(p.c + vc.pcost, 8) c,
            |      p.seg || [vc.piece] seg, vc.piece piece
-           |    FROM l$j p JOIN vc ON vc.piece = substr(p.w, ${j + 1}, $len)
+           |    FROM $prefix$j p JOIN $vcName vc ON vc.piece = substr(p.w, ${j + 1}, $len)
            |    WHERE length(p.w) >= $i""".stripMargin
       }.mkString("\n    UNION ALL\n    ")
-      s"""l$i AS MATERIALIZED (SELECT w, cnt, c, seg FROM (
+      s"""$prefix$i AS MATERIALIZED (SELECT w, cnt, c, seg FROM (
          |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, piece) rn
          |  FROM ($srcs)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to utWordLen)
-      .map(i => s"SELECT cnt, seg FROM l$i WHERE length(w) = $i")
+  private def unigramFinalsSql(prefix: String): String =
+    (1 to utWordLen)
+      .map(i => s"SELECT w, cnt, seg FROM $prefix$i WHERE length(w) = $i")
       .mkString("\n  UNION ALL ")
-    s"""WITH w AS MATERIALIZED (SELECT substr(t, 1, $utWordLen) w, count(*) cnt
+  /** Round-1 CTE chain (vocab -> frequency-init costs -> Viterbi ->
+    * usage counts) shared by the train and fertility oracles. */
+  private val unigramRound1Ctes: String =
+    s"""w AS MATERIALIZED (SELECT substr(t, 1, $utWordLen) w, count(*) cnt
        |  FROM (SELECT unnest(${toksSql("text")}) t FROM documents) GROUP BY 1),
        |cand AS (SELECT piece, CAST(sum(cnt) AS BIGINT) pc FROM (
        |    SELECT cnt, substr(w, i + 1, l) piece FROM w
@@ -3110,22 +3117,51 @@ object QueriesExt {
        |vocab AS (SELECT piece, max(pc) pc FROM (
        |    SELECT * FROM topv UNION ALL SELECT * FROM chars) GROUP BY 1),
        |tt AS (SELECT CAST(sum(pc) AS BIGINT) t, count(*) v FROM vocab),
-       |vc AS MATERIALIZED (SELECT piece,
+       |vc1 AS MATERIALIZED (SELECT piece,
        |    round(-round(ln(CAST(pc + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 8), 8) pcost
        |  FROM vocab, tt),
        |l0 AS (SELECT w, cnt, CAST(0.0 AS DOUBLE) c, CAST([] AS VARCHAR[]) seg
        |  FROM w),
-       |$layers,
-       |fin AS ($finals),
+       |${unigramLayersSql("l", "vc1")},
+       |fin AS (${unigramFinalsSql("l")}),
        |use AS (SELECT piece, CAST(sum(cnt) AS BIGINT) n_use FROM (
        |    SELECT cnt, unnest(seg) piece FROM fin) GROUP BY 1),
-       |tot2 AS (SELECT CAST(sum(n_use) AS BIGINT) tot FROM use)
+       |tot2 AS (SELECT CAST(sum(n_use) AS BIGINT) tot FROM use)""".stripMargin
+  private val qUnigramTokenizerSql: String =
+    s"""WITH $unigramRound1Ctes
        |SELECT piece, n_use,
        |  round(ln(CAST(n_use + 1 AS DOUBLE) /
        |    CAST(tot + (SELECT v FROM tt) AS DOUBLE)), 8) logp
        |FROM use, tot2
        |ORDER BY n_use DESC, piece LIMIT $utTopK""".stripMargin
-  }
+
+  /** Per-language tokenizer fertility (TextStats.unigramFertility):
+    * segmentation RE-RUN under the M-step probabilities (EM round 2;
+    * unused vocab pieces keep the smoothed floor), rolled up per lang.
+    * The oracle chains the round-1 CTEs into a second full layer set
+    * under the re-estimated costs. */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    TextStats.unigramFertility(docs(s, dir), "text", "lang",
+      vocabSize = utVocab, maxWordLen = utWordLen, maxPieceLen = utPieceLen)
+  private val qTokenizerFertilitySql: String =
+    s"""WITH $unigramRound1Ctes,
+       |vc2 AS MATERIALIZED (SELECT vocab.piece,
+       |    round(-round(ln(CAST(coalesce(u.n_use, 0) + 1 AS DOUBLE) /
+       |      CAST((SELECT tot FROM tot2) + (SELECT v FROM tt) AS DOUBLE)), 8), 8) pcost
+       |  FROM vocab LEFT JOIN use u ON u.piece = vocab.piece),
+       |m0 AS (SELECT w, cnt, CAST(0.0 AS DOUBLE) c, CAST([] AS VARCHAR[]) seg
+       |  FROM w),
+       |${unigramLayersSql("m", "vc2")},
+       |fin2 AS (${unigramFinalsSql("m")}),
+       |np AS (SELECT w, len(seg) np FROM fin2),
+       |wl AS (SELECT lang slice, substr(t, 1, $utWordLen) w, count(*) cnt
+       |  FROM (SELECT lang, unnest(${toksSql("text")}) t FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT slice, count(DISTINCT wl.w) n_words,
+       |  CAST(sum(cnt) AS BIGINT) n_tokens,
+       |  CAST(sum(cnt * np) AS BIGINT) n_pieces,
+       |  round(CAST(sum(cnt * np) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) fertility
+       |FROM wl JOIN np ON np.w = wl.w GROUP BY 1""".stripMargin
 
   /** Distributed BPE merge learning. The merge table is a data-dependent
     * iterative argmax — SQL can't loop, but `numMerges` is a literal, so
@@ -5688,6 +5724,7 @@ object QueriesExt {
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_unigram_tokenizer" -> (qUnigramTokenizer _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_histogram" -> (qDpHistogram _),
@@ -5871,6 +5908,7 @@ object QueriesExt {
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_unigram_tokenizer" -> qUnigramTokenizerSql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_moving_avg" -> qMovingAvgSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_lexical" -> qLexicalSql,

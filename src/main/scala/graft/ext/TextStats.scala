@@ -681,47 +681,12 @@ object TextStats {
     * count — corpus volume moves only the word-count agg; vocab
     * candidate explode is bounded by maxWordLen * maxPieceLen per
     * distinct word; the M-step is one map-side-combined piece agg. */
-  def unigramTokenizerTrain(docs: DataFrame, textCol: String,
-      vocabSize: Int = 200, maxWordLen: Int = 20, maxPieceLen: Int = 5,
-      topK: Int = 50): DataFrame = {
-    require(vocabSize > 0 && maxWordLen > 0 && maxPieceLen > 0 && topK > 0,
-      "unigramTokenizerTrain: all knobs must be positive")
-    val words = docs
-      .select(explode(tokens(normalized(col(textCol)))).as("w0"))
-      .select(substring(col("w0"), 1, maxWordLen).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    // candidate substrings, weighted by word frequency
-    val cands = words.select(col("cnt"), explode(expr(
-      s"""flatten(transform(sequence(0, length(w) - 1), i ->
-         |  transform(sequence(1, least($maxPieceLen, length(w) - i)), l ->
-         |    substr(w, i + 1, l))))""".stripMargin)).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("cnt")).as("pc"))
-      .localCheckpoint(true)
-    val top = cands
-      .orderBy(col("pc").desc, col("piece").asc).limit(vocabSize)
-    val chars = cands.filter(length(col("piece")) === 1)
-    val vocab0 = top.unionByName(chars).groupBy(col("piece"))
-      .agg(max(col("pc")).as("pc"))
-    val rows = vocab0.collect()
-    require(rows.nonEmpty,
-      "unigramTokenizerTrain: corpus has zero tokens")
-    val totalPc = rows.map(_.getLong(1)).sum
-    val v = rows.length
-    // frequency-initialized log-probs, ln rounded at 8 (libm discipline)
-    val logp0: Map[String, Double] = rows.map { r =>
-      r.getString(0) -> BigDecimal(
-        math.log((r.getLong(1) + 1).toDouble / (totalPc + v).toDouble))
-        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }.toMap
-    val costMap = map(logp0.toSeq.sortBy(_._1).flatMap { case (k, lp) =>
-      Seq(lit(k), lit(BigDecimal(-lp).setScale(8,
-        BigDecimal.RoundingMode.HALF_UP).toDouble))
-    }: _*)
-    // Viterbi fold: state = array of (cost, seg) for positions 0..i,
-    // growing one entry per step; candidates at i are the <= maxPieceLen
-    // pieces ending there, argmin by (cost, piece)
-    val dp = words
+  /** The Viterbi segmentation fold shared by the train and fertility
+    * faces: per-word DP, state grows one position per step, argmin
+    * tie-breaks on (cost@8, piece). Returns (w, cnt, fin(c, seg)). */
+  private def viterbiSeg(words: DataFrame, costMap: Column,
+      maxPieceLen: Int): DataFrame =
+    words
       .withColumn("cm", costMap)
       .withColumn("st", expr(
         s"""aggregate(
@@ -741,11 +706,62 @@ object TextStats {
            |      (best, x) -> if(x.c < best.c or (x.c = best.c and x.piece < best.piece), x, best),
            |      best -> struct(best.c as c,
            |        element_at(st, best.j + 1).seg || array(best.piece) as seg))))""".stripMargin))
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         element_at(col("st"), length(col("w")) + 1).as("fin"))
-    // M-step: Viterbi usage counts -> re-estimated log-probs
+
+  private def round8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def costMapOf(costs: Seq[(String, Double)]): Column =
+    map(costs.sortBy(_._1).flatMap { case (k, c) =>
+      Seq(lit(k), lit(c)) }: _*)
+
+  /** Round 1 of the unigram EM: word counts, vocab (top-V + alphabet),
+    * frequency-initialized Viterbi, usage counts. Returns the word
+    * frame, vocab pieces, vocab size, and the collected usage rows —
+    * shared by [[unigramTokenizerTrain]] and [[unigramFertility]]. */
+  private def unigramTrainCore(docs: DataFrame, textCol: String,
+      vocabSize: Int, maxWordLen: Int, maxPieceLen: Int)
+      : (DataFrame, Seq[String], Int, DataFrame) = {
+    val words = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("w0"))
+      .select(substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // candidate substrings, weighted by word frequency
+    val cands = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(0, length(w) - 1), i ->
+         |  transform(sequence(1, least($maxPieceLen, length(w) - i)), l ->
+         |    substr(w, i + 1, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("pc"))
+      .localCheckpoint(true)
+    val top = cands
+      .orderBy(col("pc").desc, col("piece").asc).limit(vocabSize)
+    val chars = cands.filter(length(col("piece")) === 1)
+    val vocab0 = top.unionByName(chars).groupBy(col("piece"))
+      .agg(max(col("pc")).as("pc"))
+    val rows = vocab0.collect()
+    require(rows.nonEmpty, "unigram tokenizer: corpus has zero tokens")
+    val totalPc = rows.map(_.getLong(1)).sum
+    val v = rows.length
+    // frequency-initialized costs, ln rounded at 8 (libm discipline)
+    val cost0 = rows.map { r =>
+      r.getString(0) -> round8(-round8(
+        math.log((r.getLong(1) + 1).toDouble / (totalPc + v).toDouble)))
+    }.toSeq
+    val dp = viterbiSeg(words, costMapOf(cost0), maxPieceLen)
     val use = dp.select(col("cnt"), explode(col("fin.seg")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("n_use"))
+    (words, rows.map(_.getString(0)).toSeq, v, use)
+  }
+
+  def unigramTokenizerTrain(docs: DataFrame, textCol: String,
+      vocabSize: Int = 200, maxWordLen: Int = 20, maxPieceLen: Int = 5,
+      topK: Int = 50): DataFrame = {
+    require(vocabSize > 0 && maxWordLen > 0 && maxPieceLen > 0 && topK > 0,
+      "unigramTokenizerTrain: all knobs must be positive")
+    val (_, _, v, use) =
+      unigramTrainCore(docs, textCol, vocabSize, maxWordLen, maxPieceLen)
     val W = org.apache.spark.sql.expressions.Window
     use
       .withColumn("tot", sum(col("n_use")).over(W.partitionBy(lit(1))))
@@ -754,6 +770,52 @@ object TextStats {
           (col("tot") + v).cast("double")), 8).as("logp"))
       .orderBy(col("n_use").desc, col("piece").asc)
       .limit(topK)
+  }
+
+  /** Tokenizer FERTILITY per corpus slice: average pieces-per-word
+    * under the EM round-2 Viterbi (segmentation re-run under the
+    * M-step re-estimated probabilities — unused vocab pieces keep the
+    * smoothed floor, so coverage survives). Fertility is the standard
+    * "how well does this tokenizer fit this language" readout: a slice
+    * whose words shatter into characters is paying 2-3x the sequence
+    * length for the same text. Returns per slice: distinct words,
+    * token occurrences, weighted pieces, fertility.
+    *
+    * Scale shape: round 1 = [[unigramTrainCore]]; round 2 is the same
+    * per-distinct-word narrow fold; the slice rollup joins the (slice,
+    * word) counts to the word segmentation by word — text beyond the
+    * truncated word never shuffles. */
+  def unigramFertility(docs: DataFrame, textCol: String, sliceCol: String,
+      vocabSize: Int = 200, maxWordLen: Int = 20, maxPieceLen: Int = 5)
+      : DataFrame = {
+    require(vocabSize > 0 && maxWordLen > 0 && maxPieceLen > 0,
+      "unigramFertility: all knobs must be positive")
+    val (words, vocabPieces, v, use) =
+      unigramTrainCore(docs, textCol, vocabSize, maxWordLen, maxPieceLen)
+    val useRows = use.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = useRows.values.sum
+    // round-2 costs over the FULL vocab (unused pieces get the
+    // smoothed floor — a rare character must stay reachable)
+    val cost1 = vocabPieces.map { p =>
+      p -> round8(-round8(math.log(
+        (useRows.getOrElse(p, 0L) + 1).toDouble / (tot + v).toDouble)))
+    }
+    val seg2 = viterbiSeg(words, costMapOf(cost1), maxPieceLen)
+      .select(col("w"), size(col("fin.seg")).as("np"))
+    val wl = docs.select(col(sliceCol).as("slice"),
+        explode(tokens(normalized(col(textCol)))).as("w0"))
+      .select(col("slice"), substring(col("w0"), 1, maxWordLen).as("w"))
+      .groupBy(col("slice"), col("w")).agg(count(lit(1)).as("cnt"))
+    wl.join(seg2, Seq("w"))
+      .groupBy(col("slice"))
+      .agg(countDistinct(col("w")).as("n_words"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("np")).as("n_pieces"))
+      .select(col("slice"), col("n_words"), col("n_tokens"),
+        col("n_pieces"),
+        round(col("n_pieces").cast("double") /
+          col("n_tokens").cast("double"), 6).as("fertility"))
   }
 
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int = 30,

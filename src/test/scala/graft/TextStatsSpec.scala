@@ -576,4 +576,30 @@ class TextStatsSpec extends SparkSpec {
       TextStats.unigramTokenizerTrain(docs, "text", vocabSize = 0)
     }
   }
+
+  test("unigramFertility: a slice the vocab fits reads lower fertility " +
+      "than one that shatters; accounting; fertility >= 1") {
+    // "common" slice dominates training, so its words become whole
+    // pieces; the "alien" slice's words never repeat and shatter
+    val common = (1L to 12L).map(i =>
+      (i, "banana band the data hand banana the data", "common"))
+    val alien = (101L to 104L).map(i =>
+      (i, s"zq${i}xw jv${i}kp qx${i}zn", "alien"))
+    val docs = (common ++ alien).toDF("doc_id", "text", "lang")
+    val f = TextStats.unigramFertility(docs, "text", "lang",
+        vocabSize = 20, maxWordLen = 12, maxPieceLen = 4)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(f("common")._5 < f("alien")._5,
+      s"fitting vocab -> lower fertility: $f")
+    assert(f.values.forall(r => r._5 >= 1.0), s"at least 1 piece/word: $f")
+    assert(f.values.forall(r => r._4 >= r._3), s"pieces >= tokens: $f")
+    assert(f("common")._3 == 12L * 8, s"token accounting: ${f("common")}")
+    // determinism across partitionings (two chained Viterbi rounds)
+    val again = TextStats.unigramFertility(docs.repartition(5), "text",
+        "lang", vocabSize = 20, maxWordLen = 12, maxPieceLen = 4)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == f)
+  }
 }
