@@ -2547,6 +2547,89 @@ object QueriesExt {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
       |GROUP BY 1, 2""".stripMargin
 
+  /** STREAMING hourly data-quality monitor with EXACT user counts:
+    * streaming distinct is unsupported, so the stream maintains a
+    * per-(window, user) append aggregation (Spark 4 chained-stateful;
+    * state = one row per active user per open window, watermark-
+    * bounded) and the exact user cardinality is the COUNT of finalized
+    * sink rows per window — sketch-free and oracle-checkable where the
+    * production `qualityMonitor(exact = false)` keeps the HLL. Append
+    * mode emits exactly the windows whose end <= final watermark (the
+    * q_stream_append eviction predicate, mirrored in the oracle). */
+  private def qStreamQuality(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val perUser = ev.withWatermark("ts", "90 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value").isNull || isnan(col("value")), 1))
+            .as("nn"))
+      val sink = "graft_stream_quality"
+      val q = perUser.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .groupBy(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_str"))
+        .agg(sum(col("n")).as("n_events"), sum(col("nn")).as("n_null_value"),
+          count(lit(1)).as("n_users"))
+    }
+  private val qStreamQualitySql =
+    """WITH wm AS (
+      |  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 90 MINUTE w
+      |  FROM events),
+      |pu AS (SELECT date_trunc('hour', ts) h, user_id, count(*) n,
+      |    count(CASE WHEN value IS NULL OR isnan(value) THEN 1 END) nn
+      |  FROM events, wm
+      |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+      |  GROUP BY 1, 2)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') hour_str,
+      |  CAST(sum(n) AS BIGINT) n_events, CAST(sum(nn) AS BIGINT) n_null_value,
+      |  count(*) n_users
+      |FROM pu GROUP BY 1""".stripMargin
+
+  /** Window-function panel over per-customer order sequences: lag/lead
+    * with defaults, ntile, percent_rank, cume_dist — the ranking-
+    * function SQL surface in one face, total-ordered by (date, key). */
+  private def qWindowPanel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Sources.table(s, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1, -1L).over(w).as("prev_ok"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_ok"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+  }
+  private val qWindowPanelSql =
+    """SELECT o_custkey, o_orderkey,
+      |  COALESCE(lag(o_orderkey, 1) OVER w, -1) prev_ok,
+      |  COALESCE(lead(o_orderkey, 1) OVER w, -1) next_ok,
+      |  CAST(ntile(4) OVER w AS INT) quartile,
+      |  round(percent_rank() OVER w, 6) prank,
+      |  round(cume_dist() OVER w, 6) cdist
+      |FROM orders WHERE o_custkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** Interpolated percentiles via SQL percentile_cont on the integer
+    * n_chars grid — the (n-1)*q linear-interpolation definition is
+    * identical in both engines, and on an int grid the arithmetic is
+    * parity-safe (the quantilePanel discipline's continuous sibling). */
+  private def qPercentileCont(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).createOrReplaceTempView("graft_docs_pc")
+    s.sql(
+      """SELECT lang, count(*) n,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6) p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 6) p90
+        |FROM graft_docs_pc GROUP BY lang""".stripMargin)
+  }
+  private val qPercentileContSql =
+    """SELECT lang, count(*) n,
+      |  round(quantile_cont(n_chars, 0.5), 6) p50,
+      |  round(quantile_cont(n_chars, 0.9), 6) p90
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   // Gopher repetition filters (Repetition.scala)
   // ------------------------------------------------------------------
@@ -5760,6 +5843,9 @@ object QueriesExt {
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_stream_chi_drift" -> (qStreamChiDrift _),
+    "q_stream_quality" -> (qStreamQuality _),
+    "q_window_panel" -> (qWindowPanel _),
+    "q_percentile_cont" -> (qPercentileCont _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
     "q_sql_surface" -> (qSqlSurface _),
@@ -5850,6 +5936,9 @@ object QueriesExt {
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
     "q_stream_chi_drift" -> qChiDriftSql,
+    "q_stream_quality" -> qStreamQualitySql,
+    "q_window_panel" -> qWindowPanelSql,
+    "q_percentile_cont" -> qPercentileContSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_dp_mean" -> qDpMeanSql,
     "q_mutual_info" -> qMutualInfoSql,

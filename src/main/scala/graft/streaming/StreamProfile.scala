@@ -44,16 +44,26 @@ object StreamProfile {
 
   /** Streaming quality monitor: per-window null/total counts for `value` —
     * the streaming equivalent of the null-mission detector (P6). */
-  def qualityMonitor(events: DataFrame, watermark: String = "2 hours")
-      : DataFrame =
+  /** Hourly data-quality monitor: event volume, null/NaN value counts,
+    * user cardinality per event-time window. `exact = false` (the
+    * 100 TB default) uses the HLL sketch for users — fixed-size state;
+    * `exact = true` uses the exact distinct (oracle-checkable, the
+    * q_profile exact/approx twin discipline) — state grows with
+    * distinct users per window, bounded by the watermark. */
+  def qualityMonitor(events: DataFrame, watermark: String = "2 hours",
+      exact: Boolean = false): DataFrame = {
+    val users =
+      if (exact) countDistinct(col("user_id")).as("n_users")
+      else approx_count_distinct(col("user_id")).as("n_users")
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"),
         count(when(col("value").isNull || isnan(col("value")), 1)).as("n_null_value"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
+        users)
       .select(col("w.start").as("hour"), col("n_events"),
-        col("n_null_value"), col("approx_users"))
+        col("n_null_value"), col("n_users"))
+  }
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
