@@ -2587,6 +2587,37 @@ object QueriesExt {
       |  count(*) n_users
       |FROM pu GROUP BY 1""".stripMargin
 
+  /** Observation-metrics surface (`Dataset.observe`): pipeline-health
+    * counters collected ON THE SIDE of a real pass — the production
+    * idiom for "how many rows / how much money / how many nulls flowed
+    * through this stage" without a second scan. The observed values
+    * are returned as the query result; the oracle recomputes them
+    * declaratively. At 100 TB this is the zero-extra-cost monitoring
+    * hook (metrics ride the task results), vs. a doubled scan for a
+    * separate metrics query. */
+  private def qObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val l = Sources.table(s, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+    // one real action drives both the pass and the metrics
+    l.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_qty").asInstanceOf[Double],
+      m("n_discounted").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_discounted")
+  }
+  private val qObserveMetricsSql =
+    """SELECT count(*) n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,
+      |  count(CASE WHEN l_discount > 0.05 THEN 1 END) n_discounted
+      |FROM lineitem""".stripMargin
+
   /** Window-function panel over per-customer order sequences: lag/lead
     * with defaults, ntile, percent_rank, cume_dist — the ranking-
     * function SQL surface in one face, total-ordered by (date, key). */
@@ -5845,6 +5876,7 @@ object QueriesExt {
     "q_stream_chi_drift" -> (qStreamChiDrift _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_window_panel" -> (qWindowPanel _),
+    "q_observe_metrics" -> (qObserveMetrics _),
     "q_percentile_cont" -> (qPercentileCont _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_running_total" -> (qRunningTotal _),
@@ -5938,6 +5970,7 @@ object QueriesExt {
     "q_stream_chi_drift" -> qChiDriftSql,
     "q_stream_quality" -> qStreamQualitySql,
     "q_window_panel" -> qWindowPanelSql,
+    "q_observe_metrics" -> qObserveMetricsSql,
     "q_percentile_cont" -> qPercentileContSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_dp_mean" -> qDpMeanSql,
