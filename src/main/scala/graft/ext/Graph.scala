@@ -48,15 +48,18 @@ object Graph {
     * key-dominated, and a long key shuffles ~2-3x faster than a short
     * string); ranks sum to ~1 on graphs with no dangling nodes.
     *
-    * `checkpointEvery`: rank lineage is cut every this-many rounds. A
-    * handful of join+agg rounds plan fine as one lazy chain (one Spark
-    * job for the whole loop — measured 5x faster than eager per-round
-    * checkpoints, which pay a full job of fixed overhead each); long
-    * convergence runs need periodic cuts to bound analysis/lineage
-    * growth, so deep iteration counts still checkpoint. */
+    * `checkpointEvery`: rank lineage is cut every this-many rounds.
+    * Round-6 re-measurement at sf0.1 REVERSED the earlier lazy-chain
+    * preference: without cuts, each round's aggregate re-evaluates the
+    * shared subtrees of every earlier round (Spark reuses exchanges
+    * only opportunistically), so the lazy 5-iteration PageRank chain
+    * ran 12.0s vs 9.8s with cuts every 2 rounds — and the effect is
+    * combinatorial for kCore's nested semi-join chains (11.3s lazy vs
+    * 2.2s per-round, 5.2x). Defaults now ship the measured winners:
+    * kCore/LPA cut every round, PageRank every 2. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, damping: Double = 0.85,
-      checkpointEvery: Int = 6): DataFrame = {
+      checkpointEvery: Int = 2): DataFrame = {
     // materialize the deduped edge list ONCE — nodes, degrees, and the
     // per-round joins all derive from it (without this cut the distinct
     // and the upstream scan re-run for each derivation)
@@ -214,7 +217,7 @@ object Graph {
     * argmax — the same per-round O(V)-shuffle discipline as [[pageRank]].
     * Label lineage cuts every `checkpointEvery` rounds. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, checkpointEvery: Int = 3): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
@@ -245,7 +248,7 @@ object Graph {
   }
 
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int, checkpointEvery: Int = 6): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
