@@ -738,6 +738,33 @@ object QueriesExt {
        |  CAST(len(regexp_extract_all(lower(text), '${TextStats.bpeishPattern}')) AS INT) n_bpeish
        |FROM documents""".stripMargin
 
+  /** Per-type skewness / excess kurtosis of event values
+    * (NumericProfile.skewKurtosis): the distribution-shape panel from
+    * one four-power-sum pass. */
+  private def qSkewKurtosis(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.skewKurtosis(events(s, dir), "value",
+      "event_type")
+  private val qSkewKurtosisSql: String = {
+    val x = "round(CAST(value AS DOUBLE), 6)"
+    s"""WITH a AS (SELECT event_type g, count(*) n,
+       |    CAST(sum(CAST($x AS DECIMAL(38,8))) AS DOUBLE) s1,
+       |    CAST(sum(CAST(round($x * $x, 6) AS DECIMAL(38,8))) AS DOUBLE) s2,
+       |    CAST(sum(CAST(round($x * $x * $x, 4) AS DECIMAL(38,8))) AS DOUBLE) s3,
+       |    CAST(sum(CAST(round($x * $x * $x * $x, 2) AS DECIMAL(38,8))) AS DOUBLE) s4
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |m AS (SELECT g, n, s1 / n mu,
+       |    s2 / n - (s1 / n) * (s1 / n) m2,
+       |    s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) m3,
+       |    s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+       |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) m4
+       |  FROM (SELECT g, CAST(n AS DOUBLE) n, s1, s2, s3, s4 FROM a))
+       |SELECT g, CAST(n AS BIGINT) n, round(mu, 6) mean,
+       |  CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END std_pop,
+       |  CASE WHEN m2 > 0 THEN round(m3 / sqrt(m2 * m2 * m2), 6) END skewness,
+       |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END kurtosis_ex
+       |FROM m""".stripMargin
+  }
+
   /** Spearman rank correlation between doc length and BPE-ish token
     * count (NumericProfile.spearman): grid midranks, five decimal
     * moments — the scale-free monotone-association check. */
@@ -5911,6 +5938,7 @@ object QueriesExt {
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
     "q_spearman" -> (qSpearman _),
+    "q_skew_kurtosis" -> (qSkewKurtosis _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_fingerprint" -> (qFingerprint _),
     "q_cosine_topk" -> (qCosineTopk _),
@@ -6094,6 +6122,7 @@ object QueriesExt {
     "q_lang_id" -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
     "q_spearman" -> qSpearmanSql,
+    "q_skew_kurtosis" -> qSkewKurtosisSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,

@@ -420,6 +420,41 @@ object NumericProfile {
       .agg(max(col("n")).as("n_rows"), panel: _*)
   }
 
+  /** Per-group skewness and excess kurtosis — the shape panel the
+    * profiler's mean/stddev pair can't see (a symmetric-looking mean
+    * hides a one-sided tail; kurtosis flags heavy tails before a
+    * z-score threshold is chosen). Computed from four raw power sums
+    * (values rounded at 6, decimal-summed — order-free) with the
+    * standard central-moment identities; population (ddof=0)
+    * convention, matching the profiler's zScore. NULL where variance
+    * degenerates.
+    *
+    * Scale shape: ONE map-side-combined aggregation per group carrying
+    * four decimal sums — no second pass, no window over rows. */
+  def skewKurtosis(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val x = round(col(valueCol).cast("double"), 6)
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)")).cast("double")
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), dsum(x).as("s1"),
+        dsum(round(x * x, 6)).as("s2"),
+        dsum(round(x * x * x, 4)).as("s3"),
+        dsum(round(x * x * x * x, 2)).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1") / nD
+    val m2 = col("s2") / nD - mu * mu
+    val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
+      lit(6.0) * mu * mu * (col("s2") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    agg.select(col("g"), col("n"), round(mu, 6).as("mean"),
+      when(m2 > 0, round(sqrt(m2), 6)).as("std_pop"),
+      when(m2 > 0, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skewness"),
+      when(m2 > 0, round(m4 / (m2 * m2) - 3.0, 6)).as("kurtosis_ex"))
+  }
+
   /** Spearman rank correlation between two GRID-valued columns: the
     * Pearson correlation of midranks (average rank over ties) — the
     * monotone-association measure that ignores the columns' scales.

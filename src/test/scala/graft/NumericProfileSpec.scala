@@ -332,4 +332,26 @@ class NumericProfileSpec extends SparkSpec {
       NumericProfile.trimmedMean(a.toDF("g", "v"), "v", "g", 0.9, 0.1)
     }
   }
+
+  test("skewKurtosis: symmetric reads 0, hand-computed right skew, " +
+      "constant degenerates to null, partitioning-invariant") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("sym", _)) ++
+      Seq(0.0, 0.0, 0.0, 4.0).map(("rskew", _)) ++
+      Seq(7.0, 7.0).map(("const", _))).toDF("g", "v")
+    val out = NumericProfile.skewKurtosis(df, "v", "g")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
+    val sym = out("sym")
+    assert(sym._2 == 3L && sym._3 == 2.0 && sym._5.contains(0.0), sym)
+    assert(sym._6.contains(-1.5), s"[1,2,3] excess kurtosis -1.5: $sym")
+    // [0,0,0,4]: m2=3, m3=6 -> skew 6/3^1.5 = 1.154701; m4=21 ->
+    // kurtosis 21/9 - 3 = -0.666667
+    val rs = out("rskew")
+    assert(rs._5.contains(1.154701) && rs._6.contains(-0.666667), rs)
+    val c = out("const")
+    assert(c._4.isEmpty && c._5.isEmpty && c._6.isEmpty,
+      s"zero variance -> nulls, not NaN: $c")
+    val again = NumericProfile.skewKurtosis(df.repartition(5), "v", "g")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
 }
