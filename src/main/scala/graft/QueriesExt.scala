@@ -3580,6 +3580,50 @@ object QueriesExt {
       |  min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.99) THEN v END) p99
       |FROM w GROUP BY 1""".stripMargin
 
+  /** Nearest as-of: each click matched to the CLOSEST purchase of the
+    * same user in either direction (Relational.nearestJoin; ties
+    * backward). Purchases pre-deduped to one per (user, ts) — the
+    * operator's documented contract. */
+  private def qNearestJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("p_event_id"))
+    Relational.nearestJoin(clicks, buys, "user_id", "ts",
+        Seq("p_event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("asof_p_event_id").as("p_event_id"),
+        (unix_millis(col("ts")) - unix_millis(col("asof_ts")))
+          .as("delta_ms"),
+        col("direction"))
+  }
+  private val qNearestJoinSql =
+    """WITH c AS (SELECT user_id, event_id, ts FROM events
+      |    WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, min(event_id) p_event_id FROM events
+      |    WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |b AS (SELECT c.*,
+      |    (SELECT max(p.ts) FROM p
+      |     WHERE p.user_id = c.user_id AND p.ts <= c.ts) bts,
+      |    (SELECT min(p.ts) FROM p
+      |     WHERE p.user_id = c.user_id AND p.ts > c.ts) fts
+      |  FROM c),
+      |j AS (SELECT b.*, pb.p_event_id b_id, pf.p_event_id f_id,
+      |    (bts IS NOT NULL AND (fts IS NULL OR
+      |      epoch(b.ts) - epoch(bts) <= epoch(fts) - epoch(b.ts))) pickb
+      |  FROM b
+      |  LEFT JOIN p pb ON pb.user_id = b.user_id AND pb.ts = b.bts
+      |  LEFT JOIN p pf ON pf.user_id = b.user_id AND pf.ts = b.fts)
+      |SELECT user_id, event_id,
+      |  CASE WHEN pickb THEN b_id ELSE f_id END p_event_id,
+      |  CAST(epoch_ms(ts) - epoch_ms(CASE WHEN pickb THEN bts ELSE fts END)
+      |    AS BIGINT) delta_ms,
+      |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+      |    WHEN pickb THEN 'backward' ELSE 'forward' END direction
+      |FROM j""".stripMargin
+
   /** First-order Markov transition matrix over per-user event streams
     * (EventsOps.transitionMatrix): one user_id shuffle, pair frame
     * bounded by |types|^2. */
@@ -5912,6 +5956,7 @@ object QueriesExt {
     "q_pricing_summary" -> (qPricingSummary _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_nearest_join" -> (qNearestJoin _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
@@ -6096,6 +6141,7 @@ object QueriesExt {
     "q_pricing_summary" -> qPricingSummarySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_nearest_join" -> qNearestJoinSql,
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,

@@ -68,6 +68,62 @@ object Relational {
         rightCols.map(c => col(s"__asof.asof_$c").as(s"asof_$c"))): _*)
   }
 
+  /** NEAREST-neighbor as-of join: each left row matches the right row
+    * with the CLOSEST timestamp in either direction (ties prefer the
+    * backward match — the [[asofJoin]] convention), not just the last
+    * one at-or-before. The sensor-alignment shape: pairing readings
+    * from two clocks neither of which leads the other. Callers must
+    * pre-deduplicate the right side to one row per (key, ts) (e.g.
+    * min-id) — with ties the "nearest row" is ill-defined and any
+    * engine would pick arbitrarily.
+    *
+    * Same single-shuffle union-sort discipline as [[asofJoin]]: both
+    * sides union into one (key)-partitioned (ts, tag) order, the
+    * backward match is a last(ignoreNulls) carry over the preceding
+    * frame and the forward match a first(ignoreNulls) over the
+    * following frame — two window passes over ONE sorted exchange,
+    * never a range self-join. Returns left columns + asof_ts,
+    * asof_<rightCols>, direction ('backward'/'forward'/null). */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rStruct = struct((col(tsCol).as("asof_ts") +:
+      rightCols.map(c => col(c).as(s"asof_$c"))): _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("asof_ts",
+        right.schema(tsCol).dataType, nullable = true) +:
+      rightCols.map(c => org.apache.spark.sql.types.StructField(
+        s"asof_$c", right.schema(c).dataType, nullable = true)))
+    val r = right.select(
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__tag") +:
+        rStruct.as("__m") +:
+        lCols.filterNot(_ == keyCol).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__tag") +:
+        lit(null).cast(rStructType).as("__m") +:
+        lCols.filterNot(_ == keyCol).map(col)): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+    val filled = r.unionByName(l)
+      .withColumn("__b", last(col("__m"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__f", first(col("__m"), ignoreNulls = true)
+        .over(w.rowsBetween(0, Window.unboundedFollowing)))
+      .filter(col("__tag") === 1)
+    val db = col("__ts").cast("double") - col("__b.asof_ts").cast("double")
+    val df_ = col("__f.asof_ts").cast("double") - col("__ts").cast("double")
+    val pickB = col("__b").isNotNull &&
+      (col("__f").isNull || db <= df_)
+    val m = when(pickB, col("__b")).otherwise(col("__f"))
+    filled.select((lCols.map(col) :+
+      m.getField("asof_ts").as("asof_ts")) ++
+      rightCols.map(c => m.getField(s"asof_$c").as(s"asof_$c")) :+
+      when(col("__b").isNull && col("__f").isNull, lit(null))
+        .otherwise(when(pickB, lit("backward")).otherwise(lit("forward")))
+        .as("direction"): _*)
+  }
+
   /** Salted join for hot-key skew: the shuffle-join failure mode where one
     * join key holds a disproportionate share of the big side, so one
     * reducer runs the whole join while the rest idle.

@@ -322,4 +322,30 @@ class RelationalSpec extends SparkSpec {
     val df = (1 to 50).map(i => s"u$i").toDF("item")
     assert(Relational.heavyHitters(df, "item", 0.5).count() == 0)
   }
+
+  test("nearestJoin: closer side wins in either direction, equal " +
+      "distance prefers backward, same-instant is distance 0, " +
+      "keyless rows get nulls") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    import graft.ext.Relational
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:10")), // b at :07 (3s), f at :12 (2s) -> forward
+      (2L, 7L, ts("2024-01-01 10:00:17")), // b at :12 (5s), f at :22 (5s) -> tie -> backward
+      (3L, 7L, ts("2024-01-01 10:00:22")), // same instant -> backward, d=0
+      (4L, 9L, ts("2024-01-01 10:00:00"))) // no rights for key 9
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 10:00:07")),
+      (102L, 7L, ts("2024-01-01 10:00:12")),
+      (103L, 7L, ts("2024-01-01 10:00:22")))
+      .toDF("rid", "k", "ts")
+    val out = Relational.nearestJoin(left, right, "k", "ts", Seq("rid"))
+      .select("lid", "asof_rid", "direction")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(102L), Some("forward"))), out(1L))
+    assert(out(2L) == ((Some(102L), Some("backward"))), out(2L))
+    assert(out(3L) == ((Some(103L), Some("backward"))), out(3L))
+    assert(out(4L) == ((None, None)), out(4L))
+  }
 }
