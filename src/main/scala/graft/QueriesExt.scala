@@ -2990,6 +2990,34 @@ object QueriesExt {
        |  SELECT doc_id FROM ($qDedupClustersSql) c
        |  WHERE c.doc_id <> c.cluster_id)""".stripMargin
 
+  /** Policy-driven survivor selection (Dedup.dedupSurvivorsByPolicy):
+    * within each near-dup cluster keep the src0 copy if one exists,
+    * else the longest, ties to the smallest id — the canonical-source
+    * curation knob vs q_dedup_survivors' min-id pick. Shares the
+    * cluster SQL. */
+  private def qSurvivorPolicy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
+    Dedup.dedupSurvivorsByPolicy(d, "doc_id", pairs,
+      struct((col("source") === "src0").cast("int").as("p1"),
+        col("n_chars").as("p2")))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+  private lazy val qSurvivorPolicySql: String =
+    s"""WITH cl AS ($qDedupClustersSql),
+       |pr AS (SELECT cl.doc_id, cl.cluster_id,
+       |    CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END p1, d.n_chars p2
+       |  FROM cl JOIN documents d USING (doc_id)),
+       |keep AS (SELECT doc_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY p1 DESC, p2 DESC, doc_id ASC) rn FROM pr)
+       |  WHERE rn = 1)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT pr.doc_id FROM pr LEFT JOIN keep k ON k.doc_id = pr.doc_id
+       |  WHERE k.doc_id IS NULL)""".stripMargin
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.nearDuplicates(docs(s, dir), "doc_id", "text",
       threshold = 0.5, shingleN = 3, k = 16, bands = 4, maxBucket = 64)
@@ -5921,6 +5949,7 @@ object QueriesExt {
     "q_chunk" -> (qChunk _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
+    "q_survivor_policy" -> (qSurvivorPolicy _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_corpus_diff" -> (qCorpusDiff _),
@@ -6111,6 +6140,7 @@ object QueriesExt {
     "q_chunk" -> qChunkSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_survivors" -> qDedupSurvivorsSql,
+    "q_survivor_policy" -> qSurvivorPolicySql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_corpus_diff" -> qCorpusDiffSql,

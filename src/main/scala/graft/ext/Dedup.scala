@@ -737,6 +737,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Survivor selection with an explicit POLICY: within each near-dup
+    * component, keep the member maximizing `priority` (any orderable
+    * column — typically a struct of (source rank, length)), ties to
+    * the smallest id. [[dedupSurvivors]]' min-id pick is arbitrary-but-
+    * deterministic; real curation keeps the canonical source's copy or
+    * the longest fetch — the policy IS a knob, so it's a parameter.
+    *
+    * Scale shape: components from the pair frame (O(diameter) rounds),
+    * one id-keyed join to fetch the policy attributes (text never
+    * rides), one struct-max agg per component (map-side combined), one
+    * anti-join. */
+  def dedupSurvivorsByPolicy(docs: DataFrame, idCol: String,
+      pairs: DataFrame, priority: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val labeled = comps.join(
+      docs.select(col(idCol).as("id"), priority.as("__prio")), Seq("id"))
+    val keep = labeled.groupBy(col("comp"))
+      .agg(max(struct(col("__prio"), (-col("id")).as("ni"))).as("b"))
+      .select((-col("b.ni")).as("id"))
+    val losers = comps.select(col("id"))
+      .join(keep, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicate groups by content fingerprint: one shuffle on a
     * 16-byte digest; survivor = min id (deterministic). */
   def exactByFingerprint(docs: DataFrame, idCol: String, textCol: String)

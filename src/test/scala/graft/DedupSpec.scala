@@ -329,6 +329,29 @@ class DedupSpec extends SparkSpec {
       assert(c._4 == (c._1 && c._2 && c._3), s"unanimous flag: $c"))
   }
 
+  test("dedupSurvivorsByPolicy: canonical source beats length, length " +
+      "breaks within source, ids break last, singletons untouched") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val d = Seq(
+      (1L, "srcX", 500L), (2L, "src0", 100L), // cluster {1,2}
+      (3L, "srcY", 80L), (4L, "srcY", 300L), // cluster {3,4}
+      (5L, "srcZ", 10L), (6L, "srcZ", 10L), // cluster {5,6}: full tie
+      (7L, "srcQ", 1L)) // singleton, not in any pair
+      .toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val prio = struct((col("source") === "src0").cast("int").as("p1"),
+      col("n_chars").as("p2"))
+    val kept = graft.ext.Dedup
+      .dedupSurvivorsByPolicy(d, "doc_id", pairs, prio)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L, 7L),
+      s"src0 beats longer srcX; longest srcY; min-id on full tie: $kept")
+    // contrast: the min-id picker keeps 1, 3, 5 instead
+    val minId = graft.ext.Dedup.dedupSurvivors(d, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L, 5L, 7L), s"min-id baseline: $minId")
+  }
+
   test("dupAttribution: within-source pairs land on the diagonal, " +
       "cross-source off it, canonical source order, clean docs absent") {
     val body = "the quick brown fox jumps over the lazy dog again and " +
