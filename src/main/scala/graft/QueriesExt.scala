@@ -1410,14 +1410,18 @@ object QueriesExt {
        |en AS (SELECT media_id,
        |    list_sum(list_transform(range(16), j ->
        |      CAST(('0x' || substr(p, CAST(f * 16 + j + 1 AS INT), 1)) AS BIGINT))) e
-       |  FROM fr)
-       |SELECT media_id, count(*) n_frames,
-       |  CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS BIGINT) n_silent,
-       |  round(CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(count(*) AS DOUBLE), 6) silence_ratio,
-       |  round(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) mean_energy,
-       |  CAST(max(e) AS BIGINT) peak_energy
-       |FROM en GROUP BY 1""".stripMargin
+       |  FROM fr),
+       |r AS (SELECT media_id, count(*) n_frames,
+       |    CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS BIGINT) n_silent,
+       |    round(CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) silence_ratio,
+       |    round(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) mean_energy,
+       |    CAST(max(e) AS BIGINT) peak_energy
+       |  FROM en GROUP BY 1)
+       |SELECT m.media_id, COALESCE(r.n_frames, 0) n_frames,
+       |  COALESCE(r.n_silent, 0) n_silent, r.silence_ratio, r.mean_energy,
+       |  r.peak_energy
+       |FROM m LEFT JOIN r USING (media_id)""".stripMargin
   }
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {

@@ -46,19 +46,6 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text")).as[CorpusDoc]
   }
 
-  /** End-to-end TRAINING-DATA PREP: exact dedup (min-id survivor) ->
-    * benchmark decontamination (drop docs sharing any 13-gram with the
-    * eval set) -> sliding-window chunking -> per-source accounting.
-    * The composition a pretraining data pipeline actually ships:
-    * [[clean]] curates documents; this turns the curated corpus into
-    * training sequences with an auditable per-source yield report
-    * (how many docs/chunks/tokens each source contributed — the number
-    * data governance asks for).
-    *
-    * Every stage is an already-oracle-checked operator; the stages
-    * compose as semi/anti joins on the id (16-byte shuffles, never
-    * text), the chunker is a pure narrow map, and the final report is
-    * one map-side-combined aggregate keyed by source. */
   /** Quality-filter agreement census: every doc gets an independent
     * keep verdict from three orthogonal screens — the Gopher
     * repetition/length rules, the feature-weight quality classifier,
@@ -97,6 +84,19 @@ object CorpusPipeline {
           .as("share"))
   }
 
+  /** End-to-end TRAINING-DATA PREP: exact dedup (min-id survivor) ->
+    * benchmark decontamination (drop docs sharing any 13-gram with the
+    * eval set) -> sliding-window chunking -> per-source accounting.
+    * The composition a pretraining data pipeline actually ships:
+    * [[clean]] curates documents; this turns the curated corpus into
+    * training sequences with an auditable per-source yield report
+    * (how many docs/chunks/tokens each source contributed — the number
+    * data governance asks for).
+    *
+    * Every stage is an already-oracle-checked operator; the stages
+    * compose as semi/anti joins on the id (16-byte shuffles, never
+    * text), the chunker is a pure narrow map, and the final report is
+    * one map-side-combined aggregate keyed by source. */
   def prepare(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, sourceCol: String,
       benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,

@@ -746,16 +746,25 @@ object Dedup {
     *
     * Scale shape: components from the pair frame (O(diameter) rounds),
     * one id-keyed join to fetch the policy attributes (text never
-    * rides), one struct-max agg per component (map-side combined), one
-    * anti-join. */
+    * rides), one per-component top-1 window (row_number <= 1 plans a
+    * WindowGroupLimit, so each map partition pre-reduces to one
+    * candidate row per component before the exchange — the map-side-
+    * combine equivalent for windows), one anti-join. Works for ANY
+    * orderable id and priority type (including struct priorities);
+    * null priorities sort last (desc null-last default), so a doc
+    * with no policy attributes can only survive alone. */
   def dedupSurvivorsByPolicy(docs: DataFrame, idCol: String,
       pairs: DataFrame, priority: Column): DataFrame = {
     val comps = connectedComponents(pairs)
     val labeled = comps.join(
       docs.select(col(idCol).as("id"), priority.as("__prio")), Seq("id"))
-    val keep = labeled.groupBy(col("comp"))
-      .agg(max(struct(col("__prio"), (-col("id")).as("ni"))).as("b"))
-      .select((-col("b.ni")).as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("__prio").desc, col("id").asc)
+    val keep = labeled
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"))
     val losers = comps.select(col("id"))
       .join(keep, Seq("id"), "left_anti")
       .select(col("id").as(idCol))

@@ -170,32 +170,6 @@ object Graph {
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
   }
 
-  /** k-core peeling (Seidman 1983, public): repeatedly delete vertices
-    * of degree < k (with their edges) until only the k-core — the
-    * maximal subgraph where every vertex keeps >= k neighbors —
-    * remains. The graph-density screen of link-spam filtering and the
-    * seed-selection step of crawl curation (a page cluster that
-    * survives a high k is structurally dense, not accidentally
-    * linked). Runs a FIXED `rounds` of synchronous peels (every
-    * sub-threshold vertex in a round is removed together) so the
-    * computation unrolls for the oracle; when a round removes nothing
-    * the remaining rounds are structural no-ops, which is also the
-    * convergence check — a k-core face should pick `rounds` past the
-    * fixture's fixpoint (the spec drives a long path-graph cascade).
-    *
-    * Returns (node, core_deg): the surviving vertices with their
-    * degree inside the surviving subgraph (all >= k iff converged).
-    *
-    * Scale shape: per round one map-side-combined degree aggregation
-    * (explode to 2E (v) rows) + two semi-joins of the edge list
-    * against the keep set — O(E) per round on a monotonically
-    * SHRINKING edge list, the standard synchronous-peel trade (exact
-    * coreness needs O(max-degeneracy) rounds; fixed `rounds` bounds
-    * the job count, same contract as [[pageRank]]'s fixed
-    * iterations). The canonical edge list is materialized once;
-    * lineage is cut every `checkpointEvery` rounds, lazy in between
-    * (the pageRank measurement: eager per-round checkpoints pay a
-    * full job of fixed overhead each). */
   /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
     * time algorithm to detect community structures" — public): every
     * node starts labeled with its own id; each round it adopts the most
@@ -247,6 +221,32 @@ object Graph {
       .agg(count(lit(1)).as("n_members"))
   }
 
+  /** k-core peeling (Seidman 1983, public): repeatedly delete vertices
+    * of degree < k (with their edges) until only the k-core — the
+    * maximal subgraph where every vertex keeps >= k neighbors —
+    * remains. The graph-density screen of link-spam filtering and the
+    * seed-selection step of crawl curation (a page cluster that
+    * survives a high k is structurally dense, not accidentally
+    * linked). Runs a FIXED `rounds` of synchronous peels (every
+    * sub-threshold vertex in a round is removed together) so the
+    * computation unrolls for the oracle; when a round removes nothing
+    * the remaining rounds are structural no-ops, which is also the
+    * convergence check — a k-core face should pick `rounds` past the
+    * fixture's fixpoint (the spec drives a long path-graph cascade).
+    *
+    * Returns (node, core_deg): the surviving vertices with their
+    * degree inside the surviving subgraph (all >= k iff converged).
+    *
+    * Scale shape: per round one map-side-combined degree aggregation
+    * (explode to 2E (v) rows) + two semi-joins of the edge list
+    * against the keep set — O(E) per round on a monotonically
+    * SHRINKING edge list, the standard synchronous-peel trade (exact
+    * coreness needs O(max-degeneracy) rounds; fixed `rounds` bounds
+    * the job count, same contract as [[pageRank]]'s fixed
+    * iterations). The canonical edge list is materialized once;
+    * lineage is cut every `checkpointEvery` rounds, lazy in between
+    * (the pageRank measurement: eager per-round checkpoints pay a
+    * full job of fixed overhead each). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -84,11 +84,19 @@ object Multimodal {
     * `frameChars` window, a frame is silent below `silenceBelow`.
     * Returns per media: frames analyzed, silent count, silence ratio,
     * mean and peak energy — the trim-silence / clipping-screen report.
+    * EVERY input media id appears in the output: media whose payload
+    * is shorter than one full frame report n_frames = 0 / n_silent = 0
+    * with null ratio/mean/peak (a caller joining the report back never
+    * sees missing rows). The trailing PARTIAL frame is truncated —
+    * energies are comparable only across equal-width frames, so a
+    * short tail would skew the silence threshold; callers needing
+    * tail coverage should pad the payload to a frame multiple first.
     *
     * Scale shape: narrow explode (bounded by payload/frameChars per
     * media) + a codegen'd HOF fold per frame + one map-side-combined
-    * groupBy on media_id; audio bytes never shuffle — only (media_id,
-    * energy) rows do. */
+    * groupBy on media_id + one id-keyed left join back to the input id
+    * frame (bytes never ride into it); audio bytes never shuffle —
+    * only (media_id, energy) rows do. */
   def audioEnergy(media: DataFrame, frameChars: Int = 16,
       silenceBelow: Int = 100): DataFrame = {
     require(frameChars > 0, s"frameChars must be positive: $frameChars")
@@ -105,7 +113,7 @@ object Multimodal {
         j => conv(col("p").substr(col("f") * frameChars + j, lit(1)),
           16, 10).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    frames.withColumn("e", energy)
+    val report = frames.withColumn("e", energy)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(when(col("e") < silenceBelow, 1L).otherwise(0L))
@@ -118,6 +126,12 @@ object Multimodal {
         round(col("esum").cast("double") /
           col("n_frames").cast("double"), 6).as("mean_energy"),
         col("peak_energy"))
+    media.select(col("media_id"))
+      .join(report, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        col("silence_ratio"), col("mean_energy"), col("peak_energy"))
   }
 
   /** Frame sampling for video-kind media: every `stride`-th frame index

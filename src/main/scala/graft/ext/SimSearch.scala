@@ -379,16 +379,18 @@ object SimSearch {
       k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val s = emb.sparkSession
-    import s.implicits._
-    val v = emb.select(col(idCol).cast("long").as("id"),
+    // the id is only carried, ordered, and collected — keep its native
+    // type (a string doc id must not silently become a null long)
+    val v = emb.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idField = v.schema("id")
     val n = v.count()
     require(n > 0, "kCenterSelect on an empty corpus")
     val rounds = math.min(k.toLong, n).toInt
     val first = v.orderBy(col("id").asc).limit(1)
       .select(col("id"), col("v")).head()
-    var picked = List((1, first.getAs[Long]("id")))
+    var picked = List((1, first.get(0)))
     var cur = v.withColumn("md",
       lit(1.0) - dot(col("v"), typedLit(first.getAs[Seq[Double]]("v"))))
     var radii = List.empty[Double]
@@ -397,18 +399,23 @@ object SimSearch {
       if (t <= rounds) {
         val next = cur.orderBy(col("md").desc, col("id").asc).limit(1)
           .select(col("id"), col("v")).head()
-        picked = (t, next.getAs[Long]("id")) :: picked
+        picked = (t, next.get(0)) :: picked
         cur = cur.withColumn("md", least(col("md"),
           lit(1.0) - dot(col("v"), typedLit(next.getAs[Seq[Double]]("v")))))
       }
     }
     v.unpersist(false)
-    picked.reverse.zip(radii.reverse)
-      .map { case ((rank, id), r) =>
-        (rank, id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
-      }
-      .toDF("rank", "id", "radius_r")
+    val out = picked.reverse.zip(radii.reverse).map { case ((rank, id), r) =>
+      org.apache.spark.sql.Row(rank, id,
+        BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        idField.copy(name = "id"),
+        org.apache.spark.sql.types.StructField("radius_r",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
   /** Embedding drift report across corpus slices — the monitoring face

@@ -634,53 +634,6 @@ object TextStats {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x)))))
 
-  /** Distributed BPE merge learning (Sennrich/Haddow/Birch 2016, public
-    * paper): learn `numMerges` byte-pair merges from the corpus by
-    * repeatedly merging the globally most frequent adjacent symbol
-    * pair. Classic BPE trains on the WORD-FREQUENCY dictionary, not the
-    * raw corpus — so the iteration runs over `distinct words × counts`
-    * (bounded by vocabulary size, millions of rows at 100 TB corpus
-    * scale, never the corpus itself), which is what makes the
-    * driver-coordinated loop legitimate: per round, one
-    * map-side-combined pair-count aggregation over the dictionary, one
-    * TakeOrderedAndProject argmax (a single-row driver fetch, the Lloyd-
-    * rounds pattern), one narrow contraction map, one localCheckpoint
-    * to cut the per-round lineage (the [[Dedup.connectedComponents]]
-    * discipline).
-    *
-    * Ties break (pair_count DESC, left ASC, right ASC) — a total order,
-    * so the learned merge table is deterministic. Stops early when no
-    * pair reaches `minPairCount`.
-    *
-    * Returns (rank, left, right, pair_count), rank = merge order. */
-  /** Unigram-LM tokenizer training (the SentencePiece-unigram scheme,
-    * Kudo 2018 "Subword regularization" — public), simplified to one
-    * deterministic EM round: (1) candidate pieces = all substrings up
-    * to `maxPieceLen` of the (truncated) word list, vocab = top
-    * `vocabSize` by weighted frequency UNION every single character
-    * (full coverage, so Viterbi never dead-ends); (2) E-step = exact
-    * Viterbi segmentation of every distinct word under the
-    * frequency-initialized piece log-probs; (3) M-step = re-estimate
-    * piece probabilities from the Viterbi usage counts. Returns the
-    * top `topK` pieces by usage: (piece, n_use, logp).
-    *
-    * With FIXED segmentations further EM rounds only re-normalize, so
-    * one round is the honest unit here (the full method re-runs E
-    * under the new probs; that second round is the natural next
-    * extension and changes none of the machinery).
-    *
-    * Determinism (the oracle contract): costs are -logp rounded at 8,
-    * the DP accumulates with a round@8 per step, and the per-position
-    * argmin tie-breaks on (cost, piece) — a total order since the
-    * piece fixes the back-pointer. The vocab is collected to the
-    * driver (bounded: vocabSize + alphabet, the IVF-centroid idiom)
-    * and re-enters both engines as a literal map.
-    *
-    * Scale shape: the E-step DP is a per-DISTINCT-WORD narrow
-    * expression (codegen'd HOF fold, no shuffle) weighted by word
-    * count — corpus volume moves only the word-count agg; vocab
-    * candidate explode is bounded by maxWordLen * maxPieceLen per
-    * distinct word; the M-step is one map-side-combined piece agg. */
   /** The Viterbi segmentation fold shared by the train and fertility
     * faces: per-word DP, state grows one position per step, argmin
     * tie-breaks on (cost@8, piece). Returns (w, cnt, fin(c, seg)). */
@@ -755,6 +708,34 @@ object TextStats {
     (words, rows.map(_.getString(0)).toSeq, v, use)
   }
 
+  /** Unigram-LM tokenizer training (the SentencePiece-unigram scheme,
+    * Kudo 2018 "Subword regularization" — public), simplified to one
+    * deterministic EM round: (1) candidate pieces = all substrings up
+    * to `maxPieceLen` of the (truncated) word list, vocab = top
+    * `vocabSize` by weighted frequency UNION every single character
+    * (full coverage, so Viterbi never dead-ends); (2) E-step = exact
+    * Viterbi segmentation of every distinct word under the
+    * frequency-initialized piece log-probs; (3) M-step = re-estimate
+    * piece probabilities from the Viterbi usage counts. Returns the
+    * top `topK` pieces by usage: (piece, n_use, logp).
+    *
+    * With FIXED segmentations further EM rounds only re-normalize, so
+    * one round is the honest unit here (the full method re-runs E
+    * under the new probs; that second round is the natural next
+    * extension and changes none of the machinery).
+    *
+    * Determinism (the oracle contract): costs are -logp rounded at 8,
+    * the DP accumulates with a round@8 per step, and the per-position
+    * argmin tie-breaks on (cost, piece) — a total order since the
+    * piece fixes the back-pointer. The vocab is collected to the
+    * driver (bounded: vocabSize + alphabet, the IVF-centroid idiom)
+    * and re-enters both engines as a literal map.
+    *
+    * Scale shape: the E-step DP is a per-DISTINCT-WORD narrow
+    * expression (codegen'd HOF fold, no shuffle) weighted by word
+    * count — corpus volume moves only the word-count agg; vocab
+    * candidate explode is bounded by maxWordLen * maxPieceLen per
+    * distinct word; the M-step is one map-side-combined piece agg. */
   def unigramTokenizerTrain(docs: DataFrame, textCol: String,
       vocabSize: Int = 200, maxWordLen: Int = 20, maxPieceLen: Int = 5,
       topK: Int = 50): DataFrame = {
@@ -818,6 +799,25 @@ object TextStats {
           col("n_tokens").cast("double"), 6).as("fertility"))
   }
 
+  /** Distributed BPE merge learning (Sennrich/Haddow/Birch 2016, public
+    * paper): learn `numMerges` byte-pair merges from the corpus by
+    * repeatedly merging the globally most frequent adjacent symbol
+    * pair. Classic BPE trains on the WORD-FREQUENCY dictionary, not the
+    * raw corpus — so the iteration runs over `distinct words × counts`
+    * (bounded by vocabulary size, millions of rows at 100 TB corpus
+    * scale, never the corpus itself), which is what makes the
+    * driver-coordinated loop legitimate: per round, one
+    * map-side-combined pair-count aggregation over the dictionary, one
+    * TakeOrderedAndProject argmax (a single-row driver fetch, the Lloyd-
+    * rounds pattern), one narrow contraction map, one localCheckpoint
+    * to cut the per-round lineage (the [[Dedup.connectedComponents]]
+    * discipline).
+    *
+    * Ties break (pair_count DESC, left ASC, right ASC) — a total order,
+    * so the learned merge table is deterministic. Stops early when no
+    * pair reaches `minPairCount`.
+    *
+    * Returns (rank, left, right, pair_count), rank = merge order. */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int = 30,
       minPairCount: Long = 2): DataFrame = {
     val spark = docs.sparkSession

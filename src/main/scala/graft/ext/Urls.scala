@@ -49,18 +49,6 @@ object Urls {
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
 
-  /** URL-keyed dedup with a keep-BEST survivor — the crawl-side dedup
-    * that runs before any content hashing: refetches of one page land
-    * under one canonical URL, and the pipeline keeps the richest fetch
-    * (highest `scoreCol`; CommonCrawl-style pipelines use length or a
-    * quality score), not an arbitrary one. Ties break to the smallest
-    * id, so the survivor is deterministic in any engine.
-    *
-    * Scale shape: ONE map-side-combined groupBy on the canonical URL
-    * string carrying a (score, -id) struct max — no window, no sort,
-    * no second pass; partial aggregation absorbs hot URLs (the same
-    * keep-first min-struct idiom as CCNet line dedup). Page CONTENT
-    * never enters the shuffle — only the id rides along. */
   /** Per-domain crawl curation rollup: docs, distinct pages (canonical
     * URLs), refetch rate, and size stats per apex domain — the frame a
     * curation pipeline ranks/caps/blocklists domains from (domain-level
@@ -91,6 +79,25 @@ object Urls {
           col("n_docs").cast("double"), 6).as("mean_chars"))
   }
 
+  /** URL-keyed dedup with a keep-BEST survivor — the crawl-side dedup
+    * that runs before any content hashing: refetches of one page land
+    * under one canonical URL, and the pipeline keeps the richest fetch
+    * (highest `scoreCol`; CommonCrawl-style pipelines use length or a
+    * quality score), not an arbitrary one. Ties break to the smallest
+    * id, so the survivor is deterministic in any engine.
+    *
+    * REQUIRES a NUMERIC id column: the tie-break negates the id inside
+    * the struct max (`-id`), which throws AnalysisException for string
+    * ids. That negation is deliberate — it keeps the selection a
+    * single map-side-combined aggregate (below); for non-numeric doc
+    * ids use [[graft.ext.Dedup.dedupSurvivorsByPolicy]]'s window path
+    * or pre-map the id to a numeric surrogate.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the canonical URL
+    * string carrying a (score, -id) struct max — no window, no sort,
+    * no second pass; partial aggregation absorbs hot URLs (the same
+    * keep-first min-struct idiom as CCNet line dedup). Page CONTENT
+    * never enters the shuffle — only the id rides along. */
   def dedupByCanonicalUrl(df: DataFrame, idCol: String, urlCol: String,
       scoreCol: String): DataFrame =
     df.select(col(idCol).as("id"), canonicalize(col(urlCol)).as("canonical"),

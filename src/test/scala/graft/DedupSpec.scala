@@ -331,7 +331,7 @@ class DedupSpec extends SparkSpec {
 
   test("dedupSurvivorsByPolicy: canonical source beats length, length " +
       "breaks within source, ids break last, singletons untouched") {
-    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.functions.{col, struct, concat, lit}
     val d = Seq(
       (1L, "srcX", 500L), (2L, "src0", 100L), // cluster {1,2}
       (3L, "srcY", 80L), (4L, "srcY", 300L), // cluster {3,4}
@@ -350,6 +350,16 @@ class DedupSpec extends SparkSpec {
     val minId = graft.ext.Dedup.dedupSurvivors(d, "doc_id", pairs)
       .select("doc_id").as[Long].collect().toSet
     assert(minId == Set(1L, 3L, 5L, 7L), s"min-id baseline: $minId")
+    // STRING doc ids work too (the window path has no -id negation):
+    // same clusters, ids prefixed — full tie at {d5,d6} keeps min id d5
+    val ds = d.select(concat(lit("d"), col("doc_id")).as("doc_id"),
+      col("source"), col("n_chars"))
+    val pairsS = pairs.select(concat(lit("d"), col("id_a")).as("id_a"),
+      concat(lit("d"), col("id_b")).as("id_b"))
+    val keptS = graft.ext.Dedup
+      .dedupSurvivorsByPolicy(ds, "doc_id", pairsS, prio)
+      .select("doc_id").as[String].collect().toSet
+    assert(keptS == Set("d2", "d4", "d5", "d7"), s"string ids: $keptS")
   }
 
   test("dupAttribution: within-source pairs land on the diagonal, " +

@@ -287,6 +287,15 @@ class EventsOpsSpec extends SparkSpec {
         frameChars = 16, silenceBelow = 100)
       .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
     assert(again == out.toSet)
+    // a sub-frame payload still yields a row: n_frames = 0, null stats
+    // (16-char header + 8 payload chars < one 16-char frame)
+    val short = Seq((99L, "audio", ("MM01" + "0" * 12 + "deadbeef")
+        .getBytes("UTF-8"))).toDF("media_id", "kind", "bytes")
+    val z = Multimodal.audioEnergy(short, frameChars = 16)
+      .collect()
+    assert(z.length == 1, "short media must not vanish from the report")
+    assert(z.head.getLong(1) == 0L && z.head.getLong(2) == 0L)
+    assert(z.head.isNullAt(3) && z.head.isNullAt(4) && z.head.isNullAt(5))
   }
 
   test("transitionMatrix: per-user ordering, cross-user isolation, " +

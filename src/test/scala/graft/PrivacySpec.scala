@@ -85,6 +85,34 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("dpGroupCounts: null group noise matches the documented ' ' " +
+      "coalesce convention (oracle parity)") {
+    // The DuckDB oracle (qDpHistogramSql) and dpGroupMeans both build
+    // the noise key with COALESCE(col, ' '); a null group value must
+    // therefore draw EXACTLY the noise of an explicit " " value, or a
+    // null-group release hashes differently in the two engines.
+    val nullG = Seq((null.asInstanceOf[String], 1),
+      (null.asInstanceOf[String], 2), (null.asInstanceOf[String], 3))
+      .toDF("g", "x")
+    val spaceG = Seq((" ", 1), (" ", 2), (" ", 3)).toDF("g", "x")
+    val nNull = Privacy.dpGroupCounts(nullG, Seq("g"), eps = 1.0)
+      .select("noisy_count").as[Double].collect().head
+    val nSpace = Privacy.dpGroupCounts(spaceG, Seq("g"), eps = 1.0)
+      .select("noisy_count").as[Double].collect().head
+    assert(nNull == nSpace,
+      s"null group must hash like ' ' (got $nNull vs $nSpace)")
+    assert(nNull != 3.0, "noise actually applied to the null group")
+    // same parity for the means release (it already used ' ')
+    val mNull = Privacy.dpGroupMeans(
+        Seq((null.asInstanceOf[String], 4.0)).toDF("g", "v"),
+        Seq("g"), "v", 0.0, 10.0, eps = 0.5)
+      .select("noisy_count", "dp_mean").as[(Double, Double)].collect().head
+    val mSpace = Privacy.dpGroupMeans(Seq((" ", 4.0)).toDF("g", "v"),
+        Seq("g"), "v", 0.0, 10.0, eps = 0.5)
+      .select("noisy_count", "dp_mean").as[(Double, Double)].collect().head
+    assert(mNull == mSpace, s"means parity: $mNull vs $mSpace")
+  }
+
   // sensitive values: (NY,M) -> {a,a,b,b} l=2, (NY,F) -> {a,c} l=2,
   // (LA,M) -> {a} l=1
   private val sensPeople = Seq(

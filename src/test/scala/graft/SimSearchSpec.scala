@@ -340,6 +340,18 @@ class SimSearchSpec extends SparkSpec {
     val all = SimSearch.kCenterSelect(tiny, "vec_id", "embedding", k = 10)
       .as[(Int, Long, Double)].collect()
     assert(all.length == 3 && all.map(_._2).distinct.length == 3)
+    // ids keep their NATIVE type: string ids survive untouched (the
+    // old long cast nulled them and broke the traversal)
+    val strIds = corpus.select(
+      concat(lit("v"), lpad($"vec_id".cast("string"), 4, "0")).as("vec_id"),
+      $"embedding")
+    val selS = SimSearch.kCenterSelect(strIds, "vec_id", "embedding", k = 4)
+      .as[(Int, String, Double)].collect().sortBy(_._1)
+    assert(selS.forall(_._2 != null), "no nulled ids")
+    assert(selS.head._2 == "v0000", "seed = lexicographically smallest id")
+    assert(selS.map(_._2).toSeq ==
+      sel.take(4).map(r => f"v${r._2}%04d").toSeq,
+      "zero-padded string ids replay the numeric selection")
   }
 
   test("knnGraph: over-cap clusters are excluded, never joined") {
