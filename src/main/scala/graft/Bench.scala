@@ -40,6 +40,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the default 100-entry codegen class cache thrashes across a
+      // 220-query suite: by the time q_incremental_dedup runs, the
+      // minhash/jaccard classes compiled for the q_dedup_* faces are
+      // evicted and it re-pays ~2s Janino + ~4s JIT per run — the r6
+      // "5.9x floor mover" was exactly this. A long-lived production
+      // session keeps its compiled plans; the bench session should too.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
