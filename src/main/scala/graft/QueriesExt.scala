@@ -5100,19 +5100,40 @@ object QueriesExt {
   /** Triangle count over the part co-occurrence graph (parts sharing an
     * order — the part->supplier graph is bipartite and trivially
     * triangle-free): degree-ordered orientation (Graph.triangleCount),
-    * exact integer result. */
+    * exact integer result.
+    *
+    * HOT-BASKET BOUND: the co-occurrence edge build self-joins on the
+    * order key, which is per-order QUADRATIC — safe on TPC-H (<= 7
+    * lines/order) but one crawler-trap basket with 10^4 items would
+    * emit 5*10^7 pairs from a single key. Orders with more than
+    * `triMaxBasket` distinct parts are dropped BEFORE pairing (the
+    * [[graft.ext.Dedup]] `maxBucket` cap discipline: a basket that
+    * big is a degenerate hub that contributes no curation signal, and
+    * the cap turns worst-case quadratic into <= cap^2/2 per order).
+    * The fixture never reaches the cap at either sf, so the face stays
+    * bit-exact while the plan carries the guard. */
+  private val triMaxBasket = 32
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val e = l.alias("x").join(l.alias("y"),
+      .distinct()
+    val smallOrders = l.groupBy(col("o"))
+      .agg(count(lit(1)).as("np"))
+      .filter(col("np") <= triMaxBasket)
+      .select(col("o"))
+    val lc = l.join(smallOrders, Seq("o"), "left_semi")
+    val e = lc.alias("x").join(lc.alias("y"),
       col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
     Graph.triangleCount(e, "src", "dst")
   }
   private val qTrianglesSql =
-    """WITH e0 AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b
-      |  FROM lineitem x JOIN lineitem y
-      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      |ok AS (SELECT o FROM lp GROUP BY 1 HAVING count(*) <= $triMaxBasket),
+      |lc AS (SELECT lp.o, lp.p FROM lp JOIN ok USING (o)),
+      |e0 AS (SELECT DISTINCT x.p a, y.p b
+      |  FROM lc x JOIN lc y
+      |    ON x.o = y.o AND x.p < y.p),
       |deg AS (SELECT v, count(*) d FROM (
       |    SELECT a v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
       |wd AS (SELECT a, b, da.d da, db.d db

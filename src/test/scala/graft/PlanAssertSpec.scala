@@ -268,6 +268,20 @@ class PlanAssertSpec extends SparkSpec {
       s"simpleLinearFit must stay a single agg pass; plan:\n$plan")
   }
 
+  test("q_triangles: hot-basket cap guards the per-order pair blowup") {
+    // the co-occurrence edge build is per-order quadratic; orders above
+    // triMaxBasket distinct parts must be filtered out BEFORE the
+    // self-join (one crawler-trap basket with 10^4 items would emit
+    // 5*10^7 pairs from a single key). The cap predicate shows up as a
+    // post-agg HAVING-style filter on the per-order part count.
+    val plan = planOf("q_triangles")
+    assert(plan.contains("np#") && "np#\\d+L? <= 32".r
+      .findFirstIn(plan).isDefined,
+      s"q_triangles must keep its <= 32 basket cap before pairing; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"edge build must stay an equi-join; plan:\n$plan")
+  }
+
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e"))
