@@ -1424,6 +1424,38 @@ object QueriesExt {
        |FROM m LEFT JOIN r USING (media_id)""".stripMargin
   }
 
+  /** REAL image codec round trip (Multimodal.synthesizeImages +
+    * imageStats): every (doc_id % 7 = 3) doc gets a deterministic
+    * grayscale PNG — pixel (x,y) = (id*31+x*7+y*13) mod 256 — REALLY
+    * encoded by javax.imageio, then REALLY decoded back, reporting
+    * exact integer pixel statistics. The oracle never sees PNG bytes:
+    * it recomputes the statistics from the pattern formula, so the
+    * gate passes iff the actual encode->decode round trip is
+    * bit-perfect (PNG is lossless). This is the de-faked image half of
+    * the multimodal tier; audio/video keep the labeled fake. */
+  private def qImageDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"))
+    Multimodal.imageStats(Multimodal.synthesizeImages(ids, "doc_id"))
+  }
+  private val qImageDecodeSql =
+    """WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 7 = 3),
+      |dims AS (SELECT id, CAST(id % 48 + 8 AS INT) w,
+      |    CAST(id % 32 + 8 AS INT) h FROM ids),
+      |st AS (SELECT id, w, h,
+      |    list_sum(flatten(list_transform(range(h), y ->
+      |      list_transform(range(w), x ->
+      |        (id * 31 + x * 7 + y * 13) % 256)))) s,
+      |    list_sum(flatten(list_transform(range(h), y ->
+      |      list_transform(range(w), x -> CASE
+      |        WHEN (id * 31 + x * 7 + y * 13) % 256 >= 128
+      |        THEN 1 ELSE 0 END)))) b
+      |  FROM dims)
+      |SELECT id media_id, true decode_ok, w width, h height,
+      |  CAST(w AS BIGINT) * h n_px, CAST(s AS BIGINT) sum_lum,
+      |  CAST(b AS BIGINT) n_bright
+      |FROM st""".stripMargin
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
       docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
@@ -6073,6 +6105,7 @@ object QueriesExt {
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_multimodal" -> (qMultimodal _),
     "q_media_energy" -> (qMediaEnergy _),
+    "q_image_decode" -> (qImageDecode _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_json" -> (qVariantJson _),
@@ -6259,6 +6292,7 @@ object QueriesExt {
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_multimodal" -> qMultimodalSql,
     "q_media_energy" -> qMediaEnergySql,
+    "q_image_decode" -> qImageDecodeSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_json" -> qVariantJsonSql,

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, processed in batched per-partition passes.
   *
-  * The actual codecs (JPEG decode, audio resample, video frame-split) are
-  * NOT in this offline container — the decode kernel is a clearly-marked
-  * deterministic FAKE (parses our own synthetic header). Everything
-  * around it is the real Spark shape: schema, partition-sized batching,
-  * pure-function kernels on `Dataset.mapPartitions`, no driver collects,
-  * binary never shuffled except by explicit repartition.
+  * Codec honesty ledger: the IMAGE path is REAL — [[synthesizeImages]]
+  * encodes and [[imageStats]] decodes actual PNG bytes via
+  * `javax.imageio` (JDK-only, works offline), oracle-checked through a
+  * genuine encode->decode round trip. Audio resample and video
+  * frame-split codecs are NOT in this offline container — those decode
+  * kernels are clearly-marked deterministic FAKEs (parse our own
+  * synthetic header). Everything around them is the real Spark shape:
+  * schema, partition-sized batching, pure-function kernels, no driver
+  * collects, binary never shuffled except by explicit repartition.
   */
 object Multimodal {
 
@@ -215,4 +218,104 @@ object Multimodal {
       .withColumn("meta", when(col("meta").isNotNull, struct(
         lit(newWidth).as("width"), lit(newHeight).as("height"),
         col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))))
+
+  // ------------------------------------------------------------------
+  // REAL image codec path (javax.imageio — JDK-only, offline-safe).
+  // The image half of the multimodal tier is no longer a fake: PNG
+  // bytes are really encoded and really decoded. Audio/video keep the
+  // labeled fake (no codec libs in this container).
+  // ------------------------------------------------------------------
+
+  /** Deterministic grayscale test pattern: pixel (x, y) of image `id`
+    * has gray level (id*31 + x*7 + y*13) mod 256. The formula is the
+    * oracle contract — PNG is lossless, so a SQL mirror of this
+    * expression must reproduce [[imageStats]] EXACTLY over the real
+    * encode->decode round trip; any byte the codec garbles breaks the
+    * gate. Width/height derive from the id (w = id%48+8, h = id%32+8)
+    * so every image has its own dimensions. */
+  private def patternGray(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7L + y * 13L) % 256L).toInt + 256) % 256
+
+  /** Fixture writer: REAL PNG bytes per id (BufferedImage
+    * TYPE_BYTE_GRAY -> ImageIO "png"), one narrow UDF map — encoding
+    * runs where the ids live, bytes never shuffle. A codec kernel is
+    * the legitimate UDF case: opaque JVM work per row, nothing for
+    * Catalyst to push into or through. */
+  def synthesizeImages(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val w = (id % 48 + 8).toInt
+      val h = (id % 32 + 8).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, patternGray(id, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+    ids.select(col(idCol).cast(LongType).as("media_id"),
+      lit("image").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** REAL image decode + feature extraction: ImageIO sniffs the
+    * container (PNG/JPEG/GIF/BMP — whatever the JDK readers handle),
+    * and the kernel reports exact INTEGER pixel statistics so the
+    * result is bit-stable across JVMs: (width, height, n_px, sum_lum,
+    * n_bright). Luminance = band 0 for single-band images, integer
+    * ITU-R 601 ((299r + 587g + 114b) / 1000, truncating) for >= 3
+    * bands. `n_bright` counts pixels with luminance >= 128. Undecodable
+    * bytes -> null struct (the row survives; a curation pipeline
+    * filters on decode_ok).
+    *
+    * Scale shape: one narrow UDF projection — decode runs
+    * data-parallel on the partition holding the bytes, nothing
+    * shuffles. At 100 TB the bytes column stays columnar-compressed in
+    * parquet; only the (id, stats) frame moves downstream. */
+  def imageStats(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val dec = udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Throwable => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          var sum = 0L
+          var bright = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val lum =
+                if (bands >= 3)
+                  (299 * raster.getSample(x, y, 0) +
+                    587 * raster.getSample(x, y, 1) +
+                    114 * raster.getSample(x, y, 2)) / 1000
+                else raster.getSample(x, y, 0)
+              sum += lum
+              if (lum >= 128) bright += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, w.toLong * h, sum, bright))
+        }
+      }
+    })
+    media.withColumn("__s", dec(col(bytesCol)))
+      .select(col("media_id"),
+        col("__s").isNotNull.as("decode_ok"),
+        col("__s._1").as("width"), col("__s._2").as("height"),
+        col("__s._3").as("n_px"), col("__s._4").as("sum_lum"),
+        col("__s._5").as("n_bright"))
+  }
 }

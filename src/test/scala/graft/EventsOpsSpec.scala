@@ -298,6 +298,51 @@ class EventsOpsSpec extends SparkSpec {
     assert(z.head.isNullAt(3) && z.head.isNullAt(4) && z.head.isNullAt(5))
   }
 
+  test("imageStats: REAL PNG round trip reproduces the pattern formula, " +
+      "RGB takes the ITU-601 path, garbage bytes survive as decode_ok=false") {
+    def gray(id: Long, x: Int, y: Int): Int =
+      (((id * 31 + x * 7L + y * 13L) % 256L).toInt + 256) % 256
+    val ids = Seq(3L, 10L, 45L, 100L).map(Tuple1(_)).toDF("id")
+    val media = Multimodal.synthesizeImages(ids, "id")
+    // bytes are REAL PNGs: magic 0x89 'P' 'N' 'G'
+    media.select("bytes").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    }
+    val out = Multimodal.imageStats(media)
+      .as[(Long, Boolean, Int, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4 && out.values.forall(_._2), "all decode")
+    out.foreach { case (id, r) =>
+      val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+      val px = for { y <- 0 until h; x <- 0 until w } yield gray(id, x, y)
+      assert(r._3 == w && r._4 == h && r._5 == w.toLong * h, s"dims: $r")
+      assert(r._6 == px.map(_.toLong).sum, s"sum_lum mismatch for $id: $r")
+      assert(r._7 == px.count(_ >= 128).toLong, s"n_bright for $id: $r")
+    }
+    // an RGB image goes through integer ITU-601 luminance
+    val rgb = {
+      val img = new java.awt.image.BufferedImage(2, 1,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000) // red: (299*255)/1000 = 76
+      img.setRGB(1, 0, 0xffffff) // white: 255
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq((1L, "image", rgb),
+      (2L, "image", "not a png at all".getBytes("UTF-8")),
+      (3L, "image", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "bytes")
+    val mixed = Multimodal.imageStats(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(mixed(1L).getBoolean(1) && mixed(1L).getLong(5) == 76L + 255L &&
+      mixed(1L).getLong(6) == 1L, s"rgb: ${mixed(1L)}")
+    assert(!mixed(2L).getBoolean(1) && mixed(2L).isNullAt(2),
+      "garbage bytes -> decode_ok=false, null stats, row kept")
+    assert(!mixed(3L).getBoolean(1), "null bytes -> decode_ok=false")
+  }
+
   test("transitionMatrix: per-user ordering, cross-user isolation, " +
       "probabilities condition on the from state, tie-break total") {
     def ev(id: Long, u: Long, t: String, typ: String) =
