@@ -36,7 +36,12 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val fastCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_SEC", "1.0").toDouble
     val heavyCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "8.0").toDouble
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toDouble
+    // r7 post-mortem: the closing run hit the 540s budget (628s wall),
+    // degraded reps, and rebuilt several floors from in-suite noise
+    // spikes. The driver's wall cap is ~20 min; 900s leaves headroom
+    // for JVM startup + the confirm pass while restoring full reps.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,7 +51,7 @@ object Bench {
       // evicted and it re-pays ~2s Janino + ~4s JIT per run — the r6
       // "5.9x floor mover" was exactly this. A long-lived production
       // session keeps its compiled plans; the bench session should too.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", cgCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -197,8 +202,25 @@ object Bench {
           cleanup()
         }
       }
-    val floors = floorsNow
-    val floorMoves = movesOf(floors)
+    // MONOTONE floors (VERDICT r7 Next #1): the committed floor is
+    // min(previous floor, this round's best rep). A noisy closing run
+    // can therefore never re-pin a floor UPWARD and blind the next
+    // round's regression detection (r7 poisoned q_rollup 0.795->7.413
+    // exactly this way). A floor may only move up by a MANUAL edit of
+    // bench_floor.json accompanied by a committed floor_evidence_r{N}
+    // .json entry with isolated-probe medians justifying the re-pin
+    // (e.g. a query's semantics legitimately got more expensive).
+    // Queries that errored this round keep their previous floor;
+    // queries no longer in the registry are dropped.
+    val floors: Map[String, Double] = SparkEntry.queries.keys.flatMap { k =>
+      (prevFloors.get(k), floorsNow.get(k)) match {
+        case (Some(p), Some(c)) => Some(k -> math.min(p, c))
+        case (Some(p), None)    => Some(k -> p)
+        case (None, Some(c))    => Some(k -> c)
+        case (None, None)       => None
+      }
+    }.toMap
+    val floorMoves = movesOf(floorsNow)
     // built AFTER the confirm pass so reps_used/spreads include its runs
     val ru = repsUsed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -209,10 +231,27 @@ object Bench {
       .mkString("{", ",", "}")
     val movesJson = floorMoves.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // JVM memory/GC telemetry for the suite-position drift investigation
+    // (VERDICT r7 Next #2): cumulative GC work and peak metaspace/heap
+    // let an A/B over spark.sql.codegen.cache.maxEntries say whether a
+    // big codegen class cache raises late-suite memory pressure.
+    import scala.jdk.CollectionConverters._
+    val gcs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val gcCount = gcs.map(_.getCollectionCount.max(0L)).sum
+    val gcSec = r3(gcs.map(_.getCollectionTime.max(0L)).sum / 1000.0)
+    def peakMb(pool: String): Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains(pool))
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .foldLeft(0L)(_ + _) >> 20
+    val metaspaceMb = peakMb("Metaspace")
+    val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"floor_regressions":${floorMoves.size},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -809,6 +809,13 @@ object QueriesExt {
   private def qTrimmedMean(s: SparkSession, dir: String): DataFrame =
     profile.NumericProfile.trimmedMean(docs(s, dir), "n_chars", "lang",
       loQ = 0.05, hiQ = 0.95)
+
+  /** Approx sibling of q_trimmed_mean: sketch bounds + one conditional
+    * mean pass, no (group x value) grid. Rows-only gate (see
+    * qQuantilePanelApprox); paired in the bench for measured speedup. */
+  private def qTrimmedMeanApprox(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.trimmedMeanApprox(docs(s, dir), "n_chars",
+      "lang", loQ = 0.05, hiQ = 0.95)
   private val qTrimmedMeanSql: String =
     """WITH g AS (SELECT lang g, round(CAST(n_chars AS DOUBLE), 6) v,
       |    count(*) c FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
@@ -1390,40 +1397,70 @@ object QueriesExt {
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------
-  /** Audio energy / silence profile over synthesized audio media
-    * (Multimodal.audioEnergy): per-media frame energies off the fake
-    * 4-bit samples, silence ratio, mean/peak — deterministic plumbing
-    * for the trim-silence report (codec honestly fake, offline). */
+  /** Audio energy / silence profile over REAL WAV media
+    * (Multimodal.synthesizeWav + audioEnergy): every (doc_id % 4 = 1)
+    * doc gets a deterministic 16-bit PCM clip — sample i =
+    * ((id*7919 + i*104729) mod 65536) - 32768, n = id%1984+64 samples —
+    * REALLY encoded into a RIFF/WAV container by javax.sound.sampled,
+    * then REALLY decoded back into per-frame energies (16-sample
+    * frames, energy = sum |sample|, silent below 250000). The oracle
+    * never sees WAV bytes: it recomputes the report from the sample
+    * formula, so the gate passes iff the actual encode->decode round
+    * trip is bit-perfect (PCM is lossless). */
   private def qMediaEnergy(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesize(
+    val media = Multimodal.synthesizeWav(
       docs(s, dir).filter(col("doc_id") % 4 === 1).select(col("doc_id")),
-      "doc_id", "audio")
-    Multimodal.audioEnergy(media, frameChars = 16, silenceBelow = 100)
+      "doc_id")
+    Multimodal.audioEnergy(media, frameSamples = 16, silenceBelow = 250000L)
   }
-  private val qMediaEnergySql: String = {
-    // payload mirror of Multimodal.synthesize: sha2 chain from the id
-    val pay = (0 until 9).map(i => s"sha256(CAST(doc_id AS VARCHAR) || ':$i')")
-      .mkString("substr(", " || ", ", 1, 256)")
-    s"""WITH m AS (SELECT doc_id media_id, $pay p FROM documents
-       |  WHERE doc_id % 4 = 1),
-       |fr AS (SELECT media_id, p, unnest(range(len(p) // 16)) f FROM m
-       |  WHERE len(p) >= 16),
-       |en AS (SELECT media_id,
-       |    list_sum(list_transform(range(16), j ->
-       |      CAST(('0x' || substr(p, CAST(f * 16 + j + 1 AS INT), 1)) AS BIGINT))) e
-       |  FROM fr),
-       |r AS (SELECT media_id, count(*) n_frames,
-       |    CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS BIGINT) n_silent,
-       |    round(CAST(sum(CASE WHEN e < 100 THEN 1 ELSE 0 END) AS DOUBLE)
-       |      / CAST(count(*) AS DOUBLE), 6) silence_ratio,
-       |    round(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) mean_energy,
-       |    CAST(max(e) AS BIGINT) peak_energy
-       |  FROM en GROUP BY 1)
-       |SELECT m.media_id, COALESCE(r.n_frames, 0) n_frames,
-       |  COALESCE(r.n_silent, 0) n_silent, r.silence_ratio, r.mean_energy,
-       |  r.peak_energy
-       |FROM m LEFT JOIN r USING (media_id)""".stripMargin
+  private val qMediaEnergySql: String =
+    """WITH m AS (SELECT doc_id media_id, CAST(doc_id % 1984 + 64 AS BIGINT) n
+      |  FROM documents WHERE doc_id % 4 = 1),
+      |fr AS (SELECT media_id, unnest(range(n // 16)) f FROM m),
+      |en AS (SELECT media_id,
+      |    CAST(list_sum(list_transform(range(16), j ->
+      |      abs(((media_id * 7919 + (f * 16 + j) * 104729) % 65536)
+      |        - 32768))) AS BIGINT) e
+      |  FROM fr),
+      |r AS (SELECT media_id, count(*) n_frames,
+      |    CAST(sum(CASE WHEN e < 250000 THEN 1 ELSE 0 END) AS BIGINT) n_silent,
+      |    round(CAST(sum(CASE WHEN e < 250000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 6) silence_ratio,
+      |    round(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) mean_energy,
+      |    CAST(max(e) AS BIGINT) peak_energy
+      |  FROM en GROUP BY 1)
+      |SELECT m.media_id, COALESCE(r.n_frames, 0) n_frames,
+      |  COALESCE(r.n_silent, 0) n_silent, r.silence_ratio, r.mean_energy,
+      |  r.peak_energy
+      |FROM m LEFT JOIN r USING (media_id)""".stripMargin
+
+  /** REAL audio codec round trip (Multimodal.synthesizeWav +
+    * audioStats): every (doc_id % 6 = 2) doc gets a deterministic
+    * 16-bit mono 8 kHz PCM clip, REALLY encoded via javax.sound.sampled
+    * into a RIFF/WAV container, then REALLY decoded back, reporting the
+    * parsed format plus exact integer sample statistics (sum |s|, peak
+    * |s|, count of |s| >= 16384). The oracle recomputes everything from
+    * the sample formula without seeing the bytes — the audio sibling of
+    * q_image_decode, de-faking the audio half of the multimodal tier. */
+  private def qAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 6 === 2)
+      .select(col("doc_id"))
+    Multimodal.audioStats(Multimodal.synthesizeWav(ids, "doc_id"))
   }
+  private val qAudioDecodeSql =
+    """WITH m AS (SELECT doc_id id, CAST(doc_id % 1984 + 64 AS BIGINT) n
+      |  FROM documents WHERE doc_id % 6 = 2),
+      |sm AS (SELECT id, unnest(range(n)) i FROM m),
+      |v AS (SELECT id,
+      |    abs(((id * 7919 + i * 104729) % 65536) - 32768) a FROM sm),
+      |st AS (SELECT id, CAST(count(*) AS BIGINT) n_samples,
+      |    CAST(sum(a) AS BIGINT) sum_abs, CAST(max(a) AS INT) peak_abs,
+      |    CAST(sum(CASE WHEN a >= 16384 THEN 1 ELSE 0 END) AS BIGINT) n_loud
+      |  FROM v GROUP BY 1)
+      |SELECT id media_id, true decode_ok, CAST(8000 AS INT) sample_rate,
+      |  CAST(1 AS INT) n_channels, CAST(16 AS INT) bits, n_samples,
+      |  sum_abs, peak_abs, n_loud
+      |FROM st""".stripMargin
 
   /** REAL image codec round trip (Multimodal.synthesizeImages +
     * imageStats): every (doc_id % 7 = 3) doc gets a deterministic
@@ -3645,6 +3682,22 @@ object QueriesExt {
         .as("lag_sec"), lit("all").as("g"))
     profile.NumericProfile.quantilePanel(p, "lag_sec", "g")
   }
+
+  /** Approx sibling of q_conversion_lag: identical lag derivation, the
+    * panel from a percentile_approx sketch instead of the exact grid.
+    * Rows-only gate (see qQuantilePanelApprox); paired in the bench. */
+  private def qConversionLagApprox(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("vts"))
+      .groupBy(col("user_id"), col("vts")).agg(min(col("ts")).as("pts"))
+      .select((unix_timestamp(col("pts")) - unix_timestamp(col("vts")))
+        .as("lag_sec"), lit("all").as("g"))
+    profile.NumericProfile.quantilePanelApprox(p, "lag_sec", "g")
+  }
   private val qConversionLagSql: String =
     """WITH v AS (SELECT user_id, min(ts) vts FROM events
       |    WHERE event_type = 'view' GROUP BY 1),
@@ -4463,6 +4516,15 @@ object QueriesExt {
     * (group x distinct-value) grid, no percentile_approx. */
   private def qQuantilePanel(s: SparkSession, dir: String): DataFrame =
     profile.NumericProfile.quantilePanel(docs(s, dir), "n_chars", "lang")
+
+  /** Approx sibling of q_quantile_panel (the 100 TB default path):
+    * percentile_approx sketch at accuracy 10000 — rank error 0.01 %,
+    * exact below 10k rows/group. Rows-only gate by design (sketch
+    * tie-breaking is engine-specific); the exact face is the value
+    * oracle and ApproxQuantileSpec pins approx == exact on
+    * sub-accuracy groups. Paired in the bench for measured speedup. */
+  private def qQuantilePanelApprox(s: SparkSession, dir: String): DataFrame =
+    profile.NumericProfile.quantilePanelApprox(docs(s, dir), "n_chars", "lang")
   private val qQuantilePanelSql: String = {
     val picks = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75, 90 -> 0.9,
       99 -> 0.99).map { case (p, q) =>
@@ -5992,6 +6054,7 @@ object QueriesExt {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_quantile_panel" -> (qQuantilePanel _),
+    "q_quantile_panel_approx" -> (qQuantilePanelApprox _),
     "q_rare_collapse" -> (qRareCollapse _),
     "q_target_encode" -> (qTargetEncode _),
     "q_split_leakage" -> (qSplitLeakage _),
@@ -6013,6 +6076,7 @@ object QueriesExt {
     "q_funnel" -> (qFunnel _),
     "q_markov" -> (qMarkov _),
     "q_conversion_lag" -> (qConversionLag _),
+    "q_conversion_lag_approx" -> (qConversionLagApprox _),
     "q_ab_test" -> (qAbTest _),
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -6094,6 +6158,7 @@ object QueriesExt {
     "q_spearman" -> (qSpearman _),
     "q_skew_kurtosis" -> (qSkewKurtosis _),
     "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_trimmed_mean_approx" -> (qTrimmedMeanApprox _),
     "q_fingerprint" -> (qFingerprint _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -6129,6 +6194,7 @@ object QueriesExt {
     "q_multimodal" -> (qMultimodal _),
     "q_media_energy" -> (qMediaEnergy _),
     "q_image_decode" -> (qImageDecode _),
+    "q_audio_decode" -> (qAudioDecode _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_json" -> (qVariantJson _),
@@ -6316,6 +6382,7 @@ object QueriesExt {
     "q_multimodal" -> qMultimodalSql,
     "q_media_energy" -> qMediaEnergySql,
     "q_image_decode" -> qImageDecodeSql,
+    "q_audio_decode" -> qAudioDecodeSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_json" -> qVariantJsonSql,

@@ -165,8 +165,8 @@ object Graph {
     val tris = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
     tris.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
   }
 

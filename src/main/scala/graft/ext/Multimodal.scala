@@ -10,12 +10,18 @@ import org.apache.spark.sql.types._
   * Codec honesty ledger: the IMAGE path is REAL — [[synthesizeImages]]
   * encodes and [[imageStats]] decodes actual PNG bytes via
   * `javax.imageio` (JDK-only, works offline), oracle-checked through a
-  * genuine encode->decode round trip. Audio resample and video
-  * frame-split codecs are NOT in this offline container — those decode
-  * kernels are clearly-marked deterministic FAKEs (parse our own
-  * synthetic header). Everything around them is the real Spark shape:
-  * schema, partition-sized batching, pure-function kernels, no driver
-  * collects, binary never shuffled except by explicit repartition.
+  * genuine encode->decode round trip. The AUDIO path is REAL too (round
+  * 8): [[synthesizeWav]] encodes and [[audioStats]]/[[audioEnergy]]
+  * decode actual RIFF/WAV PCM bytes via `javax.sound.sampled` (JDK-only,
+  * offline-safe), oracle-checked the same way — the q_audio_decode /
+  * q_media_energy oracles recompute the statistics from the sample
+  * formula without ever seeing the bytes, so the gates pass iff the
+  * encode->decode round trip is bit-perfect (PCM is lossless). Only the
+  * VIDEO frame-split codec remains a clearly-marked deterministic FAKE
+  * (parses our own synthetic header; no video codec libs in this
+  * container). Everything around it is the real Spark shape: schema,
+  * partition-sized batching, pure-function kernels, no driver collects,
+  * binary never shuffled except by explicit repartition.
   */
 object Multimodal {
 
@@ -79,62 +85,205 @@ object Multimodal {
       substring(md5(bytes), 1, 8).as("digest8"))
   }
 
-  /** Audio energy / silence profile — the FAKE sibling of a PCM energy
-    * pass (a production build decodes real samples; the plan shape —
-    * explode fixed-size frames, fold a per-frame energy, aggregate per
-    * media — is identical). Here each payload hex char stands in for a
-    * 4-bit sample: frame energy = sum of the char values over a
-    * `frameChars` window, a frame is silent below `silenceBelow`.
-    * Returns per media: frames analyzed, silent count, silence ratio,
-    * mean and peak energy — the trim-silence / clipping-screen report.
-    * EVERY input media id appears in the output: media whose payload
-    * is shorter than one full frame report n_frames = 0 / n_silent = 0
-    * with null ratio/mean/peak (a caller joining the report back never
-    * sees missing rows). The trailing PARTIAL frame is truncated —
-    * energies are comparable only across equal-width frames, so a
-    * short tail would skew the silence threshold; callers needing
-    * tail coverage should pad the payload to a frame multiple first.
+  // ------------------------------------------------------------------
+  // REAL audio codec path (javax.sound.sampled — JDK-only, offline-
+  // safe). Round 8: the audio half of the multimodal tier is no longer
+  // a fake. RIFF/WAV PCM bytes are really encoded and really decoded;
+  // the honesty ledger now holds video only.
+  // ------------------------------------------------------------------
+
+  /** Deterministic 16-bit PCM test signal: sample i of media `id` is
+    * ((id*7919 + i*104729) mod 65536) - 32768 — a full-swing
+    * quasi-uniform sequence (the additive step 104729 mod 65536 is odd,
+    * so consecutive samples walk the whole 16-bit range). The formula
+    * is the oracle contract: WAV PCM is lossless, so a SQL mirror of
+    * this expression must reproduce [[audioStats]]/[[audioEnergy]]
+    * EXACTLY over the real encode->decode round trip; any byte the
+    * codec garbles breaks the gate. Sample count derives from the id
+    * (n = floorMod(id, 1984) + 64) so every clip has its own length. */
+  private def patternSample(id: Long, i: Int): Int =
+    java.lang.Math.floorMod(id * 7919L + i * 104729L, 65536L).toInt - 32768
+
+  private[graft] def patternSampleCount(id: Long): Int =
+    java.lang.Math.floorMod(id, 1984L).toInt + 64
+
+  /** Fixture writer: REAL WAV bytes per id — 16-bit signed PCM,
+    * little-endian, mono, 8 kHz, full RIFF/WAVE container via
+    * `AudioSystem.write`. One narrow UDF map; encoding runs where the
+    * ids live, bytes never shuffle. A codec kernel is the legitimate
+    * UDF case: opaque JVM work per row, nothing for Catalyst to push
+    * into or through. */
+  def synthesizeWav(ids: DataFrame, idCol: String,
+      sampleRate: Float = 8000f): DataFrame = {
+    val enc = udf((id: Long) => {
+      val n = patternSampleCount(id)
+      val raw = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = patternSample(id, i)
+        raw(i * 2) = (s & 0xff).toByte
+        raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate, 16, 1, 2, sampleRate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    })
+    ids.select(col(idCol).cast(LongType).as("media_id"),
+      lit("audio").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** Decode a WAV container to signed-int samples (all channels
+    * interleaved). Supports what `javax.sound.sampled` parses offline:
+    * PCM_SIGNED 16-bit (either endianness) and PCM_SIGNED/UNSIGNED
+    * 8-bit. Returns null for undecodable or unsupported bytes — and
+    * catches NonFatal ONLY, so an OOM/interrupt inside a task surfaces
+    * as a task failure instead of masquerading as a decode failure. */
+  private def decodeWav(bytes: Array[Byte])
+      : (javax.sound.sampled.AudioFormat, Array[Int]) = {
+    if (bytes == null) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned8 =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+      if (!((signed && (bits == 16 || bits == 8)) || unsigned8)) null
+      else {
+        val raw = ais.readAllBytes()
+        val out =
+          if (bits == 8) {
+            val a = new Array[Int](raw.length)
+            var i = 0
+            while (i < raw.length) {
+              a(i) = if (unsigned8) (raw(i) & 0xff) - 128 else raw(i).toInt
+              i += 1
+            }
+            a
+          } else {
+            val n = raw.length / 2
+            val a = new Array[Int](n)
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i + (if (big) 1 else 0)) & 0xff
+              val hi = raw(2 * i + (if (big) 0 else 1)).toInt
+              a(i) = (hi << 8) | lo
+              i += 1
+            }
+            a
+          }
+        (fmt, out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** REAL audio decode + feature extraction: parses the RIFF/WAV
+    * container, reads the PCM samples, and reports exact INTEGER sample
+    * statistics so the result is bit-stable across JVMs: (sample_rate,
+    * n_channels, bits, n_samples, sum_abs, peak_abs, n_loud) with
+    * `n_loud` = samples at |s| >= 16384 (upper half of 16-bit swing —
+    * the clipping-risk screen). Undecodable bytes -> decode_ok = false
+    * with null stats (the row survives; a curation pipeline filters on
+    * decode_ok).
     *
-    * Scale shape: narrow explode (bounded by payload/frameChars per
-    * media) + a codegen'd HOF fold per frame + one map-side-combined
-    * groupBy on media_id + one id-keyed left join back to the input id
-    * frame (bytes never ride into it); audio bytes never shuffle —
-    * only (media_id, energy) rows do. */
-  def audioEnergy(media: DataFrame, frameChars: Int = 16,
-      silenceBelow: Int = 100): DataFrame = {
-    require(frameChars > 0, s"frameChars must be positive: $frameChars")
-    val payload = substring(col("bytes").cast(StringType), 17, 1000000)
-    val frames = media
-      .select(col("media_id"), payload.as("p"))
-      .filter(length(col("p")) >= frameChars)
-      .select(col("media_id"), col("p"),
-        explode(sequence(lit(0),
-          floor(length(col("p")) / lit(frameChars)).cast("int") - 1))
-          .as("f"))
-    val energy = aggregate(
-      transform(sequence(lit(1), lit(frameChars)),
-        j => conv(col("p").substr(col("f") * frameChars + j, lit(1)),
-          16, 10).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val report = frames.withColumn("e", energy)
-      .groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("e") < silenceBelow, 1L).otherwise(0L))
-          .as("n_silent"),
-        sum(col("e")).as("esum"),
-        max(col("e")).as("peak_energy"))
-      .select(col("media_id"), col("n_frames"), col("n_silent"),
-        round(col("n_silent").cast("double") /
-          col("n_frames").cast("double"), 6).as("silence_ratio"),
-        round(col("esum").cast("double") /
-          col("n_frames").cast("double"), 6).as("mean_energy"),
-        col("peak_energy"))
-    media.select(col("media_id"))
-      .join(report, Seq("media_id"), "left")
+    * Scale shape: one narrow UDF projection — decode runs data-parallel
+    * on the partition holding the bytes, nothing shuffles. At 100 TB
+    * the bytes column stays columnar-compressed in parquet; only the
+    * (id, stats) frame moves downstream. */
+  def audioStats(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val dec = udf((bytes: Array[Byte]) => {
+      val decoded = decodeWav(bytes)
+      if (decoded == null) None
+      else {
+        val (fmt, samples) = decoded
+        var sumAbs = 0L
+        var peak = 0
+        var loud = 0L
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i))
+          sumAbs += a
+          if (a > peak) peak = a
+          if (a >= 16384) loud += 1
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, samples.length.toLong, sumAbs,
+          peak, loud))
+      }
+    })
+    media.withColumn("__s", dec(col(bytesCol)))
       .select(col("media_id"),
-        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
-        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
-        col("silence_ratio"), col("mean_energy"), col("peak_energy"))
+        col("__s").isNotNull.as("decode_ok"),
+        col("__s._1").as("sample_rate"), col("__s._2").as("n_channels"),
+        col("__s._3").as("bits"), col("__s._4").as("n_samples"),
+        col("__s._5").as("sum_abs"), col("__s._6").as("peak_abs"),
+        col("__s._7").as("n_loud"))
+  }
+
+  /** Audio energy / silence profile over REAL WAV bytes: decode the
+    * PCM samples, split into fixed `frameSamples`-sample frames (frame
+    * energy = sum of |sample|, an exact integer; the trailing PARTIAL
+    * frame is truncated — energies are comparable only across
+    * equal-width frames), a frame is silent below `silenceBelow`.
+    * Returns per input row: frames analyzed, silent count, silence
+    * ratio, mean and peak energy — the trim-silence / clipping-screen
+    * report. EVERY input row appears in the output (one report row per
+    * input row — duplicate media_ids produce one report each): clips
+    * shorter than one full frame, like undecodable bytes, report
+    * n_frames = 0 / n_silent = 0 with null ratio/mean/peak.
+    *
+    * Scale shape: one narrow UDF projection per row — the whole
+    * per-media frame fold runs inside the decode kernel where the
+    * bytes already live, so nothing shuffles and no join is needed;
+    * only the fixed-width (id, stats) report moves downstream. */
+  def audioEnergy(media: DataFrame, frameSamples: Int = 16,
+      silenceBelow: Long = 250000L): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
+    val dec = udf((bytes: Array[Byte]) => {
+      val decoded = decodeWav(bytes)
+      if (decoded == null) None
+      else {
+        val samples = decoded._2
+        val nf = samples.length / frameSamples
+        var silent = 0L
+        var esum = 0L
+        var peak = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var j = 0
+          while (j < frameSamples) {
+            e += math.abs(samples(f * frameSamples + j))
+            j += 1
+          }
+          if (e < silenceBelow) silent += 1
+          esum += e
+          if (e > peak) peak = e
+          f += 1
+        }
+        Some((nf.toLong, silent, esum, peak))
+      }
+    })
+    media.withColumn("__s", dec(col("bytes")))
+      .select(col("media_id"),
+        coalesce(col("__s._1"), lit(0L)).as("n_frames"),
+        coalesce(col("__s._2"), lit(0L)).as("n_silent"),
+        when(col("__s._1") > 0, round(col("__s._2").cast("double") /
+          col("__s._1").cast("double"), 6)).as("silence_ratio"),
+        when(col("__s._1") > 0, round(col("__s._3").cast("double") /
+          col("__s._1").cast("double"), 6)).as("mean_energy"),
+        when(col("__s._1") > 0, col("__s._4")).as("peak_energy"))
   }
 
   /** Frame sampling for video-kind media: every `stride`-th frame index
@@ -243,8 +392,10 @@ object Multimodal {
     * Catalyst to push into or through. */
   def synthesizeImages(ids: DataFrame, idCol: String): DataFrame = {
     val enc = udf((id: Long) => {
-      val w = (id % 48 + 8).toInt
-      val h = (id % 32 + 8).toInt
+      // floorMod: a negative id must still yield positive dimensions —
+      // Scala % is signed and a w <= 0 would throw inside the task
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -281,8 +432,10 @@ object Multimodal {
       if (bytes == null) None
       else {
         val img =
+          // NonFatal only: an OOM/interrupt inside a task must surface as
+          // a task failure, not masquerade as decode_ok=false
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Throwable => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val w = img.getWidth

@@ -260,42 +260,76 @@ class EventsOpsSpec extends SparkSpec {
     assert(EventsOps.timeGaps(e.filter($"id" < 0), "ts").count() == 0)
   }
 
-  test("audioEnergy: fixed frame grid, threshold extremes, peak bounds " +
-      "mean, deterministic") {
+  test("audioEnergy (real WAV codec): frame grid from decoded samples, " +
+      "threshold extremes, peak bounds mean, deterministic") {
     val ids = (1L to 10L).map(Tuple1(_)).toDF("id")
-    val media = Multimodal.synthesize(ids, "id", "audio")
-    val out = Multimodal.audioEnergy(media, frameChars = 16,
-        silenceBelow = 100)
+    val media = Multimodal.synthesizeWav(ids, "id")
+    val out = Multimodal.audioEnergy(media, frameSamples = 16,
+        silenceBelow = 250000L)
       .as[(Long, Long, Long, Double, Double, Long)].collect()
     assert(out.length == 10)
     out.foreach { r =>
-      assert(r._2 == 16L, s"256-char payload / 16 = 16 frames: $r")
+      // n = id%1984+64 samples -> n/16 full frames
+      val n = Multimodal.patternSampleCount(r._1)
+      assert(r._2 == (n / 16).toLong, s"frame count from sample count: $r")
       assert(r._3 >= 0L && r._3 <= r._2, s"silent count bounded: $r")
       assert(r._6 >= r._5.toLong, s"peak >= mean: $r")
-      // a 16-hex-char frame's energy lies in [0, 240]
-      assert(r._6 <= 240L && r._5 >= 0.0, s"energy range: $r")
+      // a 16-sample frame's |s|-sum lies in [0, 16*32768]
+      assert(r._6 <= 16L * 32768L && r._5 >= 0.0, s"energy range: $r")
     }
     // threshold extremes flip everything
-    val none = Multimodal.audioEnergy(media, silenceBelow = 0)
+    val none = Multimodal.audioEnergy(media, silenceBelow = 0L)
       .as[(Long, Long, Long, Double, Double, Long)].collect()
     assert(none.forall(_._4 == 0.0), "nothing below 0")
-    val all = Multimodal.audioEnergy(media, silenceBelow = 1000)
+    val all = Multimodal.audioEnergy(media,
+        silenceBelow = 17L * 32768L)
       .as[(Long, Long, Long, Double, Double, Long)].collect()
-    assert(all.forall(_._4 == 1.0), "everything below 1000")
+    assert(all.forall(_._4 == 1.0), "everything below max+1")
     // deterministic across partitionings
     val again = Multimodal.audioEnergy(media.repartition(3),
-        frameChars = 16, silenceBelow = 100)
+        frameSamples = 16, silenceBelow = 250000L)
       .as[(Long, Long, Long, Double, Double, Long)].collect().toSet
     assert(again == out.toSet)
-    // a sub-frame payload still yields a row: n_frames = 0, null stats
-    // (16-char header + 8 payload chars < one 16-char frame)
-    val short = Seq((99L, "audio", ("MM01" + "0" * 12 + "deadbeef")
-        .getBytes("UTF-8"))).toDF("media_id", "kind", "bytes")
-    val z = Multimodal.audioEnergy(short, frameChars = 16)
-      .collect()
+    // a clip shorter than one frame still yields a row: n_frames = 0,
+    // null stats (id 0 -> 64 samples < one 128-sample frame)
+    val short = Multimodal.synthesizeWav(Seq(Tuple1(0L)).toDF("id"), "id")
+    val z = Multimodal.audioEnergy(short, frameSamples = 128).collect()
     assert(z.length == 1, "short media must not vanish from the report")
     assert(z.head.getLong(1) == 0L && z.head.getLong(2) == 0L)
     assert(z.head.isNullAt(3) && z.head.isNullAt(4) && z.head.isNullAt(5))
+    // undecodable bytes degrade to the same n_frames = 0 row
+    val junk = Seq((7L, "audio", "not a wav".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val j = Multimodal.audioEnergy(junk).collect()
+    assert(j.length == 1 && j.head.getLong(1) == 0L && j.head.isNullAt(3))
+  }
+
+  test("audioStats: WAV encode->decode round trip is bit-perfect vs the " +
+      "sample formula; undecodable bytes survive with decode_ok=false") {
+    val ids = Seq(1L, 5L, 42L, 1999L).map(Tuple1(_)).toDF("id")
+    val rows = Multimodal.audioStats(Multimodal.synthesizeWav(ids, "id"))
+      .as[(Long, Boolean, Int, Int, Int, Long, Long, Int, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (id, ok, rate, ch, bits, n, sumAbs, peak, loud) = r
+      assert(ok && rate == 8000 && ch == 1 && bits == 16, s"format: $r")
+      // recompute the truth directly from the formula
+      val nExp = Multimodal.patternSampleCount(id)
+      val samples = (0 until nExp).map(i =>
+        java.lang.Math.floorMod(id * 7919L + i * 104729L, 65536L).toInt
+          - 32768)
+      assert(n == nExp.toLong, s"sample count: $r")
+      assert(sumAbs == samples.map(s => math.abs(s).toLong).sum, s"sum: $r")
+      assert(peak == samples.map(math.abs).max, s"peak: $r")
+      assert(loud == samples.count(s => math.abs(s) >= 16384).toLong, r)
+    }
+    val junk = Seq((9L, "audio", Array[Byte](1, 2, 3)),
+        (10L, "audio", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "bytes")
+    val bad = Multimodal.audioStats(junk).collect()
+    assert(bad.length == 2 && bad.forall(!_.getBoolean(1)))
+    assert(bad.forall(_.isNullAt(5)), "null stats on decode failure")
   }
 
   test("imageStats: REAL PNG round trip reproduces the pattern formula, " +
