@@ -41,7 +41,13 @@ object Bench {
     // spikes. The driver's wall cap is ~20 min; 900s leaves headroom
     // for JVM startup + the confirm pass while restoring full reps.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
-    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")
+    // r8 A/B (bench_ab_r8.json): 1000 beats 5000 at local[32] — 12%
+    // faster suite, 0.9 GB less residual heap, q_triangles 8.6 vs 11.9s
+    // in-suite — while still avoiding the r6 100-entry thrash
+    // (q_incremental_dedup holds 1.12s). Retained generated classes are
+    // HEAP residency that shrinks the unified execution-memory share,
+    // and at 32 concurrent tasks the heaviest shuffles spill first.
+    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1000")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -149,13 +155,18 @@ object Bench {
       case (k, v) if v >= 0 =>
         k -> r3(perQueryTimes.getOrElse(k, List(v)).min)
     }.toMap
-    // Floors are only comparable at the same scale factor, and the
-    // OFFICIAL per-round bench runs at sf0.1 — that run owns
-    // bench_floor.json; any other sf (dev smokes at sf0.001/sf0.01)
-    // keeps its own baseline in bench_floor_dev.json so it can neither
-    // pollute nor clobber the official one. The file records its sf and
-    // a mismatch (e.g. a hand-copied file) skips the comparison.
-    val official = new java.io.File(sfDir).getName == "sf0.1"
+    // Floors are only comparable at the same scale factor AND cpu
+    // count: the OFFICIAL per-round bench runs at sf0.1 / local[32]
+    // (BENCH_r07.json records cpus:32) — that run owns
+    // bench_floor.json; any other sf or cpu count (dev smokes at
+    // sf0.001/sf0.01, probes without SPARK_GRAFT_CPUS exported) keeps
+    // its own baseline in bench_floor_dev.json so it can neither
+    // pollute nor clobber the official one. (Round-8 incident: an A/B
+    // pair at the local[4] default silently rewrote local[32] floors —
+    // q_triangles costs ~18s at 4 threads vs ~6s at 32, so a cpu
+    // mismatch fabricates 3x "regressions" and buries real ones.) The
+    // file records sf+cpus and a mismatch skips comparison and write.
+    val official = new java.io.File(sfDir).getName == "sf0.1" && cpus == "32"
     val floorPath = java.nio.file.Paths.get(
       if (official) "bench_floor.json" else "bench_floor_dev.json")
     val prevFloors: Map[String, Double] = {
@@ -164,7 +175,11 @@ object Bench {
           val txt = java.nio.file.Files.readString(floorPath)
           val prevSf = "\"__sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
             .map(_.group(1))
-          if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+          // files written before __cpus existed are official (32)
+          val prevCpus = "\"__cpus\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse(if (official) cpus else "32")
+          if (!prevSf.contains(sfDir) || prevCpus != cpus)
+            Map.empty[String, Double]
           else
             // tiny flat {"name":sec,...} parser — no JSON lib on classpath
             "\"(q_[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(txt)
@@ -226,7 +241,8 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val floorsJson = (Seq("\"__sf\":\"" + sfDir + "\"") ++
+    val floorsJson = (Seq("\"__sf\":\"" + sfDir + "\"",
+      "\"__cpus\":\"" + cpus + "\"") ++
       floors.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v })
       .mkString("{", ",", "}")
     val movesJson = floorMoves.toSeq.sortBy(-_._2)

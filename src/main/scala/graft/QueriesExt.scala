@@ -4755,11 +4755,27 @@ object QueriesExt {
       |  round(cosine, 6) AS cosine_r
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** Benchmark-contamination screen with all three verdict branches
+    * EXERCISED (r7 ADVICE-sweep fix: 'flag' was vacuous on the raw
+    * corpus — no doc had a partial 0.05..0.5 overlap): the benchmark is
+    * the held-out (doc_id % 50 = 0) docs PLUS truncated excerpts — the
+    * first 30 tokens of every (doc_id % 40 = 7) corpus doc, the
+    * "benchmark quotes a prefix of a training doc" regime. Short quoted
+    * docs are mostly covered by their excerpt -> 'drop'; longer ones
+    * land in the partial band -> 'flag'; unquoted docs stay 'keep'.
+    * BranchCoverageSpec pins all three appearing at sf0.01. */
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    val prefixExcerpts = d
+      .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 40 === 7)
+      .select(concat_ws(" ", slice(
+        TextStats.tokens(TextStats.normalized(col("text"))), 1, 30))
+        .as("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0).select(col("text"))
+      .unionByName(prefixExcerpts)
     Dedup.contaminationReport(
       d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
-      d.filter(col("doc_id") % 50 === 0), "text", n = 13)
+      bench, "text", n = 13)
       .select(col("id").as("doc_id"), col("n_grams").cast("long").as("n_grams"),
         col("n_contaminated"),
         round(col("contaminated_frac"), 6).as("frac_r"), col("verdict"))
@@ -4767,12 +4783,20 @@ object QueriesExt {
   private val qContaminationSql: String = {
     val sh13 = word13GramSql
     // thresholds interpolated from the library defaults (0.05 / 0.5) so
-    // the oracle cannot drift from contaminationReport's signature
+    // the oracle cannot drift from contaminationReport's signature;
+    // `pre` mirrors the 30-token prefix excerpts injected into the
+    // benchmark (tokens are [a-z0-9]+, so re-tokenizing the rendered
+    // prefix returns exactly those tokens)
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
        |hashed AS (SELECT doc_id,
        |    list_transform($sh13, s -> ${Hashing.hash64Sql("s")}) h FROM toks),
-       |bench AS (SELECT DISTINCT unnest(h) hash FROM hashed
-       |  WHERE doc_id % 50 = 0),
+       |pre AS (SELECT t[1:30] t FROM toks
+       |  WHERE doc_id % 50 <> 0 AND doc_id % 40 = 7),
+       |prehash AS (SELECT list_transform($sh13,
+       |    s -> ${Hashing.hash64Sql("s")}) h FROM pre),
+       |bench AS (SELECT DISTINCT hash FROM (
+       |  SELECT unnest(h) hash FROM hashed WHERE doc_id % 50 = 0
+       |  UNION ALL SELECT unnest(h) hash FROM prehash)),
        |tot AS (SELECT doc_id, len(h) n_grams FROM hashed
        |  WHERE doc_id % 50 <> 0),
        |corp AS (SELECT doc_id, unnest(h) hash FROM hashed

@@ -14,9 +14,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // match Bench: don't thrash the codegen class cache across 220
-      // queries (static conf, must be set before the session starts)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // match Bench: big enough not to thrash across 225 queries, small
+      // enough not to bloat heap with retained generated classes
+      // (static conf, must be set before the session starts; r8 A/B)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,7 +11,7 @@ object PerfProbe {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "5000") // match Bench
+      .config("spark.sql.codegen.cache.maxEntries", "1000") // match Bench (r8 A/B)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try spark.read.parquet(s"${args(0)}/lineitem.parquet")
