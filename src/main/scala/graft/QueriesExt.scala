@@ -1494,6 +1494,97 @@ object QueriesExt {
       |  CAST(b AS BIGINT) n_bright
       |FROM st""".stripMargin
 
+  /** REAL video codec round trip (Multimodal.synthesizeGif +
+    * videoFrameStats): every (doc_id % 9 = 4) doc gets a deterministic
+    * grayscale animated GIF — frame f pixel (x,y) =
+    * (id*31 + f*17 + x*7 + y*13) mod 256, id-derived dims and frame
+    * count — REALLY encoded frame-by-frame by the JDK GIF writer, then
+    * REALLY decoded back (getNumImages walk), reporting exact integer
+    * per-frame pixel statistics. GIF is lossless for palettized
+    * content, so the oracle recomputes everything from the formula
+    * without seeing the bytes — the video sibling of q_image_decode /
+    * q_audio_decode. With this face the multimodal codec honesty
+    * ledger is EMPTY: image, audio, and video all round-trip through
+    * genuine JDK codecs. */
+  private def qVideoDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id"))
+    Multimodal.videoFrameStats(Multimodal.synthesizeGif(ids, "doc_id"))
+  }
+  private val qVideoDecodeSql =
+    """WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 9 = 4),
+      |m AS (SELECT id, CAST(id % 48 + 8 AS INT) w,
+      |    CAST(id % 32 + 8 AS INT) h, CAST(id % 12 + 2 AS INT) nf
+      |  FROM ids),
+      |fr AS (SELECT id, w, h, unnest(range(nf)) f FROM m),
+      |st AS (SELECT id, f, w, h,
+      |    list_sum(flatten(list_transform(range(h), y ->
+      |      list_transform(range(w), x ->
+      |        (id * 31 + f * 17 + x * 7 + y * 13) % 256)))) s,
+      |    list_sum(flatten(list_transform(range(h), y ->
+      |      list_transform(range(w), x -> CASE
+      |        WHEN (id * 31 + f * 17 + x * 7 + y * 13) % 256 >= 128
+      |        THEN 1 ELSE 0 END)))) b
+      |  FROM fr)
+      |SELECT id media_id, true decode_ok, CAST(f AS INT) frame_idx,
+      |  w width, h height, CAST(s AS BIGINT) sum_lum,
+      |  CAST(b AS BIGINT) n_bright
+      |FROM st""".stripMargin
+
+  /** Frame-dedup over REAL video content (Multimodal.gifFrameDupPairs):
+    * injected re-uploads (same GIF bytes, media_id + 3000000) of every
+    * (id % 18 = 1) video are found by Jaccard over per-frame
+    * fingerprints computed from GENUINELY DECODED pixels — the
+    * real-codec sibling of q_frame_dedup. The oracle re-derives the
+    * fingerprints from the frame formula (w:h:sum_lum:n_bright), the
+    * df cap, and the capped-set Jaccard, never seeing the bytes. */
+  private def qGifFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeGif(
+      docs(s, dir).filter(col("doc_id") % 6 === 1).select(col("doc_id")),
+      "doc_id")
+    val withCopies = media.union(
+      media.filter(col("media_id") % 18 === 1)
+        .select((col("media_id") + 3000000).as("media_id"), col("kind"),
+          col("bytes")))
+    Multimodal.gifFrameDupPairs(withCopies, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+  }
+  private val qGifFrameDedupSql = {
+    val px = "(vid * 31 + f * 17 + x * 7 + y * 13) % 256"
+    s"""WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 6 = 1),
+       |base AS (SELECT id media_id, id vid FROM ids
+       |  UNION ALL SELECT id + 3000000, id FROM ids WHERE id % 18 = 1),
+       |m AS (SELECT media_id, vid, CAST(vid % 48 + 8 AS INT) w,
+       |    CAST(vid % 32 + 8 AS INT) h, CAST(vid % 12 + 2 AS INT) nf
+       |  FROM base),
+       |fr AS (SELECT media_id, vid, w, h, unnest(range(nf)) f FROM m),
+       |st AS (SELECT media_id, w, h,
+       |    list_sum(flatten(list_transform(range(h), y ->
+       |      list_transform(range(w), x -> $px)))) s,
+       |    list_sum(flatten(list_transform(range(h), y ->
+       |      list_transform(range(w), x ->
+       |        CASE WHEN $px >= 128 THEN 1 ELSE 0 END)))) b
+       |  FROM fr),
+       |sig AS (SELECT DISTINCT media_id,
+       |    w || ':' || h || ':' || s || ':' || b fh FROM st),
+       |dfc AS (SELECT fh, count(*) df FROM sig GROUP BY 1),
+       |cap AS (SELECT s.media_id, s.fh FROM sig s JOIN dfc USING (fh)
+       |  WHERE df <= 16),
+       |sh AS (SELECT a.media_id id_a, b.media_id id_b, count(*) shared
+       |  FROM cap a JOIN cap b USING (fh) WHERE a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT media_id, count(*) nf FROM cap GROUP BY 1)
+       |SELECT id_a, id_b, CAST(shared AS BIGINT) shared,
+       |  round(CAST(shared AS DOUBLE)
+       |    / CAST(na + nb - shared AS DOUBLE), 6) jaccard_r
+       |FROM sh
+       |JOIN (SELECT media_id id_a, nf na FROM sz) USING (id_a)
+       |JOIN (SELECT media_id id_b, nf nb FROM sz) USING (id_b)
+       |WHERE CAST(shared AS DOUBLE)
+       |  / CAST(na + nb - shared AS DOUBLE) >= 0.9""".stripMargin
+  }
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
       docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
@@ -6219,6 +6310,8 @@ object QueriesExt {
     "q_media_energy" -> (qMediaEnergy _),
     "q_image_decode" -> (qImageDecode _),
     "q_audio_decode" -> (qAudioDecode _),
+    "q_video_decode" -> (qVideoDecode _),
+    "q_gif_frame_dedup" -> (qGifFrameDedup _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_json" -> (qVariantJson _),
@@ -6407,6 +6500,8 @@ object QueriesExt {
     "q_media_energy" -> qMediaEnergySql,
     "q_image_decode" -> qImageDecodeSql,
     "q_audio_decode" -> qAudioDecodeSql,
+    "q_video_decode" -> qVideoDecodeSql,
+    "q_gif_frame_dedup" -> qGifFrameDedupSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_json" -> qVariantJsonSql,

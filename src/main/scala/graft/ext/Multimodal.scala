@@ -7,21 +7,31 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, processed in batched per-partition passes.
   *
-  * Codec honesty ledger: the IMAGE path is REAL — [[synthesizeImages]]
-  * encodes and [[imageStats]] decodes actual PNG bytes via
-  * `javax.imageio` (JDK-only, works offline), oracle-checked through a
-  * genuine encode->decode round trip. The AUDIO path is REAL too (round
-  * 8): [[synthesizeWav]] encodes and [[audioStats]]/[[audioEnergy]]
-  * decode actual RIFF/WAV PCM bytes via `javax.sound.sampled` (JDK-only,
-  * offline-safe), oracle-checked the same way — the q_audio_decode /
-  * q_media_energy oracles recompute the statistics from the sample
-  * formula without ever seeing the bytes, so the gates pass iff the
-  * encode->decode round trip is bit-perfect (PCM is lossless). Only the
-  * VIDEO frame-split codec remains a clearly-marked deterministic FAKE
-  * (parses our own synthetic header; no video codec libs in this
-  * container). Everything around it is the real Spark shape: schema,
-  * partition-sized batching, pure-function kernels, no driver collects,
-  * binary never shuffled except by explicit repartition.
+  * Codec honesty ledger (EMPTY as of round 8 — every modality rides a
+  * genuine JDK codec, each gated by a formula oracle that never sees
+  * the bytes and so passes iff the encode->decode round trip is
+  * bit-perfect):
+  *
+  *  - IMAGE (round 7): [[synthesizeImages]] / [[imageStats]] — real
+  *    PNG via `javax.imageio` (lossless). q_image_decode.
+  *  - AUDIO (round 8): [[synthesizeWav]] / [[audioStats]] /
+  *    [[audioEnergy]] — real RIFF/WAV 16-bit PCM via
+  *    `javax.sound.sampled` (lossless). q_audio_decode, q_media_energy.
+  *  - VIDEO (round 8): [[synthesizeGif]] / [[videoFrameStats]] /
+  *    [[gifFrameDupPairs]] — real multi-frame animated GIF via the JDK
+  *    GIF reader/writer (LZW container; lossless for palettized
+  *    content, and 256-level grayscale fits the palette exactly).
+  *    q_video_decode, q_gif_frame_dedup.
+  *
+  * The MM01 synthetic-header path ([[synthesize]] / [[decodeMeta]] /
+  * [[frameDupPairs]] / [[sampleFrames]] / [[resize]]) is retained as
+  * deliberately-labeled CONTAINER-AGNOSTIC PLUMBING: it demonstrates
+  * the schema/batching/no-shuffle shape for codecs that genuinely are
+  * not in this container (H.264 and friends), and its faces stay
+  * oracle-checked against the synthetic format spec. Everything in
+  * this module keeps the real Spark shape: typed schema,
+  * partition-sized batching, pure-function kernels, no driver
+  * collects, binary never shuffled except by explicit repartition.
   */
 object Multimodal {
 
@@ -336,6 +346,20 @@ object Multimodal {
       .select(col("media_id"),
         frameDigest(col("bytes"), col("frame_idx")).as("fh"))
       .distinct()
+    digestJaccardPairs(f, threshold, maxFrameFreq)
+  }
+
+  /** Pair media by frame-set Jaccard over a posting-list join on a
+    * per-frame digest column — the shared tail of [[frameDupPairs]]
+    * (synthetic-header digests) and [[gifFrameDupPairs]] (REAL decoded
+    * pixels). Input: a (media_id, fh) frame, one row per DISTINCT
+    * digest per media. `maxFrameFreq` drops digests appearing in more
+    * media than that (boilerplate frames are the f^2/2-pairs regime);
+    * set sizes are computed over the SAME capped universe as the
+    * intersection, so the ratio is a true Jaccard of the retained
+    * digest sets. */
+  private def digestJaccardPairs(f: DataFrame, threshold: Double,
+      maxFrameFreq: Int): DataFrame = {
     val df = f.join(
       f.groupBy(col("fh")).agg(count(lit(1)).as("__df")), Seq("fh"))
       .filter(col("__df") <= maxFrameFreq)
@@ -345,8 +369,6 @@ object Multimodal {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-    // sizes over the SAME capped universe as the intersection, so the
-    // ratio is a true Jaccard of the retained digest sets
     val sizes = df.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     shared
       .join(sizes.select(col("media_id").as("id_a"), col("nf").as("na")),
@@ -357,6 +379,160 @@ object Multimodal {
         / (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+  }
+
+  /** Frame-level near-duplicate detection over REAL video content:
+    * decode every GIF frame ([[videoFrameStats]]), fingerprint each
+    * frame by its exact pixel statistics (width:height:sum_lum:
+    * n_bright — formula-mirrorable, unlike an opaque pixel hash), and
+    * pair media by frame-set Jaccard through the same capped
+    * posting-list join as [[frameDupPairs]]. Re-uploads (same bytes,
+    * new id) share every fingerprint and pair at Jaccard 1. Undecoded
+    * media contribute no frames and so never pair.
+    *
+    * Scale shape: decode is a narrow per-row kernel; the shuffle
+    * carries (media_id, fingerprint) rows, never video bytes. */
+  def gifFrameDupPairs(media: DataFrame, threshold: Double = 0.9,
+      maxFrameFreq: Int = 16): DataFrame = {
+    val f = videoFrameStats(media)
+      .filter(col("decode_ok"))
+      .select(col("media_id"),
+        concat_ws(":", col("width"), col("height"), col("sum_lum"),
+          col("n_bright")).as("fh"))
+      .distinct()
+    digestJaccardPairs(f, threshold, maxFrameFreq)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video codec path (animated GIF via javax.imageio — JDK-only,
+  // offline-safe). Round 8: the last fake falls. GIF is a genuine
+  // multi-frame container with LZW-compressed frames, and it is
+  // LOSSLESS for palettized content — a 256-level grayscale pattern
+  // round-trips bit-perfectly, so the q_video_decode oracle can
+  // recompute per-frame statistics from the pattern formula without
+  // ever seeing the bytes, exactly like the PNG and WAV gates.
+  // ------------------------------------------------------------------
+
+  /** Deterministic grayscale video pattern: pixel (x, y) of frame f of
+    * video `id` has gray level (id*31 + f*17 + x*7 + y*13) mod 256 —
+    * the [[patternGray]] image formula extended with a per-frame term.
+    * Dimensions and frame count derive from the id (w = id%48+8,
+    * h = id%32+8, frames = id%12+2). The formula is the oracle
+    * contract. */
+  private def patternVideoGray(id: Long, f: Int, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(id * 31 + f * 17L + x * 7L + y * 13L, 256L).toInt
+
+  private[graft] def patternFrameCount(id: Long): Int =
+    java.lang.Math.floorMod(id, 12L).toInt + 2
+
+  /** Fixture writer: REAL animated-GIF bytes per id — every frame
+    * rendered as TYPE_BYTE_GRAY and appended with the JDK GIF writer's
+    * `writeToSequence` (a true multi-image GIF stream; readers report
+    * getNumImages = the frame count). One narrow UDF map; bytes never
+    * shuffle. */
+  def synthesizeGif(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
+      val nf = patternFrameCount(id)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, patternVideoGray(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    })
+    ids.select(col(idCol).cast(LongType).as("media_id"),
+      lit("video").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** REAL video decode + per-frame feature extraction: the JDK GIF
+    * reader walks the frame sequence (`getNumImages(true)` then
+    * `read(i)`) and the kernel reports exact INTEGER pixel statistics
+    * per frame — (frame_idx, width, height, sum_lum, n_bright), with
+    * luminance = the red channel of the palettized pixel (GIF stores a
+    * palette; for grayscale content r = g = b = the original gray, so
+    * the round trip is bit-perfect) and n_bright counting lum >= 128.
+    * One output row per decoded frame; undecodable bytes yield a
+    * single row with frame_idx = -1 and decode_ok = false (the media
+    * survives for a curation filter). NonFatal-only catch, as
+    * everywhere in the codec tier.
+    *
+    * Scale shape: one narrow UDF projection + explode of a
+    * frames-bounded array — decode runs where the bytes live, only
+    * (id, per-frame stats) rows move downstream. */
+  def videoFrameStats(media: DataFrame, bytesCol: String = "bytes")
+      : DataFrame = {
+    val dec = udf((bytes: Array[Byte]) => {
+      val frames =
+        try {
+          if (bytes == null) null
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val reader = readers.next()
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              val out = new Array[(Int, Int, Int, Long, Long)](n)
+              var i = 0
+              while (i < n) {
+                val img = reader.read(i)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var bright = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val lum = (img.getRGB(x, y) >> 16) & 0xff
+                    sum += lum
+                    if (lum >= 128) bright += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                out(i) = (i, w, h, sum, bright)
+                i += 1
+              }
+              reader.dispose()
+              out.toSeq
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (frames == null) Seq((-1, 0, 0, 0L, 0L)) else frames
+    })
+    media.withColumn("__f", explode(dec(col(bytesCol))))
+      .select(col("media_id"),
+        (col("__f._1") >= 0).as("decode_ok"),
+        col("__f._1").as("frame_idx"), col("__f._2").as("width"),
+        col("__f._3").as("height"), col("__f._4").as("sum_lum"),
+        col("__f._5").as("n_bright"))
   }
 
   /** Resize stub: recomputes metadata only (a real kernel would remap

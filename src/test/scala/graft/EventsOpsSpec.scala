@@ -304,6 +304,54 @@ class EventsOpsSpec extends SparkSpec {
     assert(j.length == 1 && j.head.getLong(1) == 0L && j.head.isNullAt(3))
   }
 
+  test("videoFrameStats: animated-GIF encode->decode round trip is " +
+      "bit-perfect vs the frame formula; junk bytes survive flagged") {
+    val ids = Seq(1L, 7L, 23L, 100L).map(Tuple1(_)).toDF("id")
+    val rows = Multimodal.videoFrameStats(Multimodal.synthesizeGif(ids, "id"))
+      .as[(Long, Boolean, Int, Int, Int, Long, Long)]
+      .collect().groupBy(_._1)
+    assert(rows.keySet == Set(1L, 7L, 23L, 100L))
+    rows.foreach { case (id, frames) =>
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
+      val nf = Multimodal.patternFrameCount(id)
+      assert(frames.length == nf, s"frame count for $id: ${frames.length}")
+      frames.sortBy(_._3).zipWithIndex.foreach { case (r, f) =>
+        assert(r._2 && r._3 == f && r._4 == w && r._5 == h, s"meta: $r")
+        // recompute the truth from the formula
+        var sum = 0L; var bright = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = java.lang.Math
+            .floorMod(id * 31 + f * 17L + x * 7L + y * 13L, 256L).toInt
+          sum += g; if (g >= 128) bright += 1
+        }
+        assert(r._6 == sum && r._7 == bright,
+          s"pixel stats for video $id frame $f: $r vs ($sum, $bright)")
+      }
+    }
+    val junk = Seq((5L, "video", Array[Byte](9, 9, 9)),
+        (6L, "video", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "bytes")
+    val bad = Multimodal.videoFrameStats(junk).collect()
+    assert(bad.length == 2 && bad.forall(r => !r.getBoolean(1)
+      && r.getInt(2) == -1))
+  }
+
+  test("gifFrameDupPairs: byte-identical re-uploads pair at jaccard 1; " +
+      "distinct videos and junk bytes never pair") {
+    val ids = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id")
+    val media = Multimodal.synthesizeGif(ids, "id")
+    val withCopies = media.union(
+      media.filter($"media_id" === 2L)
+        .select(($"media_id" + 100L).as("media_id"), $"kind", $"bytes"))
+      .union(Seq((50L, "video", Array[Byte](1, 2)))
+        .toDF("media_id", "kind", "bytes"))
+    val pairs = Multimodal.gifFrameDupPairs(withCopies, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.toSeq.map(p => (p._1, p._2, p._4)) == Seq((2L, 102L, 1.0)),
+      s"exactly the injected copy pair: ${pairs.toSeq}")
+  }
+
   test("audioStats: WAV encode->decode round trip is bit-perfect vs the " +
       "sample formula; undecodable bytes survive with decode_ok=false") {
     val ids = Seq(1L, 5L, 42L, 1999L).map(Tuple1(_)).toDF("id")
