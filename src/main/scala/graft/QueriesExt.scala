@@ -1585,6 +1585,69 @@ object QueriesExt {
        |  / CAST(na + nb - shared AS DOUBLE) >= 0.9""".stripMargin
   }
 
+  /** REAL image resize chain (Multimodal.synthesizeImages ->
+    * resizeImages -> imageStats): every (doc_id % 8 = 5) doc's PNG is
+    * genuinely decoded, nearest-neighbor-remapped to 16x12, re-encoded
+    * as PNG, and decoded AGAIN for stats — two full codec round trips.
+    * Nearest-neighbor is the one resize whose output is exactly
+    * formula-mirrorable: dst(x,y) = pattern(id, x*w/16, y*h/12) with
+    * integer floor division, so the oracle recomputes the resized
+    * statistics from the source formula without seeing any bytes. */
+  private def qImageResize(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 8 === 5)
+      .select(col("doc_id"))
+    Multimodal.imageStats(
+      Multimodal.resizeImages(Multimodal.synthesizeImages(ids, "doc_id"),
+        newWidth = 16, newHeight = 12))
+  }
+  private val qImageResizeSql =
+    """WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 8 = 5),
+      |dims AS (SELECT id, CAST(id % 48 + 8 AS INT) w,
+      |    CAST(id % 32 + 8 AS INT) h FROM ids),
+      |st AS (SELECT id,
+      |    list_sum(flatten(list_transform(range(12), y ->
+      |      list_transform(range(16), x ->
+      |        (id * 31 + ((x * w) // 16) * 7 + ((y * h) // 12) * 13)
+      |          % 256)))) s,
+      |    list_sum(flatten(list_transform(range(12), y ->
+      |      list_transform(range(16), x -> CASE
+      |        WHEN (id * 31 + ((x * w) // 16) * 7 + ((y * h) // 12) * 13)
+      |          % 256 >= 128 THEN 1 ELSE 0 END)))) b
+      |  FROM dims)
+      |SELECT id media_id, true decode_ok, CAST(16 AS INT) width,
+      |  CAST(12 AS INT) height, CAST(192 AS BIGINT) n_px,
+      |  CAST(s AS BIGINT) sum_lum, CAST(b AS BIGINT) n_bright
+      |FROM st""".stripMargin
+
+  /** REAL audio resample chain (Multimodal.synthesizeWav ->
+    * resampleWav(2) -> audioStats): decode the 8 kHz WAV, keep every
+    * 2nd sample (exact decimation — the formula-mirrorable resampler),
+    * re-encode at 4 kHz, decode again for stats. The oracle recomputes
+    * the decimated statistics from the source sample formula at
+    * indices 2i. */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id"))
+    Multimodal.audioStats(
+      Multimodal.resampleWav(Multimodal.synthesizeWav(ids, "doc_id"),
+        factor = 2))
+  }
+  private val qAudioResampleSql =
+    """WITH m AS (SELECT doc_id id,
+      |    (CAST(doc_id % 1984 + 64 AS BIGINT) + 1) // 2 n2
+      |  FROM documents WHERE doc_id % 7 = 2),
+      |sm AS (SELECT id, unnest(range(n2)) i FROM m),
+      |v AS (SELECT id,
+      |    abs(((id * 7919 + 2 * i * 104729) % 65536) - 32768) a FROM sm),
+      |st AS (SELECT id, CAST(count(*) AS BIGINT) n_samples,
+      |    CAST(sum(a) AS BIGINT) sum_abs, CAST(max(a) AS INT) peak_abs,
+      |    CAST(sum(CASE WHEN a >= 16384 THEN 1 ELSE 0 END) AS BIGINT) n_loud
+      |  FROM v GROUP BY 1)
+      |SELECT id media_id, true decode_ok, CAST(4000 AS INT) sample_rate,
+      |  CAST(1 AS INT) n_channels, CAST(16 AS INT) bits, n_samples,
+      |  sum_abs, peak_abs, n_loud
+      |FROM st""".stripMargin
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
       docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
@@ -6312,6 +6375,8 @@ object QueriesExt {
     "q_audio_decode" -> (qAudioDecode _),
     "q_video_decode" -> (qVideoDecode _),
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
+    "q_image_resize" -> (qImageResize _),
+    "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_json" -> (qVariantJson _),
@@ -6502,6 +6567,8 @@ object QueriesExt {
     "q_audio_decode" -> qAudioDecodeSql,
     "q_video_decode" -> qVideoDecodeSql,
     "q_gif_frame_dedup" -> qGifFrameDedupSql,
+    "q_image_resize" -> qImageResizeSql,
+    "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_json" -> qVariantJsonSql,

@@ -535,14 +535,115 @@ object Multimodal {
         col("__f._5").as("n_bright"))
   }
 
-  /** Resize stub: recomputes metadata only (a real kernel would remap
-    * payload bytes); keeps the contract `media -> media` with changed
-    * meta. */
+  /** Resize stub over the SYNTHETIC container: recomputes metadata only
+    * (the MM01 payload has no real pixels to remap); keeps the contract
+    * `media -> media` with changed meta. The REAL kernel is
+    * [[resizeImages]]. */
   def resize(media: DataFrame, newWidth: Int, newHeight: Int): DataFrame =
     media.withColumn("meta", decodeMeta(col("bytes")))
       .withColumn("meta", when(col("meta").isNotNull, struct(
         lit(newWidth).as("width"), lit(newHeight).as("height"),
         col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))))
+
+  /** REAL image resize: decode (any ImageIO-readable container),
+    * nearest-neighbor remap to (newWidth, newHeight) — dst pixel (x, y)
+    * = src(x*sw/dw, y*sh/dh), integer floor division, the one resize
+    * kernel whose output is EXACTLY formula-mirrorable (no filter
+    * kernel, no rounding mode ambiguity) — and re-encode as PNG
+    * (lossless), band-preserving for grayscale. Undecodable bytes pass
+    * through as null bytes (the row survives). `media -> media`
+    * contract: same (media_id, kind, bytes) schema, so resize chains
+    * with [[imageStats]] and the q_image_resize oracle can recompute
+    * the resized statistics from the source pattern formula.
+    *
+    * Scale shape: one narrow UDF map, bytes stay on their partition. */
+  def resizeImages(media: DataFrame, newWidth: Int, newHeight: Int,
+      bytesCol: String = "bytes"): DataFrame = {
+    require(newWidth > 0 && newHeight > 0,
+      s"bad target dims: $newWidth x $newHeight")
+    val rz = udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else {
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null) None
+        else {
+          val sw = src.getWidth
+          val sh = src.getHeight
+          val gray =
+            src.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          val dst = new java.awt.image.BufferedImage(newWidth, newHeight,
+            if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < newHeight) {
+            val sy = y * sh / newHeight
+            var x = 0
+            while (x < newWidth) {
+              val sx = x * sw / newWidth
+              if (gray)
+                dst.getRaster.setSample(x, y, 0,
+                  src.getRaster.getSample(sx, sy, 0))
+              else dst.setRGB(x, y, src.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    })
+    media.withColumn(bytesCol, rz(col(bytesCol)))
+  }
+
+  /** REAL audio resample by integer decimation: decode the WAV, keep
+    * every `factor`-th sample (indices 0, factor, 2*factor, ... — the
+    * one resampler whose output is EXACTLY formula-mirrorable; a
+    * windowed-sinc kernel would be float-order-sensitive), re-encode as
+    * 16-bit PCM WAV at sampleRate/factor. Mono input (the synthesized
+    * fixture shape); undecodable or unsupported bytes pass through as
+    * null bytes. `media -> media`, so it chains with [[audioStats]] /
+    * [[audioEnergy]] and the q_audio_resample oracle recomputes the
+    * decimated statistics from the source sample formula.
+    *
+    * Scale shape: one narrow UDF map, bytes stay on their partition. */
+  def resampleWav(media: DataFrame, factor: Int,
+      bytesCol: String = "bytes"): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1: $factor")
+    val rs = udf((bytes: Array[Byte]) => {
+      val decoded = decodeWav(bytes)
+      if (decoded == null) None
+      else {
+        val (fmt, samples) = decoded
+        if (fmt.getChannels != 1) None
+        else {
+          val n = (samples.length + factor - 1) / factor
+          val raw = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = samples(i * factor)
+            raw(i * 2) = (s & 0xff).toByte
+            raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val outRate = fmt.getSampleRate / factor
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            outRate, 16, 1, 2, outRate, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), outFmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Some(bos.toByteArray)
+        }
+      }
+    })
+    media.withColumn(bytesCol, rs(col(bytesCol)))
+  }
 
   // ------------------------------------------------------------------
   // REAL image codec path (javax.imageio — JDK-only, offline-safe).

@@ -352,6 +352,50 @@ class EventsOpsSpec extends SparkSpec {
       s"exactly the injected copy pair: ${pairs.toSeq}")
   }
 
+  test("resizeImages: nearest-neighbor remap matches the formula through " +
+      "two real PNG round trips; junk bytes -> null bytes, row survives") {
+    val ids = Seq(3L, 11L).map(Tuple1(_)).toDF("id")
+    val out = Multimodal.imageStats(Multimodal.resizeImages(
+        Multimodal.synthesizeImages(ids, "id"), 16, 12))
+      .as[(Long, Boolean, Int, Int, Long, Long, Long)].collect()
+    out.foreach { r =>
+      val (id, ok, w, h, npx, sum, bright) = r
+      assert(ok && w == 16 && h == 12 && npx == 192L, s"dims: $r")
+      val sw = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val sh = java.lang.Math.floorMod(id, 32L).toInt + 8
+      var es = 0L; var eb = 0L
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val g = java.lang.Math.floorMod(
+          id * 31 + (x * sw / 16) * 7L + (y * sh / 12) * 13L, 256L).toInt
+        es += g; if (g >= 128) eb += 1
+      }
+      assert(sum == es && bright == eb, s"resized stats: $r vs ($es, $eb)")
+    }
+    val junk = Seq((1L, "image", Array[Byte](0, 1)))
+      .toDF("media_id", "kind", "bytes")
+    val j = Multimodal.resizeImages(junk, 4, 4).collect()
+    assert(j.length == 1 && j.head.isNullAt(2), "junk passes through null")
+  }
+
+  test("resampleWav: decimation by 2 matches the formula at indices 2i " +
+      "through two real WAV round trips; output rate halves") {
+    val ids = Seq(4L, 77L).map(Tuple1(_)).toDF("id")
+    val out = Multimodal.audioStats(Multimodal.resampleWav(
+        Multimodal.synthesizeWav(ids, "id"), 2))
+      .as[(Long, Boolean, Int, Int, Int, Long, Long, Int, Long)].collect()
+    out.foreach { r =>
+      val (id, ok, rate, ch, bits, n, sumAbs, peak, loud) = r
+      assert(ok && rate == 4000 && ch == 1 && bits == 16, s"format: $r")
+      val n0 = Multimodal.patternSampleCount(id)
+      val kept = (0 until n0 by 2).map(i => java.lang.Math
+        .floorMod(id * 7919L + i * 104729L, 65536L).toInt - 32768)
+      assert(n == kept.length.toLong, s"decimated count: $r")
+      assert(sumAbs == kept.map(s => math.abs(s).toLong).sum, s"sum: $r")
+      assert(peak == kept.map(math.abs).max, s"peak: $r")
+      assert(loud == kept.count(s => math.abs(s) >= 16384).toLong, r)
+    }
+  }
+
   test("audioStats: WAV encode->decode round trip is bit-perfect vs the " +
       "sample formula; undecodable bytes survive with decode_ok=false") {
     val ids = Seq(1L, 5L, 42L, 1999L).map(Tuple1(_)).toDF("id")
