@@ -619,28 +619,59 @@ object Dedup {
     * worst it's a shuffle keyed on an 8-byte digest). Per-doc match
     * counts come back from one groupBy on doc id.
     *
-    * NOTE the inline `shingleHashes` here is deliberate and measured:
-    * the quadratic-HOF hazard (hashedShingleFrame scaladoc) applies to
-    * expression trees captured in a lambda BODY, re-evaluated per
-    * element; `shingleHashes`' tree is `transform`'s ARGUMENT —
-    * evaluated once per row. Routing through the staged helper was
-    * tried and measured ~2x SLOWER at sf0.1 (13.4s vs 7.0s median —
-    * materializing the wide token/13-gram string arrays across
-    * projection boundaries costs more than it saves). Returns
+    * All explode-side consumers route through
+    * [[explodedShingleHashes]] (round 8): exploding the gram ARRAY —
+    * `explode(shingleHashes(...))`, in one step or via an intermediate
+    * column — measured 4.9s at sf0.1 where building and fully
+    * consuming the same arrays WITHOUT a Generate costs 0.68s
+    * (tools/ShingleProbe): once the optimizer folds the projection
+    * into the Generate, the tokenize/normalize tree lands inside the
+    * per-element path and is re-evaluated per emitted gram. Returns
     * (id, n_contaminated_grams) for CONTAMINATED docs only — callers
     * anti-join to drop them. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13)
       : DataFrame = {
-    val benchHashes = benchmark
-      .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
+    val benchHashes = explodedShingleHashes(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+      "__bid", benchTextCol, n)
+      .select(col("h"))
       .distinct()
-    corpus
-      .select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), n)).as("h"))
+    explodedShingleHashes(corpus, idCol, textCol, n)
       .join(benchHashes, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** The (id, h) per-doc DISTINCT shingle-hash STREAM — the
+    * explode-side sibling of [[shingleHashes]], and the only sanctioned
+    * way to explode grams (round-8 finding, tools/ShingleProbe):
+    * `explode(<gram-array expression>)` costs 4.9s at sf0.1 against
+    * 0.2s for this shape, because the optimizer folds the array-build
+    * projection into the Generate and the tokenize tree gets
+    * re-evaluated per emitted element. Here the GENERATE only explodes
+    * a cheap index sequence; the gram is then assembled per exploded
+    * row from the token array — a plain post-generate attribute, which
+    * nothing can fold into a lambda. The trailing distinct matches
+    * [[wordShingles]]' array_distinct (duplicates of a doc's grams sit
+    * on the doc's own partition, so the partial aggregate collapses
+    * them map-side — the exchange carries the already-distinct (id,
+    * 8-byte hash) stream). Sub-n-token docs emit their single
+    * whole-text gram, [[wordShingles]]' convention. */
+  private[graft] def explodedShingleHashes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextStats.tokens(TextStats.normalized(col(textCol))).as("__t"))
+    toks
+      .select(col("id"), col("__t"),
+        explode(when(size(col("__t")) >= n,
+          sequence(lit(0), size(col("__t")) - n, lit(1)))
+          .otherwise(array(lit(-1)))).as("__i"))
+      .select(col("id"),
+        graft.functions.Hashing.hash64(when(col("__i") >= 0,
+          concat_ws(" ", slice(col("__t"), col("__i") + 1, lit(n))))
+          .otherwise(concat_ws(" ", col("__t")))).as("h"))
+      .distinct()
   }
 
   /** Bloom-prefiltered decontamination — the 100 TB shape of
@@ -667,12 +698,13 @@ object Dedup {
     // pinned: the bench hash set has three consumers inside
     // bloomSemiJoin (count, Bloom build, semi target) — without the pin
     // each re-runs the bench tokenize->shingle->distinct
-    val benchHashes = benchmark
-      .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
+    val benchHashes = explodedShingleHashes(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+      "__bid", benchTextCol, n)
+      .select(col("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusGrams = corpus.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), n)).as("h"))
+    val corpusGrams = explodedShingleHashes(corpus, idCol, textCol, n)
     materializeAndRelease(benchHashes,
       Relational.bloomSemiJoin(corpusGrams, benchHashes, "h")
         .groupBy(col("id"))
@@ -696,18 +728,22 @@ object Dedup {
       benchmark: DataFrame, benchTextCol: String, n: Int = 13,
       flagFrac: Double = 0.05, dropFrac: Double = 0.5): DataFrame = {
     require(flagFrac <= dropFrac, "flag threshold must not exceed drop")
-    val benchHashes = benchmark
-      .select(explode(shingleHashes(col(benchTextCol), n)).as("h"))
+    val benchHashes = explodedShingleHashes(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+      "__bid", benchTextCol, n)
+      .select(col("h"))
       .distinct()
-    // per-doc gram arrays PINNED: totals and hits are two consumers of
-    // the same frame, and without the persist each re-runs the full
-    // tokenize->shingle->hash pipeline (ScaleBench measured the unpinned
-    // form at 4x the decontaminate cost on the same corpus)
-    val grams = corpus.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("hs"))
+    // the (id, h) distinct gram STREAM pinned: totals and hits are two
+    // consumers of the same frame (round 8: the pin moved from the
+    // gram-ARRAY frame to the exploded stream — same bytes exchanged,
+    // and the stream shape dodges the Generate-inlining trap that made
+    // the array form 7x slower, see explodedShingleHashes)
+    val grams = explodedShingleHashes(corpus, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = grams.select(col("id"), size(col("hs")).as("n_grams"))
-    val hits = grams.select(col("id"), explode(col("hs")).as("h"))
+    // int, matching the original size(array) dtype of this field
+    val totals = grams.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_grams"))
+    val hits = grams
       .join(benchHashes, Seq("h"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_contaminated"))
