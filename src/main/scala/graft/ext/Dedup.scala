@@ -120,9 +120,19 @@ object Dedup {
     val rowsPerBand = k / bands
     val sig = hashed.select(col("id"),
       graft.functions.VectorExprs.minhash_sig(col("h"), k).as("sig"))
-    val exploded = sig.select(col("id"),
-      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // index-explode with sig as a PASS-THROUGH attribute (round 8, the
+    // explodedShingleHashes pattern): explode(bandKeys(sig-expr)) lets
+    // the optimizer fold the minhash_sig tree into the banding lambda,
+    // re-evaluating the whole signature per band. Exploding the band
+    // index instead keeps sig an attribute computed once per row below
+    // the Generate; the key is assembled per exploded row from it.
+    val exploded = sig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1), lit(1))).as("band"))
+      .select(col("id"), col("band"),
+        Hashing.hash64(concat_ws(",",
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)))).as("key"))
     cappedBandCandidates(exploded, maxBucket)
   }
 
@@ -1083,12 +1093,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hb = hashedShingleFrame(batch, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // index-explode with sig as a pass-through attribute — see
+    // lshCandidatesFromHashes (avoids per-band minhash_sig re-eval)
     def banded(h: DataFrame): DataFrame = h
       .select(col("id"),
         graft.functions.VectorExprs.minhash_sig(col("h"), k).as("sig"))
-      .select(col("id"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1), lit(1))).as("band"))
+      .select(col("id"), col("band"),
+        Hashing.hash64(concat_ws(",",
+          slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)))).as("key"))
     val indexCapped = banded(hi)
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
