@@ -95,23 +95,47 @@ object Pca {
   private def iterate(cx: DataFrame, mn: DataFrame, n: Long,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one power iteration")
+    val spark = cx.sparkSession
+    import spark.implicits._
     val d = mn.count()
     // materialize the tiny (d^2-row) matrix once: the corpus scan would
     // otherwise replay per iteration through the lazy plan
     val cov = covariance(cx, n).localCheckpoint()
-    var v = mn.select(col("j"), lit(1.0 / math.sqrt(d.toDouble)).as("vv"))
+    // The matrix-vector product stays DISTRIBUTED (the d^2-row frame is
+    // the scale-bearing side); the d-ROW component vector iterates on
+    // the driver — the bounded-collect regime (same as centroids/
+    // vocabs). Round 8: the previous all-lazy form composed T nested
+    // join+window stages into one plan, and its scheduling/codegen
+    // dwarfed the arithmetic (7.8s isolated at sf0.1 for d = 64;
+    // per-step localCheckpoint was WORSE, 12.6s). Driver normalization
+    // replicates the engine arithmetic bit-exactly: products are cast
+    // to DECIMAL(28,14) (HALF_UP at scale 14), decimal-summed, cast to
+    // double; round at 8 is HALF_UP — same as the SQL oracle's chain.
+    def dec14(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(14, java.math.RoundingMode.HALF_UP)
+    def round8(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
+    var v: Seq[(Int, Option[Double])] =
+      (1 to d.toInt).map(j => j -> Some(1.0 / math.sqrt(d.toDouble)))
     for (_ <- 1 to iterations) {
-      val p = cov.join(v, cov("j") === v("j"))
-        .groupBy(cov("i"))
+      val vDf = v.toDF("j", "vv")
+      val mv = cov.join(broadcast(vDf), Seq("j"))
+        .groupBy(col("i"))
         .agg(sum((col("c") * col("vv")).cast("decimal(28,14)")).as("mvd"))
         .select(col("i"), col("mvd").cast("double").as("mv"))
-      v = p.withColumn("nn",
-          sqrt(sum((col("mv") * col("mv")).cast("decimal(28,14)"))
-            .over(all).cast("double")))
-        .select(col("i").as("j"),
-          when(col("nn") > 0, round(col("mv") / col("nn"), 8)).as("vv"))
+        .as[(Int, Option[Double])].collect().sortBy(_._1)
+      val squares = mv.flatMap(_._2).map(x => dec14(x * x))
+      val nn =
+        if (squares.isEmpty) None
+        else Some(math.sqrt(
+          squares.reduce(_.add(_)).doubleValue))
+      v = mv.toSeq.map { case (i, m) =>
+        i -> (for (x <- m; z <- nn; if z > 0) yield round8(x / z))
+      }
     }
-    v
+    v.toDF("j", "vv")
   }
 
   /** Projection of every vector onto the top component:
