@@ -1619,6 +1619,61 @@ object QueriesExt {
       |  CAST(s AS BIGINT) sum_lum, CAST(b AS BIGINT) n_bright
       |FROM st""".stripMargin
 
+  /** Perceptual image near-dup over REAL decoded pixels
+    * (Multimodal.imageDHash -> phashNearDups): every (doc_id % 9 = 2)
+    * doc gets a real PNG, and every (doc_id % 4 = 1) of those also a
+    * RE-ENCODED copy with all gray levels shifted +8 mod 256
+    * (media_id + 1000000) — the "brightness-tweaked re-upload" an
+    * exact-byte fingerprint (the q_gif_frame_dedup regime) can never
+    * pair. dHash keys on horizontal gradient SIGNS, so the shifted
+    * copy keeps the original's hash except where +8 wraps the 8-bit
+    * range, and pairs with it at Hamming distance <= 3 through the
+    * 4x16-bit band join (exhaustive at that radius by pigeonhole).
+    * The oracle recomputes the 9x8-grid hashes from the pattern
+    * formula — unsigned in HUGEINT, whose low 64 bits match the
+    * engine's signed long bit-for-bit — then mirrors the band cap,
+    * the candidate join, and the exact bit_count(xor) verify, never
+    * seeing a byte: the gate passes iff decode, NN-downsample,
+    * banding, and Hamming verify are all bit-perfect. */
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") % 9 === 2)
+      .select(col("doc_id"))
+    val orig = Multimodal.synthesizeImages(base, "doc_id")
+    val reenc = Multimodal
+      .synthesizeImages(base.filter(col("doc_id") % 4 === 1), "doc_id",
+        grayShift = 8)
+      .withColumn("media_id", col("media_id") + 1000000L)
+    Multimodal.phashNearDups(
+      Multimodal.imageDHash(orig.unionByName(reenc)),
+      maxDist = 3, maxBandFreq = 64)
+  }
+  private val qImagePhashSql = {
+    val lum = (x: String) =>
+      s"(base * 31 + ((($x) * w) // 9) * 7 + ((y * h) // 8) * 13 + sh) % 256"
+    s"""WITH src AS (SELECT doc_id base, doc_id media_id, 0 sh
+       |    FROM documents WHERE doc_id % 9 = 2
+       |  UNION ALL SELECT doc_id, doc_id + 1000000, 8
+       |    FROM documents WHERE doc_id % 9 = 2 AND doc_id % 4 = 1),
+       |dims AS (SELECT media_id, base, sh, CAST(base % 48 + 8 AS INT) w,
+       |    CAST(base % 32 + 8 AS INT) h FROM src),
+       |bits AS (SELECT media_id,
+       |    CASE WHEN ${lum("x + 1")} > ${lum("x")}
+       |      THEN 1::HUGEINT << CAST(y * 8 + x AS INT)
+       |      ELSE 0::HUGEINT END bv0
+       |  FROM dims, (SELECT unnest(range(8)) x), (SELECT unnest(range(8)) y)),
+       |hs AS (SELECT media_id, bit_or(bv0) dh FROM bits GROUP BY 1),
+       |bands AS (SELECT media_id, dh, b, (dh >> CAST(b * 16 AS INT)) & 65535 bv
+       |  FROM hs, (SELECT unnest(range(4)) b)),
+       |bf AS (SELECT b, bv, count(*) c FROM bands GROUP BY 1, 2),
+       |cap AS (SELECT bands.media_id, bands.dh, bands.b, bands.bv
+       |  FROM bands JOIN bf USING (b, bv) WHERE c <= 64),
+       |cand AS (SELECT DISTINCT a.media_id id_a, b2.media_id id_b,
+       |    a.dh ha, b2.dh hb
+       |  FROM cap a JOIN cap b2 USING (b, bv) WHERE a.media_id < b2.media_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) dist
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+  }
+
   /** REAL audio resample chain (Multimodal.synthesizeWav ->
     * resampleWav(2) -> audioStats): decode the 8 kHz WAV, keep every
     * 2nd sample (exact decimation — the formula-mirrorable resampler),
@@ -6376,6 +6431,7 @@ object QueriesExt {
     "q_video_decode" -> (qVideoDecode _),
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
     "q_image_resize" -> (qImageResize _),
+    "q_image_phash" -> (qImagePhash _),
     "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -6568,6 +6624,7 @@ object QueriesExt {
     "q_video_decode" -> qVideoDecodeSql,
     "q_gif_frame_dedup" -> qGifFrameDedupSql,
     "q_image_resize" -> qImageResizeSql,
+    "q_image_phash" -> qImagePhashSql,
     "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -666,8 +666,13 @@ object Multimodal {
     * TYPE_BYTE_GRAY -> ImageIO "png"), one narrow UDF map — encoding
     * runs where the ids live, bytes never shuffle. A codec kernel is
     * the legitimate UDF case: opaque JVM work per row, nothing for
-    * Catalyst to push into or through. */
-  def synthesizeImages(ids: DataFrame, idCol: String): DataFrame = {
+    * Catalyst to push into or through.
+    *
+    * `grayShift` adds a constant to every gray level (mod 256) — the
+    * "re-encode with a brightness tweak" fixture the perceptual-hash
+    * face pairs against the unshifted original. */
+  def synthesizeImages(ids: DataFrame, idCol: String,
+      grayShift: Int = 0): DataFrame = {
     val enc = udf((id: Long) => {
       // floorMod: a negative id must still yield positive dimensions —
       // Scala % is signed and a w <= 0 would throw inside the task
@@ -679,7 +684,11 @@ object Multimodal {
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { raster.setSample(x, y, 0, patternGray(id, x, y)); x += 1 }
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            java.lang.Math.floorMod(patternGray(id, x, y) + grayShift, 256))
+          x += 1
+        }
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
@@ -747,5 +756,110 @@ object Multimodal {
         col("__s._1").as("width"), col("__s._2").as("height"),
         col("__s._3").as("n_px"), col("__s._4").as("sum_lum"),
         col("__s._5").as("n_bright"))
+  }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: decode
+    * (any ImageIO-readable container), nearest-neighbor downsample to a
+    * 9-wide x 8-tall luminance grid with EXACTLY the [[resizeImages]]
+    * mapping — sample (x, y) reads source pixel (x*w/9, y*h/8), integer
+    * floor division, luminance per the [[imageStats]] convention — and
+    * set bit (y*8 + x) iff the right neighbor is strictly brighter:
+    * lum(x+1, y) > lum(x, y), x in 0..7, y in 0..7. The hash keys on
+    * horizontal gradient SIGNS, so it is invariant to global brightness
+    * shifts except where the shift wraps the 8-bit range — exact-byte
+    * fingerprints (the [[gifFrameDupPairs]] regime) see a re-encoded
+    * brightness-tweaked copy as 100% new, dHash sees it as near-identical.
+    * Undecodable bytes -> decode_ok = false with a null hash.
+    *
+    * Scale shape: one narrow UDF projection — decode runs where the
+    * bytes live; only the fixed-width (id, hash) frame moves
+    * downstream. */
+  def imageDHash(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val hsh = udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          def lum(x: Int, y: Int): Int =
+            if (bands >= 3)
+              (299 * raster.getSample(x, y, 0) +
+                587 * raster.getSample(x, y, 1) +
+                114 * raster.getSample(x, y, 2)) / 1000
+            else raster.getSample(x, y, 0)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              if (lum((x + 1) * w / 9, sy) > lum(x * w / 9, sy))
+                hash |= (1L << (y * 8 + x))
+              x += 1
+            }
+            y += 1
+          }
+          Some(hash)
+        }
+      }
+    })
+    media.withColumn("__h", hsh(col(bytesCol)))
+      .select(col("media_id"), col("__h").isNotNull.as("decode_ok"),
+        col("__h").as("dhash"))
+  }
+
+  /** Perceptual near-duplicate pairs from an [[imageDHash]] frame via
+    * Hamming-banded LSH: each 64-bit hash splits into four 16-bit bands;
+    * media sharing any (band_idx, band_val) become candidates, verified
+    * by exact Hamming distance (`bit_count(a XOR b)`) at or below
+    * `maxDist`. With 4 bands the pigeonhole bound makes the band join
+    * EXHAUSTIVE for maxDist <= 3 (3 flipped bits cannot touch all 4
+    * bands), so the output equals the brute-force pair set — enforced by
+    * the require, since a larger maxDist would silently drop pairs the
+    * exact semantics include.
+    *
+    * Scale shape: the capped-posting-list discipline of the dedup tier —
+    * the shuffle carries (band, id, hash) rows, never pixels;
+    * `maxBandFreq` drops band buckets shared by more media than that
+    * (flat/boilerplate imagery is the f^2/2-pairs regime), keeping the
+    * candidate join linear in corpus size. */
+  def phashNearDups(hashes: DataFrame, maxDist: Int = 3,
+      maxBandFreq: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding is only exhaustive for maxDist <= 3: $maxDist")
+    val h = hashes.filter(col("decode_ok"))
+      .select(col("media_id"), col("dhash"))
+    val banded = h.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band_idx"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("band_val"))): _*)).as("__b"))
+      .select(col("media_id"), col("dhash"),
+        col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
+    val capped = banded.join(
+        banded.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("__bf")),
+        Seq("band_idx", "band_val"))
+      .filter(col("__bf") <= maxBandFreq)
+      .select(col("band_idx"), col("band_val"), col("media_id"), col("dhash"))
+    val cand = capped
+      .select(col("band_idx"), col("band_val"),
+        col("media_id").as("id_a"), col("dhash").as("__ha"))
+      .join(capped.select(col("band_idx"), col("band_val"),
+        col("media_id").as("id_b"), col("dhash").as("__hb")),
+        Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+    cand
+      .withColumn("dist", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 }

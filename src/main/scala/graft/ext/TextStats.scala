@@ -502,6 +502,48 @@ object TextStats {
         sum(col("tscore").cast("decimal(18,6)")).cast("double").as("score"))
   }
 
+  /** IDF-weighted token-overlap retrieval (the per-query lexical ranker
+    * [[bm25]]'s fixed-term signature can't express): score(q, d) = sum
+    * over DISTINCT shared tokens t of n_docs/df_t, ranked per query with
+    * an (score desc, id asc) tie-break, top `k` rows per query. Tokens
+    * with df > floor(n_docs * maxDfShare) are dropped BEFORE the posting
+    * join — a stopword's posting list is O(corpus) and its IDF weight is
+    * noise, so the cap is both the relevance fix and the scale bound:
+    * the join fans out as sum over query tokens of df_t, now bounded by
+    * |query tokens| * n_docs * maxDfShare. Queries are a small frame by
+    * construction (a probe set, not the corpus) and broadcast; per-term
+    * scores are summed as DECIMAL(18,6) so the ranking is
+    * order-insensitive and engine-exact. Self-matches (id = query_id)
+    * are excluded. */
+  def lexicalTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDfShare: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = corpus.select(col(idCol).as("id"),
+        explode(tokens(normalized(col(textCol)))).as("tok")).distinct()
+    val stats = corpus.agg(count(lit(1)).as("n_docs"))
+    val qt = queries.select(col(idCol).as("query_id"),
+        explode(tokens(normalized(col(textCol)))).as("tok")).distinct()
+    // df only for the query vocabulary: the corpus-wide token groupBy is
+    // the one honest full pass; its result is then cut to |query vocab|
+    // rows BEFORE any broadcast, so nothing vocabulary-sized ships.
+    val dfreq = ct.join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= floor(col("n_docs") * lit(maxDfShare)))
+    val scored = ct.join(broadcast(qt), Seq("tok"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum((col("n_docs").cast("double") / col("df").cast("double"))
+        .cast("decimal(18,6)")).as("__s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"),
+        col("__s").cast("double").as("score"), col("rank"))
+  }
+
   def topKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -424,6 +424,77 @@ class EventsOpsSpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(5)), "null stats on decode failure")
   }
 
+  test("imageDHash: 9x8 gradient-sign hash matches the formula through a " +
+      "real PNG round trip; junk bytes -> decode_ok=false, null hash") {
+    def gray(id: Long, x: Int, y: Int): Int =
+      (((id * 31 + x * 7L + y * 13L) % 256L).toInt + 256) % 256
+    def expected(id: Long): Long = {
+      val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+      var hv = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gray(id, (x + 1) * w / 9, y * h / 8) >
+            gray(id, x * w / 9, y * h / 8)) hv |= 1L << (y * 8 + x)
+      hv
+    }
+    val ids = Seq(2L, 11L, 47L, 100L).map(Tuple1(_)).toDF("id")
+    val out = Multimodal.imageDHash(Multimodal.synthesizeImages(ids, "id"))
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+    ids.as[Tuple1[Long]].collect().foreach { case Tuple1(id) =>
+      assert(out(id)._2 && out(id)._3.contains(expected(id)),
+        s"dhash($id): ${out(id)} vs ${expected(id)}")
+    }
+    val junk = Seq((9L, "image", Array[Byte](1, 2)),
+        (10L, "image", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "bytes")
+    val bad = Multimodal.imageDHash(junk).collect()
+    assert(bad.forall(r => !r.getBoolean(1) && r.isNullAt(2)))
+  }
+
+  test("phashNearDups: brightness-shifted re-encodes pair where exact " +
+      "fingerprints cannot; band cap and maxDist bound are honored") {
+    def gray(id: Long, x: Int, y: Int, s: Int): Int =
+      java.lang.Math.floorMod(id * 31 + x * 7L + y * 13L + s, 256L).toInt
+    def dh(id: Long, s: Int): Long = {
+      val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+      var hv = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gray(id, (x + 1) * w / 9, y * h / 8, s) >
+            gray(id, x * w / 9, y * h / 8, s)) hv |= 1L << (y * 8 + x)
+      hv
+    }
+    // pick ids whose +8-shifted copy stays within Hamming 3 of the
+    // original (the wraparound flips few gradient signs) and one whose
+    // copy drifts beyond the radius — both branches exercised
+    val cands = (1L to 400L).map(i =>
+      i -> java.lang.Long.bitCount(dh(i, 0) ^ dh(i, 8)))
+    val near = cands.filter(_._2 <= 3).map(_._1).take(2)
+    val far = cands.filter(_._2 > 3).map(_._1).take(1)
+    assert(near.size == 2 && far.size == 1, s"fixture ids: $cands")
+    val baseIds = (near ++ far).map(Tuple1(_)).toDF("id")
+    val orig = Multimodal.synthesizeImages(baseIds, "id")
+    val shifted = Multimodal.synthesizeImages(baseIds, "id", grayShift = 8)
+      .select(($"media_id" + 1000L).as("media_id"), $"kind", $"bytes")
+    // shifted bytes are genuinely different files: exact-byte dedup
+    // (md5 of bytes) sees zero duplicate pairs
+    val byteDups = orig.select(md5($"bytes").as("d"))
+      .intersect(shifted.select(md5($"bytes").as("d"))).count()
+    assert(byteDups == 0L, "re-encodes must differ at the byte level")
+    val pairs = Multimodal.phashNearDups(
+        Multimodal.imageDHash(orig.unionByName(shifted)))
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    val nearPairs = pairs.filter(p => p._2 - p._1 == 1000L).map(_._1)
+    assert(nearPairs.toSet == near.toSet,
+      s"shift-survivors pair, the far id does not: $pairs")
+    // band cap: 65 identical images share every band; the bucket
+    // overflows maxBandFreq=64 and produces NO pairs
+    val many = (0L until 65L).map(i => (i, 7L)).toDF("media_id", "h0")
+      .select($"media_id", lit(true).as("decode_ok"), lit(42L).as("dhash"))
+    assert(Multimodal.phashNearDups(many).count() == 0L, "cap drops bucket")
+    assertThrows[IllegalArgumentException] {
+      Multimodal.phashNearDups(many, maxDist = 4)
+    }
+  }
+
   test("imageStats: REAL PNG round trip reproduces the pattern formula, " +
       "RGB takes the ITU-601 path, garbage bytes survive as decode_ok=false") {
     def gray(id: Long, x: Int, y: Int): Int =
