@@ -863,6 +863,63 @@ object QueriesExt {
       |       round(cosine, 6) AS cosine_r
       |FROM s WHERE rank <= 5""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion: for each of 10 query
+    * docs, a LEXICAL top-20 (TextStats.lexicalTopK — IDF-weighted
+    * distinct-token overlap with the df <= n_docs/10 stopword cap) and a
+    * DENSE top-20 (SimSearch.bruteTopK cosine over the aligned
+    * embeddings) are fused by SimSearch.rrfFuse (1/(60+rank), exact
+    * DECIMAL sums), top 10 per query. The oracle mirrors both rankers
+    * and the fusion in full — tokenization, the df cap, the decimal
+    * score sums, the cosine window, and the (rrf desc, doc_id asc)
+    * tie-break. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lex = TextStats.lexicalTopK(d, d.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 20)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+    val e = emb(s, dir)
+    val dense = SimSearch.bruteTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    SimSearch.rrfFuse(Seq(lex, dense), k = 60, topK = 10)
+  }
+  private val qHybridRrfSql =
+    s"""WITH ct AS (SELECT DISTINCT doc_id id, unnest(${toksSql("text")}) tok
+       |    FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+       |qt AS (SELECT DISTINCT doc_id query_id, unnest(${toksSql("text")}) tok
+       |    FROM documents WHERE doc_id < 10),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) df FROM ct
+       |  JOIN (SELECT DISTINCT tok FROM qt) USING (tok) GROUP BY 1),
+       |keep AS (SELECT tok, df FROM dfq, st
+       |  WHERE df <= CAST(floor(n_docs * 0.1) AS BIGINT)),
+       |lexs AS (SELECT query_id, id,
+       |    sum(CAST(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)
+       |      AS DECIMAL(18,6))) sc
+       |  FROM ct JOIN qt USING (tok) JOIN keep USING (tok), st
+       |  WHERE id <> query_id GROUP BY 1, 2),
+       |lex AS (SELECT query_id, id doc_id, rank FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sc DESC, id ASC) rank FROM lexs)
+       |  WHERE rank <= 20),
+       |q2 AS (SELECT vec_id query_id, embedding::DOUBLE[] qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |c2 AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+       |dens AS (SELECT query_id, id doc_id, rank FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(v, qv) DESC, id ASC) rank
+       |    FROM c2, q2 WHERE id <> query_id)
+       |  WHERE rank <= 20),
+       |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dens),
+       |f AS (SELECT query_id, doc_id, CAST(count(*) AS INT) n_lists,
+       |    sum(CAST(1.0 / (60 + rank) AS DECIMAL(18,6))) r
+       |  FROM u GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_lists, CAST(r AS DOUBLE) rrf,
+       |  CAST(rrf_rank AS INT) rrf_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY r DESC, doc_id ASC) rrf_rank FROM f)
+       |WHERE rrf_rank <= 10""".stripMargin
+
   /** Int8 scalar quantization: integer codes are hash-checked per vector
     * (full extent), the code sum is an exact integer aggregate. dims=64
     * is written into the SQL (same convention as the mirrored
@@ -6432,6 +6489,7 @@ object QueriesExt {
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
     "q_image_resize" -> (qImageResize _),
     "q_image_phash" -> (qImagePhash _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -6625,6 +6683,7 @@ object QueriesExt {
     "q_gif_frame_dedup" -> qGifFrameDedupSql,
     "q_image_resize" -> qImageResizeSql,
     "q_image_phash" -> qImagePhashSql,
+    "q_hybrid_rrf" -> qHybridRrfSql,
     "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

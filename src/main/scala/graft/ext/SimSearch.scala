@@ -817,4 +817,37 @@ object SimSearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
         col("cosine"))
   }
+
+  /** Reciprocal-rank fusion of per-query rankings — the standard hybrid
+    * retrieval combiner (Cormack/Clarke/Buettcher 2009): each input
+    * frame is a (query_id, doc_id, rank) ranked list; a doc's fused
+    * score is sum over the lists containing it of 1/(k + rank), and the
+    * output keeps the top `topK` per query with an (rrf desc, doc_id
+    * asc) tie-break — two docs ranked r by DIFFERENT single lists tie
+    * exactly, so the break must be explicit. Contributions are summed as
+    * DECIMAL(18,6), making the fused ranking order-insensitive and
+    * engine-exact regardless of list count.
+    *
+    * Scale shape: inputs are already top-k'd per query, so the union is
+    * |queries| * k * lists rows — tiny relative to the corpora the
+    * rankers scanned; one groupBy + one per-query window, both keyed on
+    * query_id. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10)
+      : DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum((lit(1.0) / (lit(k) + col("rank")))
+          .cast("decimal(18,6)")).as("__r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__r").desc, col("doc_id").asc)
+    fused.withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("n_lists"),
+        col("__r").cast("double").as("rrf"),
+        col("rrf_rank").cast("int").as("rrf_rank"))
+  }
 }

@@ -525,4 +525,30 @@ class SimSearchSpec extends SparkSpec {
     // float32 storage rounds diffVec's components -> ~1e-5 slack
     assert(pd.zip(manual).forall { case (x, y) => math.abs(x - y) < 1e-5 })
   }
+  test("rrfFuse: single-list ties break on doc_id, shared docs outrank, " +
+      "decimal sums make the fusion order-insensitive") {
+    // query 1: lexical ranks docs 10,11,12; dense ranks 11,13,12 —
+    // doc 11 appears in both lists and must fuse to the top
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = SimSearch.rrfFuse(Seq(lex, dense), k = 60, topK = 10)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
+    assert(out.map(_._2).toSeq == Seq(11L, 12L, 10L, 13L), out.toSeq)
+    // doc 11: 1/62 + 1/61; doc 12: 1/63 + 1/63; both two-list
+    assert(out(0)._3 == 2 && out(1)._3 == 2, out.toSeq)
+    // docs 10 (lex rank 1) and 13 (dense rank 2): single-list; 10 wins
+    // on score (1/61 > 1/62); EQUAL single-list scores tie-break on id
+    val l2 = Seq((2L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val d2 = Seq((2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = SimSearch.rrfFuse(Seq(l2, d2), k = 60, topK = 10)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
+    assert(tied.map(_._2).toSeq == Seq(20L, 30L), tied.toSeq)
+    assert(tied(0)._4 == tied(1)._4, "exact decimal tie")
+    // reversing list order cannot change anything (decimal sums)
+    val rev = SimSearch.rrfFuse(Seq(dense, lex), k = 60, topK = 10)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
+    assert(rev.toSeq == out.toSeq, "fusion is list-order-insensitive")
+  }
 }

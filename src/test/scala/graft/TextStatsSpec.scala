@@ -602,4 +602,26 @@ class TextStatsSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(again == f)
   }
+  test("lexicalTopK: IDF weighting, stopword df cap, distinct-token " +
+      "scoring, self-exclusion, (score desc, id asc) tie-break") {
+    // 34 docs so the df cap floor(34 * 0.1) = 3 keeps gem (df 3) and
+    // rare/unique (df 2) but drops the stopword "the" (df 34)
+    val corpus = ((0L until 30L).map(i => (i, s"the filler$i")) ++ Seq(
+      (30L, "the rare unique gem"),
+      (31L, "the rare gem"),
+      (32L, "the gem gem gem"),      // tf must NOT matter (distinct)
+      (33L, "the unique"))).toDF("doc_id", "text")
+    val q = Seq((30L, "the rare unique gem")).toDF("doc_id", "text")
+    val out = TextStats.lexicalTopK(corpus, q, "doc_id", "text", k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // "the": df 34 > cap 3 -> dropped entirely. Shared-token scores:
+    // 31 -> rare(34/2) + gem(34/3); 33 -> unique(34/2); 32 -> gem(34/3)
+    assert(out.map(_._2).toSeq == Seq(31L, 33L, 32L), out.toSeq)
+    assert(!out.map(_._2).contains(30L), "self excluded")
+    assert(math.abs(out(0)._3 - (17.0 + 34.0 / 3)) < 2e-6, out(0))
+    // doc 32's repeated "gem" counts once
+    assert(math.abs(out(2)._3 - 34.0 / 3) < 2e-6, out(2))
+    // pure-filler docs share no kept token and never appear
+    assert(out.length == 3, out.toSeq)
+  }
 }
