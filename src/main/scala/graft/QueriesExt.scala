@@ -5193,6 +5193,76 @@ object QueriesExt {
        |SELECT doc_id, round(score, 6) logit_r, score > 0.0 AS keep
        |FROM sc""".stripMargin
 
+  /** Chance-corrected filter agreement (CorpusPipeline.raterAgreement):
+    * pairwise Cohen's kappa for the three quality filters plus Fleiss'
+    * kappa over all three — the label-QA statistic raw census shares
+    * can't give. Oracle rebuilds the SAME per-doc verdict chain as
+    * q_quality_ensemble, reduces it to one integer-count row, and
+    * mirrors every kappa association verbatim. */
+  private def qRaterAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.ext.CorpusPipeline.raterAgreement(docs(s, dir), "doc_id", "text",
+      minEntropy = 2.8)
+  private val qRaterAgreementSql: String =
+    s"""WITH $repetitionCtes,
+       |$gopherFlagsCtes,
+       |$qualityScoreCte,
+       |base AS (SELECT doc_id,
+       |    replace(${normSql("text")}, ' ', '') st FROM documents),
+       |ch AS (SELECT doc_id, substr(st, CAST(i + 1 AS INT), 1) ch
+       |  FROM base CROSS JOIN unnest(range(len(st))) AS u(i)
+       |  WHERE len(st) > 0),
+       |cnt AS (SELECT doc_id, ch, count(*) c FROM ch GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(c) n FROM cnt GROUP BY 1),
+       |tm AS (SELECT cnt.doc_id,
+       |    round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) term
+       |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id),
+       |st AS (SELECT doc_id,
+       |    round(CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE), 6) entropy_r
+       |  FROM tm GROUP BY 1),
+       |v AS (SELECT flags.doc_id,
+       |    len(flags.fl) = 0 gopher_keep,
+       |    sc.score > 0.0 clf_keep,
+       |    COALESCE(st.entropy_r, 0.0) >= 2.8 entropy_keep
+       |  FROM flags JOIN sc ON sc.doc_id = flags.doc_id
+       |    LEFT JOIN st ON st.doc_id = flags.doc_id),
+       |b3 AS (SELECT g, c, e, g + c + e nk FROM (
+       |    SELECT CAST(gopher_keep AS INT) g, CAST(clf_keep AS INT) c,
+       |      CAST(entropy_keep AS INT) e FROM v)),
+       |a AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(g) AS BIGINT) ka,
+       |    CAST(sum(c) AS BIGINT) kb, CAST(sum(e) AS BIGINT) kc,
+       |    CAST(sum(g * c) AS BIGINT) kab, CAST(sum(g * e) AS BIGINT) kac,
+       |    CAST(sum(c * e) AS BIGINT) kbc,
+       |    CAST(sum(nk * (nk - 1) + (3 - nk) * (2 - nk)) AS BIGINT) fl
+       |  FROM b3),
+       |p AS (SELECT unnest(['gopher:clf', 'gopher:entropy', 'clf:entropy',
+       |    'fleiss:all']) pair),
+       |x AS (SELECT pair, n, ka, kb, kc, fl, CAST(n AS DOUBLE) nd,
+       |    CAST(CASE WHEN pair = 'clf:entropy' THEN kb ELSE ka END
+       |      AS DOUBLE) kx,
+       |    CAST(CASE WHEN pair = 'gopher:clf' THEN kb ELSE kc END
+       |      AS DOUBLE) ky,
+       |    CAST(CASE WHEN pair = 'gopher:clf' THEN kab
+       |      WHEN pair = 'gopher:entropy' THEN kac ELSE kbc END
+       |      AS DOUBLE) nxy
+       |  FROM p, a),
+       |y AS (SELECT pair, n,
+       |    CASE WHEN pair = 'fleiss:all'
+       |      THEN CAST(fl AS DOUBLE) / (nd * 6.0)
+       |      ELSE (nd - kx - ky + 2.0 * nxy) / nd END po,
+       |    CASE WHEN pair = 'fleiss:all'
+       |      THEN (CAST(ka + kb + kc AS DOUBLE) / (nd * 3.0))
+       |          * (CAST(ka + kb + kc AS DOUBLE) / (nd * 3.0))
+       |        + (1 - CAST(ka + kb + kc AS DOUBLE) / (nd * 3.0))
+       |          * (1 - CAST(ka + kb + kc AS DOUBLE) / (nd * 3.0))
+       |      ELSE (kx / nd) * (ky / nd)
+       |        + (1 - kx / nd) * (1 - ky / nd) END pe
+       |  FROM x)
+       |SELECT pair, n n_docs, round(po, 6) po_r, round(pe, 6) pe_r,
+       |  round(CASE WHEN 1 - pe <> 0 THEN (po - pe) / (1 - pe) END, 6)
+       |    kappa_r
+       |FROM y""".stripMargin
+
   private def qInterpolate(s: SparkSession, dir: String): DataFrame =
     EventsOps.resampleInterpolate(events(s, dir), bucketSec = 14400)
       .select(col("user_id"), col("bucket"), col("bucket_start_sec"),
@@ -6490,6 +6560,7 @@ object QueriesExt {
     "q_image_resize" -> (qImageResize _),
     "q_image_phash" -> (qImagePhash _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_rater_agreement" -> (qRaterAgreement _),
     "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -6684,6 +6755,7 @@ object QueriesExt {
     "q_image_resize" -> qImageResizeSql,
     "q_image_phash" -> qImagePhashSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
+    "q_rater_agreement" -> qRaterAgreementSql,
     "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -84,6 +84,70 @@ object CorpusPipeline {
           .as("share"))
   }
 
+  /** Chance-corrected agreement between the three quality filters —
+    * the label-QA statistic a filter ensemble needs beyond
+    * [[qualityAgreement]]'s raw census: high raw agreement is
+    * meaningless when the base rate is extreme (two filters that keep
+    * 95% of docs agree 90%+ by chance alone). Emits one row per filter
+    * pair with Cohen's kappa (po = observed agreement, pe = chance
+    * agreement from the marginals) plus a `fleiss:all` row with Fleiss'
+    * kappa over all three raters (n = 3, two categories). Degenerate
+    * marginals (pe = 1, all verdicts unanimous) yield a null kappa
+    * rather than a 0/0.
+    *
+    * Scale shape: the three verdict frames join on the id, then ONE
+    * map-side-combined aggregate reduces the corpus to a single row of
+    * integer counts; the 4-row report is a literal frame crossJoined
+    * with that broadcast 1-row aggregate (the scalar re-entry pattern),
+    * so the corpus is scanned once per filter and never again. All
+    * statistics are exact-integer-derived; divisions are the only
+    * floating point, in an association the oracle mirrors verbatim. */
+  def raterAgreement(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minEntropy: Double = 2.5)
+      : org.apache.spark.sql.DataFrame = {
+    val gop = Repetition.withGopherFilter(docs, textCol)
+      .select(col(idCol).as("id"), col("keep").cast("int").as("g"))
+    val clf = TextStats.classifyQuality(docs, textCol)
+      .select(col(idCol).as("id"), col("keep").cast("int").as("c"))
+    val ent = TextStats.charEntropy(docs, idCol, textCol)
+      .select(col("id"), (col("entropy_r") >= minEntropy).cast("int").as("e"))
+    val v = gop.join(clf, Seq("id")).join(ent, Seq("id"))
+      .withColumn("nk", col("g") + col("c") + col("e"))
+    val agg = v.agg(
+      count(lit(1)).as("n"),
+      sum(col("g")).as("ka"), sum(col("c")).as("kb"), sum(col("e")).as("kc"),
+      sum(col("g") * col("c")).as("kab"),
+      sum(col("g") * col("e")).as("kac"),
+      sum(col("c") * col("e")).as("kbc"),
+      sum(col("nk") * (col("nk") - 1)
+        + (lit(3) - col("nk")) * (lit(2) - col("nk"))).as("fl"))
+    val pairs = docs.sparkSession
+      .createDataFrame(Seq(Tuple1("gopher:clf"), Tuple1("gopher:entropy"),
+        Tuple1("clf:entropy"), Tuple1("fleiss:all")))
+      .toDF("pair")
+    val j = pairs.crossJoin(broadcast(agg))
+    val nD = col("n").cast("double")
+    val kx = when(col("pair") === "clf:entropy", col("kb"))
+      .otherwise(col("ka")).cast("double")
+    val ky = when(col("pair") === "gopher:clf", col("kb"))
+      .otherwise(col("kc")).cast("double")
+    val nxy = when(col("pair") === "gopher:clf", col("kab"))
+      .when(col("pair") === "gopher:entropy", col("kac"))
+      .otherwise(col("kbc")).cast("double")
+    val cohenPo = (nD - kx - ky + lit(2.0) * nxy) / nD
+    val cohenPe = (kx / nD) * (ky / nD) +
+      (lit(1.0) - kx / nD) * (lit(1.0) - ky / nD)
+    val pk = (col("ka") + col("kb") + col("kc")).cast("double") / (nD * 3.0)
+    val fleissPo = col("fl").cast("double") / (nD * 6.0)
+    val fleissPe = pk * pk + (lit(1.0) - pk) * (lit(1.0) - pk)
+    val po = when(col("pair") === "fleiss:all", fleissPo).otherwise(cohenPo)
+    val pe = when(col("pair") === "fleiss:all", fleissPe).otherwise(cohenPe)
+    val kappa = when(lit(1.0) - pe =!= 0.0, (po - pe) / (lit(1.0) - pe))
+    j.select(col("pair"), col("n").as("n_docs"),
+      round(po, 6).as("po_r"), round(pe, 6).as("pe_r"),
+      round(kappa, 6).as("kappa_r"))
+  }
+
   /** End-to-end TRAINING-DATA PREP: exact dedup (min-id survivor) ->
     * benchmark decontamination (drop docs sharing any 13-gram with the
     * eval set) -> sliding-window chunking -> per-source accounting.

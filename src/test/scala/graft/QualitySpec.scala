@@ -80,4 +80,69 @@ class QualitySpec extends SparkSpec {
       replayed("price_bin").isNull).count() == 0)
     p.reset()
   }
+  test("raterAgreement: kappas match a direct recomputation from the " +
+      "filters' own verdicts; unanimous raters -> null Fleiss kappa") {
+    import graft.ext.{CorpusPipeline, Repetition, TextStats}
+    val texts = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog near the river " +
+        "bank and then rests in the warm afternoon sun for a while longer"),
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "short"),
+      (3L, "A reasonable second document with enough varied words that " +
+        "the filters can disagree about it in interesting ways overall"),
+      (4L, "zzzz qqqq zzzz qqqq zzzz qqqq zzzz qqqq zzzz qqqq zzzz qqqq"))
+    val docs = texts.toDF("doc_id", "text")
+    val out = CorpusPipeline.raterAgreement(docs, "doc_id", "text",
+        minEntropy = 2.8)
+      .as[(String, Long, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // ground truth straight from the three public filters
+    val g = Repetition.withGopherFilter(docs, "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val c = TextStats.classifyQuality(docs, "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val e = TextStats.charEntropy(docs, "doc_id", "text")
+      .select($"id", $"entropy_r" >= 2.8).as[(Long, Boolean)]
+      .collect().toMap
+    val ids = texts.map(_._1)
+    assert(Seq(g, c, e).exists(m => m.values.toSet.size == 2),
+      "fixture must make at least one filter split")
+    def cohen(x: Map[Long, Boolean], y: Map[Long, Boolean])
+        : (Double, Double, Option[Double]) = {
+      val n = ids.size.toDouble
+      val po = ids.count(i => x(i) == y(i)) / n
+      val px = ids.count(x(_)) / n; val py = ids.count(y(_)) / n
+      val pe = px * py + (1 - px) * (1 - py)
+      (po, pe, if (1 - pe != 0) Some((po - pe) / (1 - pe)) else None)
+    }
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq("gopher:clf" -> (g, c), "gopher:entropy" -> (g, e),
+        "clf:entropy" -> (c, e)).foreach { case (name, (x, y)) =>
+      val (po, pe, k) = cohen(x, y)
+      val row = out(name)
+      assert(row._2 == ids.size && row._3 == r6(po) && row._4 == r6(pe) &&
+        row._5 == k.map(r6), s"$name: $row vs ($po, $pe, $k)")
+    }
+    val nks = ids.map(i => Seq(g(i), c(i), e(i)).count(identity))
+    val fpo = nks.map(nk => nk * (nk - 1) + (3 - nk) * (2 - nk)).sum /
+      (ids.size * 6.0)
+    val pk = nks.sum / (ids.size * 3.0)
+    val fpe = pk * pk + (1 - pk) * (1 - pk)
+    val f = out("fleiss:all")
+    assert(f._3 == r6(fpo) && f._4 == r6(fpe) &&
+      f._5 == (if (1 - fpe != 0) Some(r6((fpo - fpe) / (1 - fpe))) else None),
+      s"fleiss: $f vs ($fpo, $fpe)")
+    // unanimity: identical docs every filter keeps -> pe = 1, kappa null
+    val same = (0L to 3L).map(i => (i,
+      "The quick brown fox jumps over the lazy dog near the river bank " +
+      "and then rests in the warm afternoon sun for a while longer"))
+      .toDF("doc_id", "text")
+    val u = CorpusPipeline.raterAgreement(same, "doc_id", "text",
+        minEntropy = 2.8)
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    assert(u.forall(r => r._5.isEmpty && r._3 == 1.0 && r._4 == 1.0),
+      s"unanimous: ${u.toSeq}")
+  }
 }
