@@ -5263,6 +5263,34 @@ object QueriesExt {
        |    kappa_r
        |FROM y""".stripMargin
 
+  /** Classifier reliability diagram (TextStats.calibrationReport):
+    * sigmoid(quality_logit) vs the Gopher verdict in 50 fixed-width
+    * probability bins (the narrow-margin classifier needs 0.02-wide
+    * bins to populate a diagram) — conf, acc, gap, Brier per bin. The sigmoid is
+    * rounded to 12 decimals at birth (the ln discipline); everything
+    * after is decimal sums and mirrored divisions. */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    TextStats.calibrationReport(docs(s, dir), "doc_id", "text", bins = 50)
+  private val qCalibrationSql: String =
+    s"""WITH $repetitionCtes,
+       |$gopherFlagsCtes,
+       |$qualityScoreCte,
+       |lj AS (SELECT sc.doc_id,
+       |    round(1.0 / (1.0 + exp(-score)), 12) pr,
+       |    CAST(len(flags.fl) = 0 AS INT) y
+       |  FROM sc JOIN flags ON sc.doc_id = flags.doc_id),
+       |b AS (SELECT CAST(least(floor(pr * 50), 49) AS INT) bin, pr, y
+       |  FROM lj)
+       |SELECT bin, CAST(count(*) AS BIGINT) n_docs,
+       |  round(CAST(sum(CAST(pr AS DECIMAL(28,14))) AS DOUBLE)
+       |    / count(*), 6) conf_r,
+       |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) acc_r,
+       |  round(CAST(sum(CAST(pr AS DECIMAL(28,14))) AS DOUBLE) / count(*)
+       |    - CAST(sum(y) AS DOUBLE) / count(*), 6) gap_r,
+       |  round(CAST(sum(CAST(round((pr - y) * (pr - y), 12)
+       |      AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) brier_r
+       |FROM b GROUP BY 1""".stripMargin
+
   private def qInterpolate(s: SparkSession, dir: String): DataFrame =
     EventsOps.resampleInterpolate(events(s, dir), bucketSec = 14400)
       .select(col("user_id"), col("bucket"), col("bucket_start_sec"),
@@ -6561,6 +6589,7 @@ object QueriesExt {
     "q_image_phash" -> (qImagePhash _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_rater_agreement" -> (qRaterAgreement _),
+    "q_calibration" -> (qCalibration _),
     "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -6756,6 +6785,7 @@ object QueriesExt {
     "q_image_phash" -> qImagePhashSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_rater_agreement" -> qRaterAgreementSql,
+    "q_calibration" -> qCalibrationSql,
     "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -99,6 +99,46 @@ object TextStats {
       .withColumn("keep", score > 0.0)
   }
 
+  /** Reliability report for the quality classifier against a reference
+    * labeler (the Gopher rules as pseudo-ground-truth): p =
+    * sigmoid(quality_logit) is binned into `bins` fixed-width
+    * probability bins, and each populated bin reports its mean
+    * confidence, observed keep rate, calibration gap (conf - acc), and
+    * Brier contribution — the reliability-diagram table a
+    * classifier-filtered 100 TB pipeline needs before trusting a keep
+    * threshold. FIXED-width bins, deliberately not ntile: a decile
+    * ntile is a global total sort (one-partition window), while this
+    * is a pure narrow map + one aggregate keyed on 10 bins.
+    *
+    * Determinism: the sigmoid is the one transcendental — rounded to
+    * 12 decimals at birth (the charEntropy ln discipline), after which
+    * every statistic is a DECIMAL sum or integer count; divisions are
+    * mirrored associations. */
+  def calibrationReport(docs: DataFrame, idCol: String, textCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val clf = classifyQuality(docs, textCol)
+      .select(col(idCol).as("id"), col("quality_logit").as("logit"))
+    val lbl = Repetition.withGopherFilter(docs, textCol)
+      .select(col(idCol).as("id"), col("keep").cast("int").as("y"))
+    val j = clf.join(lbl, Seq("id"))
+      .withColumn("pr",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 12))
+      .withColumn("bin",
+        least(floor(col("pr") * bins), lit(bins - 1).cast("long"))
+          .cast("int"))
+    val n = count(lit(1))
+    j.groupBy(col("bin")).agg(
+      n.as("n_docs"),
+      round(sum(col("pr").cast("decimal(28,14)")).cast("double") / n, 6)
+        .as("conf_r"),
+      round(sum(col("y")).cast("double") / n, 6).as("acc_r"),
+      round(sum(col("pr").cast("decimal(28,14)")).cast("double") / n
+        - sum(col("y")).cast("double") / n, 6).as("gap_r"),
+      round(sum(round((col("pr") - col("y")) * (col("pr") - col("y")), 12)
+        .cast("decimal(28,14)")).cast("double") / n, 6).as("brier_r"))
+  }
+
   /** Language ID via stopword-hit voting: tiny per-language function-word
     * lists (public knowledge), argmax with deterministic (count desc,
     * lang asc) tie-break. N-gram-free but the same shape as a production

@@ -145,4 +145,44 @@ class QualitySpec extends SparkSpec {
     assert(u.forall(r => r._5.isEmpty && r._3 == 1.0 && r._4 == 1.0),
       s"unanimous: ${u.toSeq}")
   }
+  test("calibrationReport: bin assignment, conf/acc/gap/brier match a " +
+      "direct recomputation from the classifier and gopher outputs") {
+    import graft.ext.{Repetition, TextStats}
+    val texts = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog near the river " +
+        "bank and then rests in the warm afternoon sun for a while longer"),
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "short"),
+      (3L, "A reasonable second document with enough varied words that " +
+        "the filters can disagree about it in interesting ways overall"))
+    val docs = texts.toDF("doc_id", "text")
+    val out = TextStats.calibrationReport(docs, "doc_id", "text", bins = 50)
+      .as[(Int, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val logit = TextStats.classifyQuality(docs, "text")
+      .select($"doc_id", $"quality_logit").as[(Long, Double)].collect().toMap
+    val y = Repetition.withGopherFilter(docs, "text")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    def r(d: Double, sc: Int) = BigDecimal(d)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = texts.map { case (id, _) =>
+      val pr = r(1.0 / (1.0 + math.exp(-logit(id))), 12)
+      val bin = math.min(math.floor(pr * 50).toInt, 49)
+      (bin, pr, if (y(id)) 1 else 0)
+    }
+    assert(rows.map(_._1).distinct.size >= 2, s"fixture spans bins: $rows")
+    rows.groupBy(_._1).foreach { case (bin, rs) =>
+      val n = rs.size
+      val conf = rs.map(x => BigDecimal(x._2)).sum.toDouble / n
+      val acc = rs.map(_._3).sum.toDouble / n
+      val brier = rs.map(x => BigDecimal(r((x._2 - x._3) * (x._2 - x._3),
+        12))).sum.toDouble / n
+      val row = out(bin)
+      assert(row._2 == n && row._3 == r(conf, 6) && row._4 == r(acc, 6) &&
+        row._5 == r(conf - acc, 6) && row._6 == r(brier, 6),
+        s"bin $bin: $row vs ($n, $conf, $acc, $brier)")
+    }
+    assert(out.keySet == rows.map(_._1).toSet, "exactly the populated bins")
+  }
 }
