@@ -5263,6 +5263,38 @@ object QueriesExt {
        |    kappa_r
        |FROM y""".stripMargin
 
+  /** Fill-in-the-middle split (Packing.fimSplit): per-doc PSM segment
+    * accounting with full-extent portable hashes of all three
+    * segments, so the oracle pins the exact token content of every
+    * prefix/middle/suffix — span selection (two independent hashes:
+    * start = h1 mod n, mid len = 1 + h2 mod (n - start)) is mirrored
+    * as pure integer arithmetic. COALESCE on the empty-segment join:
+    * DuckDB's array_to_string([]) is NULL where Spark's array_join is
+    * ''. */
+  private def qFimSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.fimSplit(docs(s, dir), "doc_id", "text")
+  private val qFimSplitSql = {
+    def segH(seg: String) =
+      Hashing.hash64Sql(s"COALESCE(array_to_string($seg, ' '), '')")
+    s"""WITH t AS (SELECT doc_id id, ${toksSql("text")} tk FROM documents),
+       |s AS (SELECT id, tk, CAST(len(tk) AS BIGINT) n,
+       |    ${Hashing.hash64Sql("CAST(id AS VARCHAR)")} h1,
+       |    ${Hashing.hash64Sql("CAST(id AS VARCHAR) || ':m'")} h2
+       |  FROM t),
+       |x AS (SELECT id, tk, n, h2,
+       |    CASE WHEN n >= 2 THEN h1 % n ELSE n END a FROM s),
+       |y AS (SELECT id, tk, n, a,
+       |    CASE WHEN n >= 2 THEN 1 + h2 % (n - a) ELSE 0 END m FROM x),
+       |z AS (SELECT id, n, a, m, n - a - m sl,
+       |    tk[1:CAST(a AS INT)] pre,
+       |    tk[CAST(a + 1 AS INT):CAST(a + m AS INT)] mid,
+       |    tk[CAST(a + m + 1 AS INT):CAST(n AS INT)] suf
+       |  FROM y)
+       |SELECT id, n n_tokens, a pre_len, m mid_len, sl suf_len,
+       |  ${segH("pre")} pre_h, ${segH("mid")} mid_h, ${segH("suf")} suf_h
+       |FROM z""".stripMargin
+  }
+
   /** Classifier reliability diagram (TextStats.calibrationReport):
     * sigmoid(quality_logit) vs the Gopher verdict in 50 fixed-width
     * probability bins (the narrow-margin classifier needs 0.02-wide
@@ -6590,6 +6622,7 @@ object QueriesExt {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_rater_agreement" -> (qRaterAgreement _),
     "q_calibration" -> (qCalibration _),
+    "q_fim_split" -> (qFimSplit _),
     "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -6786,6 +6819,7 @@ object QueriesExt {
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_rater_agreement" -> qRaterAgreementSql,
     "q_calibration" -> qCalibrationSql,
+    "q_fim_split" -> qFimSplitSql,
     "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -173,4 +173,46 @@ object Packing {
       .select(col("id"), col("chunk_idx"), col("n_doc_tokens"),
         col("n_chunk_tokens"), col("chunk_text"))
   }
+
+  /** Fill-in-the-middle training-example construction (Bavarian et al.
+    * 2022, "Efficient Training of Language Models to Fill in the
+    * Middle"): each document's token stream is deterministically cut
+    * into (prefix, middle, suffix) — the PSM transform an infilling-
+    * capable code/text model trains on. Span selection is pure id
+    * arithmetic (two independent portable hashes: start = h1 mod n,
+    * middle length = 1 + h2 mod (n - start)), so the split is stable
+    * across runs, partitionings, and engines — reshuffling the corpus
+    * cannot change which spans a model sees. Documents with fewer than
+    * 2 tokens keep everything in the prefix (no middle to infill).
+    *
+    * Output is the per-doc accounting row: segment lengths plus a
+    * portable 60-bit hash of each segment's text, which pins the exact
+    * token content of all three segments (full extent, not a sample)
+    * without shipping the text. Scale shape: one narrow map over the
+    * scan — tokenize once, slice thrice, no shuffle, no state. */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = docs.select(col(idCol).as("id"),
+        TextStats.tokens(TextStats.normalized(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val h1 = Hashing.hash64(col("id").cast("string"))
+    val h2 = Hashing.hash64(concat(col("id").cast("string"), lit(":m")))
+    val a = when(col("__n") >= 2, pmod(h1, col("__n").cast("long")))
+      .otherwise(col("__n").cast("long"))
+    val m = when(col("__n") >= 2,
+        lit(1L) + pmod(h2, col("__n").cast("long") - col("__a")))
+      .otherwise(lit(0L))
+    val segH = (seg: Column) => Hashing.hash64(array_join(seg, " "))
+    staged
+      .withColumn("__a", a)
+      .withColumn("__m", m)
+      .select(col("id"), col("__n").cast("long").as("n_tokens"),
+        col("__a").as("pre_len"), col("__m").as("mid_len"),
+        (col("__n") - col("__a") - col("__m")).as("suf_len"),
+        segH(slice(col("__toks"), lit(1), col("__a").cast("int")))
+          .as("pre_h"),
+        segH(slice(col("__toks"), (col("__a") + 1).cast("int"),
+          col("__m").cast("int"))).as("mid_h"),
+        segH(slice(col("__toks"), (col("__a") + col("__m") + 1).cast("int"),
+          (col("__n") - col("__a") - col("__m")).cast("int"))).as("suf_h"))
+  }
 }

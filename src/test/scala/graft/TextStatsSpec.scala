@@ -624,4 +624,49 @@ class TextStatsSpec extends SparkSpec {
     // pure-filler docs share no kept token and never appear
     assert(out.length == 3, out.toSeq)
   }
+  test("fimSplit: segment lengths partition the doc, spans are pure id " +
+      "arithmetic, and the segment hashes pin exact token content") {
+    import graft.ext.Packing
+    def md5h(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two"),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, "Repeat, repeat! REPEAT repeat repeat six seven eight"))
+    val docs = texts.toDF("doc_id", "text")
+    val out = Packing.fimSplit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val n = toks.size.toLong
+      val (a, m) =
+        if (n >= 2) {
+          val a0 = md5h(id.toString) % n
+          (a0, 1L + md5h(id.toString + ":m") % (n - a0))
+        } else (n, 0L)
+      val r = out(id)
+      assert(r._2 == n && r._3 == a && r._4 == m && r._5 == n - a - m,
+        s"lengths for $id: $r vs ($n, $a, $m)")
+      assert(r._3 + r._4 + r._5 == n, s"partition: $r")
+      if (n >= 2) assert(r._4 >= 1, s"non-empty middle: $r")
+      val (pre, rest) = toks.splitAt(a.toInt)
+      val (mid, suf) = rest.splitAt(m.toInt)
+      assert(r._6 == md5h(pre.mkString(" ")), s"pre_h for $id")
+      assert(r._7 == md5h(mid.mkString(" ")), s"mid_h for $id")
+      assert(r._8 == md5h(suf.mkString(" ")), s"suf_h for $id")
+    }
+    // determinism: a second run over a reshuffled frame is identical
+    val again = Packing.fimSplit(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == out, "split is partitioning-invariant")
+  }
 }
