@@ -3471,6 +3471,34 @@ object QueriesExt {
       |WINDOW w AS (PARTITION BY user_id ORDER BY sec
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Adjusted EWMA at alpha=1/2 per user over a 20-row trailing history
+    * (EventsOps.expSmooth): the powers-of-two smoothing constant makes
+    * every weight an exact integer, so the whole face is decimal
+    * integer arithmetic with ONE double division at the end (operator
+    * scaladoc has the derivation). Oracle rebuilds the frame list with
+    * a window list() in the same (sec, event_id) total order and
+    * mirrors the 2^position weight sum verbatim. */
+  private def qExpSmooth(s: SparkSession, dir: String): DataFrame =
+    EventsOps.expSmooth(events(s, dir), span = 20)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("n_window"), col("ewma"))
+  private val qExpSmoothSql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+      |    CAST(floor(epoch(ts)) AS BIGINT) sec,
+      |    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) v
+      |  FROM events),
+      |w AS (SELECT event_id, user_id, ts_us,
+      |    list(v) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) xs
+      |  FROM e),
+      |s AS (SELECT event_id, user_id, ts_us, len(xs) L,
+      |    CAST(list_sum(list_transform(range(len(xs)),
+      |        j -> xs[CAST(j + 1 AS INT)] * (1::BIGINT << j))) AS DECIMAL(38,6)) num
+      |  FROM w)
+      |SELECT event_id, user_id, ts_us, CAST(L AS INT) n_window,
+      |  CAST(num AS DOUBLE) / CAST((1::BIGINT << L) - 1 AS DOUBLE) ewma
+      |FROM s""".stripMargin
+
   private def qLexical(s: SparkSession, dir: String): DataFrame =
     Repetition.withLexicalDiversity(docs(s, dir), "text")
       .select(col("doc_id"), col("n_tokens_lex"), col("n_types"),
@@ -6507,6 +6535,7 @@ object QueriesExt {
     "q_dp_histogram" -> (qDpHistogram _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_moving_avg" -> (qMovingAvg _),
+    "q_exp_smooth" -> (qExpSmooth _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_lexical" -> (qLexical _),
     "q_pack" -> (qPack _),
@@ -6710,6 +6739,7 @@ object QueriesExt {
     "q_unigram_tokenizer" -> qUnigramTokenizerSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_moving_avg" -> qMovingAvgSql,
+    "q_exp_smooth" -> qExpSmoothSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_lexical" -> qLexicalSql,
     "q_pack" -> qPackSql,

@@ -237,6 +237,57 @@ object EventsOps {
       .drop("__epoch", "sum_w", "sumsq_w", "dev")
   }
 
+  /** Per-user exponentially-weighted moving average (the monitoring
+    * baseline a drift/anomaly pipeline smooths its metrics with) —
+    * pandas-style ADJUSTED EWMA at alpha = 1/2 over a bounded trailing
+    * history of `span` rows:
+    *
+    *   ewma_t = sum_{k=0..L-1} (1/2)^k x_{t-k} / sum_{k=0..L-1} (1/2)^k
+    *
+    * with L = min(t+1, span). alpha = 1/2 is the one smoothing constant
+    * whose weights are POWERS OF TWO, which makes the whole computation
+    * exact integer arithmetic: multiply the k-th-oldest value in the
+    * window by 2^k (position in the frame list), sum as DECIMAL (exact,
+    * order-free), divide once by 2^L - 1. No float power, no float
+    * accumulation — one correctly-rounded double division at the end,
+    * so the result is bit-identical across engines and partitionings.
+    * The span cap bounds both state and the 2^k weight (span <= 62).
+    *
+    * Scale shape: one rows-frame window per user partition — the same
+    * single exchange movingAverage uses; the frame list is at most
+    * `span` decimals per row and never leaves the window operator. */
+  def expSmooth(events: DataFrame, span: Int = 20): DataFrame = {
+    require(span >= 1 && span <= 62, s"span must be in [1, 62]: $span")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__epoch"), col("event_id"))
+      .rowsBetween(-(span - 1), 0)
+    // frame-ordered trailing values on a fixed decimal grid (oldest
+    // first — collect_list follows the window's total order)
+    val xs = collect_list(round(col("value"), 6).cast("decimal(18,6)"))
+      .over(w)
+    val len = size(col("__xs"))
+    // fold oldest-first carrying (sum, weight): element i gets weight
+    // 2^i — exact decimal*integer products, order-fixed exact adds
+    val num = aggregate(
+      col("__xs"),
+      struct(lit(0).cast("decimal(38,6)").as("s"),
+        lit(1L).as("w")),
+      (acc, x) => struct(
+        (acc.getField("s") + (x * acc.getField("w")).cast("decimal(38,6)"))
+          .cast("decimal(38,6)").as("s"),
+        (acc.getField("w") * lit(2L)).as("w")),
+      acc => acc.getField("s"))
+    // denominator 2^L - 1: L <= span <= 62 keeps the long shift exact;
+    // pow(2.0, n) is IEEE-exact for n in this range
+    val denom = pow(lit(2.0), len.cast("double")) - lit(1.0)
+    events
+      .withColumn("__epoch", unix_timestamp(col("ts")))
+      .withColumn("__xs", xs)
+      .withColumn("n_window", len.cast("int"))
+      .withColumn("ewma", num.cast("double") / denom)
+      .drop("__epoch", "__xs")
+  }
+
   /** Per-session rollup: bounds, length, event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30,
       tieBreak: Seq[String] = Seq("event_id")): DataFrame =

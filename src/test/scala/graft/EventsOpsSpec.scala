@@ -626,4 +626,43 @@ class EventsOpsSpec extends SparkSpec {
     assert((reassigned._1, reassigned._2, reassigned._3, reassigned._4)
       != ((m._1, m._2, m._3, m._4)), "salt drives assignment")
   }
+
+  test("expSmooth: adjusted EWMA at alpha=1/2 matches the closed form, " +
+      "caps history at span, and is partitioning-invariant") {
+    // 25 events for one user (exercises the 20-row span cap), 1 for another
+    val rows = (1 to 25).map { i =>
+      (i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), 7L, "m", i * 1.5 + 0.000001, "{}")
+    } :+ (99L, ts("2024-01-01 10:00:00"), 9L, "m", 42.25, "{}")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventsOps.expSmooth(df, span = 20)
+      .select($"event_id", $"n_window", $"ewma")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+
+    // reference: integer-weight form over the rounded-to-6dp grid
+    def ref(xs: Seq[Double]): Double = {
+      val window = xs.takeRight(20)
+      val num = window.zipWithIndex.map { case (x, i) =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(BigInt(1) << i)
+      }.sum
+      (num / 1).toDouble / ((1L << window.size) - 1).toDouble
+    }
+    val vals = (1 to 25).map(i => i * 1.5 + 0.000001)
+    (1 to 25).foreach { t =>
+      val (_, n, e) = out(t.toLong)
+      assert(n == math.min(t, 20), s"window size at t=$t")
+      assert(e == ref(vals.take(t)), s"ewma at t=$t: $e vs ${ref(vals.take(t))}")
+    }
+    assert(out(99L) == ((99L, 1, 42.25)), "singleton window is the value itself")
+    // equivalence to the classical adjusted-EWMA weights within float noise
+    val t = 10
+    val w = (0 until t).map(k => math.pow(0.5, k)) // k=0 = newest
+    val classical = w.zip(vals.take(t).reverse).map { case (a, b) => a * b }.sum / w.sum
+    assert(math.abs(out(t.toLong)._3 - classical) < 1e-9, "classical-form parity")
+    // exactness: reshuffled input yields bit-identical smoothing
+    val again = EventsOps.expSmooth(df.repartition(5), span = 20)
+      .select($"event_id", $"n_window", $"ewma")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out, "partitioning-invariant")
+  }
 }
