@@ -2718,6 +2718,44 @@ object QueriesExt {
     """SELECT user_id, count(*) AS n_events
       |FROM events WHERE user_id % 100 = 0 GROUP BY 1""".stripMargin
 
+  /** Streaming EWMA (StreamProfile.streamExpSmooth): ORDER-DEPENDENT
+    * keyed state — each user's smoother folds the (sec, event_id)-
+    * sorted sequence with the batch operator's exact integer
+    * arithmetic, so the streamed series is bit-identical to batch
+    * q_exp_smooth however the stream is micro-batched (the spec pins
+    * a 2-batch split). Oracle = the batch face's SQL minus the
+    * timestamp projection. */
+  private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      import s.implicits._
+      val typed = ev.select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("value"))
+        .as[graft.streaming.StreamProfile.SmoothEvent]
+      val smoothed = graft.streaming.StreamProfile.streamExpSmooth(typed)
+      val sink = "graft_stream_ewma"
+      val q = smoothed.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(col("event_id"), col("user_id"),
+        col("n_window"), col("ewma"))
+    }
+  private val qStreamEwmaSql =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) sec,
+      |    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) v
+      |  FROM events),
+      |w AS (SELECT event_id, user_id,
+      |    list(v) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) xs
+      |  FROM e),
+      |s AS (SELECT event_id, user_id, len(xs) L,
+      |    CAST(list_sum(list_transform(range(len(xs)),
+      |        j -> xs[CAST(j + 1 AS INT)] * (1::BIGINT << j))) AS DECIMAL(38,6)) num
+      |  FROM w)
+      |SELECT event_id, user_id, CAST(L AS INT) n_window,
+      |  CAST(num AS DOUBLE) / CAST((1::BIGINT << L) - 1 AS DOUBLE) ewma
+      |FROM s""".stripMargin
+
   /** Streaming heavy hitters over user_id: sharded Misra-Gries
     * candidates from the stream (bounded state), exact re-count +
     * floor(n*s)+1 threshold against the batch table — the re-count
@@ -6560,6 +6598,7 @@ object QueriesExt {
     "q_stream_append" -> (qStreamAppend _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_user_stats" -> (qStreamUserStats _),
+    "q_stream_ewma" -> (qStreamEwma _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
@@ -6764,6 +6803,7 @@ object QueriesExt {
     "q_stream_append" -> qStreamAppendSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_user_stats" -> qStreamUserStatsSql,
+    "q_stream_ewma" -> qStreamEwmaSql,
     "q_stream_topk" -> qStreamTopkSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,

@@ -310,4 +310,61 @@ object StreamProfile {
         ShardCandidates(shard, m.keys.toSeq.sorted)
       }
   }
+
+  final case class SmoothEvent(event_id: Long, user_id: Long, sec: Long,
+      value: Double)
+  final case class SmoothState(recentMicros: Seq[Long])
+  final case class SmoothOut(event_id: Long, user_id: Long, n_window: Int,
+      ewma: Double)
+
+  /** Streaming twin of [[graft.ext.EventsOps.expSmooth]]: per-user
+    * adjusted EWMA at alpha = 1/2 over a bounded trailing history,
+    * maintained as keyed state across micro-batches. ORDER-DEPENDENT
+    * state is the novelty vs the other stateful faces: a smoother's
+    * value depends on the sequence, not a commutative summary — so
+    * each batch's rows are sorted per key by (sec, event_id) before
+    * folding, and the state carries the last `span` values (as exact
+    * micro-unit longs on the same 6-dp grid the batch operator uses).
+    * Cross-batch arrival order per key is the caller's transport
+    * contract (Kafka-partition-per-key semantics); within-batch
+    * disorder is repaired by the sort.
+    *
+    * The arithmetic is the batch operator's verbatim: round to 6 dp
+    * (HALF_UP on the double's shortest decimal form — Spark's
+    * `round`), weight element i of the window by 2^i as exact
+    * integers, divide once as doubles. Streamed output is therefore
+    * BIT-IDENTICAL to the batch face on in-order input, however the
+    * stream is micro-batched — the spec pins a 2-batch split against
+    * the batch operator and the face's oracle IS the batch SQL.
+    *
+    * State per key is `span` longs — bounded, watermark-free. Per-key
+    * per-batch memory is the sort buffer (that batch's rows for the
+    * key), the standard flatMapGroupsWithState envelope. */
+  def streamExpSmooth(events: Dataset[SmoothEvent], span: Int = 20)
+      : Dataset[SmoothOut] = {
+    require(span >= 1 && span <= 62, s"span must be in [1, 62]: $span")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SmoothState, SmoothOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SmoothEvent], state: GroupState[SmoothState]) =>
+          var hist = state.getOption.map(_.recentMicros.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = rows.toVector.sortBy(e => (e.sec, e.event_id)).map { e =>
+            val micros = java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            hist = (hist :+ micros).takeRight(span)
+            val n = hist.size
+            var num = BigInt(0)
+            var i = 0
+            while (i < n) { num += BigInt(hist(i)) << i; i += 1 }
+            val numD = new java.math.BigDecimal(num.bigInteger)
+              .movePointLeft(6).doubleValue()
+            SmoothOut(e.event_id, uid, n, numD / ((1L << n) - 1).toDouble)
+          }
+          state.update(SmoothState(hist))
+          out.iterator
+      }
+  }
 }

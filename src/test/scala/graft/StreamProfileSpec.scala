@@ -332,4 +332,46 @@ class StreamProfileSpec extends SparkSpec {
       "capacity >= keyspace keeps every key; null dropped")
     assert(rows.map(_._1).distinct.length > 1, "multiple shards active")
   }
+
+  test("streamExpSmooth: 2-batch split is bit-identical to the batch " +
+      "operator, state carries the window, in-batch disorder is sorted") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 30).map { i =>
+      Ev(i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), (i % 2).toLong, "m",
+        i * 1.25 + 0.0000004)
+    }
+    val input = MemoryStream[StreamProfile.SmoothEvent]
+    val typed = input.toDS()
+    val q = StreamProfile.streamExpSmooth(typed, span = 5)
+      .writeStream.format("memory").queryName("sm_ewma")
+      .outputMode(OutputMode.Append).start()
+    def toSm(e: Ev) = StreamProfile.SmoothEvent(
+      e.event_id, e.user_id, e.ts.getTime / 1000L, e.value)
+    try {
+      // batch 1: first 18 events, DELIBERATELY shuffled within the batch
+      input.addData(events.take(18).reverse.map(toSm): _*)
+      q.processAllAvailable()
+      // batch 2: the rest — state must continue each user's window
+      input.addData(events.drop(18).map(toSm): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sm_ewma")
+      .select($"event_id", $"n_window", $"ewma")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+
+    val batch = graft.ext.EventsOps.expSmooth(
+      events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      span = 5)
+      .select($"event_id", $"n_window", $"ewma")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+
+    assert(streamed.size == 30, s"one output row per event: ${streamed.size}")
+    assert(streamed == batch, "stream == batch bit-identical across the split")
+    // the split point itself proves cross-batch state: event 19 (user 1)
+    // has a full 5-row window whose 4 older values crossed the boundary
+    assert(streamed(19L)._2 == 5, "window spans the micro-batch boundary")
+  }
 }
