@@ -533,6 +533,53 @@ object QueriesExt {
        |FROM base""".stripMargin
   }
 
+  /** Luhn-validated payment-card detection (TextStats.withCcDetection):
+    * the fixture has no digits, so card-shaped strings are injected
+    * (mirrored in the oracle, the q_contamination discipline) with all
+    * three branches live — a Luhn-VALID card, a card-shaped but
+    * Luhn-INVALID order number, and a second valid card format. The
+    * oracle recomputes the checksum per candidate with nested list
+    * lambdas — candidate extraction, digit strip, per-position
+    * double-and-fold, and the redaction replace are all mirrored. */
+  private def qCcDetect(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" card 4539 1488 0343 6467 thanks")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" order 1234-5678-9012-3456 end")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" acct 4111111111111111.")).otherwise(lit("")))
+        .as("text"))
+    TextStats.withCcDetection(base, "text")
+      .select(col("doc_id"), col("n_cc_candidates"), col("n_cc_valid"),
+        Hashing.hash64(col("cc_redacted")).as("redacted_h"))
+  }
+  private val qCcDetectSql = {
+    val p = TextStats.ccPattern
+    def luhn(ds: String) =
+      s"""length($ds) BETWEEN 13 AND 19 AND
+         |      list_sum(list_transform(range(1, length($ds) + 1), i ->
+         |        CASE WHEN (length($ds) - i) % 2 = 1
+         |          THEN CASE WHEN 2 * (ascii(substr($ds, CAST(i AS INT), 1)) - 48) > 9
+         |            THEN 2 * (ascii(substr($ds, CAST(i AS INT), 1)) - 48) - 9
+         |            ELSE 2 * (ascii(substr($ds, CAST(i AS INT), 1)) - 48) END
+         |          ELSE ascii(substr($ds, CAST(i AS INT), 1)) - 48 END)) % 10 = 0""".stripMargin
+    s"""WITH base AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ' card 4539 1488 0343 6467 thanks' ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 0 THEN ' order 1234-5678-9012-3456 end' ELSE '' END ||
+       |  CASE WHEN doc_id % 13 = 0 THEN ' acct 4111111111111111.' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$p')) AS INT) AS n_cc_candidates,
+       |  CAST(len(list_filter(
+       |    list_transform(regexp_extract_all(t, '$p'),
+       |      c -> regexp_replace(c, '[^0-9]', '', 'g')),
+       |    ds -> ${luhn("ds")})) AS INT) AS n_cc_valid,
+       |  ${Hashing.hash64Sql(s"regexp_replace(t, '$p', '<CC>', 'g')")} AS redacted_h
+       |FROM base""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Deterministic sampling / splitting (training-data pipeline tier)
   // ------------------------------------------------------------------
@@ -6638,6 +6685,7 @@ object QueriesExt {
     "q_score_percentile" -> (qScorePercentile _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_cc_detect" -> (qCcDetect _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
@@ -6838,6 +6886,7 @@ object QueriesExt {
     "q_score_percentile" -> qScorePercentileSql,
     "q_mixture_sample" -> qMixtureSampleSql,
     "q_pii_redact" -> qPiiRedactSql,
+    "q_cc_detect" -> qCcDetectSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,

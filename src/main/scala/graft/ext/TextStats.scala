@@ -1023,6 +1023,52 @@ object TextStats {
       .withColumn("redacted", redactPii(t))
   }
 
+  /** Payment-card candidate: 13-19 digits, optionally space/dash
+    * separated. RE2-portable (no lookaround/backrefs) like the other
+    * PII patterns, so Spark's java.util.regex and the oracle's RE2
+    * find identical leftmost-greedy matches. */
+  val ccPattern: String = "(?:[0-9][ -]?){12,18}[0-9]"
+
+  /** Luhn mod-10 checksum over a digits-only string, as pure Columns
+    * (HOF fold over character positions — one codegen'd expression, no
+    * UDF). Position i (1-based from the left) of an L-digit string is
+    * doubled when its 0-based-from-the-right index L-i is odd. */
+  def luhnChecksum(digits: Column): Column = {
+    val L = length(digits)
+    aggregate(
+      transform(sequence(lit(1), L), i => {
+        val d = ascii(digits.substr(i, lit(1))) - lit(48)
+        when(((L - i) % 2) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+  }
+
+  /** True iff a candidate (separators allowed) is a plausible payment
+    * card: 13-19 digits AND Luhn-valid. */
+  def luhnValid(cand: Column): Column = {
+    val ds = regexp_replace(cand, "[^0-9]", "")
+    val L = length(ds)
+    L >= 13 && L <= 19 && luhnChecksum(ds) % 10 === 0
+  }
+
+  /** Checksum-validated payment-card detection — the precision upgrade
+    * over regex-only scrubbing: a 16-digit order number matches the
+    * shape but fails Luhn, so `n_cc_valid` separates real card leaks
+    * from numeric noise while `cc_redacted` still scrubs every
+    * candidate (conservative: shape alone is enough to redact; the
+    * valid count is the alerting signal). Counts are taken BEFORE
+    * redaction on the original text, the [[withPiiRedaction]]
+    * discipline. Whole pass is narrow codegen'd HOFs over the scan —
+    * no explode, no shuffle, no UDF. */
+  def withCcDetection(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(ccPattern), lit(0))
+    df.withColumn("n_cc_candidates", size(cands))
+      .withColumn("n_cc_valid", size(filter(cands, c => luhnValid(c))))
+      .withColumn("cc_redacted",
+        regexp_replace(col(textCol), lit(ccPattern), lit("<CC>")))
+  }
+
   // ------------------------------------------------------------------
   // C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
   // Limits of Transfer Learning with a Unified Text-to-Text

@@ -669,4 +669,30 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(again == out, "split is partitioning-invariant")
   }
+
+  test("withCcDetection: Luhn separates real cards from card-shaped " +
+      "noise; redaction scrubs every candidate") {
+    import graft.ext.TextStats
+    val docs = Seq(
+      (1L, "pay with 4539 1488 0343 6467 now"),          // valid, spaced
+      (2L, "order 1234-5678-9012-3456 shipped"),         // shape ok, Luhn fails
+      (3L, "acct 4111111111111111."),                    // valid, bare
+      (4L, "short 123456789012 id"),                     // 12 digits: not a candidate
+      (5L, "no digits at all"),
+      (6L, "two: 4539 1488 0343 6467 and 1234-5678-9012-3456 done"))
+      .toDF("doc_id", "text")
+    val out = TextStats.withCcDetection(docs, "text")
+      .select($"doc_id", $"n_cc_candidates", $"n_cc_valid", $"cc_redacted")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L)._2 == 1 && out(2L)._3 == 0, "Luhn rejects the order number")
+    assert(out(3L)._2 == 1 && out(3L)._3 == 1)
+    assert(out(4L)._2 == 0, "12 digits is below the candidate floor")
+    assert(out(5L)._2 == 0 && out(5L)._3 == 0)
+    assert(out(6L)._2 == 2 && out(6L)._3 == 1)
+    assert(out(1L)._4 == "pay with <CC> now")
+    assert(out(6L)._4 == "two: <CC> and <CC> done",
+      "every candidate is scrubbed, valid or not")
+    assert(out(5L)._4 == "no digits at all")
+  }
 }
