@@ -5408,6 +5408,52 @@ object QueriesExt {
        |FROM z""".stripMargin
   }
 
+  /** T5-style span corruption (Packing.spanCorrupt): per-doc denoising
+    * accounting — k stratified length-3 spans, offsets pure hash
+    * arithmetic — with full-extent hashes of the masked input
+    * (keep-segments + <Xj> sentinels) and the target (<Xj> + span).
+    * The oracle rebuilds BOTH sequences with list lambdas and slices,
+    * so the gate pins the exact construction, not just the lengths. */
+  private def qSpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.spanCorrupt(docs(s, dir), "doc_id", "text")
+  private val qSpanCorruptSql = {
+    def segH(seg: String) =
+      Hashing.hash64Sql(s"COALESCE(array_to_string($seg, ' '), '')")
+    val hj = Hashing.hash64Sql("CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id id, ${toksSql("text")} tk FROM documents),
+       |s AS (SELECT id, tk, CAST(len(tk) AS BIGINT) n FROM t),
+       |p AS (SELECT id, tk, n,
+       |    GREATEST(n // 20, CASE WHEN n >= 8 THEN 1 ELSE 0 END) k FROM s),
+       |q AS (SELECT id, tk, n, k,
+       |    CASE WHEN k > 0 THEN n // k ELSE 0 END strat FROM p),
+       |sp AS (SELECT id, tk, n, k, strat,
+       |    CASE WHEN k > 0 THEN list_transform(range(k), j ->
+       |      j * strat + ($hj % (strat - 3)))
+       |    ELSE CAST([] AS BIGINT[]) END starts
+       |  FROM q),
+       |m AS (SELECT id, n, k,
+       |    CASE WHEN k > 0 THEN
+       |      flatten(list_transform(range(k), j -> list_concat(
+       |        tk[CAST(CASE WHEN j = 0 THEN 1
+       |              ELSE starts[CAST(j AS INT)] + 4 END AS INT)
+       |          : CAST(starts[CAST(j + 1 AS INT)] AS INT)],
+       |        ['<X' || j || '>'])))
+       |      || tk[CAST(starts[CAST(k AS INT)] + 4 AS INT) : CAST(n AS INT)]
+       |    ELSE tk END masked,
+       |    CASE WHEN k > 0 THEN
+       |      flatten(list_transform(range(k), j -> list_concat(
+       |        ['<X' || j || '>'],
+       |        tk[CAST(starts[CAST(j + 1 AS INT)] + 1 AS INT)
+       |          : CAST(starts[CAST(j + 1 AS INT)] + 3 AS INT)])))
+       |    ELSE CAST([] AS VARCHAR[]) END target
+       |  FROM sp)
+       |SELECT id, n n_tokens, k n_spans,
+       |  CAST(len(masked) AS BIGINT) input_len,
+       |  CAST(len(target) AS BIGINT) target_len,
+       |  ${segH("masked")} masked_h, ${segH("target")} target_h
+       |FROM m""".stripMargin
+  }
+
   /** Classifier reliability diagram (TextStats.calibrationReport):
     * sigmoid(quality_logit) vs the Gopher verdict in 50 fixed-width
     * probability bins (the narrow-margin classifier needs 0.02-wide
@@ -6739,6 +6785,7 @@ object QueriesExt {
     "q_rater_agreement" -> (qRaterAgreement _),
     "q_calibration" -> (qCalibration _),
     "q_fim_split" -> (qFimSplit _),
+    "q_span_corrupt" -> (qSpanCorrupt _),
     "q_audio_resample" -> (qAudioResample _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
@@ -6939,6 +6986,7 @@ object QueriesExt {
     "q_rater_agreement" -> qRaterAgreementSql,
     "q_calibration" -> qCalibrationSql,
     "q_fim_split" -> qFimSplitSql,
+    "q_span_corrupt" -> qSpanCorruptSql,
     "q_audio_resample" -> qAudioResampleSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,

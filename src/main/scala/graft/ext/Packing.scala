@@ -190,6 +190,76 @@ object Packing {
     * token content of all three segments (full extent, not a sample)
     * without shipping the text. Scale shape: one narrow map over the
     * scan — tokenize once, slice thrice, no shuffle, no state. */
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the
+    * denoising objective): mask ~15% of each document's tokens as
+    * length-3 spans replaced by per-span sentinels, emitting the
+    * (masked input, target) pair accounting. Deterministic variant of
+    * the paper's random procedure, same discipline as [[fimSplit]]:
+    * k = max(n/20, 1 if n >= 8) spans (3/20 = the paper's 15% at mean
+    * span 3), one span per length-n/k stratum, the span's offset
+    * inside its stratum a portable hash of (id, span index) — so
+    * stratification guarantees non-overlap (min 1-token gap), and the
+    * masking is a pure function of the document id, invariant to
+    * partitioning, run order, and engine. Docs under 8 tokens are too
+    * short to cut and pass through unmasked (k = 0).
+    *
+    * Output pins the exact construction without shipping arrays:
+    * segment lengths plus full-extent portable hashes of the masked
+    * input (keep-segments interleaved with `<Xj>` sentinels) and the
+    * target (`<Xj>` + the j-th masked span, concatenated). Scale
+    * shape: one narrow map over the scan — tokenize once, slice by
+    * arithmetic, no shuffle, no state. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val staged = docs.select(col(idCol).as("id"),
+        TextStats.tokens(TextStats.normalized(col(textCol))).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      // Column `/` is double division; cast truncation = floor for the
+      // non-negative operands here (mirrors DuckDB's `//`)
+      .withColumn("__k", greatest((col("__n") / 20L).cast("long"),
+        when(col("__n") >= 8L, 1L).otherwise(0L)))
+      .withColumn("__strat",
+        when(col("__k") > 0, (col("__n") / col("__k")).cast("long"))
+          .otherwise(0L))
+    // 0-based span starts, one per stratum: j*strat + h(id:j) mod (strat-3)
+    val withStarts = staged.withColumn("__starts",
+      when(col("__k") > 0,
+        transform(sequence(lit(0L), col("__k") - 1L), j =>
+          j * col("__strat") + pmod(
+            Hashing.hash64(concat(col("id").cast("string"), lit(":"), j.cast("string"))),
+            col("__strat") - 3L)))
+        .otherwise(array().cast("array<bigint>")))
+    val tk = col("__tk")
+    val starts = col("__starts")
+    def startAt(j: Column) = element_at(starts, (j + 1L).cast("int"))
+    val sentinel = (j: Column) =>
+      concat(lit("<X"), j.cast("string"), lit(">"))
+    // masked input: per stratum the keep-prefix + the sentinel, then the tail
+    val maskedBody = flatten(transform(sequence(lit(0L), col("__k") - 1L), j => {
+      val p0 = when(j === 0L, lit(1L)).otherwise(startAt(j - 1L) + 4L)
+      concat(slice(tk, p0.cast("int"), (startAt(j) - p0 + 1L).cast("int")),
+        array(sentinel(j)))
+    }))
+    val tail = slice(tk,
+      when(col("__k") > 0, element_at(starts, col("__k").cast("int")) + 4L)
+        .otherwise(lit(1L)).cast("int"),
+      when(col("__k") > 0,
+          col("__n") - element_at(starts, col("__k").cast("int")) - 3L)
+        .otherwise(col("__n")).cast("int"))
+    val masked = when(col("__k") > 0, concat(maskedBody, tail)).otherwise(tail)
+    val target = when(col("__k") > 0,
+        flatten(transform(sequence(lit(0L), col("__k") - 1L), j =>
+          concat(array(sentinel(j)),
+            slice(tk, (startAt(j) + 1L).cast("int"), lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val segH = (seg: Column) => Hashing.hash64(array_join(seg, " "))
+    withStarts.select(col("id"), col("__n").as("n_tokens"),
+      col("__k").as("n_spans"),
+      size(masked).cast("long").as("input_len"),
+      size(target).cast("long").as("target_len"),
+      segH(masked).as("masked_h"), segH(target).as("target_h"))
+  }
+
   def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val staged = docs.select(col(idCol).as("id"),
         TextStats.tokens(TextStats.normalized(col(textCol))).as("__toks"))

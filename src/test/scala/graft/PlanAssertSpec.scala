@@ -295,4 +295,24 @@ class PlanAssertSpec extends SparkSpec {
     assert(quotaPlan.contains("WindowGroupLimit"),
       s"stratifiedQuota plan lost its group limit:\n$quotaPlan")
   }
+
+  test("q_exp_smooth: one exchange, one window — the smoother rides a " +
+      "single user_id repartition") {
+    val plan = planOf("q_exp_smooth")
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchange == 1,
+      s"EWMA must shuffle exactly once (user_id); plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("q_fim_split and q_cc_detect: pure narrow maps — zero exchanges, " +
+      "no window, no join") {
+    Seq("q_fim_split", "q_cc_detect").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle; plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Window "),
+        s"$name must stay a projection over the scan; plan:\n$plan")
+    }
+  }
 }

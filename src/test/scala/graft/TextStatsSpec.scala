@@ -695,4 +695,62 @@ class TextStatsSpec extends SparkSpec {
       "every candidate is scrubbed, valid or not")
     assert(out(5L)._4 == "no digits at all")
   }
+
+  test("spanCorrupt: stratified spans never overlap, masked+target " +
+      "reconstruct the doc, hashes pin both sequences") {
+    import graft.ext.Packing
+    def md5h(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val texts = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),   // k = 2
+      (2L, "one two three four five six seven eight"),    // n = 8, k = 1
+      (3L, "tiny doc here"),                              // n < 8, k = 0
+      (4L, ""),                                           // empty
+      (5L, (1 to 95).map(i => s"w$i").mkString(" ")))     // k = 4, strat 23
+    val docs = texts.toDF("doc_id", "text")
+    val out = Packing.spanCorrupt(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    texts.foreach { case (id, text) =>
+      val tk = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split("\\s+").filter(_.nonEmpty).toVector
+      val n = tk.size.toLong
+      val k = math.max(n / 20, if (n >= 8) 1L else 0L)
+      val (masked, target) =
+        if (k == 0) (tk, Vector.empty[String])
+        else {
+          val strat = n / k
+          val starts = (0L until k).map(j =>
+            j * strat + md5h(s"$id:$j") % (strat - 3))
+          // spans must sit in disjoint strata with a gap
+          starts.sliding(2).foreach { case Seq(a, b) =>
+            assert(b > a + 3, s"non-overlap for $id: $starts")
+          case _ => () }
+          val m = (0L until k).flatMap { j =>
+            val p0 = if (j == 0) 0L else starts(j.toInt - 1) + 3
+            tk.slice(p0.toInt, starts(j.toInt).toInt) :+ s"<X$j>"
+          }.toVector ++ tk.drop(starts(k.toInt - 1).toInt + 3)
+          val t = (0L until k).flatMap { j =>
+            s"<X$j>" +: tk.slice(starts(j.toInt).toInt,
+              starts(j.toInt).toInt + 3)
+          }.toVector
+          (m, t)
+        }
+      val r = out(id)
+      assert(r._2 == n && r._3 == k, s"n/k for $id: $r")
+      assert(r._4 == masked.size && r._5 == target.size, s"lengths for $id")
+      // masked keeps n - 3k tokens + k sentinels; target is 4k long
+      assert(r._4 == n - 3 * k + k && r._5 == 4 * k, s"accounting for $id")
+      assert(r._6 == md5h(masked.mkString(" ")), s"masked_h for $id")
+      assert(r._7 == md5h(target.mkString(" ")), s"target_h for $id")
+    }
+    val again = Packing.spanCorrupt(docs.repartition(3), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == out, "partitioning-invariant")
+  }
 }
