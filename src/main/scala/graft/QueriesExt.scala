@@ -3696,6 +3696,42 @@ object QueriesExt {
        |WHERE noisy >= 5.0""".stripMargin
   }
 
+  /** KMV distinct sketch (Profiler.kmvDistinct): distinct users per
+    * event type at k=64, with the exact count joined on for the error
+    * column. Unlike HLL, every piece — the k smallest portable hashes,
+    * the k-th min, the (k-1)·2^60/h_(k) estimate — is a deterministic
+    * function of the value SET, so the sketch estimate itself
+    * hash-matches the oracle bit-exact (the mergeable-sketch path a
+    * 100 TB profiler actually ships, fully gated). */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sketch = profile.Profiler.kmvDistinct(ev, "event_type", "user_id",
+      k = 64)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_kept"), col("kth_hash"),
+        round(col("est_distinct"), 4).as("est_r"), col("n_exact"),
+        round((col("est_distinct") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("err_r"))
+  }
+  private val qKmvDistinctSql = {
+    val h = Hashing.hash64Sql("CAST(user_id AS VARCHAR)")
+    val est = """CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE) END"""
+    s"""WITH h AS (SELECT DISTINCT event_type g, $h h FROM events),
+       |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn
+       |  FROM h),
+       |kk AS (SELECT g, CAST(count(*) AS BIGINT) n_kept, max(h) kth_hash
+       |  FROM r WHERE rn <= 64 GROUP BY 1),
+       |ex AS (SELECT event_type g, CAST(count(DISTINCT user_id) AS BIGINT) n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT k.g event_type, n_kept, kth_hash,
+       |  round($est, 4) est_r, n_exact,
+       |  round(($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) err_r
+       |FROM kk k JOIN ex ON k.g = ex.g""".stripMargin
+  }
+
   /** Exact heavy hitters over the corpus token stream: the
     * Misra-Gries sketch pass bounds the work, the exact re-count pass
     * makes the output sketch-independent, so the oracle is a plain
@@ -6662,6 +6698,7 @@ object QueriesExt {
     "q_unigram_tokenizer" -> (qUnigramTokenizer _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_histogram" -> (qDpHistogram _),
     "q_html_strip" -> (qHtmlStrip _),
@@ -6845,6 +6882,7 @@ object QueriesExt {
     "q_rare_collapse" -> qRareCollapseSql,
     "q_target_encode" -> qTargetEncodeSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_kmv_distinct" -> qKmvDistinctSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_url_dedup" -> qUrlDedupSql,

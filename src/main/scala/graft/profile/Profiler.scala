@@ -167,6 +167,46 @@ object Profiler {
       .agg(coalesce(sum(col("__cnt") - 1), lit(0L)))
       .head().getLong(0)
 
+  /** KMV (k-minimum-values) distinct sketch per group — the MERGEABLE
+    * distinct counter (Bar-Yossef et al. 2002; the theta-sketch
+    * family): keep the k smallest portable 60-bit hashes of the
+    * distinct values; estimate D ≈ (k-1) · 2^60 / h_(k). Unlike HLL
+    * (whose register layout is engine-private), every piece here is
+    * DETERMINISTIC AND ENGINE-PORTABLE — the k-th smallest hash of a
+    * value set is a pure function of the set — so the sketch estimate
+    * itself is oracle-checkable bit-exact, and sketches from different
+    * shards/engines union by keeping the k smallest of the merged
+    * hash sets. Groups with fewer than k distinct hashes report
+    * exactly (the sketch IS the value set there).
+    *
+    * Scale shape: map-side distinct on (group, hash) — 8-byte hashes
+    * shuffle, never values — then a per-group bottom-k window that
+    * Spark rewrites to WindowGroupLimit (map-side k-row heaps), so
+    * no group ever funnels its full distinct set through one task.
+    * The estimate divides two correctly-rounded doubles: (k-1)·2^60
+    * is exact (≤ 10 significant bits · a power of two) and both
+    * engines round h_(k) to double identically. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .select(col(groupCol).as("g"),
+        graft.functions.Hashing.hash64(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val kept = hashed
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    kept.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            col("kth_hash").cast("double")))
+  }
+
   /** P4 — z-score model. pandas uses `std(ddof=0)` (app.py:67) which is the
     * POPULATION stddev — Spark's default `stddev` is sample stddev, so we
     * must use `stddev_pop`. All-false when std is 0 or undefined

@@ -148,4 +148,40 @@ class ProfilerSpec extends SparkSpec {
       Profiler.nullPatterns(df, Seq.empty)
     }
   }
+
+  test("kmvDistinct: exact below k, bounded error above, deterministic, " +
+      "and the sketch is union-mergeable") {
+    import spark.implicits._
+    def md5h(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val k = 16
+    // group "small": 9 distinct (< k, exact); "big": 500 distinct
+    val rows = (1 to 9).map(i => ("small", i.toLong)) ++
+      (1 to 1000).map(i => ("big", (i % 500 + 1000).toLong))
+    val df = rows.toDF("g", "v")
+    val out = Profiler.kmvDistinct(df, "g", "v", k = k)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // small group: sketch IS the value set
+    assert(out("small")._2 == 9 && out("small")._4 == 9.0)
+    // big group: kept exactly k, estimate within the KMV error envelope
+    assert(out("big")._2 == k)
+    val est = out("big")._4
+    assert(est > 250 && est < 1000, s"KMV estimate off: $est vs 500")
+    // the k-th hash is the k-th smallest of the distinct-value hashes
+    val hashes = (1 to 500).map(i => md5h((i + 1000).toString)).sorted
+    assert(out("big")._3 == hashes(k - 1), "kth_hash is the true k-th min")
+    assert(est == (k - 1).toDouble * math.pow(2.0, 60) / hashes(k - 1).toDouble)
+    // mergeability: bottom-k of the union == bottom-k of merged sketches
+    val halfA = (1 to 250).map(i => md5h((i + 1000).toString)).sorted.take(k)
+    val halfB = (251 to 500).map(i => md5h((i + 1000).toString)).sorted.take(k)
+    assert((halfA ++ halfB).sorted.take(k) == hashes.take(k),
+      "union of shard sketches reproduces the global sketch")
+    // determinism under reshuffling
+    val again = Profiler.kmvDistinct(df.repartition(7), "g", "v", k = k)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
 }
