@@ -2803,6 +2803,37 @@ object QueriesExt {
       |  CAST(num AS DOUBLE) / CAST((1::BIGINT << L) - 1 AS DOUBLE) ewma
       |FROM s""".stripMargin
 
+  /** Streaming KMV distinct-users monitor (StreamProfile
+    * .streamKmvDistinct): the mergeable bottom-k-hash sketch as keyed
+    * state — a min-set is order-free, so the streamed estimate is
+    * bit-identical to the batch q_kmv_distinct however the stream is
+    * chopped, and the oracle IS the batch face's SQL. */
+  private def qStreamKmv(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      import s.implicits._
+      val hashed = ev.select(col("event_type"),
+          Hashing.hash64(col("user_id").cast("string")).as("h"))
+        .as[(String, Long)]
+      val sketch = graft.streaming.StreamProfile.streamKmvDistinct(hashed, k = 64)
+      val sink = "graft_stream_kmv"
+      val q = sketch.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val exact = events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      s.table(sink)
+        .select(col("g").as("event_type"), col("n_kept"), col("kth_hash"),
+          col("est_distinct"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_kept"), col("kth_hash"),
+          round(col("est_distinct"), 4).as("est_r"), col("n_exact"),
+          round((col("est_distinct") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4).as("err_r"))
+    }
+  // lazy: qKmvDistinctSql is declared later in this object — a strict
+  // val here would capture null during object init
+  private lazy val qStreamKmvSql = qKmvDistinctSql
+
   /** Streaming heavy hitters over user_id: sharded Misra-Gries
     * candidates from the stream (bounded state), exact re-count +
     * floor(n*s)+1 threshold against the batch table — the re-count
@@ -6729,6 +6760,7 @@ object QueriesExt {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_user_stats" -> (qStreamUserStats _),
     "q_stream_ewma" -> (qStreamEwma _),
+    "q_stream_kmv" -> (qStreamKmv _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
@@ -6937,6 +6969,7 @@ object QueriesExt {
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_user_stats" -> qStreamUserStatsSql,
     "q_stream_ewma" -> qStreamEwmaSql,
+    "q_stream_kmv" -> qStreamKmvSql,
     "q_stream_topk" -> qStreamTopkSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,

@@ -311,6 +311,40 @@ object StreamProfile {
       }
   }
 
+  final case class KmvState(hashes: Seq[Long])
+  final case class KmvOut(g: String, n_kept: Long, kth_hash: Long,
+      est_distinct: Double)
+
+  /** Streaming twin of [[graft.profile.Profiler.kmvDistinct]]: the KMV
+    * distinct sketch AS KEYED STREAMING STATE. The bottom-k-distinct-
+    * hashes set is exactly the mergeable summary the batch operator
+    * computes, so the stream maintains it incrementally — each batch's
+    * hashes union into the state and the k smallest survive — and the
+    * emitted estimate is BIT-IDENTICAL to running the batch sketch
+    * over everything seen so far, regardless of how the stream is
+    * micro-batched or ordered (a min-set is order-free, unlike the
+    * EWMA's sequence state). Input rows are (group, portable-hash)
+    * pairs — hash upstream with `Hashing.hash64` so stream and batch
+    * share the one hash definition. State per key is <= k longs. */
+  def streamKmvDistinct(hashed: Dataset[(String, Long)], k: Int = 64)
+      : Dataset[KmvOut] = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import hashed.sparkSession.implicits._
+    hashed.groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          val merged = (prev.iterator ++ rows.map(_._2))
+            .toVector.distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val n = merged.size.toLong
+          val est =
+            if (n < k) n.toDouble
+            else (k - 1).toDouble * math.pow(2.0, 60) / merged.last.toDouble
+          KmvOut(g, n, merged.last, est)
+      }
+  }
+
   final case class SmoothEvent(event_id: Long, user_id: Long, sec: Long,
       value: Double)
   final case class SmoothState(recentMicros: Seq[Long])

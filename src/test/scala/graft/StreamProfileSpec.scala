@@ -374,4 +374,50 @@ class StreamProfileSpec extends SparkSpec {
     // has a full 5-row window whose 4 older values crossed the boundary
     assert(streamed(19L)._2 == 5, "window spans the micro-batch boundary")
   }
+
+  test("streamKmvDistinct: 2-batch union state equals the batch sketch " +
+      "bit-exactly — a min-set is order-free") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5h(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val k = 16
+    // 400 distinct users in group "big", 5 in "small"; batches split so
+    // batch 2 can displace batch-1 hashes from the bottom-k
+    val all = (1 to 400).map(i => ("big", md5h((i + 1000).toString))) ++
+      (1 to 5).map(i => ("small", md5h((i + 9000).toString)))
+    val input = MemoryStream[(String, Long)]
+    val q = StreamProfile.streamKmvDistinct(input.toDS(), k = k)
+      .writeStream.format("memory").queryName("sm_kmv")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(all.take(200): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per group is the final sketch
+    val streamed = spark.table("sm_kmv")
+      .groupBy($"g").agg(last($"n_kept").as("n"), last($"kth_hash").as("kh"),
+        last($"est_distinct").as("e"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+    val batch = graft.profile.Profiler.kmvDistinct(
+      (1 to 400).map(i => ("big", (i + 1000).toLong)).toDF("g", "v")
+        .union((1 to 5).map(i => ("small", (i + 9000).toLong)).toDF("g", "v")),
+      "g", "v", k = k)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+    assert(streamed("small") == batch("small"), "exact path matches")
+    assert(streamed("big") == batch("big"),
+      s"sketch path matches bit-exactly: ${streamed("big")} vs ${batch("big")}")
+    // the displacement actually happened: batch-2 hashes are in the sketch
+    val finalBottom = (1 to 400).map(i => md5h((i + 1000).toString)).sorted.take(k)
+    val batch1Bottom = (1 to 200).map(i => md5h((i + 1000).toString)).sorted.take(k)
+    assert(finalBottom != batch1Bottom, "fixture must force a state merge")
+  }
 }
