@@ -2811,7 +2811,12 @@ object QueriesExt {
   private def qStreamKmv(s: SparkSession, dir: String): DataFrame =
     withStagedEventsStream(s, dir) { ev =>
       import s.implicits._
-      val hashed = ev.select(col("event_type"),
+      // same 'rare' sparse-type injection as the batch face (shared
+      // oracle): stream ∪ filtered stream keeps it a streaming DF
+      val withRare = ev.select(col("event_type"), col("user_id")).union(
+        ev.filter(col("user_id") % 40 === 0)
+          .select(lit("rare").as("event_type"), col("user_id")))
+      val hashed = withRare.select(col("event_type"),
           Hashing.hash64(col("user_id").cast("string")).as("h"))
         .as[(String, Long)]
       val sketch = graft.streaming.StreamProfile.streamKmvDistinct(hashed, k = 64)
@@ -2819,7 +2824,11 @@ object QueriesExt {
       val q = sketch.toDF().writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
-      val exact = events(s, dir).groupBy(col("event_type"))
+      val ev0 = events(s, dir)
+      val exact = ev0.select(col("event_type"), col("user_id")).union(
+          ev0.filter(col("user_id") % 40 === 0)
+            .select(lit("rare").as("event_type"), col("user_id")))
+        .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       s.table(sink)
         .select(col("g").as("event_type"), col("n_kept"), col("kth_hash"),
@@ -3735,7 +3744,14 @@ object QueriesExt {
     * hash-matches the oracle bit-exact (the mergeable-sketch path a
     * 100 TB profiler actually ships, fully gated). */
   private def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    // every fixture type has 150 distinct users > k, so the exact
+    // path (n_kept < k) would be vacuous in the gate: inject a 'rare'
+    // type carrying only users ≡ 0 (mod 40) — a handful of distinct
+    // users, well under k — mirrored in the oracle
+    val ev0 = events(s, dir)
+    val ev = ev0.select(col("event_type"), col("user_id")).union(
+      ev0.filter(col("user_id") % 40 === 0)
+        .select(lit("rare").as("event_type"), col("user_id")))
     val sketch = profile.Profiler.kmvDistinct(ev, "event_type", "user_id",
       k = 64)
     val exact = ev.groupBy(col("event_type"))
@@ -3750,13 +3766,15 @@ object QueriesExt {
     val h = Hashing.hash64Sql("CAST(user_id AS VARCHAR)")
     val est = """CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
       ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE) END"""
-    s"""WITH h AS (SELECT DISTINCT event_type g, $h h FROM events),
+    s"""WITH ev AS (SELECT event_type, user_id FROM events
+       |    UNION ALL SELECT 'rare', user_id FROM events WHERE user_id % 40 = 0),
+       |h AS (SELECT DISTINCT event_type g, $h h FROM ev),
        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) rn
        |  FROM h),
        |kk AS (SELECT g, CAST(count(*) AS BIGINT) n_kept, max(h) kth_hash
        |  FROM r WHERE rn <= 64 GROUP BY 1),
        |ex AS (SELECT event_type g, CAST(count(DISTINCT user_id) AS BIGINT) n_exact
-       |  FROM events GROUP BY 1)
+       |  FROM ev GROUP BY 1)
        |SELECT k.g event_type, n_kept, kth_hash,
        |  round($est, 4) est_r, n_exact,
        |  round(($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) err_r
@@ -5451,12 +5469,32 @@ object QueriesExt {
     * as pure integer arithmetic. COALESCE on the empty-segment join:
     * DuckDB's array_to_string([]) is NULL where Spark's array_join is
     * ''. */
+  /** Degenerate-branch injection shared by the objective-construction
+    * faces: the fixture's docs all have 10-99 tokens, so the n<2
+    * (fim) and n<8 / k=0 (span-corruption) branches would be VACUOUS
+    * in the oracle gate (the q_erasure lesson). Three synthetic docs
+    * — empty, 1 token, 5 tokens — keep every branch live; mirrored
+    * verbatim in the SQL. */
+  private def docsWithTiny(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).union(
+      Seq((900001L, ""), (900002L, "solo"),
+        (900003L, "five tiny tokens right here"))
+        .toDF("doc_id", "text"))
+  }
+  private val tinyDocsSql =
+    """SELECT doc_id, text FROM documents
+      |    UNION ALL SELECT * FROM (VALUES (900001, ''), (900002, 'solo'),
+      |      (900003, 'five tiny tokens right here')) v(doc_id, text)"""
+      .stripMargin
+
   private def qFimSplit(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Packing.fimSplit(docs(s, dir), "doc_id", "text")
+    graft.ext.Packing.fimSplit(docsWithTiny(s, dir), "doc_id", "text")
   private val qFimSplitSql = {
     def segH(seg: String) =
       Hashing.hash64Sql(s"COALESCE(array_to_string($seg, ' '), '')")
-    s"""WITH t AS (SELECT doc_id id, ${toksSql("text")} tk FROM documents),
+    s"""WITH base AS ($tinyDocsSql),
+       |t AS (SELECT doc_id id, ${toksSql("text")} tk FROM base),
        |s AS (SELECT id, tk, CAST(len(tk) AS BIGINT) n,
        |    ${Hashing.hash64Sql("CAST(id AS VARCHAR)")} h1,
        |    ${Hashing.hash64Sql("CAST(id AS VARCHAR) || ':m'")} h2
@@ -5482,12 +5520,13 @@ object QueriesExt {
     * The oracle rebuilds BOTH sequences with list lambdas and slices,
     * so the gate pins the exact construction, not just the lengths. */
   private def qSpanCorrupt(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Packing.spanCorrupt(docs(s, dir), "doc_id", "text")
+    graft.ext.Packing.spanCorrupt(docsWithTiny(s, dir), "doc_id", "text")
   private val qSpanCorruptSql = {
     def segH(seg: String) =
       Hashing.hash64Sql(s"COALESCE(array_to_string($seg, ' '), '')")
     val hj = Hashing.hash64Sql("CAST(id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
-    s"""WITH t AS (SELECT doc_id id, ${toksSql("text")} tk FROM documents),
+    s"""WITH base AS ($tinyDocsSql),
+       |t AS (SELECT doc_id id, ${toksSql("text")} tk FROM base),
        |s AS (SELECT id, tk, CAST(len(tk) AS BIGINT) n FROM t),
        |p AS (SELECT id, tk, n,
        |    GREATEST(n // 20, CASE WHEN n >= 8 THEN 1 ELSE 0 END) k FROM s),
