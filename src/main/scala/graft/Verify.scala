@@ -47,7 +47,10 @@ object Verify {
     // default. Runs in the official full pass and whenever a listed
     // face is explicitly selected.
     val rocksFaces = Seq("q_stream_hourly", "q_stream_append",
-      "q_stream_dedup", "q_stream_sessions", "q_stream_join")
+      "q_stream_dedup", "q_stream_sessions", "q_stream_join",
+      // r8 session-4: the two new custom-keyed-state faces (ordered
+      // EWMA window, KMV min-set) re-run under the production provider
+      "q_stream_ewma", "q_stream_kmv")
       .filter(n => only.isEmpty || only(n))
     if (rocksFaces.nonEmpty) {
       val key = "spark.sql.streaming.stateStore.providerClass"
