@@ -4623,6 +4623,34 @@ object QueriesExt {
     * rules share ONE scan (fused conditional aggregation — see
     * Constraints scaladoc); Unique adds one partial-agg shuffle,
     * RefIntegrity one distinct-build anti join. */
+  /** Functional-dependency discovery (Constraints.fdDiscovery) over
+    * orders: the PK dependency o_orderkey→o_custkey genuinely HOLDS
+    * while three plausible-looking candidates are measurably violated
+    * (o_custkey→o_orderpriority: 1495 violating customers at sf0.01) — so both verdict branches are live in the gate. Oracle
+    * mirrors the distinct-pairs → per-determinant census per pair. */
+  private def qFdDiscovery(s: SparkSession, dir: String): DataFrame =
+    Constraints.fdDiscovery(Sources.table(s, dir, "orders"), Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_custkey" -> "o_orderpriority",
+      "o_orderdate" -> "o_orderstatus",
+      "o_orderstatus" -> "o_orderpriority"))
+  private val qFdDiscoverySql = {
+    def pair(det: String, dep: String) =
+      s"""SELECT '$det' determinant, '$dep' dependent,
+         |  CAST(count(*) AS BIGINT) n_groups,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) violating_groups,
+         |  CAST(sum(nd - 1) AS BIGINT) surplus_pairs,
+         |  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) violation_share,
+         |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 holds
+         |FROM (SELECT $det, count(*) nd FROM
+         |  (SELECT DISTINCT $det, $dep FROM orders WHERE $det IS NOT NULL) GROUP BY 1)"""
+        .stripMargin
+    Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderpriority",
+      "o_orderdate" -> "o_orderstatus", "o_orderstatus" -> "o_orderpriority")
+      .map { case (a, b) => pair(a, b) }.mkString("\nUNION ALL\n")
+  }
+
   private def qConstraints(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
     val o = Sources.table(s, dir, "orders")
@@ -6749,6 +6777,7 @@ object QueriesExt {
     "q_concentration" -> (qConcentration _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
+    "q_fd_discovery" -> (qFdDiscovery _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_scd_merge" -> (qScdMerge _),
@@ -6964,6 +6993,7 @@ object QueriesExt {
     "q_html_strip" -> qHtmlStripSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
+    "q_fd_discovery" -> qFdDiscoverySql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_scd_merge" -> qScdMergeSql,

@@ -133,4 +133,49 @@ object Constraints {
       .withColumn("ok", col("violations") === 0L)
       .orderBy(col("check_kind"), col("target"))
   }
+
+  /** Approximate functional-dependency DISCOVERY (the profiling
+    * complement of [[validate]]'s declared rules): for each candidate
+    * determinant→dependent pair, measure how close `det → dep` is to
+    * holding. Per pair: group by the determinant over the DISTINCT
+    * (det, dep) projection and report (a) the violating-group share —
+    * groups whose dependent takes more than one distinct value, over
+    * all groups — and (b) the surplus distinct pairs (the minimum
+    * number of (det, dep) assignments to retract for the FD to hold
+    * exactly). An FD "holds" at eps when the violating-group share
+    * is ≤ eps.
+    *
+    * Null discipline: rows with a null determinant are excluded (a
+    * null key determines nothing); null dependents count as a value
+    * (two rows (a, null),(a, x) DO violate a → x).
+    *
+    * Scale shape, per pair: one map-side-combined distinct on
+    * (det, dep) then a groupBy(det) over the shrunken pairs; both
+    * exchanges carry two columns. Pairs are evaluated independently
+    * and unioned — candidate lists are small (schema-sized), data is
+    * not. */
+  def fdDiscovery(df: DataFrame,
+      candidates: Seq[(String, String)], eps: Double = 0.0): DataFrame = {
+    require(candidates.nonEmpty, "no candidate pairs given")
+    candidates.map { case (det, dep) =>
+      val pairs = df.filter(col(det).isNotNull)
+        .select(col(det).as("__det"), col(dep).as("__dep"))
+        .distinct()
+      pairs.groupBy(col("__det"))
+        .agg(count(lit(1)).as("__ndep"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__ndep") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(col("__ndep") - 1L).as("surplus_pairs"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+          coalesce(col("violating_groups"), lit(0L)).as("violating_groups"),
+          coalesce(col("surplus_pairs"), lit(0L)).as("surplus_pairs"))
+        .withColumn("violation_share",
+          when(col("n_groups") > 0,
+            round(col("violating_groups").cast("double") /
+              col("n_groups").cast("double"), 6)).otherwise(0.0))
+        .withColumn("holds", col("violation_share") <= eps)
+    }.reduce(_ unionByName _)
+  }
 }

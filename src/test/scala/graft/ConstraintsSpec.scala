@@ -72,4 +72,32 @@ class ConstraintsSpec extends SparkSpec {
       ("ref_integrity", "id", 0L, 0L, true),
       ("unique", "id", 0L, 0L, true))))
   }
+
+  test("fdDiscovery: held and violated FDs, null-determinant exclusion, " +
+      "null dependent counts as a value, surplus = retractions to repair") {
+    import graft.profile.Constraints
+    val df = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("a"), Option("x")),   // duplicate pair: no violation
+      (3L, Option("b"), Option("y")),
+      (4L, Option("b"), Option("z")),   // b -> {y, z}: violating group
+      (5L, Option("c"), None),          // null dependent IS a value
+      (6L, Option("c"), Option("w")),   // c -> {null, w}: violating group
+      (7L, None, Option("q")))          // null determinant: excluded
+      .toDF("id", "det", "dep")
+    val out = Constraints.fdDiscovery(df,
+        Seq("id" -> "det", "det" -> "dep"))
+      .as[(String, String, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // id is a key: FD holds over all 7 rows
+    assert(out(("id", "det")) == (("id", "det", 7L, 0L, 0L, 0.0, true)))
+    // det -> dep: groups a (1 dep), b (2), c (2); 2 of 3 violate,
+    // surplus = 2 retractions (one each in b and c)
+    assert(out(("det", "dep")) ==
+      (("det", "dep", 3L, 2L, 2L, round2(2.0 / 3.0), false)),
+      s"got ${out(("det", "dep"))}")
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
