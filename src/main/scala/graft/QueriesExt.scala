@@ -4651,6 +4651,56 @@ object QueriesExt {
       .map { case (a, b) => pair(a, b) }.mkString("\nUNION ALL\n")
   }
 
+  /** Inclusion-dependency discovery (Constraints.indDiscovery): four
+    * cross-table candidates — three genuine FKs at containment 1.0
+    * (lineitem→orders, lineitem→supplier, orders→customer) and the
+    * REVERSE direction c_custkey ⊆ o_custkey with five injected
+    * orphan keys (every fixture customer has orders, so the broken-
+    * reference branch would otherwise be vacuous) — both verdict
+    * branches live in the gate. Oracle mirrors the distinct-shrink + left-anti
+    * orphan census per candidate. */
+  private def qIndDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+    val c = Sources.table(s, dir, "customer")
+    val sup = Sources.table(s, dir, "supplier")
+    Constraints.indDiscovery(l, Seq(
+        ("l_orderkey", o, "o_orderkey"),
+        ("l_suppkey", sup, "s_suppkey")))
+      .unionByName(Constraints.indDiscovery(o,
+        Seq(("o_custkey", c, "c_custkey"))))
+      .unionByName(Constraints.indDiscovery(
+        // every fixture customer has orders, so the broken-reference
+        // branch would be vacuous: inject five orphan keys (mirrored)
+        c.select(col("c_custkey")).union(
+          s.range(900001, 900006).select(col("id").as("c_custkey"))),
+        Seq(("c_custkey", o, "o_custkey"))))
+  }
+  private val qIndDiscoverySql = {
+    def cand(childCol: String, childTab: String, parentCol: String,
+        parentTab: String) =
+      s"""SELECT '$childCol' child_col, '$parentCol' parent_col,
+         |  CAST(count(*) AS BIGINT) n_child_distinct,
+         |  CAST(count(CASE WHEN p.v IS NULL THEN 1 END) AS BIGINT) n_orphans,
+         |  round(CAST(count(*) - count(CASE WHEN p.v IS NULL THEN 1 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) containment,
+         |  count(CASE WHEN p.v IS NULL THEN 1 END) = 0 is_fk_candidate
+         |FROM (SELECT DISTINCT $childCol v FROM $childTab
+         |      WHERE $childCol IS NOT NULL) ch
+         |LEFT JOIN (SELECT DISTINCT $parentCol v FROM $parentTab
+         |      WHERE $parentCol IS NOT NULL) p USING (v)"""
+        .stripMargin
+    Seq(
+      cand("l_orderkey", "lineitem", "o_orderkey", "orders"),
+      cand("l_suppkey", "lineitem", "s_suppkey", "supplier"),
+      cand("o_custkey", "orders", "c_custkey", "customer"),
+      cand("c_custkey",
+        "(SELECT c_custkey FROM customer UNION ALL SELECT * FROM " +
+        "(VALUES (900001), (900002), (900003), (900004), (900005)))",
+        "o_custkey", "orders"))
+      .mkString("\nUNION ALL\n")
+  }
+
   private def qConstraints(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
     val o = Sources.table(s, dir, "orders")
@@ -6778,6 +6828,7 @@ object QueriesExt {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_constraints" -> (qConstraints _),
     "q_fd_discovery" -> (qFdDiscovery _),
+    "q_ind_discovery" -> (qIndDiscovery _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_scd_merge" -> (qScdMerge _),
@@ -6994,6 +7045,7 @@ object QueriesExt {
     "q_bloom_semi" -> qBloomSemiSql,
     "q_constraints" -> qConstraintsSql,
     "q_fd_discovery" -> qFdDiscoverySql,
+    "q_ind_discovery" -> qIndDiscoverySql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_scd_merge" -> qScdMergeSql,

@@ -154,6 +154,47 @@ object Constraints {
     * exchanges carry two columns. Pairs are evaluated independently
     * and unioned — candidate lists are small (schema-sized), data is
     * not. */
+  /** Inclusion-dependency (foreign-key candidate) DISCOVERY — the
+    * cross-table half of schema profiling, paired with
+    * [[fdDiscovery]]: for each candidate (child column ⊆ parent
+    * column), measure containment — the share of the child's distinct
+    * non-null values present in the parent. Containment 1.0 = a valid
+    * FK target; high-but-under-1 = a broken reference worth a
+    * RefIntegrity rule. Direction matters and both directions are
+    * often informative, so candidates are explicit (childCol,
+    * parentDf, parentCol) triples; nulls are excluded on both sides
+    * (SQL FK semantics).
+    *
+    * Scale shape, per candidate: distinct-shrink both sides to single
+    * columns, then one left_anti join keyed on the value — the same
+    * orphan-count shape [[validate]]'s RefIntegrity uses, evaluated
+    * per pair and unioned. Exchanges carry one column of distinct
+    * values. */
+  def indDiscovery(child: DataFrame,
+      candidates: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(candidates.nonEmpty, "no candidate inclusions given")
+    candidates.map { case (childCol, parent, parentCol) =>
+      val cvals = child.filter(col(childCol).isNotNull)
+        .select(col(childCol).as("__v")).distinct()
+      val orphans = cvals.join(
+        parent.filter(col(parentCol).isNotNull)
+          .select(col(parentCol).as("__v")).distinct(),
+        Seq("__v"), "left_anti")
+      cvals.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(broadcast(
+          orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(childCol).as("child_col"),
+          lit(parentCol).as("parent_col"),
+          col("n_child_distinct"), col("n_orphans"))
+        .withColumn("containment",
+          when(col("n_child_distinct") > 0,
+            round((col("n_child_distinct") - col("n_orphans"))
+              .cast("double") / col("n_child_distinct").cast("double"), 6))
+            .otherwise(1.0))
+        .withColumn("is_fk_candidate", col("n_orphans") === 0L)
+    }.reduce(_ unionByName _)
+  }
+
   def fdDiscovery(df: DataFrame,
       candidates: Seq[(String, String)], eps: Double = 0.0): DataFrame = {
     require(candidates.nonEmpty, "no candidate pairs given")

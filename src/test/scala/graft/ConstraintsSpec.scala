@@ -100,4 +100,22 @@ class ConstraintsSpec extends SparkSpec {
 
   private def round2(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("indDiscovery: full containment is an FK candidate, orphans are " +
+      "counted distinct, nulls excluded both sides") {
+    import graft.profile.Constraints
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L),
+      Option(9L), None).toDF("fk")
+    val parent = Seq(Option(1L), Option(2L), Option(3L), None).toDF("pk")
+    val out = Constraints.indDiscovery(child, Seq(("fk", parent, "pk")))
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    // distinct non-null child values {1, 2, 9}; 9 is the one orphan
+    assert(out.toSeq == Seq(("fk", "pk", 3L, 1L,
+      BigDecimal(2.0 / 3.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, false)), out.toSeq)
+    val held = Constraints.indDiscovery(
+      child.filter($"fk" =!= 9L), Seq(("fk", parent, "pk"))).collect()(0)
+    assert(held.getAs[Long]("n_orphans") == 0 &&
+      held.getAs[Boolean]("is_fk_candidate"))
+  }
 }
