@@ -6440,6 +6440,48 @@ object QueriesExt {
     * event-id halves (a null-drift pair: the statistic should be small
     * — what matters for the gate is that both engines derive it
     * bit-identically via the rounded-term decimal sum). */
+  /** PSI drift (NumericProfile.psiDrift): two labeled comparisons so
+    * both ends of the verdict scale are live in the gate — the parity
+    * halves (genuinely stable, PSI ~ 0) and all-events vs a click/
+    * view-only slice (a real composition shift). Add-one smoothing,
+    * per-category term round(.,8), decimal sum — all mirrored. */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    profile.NumericProfile.psiDrift(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1), "event_type")
+      .withColumn("comparison", lit("parity_halves"))
+      .unionByName(profile.NumericProfile.psiDrift(
+          e, e.filter(col("event_type").isin("click", "view")), "event_type")
+        .withColumn("comparison", lit("click_view_only")))
+  }
+  private val qPsiDriftSql: String = {
+    def one(refWhere: String, curWhere: String, label: String) =
+      s"""SELECT n_categories, psi_r,
+         |  CASE WHEN psi_r < 0.1 THEN 'stable'
+         |    WHEN psi_r < 0.25 THEN 'moderate' ELSE 'shifted' END verdict,
+         |  '$label' comparison
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) n_categories,
+         |    round(CAST(sum(CAST(round((CAST(n_cur1 AS DOUBLE) / t_cur
+         |        - CAST(n_ref1 AS DOUBLE) / t_ref)
+         |      * ln((CAST(n_cur1 AS DOUBLE) / t_cur)
+         |        / (CAST(n_ref1 AS DOUBLE) / t_ref)), 8) AS DECIMAL(28,14)))
+         |      AS DOUBLE), 6) psi_r
+         |  FROM (
+         |    SELECT COALESCE(n_ref, 0) + 1 n_ref1, COALESCE(n_cur, 0) + 1 n_cur1,
+         |      CAST(sum(COALESCE(n_ref, 0) + 1) OVER () AS DOUBLE) t_ref,
+         |      CAST(sum(COALESCE(n_cur, 0) + 1) OVER () AS DOUBLE) t_cur
+         |    FROM (SELECT event_type cat, count(*) n_ref FROM events
+         |          WHERE $refWhere GROUP BY 1) rc
+         |    FULL JOIN (SELECT event_type cat, count(*) n_cur FROM events
+         |          WHERE $curWhere GROUP BY 1) cc USING (cat)))"""
+        .stripMargin
+    one("event_id % 2 = 0", "event_id % 2 = 1", "parity_halves") +
+      "\nUNION ALL\n" +
+      one("1 = 1", "event_type IN ('click', 'view')", "click_view_only")
+  }
+
   private def qChiDrift(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     profile.NumericProfile.chiSquareDrift(
@@ -6788,6 +6830,7 @@ object QueriesExt {
     "q_logistic_fit" -> (qLogisticFit _),
     "q_erasure" -> (qErasure _),
     "q_chi_drift" -> (qChiDrift _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_l_diversity" -> (qLDiversity _),
     "q_dp_mean" -> (qDpMean _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -6996,6 +7039,7 @@ object QueriesExt {
     "q_logistic_fit" -> qLogisticFitSql,
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
+    "q_psi_drift" -> qPsiDriftSql,
     "q_stream_chi_drift" -> qChiDriftSql,
     "q_stream_quality" -> qStreamQualitySql,
     "q_window_panel" -> qWindowPanelSql,

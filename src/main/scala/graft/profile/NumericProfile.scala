@@ -338,6 +338,45 @@ object NumericProfile {
         (col("n_categories") - 1).cast("long").as("dof"))
   }
 
+  /** Population Stability Index — the scorecard-industry drift
+    * statistic (sum over categories of (p−q)·ln(p/q), p = current
+    * share, q = reference share) with ADD-ONE smoothing on both count
+    * frames so categories absent from one side stay defined (the
+    * deterministic analogue of the usual eps-clamp; smoothing is part
+    * of the statistic and mirrored in the oracle). Conventional read:
+    * <0.1 stable, <0.25 moderate, else shifted. Same count-frame
+    * shape as [[chiSquareDriftFromCounts]] — a streaming deployment
+    * reports off its state-store counts through this same code. */
+  def psiFromCounts(rc0: DataFrame, cc0: DataFrame, catCol: String)
+      : DataFrame = {
+    val rc = rc0.select(col(catCol).as("cat"), col("n_ref"))
+    val cc = cc0.select(col(catCol).as("cat"), col("n_cur"))
+    val j = rc.join(cc, Seq("cat"), "full")
+      .select(col("cat"),
+        (coalesce(col("n_ref"), lit(0L)) + 1L).as("n_ref1"),
+        (coalesce(col("n_cur"), lit(0L)) + 1L).as("n_cur1"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+    val q = col("n_ref1").cast("double") / col("t_ref").cast("double")
+    val p = col("n_cur1").cast("double") / col("t_cur").cast("double")
+    j.withColumn("t_ref", sum(col("n_ref1")).over(wAll))
+      .withColumn("t_cur", sum(col("n_cur1")).over(wAll))
+      .withColumn("term", round((p - q) * log(p / q), 8))
+      .agg(count(lit(1)).cast("long").as("n_categories"),
+        round(sum(col("term").cast("decimal(28,14)")).cast("double"), 6)
+          .as("psi_r"))
+      .withColumn("verdict",
+        when(col("psi_r") < 0.1, lit("stable"))
+          .when(col("psi_r") < 0.25, lit("moderate"))
+          .otherwise(lit("shifted")))
+  }
+
+  def psiDrift(ref: DataFrame, cur: DataFrame, colName: String): DataFrame =
+    psiFromCounts(
+      ref.groupBy(col(colName).as("cat")).agg(count(lit(1)).as("n_ref")),
+      cur.groupBy(col(colName).as("cat")).agg(count(lit(1)).as("n_cur")),
+      "cat")
+
   /** Mutual information between two categorical columns (nats), with
     * marginal entropies and the min-entropy-normalized NMI — the
     * dataset-composition diagnostic ("how redundant are lang and

@@ -354,4 +354,37 @@ class NumericProfileSpec extends SparkSpec {
       .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])].collect().map(r => r._1 -> r).toMap
     assert(again == out)
   }
+
+  test("psiDrift: hand-computed index, add-one smoothing keeps unseen " +
+      "categories defined, verdict bands") {
+    import graft.profile.NumericProfile
+    val ref = (Seq.fill(90)("a") ++ Seq.fill(10)("b")).toDF("c")
+    val curStable = (Seq.fill(89)("a") ++ Seq.fill(11)("b")).toDF("c")
+    // category "z" is unseen in ref: only defined because of smoothing
+    val curShift = (Seq.fill(30)("a") ++ Seq.fill(40)("b") ++
+      Seq.fill(30)("z")).toDF("c")
+    def handPsi(rc: Map[String, Long], cc: Map[String, Long]): Double = {
+      val cats = (rc.keySet ++ cc.keySet).toSeq.sorted
+      val r1 = cats.map(c => c -> (rc.getOrElse(c, 0L) + 1)).toMap
+      val c1 = cats.map(c => c -> (cc.getOrElse(c, 0L) + 1)).toMap
+      val (tr, tc) = (r1.values.sum.toDouble, c1.values.sum.toDouble)
+      val s = cats.map { c =>
+        val (q, p) = (r1(c) / tr, c1(c) / tc)
+        BigDecimal((p - q) * math.log(p / q))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val stable = NumericProfile.psiDrift(ref, curStable, "c")
+      .as[(Long, Double, String)].head()
+    assert(stable._1 == 2 &&
+      stable._2 == handPsi(Map("a" -> 90, "b" -> 10), Map("a" -> 89, "b" -> 11))
+      && stable._3 == "stable", stable)
+    val shift = NumericProfile.psiDrift(ref, curShift, "c")
+      .as[(Long, Double, String)].head()
+    assert(shift._1 == 3 &&
+      shift._2 == handPsi(Map("a" -> 90, "b" -> 10),
+        Map("a" -> 30, "b" -> 40, "z" -> 30)) &&
+      shift._3 == "shifted", shift)
+  }
 }
