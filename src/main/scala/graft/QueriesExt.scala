@@ -4651,6 +4651,55 @@ object QueriesExt {
       .map { case (a, b) => pair(a, b) }.mkString("\nUNION ALL\n")
   }
 
+  /** Key-candidate discovery (Constraints.uccDiscovery) — the third
+    * schema-profiling leg. Candidates chosen so every verdict branch
+    * is live: o_orderkey IS a key; l_orderkey and the fixture's
+    * deliberately-non-unique (l_orderkey, l_linenumber) have
+    * duplicates; adding (l_partkey, l_suppkey) restores a total order
+    * (is_key true); and a derived nullable column (o_orderkey mod 50,
+    * nulled at 0) exercises the keys-admit-no-nulls rule — unique on
+    * the non-null part yet is_key false. All mirrored. */
+  private def qUccDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem")
+    val o = Sources.table(s, dir, "orders")
+      .withColumn("o_maybe",
+        when(col("o_orderkey") % 50 === 0, lit(null))
+          .otherwise(col("o_orderkey")))
+    Constraints.uccDiscovery(l, Seq(
+        Seq("l_orderkey"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+      .unionByName(Constraints.uccDiscovery(o,
+        Seq(Seq("o_orderkey"), Seq("o_maybe"))))
+  }
+  private val qUccDiscoverySql = {
+    def cand(label: String, tab: String, cols: Seq[String]) = {
+      val allNN = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      s"""SELECT '$label' column_set, nt.n_total,
+         |  nt.n_total - nt.n_rows n_nulls, d.n_distinct,
+         |  nt.n_rows - d.n_distinct n_duplicate_rows,
+         |  (nt.n_total - nt.n_rows = 0 AND nt.n_rows - d.n_distinct = 0) is_key
+         |FROM (SELECT CAST(count(*) AS BIGINT) n_total,
+         |    CAST(sum(CASE WHEN $allNN THEN 1 ELSE 0 END) AS BIGINT) n_rows
+         |  FROM $tab) nt,
+         |  (SELECT CAST(count(*) AS BIGINT) n_distinct FROM
+         |    (SELECT DISTINCT ${cols.mkString(", ")} FROM $tab
+         |     WHERE $allNN)) d"""
+        .stripMargin
+    }
+    val o2 = "(SELECT *, CASE WHEN o_orderkey % 50 = 0 THEN NULL " +
+      "ELSE o_orderkey END o_maybe FROM orders)"
+    Seq(
+      cand("l_orderkey", "lineitem", Seq("l_orderkey")),
+      cand("l_orderkey,l_linenumber", "lineitem",
+        Seq("l_orderkey", "l_linenumber")),
+      cand("l_orderkey,l_linenumber,l_partkey,l_suppkey", "lineitem",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+      cand("o_orderkey", o2, Seq("o_orderkey")),
+      cand("o_maybe", o2, Seq("o_maybe")))
+      .mkString("\nUNION ALL\n")
+  }
+
   /** Inclusion-dependency discovery (Constraints.indDiscovery): four
     * cross-table candidates — three genuine FKs at containment 1.0
     * (lineitem→orders, lineitem→supplier, orders→customer) and the
@@ -6872,6 +6921,7 @@ object QueriesExt {
     "q_constraints" -> (qConstraints _),
     "q_fd_discovery" -> (qFdDiscovery _),
     "q_ind_discovery" -> (qIndDiscovery _),
+    "q_ucc_discovery" -> (qUccDiscovery _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_scd_merge" -> (qScdMerge _),
@@ -7090,6 +7140,7 @@ object QueriesExt {
     "q_constraints" -> qConstraintsSql,
     "q_fd_discovery" -> qFdDiscoverySql,
     "q_ind_discovery" -> qIndDiscoverySql,
+    "q_ucc_discovery" -> qUccDiscoverySql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
     "q_scd_merge" -> qScdMergeSql,

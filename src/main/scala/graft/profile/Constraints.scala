@@ -134,26 +134,37 @@ object Constraints {
       .orderBy(col("check_kind"), col("target"))
   }
 
-  /** Approximate functional-dependency DISCOVERY (the profiling
-    * complement of [[validate]]'s declared rules): for each candidate
-    * determinant→dependent pair, measure how close `det → dep` is to
-    * holding. Per pair: group by the determinant over the DISTINCT
-    * (det, dep) projection and report (a) the violating-group share —
-    * groups whose dependent takes more than one distinct value, over
-    * all groups — and (b) the surplus distinct pairs (the minimum
-    * number of (det, dep) assignments to retract for the FD to hold
-    * exactly). An FD "holds" at eps when the violating-group share
-    * is ≤ eps.
-    *
-    * Null discipline: rows with a null determinant are excluded (a
-    * null key determines nothing); null dependents count as a value
-    * (two rows (a, null),(a, x) DO violate a → x).
-    *
-    * Scale shape, per pair: one map-side-combined distinct on
-    * (det, dep) then a groupBy(det) over the shrunken pairs; both
-    * exchanges carry two columns. Pairs are evaluated independently
-    * and unioned — candidate lists are small (schema-sized), data is
-    * not. */
+  /** Unique-column-combination (key candidate) DISCOVERY — the third
+    * leg of schema profiling next to [[fdDiscovery]] and
+    * [[indDiscovery]]: for each candidate column set, distinct count
+    * vs non-null rows and the duplicate share; a candidate is a key
+    * when every complete row is distinct AND nothing was null
+    * (SQL key semantics: keys admit no nulls — a candidate with null
+    * rows is reported with `n_nulls` > 0 and is_key = false even if
+    * the non-null part is unique). All candidates evaluated
+    * independently and unioned; each is one map-side-combined
+    * distinct + a count — two columns on the wire. */
+  def uccDiscovery(df: DataFrame, candidates: Seq[Seq[String]])
+      : DataFrame = {
+    require(candidates.nonEmpty, "no candidate column sets given")
+    candidates.map { cols0 =>
+      val allNN = cols0.map(col(_).isNotNull).reduce(_ && _)
+      df.agg(count(lit(1)).as("n_total"),
+          sum(when(allNN, 1L).otherwise(0L)).as("n_rows"))
+        .crossJoin(broadcast(
+          df.filter(allNN).select(cols0.map(col): _*).distinct()
+            .agg(count(lit(1)).as("n_distinct"))))
+        .select(lit(cols0.mkString(",")).as("column_set"),
+          col("n_total"),
+          (col("n_total") - coalesce(col("n_rows"), lit(0L))).as("n_nulls"),
+          col("n_distinct"),
+          (coalesce(col("n_rows"), lit(0L)) - col("n_distinct"))
+            .as("n_duplicate_rows"))
+        .withColumn("is_key",
+          col("n_nulls") === 0L && col("n_duplicate_rows") === 0L)
+    }.reduce(_ unionByName _)
+  }
+
   /** Inclusion-dependency (foreign-key candidate) DISCOVERY — the
     * cross-table half of schema profiling, paired with
     * [[fdDiscovery]]: for each candidate (child column ⊆ parent
@@ -195,6 +206,26 @@ object Constraints {
     }.reduce(_ unionByName _)
   }
 
+  /** Approximate functional-dependency DISCOVERY (the profiling
+    * complement of [[validate]]'s declared rules): for each candidate
+    * determinant→dependent pair, measure how close `det → dep` is to
+    * holding. Per pair: group by the determinant over the DISTINCT
+    * (det, dep) projection and report (a) the violating-group share —
+    * groups whose dependent takes more than one distinct value, over
+    * all groups — and (b) the surplus distinct pairs (the minimum
+    * number of (det, dep) assignments to retract for the FD to hold
+    * exactly). An FD "holds" at eps when the violating-group share
+    * is ≤ eps.
+    *
+    * Null discipline: rows with a null determinant are excluded (a
+    * null key determines nothing); null dependents count as a value
+    * (two rows (a, null),(a, x) DO violate a → x).
+    *
+    * Scale shape, per pair: one map-side-combined distinct on
+    * (det, dep) then a groupBy(det) over the shrunken pairs; both
+    * exchanges carry two columns. Pairs are evaluated independently
+    * and unioned — candidate lists are small (schema-sized), data is
+    * not. */
   def fdDiscovery(df: DataFrame,
       candidates: Seq[(String, String)], eps: Double = 0.0): DataFrame = {
     require(candidates.nonEmpty, "no candidate pairs given")

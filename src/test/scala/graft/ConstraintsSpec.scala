@@ -118,4 +118,26 @@ class ConstraintsSpec extends SparkSpec {
     assert(held.getAs[Long]("n_orphans") == 0 &&
       held.getAs[Boolean]("is_fk_candidate"))
   }
+
+  test("uccDiscovery: keys admit no nulls, duplicate accounting, " +
+      "composite candidates") {
+    import graft.profile.Constraints
+    val df = Seq(
+      (Option(1L), "a"), (Option(2L), "a"), (Option(2L), "b"),
+      (None, "c"))
+      .toDF("k", "v")
+    val out = Constraints.uccDiscovery(df,
+        Seq(Seq("k"), Seq("v"), Seq("k", "v")))
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // k: one null row, one duplicate among the 3 non-null
+    assert(out("k") == (("k", 4L, 1L, 2L, 1L, false)), out("k"))
+    // v: no nulls, "a" duplicated
+    assert(out("v") == (("v", 4L, 0L, 3L, 1L, false)))
+    // (k, v): non-null part IS unique, but the null row vetoes keyhood
+    assert(out("k,v") == (("k,v", 4L, 1L, 3L, 0L, false)))
+    val keyed = Constraints.uccDiscovery(df.filter($"k".isNotNull),
+      Seq(Seq("k", "v"))).collect()(0)
+    assert(keyed.getAs[Boolean]("is_key"), "complete unique set is a key")
+  }
 }
