@@ -2671,6 +2671,49 @@ object QueriesExt {
         "event_type")
     }
 
+  /** Streaming PSI monitor: the stream maintains per-category counts
+    * (complete-mode state) and the report feeds them through the SAME
+    * `psiFromCounts` code the batch face uses — proving the count-
+    * frame entry point's claim (one statistic, two deployments). Only
+    * the genuinely-shifted comparison streams (the click/view slice);
+    * the oracle is that comparison's half of q_psi_drift's SQL. */
+  private def qStreamPsi(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val counts = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_cur"))
+      val sink = "graft_stream_psi"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val cur = s.table(sink)
+      val ref = events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_ref"))
+      val curDf = s.createDataFrame(cur.collectAsList(), cur.schema)
+      profile.NumericProfile.psiFromCounts(ref, curDf, "event_type")
+        .withColumn("comparison", lit("click_view_only"))
+    }
+  private val qStreamPsiSql: String =
+    """SELECT n_categories, psi_r,
+      |  CASE WHEN psi_r < 0.1 THEN 'stable'
+      |    WHEN psi_r < 0.25 THEN 'moderate' ELSE 'shifted' END verdict,
+      |  'click_view_only' comparison
+      |FROM (
+      |  SELECT CAST(count(*) AS BIGINT) n_categories,
+      |    round(CAST(sum(CAST(round((CAST(n_cur1 AS DOUBLE) / t_cur
+      |        - CAST(n_ref1 AS DOUBLE) / t_ref)
+      |      * ln((CAST(n_cur1 AS DOUBLE) / t_cur)
+      |        / (CAST(n_ref1 AS DOUBLE) / t_ref)), 8) AS DECIMAL(28,14)))
+      |      AS DOUBLE), 6) psi_r
+      |  FROM (
+      |    SELECT COALESCE(n_ref, 0) + 1 n_ref1, COALESCE(n_cur, 0) + 1 n_cur1,
+      |      CAST(sum(COALESCE(n_ref, 0) + 1) OVER () AS DOUBLE) t_ref,
+      |      CAST(sum(COALESCE(n_cur, 0) + 1) OVER () AS DOUBLE) t_cur
+      |    FROM (SELECT event_type cat, count(*) n_ref FROM events
+      |          GROUP BY 1) rc
+      |    FULL JOIN (SELECT event_type cat, count(*) n_cur FROM events
+      |          WHERE event_type IN ('click', 'view') GROUP BY 1) cc
+      |      USING (cat)))""".stripMargin
+
   private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
     withStagedEventsStream(s, dir) { ev =>
       val prof = graft.streaming.StreamProfile.hourlyProfile(ev)
@@ -6980,6 +7023,7 @@ object QueriesExt {
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_drift" -> (qStreamDrift _),
     "q_stream_chi_drift" -> (qStreamChiDrift _),
+    "q_stream_psi" -> (qStreamPsi _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_window_panel" -> (qWindowPanel _),
     "q_observe_metrics" -> (qObserveMetrics _),
@@ -7091,6 +7135,7 @@ object QueriesExt {
     "q_chi_drift" -> qChiDriftSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_stream_chi_drift" -> qChiDriftSql,
+    "q_stream_psi" -> qStreamPsiSql,
     "q_stream_quality" -> qStreamQualitySql,
     "q_window_panel" -> qWindowPanelSql,
     "q_observe_metrics" -> qObserveMetricsSql,
