@@ -2511,6 +2511,39 @@ object QueriesExt {
     * the bucketized equi-join formulation (hash join on a time grid +
     * residual range filter — no cartesian range predicate); grouped per
     * window to keep output bounded. */
+  /** Spatial radius join (Relational.gridRadiusJoin): customers and
+    * suppliers carry synthetic planar coordinates on a DYADIC grid
+    * (k/1024 — exact binary fractions, so every squared distance is
+    * an exact double and the verdict needs no rounding discipline).
+    * The Spark side prunes through the 3x3 grid-cell join; the ORACLE
+    * runs the brute-force quadratic join — so the gate passing proves
+    * the grid candidate set loses NOTHING vs exhaustive search, the
+    * spatial analogue of the LSH-vs-brute recall pins. */
+  private def qGridJoin(s: SparkSession, dir: String): DataFrame = {
+    def xy(df: DataFrame, idCol: String) = df.select(col(idCol),
+      ((col(idCol) * 7919 % 1024).cast("double") / 1024.0).as("x"),
+      ((col(idCol) * 104729 % 1024).cast("double") / 1024.0).as("y"))
+    Relational.gridRadiusJoin(
+      xy(Sources.table(s, dir, "customer"), "c_custkey"),
+      xy(Sources.table(s, dir, "supplier"), "s_suppkey"),
+      "c_custkey", "s_suppkey", "x", "y",
+      cell = 0.0625, radius = 0.05)
+  }
+  private val qGridJoinSql =
+    """WITH p AS (SELECT c_custkey id_a,
+      |    CAST(c_custkey * 7919 % 1024 AS DOUBLE) / 1024.0 xa,
+      |    CAST(c_custkey * 104729 % 1024 AS DOUBLE) / 1024.0 ya
+      |  FROM customer),
+      |q AS (SELECT s_suppkey id_b,
+      |    CAST(s_suppkey * 7919 % 1024 AS DOUBLE) / 1024.0 xb,
+      |    CAST(s_suppkey * 104729 % 1024 AS DOUBLE) / 1024.0 yb
+      |  FROM supplier)
+      |SELECT id_a, id_b,
+      |  (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) dist2
+      |FROM p, q
+      |WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 0.05 * 0.05"""
+      .stripMargin
+
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -7009,6 +7042,7 @@ object QueriesExt {
     "q_cohort" -> (qCohort _),
     "q_skew_join" -> (qSkewJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_grid_join" -> (qGridJoin _),
     "q_udtf_shingles" -> (qUdtfShingles _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_append" -> (qStreamAppend _),
@@ -7224,6 +7258,7 @@ object QueriesExt {
     "q_cohort" -> qCohortSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_grid_join" -> qGridJoinSql,
     "q_udtf_shingles" -> qUdtfShinglesSql,
     "q_stream_hourly" -> qStreamHourlySql,
     "q_stream_append" -> qStreamAppendSql,

@@ -509,4 +509,53 @@ object Relational {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Spatial radius join via GRID BUCKETING — the standard distributed
+    * spatial-join pattern (the geohash/H3 cell-join family, planar
+    * variant): quantize both sides to square cells of side `cell`,
+    * explode the QUERY side to its 3x3 cell neighborhood, equi-join on
+    * the cell key, then exact-filter on squared Euclidean distance.
+    * With `radius <= cell` the neighborhood provably covers every
+    * within-radius pair (a point within `radius` of a query lies in
+    * the query's cell or an 8-neighbor), so the result is EXACT —
+    * the cell join is pure candidate pruning, the same role LSH bands
+    * play for Jaccard.
+    *
+    * Determinism: squared distance, never sqrt — with coordinates on
+    * a dyadic grid (exact binary fractions, e.g. k/1024) every
+    * product and sum is an exact double, so the <= radius^2 verdict
+    * is bit-portable with NO rounding discipline needed. Cell ids use
+    * floor division (floor(x / cell) as a long), exact for dyadic
+    * cell sizes.
+    *
+    * Scale shape: one equi-join keyed by cell; fanout is exactly 9 on
+    * the query side only; no cross join, no distance computed outside
+    * a candidate cell pair. Dense cells are the skew risk at 100 TB —
+    * the usual fix (cap or salt hot cells) composes with the
+    * frequency-cap machinery the dedup tier already ships. */
+  def gridRadiusJoin(points: DataFrame, queries: DataFrame,
+      idA: String, idB: String, xCol: String, yCol: String,
+      cell: Double, radius: Double): DataFrame = {
+    require(cell > 0 && radius > 0 && radius <= cell,
+      s"need 0 < radius <= cell for 3x3 coverage: cell=$cell radius=$radius")
+    def cx(c: Column) = floor(c / cell).cast("long")
+    val p = points.select(col(idA).as("id_a"),
+      col(xCol).as("__xa"), col(yCol).as("__ya"),
+      cx(col(xCol)).as("__cx"), cx(col(yCol)).as("__cy"))
+    val off = explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*))
+    val q = queries.select(col(idB).as("id_b"),
+        col(xCol).as("__xb"), col(yCol).as("__yb"),
+        cx(col(xCol)).as("__qx"), cx(col(yCol)).as("__qy"))
+      .withColumn("__o", off)
+      .select(col("id_b"), col("__xb"), col("__yb"),
+        (col("__qx") + col("__o.dx")).as("__cx"),
+        (col("__qy") + col("__o.dy")).as("__cy"))
+    val d2 = (col("__xa") - col("__xb")) * (col("__xa") - col("__xb")) +
+      (col("__ya") - col("__yb")) * (col("__ya") - col("__yb"))
+    p.join(q, Seq("__cx", "__cy"))
+      .withColumn("dist2", d2)
+      .filter(col("dist2") <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+  }
 }

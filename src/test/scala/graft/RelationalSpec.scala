@@ -348,4 +348,41 @@ class RelationalSpec extends SparkSpec {
     assert(out(3L) == ((Some(103L), Some("backward"))), out(3L))
     assert(out(4L) == ((None, None)), out(4L))
   }
+
+  test("gridRadiusJoin: cross-cell pairs found, boundary inclusive, " +
+      "grid equals brute force on a dyadic point cloud") {
+    import graft.ext.Relational
+    // hand-placed: q1 near a cell corner must see points in 3 different
+    // cells; p4 exactly at distance radius (inclusive); p5 just outside
+    val pts = Seq(
+      (1L, 0.0625, 0.0625),   // same cell as q1
+      (2L, 0.0615, 0.0625),   // west neighbor cell
+      (3L, 0.0625, 0.0615),   // south neighbor cell
+      (4L, 0.1125, 0.0625),   // exactly 0.05 east of q1
+      (5L, 0.1130, 0.0625))   // just past the radius
+      .toDF("id", "x", "y")
+    val qs = Seq((10L, 0.0625, 0.0625)).toDF("id", "x", "y")
+    val got = Relational.gridRadiusJoin(pts, qs, "id", "id", "x", "y",
+        cell = 0.0625, radius = 0.05)
+      .select($"id_a").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L), got)
+    // grid == brute force over a deterministic dyadic cloud
+    val cloud = (1 to 300).map(i =>
+      (i.toLong, (i * 7919 % 1024) / 1024.0, (i * 104729 % 1024) / 1024.0))
+    val a = cloud.toDF("id", "x", "y")
+    val b = (1 to 40).map(i =>
+      (i.toLong, (i * 31 % 1024) / 1024.0, (i * 61 % 1024) / 1024.0))
+      .toDF("id", "x", "y")
+    val grid = Relational.gridRadiusJoin(a, b, "id", "id", "x", "y",
+        cell = 0.125, radius = 0.125)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val brute = a.select($"id".as("ia"), $"x".as("xa"), $"y".as("ya"))
+      .crossJoin(b.select($"id".as("ib"), $"x".as("xb"), $"y".as("yb")))
+      .filter(($"xa" - $"xb") * ($"xa" - $"xb") +
+        ($"ya" - $"yb") * ($"ya" - $"yb") <= 0.125 * 0.125)
+      .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+    assert(grid == brute, s"grid pruning must lose nothing: " +
+      s"${(brute -- grid).take(3)} missing, ${(grid -- brute).take(3)} extra")
+    assert(brute.nonEmpty, "fixture must produce pairs")
+  }
 }
