@@ -255,7 +255,11 @@ object EventsOps {
     *
     * Scale shape: one rows-frame window per user partition — the same
     * single exchange movingAverage uses; the frame list is at most
-    * `span` decimals per row and never leaves the window operator. */
+    * `span` decimals per row and never leaves the window operator.
+    *
+    * Precondition: `value` non-null (collect_list skips nulls, which
+    * would silently shorten the window — coalesce upstream on nullable
+    * metrics) and |value| < ~1e12 (the decimal(18,6) grid). */
   def expSmooth(events: DataFrame, span: Int = 20): DataFrame = {
     require(span >= 1 && span <= 62, s"span must be in [1, 62]: $span")
     val w = Window.partitionBy(col("user_id"))

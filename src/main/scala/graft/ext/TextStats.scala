@@ -1062,11 +1062,14 @@ object TextStats {
     * discipline. Whole pass is narrow codegen'd HOFs over the scan —
     * no explode, no shuffle, no UDF. */
   def withCcDetection(df: DataFrame, textCol: String): DataFrame = {
-    val cands = regexp_extract_all(col(textCol), lit(ccPattern), lit(0))
+    // null-safe: size(regexp_extract_all(NULL)) is -1, not 0 — treat
+    // null text as empty (null-text corpora exist; see Dedup.corpusDiff)
+    val t = coalesce(col(textCol), lit(""))
+    val cands = regexp_extract_all(t, lit(ccPattern), lit(0))
     df.withColumn("n_cc_candidates", size(cands))
       .withColumn("n_cc_valid", size(filter(cands, c => luhnValid(c))))
       .withColumn("cc_redacted",
-        regexp_replace(col(textCol), lit(ccPattern), lit("<CC>")))
+        regexp_replace(t, lit(ccPattern), lit("<CC>")))
   }
 
   // ------------------------------------------------------------------

@@ -190,7 +190,13 @@ object Profiler {
       k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     import org.apache.spark.sql.expressions.Window
+    // null values excluded BEFORE hashing: count-distinct semantics
+    // ignore nulls (as countDistinct does), and a null hash would
+    // additionally sort differently across engines (Spark NULLS FIRST
+    // vs DuckDB NULLS LAST) — both reasons to keep nulls out of the
+    // sketch entirely
     val hashed = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"),
         graft.functions.Hashing.hash64(col(valueCol).cast("string")).as("h"))
       .distinct()

@@ -183,5 +183,12 @@ class ProfilerSpec extends SparkSpec {
     val again = Profiler.kmvDistinct(df.repartition(7), "g", "v", k = k)
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(again == out)
+    // null values are excluded, matching countDistinct semantics
+    val withNulls = (rows.map { case (g, v) => (g, Option(v)) } :+
+      ("small", Option.empty[Long]) :+ ("small", Option.empty[Long]))
+      .toDF("g", "v")
+    val nn = Profiler.kmvDistinct(withNulls, "g", "v", k = k)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(nn == out, "nulls must not count as a distinct value")
   }
 }

@@ -694,6 +694,12 @@ class TextStatsSpec extends SparkSpec {
     assert(out(6L)._4 == "two: <CC> and <CC> done",
       "every candidate is scrubbed, valid or not")
     assert(out(5L)._4 == "no digits at all")
+    // null text reads as empty, not size(null) = -1
+    val nulled = TextStats.withCcDetection(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text")
+      .select($"n_cc_candidates", $"n_cc_valid", $"cc_redacted")
+      .as[(Int, Int, String)].head()
+    assert(nulled == ((0, 0, "")), nulled)
   }
 
   test("spanCorrupt: stratified spans never overlap, masked+target " +
