@@ -211,8 +211,11 @@ object Packing {
     * arithmetic, no shuffle, no state. */
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // null text reads as empty (size(null) is -1, which would poison
+    // every length downstream; null-text corpora exist)
     val staged = docs.select(col(idCol).as("id"),
-        TextStats.tokens(TextStats.normalized(col(textCol))).as("__tk"))
+        TextStats.tokens(TextStats.normalized(
+          coalesce(col(textCol), lit("")))).as("__tk"))
       .withColumn("__n", size(col("__tk")).cast("long"))
       // Column `/` is double division; cast truncation = floor for the
       // non-negative operands here (mirrors DuckDB's `//`)
@@ -261,8 +264,10 @@ object Packing {
   }
 
   def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text reads as empty (same null discipline as spanCorrupt)
     val staged = docs.select(col(idCol).as("id"),
-        TextStats.tokens(TextStats.normalized(col(textCol))).as("__toks"))
+        TextStats.tokens(TextStats.normalized(
+          coalesce(col(textCol), lit("")))).as("__toks"))
       .withColumn("__n", size(col("__toks")))
     val h1 = Hashing.hash64(col("id").cast("string"))
     val h2 = Hashing.hash64(concat(col("id").cast("string"), lit(":m")))
