@@ -4378,6 +4378,92 @@ object QueriesExt {
   /** Per-source hygiene stats: duplicates of every third src3 doc are
     * injected so exactly one source crosses the dup-rate cap and flips
     * its keep verdict. */
+  /** Per-source dataset card — the one-row-per-source datasheet a
+    * curated release ships (docs, token volume, predicted-English
+    * share via the engine's own langId, exact-dup rate, mean Gopher
+    * quality, keep rate at 0.7): each column is an already-verified
+    * kernel (withLangId, qualityScore, fingerprintMd5), composed in
+    * ONE chained pass over the scan — the narrow maps fuse, the only
+    * exchange is the source groupBy. quality_score sums as
+    * DECIMAL(4,2) (round(x,2) values are exact there), so the mean is
+    * order-free with one final double division. */
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    // injection (oracle-mirrored): every 9th doc re-uploaded verbatim
+    // (live dup_rate) and every 17th replaced by punctuation junk in a
+    // new row (live kept_rate < 1 and non-en predictions) — the
+    // fixture alone has zero dups and 100% keeps, which would leave
+    // those card columns vacuous in the gate
+    val base = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val injected = base
+      .union(base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"), col("text"),
+          col("source")))
+      .union(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 810000).as("doc_id"),
+          lit("!!! ??? *** ### !!!").as("text"), col("source")))
+    val staged = TextStats.qualityScore(
+      TextStats.withLangId(injected, "text"), "text")
+    staged.select(col("source"),
+        TextStats.fingerprintMd5(coalesce(col("text"), lit(""))).as("fp"),
+        col("predicted"), col("n_tokens"),
+        col("quality_score").cast("decimal(4,2)").as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(when(col("predicted") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("q")).as("q_sum"),
+        sum(when(col("q") >= 0.7, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("n_en").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pct_en"),
+        round(col("q_sum").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("kept_rate"))
+  }
+  private val qDatasetCardSql = {
+    val sw = TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hitCols = langHitColsSql("lt")
+    s"""WITH base AS (SELECT doc_id, text, source FROM documents
+       |    UNION ALL SELECT doc_id + 800000, text, source FROM documents
+       |      WHERE doc_id % 9 = 0
+       |    UNION ALL SELECT doc_id + 810000, '!!! ??? *** ### !!!', source
+       |      FROM documents WHERE doc_id % 17 = 0),
+       |f AS (SELECT source, md5(${normSql("text")}) fp,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) toks,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) lt,
+       |    length(text) n_chars,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) n_punct
+       |  FROM base),
+       |g AS (SELECT source, fp, len(toks) n_tokens,
+       |    len(list_filter(toks, t -> list_contains($sw, lower(t)))) n_stop,
+       |    n_punct, n_chars,
+       |    $hitCols
+       |  FROM f),
+       |q AS (SELECT source, fp, n_tokens,
+       |    CAST(round(
+       |      (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+       |      + (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 0.3 ELSE 0.0 END)
+       |      + (CASE WHEN n_chars = 0 OR CAST(n_punct AS DOUBLE) / n_chars <= 0.2 THEN 0.3 ELSE 0.0 END), 2)
+       |      AS DECIMAL(4,2)) q,
+       |    CASE WHEN $langBestSql = 0 THEN 'und'
+       |      ELSE CASE $langPickSql END END predicted
+       |  FROM g)
+       |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) n_tokens,
+       |  round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) dup_rate,
+       |  round(CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) pct_en,
+       |  round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) mean_quality,
+       |  round(CAST(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) kept_rate
+       |FROM q GROUP BY 1""".stripMargin
+  }
+
   private def qSourceStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
     val injected = d.union(
@@ -7007,6 +7093,7 @@ object QueriesExt {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_source_stats" -> (qSourceStats _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_funnel" -> (qFunnel _),
     "q_markov" -> (qMarkov _),
     "q_conversion_lag" -> (qConversionLag _),
@@ -7229,6 +7316,7 @@ object QueriesExt {
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_source_stats" -> qSourceStatsSql,
+    "q_dataset_card" -> qDatasetCardSql,
     "q_funnel" -> qFunnelSql,
     "q_markov" -> qMarkovSql,
     "q_conversion_lag" -> qConversionLagSql,
