@@ -47,7 +47,9 @@ object Bench {
     // (q_incremental_dedup holds 1.12s). Retained generated classes are
     // HEAP residency that shrinks the unified execution-memory share,
     // and at 32 concurrent tasks the heaviest shuffles spill first.
-    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1000")
+    // .toInt validates eagerly: a non-numeric env value must fail fast
+    // here, not produce invalid JSON in bench_detail.json downstream
+    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -194,29 +196,61 @@ object Bench {
             k -> (math.round(cur / prev * 100) / 100.0)
         }
       }
-    // A floor built from ONE sample is one sample — weak evidence
-    // (round 6's first comparison flagged two 1-rep queries that
-    // isolated probes showed to be environment drift). Before declaring
-    // a 1-rep floor regression, re-run that query once (capped at 5
-    // confirmations, skipped past 1.2x budget) and keep the min: a
-    // noise spike confirms away, a real regression survives the rerun.
-    movesOf(floorsNow).keys.toSeq.sorted
-      .filter(k => perQueryTimes.get(k).exists(_.size == 1)).take(5)
-      .foreach { name =>
-        if (elapsed < budgetSec * 1.2) {
+    // MECHANIZED MOVER ADJUDICATION (VERDICT r8 Next #1): for three
+    // straight rounds every >1.5x in-suite floor mover was re-probed BY
+    // HAND (judge-side isolated median-of-3) and every one was machine
+    // noise — r8 flagged 32, all drift. Bench now runs that same
+    // deterministic loop itself after the suite: each raw mover gets
+    // fresh post-suite probes (cleanup + System.gc between, the closest
+    // in-process analogue of tools/PerfProbe — the suite's checkpoint
+    // blocks and SQL cache are released, so the probe measures the
+    // query, not suite residue), the fresh samples join the query's rep
+    // pool so a cleared mover's floor self-heals downward, and the
+    // stdout `floor_regressions` count reports only movers that FAILED
+    // confirmation (best fresh probe still >1.5x the previous floor)
+    // plus any left unadjudicated by the budget — never raw in-suite
+    // ratios. Per-mover verdicts land in floor_evidence_auto.json.
+    // This subsumes the old 1-rep confirm pass (round 6): a 1-rep mover
+    // is just the weakest-evidence case of the same loop.
+    val rawMoves = movesOf(floorsNow)
+    var adjudications = List.empty[String]
+    rawMoves.toSeq.sortBy(-_._2).foreach { case (name, ratio) =>
+      val prevF = prevFloors(name)
+      if (elapsed < budgetSec * 1.2) {
+        System.gc()
+        // heavy queries get min-of-2 (a spike can't inflate a min and a
+        // third rep of an 8s query buys little); the rest median-of-3
+        val want = if (prevF >= 3.0) 2 else 3
+        val fresh = (1 to want).flatMap { _ =>
           val t0 = System.nanoTime()
-          try {
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            perQueryTimes += name -> (dt :: perQueryTimes(name))
-            repsUsed += name -> perQueryTimes(name).size
-            val ts = perQueryTimes(name)
-            spreads += name -> (math.round(ts.max / ts.min * 100) / 100.0)
-          } catch { case _: Throwable => () }
+          val dt =
+            try {
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
           cleanup()
+          dt
         }
-      }
+        if (fresh.nonEmpty) {
+          perQueryTimes += name ->
+            (fresh.toList ++ perQueryTimes.getOrElse(name, Nil))
+          repsUsed += name -> perQueryTimes(name).size
+          val ts = perQueryTimes(name)
+          spreads += name -> (math.round(ts.max / ts.min * 100) / 100.0)
+          val verdict =
+            if (fresh.min / prevF <= 1.5) "cleared_noise"
+            else "confirmed_regression"
+          adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+            s""""in_suite_ratio":$ratio,"fresh_reps":[${fresh.map(r3)
+              .mkString(",")}],"fresh_min":${r3(fresh.min)},""" +
+            s""""fresh_median":${r3(fresh.sorted.apply(fresh.size / 2))},""" +
+            s""""verdict":"$verdict"}"""
+        } else adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+          s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"probe_error"}"""
+      } else adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+        s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"unadjudicated_budget"}"""
+    }
     // MONOTONE floors (VERDICT r7 Next #1): the committed floor is
     // min(previous floor, this round's best rep). A noisy closing run
     // can therefore never re-pin a floor UPWARD and blind the next
@@ -235,6 +269,10 @@ object Bench {
         case (None, None)       => None
       }
     }.toMap
+    // recomputed AFTER adjudication: a cleared mover's fresh probes
+    // joined its rep pool, so its current floor dropped back toward the
+    // previous floor and it falls out of this map — what remains is
+    // confirmed regressions + probe errors + budget-unadjudicated
     val floorMoves = movesOf(floorsNow)
     // built AFTER the confirm pass so reps_used/spreads include its runs
     val ru = repsUsed.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -265,11 +303,21 @@ object Bench {
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed >> 20
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"floor_regressions":${floorMoves.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"floor_regressions":${floorMoves.size},"floor_flagged_raw":${rawMoves.size},"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"floor_flagged_raw":${rawMoves.size},"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+    val evidence =
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"raw_movers":${rawMoves.size},"confirmed":${floorMoves.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    // per-mover adjudication verdicts (isolated fresh-probe reps +
+    // cleared/confirmed), overwritten by each official run; the curated
+    // per-round floor_evidence_r{N}.json starts from this file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        if (official) "floor_evidence_auto.json"
+        else "floor_evidence_auto_dev.json"), evidence + "\n")
     catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(floorPath, floorsJson + "\n")
     catch { case _: Throwable => () }

@@ -499,9 +499,17 @@ object QueriesExt {
     * the redacted text. The patterns are restricted to the
     * java.util.regex/RE2 common subset, so BOTH engines run the same
     * pattern strings; the redacted-text hash catches any divergence in
-    * match extent, not just match count. */
+    * match extent, not just match count.
+    *
+    * The face runs over a RATE-based slice (doc_id % 3 = 0 — one third
+    * of the corpus at ANY scale), not a fixed-id cap: the r8 `doc_id <
+    * 500` cap made the 100x scale fixture (which shifts replica ids by
+    * 1e6 k) fall entirely outside the face, so its measured "slope" was
+    * vacuous (VERDICT r8 Next #2). Mod-3 is coprime to the 5/7/11
+    * injection mods, so every PII branch stays live in the slice, and
+    * the slice share is scale-invariant. */
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(col("doc_id") < 500)
+    val base = docs(s, dir).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), concat(col("text"),
         when(col("doc_id") % 5 === 0, concat(lit(" user"),
           col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
@@ -524,7 +532,7 @@ object QueriesExt {
        |  CASE WHEN doc_id % 5 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END ||
        |  CASE WHEN doc_id % 7 = 0 THEN ' call +12 (345) 678-9012' ELSE '' END ||
        |  CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t
-       |  FROM documents WHERE doc_id < 500)
+       |  FROM documents WHERE doc_id % 3 = 0)
        |SELECT doc_id,
        |  len(regexp_extract_all(t, '$em')) AS n_emails,
        |  len(regexp_extract_all(t, '$ph')) AS n_phones,
@@ -858,11 +866,47 @@ object QueriesExt {
       loQ = 0.05, hiQ = 0.95)
 
   /** Approx sibling of q_trimmed_mean: sketch bounds + one conditional
-    * mean pass, no (group x value) grid. Rows-only gate (see
-    * qQuantilePanelApprox); paired in the bench for measured speedup. */
+    * mean pass, no (group x value) grid. VALUE-gated since r9
+    * (NumericProfile.trimmedMeanBounded): the sketch cut points are
+    * pinned inside their padded rank windows AND the trimmed mean
+    * itself is pinned between the two extreme trimmed means the
+    * windows admit (conditional means are monotone in both cuts) —
+    * the window bounds, extreme means and raw mean are exact values
+    * the oracle recomputes bit-exact, with TRUE pinned per ok. */
   private def qTrimmedMeanApprox(s: SparkSession, dir: String): DataFrame =
-    profile.NumericProfile.trimmedMeanApprox(docs(s, dir), "n_chars",
+    profile.NumericProfile.trimmedMeanBounded(docs(s, dir), "n_chars",
       "lang", loQ = 0.05, hiQ = 0.95)
+  private val qTrimmedMeanApproxSql: String = {
+    val dd = "(CAST(ceil(CAST(n AS DOUBLE) / 10000.0) AS BIGINT) + 1)"
+    def tgt(q: Double) = s"CAST(ceil(CAST(n AS DOUBLE) * $q) AS BIGINT)"
+    def trim(loB: String, hiB: String) =
+      s"""round(CAST(sum(CASE WHEN v >= $loB AND v <= $hiB
+         |      THEN CAST(round(v * c, 6) AS DECIMAL(38,6)) END) AS DOUBLE)
+         |    / CAST(sum(CASE WHEN v >= $loB AND v <= $hiB THEN c END)
+         |        AS DOUBLE), 6)""".stripMargin
+    s"""WITH g AS (SELECT lang g, round(CAST(n_chars AS DOUBLE), 6) v,
+       |    count(*) c FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+       |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) n,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM g),
+       |b AS (SELECT g, max(n) n_rows,
+       |    min(CASE WHEN cum >= greatest(1, ${tgt(0.05)} - $dd) THEN v END) lo_lo,
+       |    min(CASE WHEN cum >= least(n, ${tgt(0.05)} + $dd) THEN v END) lo_hi,
+       |    min(CASE WHEN cum >= greatest(1, ${tgt(0.95)} - $dd) THEN v END) hi_lo,
+       |    min(CASE WHEN cum >= least(n, ${tgt(0.95)} + $dd) THEN v END) hi_hi
+       |  FROM w GROUP BY 1),
+       |j AS (SELECT w.*, b.n_rows, b.lo_lo, b.lo_hi, b.hi_lo, b.hi_hi
+       |  FROM w JOIN b USING (g))
+       |SELECT g, max(n_rows) n_rows,
+       |  max(lo_lo) lo_lo, max(lo_hi) lo_hi,
+       |  max(hi_lo) hi_lo, max(hi_hi) hi_hi,
+       |  ${trim("lo_lo", "hi_lo")} trim_min,
+       |  ${trim("lo_hi", "hi_hi")} trim_max,
+       |  round(CAST(sum(CAST(round(v * c, 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |    / CAST(max(n_rows) AS DOUBLE), 6) raw_mean,
+       |  TRUE ok_lo, TRUE ok_hi, TRUE ok_trim
+       |FROM j GROUP BY 1""".stripMargin
+  }
   private val qTrimmedMeanSql: String =
     """WITH g AS (SELECT lang g, round(CAST(n_chars AS DOUBLE), 6) v,
       |    count(*) c FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
@@ -1597,6 +1641,32 @@ object QueriesExt {
       |  CAST(w AS BIGINT) * h n_px, CAST(s AS BIGINT) sum_lum,
       |  CAST(b AS BIGINT) n_bright
       |FROM st""".stripMargin
+
+  /** REAL lossy-codec round trip (Multimodal.synthesizeJpegs +
+    * imageStats via jpegDecodeGate): every (doc_id % 8 = 5) doc gets
+    * the deterministic grayscale pattern encoded as GENUINE JPEG at
+    * quality 0.85, then really decoded back. JPEG is lossy, so unlike
+    * q_image_decode no formula oracle can pin the decoded bytes — the
+    * gate instead pins what lossy compression preserves: dimensions
+    * and pixel count bit-exact vs the id formula, and mean luminance
+    * within a 1.5-gray-level tolerance band (ok_mean, measured
+    * worst-case 0.41 across the dimension cycle; the tolerance lives
+    * as a literal in jpegDecodeGate and the oracle pins the verdict
+    * TRUE). Closes the last labeled gap in the codec tier: the MM01
+    * synthetic path now stands in only for codecs genuinely absent
+    * from the container (H.264 etc.). */
+  private def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 8 === 5)
+      .select(col("doc_id"))
+    Multimodal.jpegDecodeGate(ids, "doc_id")
+  }
+  private val qJpegDecodeSql =
+    """WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 8 = 5)
+      |SELECT id media_id, true decode_ok,
+      |  CAST(id % 48 + 8 AS INT) width, CAST(id % 32 + 8 AS INT) height,
+      |  CAST(id % 48 + 8 AS BIGINT) * (id % 32 + 8) n_px,
+      |  TRUE ok_mean
+      |FROM ids""".stripMargin
 
   /** REAL video codec round trip (Multimodal.synthesizeGif +
     * videoFrameStats): every (doc_id % 9 = 4) doc gets a deterministic
@@ -3857,6 +3927,37 @@ object QueriesExt {
        |FROM kk k JOIN ex ON k.g = ex.g""".stripMargin
   }
 
+  /** Count-min sketch (Profiler.cmsCounts, r9): the mergeable
+    * FREQUENCY counter beside the KMV distinct counter — d=4 hash
+    * rows x w=64 buckets over the event->user stream, estimates =
+    * min of the key's bucket counts. w=64 against 150 distinct users
+    * GUARANTEES collisions, so the overestimate branch is live in the
+    * gate (and CMS never underestimates — the oracle recomputes every
+    * bucket count, estimate and overestimate bit-exact from the same
+    * portable hash + permutation family as minhash/KMV). Probes the
+    * bounded user_id % 5 = 0 slice. */
+  private def qCmsCounts(s: SparkSession, dir: String): DataFrame =
+    profile.Profiler.cmsCounts(events(s, dir), "user_id",
+      col("user_id") % 5 === 0, w = 64, d = 4)
+  private val qCmsCountsSql = {
+    val h = Hashing.hash64Sql("CAST(user_id AS VARCHAR)")
+    def b(i: Int) = s"(${Hashing.permuteSql("h", i)}) % 64"
+    val sketchRows = (0 until 4).map(i =>
+      s"SELECT $i i, ${b(i)} b FROM hv").mkString("\n|  UNION ALL ")
+    val probeRows = (0 until 4).map(i =>
+      s"SELECT user_id, n_exact, $i i, ${b(i)} b FROM pk")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH hv AS (SELECT user_id, $h h FROM events),
+       |s AS (SELECT i, b, CAST(count(*) AS BIGINT) bc FROM (
+       |  $sketchRows) GROUP BY 1, 2),
+       |pk AS (SELECT user_id, CAST(count(*) AS BIGINT) n_exact, max(h) h
+       |  FROM hv WHERE user_id % 5 = 0 GROUP BY 1),
+       |pe AS ($probeRows)
+       |SELECT user_id, max(n_exact) n_exact, min(bc) n_est,
+       |  min(bc) - max(n_exact) overestimate
+       |FROM pe JOIN s USING (i, b) GROUP BY 1""".stripMargin
+  }
+
   /** Exact heavy hitters over the corpus token stream: the
     * Misra-Gries sketch pass bounds the work, the exact re-count pass
     * makes the output sketch-independent, so the oracle is a plain
@@ -4225,7 +4326,8 @@ object QueriesExt {
 
   /** Approx sibling of q_conversion_lag: identical lag derivation, the
     * panel from a percentile_approx sketch instead of the exact grid.
-    * Rows-only gate (see qQuantilePanelApprox); paired in the bench. */
+    * VALUE-gated since r9 via the padded-rank-window bounds (see
+    * qQuantilePanelApprox). */
   private def qConversionLagApprox(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     val v = e.filter(col("event_type") === "view")
@@ -4236,8 +4338,18 @@ object QueriesExt {
       .groupBy(col("user_id"), col("vts")).agg(min(col("ts")).as("pts"))
       .select((unix_timestamp(col("pts")) - unix_timestamp(col("vts")))
         .as("lag_sec"), lit("all").as("g"))
-    profile.NumericProfile.quantilePanelApprox(p, "lag_sec", "g")
+    profile.NumericProfile.quantilePanelBounded(p, "lag_sec", "g")
   }
+  private val qConversionLagApproxSql: String = quantileBoundedSql(
+    """SELECT g, v, count(*) c FROM (
+       |  SELECT 'all' g,
+       |      CAST(floor(epoch(min(e.ts))) AS BIGINT)
+       |        - CAST(floor(epoch(v.vts)) AS BIGINT) v
+       |  FROM events e
+       |  JOIN (SELECT user_id, min(ts) vts FROM events
+       |        WHERE event_type = 'view' GROUP BY 1) v USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts >= v.vts
+       |  GROUP BY e.user_id, v.vts) GROUP BY 1, 2""".stripMargin)
   private val qConversionLagSql: String =
     """WITH v AS (SELECT user_id, min(ts) vts FROM events
       |    WHERE event_type = 'view' GROUP BY 1),
@@ -5272,12 +5384,47 @@ object QueriesExt {
 
   /** Approx sibling of q_quantile_panel (the 100 TB default path):
     * percentile_approx sketch at accuracy 10000 — rank error 0.01 %,
-    * exact below 10k rows/group. Rows-only gate by design (sketch
-    * tie-breaking is engine-specific); the exact face is the value
-    * oracle and ApproxQuantileSpec pins approx == exact on
-    * sub-accuracy groups. Paired in the bench for measured speedup. */
+    * exact below 10k rows/group. VALUE-gated since r9 (VERDICT r8
+    * Next #3): NumericProfile.quantilePanelBounded emits the exact
+    * padded-rank-window bounds around each sketch quantile plus
+    * ok_p{q} booleans, so the oracle recomputes the bounds bit-exact
+    * and pins ok = TRUE — a sketch that leaves its documented
+    * 0.01 %-rank window fails the hash gate instead of hiding behind
+    * a rows-only check. Pure-approx timing evidence lives in SCALE.md
+    * (the r8 exact-vs-approx pair) and ScaleBench. */
   private def qQuantilePanelApprox(s: SparkSession, dir: String): DataFrame =
-    profile.NumericProfile.quantilePanelApprox(docs(s, dir), "n_chars", "lang")
+    profile.NumericProfile.quantilePanelBounded(docs(s, dir), "n_chars", "lang")
+  /** Shared bounded-window oracle builder: the exact grid + cumulative
+    * window (the q_quantile_panel CTE shape) with each quantile's
+    * padded rank window [ceil(q*n) - d, ceil(q*n) + d], d =
+    * ceil(n/accuracy) + 1, mirrored literally; TRUE pinned per ok. */
+  private def quantileBoundedSql(gridCte: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): String = {
+    val dd = "(CAST(ceil(CAST(n AS DOUBLE) / 10000.0) AS BIGINT) + 1)"
+    val picks = qs.map { q =>
+      val p = math.round(q * 100)
+      val tgt = s"CAST(ceil(CAST(n AS DOUBLE) * $q) AS BIGINT)"
+      s"""min(CASE WHEN cum >= greatest(1, $tgt - $dd) THEN v END) lo$p,
+         |  min(CASE WHEN cum >= least(n, $tgt + $dd) THEN v END) hi$p"""
+        .stripMargin
+    }.mkString(",\n|  ")
+    val outs = qs.map { q =>
+      val p = math.round(q * 100)
+      s"lo$p, hi$p, TRUE ok_p$p"
+    }.mkString(", ")
+    s"""WITH c AS ($gridCte),
+       |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) n,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+       |  FROM c),
+       |b AS (SELECT g, max(n) n_rows,
+       |  $picks
+       |FROM w GROUP BY 1)
+       |SELECT g, n_rows, $outs FROM b""".stripMargin
+  }
+  private val qQuantilePanelApproxSql: String = quantileBoundedSql(
+    """SELECT lang g, n_chars v, count(*) c FROM documents
+       |  WHERE n_chars IS NOT NULL GROUP BY 1, 2""".stripMargin)
   private val qQuantilePanelSql: String = {
     val picks = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75, 90 -> 0.9,
       99 -> 0.99).map { case (p, q) =>
@@ -7105,6 +7252,7 @@ object QueriesExt {
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_cms_counts" -> (qCmsCounts _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_dp_histogram" -> (qDpHistogram _),
     "q_html_strip" -> (qHtmlStrip _),
@@ -7222,6 +7370,7 @@ object QueriesExt {
     "q_multimodal" -> (qMultimodal _),
     "q_media_energy" -> (qMediaEnergy _),
     "q_image_decode" -> (qImageDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_audio_decode" -> (qAudioDecode _),
     "q_video_decode" -> (qVideoDecode _),
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
@@ -7290,10 +7439,12 @@ object QueriesExt {
     "q_substring_dedup" -> qSubstringDedupSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_quantile_panel" -> qQuantilePanelSql,
+    "q_quantile_panel_approx" -> qQuantilePanelApproxSql,
     "q_rare_collapse" -> qRareCollapseSql,
     "q_target_encode" -> qTargetEncodeSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_cms_counts" -> qCmsCountsSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_url_normalize" -> qUrlNormalizeSql,
     "q_url_dedup" -> qUrlDedupSql,
@@ -7320,6 +7471,7 @@ object QueriesExt {
     "q_funnel" -> qFunnelSql,
     "q_markov" -> qMarkovSql,
     "q_conversion_lag" -> qConversionLagSql,
+    "q_conversion_lag_approx" -> qConversionLagApproxSql,
     "q_ab_test" -> qAbTestSql,
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
@@ -7397,6 +7549,7 @@ object QueriesExt {
     "q_spearman" -> qSpearmanSql,
     "q_skew_kurtosis" -> qSkewKurtosisSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,
+    "q_trimmed_mean_approx" -> qTrimmedMeanApproxSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_cosine_topk" -> qCosineTopkSql,
     "q_hard_negatives" -> qHardNegativesSql,
@@ -7432,6 +7585,7 @@ object QueriesExt {
     "q_multimodal" -> qMultimodalSql,
     "q_media_energy" -> qMediaEnergySql,
     "q_image_decode" -> qImageDecodeSql,
+    "q_jpeg_decode" -> qJpegDecodeSql,
     "q_audio_decode" -> qAudioDecodeSql,
     "q_video_decode" -> qVideoDecodeSql,
     "q_gif_frame_dedup" -> qGifFrameDedupSql,

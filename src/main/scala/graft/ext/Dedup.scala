@@ -667,7 +667,17 @@ object Dedup {
     * on the doc's own partition, so the partial aggregate collapses
     * them map-side — the exchange carries the already-distinct (id,
     * 8-byte hash) stream). Sub-n-token docs emit their single
-    * whole-text gram, [[wordShingles]]' convention. */
+    * whole-text gram, [[wordShingles]]' convention.
+    *
+    * GRAM IDENTITY IS HASH IDENTITY, by convention, in BOTH engines:
+    * this distinct runs over the 60-bit hash while the DuckDB oracles
+    * distinct the gram STRINGS — a within-doc collision between two
+    * distinct grams (probability ~2^-60 per pair) would undercount by
+    * one vs a string-distinct count. Every consumer (decontaminate,
+    * contamination, novelty) compares hashes downstream anyway, so a
+    * colliding pair is one gram to the whole pipeline, not just to
+    * this operator; the divergence is accepted and documented rather
+    * than papered over with a wider hash. */
   private[graft] def explodedShingleHashes(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   *    GIF reader/writer (LZW container; lossless for palettized
   *    content, and 256-level grayscale fits the palette exactly).
   *    q_video_decode, q_gif_frame_dedup.
+  *  - LOSSY IMAGE (round 9): [[synthesizeJpegs]] / [[jpegDecodeGate]]
+  *    — real JPEG at explicit quality through the JDK writer/reader.
+  *    Lossy, so the gate pins what compression preserves: dimensions
+  *    bit-exact, mean luminance inside a measured tolerance band.
+  *    q_jpeg_decode.
   *
   * The MM01 synthetic-header path ([[synthesize]] / [[decodeMeta]] /
   * [[frameDupPairs]] / [[sampleFrames]] / [[resize]]) is retained as
@@ -486,43 +491,51 @@ object Multimodal {
   def videoFrameStats(media: DataFrame, bytesCol: String = "bytes")
       : DataFrame = {
     val dec = udf((bytes: Array[Byte]) => {
+      // iis/reader closed+disposed on ALL paths (success, unsupported,
+      // NonFatal): with ImageIO.getUseCache() true (JDK default) each
+      // ImageInputStream is a FileCacheImageInputStream backed by a temp
+      // file whose cleanup otherwise waits on GC — a long run over many
+      // rows would accumulate tmp files and file handles.
       val frames =
         try {
           if (bytes == null) null
           else {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) null
-            else {
-              val reader = readers.next()
-              reader.setInput(iis, false, true)
-              val n = reader.getNumImages(true)
-              val out = new Array[(Int, Int, Int, Long, Long)](n)
-              var i = 0
-              while (i < n) {
-                val img = reader.read(i)
-                val w = img.getWidth
-                val h = img.getHeight
-                var sum = 0L
-                var bright = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val lum = (img.getRGB(x, y) >> 16) & 0xff
-                    sum += lum
-                    if (lum >= 128) bright += 1
-                    x += 1
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  val out = new Array[(Int, Int, Int, Long, Long)](n)
+                  var i = 0
+                  while (i < n) {
+                    val img = reader.read(i)
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    var sum = 0L
+                    var bright = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val lum = (img.getRGB(x, y) >> 16) & 0xff
+                        sum += lum
+                        if (lum >= 128) bright += 1
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    out(i) = (i, w, h, sum, bright)
+                    i += 1
                   }
-                  y += 1
-                }
-                out(i) = (i, w, h, sum, bright)
-                i += 1
+                  out.toSeq
+                } finally reader.dispose()
               }
-              reader.dispose()
-              out.toSeq
-            }
+            } finally if (iis != null) iis.close()
           }
         } catch { case scala.util.control.NonFatal(_) => null }
       if (frames == null) Seq((-1, 0, 0, 0L, 0L)) else frames
@@ -699,6 +712,83 @@ object Multimodal {
       lit("image").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
   }
 
+  /** Fixture writer: REAL JPEG bytes per id — the [[patternGray]]
+    * pattern at the id-derived dimensions, encoded through the JDK's
+    * genuine JPEG writer at an explicit `quality` (ImageWriteParam
+    * MODE_EXPLICIT). Unlike PNG/WAV/GIF this codec is LOSSY, so no
+    * formula oracle can pin the decoded bytes — the paired gate is
+    * [[jpegDecodeGate]]'s tolerance band. One narrow UDF map; bytes
+    * never shuffle. */
+  def synthesizeJpegs(ids: DataFrame, idCol: String,
+      quality: Float = 0.85f): DataFrame = {
+    val enc = udf((id: Long) => {
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, patternGray(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); wr.dispose() }
+      bos.toByteArray
+    })
+    ids.select(col(idCol).cast(LongType).as("media_id"),
+      lit("image").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** Lossy-codec round-trip gate (VERDICT r8 Next #6): encode the
+    * pattern as REAL JPEG ([[synthesizeJpegs]]), REALLY decode it back
+    * ([[imageStats]]), and gate what lossy compression PRESERVES —
+    * dimensions and pixel count exactly (emitted raw, oracle-mirrored
+    * bit-exact from the id formula), and the MEAN luminance within
+    * `meanTol` gray levels of the pattern's exact mean (ok_mean; the
+    * DCT quantization error is zero-mean, so per-image mean error
+    * measured 0.41 worst-case at quality 0.85 across the full
+    * dimension cycle — 1.5 is 3.6x that, tight enough that a wrong
+    * colorspace, a double decode, or a broken quality setting all
+    * blow the band). The formula mean comes from the same generator
+    * expression the oracle mirrors, so a drifting generator can't
+    * self-certify. */
+  def jpegDecodeGate(ids: DataFrame, idCol: String,
+      quality: Float = 0.85f, meanTol: Double = 1.5): DataFrame = {
+    val st = imageStats(synthesizeJpegs(ids, idCol, quality))
+    val fsum = udf((id: Long) => {
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += patternGray(id, x, y); x += 1 }
+        y += 1
+      }
+      s
+    })
+    st.withColumn("__fs", fsum(col("media_id")))
+      .select(col("media_id"), col("decode_ok"), col("width"),
+        col("height"), col("n_px"),
+        (col("decode_ok") &&
+          abs(col("sum_lum").cast("double") / col("n_px").cast("double") -
+            col("__fs").cast("double") / col("n_px").cast("double"))
+            <= lit(meanTol)).as("ok_mean"))
+  }
+
   /** REAL image decode + feature extraction: ImageIO sniffs the
     * container (PNG/JPEG/GIF/BMP — whatever the JDK readers handle),
     * and the kernel reports exact INTEGER pixel statistics so the
@@ -787,8 +877,19 @@ object Multimodal {
           val h = img.getHeight
           val raster = img.getRaster
           val bands = raster.getNumBands
+          // indexed-color (palettized) images store a PALETTE INDEX in
+          // the single raster band, not luminance — hashing those raw
+          // samples would key on palette order, not pixel brightness.
+          // Resolve through the color model via getRGB instead (the
+          // videoFrameStats convention; for grayscale palettes r=g=b).
+          val indexed = img.getColorModel
+            .isInstanceOf[java.awt.image.IndexColorModel]
           def lum(x: Int, y: Int): Int =
-            if (bands >= 3)
+            if (indexed) {
+              val rgb = img.getRGB(x, y)
+              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+            } else if (bands >= 3)
               (299 * raster.getSample(x, y, 0) +
                 587 * raster.getSample(x, y, 1) +
                 114 * raster.getSample(x, y, 2)) / 1000

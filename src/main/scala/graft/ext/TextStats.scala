@@ -188,6 +188,48 @@ object TextStats {
       .drop("__toks" +: langs.map(l => s"__h_${l._1}"): _*)
   }
 
+  /** Pluggable language-ID seam (VERDICT r8 Next #7): same verdict
+    * semantics as [[withLangId]] — score = number of DISTINCT profile
+    * words present, argmax with (count desc, lang asc) tie-break, zero
+    * hits -> "und" — but the profile is DATA (a (lang, word)
+    * DataFrame), not compiled-in literals: a user drops in a real
+    * model's exported word/keyword profile (a fastText-style list, a
+    * CLD export — anything expressible as per-language word lists)
+    * without touching engine code. [[defaultLangProfile]] exposes the
+    * shipped [[langStopwords]] as the default; ModelSeamSpec pins (a)
+    * default-profile parity with [[withLangId]] on fixture docs and
+    * (b) that a custom profile CHANGES verdicts. Adds `predicted`.
+    *
+    * Scale shape: the profile broadcasts (vocab-bounded); the doc side
+    * explodes DISTINCT tokens and the (id, lang) hit counts aggregate
+    * map-side; the per-doc argmax is a WindowGroupLimit top-1. Only
+    * (id, word) rows ever move — never document text. */
+  def withLangIdProfile(df: DataFrame, idCol: String, textCol: String,
+      profile: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lid")).orderBy(col("__n").desc, col("lang").asc)
+    val hits = df.select(col(idCol).as("__lid"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("word"))
+      .join(broadcast(profile.select(col("lang"), col("word")).distinct()),
+        Seq("word"))
+      .groupBy(col("__lid"), col("lang")).agg(count(lit(1)).as("__n"))
+    val best = hits.withColumn("__rn", row_number().over(W))
+      .filter(col("__rn") === 1)
+      .select(col("__lid"), col("lang").as("__pred"))
+    df.join(best, df(idCol) === best("__lid"), "left")
+      .withColumn("predicted", coalesce(col("__pred"), lit("und")))
+      .drop("__lid", "__pred")
+  }
+
+  /** The shipped stopword lists as a (lang, word) frame — the default
+    * profile for [[withLangIdProfile]]. */
+  def defaultLangProfile(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    langStopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang", "word")
+  }
+
   def langIdFromTokens(toks: Column): Column = {
     val scores = langScoresFromTokens(toks)
     val best = scores.tail.foldLeft(struct(scores.head._2.as("n"), lit(scores.head._1).as("l"))) {
@@ -969,6 +1011,29 @@ object TextStats {
       .join(encoded.select(col("w"), size(col("syms")).as("np")), Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+  }
+
+  /** Pluggable tokenizer-count seam (VERDICT r8 Next #7): per-doc
+    * subword piece counts under an EXTERNAL merge table — a real
+    * tokenizer's merges file loaded as a (rank, left, right) DataFrame
+    * — instead of the shipped whitespace/[[bpeishTokenCount]]
+    * heuristics. The merge table is vocabulary-bounded by
+    * construction, so the driver collect is the centroids/vocab
+    * bounded-collect regime (guarded at `maxMerges`, fail-fast beyond
+    * it); the encode itself runs distributed through [[bpeEncode]]'s
+    * distinct-word fold — corpus text never leaves the executors.
+    * Returns (id, n_words, n_pieces). ModelSeamSpec pins that a merge
+    * table changes counts and that merging everything converges to
+    * whitespace [[tokenCount]]. */
+  def tokenCountWithMerges(docs: DataFrame, idCol: String,
+      textCol: String, merges: DataFrame,
+      maxMerges: Int = 65536): DataFrame = {
+    val m = merges.orderBy(col("rank"))
+      .select(col("left"), col("right")).limit(maxMerges + 1).collect()
+    require(m.length <= maxMerges,
+      s"merge table exceeds $maxMerges entries — not a vocab-bounded frame")
+    bpeEncode(docs, idCol, textCol,
+      m.toSeq.map(r => (r.getString(0), r.getString(1))))
   }
 
   /** Canonical normalization for fingerprinting: lowercase, strip

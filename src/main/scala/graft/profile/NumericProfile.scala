@@ -656,6 +656,138 @@ object NumericProfile {
         round(col("rs") / col("n_rows").cast("double"), 6).as("raw_mean"))
   }
 
+  /** Bounded-rank-error GATE over [[quantilePanelApprox]] (VERDICT r8
+    * Next #3 — the face that upgrades the approx panel's rows-only
+    * oracle to a value gate). `percentile_approx` guarantees the value
+    * it returns has rank within n/accuracy of the target rank
+    * ceil(q*n); this face computes, off the exact (group x value)
+    * grid, the VALUES at the padded rank window [target - d, target +
+    * d] (d = ceil(n/accuracy) + 1 — one rank of slack absorbs the
+    * sketch's internal rank-rounding convention) and emits
+    * ok_p{q} = (approx BETWEEN lo AND hi). Order statistics are
+    * monotone, so a sketch honoring its rank guarantee can NEVER leave
+    * the window; the window bounds are exact grid values an SQL oracle
+    * recomputes bit-exact with TRUE pinned per ok column — a sketch
+    * regression flips a boolean and fails the hash gate.
+    *
+    * Scale shape: a VERIFICATION face — it deliberately pays the exact
+    * grid (the [[quantilePanel]] shape) to referee the sketch.
+    * Production profiling at 100 TB calls [[quantilePanelApprox]]
+    * alone; this gate runs on fixture-scale slices. */
+  def quantilePanelBounded(df: DataFrame, valueCol: String,
+      groupCol: String, qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame = {
+    val approx = quantilePanelApprox(df, valueCol, groupCol, qs, accuracy)
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("g"))))
+      .withColumn("cum", sum(col("c")).over(W.partitionBy(col("g"))
+        .orderBy(col("v")).rowsBetween(W.unboundedPreceding, 0)))
+    val d = ceil(col("n").cast("double") / lit(accuracy.toDouble)) + lit(1L)
+    val boundAggs = qs.flatMap { q =>
+      val p = math.round(q * 100)
+      val target = ceil(col("n").cast("double") * lit(q))
+      Seq(
+        min(when(col("cum") >= greatest(lit(1L), target - d), col("v")))
+          .as(s"lo$p"),
+        min(when(col("cum") >= least(col("n"), target + d), col("v")))
+          .as(s"hi$p"))
+    }
+    val bounds = cum.groupBy(col("g"))
+      .agg(boundAggs.head, boundAggs.tail: _*)
+    val sel = col("g") +: col("n_rows") +: qs.flatMap { q =>
+      val p = math.round(q * 100)
+      Seq(col(s"lo$p"), col(s"hi$p"),
+        (col(s"p$p") >= col(s"lo$p") && col(s"p$p") <= col(s"hi$p"))
+          .as(s"ok_p$p"))
+    }
+    approx.join(bounds, Seq("g")).select(sel: _*)
+  }
+
+  /** Bounded-rank-error GATE over [[trimmedMeanApprox]] (VERDICT r8
+    * Next #3). Three claims, each checkable:
+    *
+    *  1. the sketch CUT POINTS lie in their padded rank windows
+    *     (ok_lo / ok_hi — the [[quantilePanelBounded]] argument);
+    *  2. the TRIMMED MEAN lies between the two extreme trimmed means
+    *     the windows admit (ok_trim): the conditional mean over [a, b]
+    *     is monotone nondecreasing in BOTH cuts — raising `a` removes
+    *     elements <= every survivor, raising `b` adds elements >= the
+    *     running mean — so mean[lo_lo, hi_lo] <= trimmed_mean <=
+    *     mean[lo_hi, hi_hi] whenever the cuts honor their windows
+    *     (compared with 1e-6 slack: both sides are independently
+    *     rounded at 6);
+    *  3. raw_mean and every window bound are exact grid values the
+    *     oracle recomputes bit-exact.
+    *
+    * Same verification-face caveat as [[quantilePanelBounded]]. */
+  def trimmedMeanBounded(df: DataFrame, valueCol: String, groupCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95,
+      accuracy: Int = 10000): DataFrame = {
+    val approx = trimmedMeanApprox(df, valueCol, groupCol, loQ, hiQ, accuracy)
+      .select(col("g"), col("lo"), col("hi"), col("trimmed_mean"))
+    val W = org.apache.spark.sql.expressions.Window
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        round(col(valueCol).cast("double"), 6).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = g
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("g"))))
+      .withColumn("cum", sum(col("c")).over(W.partitionBy(col("g"))
+        .orderBy(col("v")).rowsBetween(W.unboundedPreceding, 0)))
+    val d = ceil(col("n").cast("double") / lit(accuracy.toDouble)) + lit(1L)
+    def winLo(q: Double) = greatest(lit(1L),
+      ceil(col("n").cast("double") * lit(q)) - d)
+    def winHi(q: Double) = least(col("n"),
+      ceil(col("n").cast("double") * lit(q)) + d)
+    val wterm = round(col("v") * col("c").cast("double"), 6)
+      .cast("decimal(38,6)")
+    val bounds = cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("cum") >= winLo(loQ), col("v"))).as("lo_lo"),
+        min(when(col("cum") >= winHi(loQ), col("v"))).as("lo_hi"),
+        min(when(col("cum") >= winLo(hiQ), col("v"))).as("hi_lo"),
+        min(when(col("cum") >= winHi(hiQ), col("v"))).as("hi_hi"),
+        sum(wterm).cast("double").as("rs"))
+    val withExtremes = cum.join(bounds, Seq("g"))
+      .groupBy(col("g"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("lo_lo")).as("lo_lo"), max(col("lo_hi")).as("lo_hi"),
+        max(col("hi_lo")).as("hi_lo"), max(col("hi_hi")).as("hi_hi"),
+        max(col("rs")).as("rs"),
+        // narrowest-window mean admitted by the windows (min possible)
+        sum(when(col("v") >= col("lo_lo") && col("v") <= col("hi_lo"),
+          wterm)).cast("double").as("ts_min"),
+        sum(when(col("v") >= col("lo_lo") && col("v") <= col("hi_lo"),
+          col("c"))).as("tn_min"),
+        // widest-window mean admitted by the windows (max possible)
+        sum(when(col("v") >= col("lo_hi") && col("v") <= col("hi_hi"),
+          wterm)).cast("double").as("ts_max"),
+        sum(when(col("v") >= col("lo_hi") && col("v") <= col("hi_hi"),
+          col("c"))).as("tn_max"))
+      .select(col("g"), col("n_rows"),
+        col("lo_lo"), col("lo_hi"), col("hi_lo"), col("hi_hi"),
+        round(col("ts_min") / col("tn_min").cast("double"), 6)
+          .as("trim_min"),
+        round(col("ts_max") / col("tn_max").cast("double"), 6)
+          .as("trim_max"),
+        round(col("rs") / col("n_rows").cast("double"), 6).as("raw_mean"))
+    withExtremes.join(approx, Seq("g"))
+      .select(col("g"), col("n_rows"),
+        col("lo_lo"), col("lo_hi"), col("hi_lo"), col("hi_hi"),
+        col("trim_min"), col("trim_max"), col("raw_mean"),
+        (col("lo") >= col("lo_lo") && col("lo") <= col("lo_hi"))
+          .as("ok_lo"),
+        (col("hi") >= col("hi_lo") && col("hi") <= col("hi_hi"))
+          .as("ok_hi"),
+        (col("trimmed_mean") >= col("trim_min") - lit(1e-6) &&
+          col("trimmed_mean") <= col("trim_max") + lit(1e-6))
+          .as("ok_trim"))
+  }
+
   /** Source-concentration report for a categorical column — one row:
     * group count, Shannon entropy (nats), effective group count
     * (exp H, "how many equally-sized sources is this worth"), HHI

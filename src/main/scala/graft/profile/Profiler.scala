@@ -213,6 +213,58 @@ object Profiler {
             col("kth_hash").cast("double")))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the MERGEABLE
+    * frequency counter, the KMV discipline applied to counts: d
+    * pairwise-independent hash rows x w buckets, each raw occurrence
+    * increments one bucket per row; the estimate for a key is the MIN
+    * of its d bucket counts, which NEVER underestimates (a key's own
+    * occurrences are always in its buckets) and overestimates only by
+    * colliding keys' mass (E[err] <= n/w per row, min over d rows).
+    * Every piece is a deterministic function of the multiset — the
+    * portable 60-bit hash and the [[graft.functions.Hashing.permute]]
+    * family are SQL-mirrorable — so the SKETCH ESTIMATE ITSELF is
+    * oracle-checkable bit-exact (the q_kmv_distinct discipline), and
+    * shard sketches merge by elementwise bucket addition (exactly
+    * what the partial aggregate already does).
+    *
+    * Scale shape: the sketch build is ONE map-side-combined aggregate
+    * over (row-index, bucket) — at most d*w cells leave each
+    * partition whatever the row volume, and no per-key shuffle ever
+    * happens (the whole point vs an exact groupBy at 100 TB). The
+    * probe side computes exact counts only for the bounded `probe`
+    * slice and broadcast-joins the d*w-cell sketch. Returns per probe
+    * key: n_exact, n_est, overestimate (= n_est - n_exact >= 0).
+    */
+  def cmsCounts(df: DataFrame, keyCol: String, probe: Column,
+      w: Int = 64, d: Int = 4): DataFrame = {
+    require(w >= 2 && d >= 1, s"need w >= 2, d >= 1: $w, $d")
+    val P = graft.functions.Hashing.P
+    // permute(h, i) with i as a COLUMN (the literal-constant form in
+    // Hashing.permute is per-i; this is the same arithmetic with the
+    // constants folded at runtime): ((i+1)*2654435761 % P) * (h % P)
+    // + (i+1)*40503, all mod P — then mod w for the bucket
+    def bucket(h: Column, i: Column): Column =
+      (((((i + 1) * lit(2654435761L)) % P) * (h % P) +
+        ((i + 1) * lit(40503L)) % P) % P) % w
+    val hashed = df.select(col(keyCol),
+      graft.functions.Hashing.hash64(col(keyCol).cast("string")).as("h"))
+    val sketch = hashed
+      .select(col("h"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), bucket(col("h"), col("i")).as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("bc"))
+    val probes = hashed.filter(probe)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"),
+        max(col("h")).as("h"))
+      .select(col(keyCol), col("n_exact"), col("h"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col(keyCol), col("n_exact"), col("i"),
+        bucket(col("h"), col("i")).as("b"))
+    probes.join(broadcast(sketch), Seq("i", "b"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_exact")).as("n_exact"), min(col("bc")).as("n_est"))
+      .withColumn("overestimate", col("n_est") - col("n_exact"))
+  }
+
   /** P4 — z-score model. pandas uses `std(ddof=0)` (app.py:67) which is the
     * POPULATION stddev — Spark's default `stddev` is sample stddev, so we
     * must use `stddev_pop`. All-false when std is 0 or undefined

@@ -665,4 +665,61 @@ class EventsOpsSpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
     assert(again == out, "partitioning-invariant")
   }
+
+  test("jpegDecodeGate: REAL lossy round trip — exact dims, mean inside " +
+      "the tolerance band, garbage bytes fail the gate") {
+    val ids = Seq(5L, 13L, 45L, 101L).map(Tuple1(_)).toDF("id")
+    // bytes are REAL JPEGs: SOI marker 0xFF 0xD8
+    Multimodal.synthesizeJpegs(ids, "id").select("bytes").collect()
+      .foreach { r =>
+        val b = r.getAs[Array[Byte]](0)
+        assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8, "JPEG SOI")
+      }
+    val out = Multimodal.jpegDecodeGate(ids, "id")
+      .as[(Long, Boolean, Int, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 4 && out.values.forall(_._2), "all decode")
+    out.foreach { case (id, r) =>
+      val w = (id % 48 + 8).toInt; val h = (id % 32 + 8).toInt
+      assert(r._3 == w && r._4 == h && r._5 == w.toLong * h,
+        s"lossy codec must still preserve dims exactly: $r")
+      assert(r._6, s"mean luminance outside the 1.5-gray band for $id")
+    }
+    // a zero tolerance band must FAIL on genuinely lossy content (so the
+    // band is live, not vacuous) while dims stay exact
+    val strict = Multimodal.jpegDecodeGate(ids, "id", meanTol = 0.0)
+      .as[(Long, Boolean, Int, Int, Long, Boolean)].collect()
+    assert(strict.forall(_._2) && strict.exists(!_._6),
+      "quality-0.85 DCT error is nonzero on at least one image")
+  }
+
+  test("imageDHash: indexed-color palettes hash by LUMINANCE, not " +
+      "palette order") {
+    import java.awt.image._
+    // two-entry palette REVERSED (index 0 = white, 1 = black): a
+    // raw-raster hash would key on indices (inverted gradient)
+    val pal = new IndexColorModel(1, 2,
+      Array[Byte](255.toByte, 0), Array[Byte](255.toByte, 0),
+      Array[Byte](255.toByte, 0))
+    val w = 18; val h = 8
+    val idx = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, pal)
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dark = x < w / 2
+      idx.getRaster.setSample(x, y, 0, if (dark) 1 else 0)
+      gray.getRaster.setSample(x, y, 0, if (dark) 0 else 255)
+    }
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq((1L, "image", png(idx)), (2L, "image", png(gray)))
+      .toDF("media_id", "kind", "bytes")
+    val hs = Multimodal.imageDHash(rows).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(hs(1L)._1 && hs(2L)._1)
+    assert(hs(1L)._2 == hs(2L)._2,
+      "palettized and grayscale renderings of the same picture must hash equal")
+  }
 }

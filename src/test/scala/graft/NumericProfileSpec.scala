@@ -387,4 +387,39 @@ class NumericProfileSpec extends SparkSpec {
         Map("a" -> 30, "b" -> 40, "z" -> 30)) &&
       shift._3 == "shifted", shift)
   }
+
+  test("quantilePanelBounded: window brackets hand-checked, sketch " +
+      "verdicts true at spec scale, window shrinks legally with accuracy") {
+    // values 1..100 once: target rank for p50 = 50; d = ceil(100/10000)
+    // + 1 = 2 -> window ranks [48, 52] -> values [48, 52]
+    val a = (1 to 100).map(v => ("a", v.toLong)).toDF("g", "v")
+    val out = NumericProfile.quantilePanelBounded(a, "v", "g",
+      qs = Seq(0.5)).collect().head
+    assert(out.getAs[Long]("n_rows") == 100L)
+    assert(out.getAs[Long]("lo50") == 48L && out.getAs[Long]("hi50") == 52L)
+    assert(out.getAs[Boolean]("ok_p50"),
+      "sub-accuracy group: sketch is exact, must sit inside the window")
+    // a coarse sketch (accuracy 10 -> d = ceil(100/10)+1 = 11) widens
+    // the window to ranks [39, 61]; the verdict must still hold
+    val coarse = NumericProfile.quantilePanelBounded(a, "v", "g",
+      qs = Seq(0.5), accuracy = 10).collect().head
+    assert(coarse.getAs[Long]("lo50") == 39L &&
+      coarse.getAs[Long]("hi50") == 61L && coarse.getAs[Boolean]("ok_p50"))
+  }
+
+  test("trimmedMeanBounded: extreme means really bracket, verdicts true, " +
+      "exact raw mean") {
+    val a = (1 to 100).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val r = NumericProfile.trimmedMeanBounded(a, "v", "g").collect().head
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Double]("raw_mean") == 50.5)
+    val tmin = r.getAs[Double]("trim_min"); val tmax = r.getAs[Double]("trim_max")
+    assert(tmin <= tmax, s"extreme means ordered: $tmin, $tmax")
+    // the exact trimmed mean (5..95 inclusive) must also sit in the band
+    val exact = NumericProfile.trimmedMean(a, "v", "g")
+      .collect().head.getAs[Double]("trimmed_mean")
+    assert(exact >= tmin - 1e-6 && exact <= tmax + 1e-6)
+    assert(r.getAs[Boolean]("ok_lo") && r.getAs[Boolean]("ok_hi") &&
+      r.getAs[Boolean]("ok_trim"))
+  }
 }

@@ -191,4 +191,35 @@ class ProfilerSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(nn == out, "nulls must not count as a distinct value")
   }
+
+  test("cmsCounts: never underestimates, exact when wide, collisions " +
+      "only inflate, partition-invariant") {
+    import spark.implicits._
+    // 50 keys, key k appears k+1 times -> known exact counts
+    val rows = (0 until 50).flatMap(k => Seq.fill(k + 1)(k.toLong)).toDF("k")
+    val probe = col("k") % 1 === 0 // all keys
+    // tight sketch (w=8): collisions certain; CMS invariant must hold
+    val tight = Profiler.cmsCounts(rows, "k", probe, w = 8, d = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(tight.size == 50)
+    tight.foreach { case (k, (_, exact, est, over)) =>
+      assert(exact == k + 1, s"exact count for $k")
+      assert(est >= exact && over == est - exact,
+        s"CMS must never underestimate: $k -> $est < $exact")
+    }
+    assert(tight.values.exists(_._4 > 0),
+      "w=8 against 50 keys must produce at least one collision")
+    // wide sketch (w=4096): 50 keys almost surely collision-free on
+    // at least one of 4 rows -> estimates exact
+    val wide = Profiler.cmsCounts(rows, "k", probe, w = 4096, d = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(wide.values.forall(r => r._4 == 0),
+      "wide sketch should be exact on this key set")
+    // sketch is a pure function of the multiset: reshuffling changes
+    // nothing (merge = the partial aggregate's bucket addition)
+    val again = Profiler.cmsCounts(rows.repartition(7), "k", probe,
+        w = 8, d = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == tight)
+  }
 }
