@@ -17,8 +17,13 @@ object PerfProbe {
     try spark.read.parquet(s"${args(0)}/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_PROBE_GC=1: System.gc() before each rep — the
+    // suite-context-factor experiment (r9): does reclaiming JVM
+    // residency between queries recover isolated-level times?
+    val gcBetween = sys.env.get("SPARK_GRAFT_PROBE_GC").contains("1")
     args.drop(1).foreach { n =>
       val times = (1 to reps).map { _ =>
+        if (gcBetween) System.gc()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, args(0))
           .write.format("noop").mode("overwrite").save()
