@@ -2989,6 +2989,29 @@ object QueriesExt {
   // val here would capture null during object init
   private lazy val qStreamKmvSql = qKmvDistinctSql
 
+  /** Streaming count-min monitor (Profiler.cmsSketch as a streaming
+    * aggregate, r9): bucket counts are COMMUTATIVE keyed state bounded
+    * by d*w cells — no custom state function needed, the streaming
+    * groupBy IS the sketch — so the streamed sketch is bit-identical
+    * to the batch build however the stream is micro-batched, and the
+    * probe-side estimates (run batch-side against the streamed bucket
+    * frame through the SAME Profiler.cmsEstimate code) match
+    * q_cms_counts exactly: the oracle IS the batch face's SQL. The
+    * 17th streaming face; the frequency-sketch sibling of
+    * q_stream_kmv's distinct sketch. */
+  private def qStreamCms(s: SparkSession, dir: String): DataFrame =
+    withStagedEventsStream(s, dir) { ev =>
+      val sketch = profile.Profiler.cmsSketch(
+        ev.select(col("user_id")), "user_id", w = 64, d = 4)
+      val sink = "graft_stream_cms"
+      val q = sketch.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      profile.Profiler.cmsEstimate(s.table(sink), events(s, dir),
+        "user_id", col("user_id") % 5 === 0, w = 64, d = 4)
+    }
+  private lazy val qStreamCmsSql = qCmsCountsSql
+
   /** Streaming heavy hitters over user_id: sharded Misra-Gries
     * candidates from the stream (bounded state), exact re-count +
     * floor(n*s)+1 threshold against the batch table — the re-count
@@ -7285,6 +7308,7 @@ object QueriesExt {
     "q_stream_user_stats" -> (qStreamUserStats _),
     "q_stream_ewma" -> (qStreamEwma _),
     "q_stream_kmv" -> (qStreamKmv _),
+    "q_stream_cms" -> (qStreamCms _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
@@ -7506,6 +7530,7 @@ object QueriesExt {
     "q_stream_user_stats" -> qStreamUserStatsSql,
     "q_stream_ewma" -> qStreamEwmaSql,
     "q_stream_kmv" -> qStreamKmvSql,
+    "q_stream_cms" -> qStreamCmsSql,
     "q_stream_topk" -> qStreamTopkSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,

@@ -50,7 +50,9 @@ object Verify {
       "q_stream_dedup", "q_stream_sessions", "q_stream_join",
       // r8 session-4: the two new custom-keyed-state faces (ordered
       // EWMA window, KMV min-set) re-run under the production provider
-      "q_stream_ewma", "q_stream_kmv")
+      "q_stream_ewma", "q_stream_kmv",
+      // r9: the streaming CMS bucket frame (complete-mode agg state)
+      "q_stream_cms")
       .filter(n => only.isEmpty || only(n))
     if (rocksFaces.nonEmpty) {
       val key = "spark.sql.streaming.stateStore.providerClass"

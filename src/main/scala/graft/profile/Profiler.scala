@@ -236,29 +236,50 @@ object Profiler {
     * key: n_exact, n_est, overestimate (= n_est - n_exact >= 0).
     */
   def cmsCounts(df: DataFrame, keyCol: String, probe: Column,
-      w: Int = 64, d: Int = 4): DataFrame = {
-    require(w >= 2 && d >= 1, s"need w >= 2, d >= 1: $w, $d")
+      w: Int = 64, d: Int = 4): DataFrame =
+    cmsEstimate(cmsSketch(df, keyCol, w, d), df, keyCol, probe, w, d)
+
+  /** permute(h, i) with i as a COLUMN (the literal-constant form in
+    * [[graft.functions.Hashing.permute]] is per-i; this is the same
+    * arithmetic with the constants folded at runtime):
+    * ((i+1)*2654435761 % P) * (h % P) + (i+1)*40503, all mod P — then
+    * mod w for the bucket. */
+  private[graft] def cmsBucket(h: Column, i: Column, w: Int): Column = {
     val P = graft.functions.Hashing.P
-    // permute(h, i) with i as a COLUMN (the literal-constant form in
-    // Hashing.permute is per-i; this is the same arithmetic with the
-    // constants folded at runtime): ((i+1)*2654435761 % P) * (h % P)
-    // + (i+1)*40503, all mod P — then mod w for the bucket
-    def bucket(h: Column, i: Column): Column =
-      (((((i + 1) * lit(2654435761L)) % P) * (h % P) +
-        ((i + 1) * lit(40503L)) % P) % P) % w
-    val hashed = df.select(col(keyCol),
-      graft.functions.Hashing.hash64(col(keyCol).cast("string")).as("h"))
-    val sketch = hashed
+    (((((i + 1) * lit(2654435761L)) % P) * (h % P) +
+      ((i + 1) * lit(40503L)) % P) % P) % w
+  }
+
+  /** The (i, b, bc) bucket frame of the sketch — ONE map-side-combined
+    * aggregate; works identically on a batch frame and (as a streaming
+    * aggregate with (d*w)-bounded state) on a streaming one, which is
+    * what lets q_stream_cms share the batch face's oracle. */
+  def cmsSketch(df: DataFrame, keyCol: String, w: Int = 64, d: Int = 4)
+      : DataFrame = {
+    require(w >= 2 && d >= 1, s"need w >= 2, d >= 1: $w, $d")
+    df.select(
+        graft.functions.Hashing.hash64(col(keyCol).cast("string")).as("h"))
       .select(col("h"), explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .select(col("i"), bucket(col("h"), col("i")).as("b"))
+      .select(col("i"), cmsBucket(col("h"), col("i"), w).as("b"))
       .groupBy(col("i"), col("b")).agg(count(lit(1)).as("bc"))
-    val probes = hashed.filter(probe)
+  }
+
+  /** Probe-side estimate against a built sketch: exact counts for the
+    * bounded `probe` slice, broadcast-join of the d*w-cell sketch,
+    * min-over-rows estimate. */
+  def cmsEstimate(sketch: DataFrame, df: DataFrame, keyCol: String,
+      probe: Column, w: Int = 64, d: Int = 4): DataFrame = {
+    require(w >= 2 && d >= 1, s"need w >= 2, d >= 1: $w, $d")
+    val probes = df
+      .select(col(keyCol),
+        graft.functions.Hashing.hash64(col(keyCol).cast("string")).as("h"))
+      .filter(probe)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"),
         max(col("h")).as("h"))
       .select(col(keyCol), col("n_exact"), col("h"),
         explode(sequence(lit(0), lit(d - 1))).as("i"))
       .select(col(keyCol), col("n_exact"), col("i"),
-        bucket(col("h"), col("i")).as("b"))
+        cmsBucket(col("h"), col("i"), w).as("b"))
     probes.join(broadcast(sketch), Seq("i", "b"))
       .groupBy(col(keyCol))
       .agg(max(col("n_exact")).as("n_exact"), min(col("bc")).as("n_est"))

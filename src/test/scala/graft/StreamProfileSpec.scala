@@ -420,4 +420,43 @@ class StreamProfileSpec extends SparkSpec {
     val batch1Bottom = (1 to 200).map(i => md5h((i + 1000).toString)).sorted.take(k)
     assert(finalBottom != batch1Bottom, "fixture must force a state merge")
   }
+
+  test("cmsSketch as a streaming aggregate: 2-batch complete-mode bucket " +
+      "frame equals the batch sketch — counts are commutative state") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // key k appears k+1 times; split mid-key so batch 2 increments
+    // buckets batch 1 already owns
+    val keys = (0 until 40).flatMap(k => Seq.fill(k + 1)(k.toLong))
+    val input = MemoryStream[Long]
+    val q = graft.profile.Profiler.cmsSketch(
+        input.toDS().toDF("k"), "k", w = 8, d = 4)
+      .writeStream.format("memory").queryName("sm_cms")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(keys.take(300): _*)
+      q.processAllAvailable()
+      input.addData(keys.drop(300): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sm_cms")
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val batch = graft.profile.Profiler.cmsSketch(
+        keys.toDF("k"), "k", w = 8, d = 4)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch,
+      "streamed bucket frame must equal the batch sketch bit-exactly")
+    assert(streamed.size <= 8 * 4, "state bounded by d*w cells")
+    // estimates through the SAME probe tail match the batch face
+    val est = graft.profile.Profiler.cmsEstimate(spark.table("sm_cms"),
+        keys.toDF("k"), "k", col("k") >= 0, w = 8, d = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val bEst = graft.profile.Profiler.cmsCounts(keys.toDF("k"), "k",
+        col("k") >= 0, w = 8, d = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(est == bEst)
+    est.foreach { case (k, (_, exact, e, _)) =>
+      assert(exact == k + 1 && e >= exact) }
+  }
 }
