@@ -315,4 +315,32 @@ class PlanAssertSpec extends SparkSpec {
         s"$name must stay a projection over the scan; plan:\n$plan")
     }
   }
+
+  test("q_cms_counts: the d*w-cell sketch broadcasts to the probe side, " +
+      "no cartesian, no window") {
+    val plan = planOf("q_cms_counts")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the sketch frame must broadcast-join the probes; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window "),
+      s"q_cms_counts must stay joins + aggs; plan:\n$plan")
+  }
+
+  test("q_quantile_panel_approx (bounded gate): the grid window is " +
+      "group-partitioned — never a global single-partition window — and " +
+      "the sketch side stays one fixed-size aggregate") {
+    val plan = planOf("q_quantile_panel_approx")
+    assert(!plan.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      s"no partition-less window allowed; plan:\n$plan")
+    assert(plan.contains("partial_percentile_approx") ||
+      plan.contains("percentile_approx"),
+      s"the sketch aggregate must remain present; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("q_jpeg_decode: pure narrow map — zero exchanges") {
+    val plan = planOf("q_jpeg_decode")
+    assert(!plan.contains("Exchange"),
+      s"encode->decode->gate must ride the scan; plan:\n$plan")
+  }
 }
