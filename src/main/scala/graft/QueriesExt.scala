@@ -381,6 +381,65 @@ object QueriesExt {
        |  FROM cand$sfx JOIN bhs$sfx x ON x.doc_id = bid JOIN ihs$sfx y ON y.doc_id = iid
        |  WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(list_distinct(x.h || y.h)) >= 0.8)""".stripMargin
   }
+  /** Streaming weighted sampler (StreamProfile.streamWeightedSample,
+    * r9): the A-ES competition keys as keyed state — the k largest
+    * (key desc, id asc) pairs per group are an order-free bounded
+    * MAX-SET (the dual of q_stream_kmv's min-set), so a proper
+    * weighted sample without replacement is maintained incrementally
+    * over the stream in k rows of state per group and the final sample
+    * is bit-identical to the batch q_weighted_sample however the
+    * stream is chopped. Documents staged as THREE parquet files with
+    * maxFilesPerTrigger=1 (the crawl-dedup discipline), so the gate
+    * really exercises cross-batch displacement. Oracle IS the batch
+    * face's SQL. 18th streaming face. */
+  private def qStreamWsample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("lang"), col("doc_id"), col("n_chars"))
+    val leaf = java.lang.Integer.toHexString(dir.hashCode) +
+      s"_p${bktPid}_c${bktSeq.incrementAndGet()}"
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_wsample_stream", leaf)
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    (0 until 3).foreach { c =>
+      val stage = base.resolve(s"stage_$c")
+      d.filter(col("doc_id") % 3 === c).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for wsample $c"))
+      val dst = inDir.resolve(s"chunk_$c.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + c * 60000L))
+    }
+    import s.implicits._
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      .filter(col("n_chars") > 0)
+      .select(col("lang").as("g"), col("doc_id").as("id"),
+        col("n_chars").as("w"),
+        ext.Sampling.aesKey(col("doc_id"), col("n_chars")).as("key"))
+      .as[graft.streaming.StreamProfile.WSampleRow]
+    val sampled = graft.streaming.StreamProfile
+      .streamWeightedSample(stream, k = 10)
+    val sink = s"graft_stream_wsample_${bktSeq.incrementAndGet()}"
+    val q = sampled.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("n_seen").desc)
+    s.table(sink)
+      .withColumn("__rn", row_number().over(W))
+      .filter(col("__rn") === 1)
+      .select(col("g").as("lang"),
+        explode(arrays_zip(col("ids"), col("ws"))).as("z"))
+      .select(col("lang"), col("z.ids").as("doc_id"),
+        col("z.ws").as("n_chars"))
+  }
+  private lazy val qStreamWsampleSql = qWeightedSampleSql
+
   private val qStreamCrawlDedupSql: String =
     s"""WITH ca AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
        |cb AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
@@ -7309,6 +7368,7 @@ object QueriesExt {
     "q_stream_ewma" -> (qStreamEwma _),
     "q_stream_kmv" -> (qStreamKmv _),
     "q_stream_cms" -> (qStreamCms _),
+    "q_stream_wsample" -> (qStreamWsample _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_join" -> (qStreamJoin _),
@@ -7531,6 +7591,7 @@ object QueriesExt {
     "q_stream_ewma" -> qStreamEwmaSql,
     "q_stream_kmv" -> qStreamKmvSql,
     "q_stream_cms" -> qStreamCmsSql,
+    "q_stream_wsample" -> qStreamWsampleSql,
     "q_stream_topk" -> qStreamTopkSql,
     "q_stream_sessions" -> qStreamSessionsSql,
     "q_stream_join" -> qStreamJoinSql,

@@ -52,7 +52,8 @@ object Verify {
       // EWMA window, KMV min-set) re-run under the production provider
       "q_stream_ewma", "q_stream_kmv",
       // r9: the streaming CMS bucket frame (complete-mode agg state)
-      "q_stream_cms")
+      // and the A-ES weighted-sample max-set keyed state
+      "q_stream_cms", "q_stream_wsample")
       .filter(n => only.isEmpty || only(n))
     if (rocksFaces.nonEmpty) {
       val key = "spark.sql.streaming.stateStore.providerClass"

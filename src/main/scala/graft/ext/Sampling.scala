@@ -215,24 +215,30 @@ object Sampling {
     * Scale: one shuffle on the group columns; the per-group top-k is a
     * rank<=k window, so WindowGroupLimit caps each map partition at k
     * rows per group BEFORE the exchange. */
+  /** The A-ES competition key as a shared expression: rounded@12
+    * BEFORE ranking — ln() can differ from another libm in the last
+    * ulp, and an unrounded key at rank k could flip sample membership
+    * across platforms/engines (the repo rounds every other log output
+    * at 8 decimals for the same reason; 12 keeps far more weight
+    * resolution than the gate needs while still absorbing 1-ulp
+    * drift). Shared by the batch window form and the streaming keyed
+    * state ([[graft.streaming.StreamProfile.streamWeightedSample]]) so
+    * both deployments compete on ONE key definition. */
+  private[graft] def aesKey(id: Column, weight: Column,
+      salt: String = "wsample"): Column = {
+    val h = Hashing.hash64(
+      concat(id.cast("string"), lit(":" + salt))) % 1000000L
+    round(log((h.cast("double") + lit(1.0)) / lit(1000001.0)) /
+      weight.cast("double"), 12)
+  }
+
   def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
       weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
-    val h = Hashing.hash64(
-      concat(col(idCol).cast("string"), lit(":" + salt))) % 1000000L
-    // The competition key is rounded@12 BEFORE ranking: ln() can differ
-    // from another libm in the last ulp, and an unrounded key at rank k
-    // could flip sample membership across platforms/engines (the repo
-    // rounds every other log output at 8 decimals for the same reason;
-    // 12 keeps far more weight resolution than the gate needs while
-    // still absorbing 1-ulp drift). Ties after rounding fall to the
-    // deterministic (key, id) order below.
-    val key = round(
-      log((h.cast("double") + lit(1.0)) / lit(1000001.0)) /
-        col(weightCol).cast("double"), 12)
+    // Ties after rounding fall to the deterministic (key, id) order.
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__k").desc, col(idCol).asc)
     df.filter(col(weightCol) > 0)
-      .withColumn("__k", key)
+      .withColumn("__k", aesKey(col(idCol), col(weightCol), salt))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__k", "__rn")

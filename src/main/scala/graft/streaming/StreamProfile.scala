@@ -345,6 +345,47 @@ object StreamProfile {
       }
   }
 
+  final case class WSampleRow(g: String, id: Long, w: Long, key: Double)
+  final case class WSampleState(rows: Seq[(Double, Long, Long)],
+      nSeen: Long)
+  final case class WSampleOut(g: String, n_seen: Long, ids: Seq[Long],
+      ws: Seq[Long])
+
+  /** Streaming twin of [[graft.ext.Sampling.weightedSample]]: the
+    * Efraimidis-Spirakis competition keys AS KEYED STREAMING STATE.
+    * The k LARGEST (key desc, id asc) pairs per group are an order-free
+    * bounded MAX-SET — the dual of [[streamKmvDistinct]]'s min-set —
+    * so the streamed sample is a pure function of the row set and
+    * BIT-IDENTICAL to the batch sample however the stream is
+    * micro-batched: a proper weighted sample without replacement,
+    * maintained incrementally over an unbounded stream in k rows of
+    * state per group. Input rows carry the key ALREADY computed by the
+    * batch operator's expression (rounded@12 — the same cross-engine
+    * discipline), so stream and batch share one key definition.
+    * `n_seen` counts rows ever seen per group — monotone, so the
+    * final state row per group is selectable deterministically from
+    * an update-mode sink (max n_seen). */
+  def streamWeightedSample(rows: Dataset[WSampleRow], k: Int)
+      : Dataset[WSampleOut] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .mapGroupsWithState[WSampleState, WSampleOut](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[WSampleRow], state: GroupState[WSampleState]) =>
+          val prev = state.getOption
+          var n = prev.map(_.nSeen).getOrElse(0L)
+          val fresh = it.map { r => n += 1; (r.key, r.id, r.w) }.toVector
+          val merged = (prev.map(_.rows.toVector).getOrElse(Vector.empty)
+              ++ fresh)
+            .distinct
+            .sortBy { case (key, id, _) => (-key, id) }
+            .take(k)
+          state.update(WSampleState(merged, n))
+          WSampleOut(g, n, merged.map(_._2), merged.map(_._3))
+      }
+  }
+
   final case class SmoothEvent(event_id: Long, user_id: Long, sec: Long,
       value: Double)
   final case class SmoothState(recentMicros: Seq[Long])

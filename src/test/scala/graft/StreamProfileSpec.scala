@@ -421,6 +421,59 @@ class StreamProfileSpec extends SparkSpec {
     assert(finalBottom != batch1Bottom, "fixture must force a state merge")
   }
 
+  test("streamWeightedSample: 2-batch split equals the batch A-ES sample " +
+      "bit-exactly, with forced cross-batch displacement") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two groups, 60 weighted rows each; batch 2 carries heavy rows
+    // that must displace batch-1 members from the top-k state
+    val rows = (1 to 120).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val w = if (i > 60) 5000L + i else (i % 7 + 1).toLong
+      (g, i.toLong, w)
+    }
+    val df = rows.toDF("g", "id", "w")
+    val batchSample = graft.ext.Sampling.weightedSample(df, Seq("g"),
+        "id", "w", k = 8)
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    def toRow(d: org.apache.spark.sql.DataFrame) = d
+      .select($"g", $"id", $"w",
+        graft.ext.Sampling.aesKey($"id", $"w").as("key"))
+      .as[graft.streaming.StreamProfile.WSampleRow]
+    val input = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamProfile.streamWeightedSample(
+        toRow(input.toDS().toDF("g", "id", "w")), k = 8)
+      .toDF().writeStream.format("memory").queryName("sm_ws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(rows.take(60): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"n_seen".desc)
+    val streamed = spark.table("sm_ws")
+      .withColumn("__rn", row_number().over(W)).filter($"__rn" === 1)
+      .select($"g", explode($"ids").as("id"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batchSample,
+      s"streamed sample must equal the batch sample: $streamed vs $batchSample")
+    // displacement really happened: batch-1-only state differs
+    val afterB1 = spark.table("sm_ws")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"n_seen".asc)))
+      .filter($"__rn" === 1)
+      .select($"g", explode($"ids").as("id"))
+      .as[(String, Long)].collect().toSet
+    assert(afterB1 != streamed, "heavy batch-2 rows must displace members")
+    // heavy rows dominate: most final members are ids > 60
+    assert(streamed.count(_._2 > 60) >= 12,
+      s"weighting must favor the heavy rows: $streamed")
+  }
+
   test("cmsSketch as a streaming aggregate: 2-batch complete-mode bucket " +
       "frame equals the batch sketch — counts are commutative state") {
     val sparkSession = spark
