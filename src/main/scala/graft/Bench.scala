@@ -279,7 +279,10 @@ object Bench {
           adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
             s""""in_suite_ratio":$ratio,"fresh_reps":[${fresh.map(r3)
               .mkString(",")}],"fresh_min":${r3(fresh.min)},""" +
-            s""""fresh_median":${r3(fresh.sorted.apply(fresh.size / 2))},""" +
+            // LOWER median ((size-1)/2): with the heavy movers' 2-rep
+            // pool, size/2 would report the WORSE probe as "median"
+            // and overstate the mover's isolated cost in the evidence
+            s""""fresh_median":${r3(fresh.sorted.apply((fresh.size - 1) / 2))},""" +
             s""""verdict":"$verdict"}"""
         } else adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
           s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"probe_error"}"""

@@ -318,23 +318,36 @@ object QueriesExt {
     * path, not just one batch-vs-index call. The oracle replays the
     * same two incremental steps as chained CTEs (shared fragment
     * generator, same minhash/cap constants as q_incremental_dedup). */
-  private def qStreamCrawlDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("text"))
+  /** Stage a doc-keyed batch frame as THREE mtime-ordered parquet
+    * chunk files (doc_id % 3) under a per-invocation tmp leaf and hand
+    * the maxFilesPerTrigger=1 file stream to `body` under the pinned
+    * stream shuffle-partition count (state-store instances scale with
+    * partition count — the withStreamStateParts rationale). The
+    * staging leaf is deleted after `body` returns unless `keep` —
+    * callers whose RESULT lazily reads files under the leaf (crawl
+    * dedup's pairs dir) must pass keep = true and accept the
+    * documented tmp residue. */
+  private def withStagedDocChunksStream[T](s: SparkSession, dir: String,
+      d: DataFrame, tmpName: String, keep: Boolean = false)
+      (body: (DataFrame, java.nio.file.Path) => T): T = {
     val leaf = java.lang.Integer.toHexString(dir.hashCode) +
       s"_p${bktPid}_c${bktSeq.incrementAndGet()}"
     val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_crawl_stream", leaf)
+      System.getProperty("java.io.tmpdir"), tmpName, leaf)
     val inDir = base.resolve("in")
     java.nio.file.Files.createDirectories(inDir)
     (0 until 3).foreach { c =>
       val stage = base.resolve(s"stage_$c")
       d.filter(col("doc_id") % 3 === c).coalesce(1)
         .write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written for crawl $c"))
-      val dst = inDir.resolve(s"crawl_$c.parquet")
+      // Files.list holds a directory fd until closed
+      val ls = java.nio.file.Files.list(stage)
+      val part =
+        try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for chunk $c"))
+        finally ls.close()
+      val dst = inDir.resolve(s"chunk_$c.parquet")
       java.nio.file.Files.move(part, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // mtime order = processing order for the file stream source
@@ -343,12 +356,29 @@ object QueriesExt {
     }
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-    val pairsOut = base.resolve("pairs").toString
-    withStreamStateParts(s)(
+    try withStreamStateParts(s)(body(stream, base))
+    finally if (!keep) {
+      try {
+        val walk = java.nio.file.Files.walk(base)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def qStreamCrawlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // keep = true: the returned frame lazily reads the pairs parquet
+    // written under the staging leaf
+    withStagedDocChunksStream(s, dir, d, "graft_crawl_stream",
+        keep = true) { (stream, base) =>
+      val pairsOut = base.resolve("pairs").toString
       graft.streaming.StreamProfile.crawlDedupStream(stream, "doc_id",
         "text", pairsOut, threshold = 0.8, shingleN = 3, k = 16, bands = 4,
-        maxBucket = 64))
-    s.read.parquet(pairsOut)
+        maxBucket = 64)
+      s.read.parquet(pairsOut)
+    }
   }
   /** One incremental minhash step as suffixed CTEs ending in
     * `pairs<sfx>(bid, iid, j)` — instantiated twice by the streaming
@@ -394,49 +424,33 @@ object QueriesExt {
     * face's SQL. 18th streaming face. */
   private def qStreamWsample(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("lang"), col("doc_id"), col("n_chars"))
-    val leaf = java.lang.Integer.toHexString(dir.hashCode) +
-      s"_p${bktPid}_c${bktSeq.incrementAndGet()}"
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_wsample_stream", leaf)
-    val inDir = base.resolve("in")
-    java.nio.file.Files.createDirectories(inDir)
-    (0 until 3).foreach { c =>
-      val stage = base.resolve(s"stage_$c")
-      d.filter(col("doc_id") % 3 === c).coalesce(1)
-        .write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written for wsample $c"))
-      val dst = inDir.resolve(s"chunk_$c.parquet")
-      java.nio.file.Files.move(part, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + c * 60000L))
-    }
     import s.implicits._
-    val stream = s.readStream.schema(d.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-      .filter(col("n_chars") > 0)
-      .select(col("lang").as("g"), col("doc_id").as("id"),
-        col("n_chars").as("w"),
-        ext.Sampling.aesKey(col("doc_id"), col("n_chars")).as("key"))
-      .as[graft.streaming.StreamProfile.WSampleRow]
-    val sampled = graft.streaming.StreamProfile
-      .streamWeightedSample(stream, k = 10)
-    val sink = s"graft_stream_wsample_${bktSeq.incrementAndGet()}"
-    val q = sampled.toDF().writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
-    val W = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("n_seen").desc)
-    s.table(sink)
-      .withColumn("__rn", row_number().over(W))
-      .filter(col("__rn") === 1)
-      .select(col("g").as("lang"),
-        explode(arrays_zip(col("ids"), col("ws"))).as("z"))
-      .select(col("lang"), col("z.ids").as("doc_id"),
-        col("z.ws").as("n_chars"))
+    withStagedDocChunksStream(s, dir, d, "graft_wsample_stream") {
+        (raw, _) =>
+      val stream = raw
+        .filter(col("n_chars") > 0)
+        .select(col("lang").as("g"), col("doc_id").as("id"),
+          col("n_chars").as("w"),
+          ext.Sampling.aesKey(col("doc_id"), col("n_chars")).as("key"))
+        .as[graft.streaming.StreamProfile.WSampleRow]
+      val sampled = graft.streaming.StreamProfile
+        .streamWeightedSample(stream, k = 10)
+      val sink = s"graft_stream_wsample_${bktSeq.incrementAndGet()}"
+      val q = sampled.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("n_seen").desc)
+      // the memory sink's rows survive the staging-leaf cleanup — the
+      // returned frame reads no files
+      s.table(sink)
+        .withColumn("__rn", row_number().over(W))
+        .filter(col("__rn") === 1)
+        .select(col("g").as("lang"),
+          explode(arrays_zip(col("ids"), col("ws"))).as("z"))
+        .select(col("lang"), col("z.ids").as("doc_id"),
+          col("z.ws").as("n_chars"))
+    }
   }
   private lazy val qStreamWsampleSql = qWeightedSampleSql
 

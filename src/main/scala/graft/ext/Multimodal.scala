@@ -818,6 +818,14 @@ object Multimodal {
           val h = img.getHeight
           val raster = img.getRaster
           val bands = raster.getNumBands
+          // indexed-color images store PALETTE INDICES in the single
+          // raster band — resolve through the color model (getRGB) so
+          // luminance is pixel brightness, not palette order: the same
+          // convention as videoFrameStats/imageDHash (r9 consistency
+          // fix; identity grayscale palettes are unaffected since
+          // palette[i] = (i,i,i) makes the ITU-601 mix reproduce i)
+          val indexed = img.getColorModel
+            .isInstanceOf[java.awt.image.IndexColorModel]
           var sum = 0L
           var bright = 0L
           var y = 0
@@ -825,7 +833,11 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val lum =
-                if (bands >= 3)
+                if (indexed) {
+                  val rgb = img.getRGB(x, y)
+                  (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                    114 * (rgb & 0xff)) / 1000
+                } else if (bands >= 3)
                   (299 * raster.getSample(x, y, 0) +
                     587 * raster.getSample(x, y, 1) +
                     114 * raster.getSample(x, y, 2)) / 1000

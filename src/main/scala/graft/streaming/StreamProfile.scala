@@ -376,9 +376,13 @@ object StreamProfile {
           val prev = state.getOption
           var n = prev.map(_.nSeen).getOrElse(0L)
           val fresh = it.map { r => n += 1; (r.key, r.id, r.w) }.toVector
+          // NO distinct: the batch twin ranks duplicate input rows as
+          // separate sample candidates (row_number), so a multiset
+          // input must keep duplicates here too or the streamed sample
+          // would come up short of the batch sample; each input row is
+          // consumed exactly once, so state never self-duplicates
           val merged = (prev.map(_.rows.toVector).getOrElse(Vector.empty)
               ++ fresh)
-            .distinct
             .sortBy { case (key, id, _) => (-key, id) }
             .take(k)
           state.update(WSampleState(merged, n))

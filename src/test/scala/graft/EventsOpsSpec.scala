@@ -721,5 +721,14 @@ class EventsOpsSpec extends SparkSpec {
     assert(hs(1L)._1 && hs(2L)._1)
     assert(hs(1L)._2 == hs(2L)._2,
       "palettized and grayscale renderings of the same picture must hash equal")
+    // imageStats shares the convention (r9 consistency fix): the
+    // reversed-palette rendering must report pixel BRIGHTNESS, equal
+    // to the grayscale rendering — not palette indices
+    val st = Multimodal.imageStats(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(6))).toMap
+    assert(st(1L) == st(2L),
+      s"indexed vs grayscale imageStats must agree: ${st(1L)} vs ${st(2L)}")
+    assert(st(1L)._1 == (w / 2).toLong * h * 255,
+      s"sum_lum must be brightness, not indices: ${st(1L)}")
   }
 }
