@@ -160,4 +160,90 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CMS: never underestimates and is exact on a collision-free row " +
+      "over random multisets") {
+    import org.apache.spark.sql.functions.col
+    trials(r => List.fill(80)(r.nextInt(15).toLong)) { keys =>
+      val df = keys.toDF("k")
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val out = graft.profile.Profiler
+        .cmsCounts(df, "k", col("k") >= 0, w = 4, d = 4)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.map(_._1).toSet == exact.keySet)
+      out.foreach { case (k, ne, est, over) =>
+        assert(ne == exact(k), s"exact count for $k")
+        assert(est >= ne && over == est - ne,
+          s"CMS must never underestimate: $k -> $est < $ne")
+      }
+      // and a wide sketch collapses the overestimate to zero here
+      val wide = graft.profile.Profiler
+        .cmsCounts(df, "k", col("k") >= 0, w = 8192, d = 4)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(wide.forall(_._4 == 0L), "15 keys in 8192 buckets x 4 rows")
+    }
+  }
+
+  test("A-ES weighted sample: streamed 2-batch state equals the batch " +
+      "window form over random weights and split points") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    trials { r =>
+      val rows = (1 to 40).map(i =>
+        ("g" + (i % 3), i.toLong, r.nextInt(1000).toLong + 1))
+      (rows, 5 + r.nextInt(30))
+    } { case (rows, split) =>
+      val df = rows.toDF("g", "id", "w")
+      val batch = graft.ext.Sampling
+        .weightedSample(df, Seq("g"), "id", "w", k = 5)
+        .select($"g", $"id").as[(String, Long)].collect().toSet
+      val input = MemoryStream[(String, Long, Long)]
+      val q = graft.streaming.StreamProfile.streamWeightedSample(
+          input.toDS().toDF("g", "id", "w")
+            .select(col("g"), col("id"), col("w"),
+              graft.ext.Sampling.aesKey(col("id"), col("w")).as("key"))
+            .as[graft.streaming.StreamProfile.WSampleRow], k = 5)
+        .toDF().writeStream.format("memory")
+        .queryName(s"prop_ws_$split").outputMode("update").start()
+      try {
+        input.addData(rows.take(split): _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"n_seen".desc)
+      val streamed = spark.table(s"prop_ws_$split")
+        .withColumn("__rn",
+          org.apache.spark.sql.functions.row_number().over(W))
+        .filter($"__rn" === 1)
+        .select($"g", org.apache.spark.sql.functions.explode($"ids").as("id"))
+        .as[(String, Long)].collect().toSet
+      assert(streamed == batch,
+        s"split at $split diverged: $streamed vs $batch")
+    }
+  }
+
+  test("bounded quantile windows always contain the exact lower quantile " +
+      "over random grids") {
+    trials(r => List.fill(60)(("g" + r.nextInt(2), r.nextInt(40).toLong))) { xs =>
+      val df = xs.toDF("g", "v")
+      val exact = graft.profile.NumericProfile
+        .quantilePanel(df, "v", "g", qs = Seq(0.5))
+        .as[(String, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+      val gate = graft.profile.NumericProfile
+        .quantilePanelBounded(df, "v", "g", qs = Seq(0.5))
+        .collect().map { row =>
+          row.getAs[String]("g") ->
+            ((row.getAs[Long]("lo50"), row.getAs[Long]("hi50"),
+              row.getAs[Boolean]("ok_p50")))
+        }.toMap
+      gate.foreach { case (g, (lo, hi, ok)) =>
+        assert(lo <= exact(g) && exact(g) <= hi,
+          s"window [$lo, $hi] must contain the exact p50 ${exact(g)}")
+        assert(ok, "sub-accuracy sketch is exact, must pass the gate")
+      }
+    }
+  }
 }
