@@ -372,7 +372,7 @@ object Queries {
        |d AS (SELECT *, s / n m FROM st),
        |e AS (SELECT *, sqrt(s2 / n - m * m) sd FROM d)
        |SELECT l_orderkey, l_linenumber, price,
-       |  CASE WHEN sd > 0 THEN (price - m) / sd
+       |  CASE WHEN sd > 0 THEN round((price - m) / sd, 8)
        |       WHEN price IS NOT NULL THEN 0.0 END price_scaled
        |FROM dirty, e""".stripMargin
 

@@ -353,8 +353,15 @@ object CleaningAction {
         .withColumn("__m", col("__s") / col("__n"))
         .withColumn("__sd",
           sqrt(col("__s2") / col("__n") - col("__m") * col("__m")))
+        // round@8: the moment sums pass through a double->decimal cast
+        // whose TIE rounding differs across engines (measured at
+        // sf0.001: s ...033.41000000 here vs ...033.41000003 in DuckDB
+        // — one tie among 6,000 rows), which shifts sd by an ulp and
+        // every unrounded z by ~1e-16 relative. 8 dp keeps far more
+        // resolution than any consumer needs and absorbs ulp drift —
+        // the repo-wide convention for re-emitted float chains.
         .withColumn(s"${column}_scaled",
-          when(col("__sd") > 0, (x - col("__m")) / col("__sd"))
+          when(col("__sd") > 0, round((x - col("__m")) / col("__sd"), 8))
             .otherwise(when(x.isNotNull, lit(0.0))))
         .drop("__s", "__s2", "__n", "__m", "__sd")
     }

@@ -135,11 +135,14 @@ class CleaningSpec extends SparkSpec {
     val r = ScaleZScore("x")(df)
       .select($"x", $"x_scaled").collect()
       .map(x => Option(x.get(0)) -> Option(x.get(1))).toMap
-    // mean 2, var_pop = 14/3 - 4 = 2/3 — same IEEE derivation as the op
+    // mean 2, var_pop = 14/3 - 4 = 2/3 — same IEEE derivation as the
+    // op, rounded@8 like the op (ulp-absorbing output convention)
     val sd = math.sqrt(14.0 / 3 - 4.0)
-    assert(r(Some(1.0)) == Some((1.0 - 2.0) / sd))
+    def r8(v: Double): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(Some(1.0)) == Some(r8((1.0 - 2.0) / sd)))
     assert(r(Some(2.0)) == Some(0.0))
-    assert(r(Some(3.0)) == Some((3.0 - 2.0) / sd))
+    assert(r(Some(3.0)) == Some(r8((3.0 - 2.0) / sd)))
     assert(r(None).isEmpty)
     // degenerate: constant column standardizes to 0, not NaN
     val const = ScaleZScore("x")(Seq(Some(7.0), Some(7.0)).toDF("x"))
