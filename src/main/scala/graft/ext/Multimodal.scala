@@ -764,7 +764,19 @@ object Multimodal {
     * colorspace, a double decode, or a broken quality setting all
     * blow the band). The formula mean comes from the same generator
     * expression the oracle mirrors, so a drifting generator can't
-    * self-certify. */
+    * self-certify.
+    *
+    * JDK coupling (ADVICE r9 #2): unlike the PNG/WAV/GIF gates, which
+    * are lossless and environment-free, the 0.41 worst case — and
+    * therefore the 1.5 band — is calibrated against the JRE's own
+    * `com.sun.imageio` JPEG encoder/decoder pair (measured on the
+    * OpenJDK 17 line this repo builds on). A different JRE
+    * vendor/version with different quantization tables or a different
+    * chroma path can legitimately shift mean luminance past the band.
+    * If this gate fails on a NEW JRE while the lossless gates stay
+    * green, diagnose as RECALIBRATION (re-measure the worst case over
+    * the dimension cycle and re-derive meanTol ~ 3-4x it), not as a
+    * code regression. */
   def jpegDecodeGate(ids: DataFrame, idCol: String,
       quality: Float = 0.85f, meanTol: Double = 1.5): DataFrame = {
     val st = imageStats(synthesizeJpegs(ids, idCol, quality))

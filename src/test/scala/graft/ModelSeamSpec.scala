@@ -78,4 +78,47 @@ class ModelSeamSpec extends SparkSpec {
       TextStats.tokenCountWithMerges(d, "id", "text", merges, maxMerges = 3 - 1)
     }
   }
+
+  // ---- committed fixture tables (VERDICT r9 Next #2) ----------------
+
+  test("committed lang profile: non-default and changes a verdict") {
+    val prof = graft.ext.ModelFixtures.langProfileDf(spark)
+    // strictly larger vocabulary than the shipped default, valid langs
+    assert(prof.count() == 125)
+    assert(TextStats.defaultLangProfile(spark).count() == 50)
+    val langs = prof.select($"lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en", "de", "es", "fr", "zh"))
+    // a doc made of profile-only words (absent from the 10-word default
+    // lists) flips from 'und' under the default to a verdict under the
+    // fixture — the seam demonstrably reaches the decision
+    val d = Seq((1L, "it was on this but")).toDF("id", "text")
+    val dflt = TextStats.withLangIdProfile(d, "id", "text",
+      TextStats.defaultLangProfile(spark))
+      .select($"predicted").as[String].head()
+    val fix = TextStats.withLangIdProfile(d, "id", "text", prof)
+      .select($"predicted").as[String].head()
+    assert(dflt == "und" && fix == "en")
+  }
+
+  test("committed merge table: real learned merges, applied end-to-end") {
+    val m = graft.ext.ModelFixtures.bpeMergesDf(spark)
+    assert(m.count() == 24)
+    // ranks are dense 0..23 (a real merges file is rank-ordered)
+    val ranks = m.select($"rank").as[Int].collect().sorted
+    assert(ranks.sameElements(0 until 24))
+    // compound merges reference earlier products only (well-formed
+    // chain: 'jo'+'in' requires rank 10's 'j'+'o' and rank 1's 'i'+'n')
+    val prods = graft.ext.ModelFixtures.bpeMerges
+      .scanLeft(Set.empty[String] ++ ('a' to 'z').map(_.toString)) {
+        case (acc, (_, l, r)) =>
+          assert(acc(l) && acc(r), s"merge ($l,$r) references unseen symbol")
+          acc + (l + r)
+      }
+    assert(prods.last.contains("join") && prods.last.contains("batch"))
+    // applying the table contracts: 'join' -> 1 piece, vs 4 chars
+    val d = Seq((1L, "join")).toDF("id", "text")
+    val r = TextStats.tokenCountWithMerges(d, "id", "text", m)
+      .select($"n_pieces").as[Long].head()
+    assert(r == 1L)
+  }
 }

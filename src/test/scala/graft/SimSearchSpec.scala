@@ -9,6 +9,22 @@ class SimSearchSpec extends SparkSpec {
 
   private def vec(xs: Double*): Seq[Double] = xs.toSeq
 
+  /** All-pairs exact-recall reference for the bucketed near-dup
+    * operators — O(n^2) rows, so it lives in TEST source only (VERDICT
+    * r9 Next #6): the main tree carries no all-pairs crossJoin at all. */
+  private def embeddingNearDupsBrute(emb: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      SimSearch.normalize(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", SimSearch.dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   test("cosine/dot/norm basics") {
     val df = Seq((vec(1, 0), vec(0, 1)), (vec(1, 1), vec(1, 1)),
       (vec(3, 4), vec(3, 4))).toDF("a", "b")
@@ -76,7 +92,7 @@ class SimSearchSpec extends SparkSpec {
     // inject exact copies (the q_embed_neardup shape)
     val injected = e.union(e.filter($"vec_id" % 20 === 0)
       .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
-    val brute = Dedup.embeddingNearDupsBrute(injected, "vec_id", "embedding", 0.99)
+    val brute = embeddingNearDupsBrute(injected, "vec_id", "embedding", 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val bucketed = Dedup.embeddingNearDups(injected, "vec_id", "embedding", 0.99,
       dims = 64)
@@ -101,7 +117,7 @@ class SimSearchSpec extends SparkSpec {
     // shares its original's cluster and verifies at cosine ~1
     assert(expected.subsetOf(sem), s"missed=${expected -- sem}")
     // precision: every reported pair is a true >=threshold pair
-    val brute = Dedup.embeddingNearDupsBrute(injected, "vec_id", "embedding", 0.8)
+    val brute = embeddingNearDupsBrute(injected, "vec_id", "embedding", 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(sem.subsetOf(brute), s"invented=${sem -- brute}")
     // degenerate-cluster guard: cap below every cluster size -> no pairs
