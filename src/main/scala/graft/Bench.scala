@@ -329,9 +329,31 @@ object Bench {
     // window_degraded below and re-tested by the next clean round's
     // monotone floors — ADVICE r9 #1)
     val effDrift = math.max(suiteDrift, probeDrift)
+    // window_degraded: past ~1.3x drift the discriminator cannot
+    // distinguish environment drift from a uniform suite-wide code
+    // regression (ADVICE r9 #1) — every verdict below is conditioned on
+    // a suspect window; the next clean round's monotone floors are the
+    // authority.
+    val windowDegraded = effDrift > 1.3
+    // CLASS DRIFT (r10 poisoned-window rehearsal): CPU contention hits
+    // query classes unevenly — with 28 spinners the 18 streaming faces
+    // ran 4-6x slow (micro-batch trigger scheduling + state store are
+    // latency-bound) while batch sentinels measured 0.98-1.1x, so a
+    // class-blind drift model phantom-confirmed 10 streaming movers.
+    // In a DEGRADED window only, streaming movers are judged against
+    // the streaming class's own median in-suite ratio. Never applied in
+    // a clean window: there a uniformly-slow streaming class IS the
+    // regression signal (e.g. a state-store config slip).
+    val streamDrift = {
+      val rs = floorsNow.collect { case (k, c) if k.startsWith("q_stream_") =>
+        prevFloors.get(k).filter(_ > 0).map(c / _) }.flatten.toSeq.sorted
+      if (rs.isEmpty) effDrift
+      else math.max(effDrift, math.round(rs(rs.size / 2) * 100) / 100.0)
+    }
     var adjudications = List.empty[String]
     var ambient = Set.empty[String]
     var confirmedSet = Set.empty[String]
+    var suspectSet = Set.empty[String]
     var probeErrSet = Set.empty[String]
     var unadjSet = Set.empty[String]
     rawMoves.toSeq.sortBy(-_._2).foreach { case (name, ratio) =>
@@ -343,9 +365,19 @@ object Bench {
         val fresh = freshProbe(name, want)
         if (fresh.nonEmpty) {
           val fr = fresh.min / prevF
+          val drift =
+            if (windowDegraded && name.startsWith("q_stream_")) streamDrift
+            else effDrift
           val verdict =
             if (fr <= 1.5) "cleared_noise"
-            else if (fr <= 1.5 * effDrift) { ambient += name; "ambient_drift" }
+            else if (fr <= 1.5 * drift) { ambient += name; "ambient_drift" }
+            // a mover that beats every drift adjustment in a DEGRADED
+            // window is still not certifiable — the discriminator has
+            // already declared it cannot tell environment from code
+            // here. Reported on its own field; a real regression
+            // re-confirms in the next clean window (monotone floors
+            // guarantee the comparison survives).
+            else if (windowDegraded) { suspectSet += name; "suspect_window" }
             else { confirmedSet += name; "confirmed_regression" }
           adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
             s""""in_suite_ratio":$ratio,"fresh_reps":[${fresh.map(r3)
@@ -428,21 +460,15 @@ object Bench {
     val metaspaceMb = peakMb("Metaspace")
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed >> 20
-    // window_degraded: past ~1.3x drift the discriminator cannot
-    // distinguish environment drift from a uniform suite-wide code
-    // regression (ADVICE r9 #1) — the flag tells the reader every
-    // verdict below is conditioned on a suspect window and the next
-    // clean round's monotone floors are the authority.
-    val windowDegraded = effDrift > 1.3
     val skp = skipped.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val sentJson = sentinelRatios
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"budget_hit":$budgetHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"budget_hit":$budgetHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
-      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

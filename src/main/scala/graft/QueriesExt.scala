@@ -1627,6 +1627,73 @@ object QueriesExt {
        |  round(cosine, 6) cosine_r
        |FROM rk WHERE rank <= 5""".stripMargin
 
+  /** Graph ANN: deterministic beam search over the q_knn_graph edges
+    * (SimSearch.graphBeamSearch — the HNSW/NSW search core; VERDICT r9
+    * Next #7). Entry points = one per capped cluster (the within-cluster
+    * graph is disconnected across clusters, so per-component doorways
+    * are load-bearing — the SPANN partition-entry design), 3 fixed
+    * expansion hops at beam 8, answer = top-5 of everything visited.
+    * The oracle replays the identical walk: the q_knn_graph edge chain,
+    * then one (expand via edges) -> (anti-join visited) -> (score) ->
+    * (re-rank top-beam) CTE layer per hop — fixed hops make the
+    * data-dependent loop SQL-expressible, the qBpeTrainSql discipline. */
+  private def qAnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.graphBeamSearch(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, beam = 8, hops = 3,
+      kNbrs = 5, nlist = 16, rounds = kmRounds, meanRound = 6,
+      maxCluster = 1000)
+  }
+  private val qAnnGraphSql: String = {
+    val hopLayers = (1 to 3).map { h =>
+      s"""nx$h AS MATERIALIZED (SELECT DISTINCT b.query_id, ed.nbr cand_id
+         |  FROM b${h - 1} b JOIN ed ON ed.src = b.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} t
+         |      WHERE t.query_id = b.query_id AND t.cand_id = ed.nbr)),
+         |sc$h AS (SELECT n.query_id, n.cand_id,
+         |    round(list_dot_product(q.qv, cv.e), 8) cos
+         |  FROM nx$h n JOIN qq q ON q.query_id = n.query_id
+         |  JOIN v cv ON cv.id = n.cand_id),
+         |vis$h AS MATERIALIZED (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h),
+         |ex$h AS MATERIALIZED (SELECT query_id, cand_id FROM ex${h - 1}
+         |  UNION ALL SELECT query_id, cand_id FROM b${h - 1}),
+         |b$h AS MATERIALIZED (SELECT query_id, cand_id FROM (SELECT w.*, row_number() OVER (
+         |    PARTITION BY w.query_id ORDER BY w.cos DESC, w.cand_id ASC) rn
+         |  FROM vis$h w WHERE NOT EXISTS (SELECT 1 FROM ex$h x
+         |    WHERE x.query_id = w.query_id AND x.cand_id = w.cand_id))
+         |  WHERE rn <= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtesSql(kmRounds)},
+       |sz AS (SELECT list_id, count(*) cs FROM asg$kmRounds GROUP BY 1),
+       |cp AS (SELECT a.id, a.e, a.list_id FROM asg$kmRounds a
+       |  JOIN sz USING (list_id) WHERE cs <= 1000),
+       |pr AS (SELECT a.id ia, b.id ib, list_dot_product(a.e, b.e) cosine
+       |  FROM cp a JOIN cp b ON a.list_id = b.list_id AND a.id <> b.id),
+       |rk AS (SELECT ia, ib,
+       |    row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib ASC) rank
+       |  FROM pr),
+       |ed AS MATERIALIZED (SELECT DISTINCT src, nbr FROM (
+       |  SELECT ia src, ib nbr FROM rk WHERE rank <= 5
+       |  UNION ALL SELECT ib src, ia nbr FROM rk WHERE rank <= 5)),
+       |qq AS MATERIALIZED (SELECT id query_id, e qv FROM v WHERE id < 10),
+       |ep AS MATERIALIZED (SELECT min(id) cand_id FROM cp GROUP BY list_id),
+       |vis0 AS MATERIALIZED (SELECT q.query_id, p.cand_id,
+       |    round(list_dot_product(q.qv, cv.e), 8) cos
+       |  FROM qq q CROSS JOIN ep p JOIN v cv ON cv.id = p.cand_id),
+       |ex0 AS (SELECT query_id, cand_id FROM vis0 WHERE 1 = 0),
+       |b0 AS MATERIALIZED (SELECT query_id, cand_id FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) rn FROM vis0)
+       |  WHERE rn <= 8),
+       |$hopLayers
+       |SELECT query_id, cand_id neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, cand_id ASC) AS INT) rank,
+       |  round(cos, 6) cosine_r
+       |FROM vis3 WHERE cand_id <> query_id
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin
+  }
+
   /** Embedding drift across label slices (SimSearch.embeddingDrift):
     * per-group centroid dispersion (mean resultant length) + cosine to
     * the global centroid — the encoder/crawl drift monitor. Per-dim
@@ -7546,6 +7613,7 @@ object QueriesExt {
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_knn_graph" -> (qKnnGraph _),
+    "q_ann_graph" -> (qAnnGraph _),
     "q_kcenter" -> (qKcenter _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
@@ -7765,6 +7833,7 @@ object QueriesExt {
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_graph" -> qKnnGraphSql,
+    "q_ann_graph" -> qAnnGraphSql,
     "q_kcenter" -> qKcenterSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,

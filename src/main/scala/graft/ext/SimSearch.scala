@@ -326,18 +326,26 @@ object SimSearch {
     * Determinism: ranking on the raw IEEE cosine (a single dot of
     * meanRound-stabilized unit vectors — same bits in any engine) with
     * id tiebreak; reported cosine rounded at 6. */
-  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
-      kNbrs: Int = 5, k: Int = 16, rounds: Int = 3, meanRound: Int = -1,
-      maxCluster: Int = 1000): DataFrame = {
-    require(kNbrs > 0, s"kNbrs must be positive: $kNbrs")
+  /** The trained, capped (id, v, list_id) cluster frame shared by
+    * [[knnGraph]] and [[graphBeamSearch]] — one source of truth for the
+    * training chain and the mega-cluster cap so the two faces cannot
+    * silently fork. */
+  private[graft] def cappedClusterFrame(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, rounds: Int, meanRound: Int,
+      maxCluster: Int): DataFrame = {
     val c = emb.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
     val cents = trainedCentroids(c, k, rounds, meanRound)
-    val assigned = assignLists(c, cents, 1)
+    assignLists(c, cents, 1)
       .select(col("id"), col("v"), col("list_id"))
-    val capped = assigned.withColumn("__cs",
-      count(lit(1)).over(Window.partitionBy(col("list_id"))))
+      .withColumn("__cs",
+        count(lit(1)).over(Window.partitionBy(col("list_id"))))
       .filter(col("__cs") <= maxCluster).drop("__cs")
+  }
+
+  /** Within-cluster kNN edges over a [[cappedClusterFrame]]. */
+  private[graft] def withinClusterKnn(capped: DataFrame, kNbrs: Int)
+      : DataFrame = {
     val a = capped.select(col("list_id"), col("id").as("src_id"),
       col("v").as("v_a"))
     val b = capped.select(col("list_id"), col("id").as("nbr_id"),
@@ -349,8 +357,134 @@ object SimSearch {
       .withColumn("cosine", dot(col("v_a"), col("v_b")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNbrs)
+  }
+
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      kNbrs: Int = 5, k: Int = 16, rounds: Int = 3, meanRound: Int = -1,
+      maxCluster: Int = 1000): DataFrame = {
+    require(kNbrs > 0, s"kNbrs must be positive: $kNbrs")
+    val capped = cappedClusterFrame(emb, idCol, vecCol, k, rounds,
+      meanRound, maxCluster)
+    withinClusterKnn(capped, kNbrs)
       .select(col("src_id"), col("nbr_id"), col("rank"),
         round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** Graph ANN: greedy BEAM SEARCH over the [[knnGraph]] neighborhood
+    * graph (the navigable-small-world search core of HNSW /
+    * Malkov-Yashunin NSW, public literature; VERDICT r9 Next #7) —
+    * completes the modern ANN taxonomy beside the bucketed families
+    * (LSH / IVF / PQ / IVF-PQ). The within-cluster kNN graph is 16
+    * disconnected components by construction, so entry points are PER
+    * CLUSTER (the min-id member of each capped cluster — the SPANN-style
+    * partition-entry design): hop 0 ranks one doorway into every
+    * component, the beam keeps the most promising, and navigation
+    * proceeds within them. Deterministic by construction: fixed entry
+    * points, a FIXED `hops` expansion count (the distributed-friendly
+    * variant of HNSW's "stop when no improvement", which needs a
+    * sequential frontier), and every ranking breaks ties
+    * (cosine DESC, id ASC).
+    *
+    * Per hop: take the top-`beam` scored-but-NOT-YET-EXPANDED nodes per
+    * query (best-first, HNSW's ef-search discipline), push them through
+    * the graph edges, drop already-visited nodes (left_anti), score the
+    * new candidates once, re-rank. After `hops` rounds the answer is
+    * the top-k of everything visited, self excluded.
+    *
+    * Scale shape: the graph build is [[knnGraph]]'s capped
+    * within-cluster join (never all-pairs); the search itself touches
+    * per query at most nlist + hops*beam*kNbrs candidates — the beam
+    * frame (queries x beam rows) BROADCASTS into the edge join, so the
+    * big edge table never shuffles for the search, and each hop's
+    * visited set is checkpointed (bounded: queries x visited-cap rows).
+    * Graph + corpus frames are pinned for the loop and released after. */
+  def graphBeamSearch(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, beam: Int = 8, hops: Int = 3,
+      kNbrs: Int = 5, nlist: Int = 16,
+      rounds: Int = 3, meanRound: Int = -1, maxCluster: Int = 1000)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(beam >= k, s"beam must be >= k: $beam < $k")
+    require(hops >= 0, s"hops must be >= 0: $hops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val capped = cappedClusterFrame(emb, idCol, vecCol, nlist, rounds,
+      meanRound, maxCluster).persist(lvl)
+    // SYMMETRIZED edges (undirected, like real NSW/HNSW graphs): a
+    // directed kNN graph stalls greedy expansion in high dimensions —
+    // nearby nodes' out-neighborhoods overlap on the same hubs, so the
+    // frontier exhausts after ~2 hops (measured on the isotropic
+    // fixture: recall plateaued at 0.12 regardless of beam/hops; the
+    // reverse edges let the walk escape through high-in-degree hubs)
+    val eDir = withinClusterKnn(capped, kNbrs)
+      .select(col("src_id"), col("nbr_id"))
+    val edges = eDir.union(
+      eDir.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id")))
+      .distinct()
+      .persist(lvl)
+    val v = emb.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v")).persist(lvl)
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(toDouble(col(vecCol))).as("qv"))
+    // one doorway per graph component: the min-id member of each capped
+    // cluster (nlist-bounded — broadcastable by construction). The
+    // query itself, when it is a corpus member, stays IN the walk — it
+    // is the perfect navigation node (cos 1.0; its edges lead straight
+    // to true neighbors) and for min-id queries it IS its cluster's
+    // doorway, so excluding it here would wall off the query's own
+    // cluster entirely (measured: recall 0.14 -> 0.90 on the fixture).
+    // Self is excluded only from the final answer.
+    val eps = capped.groupBy(col("list_id"))
+      .agg(min(col("id")).as("cand_id")).select(col("cand_id"))
+    // (query_id, cand_id) -> + cos; candidate frames are beam-bounded,
+    // so they broadcast into the corpus-vector lookup. The cosine is
+    // rounded@8 BEFORE ranking (the kmeansFit discipline): the walk's
+    // frontier cut amplifies a single last-ulp cross-engine divergence
+    // into a different visited set (observed at sf0.001), and rounded
+    // cosines re-enter every later hop's decisions
+    def scored(cands: DataFrame): DataFrame =
+      v.withColumnsRenamed(Map("id" -> "cand_id", "v" -> "cv"))
+        .join(broadcast(cands), Seq("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(dot(col("qv"), col("cv")), 8))
+        .select(col("query_id"), col("cand_id"), col("cos"))
+    val W = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    def topB(vis: DataFrame): DataFrame =
+      vis.withColumn("__rn", row_number().over(W))
+        .filter(col("__rn") <= beam)
+        .select(col("query_id"), col("cand_id"))
+    // hop 0: every query scores the shared entry points
+    var visited = scored(
+      q.select(col("query_id")).crossJoin(broadcast(eps)))
+      .localCheckpoint(true)
+    // BEST-FIRST frontier (HNSW's ef-search discipline): each hop
+    // expands the top-`beam` nodes NOT YET EXPANDED — re-expanding the
+    // global top-beam stalls after ~2 hops because those are already
+    // expanded and the anti-join yields nothing new (measured: the
+    // frontier froze at ~30% coverage and recall plateaued regardless
+    // of beam/hops until this was tracked)
+    var expanded = visited.select(col("query_id"), col("cand_id"))
+      .limit(0).localCheckpoint(true)
+    (1 to hops).foreach { _ =>
+      val frontier = topB(
+        visited.join(expanded, Seq("query_id", "cand_id"), "left_anti"))
+      val expand = broadcast(frontier)
+        .join(edges, frontier("cand_id") === edges("src_id"))
+        .select(col("query_id"), col("nbr_id").as("cand_id"))
+        .distinct()
+        .join(visited.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+      expanded = expanded.union(frontier).localCheckpoint(true)
+      visited = visited.union(scored(expand)).localCheckpoint(true)
+    }
+    capped.unpersist(false)
+    edges.unpersist(false)
+    v.unpersist(false)
+    visited.filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(W))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine_r"))
   }
 
   /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal,

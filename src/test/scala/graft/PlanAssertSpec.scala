@@ -217,6 +217,21 @@ class PlanAssertSpec extends SparkSpec {
       s"lshTopK must never plan a cartesian; plan:\n$plan")
   }
 
+  test("q_ann_graph: final top-k is one window over checkpointed visits " +
+      "— no cartesian, at most one exchange") {
+    // the hop loop's joins (beam broadcast into edges, candidates
+    // broadcast into the vector lookup) are materialized behind
+    // localCheckpoint barriers; the RETURNED plan must be just the
+    // per-query rank window over those bounded visit rows
+    val plan = planOf("q_ann_graph")
+    assert(!plan.contains("CartesianProduct"),
+      s"graph ANN must never plan a cartesian; plan:\n$plan")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"graph ANN final rank must be the only exchange, found $shuffles:\n$plan")
+  }
+
   test("q_token_budget + q_ts_anomaly + q_resample_ffill + q_interpolate: no single-partition stage") {
     // tokenBudget exists BECAUSE a naive per-source prefix sum funnels
     // each source through one task; its two-level form must never plan

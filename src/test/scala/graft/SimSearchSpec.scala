@@ -76,6 +76,53 @@ class SimSearchSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall (nprobe/nlist = 1/4 of corpus scanned)")
   }
 
+  test("graph ANN beam search: well-formed, deterministic, recall vs brute") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def run() = SimSearch.graphBeamSearch(e, q, "vec_id", "embedding",
+      k = 5, beam = 8, hops = 3)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val r1 = run()
+    // shape: exactly 5 ranked rows per query, dense ranks 1..5, no self
+    val byQ = r1.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._3).toSeq == (1 to 5), s"ranks not dense for $qid")
+      assert(rows.forall(_._2 != qid), s"self-match for $qid")
+    }
+    // deterministic end-to-end (fixed entry points, fixed hops, total
+    // tie-breaks) — a second run is bit-identical
+    assert(run().sameElements(r1))
+    // recall vs the exact brute baseline: beam search visits <= 16
+    // cluster doorways + 3*8*5 expansions (~27% of 500 nodes), so this
+    // pins that the best-first walk actually navigates toward true
+    // neighbors rather than drifting. Measured 0.90 at the shipped
+    // point (GraphAnnProbe sweep: 0.90 -> 1.00 as beam/hops grow);
+    // the walk is fully deterministic, so 0.8 is margin against
+    // fixture regeneration only
+    val brute = SimSearch.bruteTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = r1.map(r => (r._1, r._2)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"graph ANN recall $recall vs brute top-5")
+  }
+
+  test("graph ANN: hops=0 degenerates to ranking the per-cluster doorways") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" === 7)
+    val r = SimSearch.graphBeamSearch(e, q, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 0)
+      .select($"neighbor_id").as[Long].collect().toSet
+    // entry points are the min-id member of each trained cluster; with
+    // zero expansion the answer must be a subset of exactly those
+    val doors = SimSearch.cappedClusterFrame(e, "vec_id", "embedding",
+      16, 3, -1, 1000)
+      .groupBy($"list_id").agg(min($"id").as("d"))
+      .select($"d").as[Long].collect().toSet
+    assert(r.nonEmpty && r.subsetOf(doors - 7L))
+  }
+
   test("embedding near-dups above threshold (bucketed)") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (2L, Seq(0.0f, 1.0f)))
