@@ -368,6 +368,22 @@ object Bench {
           val drift =
             if (windowDegraded && name.startsWith("q_stream_")) streamDrift
             else effDrift
+          // CONTEMPORANEOUS SENTINEL (r10 closing-run phantom: an
+          // untouched query confirmed at 2.0x whose quiet re-probe
+          // measured 1.24x — the phase-START sentinels were minutes
+          // stale by then). A tentative confirm triggers one sentinel
+          // re-probe RIGHT NOW; if the sentinel itself reads drifted
+          // (> 1.25x its floor), the moment is slow, not the query.
+          // Cost is paid only on would-be confirms (rare).
+          lazy val confirmSentinelRatio: Option[Double] =
+            sentinels.headOption.flatMap { sn =>
+              freshProbe(sn, 2) match {
+                case f if f.nonEmpty =>
+                  Some(math.round(f.min / prevFloors(sn) * 100) / 100.0)
+                case _ => None
+              }
+            }
+          var sentinelNote = ""
           val verdict =
             if (fr <= 1.5) "cleared_noise"
             else if (fr <= 1.5 * drift) { ambient += name; "ambient_drift" }
@@ -378,15 +394,22 @@ object Bench {
             // re-confirms in the next clean window (monotone floors
             // guarantee the comparison survives).
             else if (windowDegraded) { suspectSet += name; "suspect_window" }
-            else { confirmedSet += name; "confirmed_regression" }
+            else confirmSentinelRatio match {
+              case Some(sr) =>
+                sentinelNote = s""","confirm_sentinel":$sr"""
+                if (sr > 1.25) { ambient += name; "ambient_drift" }
+                else { confirmedSet += name; "confirmed_regression" }
+              case None =>
+                confirmedSet += name; "confirmed_regression"
+            }
           adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
             s""""in_suite_ratio":$ratio,"fresh_reps":[${fresh.map(r3)
               .mkString(",")}],"fresh_min":${r3(fresh.min)},""" +
             // LOWER median ((size-1)/2): with the heavy movers' 2-rep
             // pool, size/2 would report the WORSE probe as "median"
             // and overstate the mover's isolated cost in the evidence
-            s""""fresh_median":${r3(fresh.sorted.apply((fresh.size - 1) / 2))},""" +
-            s""""verdict":"$verdict"}"""
+            s""""fresh_median":${r3(fresh.sorted.apply((fresh.size - 1) / 2))}""" +
+            sentinelNote + s""","verdict":"$verdict"}"""
         } else {
           // a mover whose probes all threw is a FAILING query, not a
           // perf regression — counted on its own stdout field
@@ -411,17 +434,22 @@ object Bench {
     // (e.g. a query's semantics legitimately got more expensive).
     // Queries that errored this round keep their previous floor;
     // queries no longer in the registry are dropped. FIRST-TIME floors
-    // (a query with no previous floor) are only pinned from a CLEAN
-    // window (effDrift <= 1.2) — a degraded adjudication window writing
-    // a new query's first-ever floor high would blind every later
-    // round's regression detection for that query (VERDICT r9 Next #4);
-    // deferring costs one round of no-comparison, which is what a
-    // first-time floor gets anyway.
+    // (a query with no previous floor) are only pinned from a
+    // NON-DEGRADED window (effDrift <= 1.3, the same ceiling past which
+    // the discriminator declares its own verdicts untrustworthy) — a
+    // degraded adjudication window writing a new query's first-ever
+    // floor high would blind every later round's regression detection
+    // for that query (VERDICT r9 Next #4). Not stricter than 1.3: two
+    // consecutive quiet-machine closing runs measured 1.25-1.31 against
+    // the committed best-ever floors (floors remember the FASTEST
+    // window ever seen), a 1.2 gate would defer new floors
+    // indefinitely, and a mildly-high first pin self-heals DOWNWARD
+    // under the monotone-min rule while deferral never heals.
     val floors: Map[String, Double] = SparkEntry.queries.keys.flatMap { k =>
       (prevFloors.get(k), floorsNow.get(k)) match {
         case (Some(p), Some(c)) => Some(k -> math.min(p, c))
         case (Some(p), None)    => Some(k -> p)
-        case (None, Some(c))    => if (effDrift <= 1.2) Some(k -> c) else None
+        case (None, Some(c))    => if (!windowDegraded) Some(k -> c) else None
         case (None, None)       => None
       }
     }.toMap

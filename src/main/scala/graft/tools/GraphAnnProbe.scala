@@ -33,6 +33,36 @@ object GraphAnnProbe {
       println(f"[probe] kNbrs=$kn beam=$beam%2d hops=$hops recall=$rec%.2f " +
         f"visited<=${16 + hops * beam * kn}%4d/500 t=$dt%5.1fs")
     }
+
+    // SCALE MODE (SCALE_FACTOR set): time the walk on a FACTORx
+    // id-shifted replica corpus with nlist scaled so the per-cluster
+    // size — and therefore the within-cluster kNN join and the cap —
+    // stays constant (the production parameterization: nlist ~ n /
+    // target_cluster_size; a fixed nlist=16 at 100x would blow every
+    // cluster past maxCluster and cap the whole graph away). Entry
+    // points grow with nlist, so hop-0 fan-out scales as the number of
+    // partitions, exactly like IVF's nprobe story.
+    sys.env.get("SCALE_FACTOR").map(_.toInt).foreach { factor =>
+      val big = e
+        .withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+        .select((col("vec_id") + col("r") * 10000000000L).as("vec_id"),
+          col("embedding"))
+      val nlist = 16 * factor
+      val qb = big.filter(col("vec_id") < 10)
+      def time(d: org.apache.spark.sql.DataFrame, nl: Int): Double = {
+        val t0 = System.nanoTime()
+        SimSearch.graphBeamSearch(d, qb.limit(10), "vec_id", "embedding",
+          k = 5, beam = 8, hops = 3, kNbrs = 5, nlist = nl)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = (1 to 3).map(_ => time(e, 16)).sorted.apply(1)
+      val t2 = (1 to 3).map(_ => time(big, nlist)).sorted.apply(1)
+      println(f"""{"probe":"graph_ann_${factor}x","rows_base":500,""" +
+        f""""rows_scaled":${500 * factor},"nlist_base":16,""" +
+        f""""nlist_scaled":$nlist,"sec_base":$t1%.3f,""" +
+        f""""sec_scaled":$t2%.3f,"slope":${t2 / t1}%.2f}""")
+    }
     spark.stop()
   }
 }
