@@ -1555,6 +1555,102 @@ object QueriesExt {
        |FROM cents$kmRounds c LEFT JOIN stats s ON c.cent_id = s.list_id""".stripMargin
   }
 
+  /** IVF ANN under the AUTO production sizing (VERDICT r10 Next #1):
+    * `nlist <= 0` derives max(16, round(sqrt(n))) from one corpus
+    * count — 22 lists at the 500-vector fixtures, 45 at sf0.1's 2000 —
+    * so the oracle re-derives the same size with a scalar subquery
+    * instead of a literal LIMIT (the one structural difference from
+    * qAnnIvfSql; everything downstream is the identical chain). This
+    * face pins that the auto default IS the documented formula at
+    * every fixture scale, not just in a unit test. */
+  private def qAnnIvfAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nlist = 0, nprobe = 4, lloydRounds = 1, meanRound = 6)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qAnnIvfAutoSql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |cents0 AS (SELECT id cent_id, e ce FROM (
+      |    SELECT id, e, row_number() OVER (ORDER BY id) rn FROM v)
+      |  WHERE rn <= GREATEST(16,
+      |    CAST(round(sqrt((SELECT count(*) FROM v)), 0) AS BIGINT))),
+      |asg0 AS (SELECT id, e, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents0 c) WHERE rn = 1),
+      |mx AS (SELECT list_id, generate_subscripts(e, 1) d, unnest(e) x FROM asg0),
+      |mm AS (SELECT list_id, d, round(sum(x) / count(*), 6) m FROM mx GROUP BY 1, 2),
+      |mv AS (SELECT list_id, list(m ORDER BY d) mvec FROM mm GROUP BY 1),
+      |cents AS (SELECT c.cent_id, CASE WHEN mv.list_id IS NULL THEN c.ce
+      |    ELSE list_transform(mvec, x -> x / sqrt(list_dot_product(mvec, mvec))) END ce
+      |  FROM cents0 c LEFT JOIN mv ON c.cent_id = mv.list_id),
+      |asg AS (SELECT id, e, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c) WHERE rn = 1),
+      |qs AS (SELECT id query_id, e qe, cent_id AS list_id FROM (
+      |    SELECT v.id, v.e, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c WHERE v.id < 10) WHERE rn <= 4),
+      |cand AS (SELECT q.query_id, a.id, list_dot_product(a.e, q.qe) cosine
+      |  FROM asg a JOIN qs q ON a.list_id = q.list_id AND a.id <> q.query_id),
+      |ranked AS (SELECT query_id, id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) rank
+      |  FROM (SELECT DISTINCT query_id, id, cosine FROM cand))
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+      |       round(cosine, 6) AS cosine_r
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** k-means with SAMPLED Lloyd training (VERDICT r10 Next #1): the
+    * production path where refinement sees only the smallest-id prefix
+    * (trainPerCentroid=32 x k=4 = 128 of the >= 500 fixture vectors —
+    * BELOW every fixture scale, so the sampling branch is genuinely
+    * exercised cross-engine) while the final assignment + inertia run
+    * over the FULL corpus. The oracle trains its Lloyd layers over the
+    * same 128-id prefix CTE and assigns over v — any divergence between
+    * "what Lloyd saw" in the two engines fails the hash. */
+  private def qKmeansSampled(s: SparkSession, dir: String): DataFrame =
+    SimSearch.kmeansFit(emb(s, dir), "vec_id", "embedding",
+      k = 4, rounds = 2, meanRound = 6, trainPerCentroid = 32)
+  private val qKmeansSampledSql: String = {
+    def asg(r: Int, src: String): String =
+      s"""asg$r AS (SELECT id, e, cent_id AS list_id FROM (
+         |    SELECT s.id, s.e, c.cent_id,
+         |      row_number() OVER (PARTITION BY s.id
+         |        ORDER BY list_dot_product(s.e, c.ce) DESC, c.cent_id ASC) rn
+         |    FROM $src s, cents$r c) WHERE rn = 1)""".stripMargin
+    val layers = (0 until 2).map { r =>
+      s"""${asg(r, "t")},
+         |mx$r AS (SELECT list_id, generate_subscripts(e, 1) d, unnest(e) x FROM asg$r),
+         |mm$r AS (SELECT list_id, d, round(sum(x) / count(*), 6) m FROM mx$r GROUP BY 1, 2),
+         |mv$r AS (SELECT list_id, list(m ORDER BY d) mvec FROM mm$r GROUP BY 1),
+         |cents${r + 1} AS (SELECT c.cent_id, CASE WHEN mv.list_id IS NULL THEN c.ce
+         |    ELSE list_transform(mvec, x -> x / sqrt(list_dot_product(mvec, mvec))) END ce
+         |  FROM cents$r c LEFT JOIN mv$r mv ON c.cent_id = mv.list_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+       |t AS (SELECT id, e FROM v ORDER BY id LIMIT 128),
+       |cents0 AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 4),
+       |$layers,
+       |${asg(2, "v")},
+       |fin AS (SELECT a.list_id,
+       |    round(1.0 - list_dot_product(a.e, c.ce), 8) term
+       |  FROM asg2 a JOIN cents2 c ON a.list_id = c.cent_id),
+       |stats AS (SELECT list_id, count(*) n_vecs,
+       |    CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE) isum
+       |  FROM fin GROUP BY 1)
+       |SELECT c.cent_id cluster_id, COALESCE(n_vecs, CAST(0 AS BIGINT)) n_vecs,
+       |  round(isum, 6) inertia_r
+       |FROM cents2 c LEFT JOIN stats s ON c.cent_id = s.list_id""".stripMargin
+  }
+
   /** Cluster-balanced diversity selection (SimSearch.clusterSample):
     * the 8 most-central members of each of the 16 trained clusters —
     * even coverage of the embedding space for a prototype set. Shares
@@ -7609,6 +7705,8 @@ object QueriesExt {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_auto" -> (qAnnIvfAuto _),
+    "q_kmeans_sampled" -> (qKmeansSampled _),
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
@@ -7828,6 +7926,8 @@ object QueriesExt {
     "q_random_proj" -> qRandomProjSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_ivf_auto" -> qAnnIvfAutoSql,
+    "q_kmeans_sampled" -> qKmeansSampledSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,

@@ -97,6 +97,42 @@ object SimSearch {
         col("rank"), col("cosine"))
   }
 
+  // ---- production parameter derivation (VERDICT r10 Next #1) ----
+
+  /** FAISS's `max_points_per_centroid` convention: Lloyd training sees
+    * at most this many vectors per centroid. Centroids are means —
+    * their estimation error shrinks as 1/sqrt(sample) — so past a few
+    * hundred points per centroid more training data buys cost, not
+    * quality (the public FAISS default is exactly 256). */
+  private[graft] val TrainPointsPerCentroid = 256
+
+  /** Auto `nlist` = max(floor, round(sqrt(n))) — the standard IVF
+    * production sizing (the FAISS guideline family nlist ∈ [sqrt(n),
+    * 16·sqrt(n)]; SPANN sizes partitions the same way). sqrt balances
+    * the two per-query scan terms — nlist centroid dots at assignment
+    * vs n/nlist candidates per probed list, whose product is fixed at
+    * n — and a FIXED nlist is wrong in both directions at scale: too
+    * small and the within-cluster joins go quadratic (sum cluster² =
+    * n²/nlist), too large and every vector pays an oversized
+    * assignment scan. Floor 16 keeps tiny corpora on the historical
+    * fixture parameterization. */
+  private[graft] def autoNlist(n: Long, floor: Int = 16): Int =
+    math.max(floor,
+      math.round(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** Auto mega-cluster cap = 8× the expected cluster size, floor 1000
+    * (the historical fixed default). The cap EXCLUDES an over-cap
+    * cluster from within-cluster joins (the SemDeDup frequency-guard
+    * contract) — correct for pathological skew, but a fixed 1000 at
+    * 100× corpus scale sits below E[cluster] = n/nlist ≈ sqrt(n)
+    * itself and would silently exclude EVERY cluster, degrading the
+    * result toward empty. Scaling the cap with the expectation keeps
+    * it a skew guard, never a corpus guard. */
+  private[graft] def autoMaxCluster(n: Long, nlist: Int): Int = {
+    val expect = math.max(1L, n / math.max(1, nlist))
+    math.min(math.max(1000L, 8L * expect), Int.MaxValue.toLong).toInt
+  }
+
   /** IVF-Flat ANN: partition the corpus into `nlist` inverted lists by
     * nearest centroid; queries scan only the `nprobe` closest lists and
     * rerank exactly. Centroids here are a deterministic id-sample of the
@@ -106,6 +142,13 @@ object SimSearch {
     * beats hyperplane LSH because candidate selection follows actual data
     * geometry instead of fixed random cuts: expected scan fraction =
     * nprobe/nlist.
+    *
+    * `nlist <= 0` (the default) auto-derives sqrt-sizing from one cheap
+    * corpus count ([[autoNlist]]) and training runs on a bounded
+    * deterministic sample ([[trainedCentroids]]), so the DEFAULTS
+    * survive a 100× corpus without manual tuning — SCALE.md's 100×
+    * measurement named the O(n·nlist) training assignment as the one
+    * superlinear term under hand-scaled nlist.
     *
     * Plan shape at 100 TB: the centroid set is tiny (nlist rows),
     * collapsed to ONE broadcast row holding a sorted array of
@@ -118,14 +161,15 @@ object SimSearch {
     * whole plan is the final per-query top-k window, whose input Spark
     * caps map-side via WindowGroupLimit. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 4,
       lloydRounds: Int = 0, meanRound: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
-    // deterministic centroid sample: the nlist smallest ids
-    val cents0 = c.orderBy(col("id").asc).limit(nlist)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cents = lloydRefine(c, cents0, lloydRounds, meanRound)
+    // one cheap count drives BOTH auto-nlist and the training-sample
+    // cut (count() over the narrow projection prunes to a scan count)
+    val n = c.count()
+    val nl = if (nlist > 0) nlist else autoNlist(n)
+    val cents = trainedCentroids(c, nl, lloydRounds, meanRound, n)
     val assigned = assignLists(c, cents, 1)
       .select(col("id"), col("v"), col("list_id"))
     val q = queries.select(col(idCol).as("id"),
@@ -240,21 +284,42 @@ object SimSearch {
     * derive bit-identical centroids (see [[lloydRefine]]); each
     * member's distance term is rounded at 8 before the exact
     * DECIMAL(28,14) per-cluster sum, so inertia is order-free. */
-  /** Deterministic training entry shared by [[kmeansFit]] and
-    * [[clusterSample]]: smallest-id seed sample + `rounds` Lloyd
-    * iterations. */
+  /** Deterministic training entry shared by [[ivfTopK]], [[kmeansFit]],
+    * [[clusterSample]] and [[cappedClusterFrame]]: smallest-id seed
+    * sample + `rounds` Lloyd iterations, trained on a BOUNDED
+    * deterministic sample (VERDICT r10 Next #1 — the FAISS training
+    * recipe WITH its sampling). Lloyd refinement sees at most
+    * `trainPerCentroid`·k vectors — the smallest-id prefix, the same
+    * convention as the seeds and the PQ codebooks, so any engine
+    * re-derives the identical sample with one ORDER BY — which makes
+    * training cost O(rounds·trainPerCentroid·k²) independent of corpus
+    * size; only the caller's single final assignment pass remains
+    * O(n·k). Below the cap the corpus frame is passed through UNTOUCHED
+    * (not re-limited), so small-corpus results are bit-identical to the
+    * pre-sampling rounds and the fixture oracles need no mirror change.
+    * `n < 0` means "not yet counted" — the count job is skipped when
+    * the caller already has it. */
   private[graft] def trainedCentroids(c: DataFrame, k: Int, rounds: Int,
-      meanRound: Int): DataFrame = {
+      meanRound: Int, n: Long = -1L,
+      trainPerCentroid: Int = TrainPointsPerCentroid): DataFrame = {
+    val nn = if (n >= 0L) n else c.count()
     val cents0 = c.orderBy(col("id").asc).limit(k)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    lloydRefine(c, cents0, rounds, meanRound)
+    val cap = trainPerCentroid.toLong * k
+    val train =
+      if (nn > cap) c.orderBy(col("id").asc)
+        .limit(math.min(cap, Int.MaxValue.toLong).toInt)
+      else c
+    lloydRefine(train, cents0, rounds, meanRound)
   }
 
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, rounds: Int = 3, meanRound: Int = -1): DataFrame = {
+      k: Int = 16, rounds: Int = 3, meanRound: Int = -1,
+      trainPerCentroid: Int = TrainPointsPerCentroid): DataFrame = {
     val c = emb.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
-    val cents = trainedCentroids(c, k, rounds, meanRound)
+    val cents = trainedCentroids(c, k, rounds, meanRound,
+      trainPerCentroid = trainPerCentroid)
     val assigned = assignLists(c, cents, 1)
       .select(col("id"), col("v"), col("list_id"))
     // re-derive the member->centroid cosine via a broadcast join (the
@@ -329,18 +394,23 @@ object SimSearch {
   /** The trained, capped (id, v, list_id) cluster frame shared by
     * [[knnGraph]] and [[graphBeamSearch]] — one source of truth for the
     * training chain and the mega-cluster cap so the two faces cannot
-    * silently fork. */
+    * silently fork. `k <= 0` / `maxCluster <= 0` auto-derive from one
+    * cheap corpus count ([[autoNlist]] / [[autoMaxCluster]]); training
+    * runs on [[trainedCentroids]]' bounded sample either way. */
   private[graft] def cappedClusterFrame(emb: DataFrame, idCol: String,
       vecCol: String, k: Int, rounds: Int, meanRound: Int,
       maxCluster: Int): DataFrame = {
     val c = emb.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
-    val cents = trainedCentroids(c, k, rounds, meanRound)
+    val n = c.count()
+    val nl = if (k > 0) k else autoNlist(n)
+    val mc = if (maxCluster > 0) maxCluster else autoMaxCluster(n, nl)
+    val cents = trainedCentroids(c, nl, rounds, meanRound, n)
     assignLists(c, cents, 1)
       .select(col("id"), col("v"), col("list_id"))
       .withColumn("__cs",
         count(lit(1)).over(Window.partitionBy(col("list_id"))))
-      .filter(col("__cs") <= maxCluster).drop("__cs")
+      .filter(col("__cs") <= mc).drop("__cs")
   }
 
   /** Within-cluster kNN edges over a [[cappedClusterFrame]]. */
@@ -360,8 +430,8 @@ object SimSearch {
   }
 
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
-      kNbrs: Int = 5, k: Int = 16, rounds: Int = 3, meanRound: Int = -1,
-      maxCluster: Int = 1000): DataFrame = {
+      kNbrs: Int = 5, k: Int = 0, rounds: Int = 3, meanRound: Int = -1,
+      maxCluster: Int = 0): DataFrame = {
     require(kNbrs > 0, s"kNbrs must be positive: $kNbrs")
     val capped = cappedClusterFrame(emb, idCol, vecCol, k, rounds,
       meanRound, maxCluster)
@@ -380,10 +450,16 @@ object SimSearch {
     * partition-entry design): hop 0 ranks one doorway into every
     * component, the beam keeps the most promising, and navigation
     * proceeds within them. Deterministic by construction: fixed entry
-    * points, a FIXED `hops` expansion count (the distributed-friendly
-    * variant of HNSW's "stop when no improvement", which needs a
-    * sequential frontier), and every ranking breaks ties
-    * (cosine DESC, id ASC).
+    * points, a FIXED `hops` expansion count (the distributed-friendly,
+    * oracle-mirrorable variant of HNSW's "stop when no improvement"),
+    * and every ranking breaks ties (cosine DESC, id ASC).
+    * `adaptiveStop = true` adds the latency-optimal HNSW termination —
+    * stop as soon as a hop improves no query's top-k (one cheap
+    * aggregate per hop; `hops` becomes the hard cap) — still
+    * deterministic but data-dependent, so fixed mode remains the
+    * oracle face. `nlist <= 0` / `maxCluster <= 0` auto-derive from
+    * the corpus count ([[autoNlist]] / [[autoMaxCluster]]) so the
+    * defaults survive corpus growth without manual tuning.
     *
     * Per hop: take the top-`beam` scored-but-NOT-YET-EXPANDED nodes per
     * query (best-first, HNSW's ef-search discipline), push them through
@@ -400,9 +476,23 @@ object SimSearch {
     * Graph + corpus frames are pinned for the loop and released after. */
   def graphBeamSearch(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5, beam: Int = 8, hops: Int = 3,
-      kNbrs: Int = 5, nlist: Int = 16,
-      rounds: Int = 3, meanRound: Int = -1, maxCluster: Int = 1000)
-      : DataFrame = {
+      kNbrs: Int = 5, nlist: Int = 0,
+      rounds: Int = 3, meanRound: Int = -1, maxCluster: Int = 0,
+      adaptiveStop: Boolean = false)
+      : DataFrame =
+    graphBeamSearchImpl(emb, queries, idCol, vecCol, k, beam, hops,
+      kNbrs, nlist, rounds, meanRound, maxCluster, adaptiveStop)._1
+
+  /** [[graphBeamSearch]] plus the hop count actually walked — the
+    * probe/spec face for the adaptive-stop evidence (a DataFrame can't
+    * carry "how many hops the loop ran"). */
+  private[graft] def graphBeamSearchImpl(emb: DataFrame,
+      queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, beam: Int, hops: Int,
+      kNbrs: Int, nlist: Int,
+      rounds: Int, meanRound: Int, maxCluster: Int,
+      adaptiveStop: Boolean)
+      : (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(beam >= k, s"beam must be >= k: $beam < $k")
     require(hops >= 0, s"hops must be >= 0: $hops")
@@ -465,7 +555,22 @@ object SimSearch {
     // of beam/hops until this was tracked)
     var expanded = visited.select(col("query_id"), col("cand_id"))
       .limit(0).localCheckpoint(true)
-    (1 to hops).foreach { _ =>
+    // ADAPTIVE STOP (VERDICT r10 Next #4): terminate when a hop
+    // improves no query's top-k — HNSW's "stop when the frontier can't
+    // better the result list" termination, distributed-friendly because
+    // the test is ONE global aggregate per hop over beam-bounded
+    // frames: a hop's fresh candidates improve iff some query still
+    // holds < k non-self answers or some fresh cos strictly beats that
+    // query's current kth-best. Strict > is the improvement test in
+    // cosine — an equal-cos candidate can still swap membership on the
+    // id tie-break but cannot improve any distance, which is the
+    // quantity the termination heuristic optimizes (standard HNSW
+    // behavior; the walk stays deterministic either way). `hops` stays
+    // the HARD cap; fixed mode (default) walks exactly `hops` and
+    // remains the oracle-mirrored deterministic variant.
+    var hopsWalked = 0
+    var goOn = true
+    while (hopsWalked < hops && goOn) {
       val frontier = topB(
         visited.join(expanded, Seq("query_id", "cand_id"), "left_anti"))
       val expand = broadcast(frontier)
@@ -475,16 +580,33 @@ object SimSearch {
         .join(visited.select("query_id", "cand_id"),
           Seq("query_id", "cand_id"), "left_anti")
       expanded = expanded.union(frontier).localCheckpoint(true)
-      visited = visited.union(scored(expand)).localCheckpoint(true)
+      if (adaptiveStop) {
+        val fresh = scored(expand).localCheckpoint(true)
+        val kth = visited.filter(col("cand_id") =!= col("query_id"))
+          .withColumn("__rn", row_number().over(W))
+          .filter(col("__rn") <= k)
+          .groupBy(col("query_id"))
+          .agg(min(col("cos")).as("__kth"), count(lit(1)).as("__cnt"))
+        val improved = fresh.join(kth, Seq("query_id"), "left")
+          .filter(col("__kth").isNull || col("__cnt") < k ||
+            col("cos") > col("__kth"))
+          .limit(1).count() > 0
+        visited = visited.union(fresh).localCheckpoint(true)
+        goOn = improved
+      } else {
+        visited = visited.union(scored(expand)).localCheckpoint(true)
+      }
+      hopsWalked += 1
     }
     capped.unpersist(false)
     edges.unpersist(false)
     v.unpersist(false)
-    visited.filter(col("cand_id") =!= col("query_id"))
+    (visited.filter(col("cand_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(W))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 6).as("cosine_r"))
+        col("rank"), round(col("cos"), 6).as("cosine_r")),
+      hopsWalked)
   }
 
   /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal,

@@ -70,7 +70,7 @@ class SimSearchSpec extends SparkSpec {
     val q = e.filter($"vec_id" < 10)
     val brute = SimSearch.bruteTopK(e, q, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = SimSearch.ivfTopK(e, q, "vec_id", "embedding", 5)
+    val ivf = SimSearch.ivfTopK(e, q, "vec_id", "embedding", 5, nlist = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall (nprobe/nlist = 1/4 of corpus scanned)")
@@ -80,7 +80,7 @@ class SimSearchSpec extends SparkSpec {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
     def run() = SimSearch.graphBeamSearch(e, q, "vec_id", "embedding",
-      k = 5, beam = 8, hops = 3)
+      k = 5, beam = 8, hops = 3, nlist = 16, maxCluster = 1000)
       .select($"query_id", $"neighbor_id", $"rank")
       .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
     val r1 = run()
@@ -112,7 +112,7 @@ class SimSearchSpec extends SparkSpec {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" === 7)
     val r = SimSearch.graphBeamSearch(e, q, "vec_id", "embedding",
-      k = 3, beam = 4, hops = 0)
+      k = 3, beam = 4, hops = 0, nlist = 16, maxCluster = 1000)
       .select($"neighbor_id").as[Long].collect().toSet
     // entry points are the min-id member of each trained cluster; with
     // zero expansion the answer must be a subset of exactly those
@@ -613,5 +613,88 @@ class SimSearchSpec extends SparkSpec {
     val rev = SimSearch.rrfFuse(Seq(dense, lex), k = 60, topK = 10)
       .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
     assert(rev.toSeq == out.toSeq, "fusion is list-order-insensitive")
+  }
+
+  test("autoNlist / autoMaxCluster: sqrt sizing with floors (VERDICT r10 Next #1)") {
+    assert(SimSearch.autoNlist(0) == 16)
+    assert(SimSearch.autoNlist(100) == 16) // sqrt = 10 < floor
+    assert(SimSearch.autoNlist(500) == 22) // sqrt = 22.36
+    assert(SimSearch.autoNlist(2000) == 45) // sqrt = 44.72 rounds up
+    assert(SimSearch.autoNlist(1000000) == 1000)
+    assert(SimSearch.autoMaxCluster(500, 22) == 1000) // floor wins
+    assert(SimSearch.autoMaxCluster(1000000, 1000) == 8000) // 8x E[cluster]
+    // at 1e8 vectors a FIXED 1000 cap would exclude every sqrt-sized
+    // cluster (E[cluster] = 1e4); the auto cap stays a skew guard
+    val n = 100000000L
+    val nl = SimSearch.autoNlist(n)
+    assert(nl == 10000)
+    assert(SimSearch.autoMaxCluster(n, nl) == 80000)
+  }
+
+  test("auto nlist: ivfTopK(nlist<=0) is exactly the explicitly-sized call") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def run(nl: Int) = SimSearch.ivfTopK(e, q, "vec_id", "embedding", 5,
+      nlist = nl, lloydRounds = 1, meanRound = 6)
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val auto = run(0)
+    val explicit = run(SimSearch.autoNlist(500))
+    assert(auto.sameElements(explicit))
+    assert(auto.nonEmpty)
+  }
+
+  test("sampled training: past the cap Lloyd sees exactly the smallest-id " +
+      "prefix; below it the corpus frame passes through untouched") {
+    val corpus = clusteredCorpus(dims = 8, nClusters = 4, perCluster = 50,
+      noise = 0.2) // 200 rows
+    val c = corpus.select(col("vec_id").as("id"),
+      SimSearch.normalize(SimSearch.toDouble(col("embedding"))).as("v"))
+    // cap = 4 centroids x 25 points = 100 < 200 -> train on ids 0..99
+    val sampled = SimSearch.trainedCentroids(c, 4, 2, 6,
+      trainPerCentroid = 25)
+      .orderBy("cent_id").as[(Long, Seq[Double])].collect()
+    val prefix = c.orderBy(col("id").asc).limit(100)
+    val seeds = c.orderBy(col("id").asc).limit(4)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    val manual = SimSearch.lloydRefine(prefix, seeds, 2, 6)
+      .orderBy("cent_id").as[(Long, Seq[Double])].collect()
+    assert(sampled.sameElements(manual), "sampled training must equal " +
+      "Lloyd over the explicit smallest-id prefix, bit for bit")
+    // below the cap (default 256/centroid): identical to full training
+    val full = SimSearch.lloydRefine(c, seeds, 2, 6)
+      .orderBy("cent_id").as[(Long, Seq[Double])].collect()
+    val capped = SimSearch.trainedCentroids(c, 4, 2, 6)
+      .orderBy("cent_id").as[(Long, Seq[Double])].collect()
+    assert(capped.sameElements(full))
+    // and the sample genuinely changed the centroids (the test has bite)
+    assert(!sampled.sameElements(full))
+  }
+
+  test("graphBeamSearch adaptiveStop: stops early, result identical to " +
+      "the fixed walk truncated at the same hop, recall holds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val cap = 12
+    def run(hops: Int, adaptive: Boolean) =
+      SimSearch.graphBeamSearchImpl(e, q, "vec_id", "embedding",
+        5, 8, hops, 5, 16, 3, -1, 1000, adaptiveStop = adaptive)
+    val (adDf, adHops) = run(cap, adaptive = true)
+    val ad = adDf.as[(Long, Long, Int, Double)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(adHops < cap, s"adaptive walk should terminate before the " +
+      s"$cap-hop cap, walked $adHops")
+    // the adaptive walk IS the fixed walk stopped at hop `adHops`:
+    // same frontier sequence, so bit-identical output
+    val (fxDf, fxHops) = run(adHops, adaptive = false)
+    val fx = fxDf.as[(Long, Long, Int, Double)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(fxHops == adHops)
+    assert(ad.sameElements(fx))
+    // answer quality: same recall gate as the fixed-mode spec
+    val brute = SimSearch.bruteTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = ad.map(r => (r._1, r._2)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"adaptive graph ANN recall $recall")
   }
 }
