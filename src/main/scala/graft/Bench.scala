@@ -50,8 +50,12 @@ object Bench {
     //  - wallGuardSec: a HARD stop on all measurement. Past it the
     //    remaining queries are recorded as `skipped` (not errors) and
     //    the contract line is emitted with whatever was measured —
-    //    rc=124 (the r3 no-number failure) is structurally impossible
-    //    as long as any prefix of the suite ran.
+    //    rc=124 (the r3 no-number failure) cannot recur UNLESS a single
+    //    query hangs: the guard is checked between queries and there is
+    //    no per-query timeout, so one wedged query can still blow the
+    //    driver's wall cap (ADVICE r10 #4 — accepted residual risk; a
+    //    per-query watchdog thread would have to kill a live Spark job
+    //    mid-flight, trading a hang for undefined session state).
     val repCutSec = budgetSec * 0.6
     val wallGuardSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1000").toDouble
@@ -126,9 +130,62 @@ object Bench {
         } else Map.empty[String, Double]
       } catch { case _: Throwable => Map.empty[String, Double] }
     }
+    // Previous round's committed bench_detail.json, trusted only at the
+    // same sf AND cpu count (dev smokes write the same file; the floors'
+    // round-8 cpu-mismatch incident applies here too — a "cpus" field is
+    // written from r11 on, and its absence is accepted as official 32
+    // exactly like the floor file's __cpus back-compat rule).
+    val prevDetail: Option[String] = {
+      try {
+        val p = java.nio.file.Paths.get("bench_detail.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir)
+          val cpuOk = "\"cpus\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1) == cpus).getOrElse(cpus == "32")
+          if (sfOk && cpuOk) Some(txt) else None
+        }
+      } catch { case _: Throwable => None }
+    }
+    // GC-BEFORE-HEAVY keying, part 2 (VERDICT r10 Next #3): floor >= 3s
+    // alone missed q_jaccard_prefix — floor 1.96s but in-suite 7.5x vs
+    // isolated 1.4x, exactly the reclaimable-garbage signature the GC
+    // was shown to remove for q_triangles. The previous round's OBSERVED
+    // spread (max/min over reps) is direct evidence of suite-context
+    // noise on that query, so spread >= 3.0 keys the GC too (22 queries
+    // at the r10 detail — a handful of collections, not a policy shift).
+    val prevSpreads: Map[String, Double] = prevDetail.flatMap { txt =>
+      "\"spreads\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map { m =>
+        "\"(q_[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+    // consecutive degraded-window closes carried across rounds for the
+    // red-state contract (ADVICE r10 #1). Persisted in the FLOOR file,
+    // not bench_detail.json: the detail file is overwritten by every
+    // dev smoke at any sf, so a mid-round dev run would silently reset
+    // the streak; the floor file is already sf/cpus-gated and only the
+    // matching-configuration run rewrites it. 0 when absent (pre-r11).
+    val prevDegradedStreak: Int = {
+      try {
+        if (java.nio.file.Files.exists(floorPath)) {
+          val txt = java.nio.file.Files.readString(floorPath)
+          val prevSf = "\"__sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          val prevCpus = "\"__cpus\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse(if (official) cpus else "32")
+          if (!prevSf.contains(sfDir) || prevCpus != cpus) 0
+          else "\"__degraded_streak\":([0-9]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt).getOrElse(0)
+        } else 0
+      } catch { case _: Throwable => 0 }
+    }
     var failures = List.empty[String]
     var flaky = List.empty[(String, Int)] // partial rep failures, kept visible
-    var budgetHit = false
+    var budgetHit = false  // measured time passed budgetSec
+    var repCutHit = false  // extra reps stopped at 0.6x budget (ADVICE r10 #4)
     var wallHit = false
     var skipped = List.empty[String] // wall-guard casualties, NOT errors
     // per-query (reps_used, max/min spread): this VM shows 3-40x
@@ -148,8 +205,11 @@ object Bench {
       // each rep measured 7.65s, equal to its 7.63s isolated median
       // (other heavies unchanged). A GC before each rep of queries
       // whose PREVIOUS floor is >= 3s costs a handful of collections
-      // per suite and removes that factor at its source.
-      val gcFirst = prevFloors.get(name).exists(_ >= 3.0)
+      // per suite and removes that factor at its source; r11 adds the
+      // observed-spread key (see prevSpreads above) so sub-3s queries
+      // with measured suite-context noise get the same treatment.
+      val gcFirst = prevFloors.get(name).exists(_ >= 3.0) ||
+        prevSpreads.get(name).exists(_ >= 3.0)
       def runOnce(): Option[Double] = {
         if (gcFirst) System.gc()
         val t0 = System.nanoTime()
@@ -181,9 +241,13 @@ object Bench {
           case Some(_) => reps - 1
         }
         // extra reps stop at repCutSec (not budgetSec): a 2x-slow window
-        // must still leave adjudication headroom under the wall guard
-        val wanted = if (elapsed > repCutSec) { budgetHit = true; 0 }
+        // must still leave adjudication headroom under the wall guard.
+        // rep_cut_hit records THAT event; budget_hit keeps its original
+        // meaning (measured time passed budgetSec) so the detail field
+        // is comparable across rounds (ADVICE r10 #4)
+        val wanted = if (elapsed > repCutSec) { repCutHit = true; 0 }
           else extraReps
+        if (elapsed > budgetSec) budgetHit = true
         val times = first.toList ++ (1 to wanted).flatMap(_ => runOnce())
         val attempts = 1 + wanted
         if (times.isEmpty) { failures ::= name; Some(name -> -1.0) }
@@ -245,10 +309,17 @@ object Bench {
     // blocks and SQL cache are released, so the probe measures the
     // query, not suite residue), the fresh samples join the query's rep
     // pool so a cleared mover's floor self-heals downward, and the
-    // stdout `floor_regressions` count reports only movers that FAILED
-    // confirmation (best fresh probe still >1.5x the previous floor)
-    // plus any left unadjudicated by the budget — never raw in-suite
-    // ratios. Per-mover verdicts land in floor_evidence_auto.json.
+    // stdout `floor_regressions` count reports CONFIRMED verdicts ONLY
+    // (best fresh probe >1.5x the drift-adjusted previous floor, in a
+    // non-degraded window, with the contemporaneous sentinel quiet —
+    // the r10 fail-safe contract). Everything else is separated onto
+    // its own stdout field: `suspect_window` (beats drift but the
+    // window is degraded), `ambient_drift`, `probe_errors`,
+    // `unadjudicated` (wall guard hit first), `skipped` — never raw
+    // in-suite ratios. Contract consumers must treat
+    // floor_regressions>0 OR (window_degraded AND suspect_window>0) OR
+    // degraded_streak>=2 as red (`red_state` below computes exactly
+    // that). Per-mover verdicts land in floor_evidence_auto.json.
     // This subsumes the old 1-rep confirm pass (round 6): a 1-rep mover
     // is just the weakest-evidence case of the same loop.
     val rawMoves = movesOf(floorsNow)
@@ -465,8 +536,12 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // computed before floorsJson so the streak persists in the floor
+    // file (sf/cpus-gated, official-run-owned — see prevDegradedStreak)
+    val degradedStreak = if (windowDegraded) prevDegradedStreak + 1 else 0
     val floorsJson = (Seq("\"__sf\":\"" + sfDir + "\"",
-      "\"__cpus\":\"" + cpus + "\"") ++
+      "\"__cpus\":\"" + cpus + "\"",
+      "\"__degraded_streak\":" + degradedStreak) ++
       floors.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v })
       .mkString("{", ",", "}")
     val movesJson = floorMoves.toSeq.sortBy(-_._2)
@@ -491,12 +566,28 @@ object Bench {
     val skp = skipped.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val sentJson = sentinelRatios
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // RED-STATE contract (ADVICE r10 #1, the medium finding): in a
+    // degraded window every would-be confirm downgrades to
+    // suspect_window and floor_regressions reads 0 — and a GENUINE
+    // uniform suite-wide regression keeps suite_drift high in every
+    // later round too (monotone floors never rise), so it could stay
+    // off the headline field forever if the consumer only gates on
+    // floor_regressions. `red_state` therefore folds all three
+    // can't-certify-green signals into one headline boolean the
+    // driver/judge can gate on without re-deriving the policy:
+    //   confirmed regression, OR a degraded window with suspect movers,
+    //   OR two consecutive degraded closes (degraded_streak, persisted
+    //   through the sf/cpus-gated floor file — a uniform regression
+    //   cannot hide behind "the window was slow" twice in a row without
+    //   tripping it).
+    val redState = confirmedSet.nonEmpty ||
+      (windowDegraded && suspectSet.nonEmpty) || degradedStreak >= 2
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"budget_hit":$budgetHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
-      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

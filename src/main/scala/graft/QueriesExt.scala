@@ -445,13 +445,17 @@ object QueriesExt {
       try q.processAllAvailable() finally q.stop()
       val W = org.apache.spark.sql.expressions.Window
         .partitionBy(col("g")).orderBy(col("n_seen").desc)
-      // re-wrap the (k x groups x batches)-bounded sink rows as a fresh
-      // frame (qStreamDrift's pattern) so the returned plan holds no
-      // reference to the replaceable temp view
+      // re-wrap the sink rows as a fresh frame (qStreamDrift's pattern)
+      // so the returned plan holds no reference to the replaceable temp
+      // view — but compact to the top-1-per-group FIRST (ADVICE r10
+      // #5): the update-mode memory sink accumulates k x groups rows
+      // per micro-batch, so collecting it raw grows with batch count;
+      // after the cut the driver copy is exactly `groups` rows no
+      // matter how many batches the fixture chops into
       val t = s.table(sink)
-      s.createDataFrame(t.collectAsList(), t.schema)
         .withColumn("__rn", row_number().over(W))
-        .filter(col("__rn") === 1)
+        .filter(col("__rn") === 1).drop("__rn")
+      s.createDataFrame(t.collectAsList(), t.schema)
         .select(col("g").as("lang"),
           explode(arrays_zip(col("ids"), col("ws"))).as("z"))
         .select(col("lang"), col("z.ids").as("doc_id"),

@@ -71,4 +71,54 @@ object ModelFixtures {
     import spark.implicits._
     bpeMerges.toDF("rank", "left", "right")
   }
+
+  /** A REALISTIC-SIZE language profile, generated deterministically
+    * (VERDICT r10 Next #6): production language-ID word profiles are
+    * 10k-100k entries per language (the wordfreq / Leipzig-corpora
+    * class of lists), not the 25-word heads above, and the seam's
+    * "profile broadcasts, documents never shuffle" claim deserves
+    * exercise at that size. Vendoring 50k real words is neither
+    * possible offline nor necessary — the PLAN depends only on profile
+    * cardinality — so each language gets its [[langProfile]] head words
+    * plus synthetic stem+suffix inflections from language-typical
+    * suffix families over deterministic CV-syllable stems (sorted
+    * combinatorics, no RNG: any engine regenerates the identical list).
+    * Shape fixture only — the synthetic tail must NOT match real text
+    * (quality claims stay with the committed [[langProfile]]), so every
+    * generated word carries a reserved "qu" prefix ahead of two CV
+    * syllables: 6+ characters of fixed structure no fixture token
+    * shares (first cut of this generator emitted bare CV-CV stems and
+    * "da"+"ta" = "data" silently flipped 20 fixture verdicts —
+    * ModelSeamSpec pins the no-perturbation invariant). */
+  def syntheticLangProfile(spark: SparkSession,
+      wordsPerLang: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val suffixes: Map[String, Seq[String]] = Map(
+      "en" -> Seq("", "s", "ed", "ing", "er", "est", "ly", "ness",
+        "ment", "tion"),
+      "de" -> Seq("", "en", "er", "es", "em", "ung", "heit", "keit",
+        "lich", "isch"),
+      "es" -> Seq("", "s", "es", "ar", "ado", "ida", "osa", "ciones",
+        "mente", "amos"),
+      "fr" -> Seq("", "s", "e", "es", "ez", "ait", "tions", "ment",
+        "eur", "euse"),
+      "zh" -> Seq("", "的", "了", "是", "在", "有", "人", "中", "大",
+        "上"))
+    // deterministic stem pool: CV + CVC syllable pairs, enough for
+    // wordsPerLang / |suffixes| stems at any requested size
+    val cs = "bcdfglmnprstvz"
+    val vs = "aeiou"
+    val syl = for (c <- cs; v <- vs) yield s"$c$v"
+    val stems = (for (a <- syl; b <- syl) yield s"qu$a$b").sorted
+    val rows = suffixes.toSeq.sortBy(_._1).flatMap { case (lang, sfx) =>
+      val head = langProfile.collect { case (l, w) if l == lang => w }
+      val need = math.max(0, wordsPerLang - head.size)
+      val stemCount = (need + sfx.size - 1) / sfx.size
+      val gen = stems.take(stemCount)
+        .flatMap(st => sfx.map(su => s"$st$su"))
+        .distinct.take(need)
+      (head ++ gen).map(w => (lang, w))
+    }
+    rows.toDF("lang", "word")
+  }
 }

@@ -200,10 +200,16 @@ object TextStats {
     * default-profile parity with [[withLangId]] on fixture docs and
     * (b) that a custom profile CHANGES verdicts. Adds `predicted`.
     *
-    * Scale shape: the profile broadcasts (vocab-bounded); the doc side
+    * Scale shape: the profile broadcasts (vocab-bounded; measured at a
+    * 50k-word production-size profile the broadcast is ~1 MB and the
+    * plan is unchanged — ModelSeamSpec + SCALE.md r11); the doc side
     * explodes DISTINCT tokens and the (id, lang) hit counts aggregate
-    * map-side; the per-doc argmax is a WindowGroupLimit top-1. Only
-    * (id, word) rows ever move — never document text. */
+    * map-side; the per-doc argmax is a WindowGroupLimit top-1. The
+    * SCORING path moves only (id, word) rows; document text moves
+    * exactly once, in the final enrich join-back that co-partitions
+    * the corpus with its verdict table — the inherent cost of
+    * attaching a computed column to an unbucketed corpus (bucket the
+    * corpus by `idCol` and the join-back goes exchange-free too). */
   def withLangIdProfile(df: DataFrame, idCol: String, textCol: String,
       profile: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window

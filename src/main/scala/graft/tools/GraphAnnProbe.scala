@@ -56,12 +56,51 @@ object GraphAnnProbe {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t1 = (1 to 3).map(_ => time(e, 16)).sorted.apply(1)
-      val t2 = (1 to 3).map(_ => time(big, nlist)).sorted.apply(1)
-      println(f"""{"probe":"graph_ann_${factor}x","rows_base":500,""" +
-        f""""rows_scaled":${500 * factor},"nlist_base":16,""" +
-        f""""nlist_scaled":$nlist,"sec_base":$t1%.3f,""" +
-        f""""sec_scaled":$t2%.3f,"slope":${t2 / t1}%.2f}""")
+      // AUTO_ONLY skips the (slow) hand-scaled linear-nlist baseline,
+      // already recorded in SCALE.md round-10 — re-running it buys
+      // nothing once the auto rows exist
+      if (!sys.env.contains("AUTO_ONLY")) {
+        val t1 = (1 to 3).map(_ => time(e, 16)).sorted.apply(1)
+        val t2 = (1 to 3).map(_ => time(big, nlist)).sorted.apply(1)
+        println(f"""{"probe":"graph_ann_${factor}x","rows_base":500,""" +
+          f""""rows_scaled":${500 * factor},"nlist_base":16,""" +
+          f""""nlist_scaled":$nlist,"sec_base":$t1%.3f,""" +
+          f""""sec_scaled":$t2%.3f,"slope":${t2 / t1}%.2f}""")
+      }
+      // AUTO mode (r11): same replica corpus on the API DEFAULTS —
+      // nlist<=0 auto-derives sqrt sizing and maxCluster scales with
+      // E[cluster] inside cappedClusterFrame, so this measures what a
+      // user who tunes NOTHING actually pays at FACTORx (the r10
+      // verdict's "defaults must survive 100x" criterion).
+      val a1 = (1 to 3).map(_ => time(e, 0)).sorted.apply(1)
+      val a2 = (1 to 3).map(_ => time(big, 0)).sorted.apply(1)
+      println(f"""{"probe":"graph_ann_auto_${factor}x","rows_base":500,""" +
+        f""""rows_scaled":${500 * factor},"nlist_base":${
+          SimSearch.autoNlist(500)},"nlist_scaled":${
+          SimSearch.autoNlist(500L * factor)},"sec_base":$a1%.3f,""" +
+        f""""sec_scaled":$a2%.3f,"slope":${a2 / a1}%.2f}""")
+    }
+
+    // ADAPTIVE-STOP evidence (r11, VERDICT r10 Next #4): at the shipped
+    // operating point, the adaptive walk must reach the fixed walk's
+    // recall at no more hops — and show WHERE improvement actually dies
+    // out when given a generous cap.
+    sys.env.get("ADAPTIVE").foreach { _ =>
+      def run(hops: Int, adaptive: Boolean) = {
+        val t0 = System.nanoTime()
+        val (df, walked) = SimSearch.graphBeamSearchImpl(e, q, "vec_id",
+          "embedding", 5, 8, hops, 5, 16, 3, -1, 1000, adaptive)
+        val got = df.select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = brute.intersect(got).size.toDouble / brute.size
+        (rec, walked, dt)
+      }
+      val (rf, hf, tf) = run(3, adaptive = false)
+      val (ra, ha, ta) = run(12, adaptive = true)
+      println(f"""{"probe":"graph_ann_adaptive","fixed":{"recall":$rf%.2f,""" +
+        f""""hops":$hf,"sec":$tf%.1f},"adaptive_cap12":{"recall":$ra%.2f,""" +
+        f""""hops":$ha,"sec":$ta%.1f}}""")
     }
     spark.stop()
   }

@@ -26,6 +26,21 @@ object LangProbe {
     }
     time("tokens only")(
       docs.select(size(TextStats.tokens(lower(col("text")))).as("n")).agg(sum(col("n"))).head().getLong(0))
+    // PROFILE SIZE sweep (r11, VERDICT r10 Next #6): the pluggable-seam
+    // path at the committed 125-entry head profile vs a generated
+    // production-size 50k-word profile — the broadcast is vocab-bounded
+    // so the wall should barely move while the vocabulary grows 400x
+    sys.env.get("PROFILE_SCALE").foreach { _ =>
+      val head = graft.ext.ModelFixtures.langProfileDf(spark)
+      val big = graft.ext.ModelFixtures.syntheticLangProfile(spark, 10000)
+      def run(p: org.apache.spark.sql.DataFrame): Long =
+        TextStats.withLangIdProfile(docs, "doc_id", "text", p)
+          .groupBy(col("predicted")).agg(count(lit(1))).count()
+      (1 to 3).foreach { i =>
+        time(s"profile 125w run $i")(run(head))
+        time(s"profile 50kw run $i")(run(big))
+      }
+    }
     spark.stop()
   }
 }

@@ -121,4 +121,59 @@ class ModelSeamSpec extends SparkSpec {
       .select($"n_pieces").as[Long].head()
     assert(r == 1L)
   }
+
+  test("langId seam at production vocabulary scale: 50k-word profile " +
+      "still broadcasts, docs never shuffle pre-join, verdicts keep " +
+      "head-word parity (VERDICT r10 Next #6)") {
+    val big = graft.ext.ModelFixtures.syntheticLangProfile(spark, 10000)
+    assert(big.count() == 50000)
+    // the synthetic tail EXTENDS the committed head words, never
+    // replaces them: every committed profile entry is present
+    val head = graft.ext.ModelFixtures.langProfileDf(spark)
+    assert(head.join(big, Seq("lang", "word"), "left_anti").isEmpty)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextStats.withLangIdProfile(docs, "doc_id", "text", big)
+    // PLAN: the profile side is a BroadcastExchange into the hit join
+    // regardless of vocabulary size (50k (lang,word) strings ~ 1 MB —
+    // bounded by vocab, not corpus); the document side reaches that
+    // join with NO Exchange (scan -> project/explode -> join), so at
+    // 100 TB only (id, word) hit rows ever shuffle, never text
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"profile must broadcast:\n$plan")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"expected a broadcast hash join:\n$plan")
+    // SCORING path is exchange-free on the doc side: in the printed
+    // tree the streamed side of the broadcast hit-join (doc scan ->
+    // explode -> project) sits between the BroadcastHashJoin line and
+    // its BroadcastExchange build side — no Exchange may appear there
+    val bcIdx = plan.indexOf("BroadcastExchange")
+    val streamedSide = plan.substring(joinIdx, bcIdx)
+    assert(!streamedSide.contains("Exchange hashpartitioning"),
+      s"document text shuffled BEFORE the hit join:\n$plan")
+    // the whole plan carries exactly 4 hash exchanges, each accounted:
+    //  1. the profile-side distinct (vocab-bounded rows, ~50k here)
+    //  2. the (id, lang) hit-count aggregation ((id, word) rows only)
+    //  3. the per-doc top-1 verdict window (one row per scored doc)
+    //  4. the final enrich join-back, where the corpus co-partitions
+    //     with its verdict table — the ONE place text moves, inherent
+    //     to attaching a computed column to an unbucketed corpus (a
+    //     doc_id-bucketed layout eliminates it; scaladoc documents the
+    //     trade). A 5th exchange would mean the scoring path regressed.
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 4, s"expected exactly 4 accounted exchanges, " +
+      s"got $shuffles:\n$plan")
+    // verdict parity on the head words: the big profile contains every
+    // committed head entry, and fixture docs contain no synthetic-tail
+    // words, so verdicts match the committed profile exactly
+    val small = TextStats
+      .withLangIdProfile(docs, "doc_id", "text", head)
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toMap
+    val bigV = out.select($"doc_id", $"predicted")
+      .as[(Long, String)].collect().toMap
+    assert(bigV == small,
+      "synthetic-tail words must not perturb fixture verdicts")
+  }
 }
