@@ -1155,25 +1155,32 @@ object Dedup {
     * key = cluster id), so a degenerate mega-cluster is frequency-capped
     * instead of producing an O(c^2) join. At 100 TB, `nlist` scales with
     * corpus size (the paper uses ~100k clusters for LAION-scale) so
-    * E[cluster] stays small and the pair stage is linear; the only
-    * shuffles are the cluster-id candidate join and the two (16-byte id,
-    * vector) verify join-backs.
+    * E[cluster] stays small and the pair stage is linear — and as of
+    * r11 the DEFAULT does this: `nlist <= 0` auto-derives sqrt sizing
+    * and `maxCluster <= 0` scales the cap with E[cluster]
+    * ([[SimSearch.autoNlist]] / [[SimSearch.autoMaxCluster]], the same
+    * contract as the ANN faces), with Lloyd training on
+    * [[SimSearch.trainedCentroids]]' bounded smallest-id sample. The
+    * only shuffles are the cluster-id candidate join and the two
+    * (16-byte id, vector) verify join-backs.
     *
     * Returns verified pairs (id_a, id_b, cosine >= threshold); compose
     * with [[dedupSurvivors]] for end-to-end removal (cluster-internal
     * transitivity handled there, same as the lexical paths). */
   def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, lloydRounds: Int = 0,
-      meanRound: Int = -1, maxCluster: Int = 1000): DataFrame = {
+      threshold: Double, nlist: Int = 0, lloydRounds: Int = 0,
+      meanRound: Int = -1, maxCluster: Int = 0): DataFrame = {
     val v = emb.select(col(idCol).as("id"),
       SimSearch.normalize(SimSearch.toDouble(col(vecCol))).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents0 = v.orderBy(col("id").asc).limit(nlist)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cents = SimSearch.lloydRefine(v, cents0, lloydRounds, meanRound)
+    val n = v.count()
+    val nl = if (nlist > 0) nlist else SimSearch.autoNlist(n)
+    val mc = if (maxCluster > 0) maxCluster
+      else SimSearch.autoMaxCluster(n, nl)
+    val cents = SimSearch.trainedCentroids(v, nl, lloydRounds, meanRound, n)
     val banded = SimSearch.assignLists(v, cents, 1)
       .select(col("id"), lit(0).as("band"), col("list_id").as("key"))
-    val cands = cappedBandCandidates(banded, maxCluster)
+    val cands = cappedBandCandidates(banded, mc)
     val pairs = cands
       .join(v.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), Seq("id_a"))
       .join(v.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), Seq("id_b"))
