@@ -39,8 +39,11 @@ object CorpusPipeline {
       k = cfg.minhashK, bands = cfg.bands, maxBucket = cfg.maxBucket)
       .select(col("id_b").as("doc_id")).distinct()
     val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti")
-    val scored = TextStats.withLangId(
-      TextStats.qualityScore(s2, "text"), "text")
+    // fused single-tokenization pass — bit-identical columns to
+    // withLangId(qualityScore(...)), so the q_corpus_pipeline oracle
+    // verifies this plan change value-for-value (TextStatsSpec pins
+    // the equality; SCALE.md r11 records the filter-stage win)
+    val scored = TextStats.qualityLangScore(s2, "text")
     val kept = scored.filter(col("quality_score") >= cfg.minQuality)
     cfg.lang.fold(kept)(l => kept.filter(col("predicted") === l))
       .select(col("doc_id"), col("text")).as[CorpusDoc]

@@ -57,6 +57,62 @@ object TextStats {
       .drop("__toks")
   }
 
+  /** FUSED quality + language-ID pass (r11): column-for-column,
+    * bit-for-bit identical to
+    * `withLangId(qualityScore(df, textCol), textCol)` — pinned by
+    * TextStatsSpec — but tokenizes ONCE. The composed form splits the
+    * text twice (qualityScore stages raw tokens, withLangId stages
+    * lowered tokens of the lowered text); since [[tokens]] splits on
+    * whitespace and lowercasing never changes whitespace,
+    * `tokens(lower(t)) == transform(tokens(t), lower)`, so one split
+    * feeds both the quality features (raw + per-token-lowered stopword
+    * check) and the per-language hit counts. This is the filter stage
+    * of the curation funnel — the composed 100x rehearsal measured it
+    * as the top wall consumer (53.3 s of 104.8 s, SCALE.md r11) — so
+    * the single-pass form is what [[graft.ext.CorpusPipeline.clean]]
+    * ships; the two-op composition stays for a-la-carte use. */
+  def qualityLangScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val staged = df.withColumn("__toks", tokens(t))
+      .withColumn("__ltoks", transform(col("__toks"), tk => lower(tk)))
+    val toks = col("__toks")
+    val ltoks = col("__ltoks")
+    val nTok = size(toks)
+    val nStop = size(filter(ltoks, tk => tk.isInCollection(stopwords)))
+    val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nChar = length(t)
+    val tokChars = aggregate(toks, lit(0), (acc, tk) => acc + length(tk))
+    val feats = staged.withColumn("n_chars_m", nChar)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("n_punct", nPunct)
+      .withColumn("avg_token_len",
+        when(nTok > 0, tokChars.cast("double") / nTok).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChar > 0, nPunct.cast("double") / nChar).otherwise(0.0))
+      .withColumn("quality_score",
+        round(
+          when(col("n_tokens") >= 10 && col("n_tokens") <= 100000, 0.4)
+            .otherwise(0.0)
+            + when(col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
+            + when(col("punct_ratio") <= 0.2, 0.3).otherwise(0.0), 2))
+    val langs = langStopwords.toSeq.sortBy(_._1)
+    val withHits = langs.foldLeft(feats) { case (d, (lang, words)) =>
+      d.withColumn(s"__h_$lang",
+        size(array_intersect(ltoks, array(words.map(lit): _*))))
+    }
+    val hits = langs.map { case (l, _) => col(s"__h_$l") }
+    val g = greatest(hits: _*)
+    val pick = langs.foldRight(lit("und"): Column) { case ((l, _), rest) =>
+      when(col(s"__h_$l") === g, lit(l)).otherwise(rest)
+    }
+    withHits
+      .withColumn("predicted", when(g === 0, lit("und")).otherwise(pick))
+      .drop("__toks" +: "__ltoks" +: langs.map(l => s"__h_${l._1}"): _*)
+  }
+
   /** Gopher-style keep/drop quality score in [0,1]: rewards mid-length
     * docs with some stopwords and low punctuation noise. Deterministic
     * integer/ratio arithmetic only. */

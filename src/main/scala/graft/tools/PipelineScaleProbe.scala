@@ -92,7 +92,12 @@ object PipelineScaleProbe {
     }
 
     stage("quality_lang_filter") { df =>
-      TextStats.withLangId(TextStats.qualityScore(df, "text"), "text")
+      // FUSED=0 runs the original two-op composition for A/B
+      val scored =
+        if (sys.env.get("FUSED").contains("0"))
+          TextStats.withLangId(TextStats.qualityScore(df, "text"), "text")
+        else TextStats.qualityLangScore(df, "text")
+      scored
         .filter(col("quality_score") >= 0.6 && col("predicted") === "en")
         .select(col("doc_id"), col("text"))
     }

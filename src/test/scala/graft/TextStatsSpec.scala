@@ -759,4 +759,28 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(again == out, "partitioning-invariant")
   }
+
+  test("qualityLangScore: bit-identical columns AND values to the " +
+      "withLangId(qualityScore(..)) composition it fuses") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val composed = TextStats.withLangId(
+      TextStats.qualityScore(docs, "text"), "text")
+    val fused = TextStats.qualityLangScore(docs, "text")
+    assert(fused.columns.toSeq == composed.columns.toSeq,
+      s"column sets diverge: ${fused.columns.toSeq} vs " +
+        s"${composed.columns.toSeq}")
+    val key = composed.columns.indexOf("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(key) -> r.toSeq).toMap
+    assert(rows(fused) == rows(composed),
+      "fused pass must reproduce the composition exactly")
+    // and only ONE whitespace split survives in the fused plan
+    val plan = fused.queryExecution.executedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).size
+    val composedSplits = "split\\(".r.findAllIn(
+      composed.queryExecution.executedPlan.toString).size
+    assert(splits < composedSplits,
+      s"fused plan should tokenize less: $splits vs $composedSplits")
+  }
 }
