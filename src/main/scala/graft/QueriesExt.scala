@@ -1611,6 +1611,43 @@ object QueriesExt {
       |       round(cosine, 6) AS cosine_r
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Binary (sign) quantized ANN (SimSearch.binaryTopK): 64 float dims
+    * -> two 32-bit code words (32x compression), Hamming scan selects
+    * 40 candidates per query (hamming ASC, id ASC), exact cosine
+    * reranks the top 5. The oracle rebuilds the identical codes
+    * (32-bits-per-word packing is chosen PRECISELY so DuckDB can — see
+    * binaryQuantize scaladoc), mirrors the integer Hamming via
+    * xor+bit_count, and replays both deterministic rankings. */
+  private def qAnnBinary(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.binaryTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, rerank = 40)
+  }
+  private val qAnnBinarySql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |codes AS (SELECT id, list_transform(range(2), w ->
+      |    CAST(list_sum(list_transform(range(32), i ->
+      |      CASE WHEN e[CAST(w*32+i+1 AS INT)] >= 0
+      |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS BIGINT)) c
+      |  FROM v),
+      |qc AS (SELECT id query_id, c qcode FROM codes WHERE id < 10),
+      |ham AS (SELECT q.query_id, c.id,
+      |    CAST(list_sum(list_transform(range(2), w ->
+      |      CAST(bit_count(xor(c.c[CAST(w+1 AS INT)], q.qcode[CAST(w+1 AS INT)])) AS BIGINT))) AS INT) hamming
+      |  FROM codes c, qc q WHERE c.id <> q.query_id),
+      |cand AS (SELECT query_id, id, hamming FROM (
+      |    SELECT query_id, id, hamming, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming ASC, id ASC) rh FROM ham) WHERE rh <= 40),
+      |rer AS (SELECT ca.query_id, ca.id, ca.hamming,
+      |    list_dot_product(a.e, b.e) cosine
+      |  FROM cand ca JOIN v a ON a.id = ca.id JOIN v b ON b.id = ca.query_id)
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank, hamming,
+      |  round(cosine, 6) cosine_r
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, id ASC) rank FROM rer)
+      |WHERE rank <= 5""".stripMargin
+
   /** k-means with SAMPLED Lloyd training (VERDICT r10 Next #1): the
     * production path where refinement sees only the smallest-id prefix
     * (trainPerCentroid=32 x k=4 = 128 of the >= 500 fixture vectors —
@@ -7711,6 +7748,7 @@ object QueriesExt {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_auto" -> (qAnnIvfAuto _),
     "q_kmeans_sampled" -> (qKmeansSampled _),
+    "q_ann_binary" -> (qAnnBinary _),
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
@@ -7932,6 +7970,7 @@ object QueriesExt {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_ivf_auto" -> qAnnIvfAutoSql,
     "q_kmeans_sampled" -> qKmeansSampledSql,
+    "q_ann_binary" -> qAnnBinarySql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,

@@ -793,6 +793,95 @@ object SimSearch {
       .drop("__mns", "__mxs")
   }
 
+  /** BINARY (sign) quantization — the 1-bit compression face of the
+    * quantization taxonomy (SQ8 / PQ / IVF-PQ / binary; the FAISS
+    * binary-index family and the "binary embeddings" mode every vector
+    * store ships): each dimension of the NORMALIZED vector collapses to
+    * its sign bit, packed 32 bits per long word. 64 float dims become
+    * 8 bytes — a 32x storage/scan reduction — and the angle between two
+    * vectors is estimated by the Hamming distance of their codes
+    * (E[hamming] = dims·θ/π, the Goemans-Williamson identity that also
+    * powers SimHash).
+    *
+    * 32 bits per word, NOT 64: bit 63 of a signed long flips the sign,
+    * and the oracle must rebuild identical codes in DuckDB where
+    * `2^63` promotes to HUGEINT and `<<` wraps engine-specifically.
+    * Packing 32 bits keeps every word in [0, 2^32) — representable,
+    * portable, and xor/bit_count behave identically in both engines.
+    * Sign convention: `>= 0` sets the bit (zero is a sign boundary —
+    * any convention works as long as both engines share it). */
+  def binaryQuantize(emb: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val v = normalize(toDouble(col(vecCol)))
+    val words = (dims + 31) / 32
+    val code = array((0 until words).map { w =>
+      (0 until math.min(32, dims - w * 32)).map { i =>
+        when(element_at(v, w * 32 + i + 1) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    emb.select(col(idCol).as("id"), code.as("code"))
+  }
+
+  /** Hamming distance between two packed code arrays (same length). */
+  private[graft] def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, d) => acc + d)
+
+  /** Binary-quantized ANN: Hamming scan over the packed codes selects
+    * `rerank` candidates per query (hamming ASC, id ASC — fully
+    * deterministic), then ONLY those candidates pay an exact cosine,
+    * ranked (cosine DESC, id ASC) for the top `k`.
+    *
+    * Scale shape — this face's win is COMPRESSION, not sub-linearity:
+    * the candidate scan is still O(n) per query but touches
+    * (id, dims/8 bytes) instead of (id, dims floats) — 32x less data,
+    * xor+popcount per word in codegen — which is exactly how production
+    * binary indexes are deployed (RAM-resident codes, float vectors
+    * only for the rerank fetch). The plan broadcasts the (small) query
+    * codes into the corpus code scan, caps the per-query candidate set
+    * map-side via WindowGroupLimit, and broadcasts the
+    * queries x rerank candidate frame into the float-vector lookup —
+    * the corpus float table never shuffles and is only probed for
+    * candidate ids. Compose with [[ivfTopK]]'s lists for a sub-linear
+    * candidate scan when n demands it.
+    *
+    * Determinism for the oracle: codes are integer-exact
+    * ([[binaryQuantize]]), Hamming is integer, and the exact rerank is
+    * the same IEEE dot every ANN face ships. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rr = if (rerank > 0) rerank else 8 * k
+    require(rr >= k, s"rerank must be >= k: $rr < $k")
+    val cCodes = binaryQuantize(corpus, idCol, vecCol)
+    val qCodes = binaryQuantize(queries, idCol, vecCol)
+      .withColumnsRenamed(Map("id" -> "query_id", "code" -> "qcode"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("id").asc)
+    val cands = cCodes.join(broadcast(qCodes),
+        if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .withColumn("hamming", hammingDist(col("code"), col("qcode")))
+      .withColumn("__rh", row_number().over(wH))
+      .filter(col("__rh") <= rr)
+      .select(col("query_id"), col("id"), col("hamming"))
+    val cv = corpus.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      normalize(toDouble(col(vecCol))).as("qv"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    cv.join(broadcast(cands), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("hamming"), round(col("cosine"), 6).as("cosine_r"))
+  }
+
   /** Product quantization (the FAISS IVF-PQ compression scheme, public:
     * Jégou et al., "Product Quantization for Nearest Neighbor Search",
     * TPAMI 2011): split each vector into `m` contiguous subvectors and

@@ -697,4 +697,53 @@ class SimSearchSpec extends SparkSpec {
     val recall = brute.intersect(got).size.toDouble / brute.size
     assert(recall >= 0.8, s"adaptive graph ANN recall $recall")
   }
+
+  test("binary quantization: 32-bit word packing, hamming-0 for exact " +
+      "copies, recall via exact rerank, partitioning-invariant") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // packing sanity: 64 dims -> 2 words, every word in [0, 2^32)
+    val codes = SimSearch.binaryQuantize(e, "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect()
+    assert(codes.forall(_._2.length == 2))
+    assert(codes.forall(_._2.forall(w => w >= 0L && w < (1L << 32))),
+      "words must stay in [0, 2^32) - the oracle-portability contract")
+    // an exact copy has hamming 0 and ranks first on cosine 1.0
+    val e2 = e.select($"vec_id", $"embedding")
+    val injected = e2.union(e2.filter($"vec_id" === 3)
+      .select(lit(100003L).as("vec_id"), $"embedding"))
+    val q3 = injected.filter($"vec_id" === 3)
+    val top = SimSearch.binaryTopK(injected, q3, "vec_id", "embedding",
+      k = 3, rerank = 24)
+      .orderBy($"rank").as[(Long, Long, Int, Int, Double)].collect()
+    assert(top.head._2 == 100003L && top.head._4 == 0,
+      s"exact copy must be rank 1 at hamming 0: ${top.toSeq}")
+    // recall vs brute on the isotropic fixture: hamming correlates with
+    // angle (E[hamming] = dims*theta/pi), so a 40-candidate rerank
+    // recovers most of the true top-5. Measured 0.58 @ rerank=40 and
+    // 0.98 @ rerank=200 on the isotropic fixture - the honest
+    // binary-quantization trade (32x compression for recall you buy
+    // back with `rerank`); 0.5 is margin for fixture regeneration, and
+    // the rerank=200 row pins that recall is candidate-bound, not a
+    // code defect
+    val q = e.filter($"vec_id" < 10)
+    val brute = SimSearch.bruteTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(rr: Int): Double = {
+      val got = SimSearch.binaryTopK(e, q, "vec_id", "embedding", 5, rr)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val r40 = recallAt(40)
+    val r200 = recallAt(200)
+    info(s"binary ANN recall@5: rerank40=$r40 rerank200=$r200")
+    assert(r40 >= 0.5, s"rerank-40 recall too low: $r40")
+    assert(r200 > r40, "recall must be candidate-bound (grow with rerank)")
+    // determinism across partitioning
+    val a = SimSearch.binaryTopK(e, q, "vec_id", "embedding", 5, 40)
+      .as[(Long, Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val b = SimSearch.binaryTopK(e.repartition(7), q, "vec_id",
+      "embedding", 5, 40)
+      .as[(Long, Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(a.sameElements(b))
+  }
 }
