@@ -1648,6 +1648,64 @@ object QueriesExt {
       |    ORDER BY cosine DESC, id ASC) rank FROM rer)
       |WHERE rank <= 5""".stripMargin
 
+  /** MMR diversity rerank (SimSearch.mmrRerank, Carbonell-Goldstein):
+    * top-20 exact pool per query, 5 greedy MMR rounds at lambda=0.5 —
+    * chosen DELIBERATELY: 0.5 and 1-0.5 are both exact in binary, so
+    * the two engines compute bit-identical MMR scores (0.7 would make
+    * Spark's `1.0-lambda` and DuckDB's decimal literal differ in the
+    * last ulp and lean on the round@8 to absorb it). The oracle unrolls
+    * the greedy loop as one (max-sim agg vs picked) -> (anti-join) ->
+    * (argmax) CTE layer per round — the qKcenterSql discipline. */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.mmrRerank(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, poolSize = 20, lambda = 0.5)
+  }
+  private val qMmrRerankSql: String = {
+    val rounds = (2 to 5).map { t =>
+      s"""m$t AS (SELECT s.query_id, s.id_a id, max(s.sim) max_sim
+         |  FROM sims s JOIN pk${t - 1} p
+         |    ON p.query_id = s.query_id AND p.id = s.id_b
+         |  GROUP BY 1, 2),
+         |c$t AS (SELECT po.query_id, po.id,
+         |    round(0.5 * po.rel - 0.5 * COALESCE(m.max_sim, 0.0), 8) mmr
+         |  FROM pool po LEFT JOIN m$t m
+         |    ON m.query_id = po.query_id AND m.id = po.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pk${t - 1} p
+         |    WHERE p.query_id = po.query_id AND p.id = po.id)),
+         |p$t AS (SELECT query_id, id, $t rank FROM (
+         |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr DESC, id ASC) rn FROM c$t) WHERE rn = 1),
+         |pk$t AS (SELECT query_id, id FROM pk${t - 1}
+         |  UNION ALL SELECT query_id, id FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+       |pool AS (SELECT query_id, id, rel FROM (
+       |    SELECT q.id query_id, c.id id, list_dot_product(c.e, q.e) rel,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY list_dot_product(c.e, q.e) DESC, c.id ASC) rn
+       |    FROM v c JOIN v q ON q.id < 10 AND c.id <> q.id) WHERE rn <= 20),
+       |sims AS MATERIALIZED (SELECT a.query_id, a.id id_a, b.id id_b,
+       |    list_dot_product(va.e, vb.e) sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.id <> b.id
+       |  JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id),
+       |p1 AS (SELECT query_id, id, 1 rank FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(0.5 * rel, 8) DESC, id ASC) rn FROM pool)
+       |  WHERE rn = 1),
+       |pk1 AS (SELECT query_id, id FROM p1),
+       |$rounds,
+       |allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+       |  UNION ALL SELECT * FROM p5)
+       |SELECT a.query_id, a.id doc_id, CAST(a.rank AS INT) rank,
+       |  round(po.rel, 6) rel_r
+       |FROM allp a JOIN pool po
+       |  ON po.query_id = a.query_id AND po.id = a.id""".stripMargin
+  }
+
   /** k-means with SAMPLED Lloyd training (VERDICT r10 Next #1): the
     * production path where refinement sees only the smallest-id prefix
     * (trainPerCentroid=32 x k=4 = 128 of the >= 500 fixture vectors —
@@ -7749,6 +7807,7 @@ object QueriesExt {
     "q_ann_ivf_auto" -> (qAnnIvfAuto _),
     "q_kmeans_sampled" -> (qKmeansSampled _),
     "q_ann_binary" -> (qAnnBinary _),
+    "q_mmr_rerank" -> (qMmrRerank _),
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
@@ -7971,6 +8030,7 @@ object QueriesExt {
     "q_ann_ivf_auto" -> qAnnIvfAutoSql,
     "q_kmeans_sampled" -> qKmeansSampledSql,
     "q_ann_binary" -> qAnnBinarySql,
+    "q_mmr_rerank" -> qMmrRerankSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,

@@ -1177,6 +1177,87 @@ object SimSearch {
     * |queries| * k * lists rows — tiny relative to the corpora the
     * rankers scanned; one groupBy + one per-query window, both keyed on
     * query_id. */
+  /** MMR diversity rerank (Carbonell & Goldstein 1998, public — the
+    * standard redundancy-aware selection a retrieval or curation stack
+    * runs AFTER an ANN/top-k stage): greedily pick, per query, the
+    * candidate maximizing `lambda·rel(q,c) − (1−lambda)·max sim(c, p)`
+    * over already-picked p. Pure relevance re-surfaces near-duplicates;
+    * MMR trades a controllable slice of relevance for coverage — the
+    * same reason a training-data sampler diversifies before it
+    * saturates a cluster.
+    *
+    * Plan shape: ONE corpus pass builds the per-query candidate pool
+    * (exact top-`poolSize` cosine — [[bruteTopK]]'s broadcast shape;
+    * swap in any ANN face's candidates upstream at scale), then the
+    * greedy loop runs over BOUNDED frames only: pool-pair sims are
+    * queries × poolSize² rows computed once and pinned, and each of
+    * the `k` rounds is (anti-join picked) → (max-sim agg against the
+    * picked set) → (per-query argmax). Rounds are driver-side plan
+    * construction over localCheckpoint-bounded frames, never a corpus
+    * scan — the kCenterSelect/graphBeamSearch loop discipline.
+    *
+    * Determinism: rel and sims are the IEEE dots every ANN face ships,
+    * the MMR score is rounded@8 BEFORE ranking (the frontier-cut
+    * discipline — a last-ulp divergence would fork the greedy pick and
+    * every later round), and all ranks tie-break on id ASC. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, poolSize: Int = 20,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize >= k >= 1: k=$k pool=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // exact top-pool candidates with relevance (excludes self)
+    val pool = bruteTopK(corpus, queries, idCol, vecCol, poolSize)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("cosine").as("rel"))
+      .localCheckpoint(true)
+    // pool-pair sims, computed once: queries x poolSize^2 bounded rows
+    val v = corpus.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val pv = v.join(broadcast(pool.select(col("query_id"), col("id"))),
+      Seq("id")).persist(lvl)
+    val sims = pv.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a"))
+      .join(pv.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")),
+        Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        dot(col("v_a"), col("v_b")).as("sim"))
+      .localCheckpoint(true)
+    pv.unpersist(false)
+    val W = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("id").asc)
+    // round 1: no picked set, the argmax is pure relevance
+    var picked = pool
+      .withColumn("mmr", round(lit(lambda) * col("rel"), 8))
+      .withColumn("__rn", row_number().over(W))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("id"), lit(1).as("rank"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val maxSim = sims
+        .join(picked.select(col("query_id"), col("id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("id"))
+        .agg(max(col("sim")).as("max_sim"))
+      val cand = pool
+        .join(picked.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+        .join(maxSim, Seq("query_id", "id"), "left")
+        .withColumn("mmr", round(
+          lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("max_sim"), lit(0.0)), 8))
+      val best = cand.withColumn("__rn", row_number().over(W))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("id"), lit(t).as("rank"))
+      picked = picked.union(best).localCheckpoint(true)
+    }
+    picked
+      .join(pool, Seq("query_id", "id"))
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        round(col("rel"), 6).as("rel_r"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10)
       : DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

@@ -746,4 +746,50 @@ class SimSearchSpec extends SparkSpec {
       .as[(Long, Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._3))
     assert(a.sameElements(b))
   }
+
+  test("MMR rerank: round 1 is pure relevance, later rounds penalize " +
+      "redundancy, lambda=1 degenerates to top-k, deterministic") {
+    // hand-checkable geometry: docs 1 and 2 are near-duplicates of
+    // EACH OTHER at moderate relevance (if the top doc were aligned
+    // with the query, sim(c, top) ~ rel(c) for every candidate and MMR
+    // ties out - the first cut of this test hit exactly that); doc 3
+    // is diverse (negative-y) at lower relevance
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),            // the query itself
+      (1L, Seq(0.9f, 0.4359f)),         // rel ~ 0.90
+      (2L, Seq(0.89f, 0.456f)),         // rel ~ 0.89, sim(1,2) ~ 0.9999
+      (3L, Seq(0.7f, -0.714f))          // rel ~ 0.70, sim(3,1) ~ 0.32
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0)
+    val mmr = SimSearch.mmrRerank(corpus, q, "vec_id", "embedding",
+      k = 3, poolSize = 3, lambda = 0.5)
+      .orderBy($"rank").as[(Long, Long, Int, Double)].collect()
+    // rank 1 = doc 1 (most relevant); rank 2 must SKIP the near-dup
+    // doc 2 (mmr ~ 0.5*(0.89 - 0.9999) < 0) for the diversifier doc 3
+    // (mmr ~ 0.5*(0.70 - 0.32) > 0)
+    assert(mmr.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"MMR order should interleave diversity: ${mmr.toSeq}")
+    // lambda = 1 -> plain relevance order (greedy argmax of rel)
+    val rel = SimSearch.mmrRerank(corpus, q, "vec_id", "embedding",
+      k = 3, poolSize = 3, lambda = 1.0)
+      .orderBy($"rank").as[(Long, Long, Int, Double)].collect()
+    assert(rel.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      s"lambda=1 must equal top-k relevance: ${rel.toSeq}")
+    // determinism + partition invariance on the fixture
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.filter($"vec_id" < 5)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimSearch.mmrRerank(df, qs, "vec_id", "embedding", k = 4,
+        poolSize = 12, lambda = 0.5)
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val a = run(e)
+    assert(a.length == 20) // 5 queries x 4 ranks, dense
+    assert(run(e.repartition(7)).sameElements(a))
+    // per query: ranks dense 1..4, no repeats, no self
+    a.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).toSeq == (1 to 4), s"ranks for $qid")
+      assert(rows.map(_._2).distinct.length == 4, s"repeats for $qid")
+      assert(rows.forall(_._2 != qid), s"self for $qid")
+    }
+  }
 }
