@@ -1706,6 +1706,49 @@ object QueriesExt {
        |  ON po.query_id = a.query_id AND po.id = a.id""".stripMargin
   }
 
+  /** Matryoshka truncation agreement (SimSearch.matryoshkaAgreement):
+    * overlap@5 of prefix-truncated (8/16/32-dim) search vs the full
+    * 64-dim top-5, per query — the adaptive-retrieval safety
+    * measurement. The oracle re-derives each truncated ranking from a
+    * list-sliced renormalized CTE and counts the set intersections. */
+  private def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.matryoshkaAgreement(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dPrimes = Seq(8, 16, 32))
+  }
+  private val qMatryoshkaSql: String = {
+    def rankCte(name: String, vsrc: String): String =
+      s"""$name AS (SELECT query_id, id FROM (
+         |    SELECT q.id query_id, c.id id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY list_dot_product(c.e, q.e) DESC, c.id ASC) rn
+         |    FROM $vsrc c JOIN $vsrc q ON q.id < 10 AND c.id <> q.id)
+         |  WHERE rn <= 5)""".stripMargin
+    val dims = Seq(8, 16, 32)
+    val truncCtes = dims.map { d =>
+      s"""v$d AS (SELECT id, CASE WHEN sqrt(list_dot_product(t, t)) > 0
+         |    THEN list_transform(t, x -> x / sqrt(list_dot_product(t, t)))
+         |    ELSE t END e FROM (
+         |  SELECT vec_id id, (embedding::DOUBLE[])[1:$d] t FROM embeddings)),
+         |${rankCte(s"t$d", s"v$d")},
+         |o$d AS (SELECT q.query_id, $d d_prime, COALESCE(x.cnt, 0) n_overlap
+         |  FROM (SELECT DISTINCT query_id FROM tf) q LEFT JOIN (
+         |    SELECT t.query_id, CAST(count(*) AS INT) cnt FROM t$d t
+         |    JOIN tf f ON f.query_id = t.query_id AND f.id = t.id
+         |    GROUP BY 1) x ON x.query_id = q.query_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+       |${rankCte("tf", "v")},
+       |$truncCtes,
+       |u AS (SELECT * FROM o8 UNION ALL SELECT * FROM o16
+       |  UNION ALL SELECT * FROM o32)
+       |SELECT CAST(d_prime AS INT) d_prime, query_id,
+       |  CAST(n_overlap AS INT) n_overlap,
+       |  round(n_overlap / 5.0, 4) agreement_r
+       |FROM u""".stripMargin
+  }
+
   /** k-means with SAMPLED Lloyd training (VERDICT r10 Next #1): the
     * production path where refinement sees only the smallest-id prefix
     * (trainPerCentroid=32 x k=4 = 128 of the >= 500 fixture vectors —
@@ -7808,6 +7851,7 @@ object QueriesExt {
     "q_kmeans_sampled" -> (qKmeansSampled _),
     "q_ann_binary" -> (qAnnBinary _),
     "q_mmr_rerank" -> (qMmrRerank _),
+    "q_matryoshka" -> (qMatryoshka _),
     "q_kmeans_fit" -> (qKmeansFit _),
     "q_pca_project" -> (qPcaProject _),
     "q_cluster_sample" -> (qClusterSample _),
@@ -8031,6 +8075,7 @@ object QueriesExt {
     "q_kmeans_sampled" -> qKmeansSampledSql,
     "q_ann_binary" -> qAnnBinarySql,
     "q_mmr_rerank" -> qMmrRerankSql,
+    "q_matryoshka" -> qMatryoshkaSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,

@@ -1177,6 +1177,48 @@ object SimSearch {
     * |queries| * k * lists rows — tiny relative to the corpora the
     * rankers scanned; one groupBy + one per-query window, both keyed on
     * query_id. */
+  /** Matryoshka truncation agreement (Kusupati et al. 2022, public —
+    * MRL embeddings): how much of the FULL-dimension top-k survives
+    * when vectors are truncated to their prefix `dPrimes` dims and
+    * renormalized — the measurement that decides whether adaptive
+    * retrieval (coarse search at d', exact rerank at d) is safe for a
+    * given embedding column, and at which d'. One row per
+    * (d_prime, query): the overlap count and ratio vs the full top-k.
+    *
+    * Plan shape: one [[bruteTopK]] per dimension point over the SAME
+    * broadcast-queries/narrow-scan plan (the truncation is a `slice`
+    * in the projection — column pruning keeps the scan identical), and
+    * the agreement join is (queries x k)-bounded. At 100 TB swap the
+    * brute stages for an ANN face; the agreement contract is unchanged.
+    * Deterministic: every ranking is the shared (cosine DESC, id ASC)
+    * and the overlap is an integer. */
+  def matryoshkaAgreement(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5,
+      dPrimes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(dPrimes.nonEmpty, "need at least one truncation point")
+    val full = bruteTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val qids = queries.select(col(idCol).as("query_id"))
+    val parts = dPrimes.map { d =>
+      def trunc(df: DataFrame): DataFrame =
+        df.select(col(idCol),
+          slice(toDouble(col(vecCol)), 1, d).as("__tv"))
+      val t = bruteTopK(trunc(corpus), trunc(queries), idCol, "__tv", k)
+        .select(col("query_id"), col("neighbor_id"))
+      val counts = t.join(full, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("int").as("__n"))
+      qids.join(counts, Seq("query_id"), "left")
+        .select(lit(d).as("d_prime"), col("query_id"),
+          coalesce(col("__n"), lit(0)).as("n_overlap"))
+    }
+    parts.reduce(_ unionByName _)
+      .withColumn("agreement_r",
+        round(col("n_overlap").cast("double") / k, 4))
+  }
+
   /** MMR diversity rerank (Carbonell & Goldstein 1998, public — the
     * standard redundancy-aware selection a retrieval or curation stack
     * runs AFTER an ANN/top-k stage): greedily pick, per query, the

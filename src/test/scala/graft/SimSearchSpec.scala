@@ -792,4 +792,33 @@ class SimSearchSpec extends SparkSpec {
       assert(rows.forall(_._2 != qid), s"self for $qid")
     }
   }
+
+  test("matryoshka agreement: full-dim point is exact 1.0, agreement " +
+      "monotone-ish in d', shape and determinism") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val r = SimSearch.matryoshkaAgreement(e, q, "vec_id", "embedding",
+      k = 5, dPrimes = Seq(8, 32, 64))
+      .as[(Int, Long, Int, Double)].collect()
+    // shape: one row per (d', query)
+    assert(r.length == 30)
+    assert(r.forall(x => x._3 >= 0 && x._3 <= 5))
+    // d' = 64 IS the full dimension: truncation is the identity, so
+    // agreement must be exactly 1.0 for every query (a strong self-test
+    // of the whole chain)
+    val full = r.filter(_._1 == 64)
+    assert(full.forall(_._4 == 1.0), s"d'=64 must agree fully: ${full.toSeq}")
+    // aggregate agreement should not DEGRADE as d' grows (8 -> 32);
+    // per-query it can wobble, so gate the mean
+    def mean(d: Int) = r.filter(_._1 == d).map(_._4).sum / 10
+    val m8 = mean(8); val m32 = mean(32)
+    info(s"matryoshka mean agreement@5: d8=$m8 d32=$m32 d64=1.0")
+    assert(m32 >= m8, s"more dims must not hurt on average: $m8 -> $m32")
+    // determinism across partitioning
+    val again = SimSearch.matryoshkaAgreement(e.repartition(7), q,
+      "vec_id", "embedding", k = 5, dPrimes = Seq(8, 32, 64))
+      .as[(Int, Long, Int, Double)].collect()
+    assert(again.sortBy(x => (x._1, x._2)).sameElements(
+      r.sortBy(x => (x._1, x._2))))
+  }
 }
