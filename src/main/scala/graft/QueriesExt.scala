@@ -1648,6 +1648,48 @@ object QueriesExt {
       |    ORDER BY cosine DESC, id ASC) rank FROM rer)
       |WHERE rank <= 5""".stripMargin
 
+  /** ASYMMETRIC binary ANN (SimSearch.binaryTopK(asymmetric=true)):
+    * float query x 1-bit corpus — candidates ranked by
+    * dot(q, decode(code))/sqrt(d) instead of symmetric Hamming, same
+    * 8-byte storage, better ordering (FAISS ADC applied to 1-bit
+    * codes). The oracle rebuilds the codes, extracts each bit with
+    * shift/mask, folds the signed query components in index order and
+    * mirrors the round@8 candidate cut. The hamming column is dropped
+    * (it is not computed on this path). */
+  private def qAnnBinaryAsym(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.binaryTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, rerank = 40, asymmetric = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine_r"))
+  }
+  private val qAnnBinaryAsymSql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |codes AS (SELECT id, list_transform(range(2), w ->
+      |    CAST(list_sum(list_transform(range(32), i ->
+      |      CASE WHEN e[CAST(w*32+i+1 AS INT)] >= 0
+      |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS BIGINT)) c
+      |  FROM v),
+      |qv AS (SELECT id query_id, e qe FROM v WHERE id < 10),
+      |est AS (SELECT q.query_id, c.id,
+      |    round(list_sum(list_transform(range(64), i ->
+      |      CASE WHEN ((c.c[CAST(i // 32 + 1 AS INT)] >> CAST(i % 32 AS INT)) & 1) = 1
+      |        THEN q.qe[CAST(i + 1 AS INT)]
+      |        ELSE -q.qe[CAST(i + 1 AS INT)] END)) / 8.0, 8) est
+      |  FROM codes c, qv q WHERE c.id <> q.query_id),
+      |cand AS (SELECT query_id, id FROM (
+      |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY est DESC, id ASC) rh FROM est) WHERE rh <= 40),
+      |rer AS (SELECT ca.query_id, ca.id, list_dot_product(a.e, b.qe) cosine
+      |  FROM cand ca JOIN v a ON a.id = ca.id
+      |  JOIN qv b ON b.query_id = ca.query_id)
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+      |  round(cosine, 6) cosine_r
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, id ASC) rank FROM rer)
+      |WHERE rank <= 5""".stripMargin
+
   /** MMR diversity rerank (SimSearch.mmrRerank, Carbonell-Goldstein):
     * top-20 exact pool per query, 5 greedy MMR rounds at lambda=0.5 —
     * chosen DELIBERATELY: 0.5 and 1-0.5 are both exact in binary, so
@@ -7850,6 +7892,7 @@ object QueriesExt {
     "q_ann_ivf_auto" -> (qAnnIvfAuto _),
     "q_kmeans_sampled" -> (qKmeansSampled _),
     "q_ann_binary" -> (qAnnBinary _),
+    "q_ann_binary_asym" -> (qAnnBinaryAsym _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_matryoshka" -> (qMatryoshka _),
     "q_kmeans_fit" -> (qKmeansFit _),
@@ -8074,6 +8117,7 @@ object QueriesExt {
     "q_ann_ivf_auto" -> qAnnIvfAutoSql,
     "q_kmeans_sampled" -> qKmeansSampledSql,
     "q_ann_binary" -> qAnnBinarySql,
+    "q_ann_binary_asym" -> qAnnBinaryAsymSql,
     "q_mmr_rerank" -> qMmrRerankSql,
     "q_matryoshka" -> qMatryoshkaSql,
     "q_ann_lsh" -> qAnnLshSql,

@@ -829,10 +829,40 @@ object SimSearch {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, d) => acc + d)
 
+  /** ASYMMETRIC binary score: the query stays FLOAT, only the corpus
+    * is 1-bit — est_cos(q, c) = dot(q, decode(code)) where decode maps
+    * bit i to ±1/sqrt(d). Computable from the code words alone:
+    * sum over dims of (bit set ? +q[i] : -q[i]) / sqrt(d) — same 8-byte
+    * corpus scan as Hamming, but the candidate ordering uses the full
+    * float precision of the query side (the FAISS asymmetric-distance
+    * idea, PQ's ADC applied to 1-bit codes). Strictly more informative
+    * than symmetric Hamming at identical storage. */
+  private[graft] def asymBinaryScore(code: Column, qv: Column,
+      dims: Int): Column = {
+    val signed = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+      (acc, i) => {
+        val word = element_at(code, (i / 32 + 1).cast("int"))
+        // functions.shiftright only takes a LITERAL shift count; the
+        // SQL builtin accepts a column, so go through call_function
+        val bit = call_function("shiftright", word,
+          (i % 32).cast("int")).bitwiseAND(lit(1L))
+        acc + when(bit === 1L, element_at(qv, (i + 1).cast("int")))
+          .otherwise(-element_at(qv, (i + 1).cast("int")))
+      })
+    signed / math.sqrt(dims.toDouble)
+  }
+
   /** Binary-quantized ANN: Hamming scan over the packed codes selects
     * `rerank` candidates per query (hamming ASC, id ASC — fully
     * deterministic), then ONLY those candidates pay an exact cosine,
     * ranked (cosine DESC, id ASC) for the top `k`.
+    *
+    * `asymmetric = true` swaps the candidate score for
+    * [[asymBinaryScore]] (float query x binary corpus, rounded@8
+    * before ranking, DESC) — same 8-byte scan and storage, better
+    * candidate ordering, so the same `rerank` budget buys more recall
+    * (the spec measures the lift). The exact rerank is identical in
+    * both modes.
     *
     * Scale shape — this face's win is COMPRESSION, not sub-linearity:
     * the candidate scan is still O(n) per query but touches
@@ -852,18 +882,34 @@ object SimSearch {
     * the same IEEE dot every ANN face ships. */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, rerank: Int = 0,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, asymmetric: Boolean = false)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val rr = if (rerank > 0) rerank else 8 * k
     require(rr >= k, s"rerank must be >= k: $rr < $k")
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
     val cCodes = binaryQuantize(corpus, idCol, vecCol)
-    val qCodes = binaryQuantize(queries, idCol, vecCol)
-      .withColumnsRenamed(Map("id" -> "query_id", "code" -> "qcode"))
-    val wH = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("id").asc)
-    val cands = cCodes.join(broadcast(qCodes),
-        if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .withColumn("hamming", hammingDist(col("code"), col("qcode")))
+    val qSide =
+      if (asymmetric)
+        queries.select(col(idCol).as("query_id"),
+          normalize(toDouble(col(vecCol))).as("__qv"))
+      else binaryQuantize(queries, idCol, vecCol)
+        .withColumnsRenamed(Map("id" -> "query_id", "code" -> "qcode"))
+    val wH =
+      if (asymmetric) Window.partitionBy(col("query_id"))
+        .orderBy(col("est").desc, col("id").asc)
+      else Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("id").asc)
+    val scored = cCodes.join(broadcast(qSide),
+      if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+    val cands = (if (asymmetric)
+        // rounded@8 before the cut: the candidate frontier is the
+        // decision that cascades (the graphBeamSearch discipline)
+        scored.withColumn("est",
+          round(asymBinaryScore(col("code"), col("__qv"), dims), 8))
+          .withColumn("hamming", lit(null).cast("int"))
+      else scored.withColumn("hamming",
+        hammingDist(col("code"), col("qcode"))))
       .withColumn("__rh", row_number().over(wH))
       .filter(col("__rh") <= rr)
       .select(col("query_id"), col("id"), col("hamming"))

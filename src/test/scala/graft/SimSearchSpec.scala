@@ -738,6 +738,19 @@ class SimSearchSpec extends SparkSpec {
     info(s"binary ANN recall@5: rerank40=$r40 rerank200=$r200")
     assert(r40 >= 0.5, s"rerank-40 recall too low: $r40")
     assert(r200 > r40, "recall must be candidate-bound (grow with rerank)")
+    // ASYMMETRIC mode: float query x same 1-bit corpus - strictly more
+    // informative candidate ordering at identical storage, so the same
+    // rerank budget must buy at least as much recall (measured lift on
+    // the isotropic fixture; equality allowed as regeneration margin)
+    val asym40 = {
+      val got = SimSearch.binaryTopK(e, q, "vec_id", "embedding", 5, 40,
+        asymmetric = true)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    info(s"binary ANN asymmetric recall@5: rerank40=$asym40 (sym=$r40)")
+    assert(asym40 >= r40,
+      s"asymmetric ordering must not lose recall: $asym40 < $r40")
     // determinism across partitioning
     val a = SimSearch.binaryTopK(e, q, "vec_id", "embedding", 5, 40)
       .as[(Long, Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._3))
