@@ -30,6 +30,55 @@ import org.apache.spark.sql.SparkSession
   *     per-query map and a parsed total.
   */
 object Bench {
+  /** Pure mover-verdict rule, extracted so BenchSpec can pin it
+    * (VERDICT r11 Next #2 — the q_kmv_distinct contested confirm).
+    *
+    * Two class-aware guards on top of the r10 drift discriminator:
+    *
+    *  - MICRO-CLASS DRIFT: ambient machine noise hits query classes
+    *    unevenly — sub-second queries are dominated by fixed job
+    *    scheduling/JIT overhead that can run 2-3x hot while the heavy
+    *    class (and a 0.75s-floor sentinel) reads quiet, which is
+    *    exactly how r11's sixth official run confirmed q_kmv_distinct
+    *    (0.253s floor, 0.526s fresh, suite_drift 1.29 "quiet"). A
+    *    micro mover (prev floor < microCut) is therefore judged
+    *    against max(drift, microDrift) where microDrift is the median
+    *    in-suite ratio of the WHOLE sub-`microCut` class — a mover
+    *    can no longer be confirmed or cleared by the class-blind
+    *    suite number alone.
+    *  - ABSOLUTE-DELTA CONFIRM FLOOR: on this VM single-run job
+    *    overhead varies by ±0.3s regardless of query cost, so a
+    *    fresh-probe delta under `absDeltaSec` is below measurement
+    *    resolution and CANNOT certify a regression at any window
+    *    quality — verdict `below_confirm_floor`, counted ambient. A
+    *    genuine sub-delta regression is not lost: monotone floors
+    *    keep flagging it every round, and the moment its absolute
+    *    cost matters it exceeds the delta floor.
+    *
+    * `fr` = fresh.min / prevFloor; `deltaSec` = fresh.min - prevFloor;
+    * `drift` = the r10 effective drift (stream-class-adjusted for
+    * streaming movers); `confirmSentinel` is evaluated ONLY on a
+    * would-be confirm (the contemporaneous class-matched sentinel —
+    * > 1.25x its floor means the moment is slow, not the query).
+    * Returns (verdict, sentinelRatioIfProbed). */
+  private[graft] def verdictOf(fr: Double, deltaSec: Double,
+      isMicro: Boolean, drift: Double, microDrift: Double,
+      windowDegraded: Boolean, absDeltaSec: Double,
+      confirmSentinel: => Option[Double]): (String, Option[Double]) = {
+    val clearBound = if (isMicro) math.max(drift, microDrift) else drift
+    if (fr <= 1.5) ("cleared_noise", None)
+    else if (fr <= 1.5 * clearBound)
+      (if (isMicro && fr > 1.5 * drift) "ambient_class_drift"
+       else "ambient_drift", None)
+    else if (deltaSec < absDeltaSec) ("below_confirm_floor", None)
+    else if (windowDegraded) ("suspect_window", None)
+    else confirmSentinel match {
+      case Some(sr) if sr > 1.25 => ("ambient_drift", Some(sr))
+      case Some(sr) => ("confirmed_regression", Some(sr))
+      case None => ("confirmed_regression", None)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,6 +90,17 @@ object Bench {
     // spikes. The driver's wall cap is ~20 min; 900s leaves headroom
     // for JVM startup + the confirm pass while restoring full reps.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    // class-guard knobs (VERDICT r11 Next #2; rationale on verdictOf):
+    // microCut separates the sub-second class (fixed-overhead-dominated)
+    // from cost-dominated queries; absDeltaSec is the confirm floor —
+    // 0.35s sits just above the ±0.3s single-run job-overhead band
+    // measured across the committed rehearsals (spreads in
+    // bench_detail.json show sub-second queries swinging that much on
+    // quiet windows).
+    val microCut =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MICRO_SEC", "1.0").toDouble
+    val absDeltaSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ABS_DELTA_SEC", "0.35").toDouble
     // r9 post-mortem (VERDICT r9 Next #1b): the driver window ran ~2x
     // slow, first-reps alone consumed the 900s budget, and 106 of 136
     // raw movers went unadjudicated — yet all still counted as
@@ -242,9 +302,13 @@ object Bench {
         }
         // extra reps stop at repCutSec (not budgetSec): a 2x-slow window
         // must still leave adjudication headroom under the wall guard.
-        // rep_cut_hit records THAT event; budget_hit keeps its original
-        // meaning (measured time passed budgetSec) so the detail field
-        // is comparable across rounds (ADVICE r10 #4)
+        // rep_cut_hit records THAT event; budget_hit means "measured
+        // time passed budgetSec". SEMANTIC BREAK (ADVICE r11 #1): in
+        // r10-era detail files budget_hit fired at 0.6x budget — the
+        // condition rep_cut_hit records today — so budget_hit is NOT
+        // comparable across the r10/r11 boundary (an r11+ file can read
+        // budget_hit=false/rep_cut_hit=true where r10 wrote
+        // budget_hit=true). Compare rep_cut_hit(r11+) to budget_hit(r10)
         val wanted = if (elapsed > repCutSec) { repCutHit = true; 0 }
           else extraReps
         if (elapsed > budgetSec) budgetHit = true
@@ -375,14 +439,32 @@ object Bench {
     // sentinel ratio (conservative: over-clearing needs BOTH sentinels
     // slow, a genuinely degraded window slows both). Movers are then
     // judged against max(suite_drift, probe_drift).
-    val sentinels: Seq[String] =
-      if (rawMoves.isEmpty) Seq.empty
-      else prevFloors.toSeq
-        .filter { case (k, f) => !rawMoves.contains(k) &&
-          SparkEntry.queries.contains(k) && !k.startsWith("q_stream_") &&
-          f >= 0.3 && f <= 3.0 }
+    // CLASS-MATCHED sentinel pair (VERDICT r11 Next #2): a 0.75s-floor
+    // sentinel DILUTES micro-class ambient — +0.27s of fixed job
+    // overhead reads 2.1x on a 0.25s query but only 1.36x on the
+    // sentinel, so r11's phantom confirm sailed past a "quiet" 1.12
+    // reading. When any raw mover is micro (prev floor < microCut) one
+    // sentinel is drawn FROM that class (closest to 0.4s) so its
+    // ratio moves like the movers it vouches for; the other stays the
+    // historical mid-range pick.
+    val sentinelPool = prevFloors.toSeq
+      .filter { case (k, f) => !rawMoves.contains(k) &&
+        SparkEntry.queries.contains(k) && !k.startsWith("q_stream_") &&
+        f >= 0.1 && f <= 3.0 }
+    val microSentinel: Option[String] =
+      if (rawMoves.isEmpty ||
+          !rawMoves.keys.exists(k => prevFloors.get(k).exists(_ < microCut)))
+        None
+      else sentinelPool.filter(_._2 < microCut)
+        .sortBy { case (k, f) => (math.abs(f - 0.4), k) }
+        .headOption.map(_._1)
+    val midSentinel: Option[String] =
+      if (rawMoves.isEmpty) None
+      else sentinelPool.filter { case (k, f) =>
+          f >= 0.3 && !microSentinel.contains(k) }
         .sortBy { case (k, f) => (math.abs(f - 0.75), k) }
-        .take(2).map(_._1)
+        .headOption.map(_._1)
+    val sentinels: Seq[String] = (midSentinel.toSeq ++ microSentinel.toSeq)
     val sentinelRatios: Seq[(String, Double)] = sentinels.flatMap { name =>
       if (elapsed > wallGuardSec) None
       else freshProbe(name, 2) match {
@@ -421,6 +503,25 @@ object Bench {
       if (rs.isEmpty) effDrift
       else math.max(effDrift, math.round(rs(rs.size / 2) * 100) / 100.0)
     }
+    // MICRO-CLASS DRIFT (VERDICT r11 Next #2; rationale on verdictOf):
+    // the median in-suite ratio of the whole sub-`microCut` class —
+    // applied in EVERY window, unlike streamDrift's degraded-only rule,
+    // because micro-class ambient (scheduler/JIT overhead) routinely
+    // runs hot on an otherwise-quiet machine (the r11 phantom ran at
+    // suite_drift 1.29 with the micro class >2.5x). A genuine
+    // code regression on one micro query still confirms: it moves
+    // ALONE, the class median stays low. A regression hitting shared
+    // per-query machinery (e.g. an extra eager job in every face)
+    // would inflate microDrift itself — that case is caught by the
+    // absolute-delta floor keeping each mover unconfirmable while the
+    // SUITE total and suite_drift expose the uniform shift.
+    val microDrift = {
+      val rs = floorsNow.flatMap { case (k, c) =>
+        prevFloors.get(k).filter(f => f > 0 && f < microCut).map(c / _)
+      }.toSeq.sorted
+      if (rs.isEmpty) effDrift
+      else math.max(effDrift, math.round(rs(rs.size / 2) * 100) / 100.0)
+    }
     var adjudications = List.empty[String]
     var ambient = Set.empty[String]
     var confirmedSet = Set.empty[String]
@@ -436,6 +537,7 @@ object Bench {
         val fresh = freshProbe(name, want)
         if (fresh.nonEmpty) {
           val fr = fresh.min / prevF
+          val isMicro = prevF < microCut
           val drift =
             if (windowDegraded && name.startsWith("q_stream_")) streamDrift
             else effDrift
@@ -443,36 +545,41 @@ object Bench {
           // untouched query confirmed at 2.0x whose quiet re-probe
           // measured 1.24x — the phase-START sentinels were minutes
           // stale by then). A tentative confirm triggers one sentinel
-          // re-probe RIGHT NOW; if the sentinel itself reads drifted
-          // (> 1.25x its floor), the moment is slow, not the query.
-          // Cost is paid only on would-be confirms (rare).
-          lazy val confirmSentinelRatio: Option[Double] =
-            sentinels.headOption.flatMap { sn =>
+          // re-probe RIGHT NOW — CLASS-MATCHED (r11 Next #2): a micro
+          // mover is vouched for by the micro sentinel, whose ratio
+          // moves with the same fixed-overhead ambient; if the
+          // sentinel itself reads drifted (> 1.25x its floor), the
+          // moment is slow, not the query. Cost is paid only on
+          // would-be confirms (rare).
+          lazy val confirmSentinelRatio: Option[Double] = {
+            val pick = (if (isMicro) microSentinel else midSentinel)
+              .orElse(sentinels.headOption)
+            pick.flatMap { sn =>
               freshProbe(sn, 2) match {
                 case f if f.nonEmpty =>
                   Some(math.round(f.min / prevFloors(sn) * 100) / 100.0)
                 case _ => None
               }
             }
-          var sentinelNote = ""
-          val verdict =
-            if (fr <= 1.5) "cleared_noise"
-            else if (fr <= 1.5 * drift) { ambient += name; "ambient_drift" }
-            // a mover that beats every drift adjustment in a DEGRADED
-            // window is still not certifiable — the discriminator has
-            // already declared it cannot tell environment from code
-            // here. Reported on its own field; a real regression
-            // re-confirms in the next clean window (monotone floors
-            // guarantee the comparison survives).
-            else if (windowDegraded) { suspectSet += name; "suspect_window" }
-            else confirmSentinelRatio match {
-              case Some(sr) =>
-                sentinelNote = s""","confirm_sentinel":$sr"""
-                if (sr > 1.25) { ambient += name; "ambient_drift" }
-                else { confirmedSet += name; "confirmed_regression" }
-              case None =>
-                confirmedSet += name; "confirmed_regression"
-            }
+          }
+          // suspect_window: a mover that beats every drift adjustment
+          // in a DEGRADED window is still not certifiable — the
+          // discriminator has already declared it cannot tell
+          // environment from code here. Reported on its own field; a
+          // real regression re-confirms in the next clean window
+          // (monotone floors guarantee the comparison survives).
+          val (verdict, srOpt) = verdictOf(fr, fresh.min - prevF, isMicro,
+            drift, microDrift, windowDegraded, absDeltaSec,
+            confirmSentinelRatio)
+          verdict match {
+            case "ambient_drift" | "ambient_class_drift" |
+                 "below_confirm_floor" => ambient += name
+            case "suspect_window" => suspectSet += name
+            case "confirmed_regression" => confirmedSet += name
+            case _ => ()
+          }
+          val sentinelNote = srOpt
+            .map(sr => s""","confirm_sentinel":$sr""").getOrElse("")
           adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
             s""""in_suite_ratio":$ratio,"fresh_reps":[${fresh.map(r3)
               .mkString(",")}],"fresh_min":${r3(fresh.min)},""" +
@@ -585,9 +692,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
-      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"stream_drift":$streamDrift,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -708,6 +708,125 @@ object Queries {
       |       strftime(l_shipdate, '%Y-%m-%d') AS ship
       |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin
 
+  /** S3 oracle face (VERDICT r11 Next #4): mission detection over the
+    * seeded 200-row defect sample (io.SampleData — the reference's demo
+    * dataset, app.py:27-41), closing the last spec-only §2 row. The
+    * sample is generated, not read from the fixture dir, so the oracle
+    * is the VERIFIED golden defect structure as literals (the same
+    * numbers ProfilerSpec pins against the reference's own behavior —
+    * see the FIXTURES.md §A erratum): only 5000 exceeds 3 sigma on
+    * price (the 5000 itself inflates sigma to ~355, so 999 lands at
+    * z~2.6), only "2024/13/01" fails the lenient parse ("01-02-2024"
+    * is valid d-M-y), rows 10-11 duplicate row 9, and the seeded
+    * category stream nulls exactly 8 cells (seed 123, p=0.05 — the
+    * row-9 overwrite copies a non-null category, so injection does not
+    * change the count). */
+  private def qSampleDefects(s: SparkSession, dir: String): DataFrame = {
+    val ms = Profiler.detectMissions(graft.io.SampleData.load(s))
+    val rows = ms.map {
+      case Mission.Outlier(c, n)   => ("outlier", c, n)
+      case Mission.Nulls(c, n)     => ("null", c, n)
+      case Mission.Duplicates(n)   => ("duplicate", null: String, n)
+      case Mission.DateMixed(c, n) => ("date_mixed", c, n)
+    }
+    s.createDataFrame(rows).toDF("mission_type", "column_name", "cnt")
+  }
+  private val qSampleDefectsSql =
+    """SELECT * FROM (VALUES
+      |  ('outlier', 'price', CAST(1 AS BIGINT)),
+      |  ('null', 'category', CAST(8 AS BIGINT)),
+      |  ('duplicate', CAST(NULL AS VARCHAR), CAST(2 AS BIGINT)),
+      |  ('date_mixed', 'date', CAST(1 AS BIGINT)))
+      |  t(mission_type, column_name, cnt)""".stripMargin
+
+  /** K2 oracle face (VERDICT r11 Next #4): the HTML report renderer
+    * gated cross-engine instead of spec-only. A deterministic
+    * before/after pair (nation ordered by key; "after" drops region 2)
+    * goes through the REAL io.HtmlReport.render (fixed epoch
+    * timestamp), and the face explodes the rendered document's insight
+    * lines, mission-log lines, and both sample tables' header+cell
+    * fragments into (section, idx, frag) rows — the oracle rebuilds
+    * the exact same strings in SQL (same `||` concatenation, same
+    * 3-entity escape chain on the one free-text column, same
+    * row-major cell order), so templating, escaping, truncation at 10
+    * rows, and the insight arithmetic are all extent-checked. Driver
+    * work is bounded: render collects 2 x limit(10) rows; the counts
+    * feeding the insight lines are 3 scalar aggregates. */
+  private def qHtmlReport(s: SparkSession, dir: String): DataFrame = {
+    val nation = Sources.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+    val after = nation.filter(col("n_regionkey") =!= 2)
+    val rowsBefore = nation.count()
+    val rowsAfter = after.count()
+    val nullsAfter = after.select(
+      sum(when(col("n_nationkey").isNull, 1L).otherwise(0L) +
+        when(col("n_name").isNull, 1L).otherwise(0L) +
+        when(col("n_regionkey").isNull, 1L).otherwise(0L)))
+      .head().getLong(0)
+    val insights = graft.model.Insights(rowsBefore, rowsAfter,
+      Seq("n_nationkey", "n_name", "n_regionkey"), nullsAfter).lines
+    val missions = Seq("Drop rows where n_regionkey = 2")
+    val html = graft.io.HtmlReport.render(nation, after, missions,
+      insights, java.time.Instant.EPOCH)
+    def frags(section: String, part: String): Seq[(String, Int, String)] =
+      "<(?:li|th|td)>[^<]*</(?:li|th|td)>".r.findAllIn(part)
+        .toSeq.zipWithIndex
+        .map { case (f, i) => (section, i + 1, f) }
+    val summaryPart = html.substring(html.indexOf("<h2>Summary</h2>"),
+      html.indexOf("<h2>Missions applied</h2>"))
+    val missionsPart = html.substring(
+      html.indexOf("<h2>Missions applied</h2>"),
+      html.indexOf("<h2>Before (sample)</h2>"))
+    val beforePart = html.substring(html.indexOf("<h2>Before (sample)</h2>"),
+      html.indexOf("<h2>After (sample)</h2>"))
+    val afterPart = html.substring(html.indexOf("<h2>After (sample)</h2>"))
+    val rows = frags("insight", summaryPart) ++
+      frags("mission", missionsPart) ++
+      frags("before", beforePart) ++ frags("after", afterPart)
+    s.createDataFrame(rows).toDF("section", "idx", "frag")
+  }
+  private val qHtmlReportSql = {
+    // the render path escapes every cell; numbers can't contain &<>,
+    // so only the free-text name column carries the 3-entity chain
+    def esc(c: String) =
+      s"replace(replace(replace($c, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    def tableCells(cte: String, section: String) =
+      s"""SELECT '$section' section, CAST(3 + (rn - 1) * 3 + c AS INT) idx, frag
+         |FROM (
+         |  SELECT rn, 1 c, '<td>' || n_nationkey || '</td>' frag FROM $cte
+         |  UNION ALL SELECT rn, 2, '<td>' || ${esc("n_name")} || '</td>' FROM $cte
+         |  UNION ALL SELECT rn, 3, '<td>' || n_regionkey || '</td>' FROM $cte)""".stripMargin
+    def headers(section: String) =
+      s"""SELECT '$section', c, '<th>' || nm || '</th>' FROM (VALUES
+         |  (1, 'n_nationkey'), (2, 'n_name'), (3, 'n_regionkey')) h(c, nm)""".stripMargin
+    s"""WITH b AS (SELECT n_nationkey, n_name, n_regionkey,
+       |    CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) rn
+       |  FROM nation ORDER BY n_nationkey LIMIT 10),
+       |a AS (SELECT n_nationkey, n_name, n_regionkey,
+       |    CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) rn
+       |  FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey LIMIT 10),
+       |n AS (SELECT count(*) nb FROM nation),
+       |m AS (SELECT count(*) na,
+       |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) z
+       |  FROM nation WHERE n_regionkey <> 2)
+       |SELECT 'insight' section, 1 idx,
+       |  '<li>Rows before: ' || (SELECT nb FROM n) || ', rows after: '
+       |    || (SELECT na FROM m) || '</li>' frag
+       |UNION ALL SELECT 'insight', 2,
+       |  '<li>Columns: n_nationkey, n_name, n_regionkey</li>'
+       |UNION ALL SELECT 'insight', 3,
+       |  '<li>Total nulls after: ' || (SELECT z FROM m) || '</li>'
+       |UNION ALL SELECT 'mission', 1,
+       |  '<li>Drop rows where n_regionkey = 2</li>'
+       |UNION ALL ${headers("before")}
+       |UNION ALL ${headers("after")}
+       |UNION ALL ${tableCells("b", "before")}
+       |UNION ALL ${tableCells("a", "after")}""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -936,6 +1055,8 @@ object Queries {
     "q_quality_score" -> (qQualityScore _),
     "q_insights" -> (qInsights _),
     "q_head" -> (qHead _),
+    "q_sample_defects" -> (qSampleDefects _),
+    "q_html_report" -> (qHtmlReport _),
     "q_xlsx_roundtrip" -> (qXlsxRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -974,6 +1095,8 @@ object Queries {
     "q_quality_score" -> qQualityScoreSql,
     "q_insights" -> qInsightsSql,
     "q_head" -> qHeadSql,
+    "q_sample_defects" -> qSampleDefectsSql,
+    "q_html_report" -> qHtmlReportSql,
     "q_xlsx_roundtrip" -> qXlsxRoundtripSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,

@@ -1974,6 +1974,96 @@ object QueriesExt {
        |  ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin
   }
 
+  /** Graph ANN with ADAPTIVE STOP — the production default's
+    * termination rule (SimSearch.graphBeamSearch adaptiveStop=true;
+    * VERDICT r11 Next #5), cross-engine gated instead of spec-only:
+    * the walk stops at the first hop whose fresh candidates improve NO
+    * query's top-k (some query holding < k answers, or a fresh cosine
+    * STRICTLY beating that query's kth-best — the HNSW termination
+    * heuristic), with a generous hop cap of 5 so the stop predicate
+    * genuinely engages at every fixture scale. The oracle unrolls the
+    * same fixed hop layers as q_ann_graph, then mirrors the stop
+    * predicate per hop: kh$h = each query's kth-best over the PRIOR
+    * visited set, imp$h = EXISTS a fresh scored candidate beating it
+    * (the NOT-EXISTS improvement check), stop = the first
+    * non-improving hop, answer = top-5 of the visited set AT the stop
+    * hop (the last, non-improving hop's candidates are already merged
+    * — they can swap equal-cosine membership on the id tie-break,
+    * exactly like the Scala loop that unions fresh before testing). */
+  private def qAnnGraphAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.graphBeamSearch(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, beam = 8, hops = 5,
+      kNbrs = 5, nlist = 16, rounds = kmRounds, meanRound = 6,
+      maxCluster = 1000, adaptiveStop = true)
+  }
+  private val qAnnGraphAdaptiveSql: String = {
+    val H = 5
+    val hopLayers = (1 to H).map { h =>
+      s"""nx$h AS MATERIALIZED (SELECT DISTINCT b.query_id, ed.nbr cand_id
+         |  FROM b${h - 1} b JOIN ed ON ed.src = b.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} t
+         |      WHERE t.query_id = b.query_id AND t.cand_id = ed.nbr)),
+         |sc$h AS MATERIALIZED (SELECT n.query_id, n.cand_id,
+         |    round(list_dot_product(q.qv, cv.e), 8) cos
+         |  FROM nx$h n JOIN qq q ON q.query_id = n.query_id
+         |  JOIN v cv ON cv.id = n.cand_id),
+         |kh$h AS (SELECT query_id, min(cos) kth, count(*) cnt FROM (
+         |    SELECT query_id, cand_id, cos, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) rn
+         |    FROM vis${h - 1} WHERE cand_id <> query_id)
+         |  WHERE rn <= 5 GROUP BY 1),
+         |imp$h AS MATERIALIZED (SELECT EXISTS (
+         |    SELECT 1 FROM sc$h f LEFT JOIN kh$h k USING (query_id)
+         |    WHERE k.kth IS NULL OR k.cnt < 5 OR f.cos > k.kth) improved),
+         |vis$h AS MATERIALIZED (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h),
+         |ex$h AS MATERIALIZED (SELECT query_id, cand_id FROM ex${h - 1}
+         |  UNION ALL SELECT query_id, cand_id FROM b${h - 1}),
+         |b$h AS MATERIALIZED (SELECT query_id, cand_id FROM (SELECT w.*, row_number() OVER (
+         |    PARTITION BY w.query_id ORDER BY w.cos DESC, w.cand_id ASC) rn
+         |  FROM vis$h w WHERE NOT EXISTS (SELECT 1 FROM ex$h x
+         |    WHERE x.query_id = w.query_id AND x.cand_id = w.cand_id))
+         |  WHERE rn <= 8)""".stripMargin
+    }.mkString(",\n")
+    val stopCases = (1 until H).map { h =>
+      s"WHEN NOT (SELECT improved FROM imp$h) THEN $h" }.mkString(" ")
+    val allVis = (1 to H).map { h =>
+      s"SELECT $h h, query_id, cand_id, cos FROM vis$h" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${kmeansCtesSql(kmRounds)},
+       |sz AS (SELECT list_id, count(*) cs FROM asg$kmRounds GROUP BY 1),
+       |cp AS (SELECT a.id, a.e, a.list_id FROM asg$kmRounds a
+       |  JOIN sz USING (list_id) WHERE cs <= 1000),
+       |pr AS (SELECT a.id ia, b.id ib, list_dot_product(a.e, b.e) cosine
+       |  FROM cp a JOIN cp b ON a.list_id = b.list_id AND a.id <> b.id),
+       |rk AS (SELECT ia, ib,
+       |    row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib ASC) rank
+       |  FROM pr),
+       |ed AS MATERIALIZED (SELECT DISTINCT src, nbr FROM (
+       |  SELECT ia src, ib nbr FROM rk WHERE rank <= 5
+       |  UNION ALL SELECT ib src, ia nbr FROM rk WHERE rank <= 5)),
+       |qq AS MATERIALIZED (SELECT id query_id, e qv FROM v WHERE id < 10),
+       |ep AS MATERIALIZED (SELECT min(id) cand_id FROM cp GROUP BY list_id),
+       |vis0 AS MATERIALIZED (SELECT q.query_id, p.cand_id,
+       |    round(list_dot_product(q.qv, cv.e), 8) cos
+       |  FROM qq q CROSS JOIN ep p JOIN v cv ON cv.id = p.cand_id),
+       |ex0 AS (SELECT query_id, cand_id FROM vis0 WHERE 1 = 0),
+       |b0 AS MATERIALIZED (SELECT query_id, cand_id FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) rn FROM vis0)
+       |  WHERE rn <= 8),
+       |$hopLayers,
+       |stop AS (SELECT CASE $stopCases ELSE $H END sh),
+       |allv AS (SELECT * FROM (
+       |  $allVis))
+       |SELECT query_id, cand_id neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, cand_id ASC) AS INT) rank,
+       |  round(cos, 6) cosine_r
+       |FROM allv WHERE h = (SELECT sh FROM stop) AND cand_id <> query_id
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin
+  }
+
   /** Embedding drift across label slices (SimSearch.embeddingDrift):
     * per-group centroid dispersion (mean resultant length) + cosine to
     * the global centroid — the encoder/crawl drift monitor. Per-dim
@@ -4668,9 +4758,35 @@ object QueriesExt {
     * normalizer strips `<>`), position-explodes with
     * generate_subscripts/unnest, left-joins ids with COALESCE 1, and
     * re-includes token-less documents as empty arrays. */
+  /** Driver-memoized tokenizer vocabulary for the encode/pack family
+    * (VERDICT r11 Next #6): q_encode / q_pack_ids / q_pack_efficiency /
+    * q_oov_rate all train the IDENTICAL maxSize=500/minCount=2 vocab on
+    * the same corpus, so the suite paid the explode + groupBy(token)
+    * vocab shuffle four times over. A production pipeline trains the
+    * tokenizer once and ships the artifact; this memo is that artifact:
+    * <= maxSize+4 rows collected once per fixture dir (bounded driver
+    * state, capped by maxSize — the same bounded-collect regime as
+    * centroids and PQ codebooks) and re-entered as a local DataFrame
+    * that broadcast-joins exactly like the live frame. Results are
+    * bit-identical (buildVocab is fully deterministic: (n DESC, token
+    * ASC) is a total order); q_vocab itself still trains live so the
+    * build cost stays measured and oracle-gated. */
+  private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]()
+  private def sharedVocab(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = vocabMemo.computeIfAbsent(dir, _ => {
+      val v = TextStats.buildVocab(docs(s, dir), "text",
+        maxSize = 500, minCount = 2)
+      (v.collect(), v.schema)
+    })
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      schema)
+  }
+
   private def qEncode(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    val vocab = sharedVocab(s, dir)
     TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
       .select(col("id").as("doc_id"),
         size(col("token_ids")).as("n_tokens"),
@@ -4712,7 +4828,7 @@ object QueriesExt {
     * and the short tail sequences are all extent-checked. */
   private def qPackIds(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    val vocab = sharedVocab(s, dir)
     val enc = TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
     ext.Packing.packTokenIds(enc, "id", "token_ids",
       contextLen = 256, buckets = 4)
@@ -4744,7 +4860,7 @@ object QueriesExt {
     * the materialized packTokenIds output exactly. */
   private def qPackEfficiency(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    val vocab = sharedVocab(s, dir)
     val enc = TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
     ext.Packing.packingEfficiency(enc, "id", "token_ids",
       contextLen = 256, buckets = 4)
@@ -7213,7 +7329,7 @@ object QueriesExt {
     * agg. */
   private def qOovRate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val vocab = TextStats.buildVocab(d, "text", maxSize = 500, minCount = 2)
+    val vocab = sharedVocab(s, dir)
     TextStats.encodeWithVocab(d, "doc_id", "text", vocab)
       .join(d.select(col("doc_id").as("id"), col("source")), "id")
       .groupBy("source")
@@ -7900,6 +8016,7 @@ object QueriesExt {
     "q_cluster_sample" -> (qClusterSample _),
     "q_knn_graph" -> (qKnnGraph _),
     "q_ann_graph" -> (qAnnGraph _),
+    "q_ann_graph_adaptive" -> (qAnnGraphAdaptive _),
     "q_kcenter" -> (qKcenter _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
@@ -8126,6 +8243,7 @@ object QueriesExt {
     "q_cluster_sample" -> qClusterSampleSql,
     "q_knn_graph" -> qKnnGraphSql,
     "q_ann_graph" -> qAnnGraphSql,
+    "q_ann_graph_adaptive" -> qAnnGraphAdaptiveSql,
     "q_kcenter" -> qKcenterSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,

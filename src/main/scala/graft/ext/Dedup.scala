@@ -1173,7 +1173,9 @@ object Dedup {
     val v = emb.select(col(idCol).as("id"),
       SimSearch.normalize(SimSearch.toDouble(col(vecCol))).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = v.count()
+    // count ONLY when auto-sizing is requested (ADVICE r11 #2):
+    // explicit nlist + maxCluster must not pay an eager full-count job
+    val n = if (nlist > 0 && maxCluster > 0) -1L else v.count()
     val nl = if (nlist > 0) nlist else SimSearch.autoNlist(n)
     val mc = if (maxCluster > 0) maxCluster
       else SimSearch.autoMaxCluster(n, nl)

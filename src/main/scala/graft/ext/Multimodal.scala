@@ -430,6 +430,35 @@ object Multimodal {
   private[graft] def patternFrameCount(id: Long): Int =
     java.lang.Math.floorMod(id, 12L).toInt + 2
 
+  /** javax.imageio's DEFAULT stream cache backs every
+    * ImageInputStream/ImageOutputStream with a TEMP FILE
+    * (FileCacheImageInput/OutputStream) — pure disk overhead when, as
+    * everywhere in this module, the source and sink are in-memory byte
+    * arrays (memory caching buffers only what the reader actually
+    * touches of an already-resident array). Measured on this host
+    * (tools/ImageIoCacheProbe): decode 1.8x faster, encode 1.4x faster
+    * with the cache off — and on hosts with slow tmp volumes the gap
+    * is what confirmed the r12 opening bench's three imageio movers
+    * (q_image_decode/q_image_resize/q_jpeg_decode, 2-6x over floor on
+    * unchanged code, quiet sentinels). Flipped at the TOP OF EVERY
+    * CODEC UDF, not in a static initializer: UDF bodies execute on
+    * executors, where this object's construction-time side effects
+    * may never run. Idempotent, JVM-global, thread-safe (a lone
+    * volatile-free boolean write of a constant value). */
+  @inline private[graft] def imageIoMemoryOnly(): Unit =
+    if (javax.imageio.ImageIO.getUseCache)
+      javax.imageio.ImageIO.setUseCache(false)
+
+  /** Shared in-memory decode: cache flip + ImageIO.read over the byte
+    * array; NonFatal only — an OOM/interrupt inside a task must surface
+    * as a task failure, not masquerade as decode_ok=false. */
+  private[graft] def decodeImage(bytes: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    imageIoMemoryOnly()
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Fixture writer: REAL animated-GIF bytes per id — every frame
     * rendered as TYPE_BYTE_GRAY and appended with the JDK GIF writer's
     * `writeToSequence` (a true multi-image GIF stream; readers report
@@ -437,6 +466,7 @@ object Multimodal {
     * shuffle. */
   def synthesizeGif(ids: DataFrame, idCol: String): DataFrame = {
     val enc = udf((id: Long) => {
+      imageIoMemoryOnly()
       val w = java.lang.Math.floorMod(id, 48L).toInt + 8
       val h = java.lang.Math.floorMod(id, 32L).toInt + 8
       val nf = patternFrameCount(id)
@@ -500,6 +530,7 @@ object Multimodal {
         try {
           if (bytes == null) null
           else {
+            imageIoMemoryOnly()
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
             try {
@@ -577,9 +608,7 @@ object Multimodal {
     val rz = udf((bytes: Array[Byte]) => {
       if (bytes == null) None
       else {
-        val src =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case scala.util.control.NonFatal(_) => null }
+        val src = decodeImage(bytes)
         if (src == null) None
         else {
           val sw = src.getWidth
@@ -687,6 +716,7 @@ object Multimodal {
   def synthesizeImages(ids: DataFrame, idCol: String,
       grayShift: Int = 0): DataFrame = {
     val enc = udf((id: Long) => {
+      imageIoMemoryOnly()
       // floorMod: a negative id must still yield positive dimensions —
       // Scala % is signed and a w <= 0 would throw inside the task
       val w = java.lang.Math.floorMod(id, 48L).toInt + 8
@@ -722,6 +752,7 @@ object Multimodal {
   def synthesizeJpegs(ids: DataFrame, idCol: String,
       quality: Float = 0.85f): DataFrame = {
     val enc = udf((id: Long) => {
+      imageIoMemoryOnly()
       val w = java.lang.Math.floorMod(id, 48L).toInt + 8
       val h = java.lang.Math.floorMod(id, 32L).toInt + 8
       val img = new java.awt.image.BufferedImage(
@@ -819,11 +850,7 @@ object Multimodal {
     val dec = udf((bytes: Array[Byte]) => {
       if (bytes == null) None
       else {
-        val img =
-          // NonFatal only: an OOM/interrupt inside a task must surface as
-          // a task failure, not masquerade as decode_ok=false
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case scala.util.control.NonFatal(_) => null }
+        val img = decodeImage(bytes)
         if (img == null) None
         else {
           val w = img.getWidth
@@ -892,9 +919,7 @@ object Multimodal {
     val hsh = udf((bytes: Array[Byte]) => {
       if (bytes == null) None
       else {
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case scala.util.control.NonFatal(_) => null }
+        val img = decodeImage(bytes)
         if (img == null) None
         else {
           val w = img.getWidth

@@ -165,9 +165,10 @@ object SimSearch {
       lloydRounds: Int = 0, meanRound: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
-    // one cheap count drives BOTH auto-nlist and the training-sample
-    // cut (count() over the narrow projection prunes to a scan count)
-    val n = c.count()
+    // count ONLY when auto-sizing needs it (ADVICE r11 #2: an explicit
+    // nlist must not pay an eager full-count job); the training-sample
+    // cut inside trainedCentroids probes with a bounded limit instead
+    val n = if (nlist > 0) -1L else c.count()
     val nl = if (nlist > 0) nlist else autoNlist(n)
     val cents = trainedCentroids(c, nl, lloydRounds, meanRound, n)
     val assigned = assignLists(c, cents, 1)
@@ -297,18 +298,21 @@ object SimSearch {
     * O(n·k). Below the cap the corpus frame is passed through UNTOUCHED
     * (not re-limited), so small-corpus results are bit-identical to the
     * pre-sampling rounds and the fixture oracles need no mirror change.
-    * `n < 0` means "not yet counted" — the count job is skipped when
-    * the caller already has it. */
+    * `n < 0` means "not yet counted": the cap check then probes with a
+    * bounded `limit(cap+1).count()` — a CollectLimit that stops scanning
+    * once cap+1 rows are seen — instead of a full corpus count, so
+    * explicit-parameter callers never pay an O(n) job just to learn
+    * whether sampling would bind (ADVICE r11 #2). */
   private[graft] def trainedCentroids(c: DataFrame, k: Int, rounds: Int,
       meanRound: Int, n: Long = -1L,
       trainPerCentroid: Int = TrainPointsPerCentroid): DataFrame = {
-    val nn = if (n >= 0L) n else c.count()
+    val cap = trainPerCentroid.toLong * k
+    val capI = math.min(cap, Int.MaxValue.toLong - 1).toInt
+    val nn = if (n >= 0L) n else c.limit(capI + 1).count()
     val cents0 = c.orderBy(col("id").asc).limit(k)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    val cap = trainPerCentroid.toLong * k
     val train =
-      if (nn > cap) c.orderBy(col("id").asc)
-        .limit(math.min(cap, Int.MaxValue.toLong).toInt)
+      if (nn > cap) c.orderBy(col("id").asc).limit(capI)
       else c
     lloydRefine(train, cents0, rounds, meanRound)
   }
@@ -402,7 +406,9 @@ object SimSearch {
       maxCluster: Int): DataFrame = {
     val c = emb.select(col(idCol).as("id"),
       normalize(toDouble(col(vecCol))).as("v"))
-    val n = c.count()
+    // count ONLY when auto-sizing is requested (ADVICE r11 #2):
+    // explicit k + maxCluster must not pay an eager full-count job
+    val n = if (k > 0 && maxCluster > 0) -1L else c.count()
     val nl = if (k > 0) k else autoNlist(n)
     val mc = if (maxCluster > 0) maxCluster else autoMaxCluster(n, nl)
     val cents = trainedCentroids(c, nl, rounds, meanRound, n)
@@ -811,8 +817,23 @@ object SimSearch {
     * Sign convention: `>= 0` sets the bit (zero is a sign boundary —
     * any convention works as long as both engines share it). */
   def binaryQuantize(emb: DataFrame, idCol: String, vecCol: String)
-      : DataFrame = {
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+      : DataFrame =
+    binaryQuantizeWithDims(emb, idCol, vecCol,
+      vecDims(emb, vecCol, "binaryQuantize corpus"))
+
+  /** One-row dims probe with the require(...) discipline of the other
+    * ANN entry points (ADVICE r11 #4): an empty frame fails with a
+    * named message instead of head()'s NoSuchElementException, and
+    * callers that need several quantize passes probe ONCE. */
+  private[graft] def vecDims(df: DataFrame, vecCol: String,
+      what: String): Int = {
+    val probe = df.select(size(toDouble(col(vecCol)))).head(1)
+    require(probe.nonEmpty, s"$what is empty: cannot derive dims")
+    probe(0).getInt(0)
+  }
+
+  private[graft] def binaryQuantizeWithDims(emb: DataFrame, idCol: String,
+      vecCol: String, dims: Int): DataFrame = {
     val v = normalize(toDouble(col(vecCol)))
     val words = (dims + 31) / 32
     val code = array((0 until words).map { w =>
@@ -887,13 +908,21 @@ object SimSearch {
     require(k >= 1, s"k must be >= 1: $k")
     val rr = if (rerank > 0) rerank else 8 * k
     require(rr >= k, s"rerank must be >= k: $rr < $k")
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
-    val cCodes = binaryQuantize(corpus, idCol, vecCol)
+    // ONE dims probe per side, with non-empty + matching-dims requires
+    // (ADVICE r11 #4): previously corpus dims were probed here AND
+    // inside each quantize call (2-3 eager jobs), an empty corpus threw
+    // a bare NoSuchElementException, and a shorter asymmetric query
+    // vector would have silently read nulls via element_at.
+    val dims = vecDims(corpus, vecCol, "binaryTopK corpus")
+    val qDims = vecDims(queries, vecCol, "binaryTopK queries")
+    require(qDims == dims,
+      s"query dims $qDims != corpus dims $dims")
+    val cCodes = binaryQuantizeWithDims(corpus, idCol, vecCol, dims)
     val qSide =
       if (asymmetric)
         queries.select(col(idCol).as("query_id"),
           normalize(toDouble(col(vecCol))).as("__qv"))
-      else binaryQuantize(queries, idCol, vecCol)
+      else binaryQuantizeWithDims(queries, idCol, vecCol, dims)
         .withColumnsRenamed(Map("id" -> "query_id", "code" -> "qcode"))
     val wH =
       if (asymmetric) Window.partitionBy(col("query_id"))

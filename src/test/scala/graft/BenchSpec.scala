@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the pure mover-verdict rule (Bench.verdictOf) — in particular
+  * the micro-query class guard and absolute-delta confirm floor added
+  * for VERDICT r11 Next #2, using the committed r11 incident numbers
+  * as the regression fixture. No SparkSession needed: the rule is a
+  * pure function of the measured ratios.
+  */
+class BenchSpec extends AnyFunSuite {
+  private def verdict(fr: Double, delta: Double, isMicro: Boolean,
+      drift: Double = 1.0, microDrift: Double = 1.0,
+      degraded: Boolean = false, absDelta: Double = 0.35,
+      sentinel: => Option[Double] = None): String =
+    Bench.verdictOf(fr, delta, isMicro, drift, microDrift, degraded,
+      absDelta, sentinel)._1
+
+  test("r11 q_kmv_distinct incident: 0.253 -> 0.526 with a quiet " +
+      "class-blind drift can no longer confirm (delta 0.273 < 0.35)") {
+    // sixth official r11 run: fresh_min 0.526, floor 0.253, suite_drift
+    // 1.29 read quiet, contemporaneous mid sentinel 1.12 — CONFIRMED
+    // under the r11 rule, falsified by a zero-diff argument. Under the
+    // r12 rule the absolute delta is below measurement resolution.
+    val v = verdict(fr = 0.526 / 0.253, delta = 0.526 - 0.253,
+      isMicro = true, drift = 1.29, microDrift = 1.29,
+      sentinel = Some(1.12))
+    assert(v == "below_confirm_floor")
+  }
+
+  test("micro mover inside the micro-class median clears as " +
+      "ambient_class_drift even when the suite number is quiet") {
+    // micro class running 2.5x hot while suite drift reads 1.1: a
+    // 2.9x micro mover is within 1.5 * 2.5 — class ambient, and the
+    // verdict string says WHICH evidence cleared it
+    val v = verdict(fr = 2.9, delta = 0.5, isMicro = true,
+      drift = 1.1, microDrift = 2.5)
+    assert(v == "ambient_class_drift")
+  }
+
+  test("non-micro movers are NOT cleared by micro-class drift") {
+    // a heavy query 2.9x over floor with quiet suite drift must not
+    // hide behind a hot micro class
+    val v = verdict(fr = 2.9, delta = 6.0, isMicro = false,
+      drift = 1.1, microDrift = 2.5)
+    assert(v == "confirmed_regression")
+  }
+
+  test("a genuine micro regression that moves ALONE (class median " +
+      "quiet) with a real absolute delta still confirms") {
+    // e.g. 0.6s floor -> 1.4s fresh: delta 0.8 > 0.35, class quiet,
+    // quiet contemporaneous sentinel -> confirmed
+    val v = verdict(fr = 1.4 / 0.6, delta = 0.8, isMicro = true,
+      drift = 1.05, microDrift = 1.1, sentinel = Some(1.05))
+    assert(v == "confirmed_regression")
+  }
+
+  test("a hot contemporaneous sentinel downgrades a would-be confirm " +
+      "to ambient (r10 rule preserved)") {
+    val v = verdict(fr = 2.4, delta = 0.8, isMicro = true,
+      drift = 1.05, microDrift = 1.1, sentinel = Some(1.4))
+    assert(v == "ambient_drift")
+  }
+
+  test("degraded window still downgrades beyond-drift movers with a " +
+      "real delta to suspect_window (r10 rule preserved)") {
+    val v = verdict(fr = 2.4, delta = 3.0, isMicro = false,
+      drift = 1.35, microDrift = 1.35, degraded = true)
+    assert(v == "suspect_window")
+  }
+
+  test("sub-delta movers are unconfirmable at ANY window quality — " +
+      "below_confirm_floor outranks suspect_window") {
+    val v = verdict(fr = 2.2, delta = 0.2, isMicro = true,
+      drift = 1.35, microDrift = 1.35, degraded = true)
+    assert(v == "below_confirm_floor")
+  }
+
+  test("the confirm sentinel is never probed on cleared/ambient paths " +
+      "(lazy by-name argument)") {
+    var probed = false
+    Bench.verdictOf(1.2, 0.05, isMicro = true, drift = 1.0,
+      microDrift = 1.0, windowDegraded = false, absDeltaSec = 0.35,
+      { probed = true; Some(1.0) })
+    assert(!probed, "cleared_noise must not pay a sentinel probe")
+    Bench.verdictOf(2.0, 0.1, isMicro = true, drift = 1.0,
+      microDrift = 1.5, windowDegraded = false, absDeltaSec = 0.35,
+      { probed = true; Some(1.0) })
+    assert(!probed, "class-ambient must not pay a sentinel probe")
+  }
+
+  test("ratio at/below 1.5 is cleared_noise regardless of class") {
+    assert(verdict(1.5, 10.0, isMicro = false) == "cleared_noise")
+    assert(verdict(1.49, 0.1, isMicro = true) == "cleared_noise")
+  }
+}

@@ -152,19 +152,19 @@ class ModelSeamSpec extends SparkSpec {
     val streamedSide = plan.substring(joinIdx, bcIdx)
     assert(!streamedSide.contains("Exchange hashpartitioning"),
       s"document text shuffled BEFORE the hit join:\n$plan")
-    // the whole plan carries exactly 4 hash exchanges, each accounted:
-    //  1. the profile-side distinct (vocab-bounded rows, ~50k here)
-    //  2. the (id, lang) hit-count aggregation ((id, word) rows only)
-    //  3. the per-doc top-1 verdict window (one row per scored doc)
-    //  4. the final enrich join-back, where the corpus co-partitions
-    //     with its verdict table — the ONE place text moves, inherent
-    //     to attaching a computed column to an unbucketed corpus (a
-    //     doc_id-bucketed layout eliminates it; scaladoc documents the
-    //     trade). A 5th exchange would mean the scoring path regressed.
+    // the accounted exchange inventory is 4 (profile distinct, hit-count
+    // agg, top-1 verdict window, enrich join-back — the ONE place text
+    // moves, inherent to attaching a computed column to an unbucketed
+    // corpus; a doc_id-bucketed layout eliminates it, scaladoc documents
+    // the trade). Asserted as an UPPER bound, not equality (ADVICE r11
+    // #3): the load-bearing claims are the doc side reaching the hit
+    // join exchange-free (asserted above) and the scoring path not
+    // GROWING extra shuffles; an exact count is brittle to Spark
+    // upgrades/AQE re-planning that merely re-renders the same plan.
     val shuffles = "Exchange (hash|range)partitioning".r
       .findAllIn(plan).size
-    assert(shuffles == 4, s"expected exactly 4 accounted exchanges, " +
-      s"got $shuffles:\n$plan")
+    assert(shuffles <= 4, s"scoring path grew extra exchanges: " +
+      s"got $shuffles (accounted inventory is 4):\n$plan")
     // verdict parity on the head words: the big profile contains every
     // committed head entry, and fixture docs contain no synthetic-tail
     // words, so verdicts match the committed profile exactly
