@@ -2469,6 +2469,97 @@ object QueriesExt {
       |  sum_abs, peak_abs, n_loud
       |FROM st""".stripMargin
 
+  /** Haitsma-Kalker audio fingerprint over REAL WAV bytes
+    * (Multimodal.audioFingerprint): decode the PCM, 4-sample frame
+    * energies (short frames so the fixture's 64-2047-sample clips
+    * yield the 65 frames a fingerprint needs at EVERY scale — the
+    * frameSamples=16 production default needs >= 1040-sample clips),
+    * 64 energy-delta sign bits packed into two 32-bit words
+    * (fp_hi, fp_lo — the binary-ANN word convention). The oracle
+    * recomputes energies from the sample formula and rebuilds the bit
+    * word with HUGEINT bit_or, so framing, the strict > delta
+    * convention, the little-endian packing, AND the too-short-clip
+    * NULL rule (< 65 full frames) are all extent-checked. */
+  private def qAudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(Multimodal.synthesizeWav(
+      docs(s, dir).filter(col("doc_id") % 8 === 5).select(col("doc_id")),
+      "doc_id"), frameSamples = 4)
+  private val qAudioFingerprintSql =
+    """WITH m AS (SELECT doc_id media_id, CAST(doc_id % 1984 + 64 AS BIGINT) n
+      |  FROM documents WHERE doc_id % 8 = 5),
+      |fr AS (SELECT media_id, unnest(range(n // 4)) f FROM m),
+      |en AS (SELECT media_id, f,
+      |    CAST(list_sum(list_transform(range(4), j ->
+      |      abs(((media_id * 7919 + (f * 4 + j) * 104729) % 65536)
+      |        - 32768))) AS BIGINT) e
+      |  FROM fr),
+      |bits AS (SELECT a.media_id,
+      |    CASE WHEN b.e > a.e THEN 1::HUGEINT << CAST(a.f AS INT)
+      |      ELSE 0::HUGEINT END bv
+      |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |fp AS (SELECT media_id, bit_or(bv) v FROM bits GROUP BY 1)
+      |SELECT m.media_id, true decode_ok, CAST(n // 4 AS BIGINT) n_frames,
+      |  CASE WHEN n // 4 >= 65
+      |    THEN CAST((fp.v >> 32) & 4294967295 AS BIGINT) END fp_hi,
+      |  CASE WHEN n // 4 >= 65
+      |    THEN CAST(fp.v & 4294967295 AS BIGINT) END fp_lo
+      |FROM m LEFT JOIN fp USING (media_id)""".stripMargin
+
+  /** Audio perceptual near-dup (Multimodal.audioNearDups — the audio
+    * twin of q_image_phash): each clip pairs with a LEVEL-COMPRESSED
+    * variant of itself (|s| clamped at 16000 — a deterministic
+    * limiter), fingerprints band-join on 4x16-bit chunks, and pairs
+    * verify at Hamming <= 3. The clamp flips only near-tie energy
+    * deltas, so variants land within the distance band while unrelated
+    * clips sit near 32/64 — the H-K robustness claim, cross-engine
+    * gated: the oracle regenerates BOTH variants' energies from the
+    * sample formula (LEAST against the clamp), rebuilds both
+    * fingerprints, and replays the identical capped band join. */
+  private def qAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 8 === 5)
+      .select(col("doc_id"))
+    val wav = Multimodal.synthesizeWav(ids, "doc_id")
+    val fpO = Multimodal.audioFingerprint(wav, frameSamples = 4)
+    val fpV = Multimodal.audioFingerprint(wav, frameSamples = 4,
+      clampAbs = 16000)
+      .withColumn("media_id", col("media_id") + 10000000L)
+    Multimodal.audioNearDups(fpO.unionByName(fpV),
+      maxDist = 3, maxBandFreq = 64)
+  }
+  private val qAudioNeardupSql =
+    """WITH m AS (SELECT doc_id media_id, CAST(doc_id % 1984 + 64 AS BIGINT) n
+      |  FROM documents WHERE doc_id % 8 = 5),
+      |src AS (SELECT media_id, media_id base, 0 cl, n FROM m
+      |  UNION ALL SELECT media_id + 10000000, media_id, 16000, n FROM m),
+      |fr AS (SELECT media_id, base, cl, n, unnest(range(n // 4)) f FROM src),
+      |en AS (SELECT media_id, f,
+      |    CAST(list_sum(list_transform(range(4), j ->
+      |      CASE WHEN cl > 0
+      |        THEN LEAST(abs(((base * 7919 + (f * 4 + j) * 104729)
+      |          % 65536) - 32768), cl)
+      |        ELSE abs(((base * 7919 + (f * 4 + j) * 104729)
+      |          % 65536) - 32768) END)) AS BIGINT) e
+      |  FROM fr),
+      |bits AS (SELECT a.media_id,
+      |    CASE WHEN b.e > a.e THEN 1::HUGEINT << CAST(a.f AS INT)
+      |      ELSE 0::HUGEINT END bv
+      |  FROM en a JOIN en b ON b.media_id = a.media_id AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |fp AS (SELECT media_id, bit_or(bv) v FROM bits GROUP BY 1),
+      |ok AS (SELECT fp.media_id, v FROM fp
+      |  JOIN src ON src.media_id = fp.media_id WHERE src.n // 4 >= 65),
+      |bands AS (SELECT media_id, v, b, (v >> CAST(b * 16 AS INT)) & 65535 bv
+      |  FROM ok, (SELECT unnest(range(4)) b)),
+      |bf AS (SELECT b, bv, count(*) c FROM bands GROUP BY 1, 2),
+      |cap AS (SELECT bands.media_id, bands.v, bands.b, bands.bv
+      |  FROM bands JOIN bf USING (b, bv) WHERE c <= 64),
+      |cand AS (SELECT DISTINCT a.media_id id_a, b2.media_id id_b,
+      |    a.v va, b2.v vb
+      |  FROM cap a JOIN cap b2 USING (b, bv) WHERE a.media_id < b2.media_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(va, vb)) AS INT) dist
+      |FROM cand WHERE bit_count(xor(va, vb)) <= 3""".stripMargin
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
       docs(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id")),
@@ -8035,6 +8126,8 @@ object QueriesExt {
     "q_fim_split" -> (qFimSplit _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_audio_resample" -> (qAudioResample _),
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
+    "q_audio_neardup" -> (qAudioNeardup _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_json" -> (qVariantJson _),
@@ -8262,6 +8355,8 @@ object QueriesExt {
     "q_fim_split" -> qFimSplitSql,
     "q_span_corrupt" -> qSpanCorruptSql,
     "q_audio_resample" -> qAudioResampleSql,
+    "q_audio_fingerprint" -> qAudioFingerprintSql,
+    "q_audio_neardup" -> qAudioNeardupSql,
     "q_frame_dedup" -> qFrameDedupSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_json" -> qVariantJsonSql,

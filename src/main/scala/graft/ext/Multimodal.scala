@@ -301,6 +301,139 @@ object Multimodal {
         when(col("__s._1") > 0, col("__s._4")).as("peak_energy"))
   }
 
+  /** Haitsma-Kalker-style audio fingerprint (public: Haitsma & Kalker,
+    * "A Highly Robust Audio Fingerprint Based On Spectral Energy
+    * Differences", 2002 — here the single-band TIME-energy variant so
+    * every quantity stays INTEGER-exact and oracle-mirrorable, where
+    * the paper uses 33 spectral bands): split the decoded PCM into
+    * `frameSamples`-sample frames (trailing partial frame truncated —
+    * [[audioEnergy]]'s convention), frame energy E(f) = sum |s| (an
+    * exact long), and fingerprint bit f = 1 iff E(f+1) > E(f) — the
+    * energy-DELTA sign, the paper's core idea: comparisons survive any
+    * monotone level transform (gain, mild compression/limiting), which
+    * is what makes the bits a perceptual identity rather than a byte
+    * hash. The first 64 bits pack little-endian into TWO 32-bit words
+    * (fp_hi, fp_lo) — the [[SimSearch.binaryQuantize]] convention: every
+    * word stays in [0, 2^32), representable and xor/bit_count-portable
+    * in any engine without signed-bit-63 surprises. Clips with fewer
+    * than 65 full frames report NULL words (too short to fingerprint —
+    * callers filter, exactly like decode_ok); n_frames is always
+    * reported. `clampAbs > 0` clamps |s| at that magnitude before the
+    * energy sum — the deterministic level-compression perturbation the
+    * near-dup fixture uses to prove the robustness claim.
+    *
+    * Scale shape: one narrow UDF projection — the whole fold runs in
+    * the decode kernel where the bytes live; only the fixed-width
+    * (id, words) frame moves downstream. */
+  def audioFingerprint(media: DataFrame, frameSamples: Int = 16,
+      clampAbs: Int = 0, bytesCol: String = "bytes"): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
+    val fpBits = 64
+    val dec = udf((bytes: Array[Byte]) => {
+      val decoded = decodeWav(bytes)
+      if (decoded == null) None
+      else {
+        val samples = decoded._2
+        val nf = samples.length / frameSamples
+        val e = new Array[Long](nf)
+        var f = 0
+        while (f < nf) {
+          var s = 0L
+          var j = 0
+          while (j < frameSamples) {
+            var a = math.abs(samples(f * frameSamples + j))
+            if (clampAbs > 0 && a > clampAbs) a = clampAbs
+            s += a
+            j += 1
+          }
+          e(f) = s
+          f += 1
+        }
+        val fp: Option[(Long, Long)] =
+          if (nf < fpBits + 1) None
+          else {
+            var lo = 0L
+            var hi = 0L
+            var b = 0
+            while (b < fpBits) {
+              if (e(b + 1) > e(b)) {
+                if (b < 32) lo |= (1L << b) else hi |= (1L << (b - 32))
+              }
+              b += 1
+            }
+            Some((hi, lo))
+          }
+        Some((nf.toLong, fp.map(_._1), fp.map(_._2)))
+      }
+    })
+    media.withColumn("__s", dec(col(bytesCol)))
+      .select(col("media_id"), col("__s").isNotNull.as("decode_ok"),
+        coalesce(col("__s._1"), lit(0L)).as("n_frames"),
+        col("__s._2").as("fp_hi"), col("__s._3").as("fp_lo"))
+  }
+
+  /** Perceptual audio near-duplicate pairs from an [[audioFingerprint]]
+    * frame — the audio twin of [[phashNearDups]], same Hamming-banded
+    * LSH: the 64 fingerprint bits split into four 16-bit bands (two per
+    * word); media sharing any (band_idx, band_val) become candidates,
+    * verified by exact Hamming distance bit_count(hi^hi') +
+    * bit_count(lo^lo') at or below `maxDist`. The 4-band pigeonhole
+    * makes the join EXHAUSTIVE for maxDist <= 3 (enforced, as in the
+    * image face). `maxBandFreq` drops band buckets shared by more media
+    * (tone/boilerplate audio is the f^2/2-pairs regime), keeping the
+    * candidate join linear. Fingerprint-less rows (decode failures,
+    * sub-65-frame clips) are excluded up front.
+    *
+    * Scale shape: the shuffle carries (band, id, two words) rows, never
+    * PCM — the capped-posting-list discipline of the dedup tier. */
+  def audioNearDups(fps: DataFrame, maxDist: Int = 3,
+      maxBandFreq: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding is only exhaustive for maxDist <= 3: $maxDist")
+    val h = fps.filter(col("decode_ok") && col("fp_hi").isNotNull)
+      .select(col("media_id"), col("fp_hi"), col("fp_lo"))
+    val banded = h.select(col("media_id"), col("fp_hi"), col("fp_lo"),
+        explode(array(
+          struct(lit(0).as("band_idx"),
+            col("fp_lo").bitwiseAND(lit(0xffffL)).as("band_val")),
+          struct(lit(1).as("band_idx"),
+            shiftright(col("fp_lo"), 16).bitwiseAND(lit(0xffffL))
+              .as("band_val")),
+          struct(lit(2).as("band_idx"),
+            col("fp_hi").bitwiseAND(lit(0xffffL)).as("band_val")),
+          struct(lit(3).as("band_idx"),
+            shiftright(col("fp_hi"), 16).bitwiseAND(lit(0xffffL))
+              .as("band_val")))).as("__b"))
+      .select(col("media_id"), col("fp_hi"), col("fp_lo"),
+        col("__b.band_idx").as("band_idx"),
+        col("__b.band_val").as("band_val"))
+    val capped = banded.join(
+        banded.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("__bf")),
+        Seq("band_idx", "band_val"))
+      .filter(col("__bf") <= maxBandFreq)
+      .select(col("band_idx"), col("band_val"), col("media_id"),
+        col("fp_hi"), col("fp_lo"))
+    val cand = capped
+      .select(col("band_idx"), col("band_val"),
+        col("media_id").as("id_a"), col("fp_hi").as("__ha"),
+        col("fp_lo").as("__la"))
+      .join(capped.select(col("band_idx"), col("band_val"),
+        col("media_id").as("id_b"), col("fp_hi").as("__hb"),
+        col("fp_lo").as("__lb")),
+        Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__la"),
+        col("__hb"), col("__lb"))
+      .distinct()
+    cand
+      .withColumn("dist",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** Frame sampling for video-kind media: every `stride`-th frame index
     * up to n_frames — the explode side of a frame pipeline. Returns one
     * row per sampled frame. */

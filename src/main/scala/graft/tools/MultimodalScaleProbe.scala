@@ -92,10 +92,18 @@ object MultimodalScaleProbe {
     stage("dhash") { _ =>
       hashes = Multimodal.imageDHash(media); hashes
     }
+    // MAX_BAND_FREQ: the replica corpus is pathologically duplicate-
+    // heavy (the id-derived image pattern cycles, so 100x piles ~100s
+    // of copies onto each distinct image); at the production default 64
+    // the frequency guard correctly EXCLUDES every bucket (boilerplate
+    // regime) and the stage measures nothing — raise the cap to make
+    // the 100x near-dup join do real work for the slope measurement.
+    val maxBandFreq =
+      sys.env.getOrElse("MAX_BAND_FREQ", "64").toInt
     var dupIds: DataFrame = null
     stage("neardup_band_join") { _ =>
       val pairs = Multimodal.phashNearDups(hashes,
-        maxDist = 3, maxBandFreq = 64)
+        maxDist = 3, maxBandFreq = maxBandFreq)
       dupIds = pairs.select(col("id_b").as("media_id")).distinct()
       dupIds
     }

@@ -731,4 +731,100 @@ class EventsOpsSpec extends SparkSpec {
     assert(st(1L)._1 == (w / 2).toLong * h * 255,
       s"sum_lum must be brightness, not indices: ${st(1L)}")
   }
+
+  test("audioFingerprint: 4-sample-frame energy-delta bits match the " +
+      "formula through a REAL WAV round trip; short clips yield null; " +
+      "a never-binding clamp is a no-op") {
+    def sample(id: Long, i: Int): Int =
+      java.lang.Math.floorMod(id * 7919L + i * 104729L, 65536L).toInt - 32768
+    def nOf(id: Long): Int = java.lang.Math.floorMod(id, 1984L).toInt + 64
+    def fpOf(id: Long, clamp: Int): Option[(Long, Long)] = {
+      val n = nOf(id)
+      val nf = n / 4
+      if (nf < 65) None
+      else {
+        val e = (0 until nf).map(f => (0 until 4).map { j =>
+          val a = math.abs(sample(id, f * 4 + j))
+          if (clamp > 0 && a > clamp) clamp.toLong else a.toLong
+        }.sum)
+        var lo = 0L; var hi = 0L
+        for (b <- 0 until 64 if e(b + 1) > e(b))
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        Some((hi, lo))
+      }
+    }
+    // 300 -> n=364 -> 91 frames (fingerprint-able); 30 -> n=94 -> 23
+    // frames (too short, null words but n_frames still reported)
+    val ids = Seq(300L, 1900L, 30L).map(Tuple1(_)).toDF("id")
+    val wav = Multimodal.synthesizeWav(ids, "id")
+    val out = Multimodal.audioFingerprint(wav, frameSamples = 4)
+      .as[(Long, Boolean, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(300L, 1900L, 30L)) {
+      val (_, ok, nf, hi, lo) = out(id)
+      assert(ok, s"$id must decode")
+      assert(nf == nOf(id) / 4, s"$id frame count")
+      val exp = fpOf(id, 0)
+      assert(hi == exp.map(_._1) && lo == exp.map(_._2),
+        s"$id fp: got ($hi,$lo) want $exp")
+    }
+    assert(out(30L)._4.isEmpty, "23 frames < 65: no fingerprint")
+    // a clamp above the max |sample| (32768) never binds: bit-identical
+    val noop = Multimodal.audioFingerprint(wav, frameSamples = 4,
+      clampAbs = 32768)
+      .as[(Long, Boolean, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(noop == out, "non-binding clamp must be a no-op")
+  }
+
+  test("audioNearDups: level-compressed variants pair within Hamming 3 " +
+      "where byte hashes cannot; band cap and maxDist bound honored") {
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    def sample(id: Long, i: Int): Int =
+      java.lang.Math.floorMod(id * 7919L + i * 104729L, 65536L).toInt - 32768
+    def nOf(id: Long): Int = java.lang.Math.floorMod(id, 1984L).toInt + 64
+    def fpOf(id: Long, clamp: Int): Option[(Long, Long)] = {
+      val nf = nOf(id) / 4
+      if (nf < 65) None
+      else {
+        val e = (0 until nf).map(f => (0 until 4).map { j =>
+          val a = math.abs(sample(id, f * 4 + j))
+          if (clamp > 0 && a > clamp) clamp.toLong else a.toLong
+        }.sum)
+        var lo = 0L; var hi = 0L
+        for (b <- 0 until 64 if e(b + 1) > e(b))
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        Some((hi, lo))
+      }
+    }
+    // pick two ids whose clamped variant stays within Hamming 3 and one
+    // that drifts beyond — both branches of the verify exercised
+    val cands = (260L to 1900L).flatMap { i =>
+      for (a <- fpOf(i, 0); b <- fpOf(i, 16000)) yield i -> dist(a, b)
+    }
+    val near = cands.filter(_._2 <= 3).map(_._1).take(2)
+    val far = cands.filter(_._2 > 3).map(_._1).take(1)
+    assert(near.size == 2 && far.size == 1,
+      s"fixture needs both branches: ${cands.take(20)}")
+    val baseIds = (near ++ far).map(Tuple1(_)).toDF("id")
+    val wav = Multimodal.synthesizeWav(baseIds, "id")
+    val fpO = Multimodal.audioFingerprint(wav, frameSamples = 4)
+    val fpV = Multimodal.audioFingerprint(wav, frameSamples = 4,
+      clampAbs = 16000)
+      .withColumn("media_id", $"media_id" + 100000L)
+    val pairs = Multimodal.audioNearDups(fpO.unionByName(fpV))
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    val variantPairs = pairs.filter(p => p._2 - p._1 == 100000L).map(_._1)
+    assert(variantPairs.toSet == near.toSet,
+      s"clamp-survivors pair, the drifted id does not: $pairs")
+    // band cap: 65 identical fingerprints overflow maxBandFreq=64
+    val many = (0L until 65L).map(Tuple1(_)).toDF("media_id")
+      .select($"media_id", lit(true).as("decode_ok"),
+        lit(42L).as("fp_hi"), lit(7L).as("fp_lo"))
+    assert(Multimodal.audioNearDups(many).count() == 0L, "cap drops bucket")
+    assertThrows[IllegalArgumentException] {
+      Multimodal.audioNearDups(many, maxDist = 4)
+    }
+  }
 }
