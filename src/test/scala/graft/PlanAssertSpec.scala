@@ -358,4 +358,20 @@ class PlanAssertSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"encode->decode->gate must ride the scan; plan:\n$plan")
   }
+
+  test("q_audio_neardup: the fingerprint band join stays equi-keyed — " +
+      "no cartesian, no broadcast nested loop; PCM bytes never reach " +
+      "an exchange") {
+    val plan = planOf("q_audio_neardup")
+    assert(!plan.contains("CartesianProduct"),
+      s"band join must stay (band_idx, band_val)-keyed; plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join; plan:\n$plan")
+    // every exchange carries fingerprint-width rows, never the WAV
+    // payload: no exchange line may mention the bytes column
+    plan.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("bytes#"),
+        s"an exchange carries WAV bytes: $line\n$plan")
+    }
+  }
 }
