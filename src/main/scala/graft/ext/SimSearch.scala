@@ -773,7 +773,7 @@ object SimSearch {
     * squared midpoint-decode error — diagnostic, float-fold). */
   def scalarQuantize(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val dims = vecDims(emb, vecCol, "scalarQuantize corpus")
     val stats = emb.agg(
       array((0 until dims).map(i =>
         min(element_at(col(vecCol), i + 1).cast("double"))): _*).as("__mns"),
@@ -992,7 +992,7 @@ object SimSearch {
 
   def productQuantize(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val dims = vecDims(emb, vecCol, "productQuantize corpus")
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val v = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
@@ -1033,7 +1033,7 @@ object SimSearch {
     * per-query top-k window (WindowGroupLimit-capped). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dims = vecDims(corpus, vecCol, "pqTopK corpus")
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
@@ -1092,7 +1092,7 @@ object SimSearch {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dims = vecDims(corpus, vecCol, "ivfPqTopK corpus")
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
     val c = corpus.select(col(idCol).as("id"),

@@ -111,6 +111,21 @@ object MultimodalScaleProbe {
       Multimodal.resizeImages(
         media.join(dupIds, Seq("media_id"), "left_anti"), 16, 16)
     }
+    // r12 audio twin: synthesize WAVs for the same id corpus, H-K
+    // fingerprint (4-sample frames so most clips qualify), band-join
+    // near-dup — the same bytes-never-shuffle claim, audio edition
+    var wav: DataFrame = null
+    stage("audio_synthesize_wav") { _ =>
+      wav = Multimodal.synthesizeWav(ids, "doc_id"); wav
+    }
+    var fps: DataFrame = null
+    stage("audio_fingerprint") { _ =>
+      fps = Multimodal.audioFingerprint(wav, frameSamples = 4); fps
+    }
+    stage("audio_neardup_band_join") { _ =>
+      Multimodal.audioNearDups(fps, maxDist = 3,
+        maxBandFreq = maxBandFreq)
+    }
     spark.stop()
   }
 }
