@@ -4863,14 +4863,19 @@ object QueriesExt {
     * ASC) is a total order); q_vocab itself still trains live so the
     * build cost stays measured and oracle-gated. */
   private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[org.apache.spark.sql.Row],
+    (String, Int, Int), (Array[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType)]()
-  private def sharedVocab(s: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = vocabMemo.computeIfAbsent(dir, _ => {
-      val v = TextStats.buildVocab(docs(s, dir), "text",
-        maxSize = 500, minCount = 2)
-      (v.collect(), v.schema)
-    })
+  private def sharedVocab(s: SparkSession, dir: String,
+      maxSize: Int = 500, minCount: Int = 2): DataFrame = {
+    // keyed by the FULL vocab identity (dir, maxSize, minCount), not
+    // dir alone — a future face asking for a different configuration
+    // must never silently receive the family's 500/2 artifact
+    val (rows, schema) = vocabMemo.computeIfAbsent((dir, maxSize, minCount),
+      _ => {
+        val v = TextStats.buildVocab(docs(s, dir), "text",
+          maxSize = maxSize, minCount = minCount)
+        (v.collect(), v.schema)
+      })
     s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
       schema)
   }
