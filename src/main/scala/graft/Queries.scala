@@ -674,6 +674,55 @@ object Queries {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem WHERE l_orderkey % 50 = 2 GROUP BY 1""".stripMargin
 
+  /** Fixed-width text round trip (Sources.fixedWidth / Sinks.fixedWidth
+    * — the mainframe/COBOL export layout, r12): a lineitem subset is
+    * written as padded fixed-byte lines (numbers left-padded, strings
+    * right-padded, null -> all-blank) and read back by 1-based offset
+    * slices (blank -> NULL, the spaces-=-missing convention), so
+    * offsets, padding sides, the null round trip, decimal rendering and
+    * date strings are all extent-checked by the aggregate. Money sums
+    * ride DECIMAL through both the file format and the agg (the
+    * moneySum discipline); the oracle computes straight off lineitem —
+    * it passes iff the text round trip is lossless. */
+  private def qFixedWidth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = li(s, dir).filter(col("l_orderkey") % 60 === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        when(col("l_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("l_returnflag")).as("flag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+    val outDir = tmpOut("fixw", dir)
+    graft.io.Sinks.fixedWidth(src, outDir, Seq(
+      "l_orderkey" -> 14, "l_linenumber" -> 4, "qty" -> 10,
+      "price" -> 14, "flag" -> 1, "ship" -> 10))
+    val back = graft.io.Sources.fixedWidth(s, outDir, Seq(
+      ("l_orderkey", 14, LongType), ("l_linenumber", 4, IntegerType),
+      ("qty", 10, DecimalType(12, 2)), ("price", 14, DecimalType(18, 2)),
+      ("flag", 1, StringType), ("ship", 10, StringType)))
+    back.groupBy(col("flag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey") + col("l_linenumber")).as("key_sum"),
+      sum(col("qty")).cast("double").as("sum_qty"),
+      sum(col("price")).cast("double").as("sum_price"),
+      min(col("ship")).as("min_ship"),
+      max(col("ship")).as("max_ship"))
+  }
+  private val qFixedWidthSql =
+    """WITH x AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DECIMAL(12,2)) qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) price,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_returnflag END flag,
+      |    strftime(l_shipdate, '%Y-%m-%d') ship
+      |  FROM lineitem WHERE l_orderkey % 60 = 1)
+      |SELECT flag, count(*) AS n_rows,
+      |  CAST(sum(l_orderkey + l_linenumber) AS BIGINT) AS key_sum,
+      |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price,
+      |  min(ship) AS min_ship, max(ship) AS max_ship
+      |FROM x GROUP BY 1""".stripMargin
+
   /** Partitioned-layout write + PRUNED scan: writes a subset
     * hive-partitioned by return flag, reads back ONE partition. The
     * partition filter never touches row data — pruning happens at
@@ -1061,6 +1110,7 @@ object Queries {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_fixed_width" -> (qFixedWidth _),
     "q_partition_prune" -> (qPartitionPrune _))
 
   val oracle: Map[String, String] = Map(
@@ -1101,5 +1151,6 @@ object Queries {
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_json_roundtrip" -> qJsonRoundtripSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_fixed_width" -> qFixedWidthSql,
     "q_partition_prune" -> qPartitionPruneSql)
 }

@@ -85,6 +85,36 @@ object Sources {
 
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame =
     normalizeEventsTs(eventsRaw(spark, sfDir))
+
+  /** Fixed-width text source — the mainframe/COBOL-export layout classic
+    * ETL tools read natively and Spark does not: each line is a
+    * concatenation of fixed-byte fields, numbers right-aligned (left
+    * space padding), strings left-aligned (right padding). `specs` =
+    * (name, width, type) in line order; fields are sliced by 1-based
+    * offsets, trimmed, then cast (a cast failure yields null — ANSI off,
+    * the permissive classic-ETL convention; pair with
+    * Profiler/Constraints to quarantine bad lines). An all-blank field
+    * reads as NULL for every type — the COBOL "spaces = missing"
+    * convention (fixed-width has no other null encoding), and the
+    * inverse of the sink writing null as padding.
+    *
+    * Scale shape: `spark.read.text` is a splittable line scan; the
+    * slice+trim+cast chain is one codegen'd narrow projection — no
+    * shuffle, no UDF, parallel over line ranges exactly like CSV. */
+  def fixedWidth(spark: SparkSession, path: String,
+      specs: Seq[(String, Int, org.apache.spark.sql.types.DataType)])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, substring, trim, when}
+    require(specs.nonEmpty, "fixedWidth needs at least one field spec")
+    specs.foreach { case (n, w, _) =>
+      require(w > 0, s"field $n must have positive width: $w") }
+    val offsets = specs.scanLeft(1) { case (off, (_, w, _)) => off + w }
+    val cols = specs.zip(offsets).map { case ((n, w, t), off) =>
+      val raw = trim(substring(col("value"), off, w))
+      when(raw === "", lit(null)).otherwise(raw).cast(t).as(n)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
 }
 
 object Sinks {
@@ -98,4 +128,29 @@ object Sinks {
 
   def parquet(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
+
+  /** Fixed-width text sink (the writer half of [[Sources.fixedWidth]]):
+    * numeric fields left-pad, everything else right-pads. A value WIDER
+    * than its field would silently corrupt every later offset on the
+    * line — the classic fixed-width failure — so overflow fails the
+    * write loudly (raise_error inside the projection) instead of
+    * truncating. One narrow projection + text write; no shuffle. */
+  def fixedWidth(df: DataFrame, dir: String,
+      specs: Seq[(String, Int)], singleFile: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    val numeric = df.schema.fields
+      .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
+    val fields = specs.map { case (n, w) =>
+      val s = coalesce(col(n).cast("string"), lit(""))
+      val guarded = when(length(s) > w, raise_error(concat(
+          lit(s"fixed-width overflow: field $n wider than $w chars: "), s)))
+        .otherwise(s)
+      if (numeric.getOrElse(n, false)) lpad(guarded, w, " ")
+      else rpad(guarded, w, " ")
+    }
+    val out = df.select(concat(fields: _*).as("value"))
+    (if (singleFile) out.coalesce(1) else out)
+      .write.mode("overwrite").text(dir)
+  }
 }

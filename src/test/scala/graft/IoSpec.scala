@@ -333,4 +333,46 @@ class IoSpec extends SparkSpec {
     // unformatted numeric column renders General
     assert(disp.select($"id").as[String].collect().toSeq == Seq("1", "2"))
   }
+
+  test("fixed-width round trip: numbers left-pad, strings right-pad, " +
+      "null writes blank and reads back null, overflow fails loudly") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_fixw").resolve("t").toString
+    val df = Seq(
+      (1L, Some("ab"), Some(2.5)),
+      (22L, None, None),
+      (333L, Some("c"), Some(10.25)))
+      .toDF("k", "s", "v")
+      .select($"k", $"s", $"v".cast("decimal(6,2)").as("v"))
+    Sinks.fixedWidth(df, dir, Seq("k" -> 4, "s" -> 4, "v" -> 7),
+      singleFile = true)
+    // the raw lines ARE the format contract: 1-based offsets, numeric
+    // left-pad, string right-pad, null -> all blanks
+    val lines = spark.read.text(dir).as[String].collect().sorted.toSeq
+    assert(lines == Seq(
+      "   1ab     2.50",
+      "  22           ",
+      " 333c     10.25"), s"layout drifted: $lines")
+    val back = Sources.fixedWidth(spark, dir, Seq(
+      ("k", 4, LongType), ("s", 4, StringType),
+      ("v", 7, DecimalType(6, 2))))
+      .as[(Long, Option[String], Option[BigDecimal])].collect()
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("ab"), Some(BigDecimal("2.50"))),
+      (22L, None, None),
+      (333L, Some("c"), Some(BigDecimal("10.25")))), s"roundtrip: $back")
+    // a value wider than its field corrupts every later offset on the
+    // line — must FAIL the write, never truncate silently
+    val wide = Seq((12345L, Some("x"), Option.empty[Double]))
+      .toDF("k", "s", "v")
+    val ex = intercept[Exception] {
+      Sinks.fixedWidth(wide, dir + "_o", Seq("k" -> 4, "s" -> 4, "v" -> 7))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("fixed-width overflow")),
+      s"expected a loud overflow failure, got: ${messages(ex)}")
+  }
 }
