@@ -674,6 +674,37 @@ object Queries {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem WHERE l_orderkey % 50 = 2 GROUP BY 1""".stripMargin
 
+  /** XML round trip (r12): Spark 4's built-in XML datasource (the
+    * spark-xml merge), written with an explicit rowTag and read back
+    * under the WRITER'S schema — the production shape (schema inference
+    * over XML costs a full extra parse pass; a pipeline that just wrote
+    * the file knows its schema). Null columns round-trip as omitted
+    * elements. The oracle computes straight off lineitem, so the gate
+    * passes iff the XML round trip is lossless. */
+  private def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = li(s, dir).filter(col("l_orderkey") % 50 === 4)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        when(col("l_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("l_returnflag")).as("flag"))
+    val outDir = tmpOut("xml", dir)
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "item").save(outDir)
+    val back = s.read.format("xml").option("rowTag", "item")
+      .schema(src.schema).load(outDir)
+    back.groupBy(col("flag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity")).cast("double").as("sum_qty"),
+      moneySum(col("l_extendedprice")).as("sum_price"),
+      sum(col("l_orderkey")).as("key_sum"))
+  }
+  private val qXmlRoundtripSql =
+    """SELECT CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_returnflag END AS flag,
+      |  count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+      |FROM lineitem WHERE l_orderkey % 50 = 4 GROUP BY 1""".stripMargin
+
   /** Fixed-width text round trip (Sources.fixedWidth / Sinks.fixedWidth
     * — the mainframe/COBOL export layout, r12): a lineitem subset is
     * written as padded fixed-byte lines (numbers left-padded, strings
@@ -1111,6 +1142,7 @@ object Queries {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_fixed_width" -> (qFixedWidth _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_partition_prune" -> (qPartitionPrune _))
 
   val oracle: Map[String, String] = Map(
@@ -1152,5 +1184,6 @@ object Queries {
     "q_json_roundtrip" -> qJsonRoundtripSql,
     "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_fixed_width" -> qFixedWidthSql,
+    "q_xml_roundtrip" -> qXmlRoundtripSql,
     "q_partition_prune" -> qPartitionPruneSql)
 }
