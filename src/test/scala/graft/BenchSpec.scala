@@ -93,4 +93,28 @@ class BenchSpec extends AnyFunSuite {
     assert(verdict(1.5, 10.0, isMicro = false) == "cleared_noise")
     assert(verdict(1.49, 0.1, isMicro = true) == "cleared_noise")
   }
+
+  test("windowDegradedOf: suite-only drift with decisively quiet probes " +
+      "and a quiet streaming class is NOT a degraded window (the r12 " +
+      "post-close shape)") {
+    // both post-close runs: suite 1.46-1.51, both sentinels 1.00-1.01,
+    // streaming median ~1.0 -> the floors' warm-minimum bias, not the
+    // machine; must not inflate degraded_streak
+    assert(!Bench.windowDegradedOf(1.51, 1.01, 1.0))
+    assert(!Bench.windowDegradedOf(1.46, 1.0, 1.0))
+  }
+
+  test("windowDegradedOf: the r10 CPU-contention shape stays degraded — " +
+      "quiet batch sentinels with a hot streaming class") {
+    // 28 spinners: batch sentinels 0.98-1.1 while streaming ran 4-6x
+    assert(Bench.windowDegradedOf(1.35, 1.05, 4.2))
+  }
+
+  test("windowDegradedOf: slow sentinels keep the window degraded, and " +
+      "sub-1.3 drift is never degraded") {
+    assert(Bench.windowDegradedOf(1.45, 1.4, 1.0))
+    // one sentinel missing -> probeMax is +inf at the call site
+    assert(Bench.windowDegradedOf(1.45, Double.MaxValue, 1.0))
+    assert(!Bench.windowDegradedOf(1.3, Double.MaxValue, 9.0))
+  }
 }
