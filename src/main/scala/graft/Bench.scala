@@ -107,6 +107,66 @@ object Bench {
       probeMax: Double, streamMedian: Double): Boolean =
     effDrift > 1.3 && (probeMax > 1.1 || streamMedian > 1.3)
 
+  /** Pure floor-composition rule (VERDICT r12 Next #3; BenchSpec pins
+    * it). SEMANTIC BREAK vs r12-era floors, in two parts:
+    *
+    *  1. `cur` is now IN-SUITE reps only — adjudication/sentinel probe
+    *     reps (GC'd heap, warm codegen cache) no longer join the floor
+    *     basis. The r12 post-close diagnosis: warm probe minima ratchet
+    *     floors below what cold in-suite first-reps can reach late in VM
+    *     life, so suite_drift reads structurally high (1.4-1.5) on
+    *     healthy windows and every round opens with 70-120 phantom raw
+    *     movers. Floors must be comparable to the measurement that is
+    *     checked against them — the in-suite rep.
+    *
+    *  2. `rebase = true` (env SPARK_GRAFT_FLOOR_REBASE=1, official runs
+    *     only, REFUSED in a degraded window): a one-time re-baseline
+    *     that replaces the warm-polluted historical minima with THIS
+    *     run's in-suite minima for every query measured this run. The
+    *     monotone-min rule (r7) is the steady state — it can never
+    *     raise a floor, which is exactly why the warm pollution could
+    *     not heal itself and needs this explicit, evidence-gated break.
+    *     Queries that errored this run keep their previous floor either
+    *     way. `rebase` deliberately BYPASSES `windowDegraded` — that
+    *     flag is measured AGAINST the warm-polluted floors being
+    *     replaced (the r13 opening run: sentinels 1.37-1.59x vs
+    *     warm-best minima on an idle, load-0 machine), so gating the
+    *     repair on it would be circular and the repair could never
+    *     run. The rebase's own floor-INDEPENDENT guard lives at the
+    *     call site ([[rebaseStableOf]]): zero confirmed regressions,
+    *     zero errors, no wall-guard truncation, quiet streaming class
+    *     — and the run's in-suite spread evidence is recorded in
+    *     floor_evidence so the committed artifact carries the
+    *     stability proof. First-time floors follow the same logic:
+    *     windowDegraded-gated in the steady state, pinned under an
+    *     applied rebase (a window certified stable enough to re-pin
+    *     every floor can pin a first one). */
+  private[graft] def composeFloors(prev: Map[String, Double],
+      cur: Map[String, Double], registry: Iterable[String],
+      windowDegraded: Boolean, rebase: Boolean): Map[String, Double] =
+    registry.flatMap { k =>
+      (prev.get(k), cur.get(k)) match {
+        case (Some(p), Some(c)) =>
+          Some(k -> (if (rebase) c else math.min(p, c)))
+        case (Some(p), None) => Some(k -> p)
+        case (None, Some(c)) =>
+          if (rebase || !windowDegraded) Some(k -> c) else None
+        case (None, None)    => None
+      }
+    }.toMap
+
+  /** Floor-independent stability gate for the one-time rebase: the
+    * window evidence that does NOT depend on the floors under repair.
+    * A contended window (the r10 rehearsal shape) shows confirmed
+    * movers, multi-x in-suite spreads, or a hot streaming class; a
+    * quiet-but-slower-than-best-ever window (the rebase's target
+    * shape) shows none of those. streamMedian IS floor-relative, so
+    * its bound is generous (1.5 — quiet windows read ~1.0-1.25 even
+    * against warm-biased floors; the r10 contention shape read 4-6x). */
+  private[graft] def rebaseStableOf(confirmed: Int, errors: Int,
+      wallHit: Boolean, streamMedian: Double): Boolean =
+    confirmed == 0 && errors == 0 && !wallHit && streamMedian <= 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -284,6 +344,10 @@ object Bench {
     var repsUsed = Map.empty[String, Int]
     var spreads = Map.empty[String, Double]
     var perQueryTimes = Map.empty[String, List[Double]]
+    // floor basis: IN-SUITE reps only (composeFloors part 1) — probe
+    // reps still join perQueryTimes for reps_used/spreads evidence but
+    // can no longer drag a floor below cold-rep reach
+    var inSuiteTimes = Map.empty[String, List[Double]]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       // GC-BEFORE-HEAVY (r9 experiment, PerfProbe SPARK_GRAFT_PROBE_GC):
       // the recurring ~1.4x "suite-context factor" on the suite's
@@ -348,6 +412,7 @@ object Bench {
           if (times.size < attempts) flaky ::= (name, attempts - times.size)
           repsUsed += name -> times.size
           perQueryTimes += name -> times.toList
+          inSuiteTimes += name -> times.toList
           if (times.size >= 2)
             spreads += name -> (math.round(times.max / times.min * 100) / 100.0)
           val t =
@@ -382,7 +447,7 @@ object Bench {
     // overwrite bench_floor.json with this round's floors.
     def floorsNow: Map[String, Double] = results.collect {
       case (k, v) if v >= 0 =>
-        k -> r3(perQueryTimes.getOrElse(k, List(v)).min)
+        k -> r3(inSuiteTimes.getOrElse(k, List(v)).min)
     }.toMap
     def movesOf(fl: Map[String, Double]): Map[String, Double] =
       fl.flatMap { case (k, cur) =>
@@ -492,7 +557,22 @@ object Bench {
           f >= 0.3 && !microSentinel.contains(k) }
         .sortBy { case (k, f) => (math.abs(f - 0.75), k) }
         .headOption.map(_._1)
-    val sentinels: Seq[String] = (midSentinel.toSeq ++ microSentinel.toSeq)
+    // ADVICE r12 (medium): when no raw mover is micro, microSentinel is
+    // None — without a replacement the pair collapses to ONE sentinel,
+    // probe_drift loses its documented min-of-two conservatism (a single
+    // noisy probe can inflate effDrift and over-clear real movers as
+    // ambient) and probeMaxRatio stays MaxValue, permanently disabling
+    // the r12 degraded-window override. Draw a second mid-range sentinel
+    // from the pool instead (next-closest to 0.75s, distinct from
+    // midSentinel) so the pair is always two whenever movers exist.
+    val secondSentinel: Option[String] =
+      if (rawMoves.isEmpty || microSentinel.nonEmpty) None
+      else sentinelPool.filter { case (k, f) =>
+          f >= 0.3 && !midSentinel.contains(k) }
+        .sortBy { case (k, f) => (math.abs(f - 0.75), k) }
+        .headOption.map(_._1)
+    val sentinels: Seq[String] =
+      (midSentinel.toSeq ++ microSentinel.toSeq ++ secondSentinel.toSeq)
     val sentinelRatios: Seq[(String, Double)] = sentinels.flatMap { name =>
       if (elapsed > wallGuardSec) None
       else freshProbe(name, 2) match {
@@ -575,9 +655,20 @@ object Bench {
       val prevF = prevFloors(name)
       if (elapsed < wallGuardSec) {
         // heavy queries get min-of-2 (a spike can't inflate a min and a
-        // third rep of an 8s query buys little); the rest median-of-3
-        val want = if (prevF >= 3.0) 2 else 3
-        val fresh = freshProbe(name, want)
+        // third rep of an 8s query buys little); the 1.5-2x tail gets a
+        // single cheap probe first (VERDICT r12 Next #4: 34 tail movers
+        // went unadjudicated when full-rep probes drained the wall
+        // budget on the headliners) and ESCALATES to +2 reps only when
+        // that probe does not already clear as noise — a tail mover is
+        // never confirmed on 1-rep evidence; the rest median-of-3
+        val want = if (prevF >= 3.0) 2 else if (ratio < 2.0) 1 else 3
+        val fresh = {
+          val first = freshProbe(name, want)
+          if (want == 1 && first.nonEmpty && first.min / prevF > 1.5 &&
+              elapsed < wallGuardSec)
+            first ++ freshProbe(name, 2)
+          else first
+        }
         if (fresh.nonEmpty) {
           val fr = fresh.min / prevF
           val isMicro = prevF < microCut
@@ -666,19 +757,31 @@ object Bench {
     // window ever seen), a 1.2 gate would defer new floors
     // indefinitely, and a mildly-high first pin self-heals DOWNWARD
     // under the monotone-min rule while deferral never heals.
-    val floors: Map[String, Double] = SparkEntry.queries.keys.flatMap { k =>
-      (prevFloors.get(k), floorsNow.get(k)) match {
-        case (Some(p), Some(c)) => Some(k -> math.min(p, c))
-        case (Some(p), None)    => Some(k -> p)
-        case (None, Some(c))    => if (!windowDegraded) Some(k -> c) else None
-        case (None, None)       => None
-      }
-    }.toMap
-    // recomputed AFTER adjudication: a cleared mover's fresh probes
-    // joined its rep pool, so its current floor dropped back toward the
-    // previous floor and it falls out of this map. The contract-line
-    // regression count is CONFIRMED verdicts only (VERDICT r9 Next #1a);
-    // ambient / probe_error / unadjudicated each get their own field.
+    // steady state: monotone min over IN-SUITE floors; one-time rebase
+    // under SPARK_GRAFT_FLOOR_REBASE=1 on an official run passing the
+    // floor-independent stability gate (composeFloors + rebaseStableOf
+    // scaladocs carry the full r12 Next #3 rationale)
+    val rebaseRequested = official &&
+      sys.env.get("SPARK_GRAFT_FLOOR_REBASE").contains("1")
+    val rebaseApplied = rebaseRequested && rebaseStableOf(
+      confirmedSet.size, failures.size, wallHit, streamMedianRatio)
+    val floors: Map[String, Double] = composeFloors(
+      prevFloors, floorsNow, SparkEntry.queries.keys,
+      windowDegraded, rebaseApplied)
+    // in-suite spread evidence for the rebase record: max/min over the
+    // suite-phase reps only (probe pools excluded — the cold/warm
+    // asymmetry is the very thing being repaired, so it must not
+    // pollute the stability metric)
+    val inSuiteSpreadMedian = {
+      val sp = inSuiteTimes.values.collect {
+        case ts if ts.size >= 2 => ts.max / ts.min }.toSeq.sorted
+      if (sp.isEmpty) 1.0 else math.round(sp(sp.size / 2) * 100) / 100.0
+    }
+    // CONFIRMED verdicts only on the contract line (VERDICT r9 Next
+    // #1a); ambient / probe_error / unadjudicated each get their own
+    // field. (Since the floor basis is in-suite-only now, probe reps no
+    // longer shrink floorsNow — the confirmedSet filter alone separates
+    // real movers from cleared ones.)
     val floorMoves = movesOf(floorsNow)
       .filter { case (k, _) => confirmedSet(k) }
     // built AFTER the confirm pass so reps_used/spreads include its runs
@@ -735,9 +838,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
-      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -574,6 +574,47 @@ object QueriesExt {
        |    / len(list_distinct(x.h || y.h)) >= 0.5""".stripMargin
   }
 
+  /** Exact long-substring TOKEN-RUN dedup (Lee et al. 2021; VERDICT
+    * r12 Next #6) — distinct from q_substring_dedup, which winnows
+    * char-16-grams and reports pair MEMBERSHIP only: this face reports
+    * run EXTENTS (max shared verbatim token run per pair), the Lee et
+    * al. unit of deduplication. Dedup.substringDedup at minRun=20
+    * tokens (the fixture's median doc is 56 tokens, so 20 is a "long
+    * verbatim quote", not a phrase; 24 genuine pairs at sf0.01). The oracle rebuilds the positional
+    * posting stream (range-unnest positions, md5-hash64 grams), applies
+    * the same count(*)-per-hash <= 64 guard, and mirrors the
+    * diagonal/gaps-and-islands run merge with the identical window
+    * (pos - row_number over (pair, diagonal) order by pos) — so run
+    * EXTENTS, not just pair membership, are cross-engine-gated. */
+  private def qSubstringRuns(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(s, dir), "doc_id", "text",
+      minRun = 20, maxBucket = 64)
+      .orderBy(col("doc_a"), col("doc_b"))
+  private val qSubstringRunsSql = {
+    val L = 20
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |g AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM toks WHERE len(t) >= $L),
+       |p AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM g),
+       |cap AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM p)
+       |  WHERE bs <= 64),
+       |pr AS (SELECT a.doc_id da, b.doc_id db, a.pos pa, b.pos pb
+       |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT da, db, pa - pb diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) isl
+       |  FROM pr),
+       |runs AS (SELECT da, db, diag, isl,
+       |    count(*) + $L - 1 run_tokens FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT da doc_a, db doc_b,
+       |  CAST(max(run_tokens) AS BIGINT) max_run_tokens,
+       |  CAST(count(*) AS BIGINT) n_runs,
+       |  CAST(sum(run_tokens) - ($L - 1) * count(*) AS BIGINT) n_shared_grams
+       |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // PII redaction (training-data release hygiene)
   // ------------------------------------------------------------------
@@ -2000,6 +2041,21 @@ object QueriesExt {
   private val qAnnGraphAdaptiveSql: String = {
     val H = 5
     val hopLayers = (1 to H).map { h =>
+      // kh/imp mirror the stop predicate, which is only CONSULTED for
+      // hops 1..H-1 (the ELSE branch lands on hop H regardless) — so the
+      // final hop emits neither (ADVICE r12: a MATERIALIZED imp5 made
+      // the oracle score hop 5's improvement check it never reads)
+      val stopCtes = if (h < H)
+        s"""kh$h AS (SELECT query_id, min(cos) kth, count(*) cnt FROM (
+           |    SELECT query_id, cand_id, cos, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) rn
+           |    FROM vis${h - 1} WHERE cand_id <> query_id)
+           |  WHERE rn <= 5 GROUP BY 1),
+           |imp$h AS MATERIALIZED (SELECT EXISTS (
+           |    SELECT 1 FROM sc$h f LEFT JOIN kh$h k USING (query_id)
+           |    WHERE k.kth IS NULL OR k.cnt < 5 OR f.cos > k.kth) improved),
+           |""".stripMargin
+      else ""
       s"""nx$h AS MATERIALIZED (SELECT DISTINCT b.query_id, ed.nbr cand_id
          |  FROM b${h - 1} b JOIN ed ON ed.src = b.cand_id
          |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} t
@@ -2008,15 +2064,7 @@ object QueriesExt {
          |    round(list_dot_product(q.qv, cv.e), 8) cos
          |  FROM nx$h n JOIN qq q ON q.query_id = n.query_id
          |  JOIN v cv ON cv.id = n.cand_id),
-         |kh$h AS (SELECT query_id, min(cos) kth, count(*) cnt FROM (
-         |    SELECT query_id, cand_id, cos, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) rn
-         |    FROM vis${h - 1} WHERE cand_id <> query_id)
-         |  WHERE rn <= 5 GROUP BY 1),
-         |imp$h AS MATERIALIZED (SELECT EXISTS (
-         |    SELECT 1 FROM sc$h f LEFT JOIN kh$h k USING (query_id)
-         |    WHERE k.kth IS NULL OR k.cnt < 5 OR f.cos > k.kth) improved),
-         |vis$h AS MATERIALIZED (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h),
+         |${stopCtes}vis$h AS MATERIALIZED (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h),
          |ex$h AS MATERIALIZED (SELECT query_id, cand_id FROM ex${h - 1}
          |  UNION ALL SELECT query_id, cand_id FROM b${h - 1}),
          |b$h AS MATERIALIZED (SELECT query_id, cand_id FROM (SELECT w.*, row_number() OVER (
@@ -4863,14 +4911,36 @@ object QueriesExt {
     * ASC) is a total order); q_vocab itself still trains live so the
     * build cost stays measured and oracle-gated. */
   private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), (Array[org.apache.spark.sql.Row],
+    (String, String, Int, Int), (Array[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType)]()
+  /** Content fingerprint of the corpus the vocab trains on (ADVICE r12):
+    * a JVM-lifetime memo keyed by path alone goes silently stale if the
+    * fixture dir is regenerated in-place within one long session — the
+    * encode/pack family would then diverge from its own live-trained
+    * oracle with zero code change. File names+sizes+mtimes of the
+    * parquet parts are cheap (one driver-side listing per call) and
+    * change whenever the fixture generator rewrites the table. */
+  private def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$dir/documents.parquet")
+    if (!root.exists()) "absent"
+    else walk(root)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+  }
   private def sharedVocab(s: SparkSession, dir: String,
       maxSize: Int = 500, minCount: Int = 2): DataFrame = {
-    // keyed by the FULL vocab identity (dir, maxSize, minCount), not
-    // dir alone — a future face asking for a different configuration
-    // must never silently receive the family's 500/2 artifact
-    val (rows, schema) = vocabMemo.computeIfAbsent((dir, maxSize, minCount),
+    // keyed by the FULL vocab identity (dir, corpus fingerprint,
+    // maxSize, minCount), not dir alone — a future face asking for a
+    // different configuration must never silently receive the family's
+    // 500/2 artifact, and an in-place fixture rewrite invalidates the
+    // memo via the fingerprint
+    val (rows, schema) = vocabMemo.computeIfAbsent(
+      (dir, corpusFingerprint(dir), maxSize, minCount),
       _ => {
         val v = TextStats.buildVocab(docs(s, dir), "text",
           maxSize = maxSize, minCount = minCount)
@@ -8058,6 +8128,7 @@ object QueriesExt {
     "q_stream_crawl_dedup" -> (qStreamCrawlDedup _),
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
+    "q_substring_runs" -> (qSubstringRuns _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
     "q_content_split" -> (qContentSplit _),
@@ -8287,6 +8358,7 @@ object QueriesExt {
     "q_stream_crawl_dedup" -> qStreamCrawlDedupSql,
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
+    "q_substring_runs" -> qSubstringRunsSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
     "q_content_split" -> qContentSplitSql,

@@ -731,6 +731,84 @@ object Dedup {
         .agg(count(lit(1)).as("n_contaminated_grams")))
   }
 
+  /** Exact long-substring intra-corpus dedup — the missing dedup mode
+    * between exact-fingerprint (whole doc) and MinHash (set overlap):
+    * find document PAIRS sharing a verbatim run of >= `minRun` tokens,
+    * the signal Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") target with a corpus suffix array.
+    *
+    * A suffix array is a single-machine construction; the Spark-shaped
+    * equivalent is positional shingles on the banded-join discipline
+    * this module already uses everywhere:
+    *
+    *  1. every doc emits its `minRun`-token windows at stride 1 as
+    *     (id, pos, hash64) — one posting per token, the same linear
+    *     stream [[explodedShingleHashes]] ships for decontamination
+    *     (positions kept, no distinct: runs need extent, not presence);
+    *  2. hot shingles (> `maxBucket` postings — boilerplate, license
+    *     headers) are dropped by the standard frequency guard, keeping
+    *     the posting self-join linear: <= maxBucket^2/2 pairs per
+    *     bucket, never O(corpus^2);
+    *  3. matched postings land on DIAGONALS (posA - posB constant for
+    *     a contiguous shared run); gaps-and-islands per (a, b,
+    *     diagonal) — island = pos - row_number(), a pure window over
+    *     the pair partition — merges consecutive window matches, so a
+    *     shared span of T tokens reports run_tokens = T exactly
+    *     (count + minRun - 1).
+    *
+    * Conservative under the guard: a capped shingle inside a long run
+    * splits it into two shorter reported runs (underestimate, never
+    * overestimate). Gram identity is hash identity, the module-wide
+    * convention (see [[explodedShingleHashes]]). Docs under `minRun`
+    * tokens emit nothing — they cannot contain an L-token run.
+    *
+    * Returns one row per overlapping pair: (doc_a, doc_b,
+    * max_run_tokens, n_runs, n_shared_grams). 100 TB shape: shuffle
+    * carries (id, pos, 8-byte hash) per token — the decontaminate
+    * stream plus 4 bytes — and the only joins are the capped posting
+    * self-join and none after (islands/rollup are windows over the
+    * already-matched pair stream, partitioned by pair). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 50, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minRun
+    require(L >= 2, s"minRun must be >= 2: $L")
+    // positional L-gram postings; explode the index sequence, never the
+    // gram array (ShingleProbe: a folded gram-array Generate re-runs
+    // tokenization per emitted element)
+    val toks = docs.select(col(idCol).as("id"),
+      TextStats.tokens(TextStats.normalized(col(textCol))).as("__t"))
+    val postings = toks
+      .filter(size(col("__t")) >= L)
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - L, lit(1))).as("pos"))
+      .select(col("id"), col("pos"),
+        Hashing.hash64(concat_ws(" ", slice(col("__t"), col("pos") + 1,
+          lit(L)))).as("h"))
+    val capped = postings
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val diag = pairs.withColumn("diag", col("pa") - col("pb"))
+    val isl = diag.withColumn("isl",
+      col("pa") - row_number().over(
+        Window.partitionBy("da", "db", "diag").orderBy("pa")))
+    val runs = isl.groupBy("da", "db", "diag", "isl")
+      .agg((count(lit(1)) + (L - 1)).as("run_tokens"))
+    runs.groupBy("da", "db")
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        (sum(col("run_tokens")) - count(lit(1)) * (L - 1))
+          .as("n_shared_grams"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("max_run_tokens"), col("n_runs"), col("n_shared_grams"))
+  }
+
   /** Graded decontamination: [[decontaminate]] reports only the hit
     * count over contaminated docs; real pipelines threshold on the
     * contaminated FRACTION of a document's n-grams (a 10k-gram doc

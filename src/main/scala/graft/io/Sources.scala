@@ -91,9 +91,12 @@ object Sources {
     * concatenation of fixed-byte fields, numbers right-aligned (left
     * space padding), strings left-aligned (right padding). `specs` =
     * (name, width, type) in line order; fields are sliced by 1-based
-    * offsets, trimmed, then cast (a cast failure yields null — ANSI off,
-    * the permissive classic-ETL convention; pair with
-    * Profiler/Constraints to quarantine bad lines). An all-blank field
+    * offsets, trimmed, then `try_cast` (a cast failure yields null in
+    * EVERY ANSI mode — this repo runs Spark 4's ANSI-on default, where a
+    * plain `.cast` would throw on the first malformed field and fail the
+    * whole job; the permissive classic-ETL convention is null + pair
+    * with Profiler/Constraints to quarantine bad lines). An all-blank
+    * field
     * reads as NULL for every type — the COBOL "spaces = missing"
     * convention (fixed-width has no other null encoding), and the
     * inverse of the sink writing null as padding.
@@ -111,7 +114,7 @@ object Sources {
     val offsets = specs.scanLeft(1) { case (off, (_, w, _)) => off + w }
     val cols = specs.zip(offsets).map { case ((n, w, t), off) =>
       val raw = trim(substring(col("value"), off, w))
-      when(raw === "", lit(null)).otherwise(raw).cast(t).as(n)
+      when(raw === "", lit(null)).otherwise(raw).try_cast(t).as(n)
     }
     spark.read.text(path).select(cols: _*)
   }

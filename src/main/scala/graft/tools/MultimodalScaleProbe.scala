@@ -113,10 +113,15 @@ object MultimodalScaleProbe {
     }
     // r12 audio twin: synthesize WAVs for the same id corpus, H-K
     // fingerprint (4-sample frames so most clips qualify), band-join
-    // near-dup — the same bytes-never-shuffle claim, audio edition
+    // near-dup — the same bytes-never-shuffle claim, audio edition.
+    // r13 (VERDICT r12 Next #7): the VARIED generator — the oracle
+    // fixture's global cycle made every clip a phase slice of one
+    // sequence, so f100's guard excluded every bucket and the verify
+    // stage measured nothing; id-derived frequencies + replica-keyed
+    // perturbation make replica families genuine near-dup clusters.
     var wav: DataFrame = null
     stage("audio_synthesize_wav") { _ =>
-      wav = Multimodal.synthesizeWav(ids, "doc_id"); wav
+      wav = Multimodal.synthesizeWavVaried(ids, "doc_id"); wav
     }
     var fps: DataFrame = null
     stage("audio_fingerprint") { _ =>

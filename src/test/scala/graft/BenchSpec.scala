@@ -117,4 +117,63 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.windowDegradedOf(1.45, Double.MaxValue, 1.0))
     assert(!Bench.windowDegradedOf(1.3, Double.MaxValue, 9.0))
   }
+
+  // ---- composeFloors (VERDICT r12 Next #3: in-suite floor basis +
+  // one-time rebase; the steady state stays the r7 monotone-min rule) --
+
+  private val reg = Seq("q_a", "q_b", "q_c", "q_new")
+
+  test("composeFloors steady state is monotone min: floors never rise, " +
+      "errored queries keep their previous floor, dropped queries vanish") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 5.0)
+    val cur = Map("q_a" -> 0.8, "q_b" -> 9.0) // q_b spiked in-suite
+    val out = Bench.composeFloors(prev, cur, reg,
+      windowDegraded = false, rebase = false)
+    assert(out == Map("q_a" -> 0.8, "q_b" -> 2.0))
+  }
+
+  test("composeFloors pins first-time floors only from a clean window " +
+      "(the r9 Next #4 rule survives the refactor)") {
+    val cur = Map("q_new" -> 1.3)
+    assert(Bench.composeFloors(Map.empty, cur, reg, windowDegraded = false,
+      rebase = false) == Map("q_new" -> 1.3))
+    assert(Bench.composeFloors(Map.empty, cur, reg, windowDegraded = true,
+      rebase = false).isEmpty)
+  }
+
+  test("composeFloors rebase replaces warm-polluted minima with this " +
+      "run's in-suite floors — UPWARD moves allowed, errored queries " +
+      "still keep prev") {
+    // the r12 shape: prev floors carry warm adjudication-probe minima
+    // (0.5) that cold in-suite reps (0.9) can never match
+    val prev = Map("q_a" -> 0.5, "q_b" -> 2.0, "q_c" -> 1.0)
+    val cur = Map("q_a" -> 0.9, "q_b" -> 1.8) // q_c errored this run
+    val out = Bench.composeFloors(prev, cur, reg,
+      windowDegraded = false, rebase = true)
+    assert(out == Map("q_a" -> 0.9, "q_b" -> 1.8, "q_c" -> 1.0))
+  }
+
+  test("composeFloors rebase bypasses the floor-relative degraded flag " +
+      "(the flag is measured against the floors being repaired) and " +
+      "pins first-time floors") {
+    val prev = Map("q_a" -> 0.5)
+    val cur = Map("q_a" -> 0.9, "q_new" -> 1.2)
+    val out = Bench.composeFloors(prev, cur, reg,
+      windowDegraded = true, rebase = true)
+    assert(out == Map("q_a" -> 0.9, "q_new" -> 1.2))
+  }
+
+  test("rebaseStableOf: the floor-independent gate — quiet-but-slow " +
+      "windows pass, the r10 contention shape and any run with " +
+      "confirms/errors/wall truncation refuse") {
+    // the r13 opening window: 0 confirms, 0 errors, stream 1.22 vs
+    // warm floors, idle machine -> rebase may proceed
+    assert(Bench.rebaseStableOf(0, 0, wallHit = false, 1.22))
+    // r10 CPU-contention rehearsal: streaming class 4-6x
+    assert(!Bench.rebaseStableOf(0, 0, wallHit = false, 4.2))
+    // a real regression or broken run must never become the baseline
+    assert(!Bench.rebaseStableOf(1, 0, wallHit = false, 1.0))
+    assert(!Bench.rebaseStableOf(0, 2, wallHit = false, 1.0))
+    assert(!Bench.rebaseStableOf(0, 0, wallHit = true, 1.0))
+  }
 }

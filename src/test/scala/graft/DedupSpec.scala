@@ -664,6 +664,39 @@ class DedupSpec extends SparkSpec {
     assert(v(5L).isEmpty, "null text stays retained unless '' is requested")
   }
 
+  test("substringDedup: run extents exact on constructed overlaps, short " +
+      "docs and capped boilerplate excluded, islands split on gaps") {
+    // doc 10/11 share a verbatim 7-token run inside different contexts;
+    // doc 12 shares the run with 10 TWICE (two islands on two
+    // diagonals); doc 13 is under minRun; 14/15 are disjoint content
+    val share = "one two three four five six seven"
+    val d = Seq(
+      (10L, s"alpha beta $share gamma delta epsilon"),
+      (11L, s"start $share middle end finish close out"),
+      (12L, s"$share filler filler2 filler3 $share"),
+      (13L, "tiny doc"), // 2 tokens < minRun
+      (14L, "wholly unrelated content about query engines and plans x y"),
+      (15L, "different unrelated words concerning storage layers a b c")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(d, "doc_id", "text",
+      minRun = 5, maxBucket = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // 10 vs 11: one island, exactly the 7 shared tokens
+    assert(r((10L, 11L)) == ((7L, 1L, 3L)), s"got ${r.get((10L, 11L))}")
+    // 10 vs 12: the run matches both copies in 12 -> two diagonals
+    assert(r((10L, 12L))._1 == 7L && r((10L, 12L))._2 == 2L)
+    assert(!r.keySet.exists(p => p._1 == 13L || p._2 == 13L),
+      "sub-minRun docs cannot pair")
+    assert(!r.keySet.exists(p => p._1 == 14L || p._2 == 14L))
+    // a tight bucket cap drops every posting of the shared run
+    // (12 emits it twice, 10/11 once each -> bucket of 4-ish > cap 3)
+    val capped = Dedup.substringDedup(d, "doc_id", "text",
+      minRun = 5, maxBucket = 3).collect()
+    assert(!capped.exists(x => x.getLong(0) == 10L && x.getLong(1) == 11L),
+      "hot-shingle guard must drop over-cap postings")
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)

@@ -375,4 +375,30 @@ class IoSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("fixed-width overflow")),
       s"expected a loud overflow failure, got: ${messages(ex)}")
   }
+
+  test("fixed-width malformed field reads null under ANSI-on " +
+      "(try_cast), never fails the job") {
+    import org.apache.spark.sql.types._
+    // hand-written lines with a corrupt numeric field: classic-ETL
+    // permissive convention = null + downstream quarantine, and this
+    // session runs Spark 4's ansi.enabled default (true), where a plain
+    // .cast would throw mid-scan (ADVICE r12)
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "fixture assumes the ANSI-on default this repo ships under")
+    val dir = Files.createTempDirectory("graft_fixw_bad").toString
+    Files.write(java.nio.file.Paths.get(dir, "part.txt"), java.util.List.of(
+      "   1ab     2.50",
+      "  XXcd      bad", // k and v both malformed -> null, s survives
+      " 333e     10.25"))
+    val back = Sources.fixedWidth(spark, dir, Seq(
+      ("k", 4, LongType), ("s", 4, StringType),
+      ("v", 7, DecimalType(6, 2))))
+      .as[(Option[Long], Option[String], Option[BigDecimal])].collect()
+      .sortBy(_._2).toSeq
+    assert(back == Seq(
+      (Some(1L), Some("ab"), Some(BigDecimal("2.50"))),
+      (None, Some("cd"), None),
+      (Some(333L), Some("e"), Some(BigDecimal("10.25")))),
+      s"malformed-field convention drifted: $back")
+  }
 }
