@@ -2488,6 +2488,72 @@ object QueriesExt {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
   }
 
+  /** Cross-modal retrieval (VERDICT r12 Next #8 stretch) — the first
+    * face CROSSING the perceptual-hash tier and the embedding ANN
+    * tier, the "find more content like this image cluster" curation
+    * primitive: q_image_phash's media corpus (real PNGs + the
+    * brightness-shifted re-uploads) -> dHash -> Hamming-band near-dup
+    * pairs -> connected components -> one REPRESENTATIVE per cluster
+    * (min member id, the canonical upload) -> each representative's
+    * embedding (vec_id = rep_id % 500 — the id-aligned fixture
+    * convention, scale-stable since every fixture carries vec_ids
+    * 0..499) -> brute cosine top-5 over the whole embedding corpus.
+    * excludeSelf=false, pinned explicitly: rep ids live in media-id
+    * space, so the mapped vector itself surfaces at rank 1 / cosine 1
+    * — documenting the join — and no accidental media-id/vec-id
+    * collision can drop a row.
+    *
+    * Scale shape: banded phash join (capped buckets), O(diameter)
+    * component propagation, then bruteTopK's broadcast of the TINY
+    * representative set over the corpus scan — at 100 TB swap the
+    * last stage for ivfTopK, contract unchanged (the q_cosine_topk
+    * note). The oracle composes the three tiers' existing mirrors:
+    * the phash pair SQL verbatim, the recursive min-closure, and the
+    * cosine window with the (cosine desc, id asc) tie-break. */
+  private def qCrossmodalRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") % 9 === 2)
+      .select(col("doc_id"))
+    val orig = Multimodal.synthesizeImages(base, "doc_id")
+    val reenc = Multimodal
+      .synthesizeImages(base.filter(col("doc_id") % 4 === 1), "doc_id",
+        grayShift = 8)
+      .withColumn("media_id", col("media_id") + 1000000L)
+    val pairs = Multimodal.phashNearDups(
+      Multimodal.imageDHash(orig.unionByName(reenc)),
+      maxDist = 3, maxBandFreq = 64)
+    val reps = Dedup.connectedComponents(pairs)
+      .groupBy(col("comp")).agg(min(col("id")).as("rep_id"))
+    val e = emb(s, dir)
+    val qv = reps.join(e, e("vec_id") === col("rep_id") % 500)
+      .select(col("rep_id").as("vec_id"), col("embedding"))
+    SimSearch.bruteTopK(e, qv, "vec_id", "embedding", k = 5,
+        excludeSelf = false)
+      .select(col("query_id").as("rep_id"), col("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qCrossmodalRetrievalSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM ($qImagePhashSql) ph),
+       |sym AS (SELECT id_a a, id_b b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b),
+       |comp AS (SELECT id, min(r) comp FROM reach GROUP BY 1),
+       |reps AS (SELECT min(id) rep_id FROM comp GROUP BY comp),
+       |qv AS (SELECT rep_id, e.embedding::DOUBLE[] qvec
+       |  FROM reps JOIN embeddings e ON e.vec_id = rep_id % 500),
+       |c AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+       |sc AS (SELECT rep_id, id,
+       |    list_cosine_similarity(v, qvec) cosine,
+       |    row_number() OVER (PARTITION BY rep_id
+       |      ORDER BY list_cosine_similarity(v, qvec) DESC, id ASC) rank
+       |  FROM c, qv)
+       |SELECT rep_id, id AS neighbor_id, CAST(rank AS INT) rank,
+       |  round(cosine, 6) AS cosine_r
+       |FROM sc WHERE rank <= 5""".stripMargin
+
   /** REAL audio resample chain (Multimodal.synthesizeWav ->
     * resampleWav(2) -> audioStats): decode the 8 kHz WAV, keep every
     * 2nd sample (exact decimation — the formula-mirrorable resampler),
@@ -8196,6 +8262,7 @@ object QueriesExt {
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
     "q_image_resize" -> (qImageResize _),
     "q_image_phash" -> (qImagePhash _),
+    "q_crossmodal_retrieval" -> (qCrossmodalRetrieval _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_rater_agreement" -> (qRaterAgreement _),
     "q_calibration" -> (qCalibration _),
@@ -8426,6 +8493,7 @@ object QueriesExt {
     "q_gif_frame_dedup" -> qGifFrameDedupSql,
     "q_image_resize" -> qImageResizeSql,
     "q_image_phash" -> qImagePhashSql,
+    "q_crossmodal_retrieval" -> qCrossmodalRetrievalSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_rater_agreement" -> qRaterAgreementSql,
     "q_calibration" -> qCalibrationSql,

@@ -56,6 +56,16 @@ class PlanAssertSpec extends SparkSpec {
       s"the within-cluster pair join must stay keyed on list_id; plan:\n$plan")
   }
 
+  test("q_crossmodal_retrieval: banded/broadcast joins only — never a " +
+      "cartesian; the representative set is the broadcast side") {
+    val plan = planOf("q_crossmodal_retrieval")
+    assert(!plan.contains("CartesianProduct"),
+      s"phash banding + rep broadcast must never plan cartesian; plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+      s"the tiny representative set must be the broadcast side; plan:\n$plan")
+  }
+
   test("q_url_dedup: keep-best survivor is a partial agg, not a window sort") {
     val plan = planOf("q_url_dedup")
     assert(!plan.contains("Window"),
