@@ -199,14 +199,27 @@ object Bench {
     //    remaining queries are recorded as `skipped` (not errors) and
     //    the contract line is emitted with whatever was measured —
     //    rc=124 (the r3 no-number failure) cannot recur UNLESS a single
-    //    query hangs: the guard is checked between queries and there is
-    //    no per-query timeout, so one wedged query can still blow the
-    //    driver's wall cap (ADVICE r10 #4 — accepted residual risk; a
-    //    per-query watchdog thread would have to kill a live Spark job
-    //    mid-flight, trading a hang for undefined session state).
+    //    query hangs between wall-guard checks. r13 closes that last
+    //    hole (ADVICE r10 #4, previously accepted): every measured rep
+    //    runs under its own JOB GROUP with a daemon-timer watchdog that
+    //    cancels the group after queryTimeoutSec — the cancelled write
+    //    throws, the rep records as a failure (plus the query lands in
+    //    `query_timeouts` on the detail line), and the suite moves on.
+    //    interruptOnCancel stays FALSE: Spark's kill flag is checked at
+    //    row boundaries, which unwedges every data-shaped hang, while
+    //    thread interrupts can corrupt Parquet/Netty IO state — the
+    //    trade documented when this was an accepted risk. Residual: a
+    //    hang on the DRIVER thread inside plan analysis (never observed
+    //    across 13 rounds), and streaming faces whose microbatch
+    //    threads don't inherit the job group (their triggers are
+    //    deterministic machinery, the class least likely to wedge).
     val repCutSec = budgetSec * 0.6
     val wallGuardSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1000").toDouble
+    // generous 10x+ over the heaviest in-suite floor (~12s at sf0.1):
+    // purely a hang-breaker, never a perf judgment
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_SEC", "180").toDouble
     // r8 A/B (bench_ab_r8.json): 1000 beats 5000 at local[32] — 12%
     // faster suite, 0.9 GB less residual heap, q_triangles 8.6 vs 11.9s
     // in-suite — while still avoiding the r6 100-entry thrash
@@ -243,6 +256,33 @@ object Bench {
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
+    }
+    // per-rep hang-breaker (rationale at queryTimeoutSec): one measured
+    // rep = one job group + one daemon-timer cancellation
+    var timeoutSet = Set.empty[String]
+    val watchdogTimer = new java.util.Timer("bench-watchdog", true)
+    def measuredRep(name: String)(body: => Unit): Option[Double] = {
+      val group = s"bench-$name-${System.nanoTime()}"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
+      @volatile var fired = false
+      val task = new java.util.TimerTask {
+        def run(): Unit = {
+          fired = true
+          try spark.sparkContext.cancelJobGroup(group)
+          catch { case _: Throwable => () }
+        }
+      }
+      watchdogTimer.schedule(task, (queryTimeoutSec * 1000).toLong)
+      val t0 = System.nanoTime()
+      val r =
+        try { body; Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable =>
+          if (fired) timeoutSet += name
+          None
+        }
+      task.cancel()
+      try spark.sparkContext.clearJobGroup() catch { case _: Throwable => () }
+      r
     }
     // Floors are only comparable at the same scale factor AND cpu
     // count: the OFFICIAL per-round bench runs at sf0.1 / local[32]
@@ -364,16 +404,11 @@ object Bench {
         prevSpreads.get(name).exists(_ >= 3.0)
       def runOnce(): Option[Double] = {
         if (gcFirst) System.gc()
-        val t0 = System.nanoTime()
-        val dt =
-          try {
-            // noop write forces evaluation of EVERY output column —
-            // count() would let Catalyst prune the projections under test
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case _: Throwable => None
-          }
+        // noop write forces evaluation of EVERY output column —
+        // count() would let Catalyst prune the projections under test
+        val dt = measuredRep(name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         cleanup()
         dt
       }
@@ -503,13 +538,10 @@ object Bench {
     def freshProbe(name: String, want: Int): Seq[Double] = {
       System.gc()
       val fresh = (1 to want).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val dt =
-          try {
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
+        val dt = measuredRep(name) {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
         cleanup()
         dt
       }
@@ -836,9 +868,9 @@ object Bench {
     val redState = confirmedSet.nonEmpty ||
       (windowDegraded && suspectSet.nonEmpty) || degradedStreak >= 2
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"query_timeouts":${timeoutSet.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"query_timeouts":${timeoutSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"query_timeout_sec":$queryTimeoutSec,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
       s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(

@@ -615,6 +615,59 @@ object QueriesExt {
        |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Per-doc duplicated-span coverage (Dedup.substringDupCoverage —
+    * the Lee et al. span-removal policy statistic over the same run
+    * frame as q_substring_runs). The oracle re-derives the islands
+    * WITH their per-side start positions, explodes each side's
+    * [start, start+run_tokens) token range, distinct-collapses
+    * overlaps, and left-joins onto every doc's token length so clean
+    * docs pin coverage 0 — membership, extents, the union-overlap
+    * collapse, AND the keep/flag/drop thresholds are all
+    * cross-engine-gated. */
+  private def qDupCoverage(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupCoverage(docs(s, dir), "doc_id", "text",
+      minRun = 20, maxBucket = 64, flagAt = 0.2, dropAt = 0.8)
+      .orderBy(col("doc_id"))
+  private val qDupCoverageSql = {
+    val L = 20
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |g AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM toks WHERE len(t) >= $L),
+       |p AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM g),
+       |cap AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM p)
+       |  WHERE bs <= 64),
+       |pr AS (SELECT a.doc_id da, b.doc_id db, a.pos pa, b.pos pb
+       |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT da, db, pa - pb diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) isl
+       |  FROM pr),
+       |runs AS (SELECT da, db, diag, isl, min(pa) pa0, min(pb) pb0,
+       |    count(*) + $L - 1 run_tokens FROM isl GROUP BY 1, 2, 3, 4),
+       |cov AS (SELECT DISTINCT id, p FROM (
+       |  SELECT da id, pa0 + unnest(range(run_tokens)) p FROM runs
+       |  UNION ALL SELECT db, pb0 + unnest(range(run_tokens)) FROM runs)),
+       |cnt AS (SELECT id doc_id, CAST(count(*) AS BIGINT) n_dup
+       |  FROM cov GROUP BY 1),
+       |base AS (SELECT t.doc_id, CAST(len(t.t) AS BIGINT) n_tokens,
+       |    COALESCE(c.n_dup, 0) n_dup_tokens
+       |  FROM toks t LEFT JOIN cnt c USING (doc_id))
+       |SELECT doc_id, n_tokens, n_dup_tokens,
+       |  round(CASE WHEN n_tokens = 0 THEN 0.0
+       |    ELSE CAST(n_dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    END, 6) dup_fraction,
+       |  CASE WHEN round(CASE WHEN n_tokens = 0 THEN 0.0
+       |      ELSE CAST(n_dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |      END, 6) >= 0.8 THEN 'drop'
+       |    WHEN round(CASE WHEN n_tokens = 0 THEN 0.0
+       |      ELSE CAST(n_dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |      END, 6) >= 0.2 THEN 'flag'
+       |    ELSE 'keep' END verdict
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // PII redaction (training-data release hygiene)
   // ------------------------------------------------------------------
@@ -8195,6 +8248,7 @@ object QueriesExt {
     "q_dedup_minhash_char" -> (qDedupMinhashChar _),
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_substring_runs" -> (qSubstringRuns _),
+    "q_dup_coverage" -> (qDupCoverage _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
     "q_content_split" -> (qContentSplit _),
@@ -8426,6 +8480,7 @@ object QueriesExt {
     "q_dedup_minhash_char" -> qDedupMinhashCharSql,
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_substring_runs" -> qSubstringRunsSql,
+    "q_dup_coverage" -> qDupCoverageSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
     "q_content_split" -> qContentSplitSql,

@@ -769,7 +769,21 @@ object Dedup {
     * self-join and none after (islands/rollup are windows over the
     * already-matched pair stream, partitioned by pair). */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      minRun: Int = 50, maxBucket: Int = 64): DataFrame = {
+      minRun: Int = 50, maxBucket: Int = 64): DataFrame =
+    substringRunFrame(docs, idCol, textCol, minRun, maxBucket)
+      .groupBy("da", "db")
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        (sum(col("run_tokens")) - count(lit(1)) * (minRun - 1))
+          .as("n_shared_grams"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("max_run_tokens"), col("n_runs"), col("n_shared_grams"))
+
+  /** The merged-run stream both substring operators consume: one row
+    * per (pair, diagonal, island) with each side's run START position
+    * and the exact run extent in tokens. */
+  private[graft] def substringRunFrame(docs: DataFrame, idCol: String,
+      textCol: String, minRun: Int, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = minRun
     require(L >= 2, s"minRun must be >= 2: $L")
@@ -798,15 +812,57 @@ object Dedup {
     val isl = diag.withColumn("isl",
       col("pa") - row_number().over(
         Window.partitionBy("da", "db", "diag").orderBy("pa")))
-    val runs = isl.groupBy("da", "db", "diag", "isl")
-      .agg((count(lit(1)) + (L - 1)).as("run_tokens"))
-    runs.groupBy("da", "db")
-      .agg(max(col("run_tokens")).as("max_run_tokens"),
-        count(lit(1)).as("n_runs"),
-        (sum(col("run_tokens")) - count(lit(1)) * (L - 1))
-          .as("n_shared_grams"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("max_run_tokens"), col("n_runs"), col("n_shared_grams"))
+    isl.groupBy("da", "db", "diag", "isl")
+      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
+        (count(lit(1)) + (L - 1)).as("run_tokens"))
+  }
+
+  /** Per-document duplicated-span COVERAGE — the decision input Lee et
+    * al. 2021 act on: they remove the duplicated SPANS themselves; the
+    * per-doc fraction of tokens sitting inside any cross-document
+    * >= `minRun`-token verbatim run is the policy statistic for both
+    * span removal and doc dropping (a doc that is 80% verbatim-shared
+    * boilerplate is not salvageable; one quoting a single paragraph
+    * is). Every island from [[substringRunFrame]] covers
+    * [start, start + run_tokens) on EACH side; positions explode per
+    * side, union + distinct collapses overlapping runs, and the count
+    * joins back to every doc's token length — clean docs report
+    * coverage 0, not absence. Verdicts at `flagAt`/`dropAt` follow the
+    * contaminationReport convention.
+    *
+    * 100 TB shape: the explode emits one (id, pos) row per COVERED
+    * token of a run participant — bounded by corpus token count, same
+    * order as the posting stream — and the only joins are the
+    * run-frame's capped self-join plus one broadcast-or-shuffle join
+    * of (id, n_dup) onto per-doc lengths. */
+  def substringDupCoverage(docs: DataFrame, idCol: String,
+      textCol: String, minRun: Int = 50, maxBucket: Int = 64,
+      flagAt: Double = 0.2, dropAt: Double = 0.8): DataFrame = {
+    require(flagAt <= dropAt, s"flagAt $flagAt must be <= dropAt $dropAt")
+    val runs = substringRunFrame(docs, idCol, textCol, minRun, maxBucket)
+    val covered = runs.select(col("da").as("id"),
+        explode(sequence(col("pa0"), col("pa0") + col("run_tokens") - 1))
+          .as("p"))
+      .union(runs.select(col("db").as("id"),
+        explode(sequence(col("pb0"), col("pb0") + col("run_tokens") - 1))
+          .as("p")))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    val lens = docs.select(col(idCol).as("id"),
+      size(TextStats.tokens(TextStats.normalized(col(textCol))))
+        .cast("long").as("n_tokens"))
+    lens.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_fraction",
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_dup_tokens").cast("double") /
+            col("n_tokens").cast("double")), 6))
+      .withColumn("verdict",
+        when(col("dup_fraction") >= dropAt, lit("drop"))
+          .when(col("dup_fraction") >= flagAt, lit("flag"))
+          .otherwise(lit("keep")))
   }
 
   /** Graded decontamination: [[decontaminate]] reports only the hit

@@ -697,6 +697,28 @@ class DedupSpec extends SparkSpec {
       "hot-shingle guard must drop over-cap postings")
   }
 
+  test("substringDupCoverage: overlapping runs collapse, clean docs " +
+      "report 0, verdict thresholds at >= flagAt/dropAt") {
+    val share = "one two three four five six seven"
+    val d = Seq(
+      (10L, s"alpha beta $share gamma delta epsilon"), // 12 toks, 7 dup
+      (11L, s"start $share middle end finish close out"), // 13 toks, 7 dup
+      (12L, s"$share filler filler2 filler3 $share"), // 17 toks, 14 dup
+      (14L, "wholly unrelated content about query engines and plans x y"),
+      (20L, share) // 7 toks, all dup -> fraction 1.0 -> drop
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDupCoverage(d, "doc_id", "text",
+      minRun = 5, maxBucket = 64, flagAt = 0.2, dropAt = 0.8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getString(4))).toMap
+    assert(r(10L) == ((12L, 7L, 0.583333, "flag")), s"got ${r(10L)}")
+    assert(r(11L) == ((13L, 7L, 0.538462, "flag")), s"got ${r(11L)}")
+    // doc 12: both copies of the run covered, overlap-collapsed
+    assert(r(12L) == ((17L, 14L, 0.823529, "drop")), s"got ${r(12L)}")
+    assert(r(14L) == ((10L, 0L, 0.0, "keep")), s"clean doc: ${r(14L)}")
+    assert(r(20L) == ((7L, 7L, 1.0, "drop")), s"got ${r(20L)}")
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
