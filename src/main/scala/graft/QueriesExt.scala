@@ -4417,6 +4417,78 @@ object QueriesExt {
       .select(col("id").as("doc_id"), col("n_contaminated_grams"))
   }
 
+  /** Run-extent decontamination (Dedup.decontaminateRuns): the
+    * benchmark = the %50 eval split PLUS injected QUOTES — for every
+    * corpus doc with doc_id % 17 = 3 and >= 30 tokens, a bench doc
+    * (doc_id + 2000000) whose text is tokens 6..30 of the source (a
+    * verbatim 25-token quote, rebuilt identically in both engines from
+    * the normalized token stream) — so the face measures real quote
+    * extents, not just the one natural >= 13-token overlap the fixture
+    * happens to contain. Output per contaminated corpus doc: longest
+    * verbatim quote, total runs, distinct bench docs hit. The oracle
+    * mirrors postings, both caps, the cross join, and the island
+    * merge. */
+  private def qDecontaminateRuns(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = TextStats.tokens(TextStats.normalized(col("text")))
+    val quotes = d.filter(col("doc_id") % 50 =!= 0)
+      .filter(col("doc_id") % 17 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        toks.as("__t"))
+      .filter(size(col("__t")) >= 30)
+      .select(col("doc_id"), concat_ws(" ", slice(col("__t"), 6, 25))
+        .as("text"))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(quotes)
+    Dedup.decontaminateRuns(
+      d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      bench, "doc_id", "text", minRun = 13, maxBucket = 64)
+      .groupBy(col("id").as("doc_id"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+  private val qDecontaminateRunsSql: String = {
+    val L = 13
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |corpus AS (SELECT doc_id, t FROM toks WHERE doc_id % 50 <> 0),
+       |bench AS (
+       |  SELECT doc_id, t FROM toks WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, list_slice(t, 6, 30) FROM corpus
+       |  WHERE doc_id % 17 = 3 AND len(t) >= 30),
+       |cg AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM corpus WHERE len(t) >= $L),
+       |cp0 AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM cg),
+       |cp AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM cp0)
+       |  WHERE bs <= 64),
+       |bg AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM bench WHERE len(t) >= $L),
+       |bp0 AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM bg),
+       |bp AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM bp0)
+       |  WHERE bs <= 64),
+       |pr AS (SELECT a.doc_id da, b.doc_id db, a.pos pa, b.pos pb
+       |  FROM cp a JOIN bp b ON a.h = b.h),
+       |isl AS (SELECT da, db, pa - pb diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) isl
+       |  FROM pr),
+       |runs AS (SELECT da, db, diag, isl,
+       |    count(*) + $L - 1 run_tokens FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT da doc_id,
+       |  CAST(max(run_tokens) AS BIGINT) max_run_tokens,
+       |  CAST(count(*) AS BIGINT) n_runs,
+       |  CAST(count(DISTINCT db) AS BIGINT) n_bench_docs
+       |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Word-13-gram CASE over a token list column `t` — shared by the
     * decontamination oracle and the prep-pipeline oracle (one source of
     * truth, same convention as [[wordShinglesSql]]). */
@@ -8192,6 +8264,7 @@ object QueriesExt {
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_survivor_policy" -> (qSurvivorPolicy _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_runs" -> (qDecontaminateRuns _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_zorder" -> (qZorder _),
@@ -8430,6 +8503,7 @@ object QueriesExt {
     "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_survivor_policy" -> qSurvivorPolicySql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_runs" -> qDecontaminateRunsSql,
     "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_corpus_diff" -> qCorpusDiffSql,
     "q_zorder" -> qZorderSql,

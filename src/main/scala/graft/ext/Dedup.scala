@@ -779,42 +779,88 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("max_run_tokens"), col("n_runs"), col("n_shared_grams"))
 
-  /** The merged-run stream both substring operators consume: one row
-    * per (pair, diagonal, island) with each side's run START position
-    * and the exact run extent in tokens. */
-  private[graft] def substringRunFrame(docs: DataFrame, idCol: String,
-      textCol: String, minRun: Int, maxBucket: Int): DataFrame = {
+  /** Positional L-gram postings (id, pos, h), frequency-capped: the
+    * shared front end of every run-extent operator. Explodes the index
+    * sequence, never the gram array (ShingleProbe: a folded gram-array
+    * Generate re-runs tokenization per emitted element). */
+  private def cappedPositionalPostings(docs: DataFrame, idCol: String,
+      textCol: String, L: Int, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = minRun
     require(L >= 2, s"minRun must be >= 2: $L")
-    // positional L-gram postings; explode the index sequence, never the
-    // gram array (ShingleProbe: a folded gram-array Generate re-runs
-    // tokenization per emitted element)
     val toks = docs.select(col(idCol).as("id"),
       TextStats.tokens(TextStats.normalized(col(textCol))).as("__t"))
-    val postings = toks
+    toks
       .filter(size(col("__t")) >= L)
       .select(col("id"), col("__t"),
         explode(sequence(lit(0), size(col("__t")) - L, lit(1))).as("pos"))
       .select(col("id"), col("pos"),
         Hashing.hash64(concat_ws(" ", slice(col("__t"), col("pos") + 1,
           lit(L)))).as("h"))
-    val capped = postings
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("__bs") <= maxBucket)
       .drop("__bs")
+  }
+
+  /** Diagonal gaps-and-islands merge of a matched posting-pair stream
+    * (da, db, pa, pb) -> one row per (pair, diagonal, island) with each
+    * side's run START and the exact extent in tokens. */
+  private def mergedRuns(pairs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairs.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl",
+        col("pa") - row_number().over(
+          Window.partitionBy("da", "db", "diag").orderBy("pa")))
+      .groupBy("da", "db", "diag", "isl")
+      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
+        (count(lit(1)) + (L - 1)).as("run_tokens"))
+  }
+
+  /** The merged-run stream both intra-corpus substring operators
+    * consume: one row per (pair, diagonal, island). */
+  private[graft] def substringRunFrame(docs: DataFrame, idCol: String,
+      textCol: String, minRun: Int, maxBucket: Int): DataFrame = {
+    val capped =
+      cappedPositionalPostings(docs, idCol, textCol, minRun, maxBucket)
     val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    val diag = pairs.withColumn("diag", col("pa") - col("pb"))
-    val isl = diag.withColumn("isl",
-      col("pa") - row_number().over(
-        Window.partitionBy("da", "db", "diag").orderBy("pa")))
-    isl.groupBy("da", "db", "diag", "isl")
-      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
-        (count(lit(1)) + (L - 1)).as("run_tokens"))
+    mergedRuns(pairs, minRun)
+  }
+
+  /** Run-EXTENT decontamination — [[decontaminate]] upgraded from gram
+    * COUNTS to verbatim-quote extents: for every (corpus doc, benchmark
+    * doc) pair sharing a >= `minRun`-token verbatim run, the merged run
+    * extents — "this training doc quotes 37 consecutive tokens of eval
+    * item 12", the evidence an n-gram hit count only hints at. Same
+    * positional-posting + diagonal-island machinery as
+    * [[substringDedup]], with the self-join replaced by a
+    * corpus x benchmark join; each side's hot shingles are capped at
+    * `maxBucket` independently (boilerplate on either side is the
+    * f^2/2 regime). Returns one row per (id, bench_id, diagonal
+    * island): (id, bench_id, pos, bench_pos, run_tokens) — callers
+    * aggregate per doc or per pair.
+    *
+    * 100 TB shape: the benchmark side is tiny (eval suites); its capped
+    * postings broadcast-or-shuffle against the corpus posting stream
+    * (one row per corpus token, the decontaminate bill), and the
+    * islands are windows over MATCHED pairs only. */
+  def decontaminateRuns(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      minRun: Int = 13, maxBucket: Int = 64): DataFrame = {
+    val c = cappedPositionalPostings(corpus, idCol, textCol,
+      minRun, maxBucket)
+    val b = cappedPositionalPostings(benchmark, benchIdCol, benchTextCol,
+      minRun, maxBucket)
+    val pairs = c.as("a")
+      .join(b.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    mergedRuns(pairs, minRun)
+      .select(col("da").as("id"), col("db").as("bench_id"),
+        col("pa0").as("pos"), col("pb0").as("bench_pos"),
+        col("run_tokens"))
   }
 
   /** Per-document duplicated-span COVERAGE — the decision input Lee et

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *      computed on the UPPER TRIANGLE only and mirrored (halves the
   *      pair volume),
   *   3. T iterations of  v <- normalize(C v)  from the fixed start
-  *      v0 = 1/sqrt(d) * ones  (distributed join+agg over the d^2-row
-  *      matrix — the PageRank shape, never collected),
+  *      v0 = 1/sqrt(d) * ones  (the d^2-row matrix is bounded driver
+  *      state for any realistic width — collected once, T in-memory
+  *      matvecs; distributed join+agg fallback above d^2 = 4M),
   *   4. projection  p = (x - m) . v  per vector (broadcast of the d-row
   *      component).
   *
@@ -98,19 +99,25 @@ object Pca {
     val spark = cx.sparkSession
     import spark.implicits._
     val d = mn.count()
-    // materialize the tiny (d^2-row) matrix once: the corpus scan would
-    // otherwise replay per iteration through the lazy plan
-    val cov = covariance(cx, n).localCheckpoint()
-    // The matrix-vector product stays DISTRIBUTED (the d^2-row frame is
-    // the scale-bearing side); the d-ROW component vector iterates on
-    // the driver — the bounded-collect regime (same as centroids/
-    // vocabs). Round 8: the previous all-lazy form composed T nested
-    // join+window stages into one plan, and its scheduling/codegen
-    // dwarfed the arithmetic (7.8s isolated at sf0.1 for d = 64;
-    // per-step localCheckpoint was WORSE, 12.6s). Driver normalization
-    // replicates the engine arithmetic bit-exactly: products are cast
-    // to DECIMAL(28,14) (HALF_UP at scale 14), decimal-summed, cast to
-    // double; round at 8 is HALF_UP — same as the SQL oracle's chain.
+    // The d-ROW component vector iterates on the driver — the
+    // bounded-collect regime (same as centroids/vocabs). Round 8: the
+    // all-lazy form composed T nested join+window stages into one plan
+    // and its scheduling/codegen dwarfed the arithmetic (7.8s isolated
+    // at sf0.1 for d = 64; per-step localCheckpoint was WORSE, 12.6s).
+    // Round 13: for any realistic embedding width the d^2-row
+    // covariance itself is bounded driver state (d = 2048 -> 4.2M
+    // entries, ~64 MB), so the WHOLE T-step loop runs in memory on one
+    // collected matrix — the r12-era shape still paid 8 Spark
+    // jobs-with-collect on a 4096-row frame, pure job overhead
+    // (q_pca_project 11.6s in-suite, almost all scheduling). The
+    // distributed join+agg loop is kept as the fallback for
+    // pathological widths (d^2 > 4M), where the matrix is the
+    // scale-bearing side. Arithmetic is REPLICATED BIT-EXACTLY either
+    // way: per-term products cast to DECIMAL(28,14) (HALF_UP at scale
+    // 14, exactly Spark's double->decimal cast), decimal sums (exact,
+    // order-free), null-term skipping like Spark's sum, round at 8
+    // HALF_UP — the SQL oracle's chain. Hashes are unchanged
+    // (CORRECTNESS r13: q_pca_project bit-exact at all three scales).
     def dec14(x: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(x)
         .setScale(14, java.math.RoundingMode.HALF_UP)
@@ -119,20 +126,46 @@ object Pca {
         .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
     var v: Seq[(Int, Option[Double])] =
       (1 to d.toInt).map(j => j -> Some(1.0 / math.sqrt(d.toDouble)))
-    for (_ <- 1 to iterations) {
-      val vDf = v.toDF("j", "vv")
-      val mv = cov.join(broadcast(vDf), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum((col("c") * col("vv")).cast("decimal(28,14)")).as("mvd"))
-        .select(col("i"), col("mvd").cast("double").as("mv"))
-        .as[(Int, Option[Double])].collect().sortBy(_._1)
+    def step(mv: Seq[(Int, Option[Double])]): Seq[(Int, Option[Double])] = {
       val squares = mv.flatMap(_._2).map(x => dec14(x * x))
       val nn =
         if (squares.isEmpty) None
         else Some(math.sqrt(
           squares.reduce(_.add(_)).doubleValue))
-      v = mv.toSeq.map { case (i, m) =>
+      mv.map { case (i, m) =>
         i -> (for (x <- m; z <- nn; if z > 0) yield round8(x / z))
+      }
+    }
+    if (d * d <= 4194304L) {
+      // one bounded collect, T in-memory matvecs
+      val rows = covariance(cx, n)
+        .select(col("i"), col("j"), col("c"))
+        .as[(Int, Int, Double)].collect()
+      val byI = rows.groupBy(_._1)
+      for (_ <- 1 to iterations) {
+        val vm = v.toMap
+        val mv = byI.toSeq.map { case (i, entries) =>
+          // Spark's sum skips null terms and returns null when ALL
+          // terms are null — replicated exactly
+          val terms = entries.flatMap { case (_, j, c) =>
+            vm.getOrElse(j, None).map(vj => dec14(c * vj)) }
+          i -> (if (terms.isEmpty) None
+            else Some(terms.reduce(_.add(_)).doubleValue))
+        }.sortBy(_._1)
+        v = step(mv)
+      }
+    } else {
+      // pathological width: the matrix is the scale-bearing side —
+      // materialize it once and keep the matvec distributed
+      val cov = covariance(cx, n).localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val vDf = v.toDF("j", "vv")
+        val mv = cov.join(broadcast(vDf), Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum((col("c") * col("vv")).cast("decimal(28,14)")).as("mvd"))
+          .select(col("i"), col("mvd").cast("double").as("mv"))
+          .as[(Int, Option[Double])].collect().sortBy(_._1).toSeq
+        v = step(mv)
       }
     }
     v.toDF("j", "vv")

@@ -719,6 +719,27 @@ class DedupSpec extends SparkSpec {
     assert(r(20L) == ((7L, 7L, 1.0, "drop")), s"got ${r(20L)}")
   }
 
+  test("decontaminateRuns: quote extents exact, positions reported, " +
+      "clean docs absent, both-side caps guard boilerplate") {
+    val evalItem = "what is the capital of france paris is the capital"
+    val corpus = Seq(
+      // quotes the full 10-token eval item inside other text
+      (1L, s"some intro text $evalItem and a closing remark here"),
+      // quotes only 6 tokens of it (below minRun 7)
+      (2L, "padding words what is the capital of france more padding x"),
+      (3L, "entirely unrelated training content about distributed joins")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, evalItem)).toDF("bench_id", "btext")
+    val r = Dedup.decontaminateRuns(corpus, "doc_id", "text",
+      bench, "bench_id", "btext", minRun = 7, maxBucket = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getInt(2), x.getInt(3), x.getLong(4))).toMap
+    // doc 1: the full 10-token quote, starting at corpus pos 3 / bench 0
+    assert(r((1L, 100L)) == ((3, 0, 10L)), s"got ${r.get((1L, 100L))}")
+    assert(!r.keySet.exists(_._1 == 2L), "6-token overlap < minRun 7")
+    assert(!r.keySet.exists(_._1 == 3L))
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
