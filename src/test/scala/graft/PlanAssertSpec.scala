@@ -66,6 +66,16 @@ class PlanAssertSpec extends SparkSpec {
       s"the tiny representative set must be the broadcast side; plan:\n$plan")
   }
 
+  test("q_substring_runs + q_decontaminate_runs: posting joins stay " +
+      "hash-equi-keyed — no cartesian, no broadcast nested loop") {
+    Seq("q_substring_runs", "q_decontaminate_runs").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q's posting join must stay keyed on the gram hash; plan:\n$plan")
+    }
+  }
+
   test("q_url_dedup: keep-best survivor is a partial agg, not a window sort") {
     val plan = planOf("q_url_dedup")
     assert(!plan.contains("Window"),

@@ -246,4 +246,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("substringDedup: max_run_tokens equals the brute-force longest " +
+      "common token substring on random near-dup docs (guard off)") {
+    // reference: O(n*m) LCS-of-tokens DP
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val L = 4
+    trials { r =>
+      // small token alphabet + a planted shared segment => rich run
+      // structure (multiple diagonals, overlaps, repeats)
+      def doc(n: Int): Array[String] =
+        Array.fill(n)("w" + r.nextInt(8))
+      val shared = doc(L + r.nextInt(6))
+      val d1 = doc(r.nextInt(10)) ++ shared ++ doc(r.nextInt(10))
+      val d2 = doc(r.nextInt(10)) ++ shared ++ doc(r.nextInt(10))
+      val d3 = doc(12 + r.nextInt(8))
+      Seq(1L -> d1, 2L -> d2, 3L -> d3)
+    } { ds =>
+      val df = ds.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Dedup
+        .substringDedup(df, "doc_id", "text",
+          minRun = L, maxBucket = Int.MaxValue)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      val byId = ds.toMap
+      for (a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b) {
+        val expect = lcs(byId(a), byId(b))
+        val reported = got.getOrElse((a, b), 0L)
+        if (expect >= L)
+          assert(reported == expect,
+            s"pair ($a,$b): reported $reported vs brute-force LCS $expect " +
+              s"docs=${byId(a).mkString(" ")} | ${byId(b).mkString(" ")}")
+        else
+          assert(reported == 0L,
+            s"pair ($a,$b): sub-minRun LCS $expect must not pair")
+      }
+    }
+  }
 }
