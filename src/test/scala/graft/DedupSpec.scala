@@ -740,6 +740,35 @@ class DedupSpec extends SparkSpec {
     assert(!r.keySet.exists(_._1 == 3L))
   }
 
+  test("substring family edge cases: null/empty text rows survive " +
+      "coverage with null fraction -> keep; invalid params refuse") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.substringDupCoverage(d, "doc_id", "text",
+      minRun = 5, maxBucket = 64)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getLong(2), Option(r.get(3)),
+          r.getString(4))).toMap
+    assert(cov(1L)._4 == "drop" && cov(2L)._4 == "drop",
+      "exact 8-token copies are fully covered")
+    // null text: token count NULL, fraction NULL, CASE falls to keep —
+    // both engines (the oracle mirrors this exact chain)
+    assert(cov(3L)._1.isEmpty && cov(3L)._2 == 0L && cov(3L)._4 == "keep")
+    // empty text: zero tokens, fraction pinned 0.0
+    assert(cov(4L) == ((Some(0L), 0L, Some(0.0), "keep")), s"got ${cov(4L)}")
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedup(d, "doc_id", "text", minRun = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.substringDupCoverage(d, "doc_id", "text",
+        minRun = 5, flagAt = 0.9, dropAt = 0.2)
+    }
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
