@@ -615,6 +615,36 @@ object QueriesExt {
        |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Token-run survivors — the end-to-end removal composition for the
+    * substring tier, symmetric with q_dedup_survivors on the minhash
+    * tier: q_substring_runs' pair frame -> connected components ->
+    * keep each component's min id plus every unpaired doc. The oracle
+    * wraps the runs pair SQL in the recursive min-closure (the
+    * q_dedup_clusters discipline). */
+  private def qSubstringSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.substringDedup(d, "doc_id", "text",
+      minRun = 20, maxBucket = 64)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    Dedup.dedupSurvivors(d, "doc_id", pairs)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  private val qSubstringSurvivorsSql: String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_a id_a, doc_b id_b FROM ($qSubstringRunsSql) p),
+       |sym AS (SELECT id_a a, id_b b FROM base
+       |  UNION SELECT id_b, id_a FROM base),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b),
+       |comp AS (SELECT id, min(r) comp FROM reach GROUP BY 1),
+       |losers AS (SELECT id FROM comp WHERE id <> comp)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-doc duplicated-span coverage (Dedup.substringDupCoverage —
     * the Lee et al. span-removal policy statistic over the same run
     * frame as q_substring_runs). The oracle re-derives the islands
@@ -8322,6 +8352,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> (qJaccardNgram _),
     "q_substring_runs" -> (qSubstringRuns _),
     "q_dup_coverage" -> (qDupCoverage _),
+    "q_substring_survivors" -> (qSubstringSurvivors _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
     "q_content_split" -> (qContentSplit _),
@@ -8555,6 +8586,7 @@ object QueriesExt {
     "q_jaccard_ngram" -> qJaccardNgramSql,
     "q_substring_runs" -> qSubstringRunsSql,
     "q_dup_coverage" -> qDupCoverageSql,
+    "q_substring_survivors" -> qSubstringSurvivorsSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
     "q_content_split" -> qContentSplitSql,
