@@ -102,10 +102,27 @@ object Bench {
     * by probe time remains safe under the override: confirms from a
     * recovered window measure the query's true cost (exactly how the
     * r12 imageio confirms fired), and first-time floors pinned from
-    * such a window self-heal downward under the monotone-min rule. */
+    * such a window self-heal downward under the monotone-min rule.
+   *
+   * r13 driver-window calibration (VERDICT r13 Next #3): the official
+   * r13 run stalled heavy queries 10-50x (in-suite per-query spreads
+   * 19.6x on q_doremi_weights, 51.5x on q_corr_matrix, spread MEDIAN
+   * 1.59) while every fixed-overhead sentinel read ~1.0 (probe_max
+   * 0.84) — CPU-steal during long all-core stages throttles the suite
+   * but not short isolated probes, so the probe override declared the
+   * window clean and 69 movers went unadjudicated in a window that was
+   * visibly erratic. The in-suite spread median is the direct,
+   * floor-independent measurement of that stall mode: committed clean
+   * closes read 1.42-1.43, the degraded driver window 1.59. A spread
+   * median past 1.55 therefore declares degraded REGARDLESS of the
+   * sentinel evidence — reps of untouched code disagreeing with each
+   * other by >1.55x on half the suite is machine noise by definition,
+   * and no quick sentinel can vouch it away. */
   private[graft] def windowDegradedOf(effDrift: Double,
-      probeMax: Double, streamMedian: Double): Boolean =
-    effDrift > 1.3 && (probeMax > 1.1 || streamMedian > 1.3)
+      probeMax: Double, streamMedian: Double,
+      inSuiteSpreadMedian: Double): Boolean =
+    (effDrift > 1.3 && (probeMax > 1.1 || streamMedian > 1.3)) ||
+    inSuiteSpreadMedian > 1.55
 
   /** Pure floor-composition rule (VERDICT r12 Next #3; BenchSpec pins
     * it). SEMANTIC BREAK vs r12-era floors, in two parts:
@@ -162,10 +179,44 @@ object Bench {
     * quiet-but-slower-than-best-ever window (the rebase's target
     * shape) shows none of those. streamMedian IS floor-relative, so
     * its bound is generous (1.5 — quiet windows read ~1.0-1.25 even
-    * against warm-biased floors; the r10 contention shape read 4-6x). */
+    * against warm-biased floors; the r10 contention shape read 4-6x).
+    *
+    * ADVICE r13 (medium): wallHit is only set during the in-suite
+    * phase, so a run whose wall budget died during ADJUDICATION could
+    * carry unverified 1.5x+ movers (unadjudicated/probe_error,
+    * confirmed still 0) and pass this gate — composeFloors(rebase=true)
+    * would then re-pin those movers' regressed in-suite minima as the
+    * new baseline, suite-wide. A rebase is only certifiable when every
+    * raw mover actually adjudicated: unadjudicated == 0 and
+    * probeErrors == 0 are now part of the gate. */
   private[graft] def rebaseStableOf(confirmed: Int, errors: Int,
-      wallHit: Boolean, streamMedian: Double): Boolean =
-    confirmed == 0 && errors == 0 && !wallHit && streamMedian <= 1.5
+      wallHit: Boolean, streamMedian: Double,
+      unadjudicated: Int, probeErrors: Int): Boolean =
+    confirmed == 0 && errors == 0 && !wallHit && streamMedian <= 1.5 &&
+      unadjudicated == 0 && probeErrors == 0
+
+  /** Breadth-first mover order (VERDICT r13 Next #2, pinned by
+    * BenchSpec): every raw mover gets its FIRST cheap probe before any
+    * mover escalates to extra reps, in descending in-suite-ratio order
+    * (worst suspect first), id-tiebroken for determinism. The r13
+    * driver run ended with 69 of 79 movers unadjudicated because
+    * depth-first adjudication let the headliners' full-rep probes
+    * drain the wall budget before the tail was ever probed — probes
+    * vanished exactly when the window was worst. */
+  private[graft] def moverOrderOf(raw: Map[String, Double]): Seq[String] =
+    raw.toSeq.sortBy { case (k, r) => (-r, k) }.map(_._1)
+
+  /** Escalation policy after the breadth pass (pinned by BenchSpec): a
+    * first probe at <= 1.5x floor clears on its own evidence (a fast
+    * rep cannot be a noise artifact — spikes inflate, never deflate);
+    * anything else escalates to the class rep count (heavy floors
+    * min-of-2, the rest median-of-3). A first probe that THREW retries
+    * the full class count. */
+  private[graft] def escalationWantOf(prevFloor: Double,
+      firstProbe: Seq[Double]): Int =
+    if (firstProbe.nonEmpty && firstProbe.min / prevFloor <= 1.5) 0
+    else if (firstProbe.isEmpty) (if (prevFloor >= 3.0) 2 else 3)
+    else if (prevFloor >= 3.0) 1 else 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -214,6 +265,7 @@ object Bench {
     //    threads don't inherit the job group (their triggers are
     //    deterministic machinery, the class least likely to wedge).
     val repCutSec = budgetSec * 0.6
+    val repSoftCutSec = budgetSec * 0.45
     val wallGuardSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1000").toDouble
     // generous 10x+ over the heaviest in-suite floor (~12s at sf0.1):
@@ -277,7 +329,12 @@ object Bench {
       val r =
         try { body; Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable =>
-          if (fired) timeoutSet += name
+          // attribution needs BOTH signals (ADVICE r13): a rep that
+          // throws for an unrelated reason just as the timer fires
+          // would otherwise be misrecorded as a timeout; a genuine
+          // cancellation cannot surface before the timeout elapsed
+          if (fired && (System.nanoTime() - t0) / 1e9 >= queryTimeoutSec)
+            timeoutSet += name
           None
         }
       task.cancel()
@@ -436,7 +493,15 @@ object Bench {
         // comparable across the r10/r11 boundary (an r11+ file can read
         // budget_hit=false/rep_cut_hit=true where r10 wrote
         // budget_hit=true). Compare rep_cut_hit(r11+) to budget_hit(r10)
+        // RESERVED ADJUDICATION BUDGET (VERDICT r13 Next #2): between
+        // repSoftCutSec (0.45x budget) and repCutSec, median-of-3
+        // queries degrade to 2 reps — on a slow window the saving is
+        // banked for the post-suite probe phase, which on the r13
+        // driver run got NOTHING because the suite ate the whole wall
+        // (69/79 movers unadjudicated). Clean windows finish the suite
+        // phase under ~0.45x budget and never hit this.
         val wanted = if (elapsed > repCutSec) { repCutHit = true; 0 }
+          else if (elapsed > repSoftCutSec) math.min(extraReps, 1)
           else extraReps
         if (elapsed > budgetSec) budgetHit = true
         val times = first.toList ++ (1 to wanted).flatMap(_ => runOnce())
@@ -515,6 +580,16 @@ object Bench {
     // This subsumes the old 1-rep confirm pass (round 6): a 1-rep mover
     // is just the weakest-evidence case of the same loop.
     val rawMoves = movesOf(floorsNow)
+    // in-suite spread evidence, computed from the SUITE phase only
+    // (probe pools excluded — the cold/warm asymmetry must not pollute
+    // it). Feeds the degraded-window rule (VERDICT r13 Next #3: the
+    // heavy-query-stall mode reads 1.59 here while sentinels read 1.0)
+    // and the rebase evidence record.
+    val inSuiteSpreadMedian = {
+      val sp = inSuiteTimes.values.collect {
+        case ts if ts.size >= 2 => ts.max / ts.min }.toSeq.sorted
+      if (sp.isEmpty) 1.0 else math.round(sp(sp.size / 2) * 100) / 100.0
+    }
     // AMBIENT-DRIFT DISCRIMINATOR: floors are monotone BEST-EVER minima,
     // so on a day uniformly slower than the floors' best-ever windows,
     // even honest fresh isolated probes of untouched queries exceed
@@ -603,8 +678,27 @@ object Bench {
           f >= 0.3 && !midSentinel.contains(k) }
         .sortBy { case (k, f) => (math.abs(f - 0.75), k) }
         .headOption.map(_._1)
+    // HEAVY sentinel (VERDICT r13 Next #3): the r13 driver window
+    // stalled heavy queries 10-50x while both fixed-overhead sentinels
+    // read ~1.0 — CPU steal during long all-core stages throttles
+    // multi-second shuffles, not sub-second probes, so the sentinel
+    // pair was structurally blind to the very stall mode it vouches
+    // against. One sentinel is therefore always drawn from the heavy
+    // class (floor > 3s, capped at 8s to bound the probe bill),
+    // closest to 4s: its ratio joins probe_max, so the
+    // degraded-window override (both/all sentinels <= 1.1) can no
+    // longer fire while the heavy class is stalling.
+    val heavySentinel: Option[String] =
+      if (rawMoves.isEmpty) None
+      else prevFloors.toSeq
+        .filter { case (k, f) => !rawMoves.contains(k) &&
+          SparkEntry.queries.contains(k) && !k.startsWith("q_stream_") &&
+          f > 3.0 && f <= 8.0 }
+        .sortBy { case (k, f) => (math.abs(f - 4.0), k) }
+        .headOption.map(_._1)
     val sentinels: Seq[String] =
-      (midSentinel.toSeq ++ microSentinel.toSeq ++ secondSentinel.toSeq)
+      (midSentinel.toSeq ++ microSentinel.toSeq ++ secondSentinel.toSeq ++
+        heavySentinel.toSeq)
     val sentinelRatios: Seq[(String, Double)] = sentinels.flatMap { name =>
       if (elapsed > wallGuardSec) None
       else freshProbe(name, 2) match {
@@ -644,7 +738,8 @@ object Bench {
     // class quiet) overrides a suite-only drift reading — the floors'
     // warm-probe-minimum bias, not the machine.
     val windowDegraded =
-      windowDegradedOf(effDrift, probeMaxRatio, streamMedianRatio)
+      windowDegradedOf(effDrift, probeMaxRatio, streamMedianRatio,
+        inSuiteSpreadMedian)
     // CLASS DRIFT (r10 poisoned-window rehearsal): CPU contention hits
     // query classes unevenly — with 28 spinners the 18 streaming faces
     // ran 4-6x slow (micro-batch trigger scheduling + state store are
@@ -683,24 +778,37 @@ object Bench {
     var suspectSet = Set.empty[String]
     var probeErrSet = Set.empty[String]
     var unadjSet = Set.empty[String]
-    rawMoves.toSeq.sortBy(-_._2).foreach { case (name, ratio) =>
+    // BREADTH-FIRST ADJUDICATION (VERDICT r13 Next #2): pass 1 gives
+    // EVERY raw mover one cheap probe in descending-ratio order before
+    // pass 2 escalates anyone — the r13 driver run ended with 69/79
+    // movers unadjudicated because depth-first full-rep probes on the
+    // headliners drained the wall budget before the tail was probed at
+    // all. Most movers on a noisy window clear on that single probe
+    // (fresh <= 1.5x floor — a fast rep is direct evidence; spikes
+    // inflate, never deflate), so breadth costs LESS than the old
+    // heavy-first min-of-2 on clean windows too.
+    val moverOrder = moverOrderOf(rawMoves)
+    var breadthProbes = Map.empty[String, Seq[Double]]
+    moverOrder.foreach { name =>
+      if (elapsed < wallGuardSec)
+        breadthProbes += name -> freshProbe(name, 1)
+    }
+    moverOrder.foreach { name =>
+      val ratio = rawMoves(name)
       val prevF = prevFloors(name)
-      if (elapsed < wallGuardSec) {
-        // heavy queries get min-of-2 (a spike can't inflate a min and a
-        // third rep of an 8s query buys little); the 1.5-2x tail gets a
-        // single cheap probe first (VERDICT r12 Next #4: 34 tail movers
-        // went unadjudicated when full-rep probes drained the wall
-        // budget on the headliners) and ESCALATES to +2 reps only when
-        // that probe does not already clear as noise — a tail mover is
-        // never confirmed on 1-rep evidence; the rest median-of-3
-        val want = if (prevF >= 3.0) 2 else if (ratio < 2.0) 1 else 3
-        val fresh = {
-          val first = freshProbe(name, want)
-          if (want == 1 && first.nonEmpty && first.min / prevF > 1.5 &&
-              elapsed < wallGuardSec)
-            first ++ freshProbe(name, 2)
-          else first
-        }
+      breadthProbes.get(name) match {
+      case None =>
+        // wall guard hit before this mover's breadth probe
+        unadjSet += name
+        adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+          s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"unadjudicated_budget"}"""
+      case Some(first) =>
+        // pass 2: escalate only movers the breadth probe did not clear
+        // (heavy floors min-of-2 total, the rest median-of-3; a thrown
+        // breadth probe retries the full class count)
+        val extraWant = escalationWantOf(prevF, first)
+        val fresh = first ++ (if (extraWant > 0 && elapsed < wallGuardSec)
+          freshProbe(name, extraWant) else Nil)
         if (fresh.nonEmpty) {
           val fr = fresh.min / prevF
           val isMicro = prevF < microCut
@@ -734,14 +842,23 @@ object Bench {
           // environment from code here. Reported on its own field; a
           // real regression re-confirms in the next clean window
           // (monotone floors guarantee the comparison survives).
-          val (verdict, srOpt) = verdictOf(fr, fresh.min - prevF, isMicro,
+          val (verdict0, srOpt) = verdictOf(fr, fresh.min - prevF, isMicro,
             drift, microDrift, windowDegraded, absDeltaSec,
             confirmSentinelRatio)
+          // a regression is NEVER confirmed on 1-rep evidence (ADVICE
+          // r13): when the escalation was wall-blocked the single
+          // breadth probe stays on the record as unadjudicated — a
+          // one-off spike must not flip red_state
+          val verdict =
+            if (verdict0 == "confirmed_regression" && fresh.size < 2)
+              "unadjudicated_budget"
+            else verdict0
           verdict match {
             case "ambient_drift" | "ambient_class_drift" |
                  "below_confirm_floor" => ambient += name
             case "suspect_window" => suspectSet += name
             case "confirmed_regression" => confirmedSet += name
+            case "unadjudicated_budget" => unadjSet += name
             case _ => ()
           }
           val sentinelNote = srOpt
@@ -762,10 +879,6 @@ object Bench {
           adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
             s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"probe_error"}"""
         }
-      } else {
-        unadjSet += name
-        adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
-          s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"unadjudicated_budget"}"""
       }
     }
     // MONOTONE floors (VERDICT r7 Next #1): the committed floor is
@@ -796,19 +909,11 @@ object Bench {
     val rebaseRequested = official &&
       sys.env.get("SPARK_GRAFT_FLOOR_REBASE").contains("1")
     val rebaseApplied = rebaseRequested && rebaseStableOf(
-      confirmedSet.size, failures.size, wallHit, streamMedianRatio)
+      confirmedSet.size, failures.size, wallHit, streamMedianRatio,
+      unadjSet.size, probeErrSet.size)
     val floors: Map[String, Double] = composeFloors(
       prevFloors, floorsNow, SparkEntry.queries.keys,
       windowDegraded, rebaseApplied)
-    // in-suite spread evidence for the rebase record: max/min over the
-    // suite-phase reps only (probe pools excluded — the cold/warm
-    // asymmetry is the very thing being repaired, so it must not
-    // pollute the stability metric)
-    val inSuiteSpreadMedian = {
-      val sp = inSuiteTimes.values.collect {
-        case ts if ts.size >= 2 => ts.max / ts.min }.toSeq.sorted
-      if (sp.isEmpty) 1.0 else math.round(sp(sp.size / 2) * 100) / 100.0
-    }
     // CONFIRMED verdicts only on the contract line (VERDICT r9 Next
     // #1a); ambient / probe_error / unadjudicated each get their own
     // field. (Since the floor basis is in-suite-only now, probe reps no

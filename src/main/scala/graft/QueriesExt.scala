@@ -698,6 +698,112 @@ object QueriesExt {
        |FROM base ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-doc duplicated-SPAN removal (Dedup.removeDuplicatedSpans —
+    * the Lee et al. 2021 remediation the coverage face only measures;
+    * VERDICT r13 Next #4): min-id side of each pair keeps its span, the
+    * higher-id side's covered token ranges are excised and the doc text
+    * rebuilt. The oracle re-derives the run islands, explodes ONLY the
+    * db-side covered positions (the oracle can afford the per-token
+    * form the Spark side avoids), anti-joins them off each doc's token
+    * positions, and string_agg-rebuilds in position order — so the
+    * excision EXTENTS, the flank-joining rebuild, and the removed-token
+    * counts are all cross-engine-gated. */
+  private def qSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text",
+      minRun = 20, maxBucket = 64)
+      .orderBy(col("doc_id"))
+  private val qSpanRemovalSql = {
+    val L = 20
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |g AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM toks WHERE len(t) >= $L),
+       |p AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM g),
+       |cap AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM p)
+       |  WHERE bs <= 64),
+       |pr AS (SELECT a.doc_id da, b.doc_id db, a.pos pa, b.pos pb
+       |  FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (SELECT da, db, pa - pb diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) isl
+       |  FROM pr),
+       |runs AS (SELECT da, db, diag, isl, min(pb) pb0,
+       |    count(*) + $L - 1 run_tokens FROM isl GROUP BY 1, 2, 3, 4),
+       |cov AS (SELECT DISTINCT id, p FROM (
+       |  SELECT db id, pb0 + unnest(range(run_tokens)) p FROM runs)),
+       |tokpos AS (SELECT doc_id, unnest(range(len(t))) p FROM toks),
+       |kept AS (SELECT tp.doc_id, tp.p FROM tokpos tp
+       |  LEFT JOIN cov c ON c.id = tp.doc_id AND c.p = tp.p
+       |  WHERE c.id IS NULL),
+       |reb AS (SELECT k.doc_id,
+       |    string_agg(t.t[k.p + 1], ' ' ORDER BY k.p) txt,
+       |    count(*) n_kept
+       |  FROM kept k JOIN toks t USING (doc_id) GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) n_tokens,
+       |  CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) n_removed_tokens,
+       |  COALESCE(r.txt, '') text_deduped
+       |FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Incremental token-run dedup (Dedup.incrementalSubstringRuns —
+    * VERDICT r13 Next #7, the crawl-step form completing the substring
+    * tier's symmetry with q_incremental_dedup on the minhash tier): a
+    * synthetic batch of shifted-id verbatim copies (doc_id%17=2, so
+    * every sufficiently long batch doc is guaranteed a full-length run
+    * against its indexed source) plus md5-noise docs (%17=5 — a single
+    * hex token, under minRun, must report nothing) is joined against
+    * the indexed corpus's postings only — never index x index. The
+    * oracle rebuilds both posting streams with INDEPENDENT per-side
+    * frequency caps and mirrors the diagonal island merge. */
+  private def qIncrementalSubstring(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d.filter(col("doc_id") % 17 === 2)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      .union(d.filter(col("doc_id") % 17 === 5)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          md5(col("text").cast("binary")).as("text")))
+    Dedup.incrementalSubstringRuns(d, batch, "doc_id", "text",
+      minRun = 20, maxBucket = 64)
+      .orderBy(col("batch_id"), col("index_id"))
+  }
+  private val qIncrementalSubstringSql = {
+    val L = 20
+    s"""WITH bdocs AS (
+       |  SELECT doc_id + 500000 doc_id, text FROM documents WHERE doc_id % 17 = 2
+       |  UNION ALL SELECT doc_id + 600000, md5(text) FROM documents WHERE doc_id % 17 = 5),
+       |itoks AS (SELECT doc_id, ${toksSql("text")} t FROM documents),
+       |btoks AS (SELECT doc_id, ${toksSql("text")} t FROM bdocs),
+       |ig AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM itoks WHERE len(t) >= $L),
+       |ip AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM ig),
+       |icap AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM ip)
+       |  WHERE bs <= 64),
+       |bg AS (SELECT doc_id, unnest(range(len(t) - $L + 1)) pos, t
+       |  FROM btoks WHERE len(t) >= $L),
+       |bp AS (SELECT doc_id, pos,
+       |  ${Hashing.hash64Sql(s"array_to_string(list_slice(t, pos + 1, pos + $L), ' ')")} h
+       |  FROM bg),
+       |bcap AS (SELECT doc_id, pos, h FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY h) bs FROM bp)
+       |  WHERE bs <= 64),
+       |pr AS (SELECT b.doc_id da, i.doc_id db, b.pos pa, i.pos pb
+       |  FROM bcap b JOIN icap i ON b.h = i.h),
+       |isl AS (SELECT da, db, pa - pb diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) isl
+       |  FROM pr),
+       |runs AS (SELECT da, db, diag, isl,
+       |    count(*) + $L - 1 run_tokens FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT da batch_id, db index_id,
+       |  CAST(max(run_tokens) AS BIGINT) max_run_tokens,
+       |  CAST(count(*) AS BIGINT) n_runs,
+       |  CAST(sum(run_tokens) - ($L - 1) * count(*) AS BIGINT) n_shared_grams
+       |FROM runs GROUP BY 1, 2 ORDER BY batch_id, index_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // PII redaction (training-data release hygiene)
   // ------------------------------------------------------------------
@@ -8353,6 +8459,8 @@ object QueriesExt {
     "q_substring_runs" -> (qSubstringRuns _),
     "q_dup_coverage" -> (qDupCoverage _),
     "q_substring_survivors" -> (qSubstringSurvivors _),
+    "q_span_removal" -> (qSpanRemoval _),
+    "q_incremental_substring" -> (qIncrementalSubstring _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_hash_split" -> (qHashSplit _),
     "q_content_split" -> (qContentSplit _),
@@ -8587,6 +8695,8 @@ object QueriesExt {
     "q_substring_runs" -> qSubstringRunsSql,
     "q_dup_coverage" -> qDupCoverageSql,
     "q_substring_survivors" -> qSubstringSurvivorsSql,
+    "q_span_removal" -> qSpanRemovalSql,
+    "q_incremental_substring" -> qIncrementalSubstringSql,
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_hash_split" -> qHashSplitSql,
     "q_content_split" -> qContentSplitSql,

@@ -100,22 +100,37 @@ class BenchSpec extends AnyFunSuite {
     // both post-close runs: suite 1.46-1.51, both sentinels 1.00-1.01,
     // streaming median ~1.0 -> the floors' warm-minimum bias, not the
     // machine; must not inflate degraded_streak
-    assert(!Bench.windowDegradedOf(1.51, 1.01, 1.0))
-    assert(!Bench.windowDegradedOf(1.46, 1.0, 1.0))
+    assert(!Bench.windowDegradedOf(1.51, 1.01, 1.0, 1.42))
+    assert(!Bench.windowDegradedOf(1.46, 1.0, 1.0, 1.43))
   }
 
   test("windowDegradedOf: the r10 CPU-contention shape stays degraded — " +
       "quiet batch sentinels with a hot streaming class") {
     // 28 spinners: batch sentinels 0.98-1.1 while streaming ran 4-6x
-    assert(Bench.windowDegradedOf(1.35, 1.05, 4.2))
+    assert(Bench.windowDegradedOf(1.35, 1.05, 4.2, 1.4))
   }
 
   test("windowDegradedOf: slow sentinels keep the window degraded, and " +
-      "sub-1.3 drift is never degraded") {
-    assert(Bench.windowDegradedOf(1.45, 1.4, 1.0))
+      "sub-1.3 drift is never degraded by drift alone") {
+    assert(Bench.windowDegradedOf(1.45, 1.4, 1.0, 1.4))
     // one sentinel missing -> probeMax is +inf at the call site
-    assert(Bench.windowDegradedOf(1.45, Double.MaxValue, 1.0))
-    assert(!Bench.windowDegradedOf(1.3, Double.MaxValue, 9.0))
+    assert(Bench.windowDegradedOf(1.45, Double.MaxValue, 1.0, 1.4))
+    assert(!Bench.windowDegradedOf(1.3, Double.MaxValue, 9.0, 1.4))
+  }
+
+  test("windowDegradedOf: the r13 driver window — heavy-query stalls " +
+      "with quiet micro sentinels — declares degraded on the in-suite " +
+      "spread median; committed clean closes stay clean (VERDICT r13 " +
+      "Next #3, pinned both ways)") {
+    // BENCH_r13.json / floor_evidence_auto.json: suite_drift 1.27,
+    // probe_drift 1.00, probe_max 0.84, stream_median 1.24, in-suite
+    // spread median 1.59 with per-query spreads 19.6x/51.5x on
+    // untouched code — the probe override was blind to the stall mode
+    assert(Bench.windowDegradedOf(1.27, 0.84, 1.24, 1.59),
+      "the r13 driver window replay must read degraded")
+    // the r13 clean-window closes: spread medians 1.42-1.43
+    assert(!Bench.windowDegradedOf(1.09, 0.9, 1.0, 1.43))
+    assert(!Bench.windowDegradedOf(1.22, 1.0, 1.1, 1.42))
   }
 
   // ---- composeFloors (VERDICT r12 Next #3: in-suite floor basis +
@@ -168,12 +183,42 @@ class BenchSpec extends AnyFunSuite {
       "confirms/errors/wall truncation refuse") {
     // the r13 opening window: 0 confirms, 0 errors, stream 1.22 vs
     // warm floors, idle machine -> rebase may proceed
-    assert(Bench.rebaseStableOf(0, 0, wallHit = false, 1.22))
+    assert(Bench.rebaseStableOf(0, 0, wallHit = false, 1.22, 0, 0))
     // r10 CPU-contention rehearsal: streaming class 4-6x
-    assert(!Bench.rebaseStableOf(0, 0, wallHit = false, 4.2))
+    assert(!Bench.rebaseStableOf(0, 0, wallHit = false, 4.2, 0, 0))
     // a real regression or broken run must never become the baseline
-    assert(!Bench.rebaseStableOf(1, 0, wallHit = false, 1.0))
-    assert(!Bench.rebaseStableOf(0, 2, wallHit = false, 1.0))
-    assert(!Bench.rebaseStableOf(0, 0, wallHit = true, 1.0))
+    assert(!Bench.rebaseStableOf(1, 0, wallHit = false, 1.0, 0, 0))
+    assert(!Bench.rebaseStableOf(0, 2, wallHit = false, 1.0, 0, 0))
+    assert(!Bench.rebaseStableOf(0, 0, wallHit = true, 1.0, 0, 0))
+  }
+
+  test("rebaseStableOf: a wall-starved adjudication (unadjudicated or " +
+      "probe-error movers, wallHit still false) refuses the rebase — " +
+      "ADVICE r13: unverified movers must never become the baseline") {
+    assert(!Bench.rebaseStableOf(0, 0, wallHit = false, 1.0, 69, 0))
+    assert(!Bench.rebaseStableOf(0, 0, wallHit = false, 1.0, 0, 3))
+    assert(Bench.rebaseStableOf(0, 0, wallHit = false, 1.0, 0, 0))
+  }
+
+  test("moverOrderOf: breadth pass visits movers in descending " +
+      "in-suite-ratio order, name-tiebroken (VERDICT r13 Next #2)") {
+    val raw = Map("q_tail" -> 1.6, "q_head" -> 7.0, "q_mid" -> 2.4,
+      "q_tie_b" -> 1.9, "q_tie_a" -> 1.9)
+    assert(Bench.moverOrderOf(raw) ==
+      Seq("q_head", "q_mid", "q_tie_a", "q_tie_b", "q_tail"))
+  }
+
+  test("escalationWantOf: a <=1.5x breadth probe clears with no extra " +
+      "reps; uncleared movers escalate to the class count; a thrown " +
+      "probe retries the full class count") {
+    // cleared on the single cheap probe: no escalation
+    assert(Bench.escalationWantOf(2.0, Seq(2.9)) == 0)
+    assert(Bench.escalationWantOf(10.0, Seq(14.9)) == 0)
+    // uncleared: heavy floors escalate to min-of-2, the rest to 3 reps
+    assert(Bench.escalationWantOf(10.0, Seq(16.0)) == 1)
+    assert(Bench.escalationWantOf(2.0, Seq(3.5)) == 2)
+    // breadth probe threw: retry the full class count
+    assert(Bench.escalationWantOf(10.0, Nil) == 2)
+    assert(Bench.escalationWantOf(2.0, Nil) == 3)
   }
 }

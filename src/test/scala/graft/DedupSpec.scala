@@ -769,6 +769,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSpans: min-id side keeps its span, higher-id " +
+      "sides excise all covered copies, flanks join, clean docs round-trip") {
+    val share = "one two three four five six seven"
+    val d = Seq(
+      (10L, s"alpha beta $share gamma delta epsilon"),
+      (11L, s"start $share middle end finish close out"),
+      (12L, s"$share filler filler2 filler3 $share"),
+      (14L, "wholly unrelated content about query engines and plans x y")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(d, "doc_id", "text",
+      minRun = 5, maxBucket = 64)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    // doc 10 is the min id of every pair it joins: keeps everything
+    assert(r(10L) == ((12L, 0L,
+      s"alpha beta $share gamma delta epsilon")), s"got ${r(10L)}")
+    // doc 11: the 7-token span (positions 1..7) excised, flanks joined
+    assert(r(11L) == ((13L, 7L, "start middle end finish close out")),
+      s"got ${r(11L)}")
+    // doc 12: BOTH copies covered (positions 0..6 and 10..16)
+    assert(r(12L) == ((17L, 14L, "filler filler2 filler3")),
+      s"got ${r(12L)}")
+    // clean doc: normalized token stream unchanged
+    assert(r(14L) == ((10L, 0L,
+      "wholly unrelated content about query engines and plans x y")),
+      s"got ${r(14L)}")
+  }
+
+  test("incrementalSubstringRuns: batch pairs against the index only — " +
+      "index-internal and batch-internal runs are never reported") {
+    val share = "one two three four five six seven"
+    val index = Seq(
+      (1L, s"alpha beta $share gamma"),
+      (2L, s"zz $share yy ww vv") // 1-2 share the run: must NOT pair
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"prefix $share suffix"),
+      (101L, s"intro $share outro zz"), // 100-101 share: must NOT pair
+      (102L, "unrelated new crawl content entirely here now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalSubstringRuns(index, batch, "doc_id", "text",
+      minRun = 5, maxBucket = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r((100L, 1L)) == 7L && r((100L, 2L)) == 7L, s"got $r")
+    assert(r((101L, 1L)) == 7L && r((101L, 2L)) == 7L, s"got $r")
+    assert(r.size == 4,
+      s"no index x index or batch x batch pair may appear: $r")
+    assert(!r.keySet.exists(p => p._1 == 102L),
+      "a batch doc with no indexed run must be absent")
+  }
+
   test("rolling hash expression matches a JVM reference implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)

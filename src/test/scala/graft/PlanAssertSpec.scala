@@ -76,6 +76,38 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("q_span_removal: posting join + interval join stay equi-keyed; " +
+      "the rebuild never explodes covered tokens") {
+    val plan = planOf("q_span_removal")
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"span removal joins must stay keyed; plan:\n$plan")
+    // the r13 coverage face exploded one row per covered token; the
+    // removal transform must keep the interval form — a Generate over
+    // a `sequence(...)` of covered positions is the regression
+    assert(!plan.contains("sequence(pa0") && !plan.contains("sequence(pb0"),
+      s"covered ranges must stay as endpoint intervals; plan:\n$plan")
+  }
+
+  test("q_incremental_substring: exactly ONE posting join (batch x " +
+      "index) — the index side is never self-paired") {
+    val plan = planOf("q_incremental_substring")
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental posting join must stay hash-keyed; plan:\n$plan")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1,
+      s"expected exactly one batch-x-index posting join, got $joins; plan:\n$plan")
+  }
+
+  test("q_dup_coverage: covered spans merge as endpoint intervals — " +
+      "no per-covered-token Generate, no token-level distinct") {
+    val plan = planOf("q_dup_coverage")
+    assert(!plan.contains("sequence(pa0") && !plan.contains("sequence(pb0"),
+      s"coverage must shuffle run endpoints, not covered tokens; plan:\n$plan")
+  }
+
   test("q_url_dedup: keep-best survivor is a partial agg, not a window sort") {
     val plan = planOf("q_url_dedup")
     assert(!plan.contains("Window"),

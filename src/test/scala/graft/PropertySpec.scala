@@ -293,4 +293,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("removeDuplicatedSpans: rebuilt corpus has NO cross-doc run >= " +
+      "minRun (guard off), each planted span survives in exactly one doc") {
+    import org.apache.spark.sql.functions.col
+    val L = 5
+    var uniq = 0
+    trials { r =>
+      // diverse vocab (fresh token per draw) so post-excision flank
+      // joins cannot coincidentally re-form a run; two planted spans
+      // crossing three docs exercise the multi-pair excision chains
+      def doc(n: Int): Array[String] =
+        Array.fill(n) { uniq += 1; s"u${r.nextInt(100000)}n$uniq" }
+      val shared = doc(L + r.nextInt(8))
+      val shared2 = doc(L + r.nextInt(5))
+      val d1 = doc(3 + r.nextInt(6)) ++ shared ++ doc(3 + r.nextInt(6))
+      val d2 = doc(3 + r.nextInt(6)) ++ shared ++ doc(2) ++ shared2
+      val d3 = shared2 ++ doc(4 + r.nextInt(6)) ++ shared
+      val d4 = doc(10 + r.nextInt(5))
+      (Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4), shared, shared2)
+    } { case (ds, shared, shared2) =>
+      val df = ds.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.Dedup.removeDuplicatedSpans(
+        df, "doc_id", "text", minRun = L, maxBucket = Int.MaxValue)
+      val rows = out.collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+      // self-consistency: removed = n_tokens - |rebuilt tokens|
+      ds.foreach { case (id, ts) =>
+        val kept = rows(id)._3.split(" ").filter(_.nonEmpty)
+        assert(rows(id)._1 == ts.length &&
+          rows(id)._2 == ts.length - kept.length, s"doc $id: ${rows(id)}")
+      }
+      // the Lee et al. postcondition: no cross-doc verbatim run >= L
+      // survives in the rebuilt corpus
+      val residual = graft.ext.Dedup.substringDedup(
+        out.select(col("doc_id"), col("text_deduped").as("text")),
+        "doc_id", "text", minRun = L, maxBucket = Int.MaxValue).count()
+      assert(residual == 0L,
+        s"rebuilt corpus still has cross-doc runs: ${rows.values}")
+      // exactly one canonical copy of each planted span survives
+      def holders(span: Array[String]): Seq[Long] =
+        rows.toSeq.collect { case (id, (_, _, txt))
+          if txt.split(" ").sliding(span.length)
+            .exists(_.sameElements(span)) => id }.sorted
+      assert(holders(shared) == Seq(1L),
+        s"span must survive only in min-id doc 1: ${holders(shared)}")
+      assert(holders(shared2) == Seq(2L),
+        s"span2 must survive only in min-id doc 2: ${holders(shared2)}")
+    }
+  }
 }
