@@ -76,14 +76,33 @@ object SubstringScaleProbe {
       Dedup.substringDedup(docs, "doc_id", "text",
         minRun = 20, maxBucket = maxBucket)
     }
-    // SKIP_COVERAGE=1: at raised caps the replica corpus's coverage
-    // explode is ~1.4B rows (100-member exact-replica families fully
-    // paired x ~56 covered tokens each) — measure the pair stage alone
+    // r14: coverage now merges run ENDPOINTS (VERDICT r13 Next #5) —
+    // the r13 form exploded one row per covered token (~1.4B rows at
+    // cap 2048 f100, which forced SKIP_COVERAGE); the interval-merge
+    // form is measurable at every cap
     if (!sys.env.get("SKIP_COVERAGE").contains("1"))
       stage("dup_coverage") {
         Dedup.substringDupCoverage(docs, "doc_id", "text",
           minRun = 20, maxBucket = maxBucket)
           .filter(col("verdict") =!= "keep")
+      }
+    // r14 (VERDICT r13 Next #4): the span-removal TRANSFORM — run
+    // frame + endpoint interval merge + per-doc token-array filter
+    if (!sys.env.get("SKIP_REMOVAL").contains("1"))
+      stage("span_removal") {
+        Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+          minRun = 20, maxBucket = maxBucket)
+          .filter(col("n_removed_tokens") > 0)
+      }
+    // r14 (VERDICT r13 Next #7): crawl-step incremental runs — a 2%
+    // batch of shifted verbatim copies probes the indexed corpus's
+    // postings; cost must scale with the BATCH, not the index
+    if (!sys.env.get("SKIP_INCREMENTAL").contains("1"))
+      stage("incremental_runs") {
+        val batch = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 77000000000L).as("doc_id"), col("text"))
+        Dedup.incrementalSubstringRuns(docs, batch, "doc_id", "text",
+          minRun = 20, maxBucket = maxBucket)
       }
     spark.stop()
   }
