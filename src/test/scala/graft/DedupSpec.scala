@@ -797,6 +797,29 @@ class DedupSpec extends SparkSpec {
       s"got ${r(14L)}")
   }
 
+  test("removeDuplicatedSpans edge cases: null text nulls counts and " +
+      "rebuilds empty, empty text round-trips, all-covered doc empties, " +
+      "sub-minRun docs untouched") {
+    val share = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, share),                      // min id: keeps everything
+      (2L, share),                      // exact copy: fully excised
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, "tiny doc")                  // 2 tokens < minRun
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(d, "doc_id", "text",
+      minRun = 5, maxBucket = 64)
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)), Option(x.get(2)), x.getString(3))).toMap
+    assert(r(1L) == ((Some(8L), Some(0L), share)), s"got ${r(1L)}")
+    assert(r(2L) == ((Some(8L), Some(8L), "")), s"got ${r(2L)}")
+    // null text: token counts null on BOTH engines, rebuild ''
+    assert(r(3L) == ((None, None, "")), s"got ${r(3L)}")
+    assert(r(4L) == ((Some(0L), Some(0L), "")), s"got ${r(4L)}")
+    assert(r(5L) == ((Some(2L), Some(0L), "tiny doc")), s"got ${r(5L)}")
+  }
+
   test("incrementalSubstringRuns: batch pairs against the index only — " +
       "index-internal and batch-internal runs are never reported") {
     val share = "one two three four five six seven"
