@@ -124,6 +124,22 @@ object Bench {
     (effDrift > 1.3 && (probeMax > 1.1 || streamMedian > 1.3)) ||
     inSuiteSpreadMedian > 1.55
 
+  /** The spread median is only admissible degraded-window evidence in
+    * the OFFICIAL configuration (sf0.1 / local[32]) — the 1.55
+    * threshold is calibrated on that window record (clean closes
+    * 1.39-1.46, the stalled r13 driver window 1.59). Dev scales are
+    * fixed-overhead-dominated: a HEALTHY sf0.01 window reads 1.8-1.9
+    * (the multi-rep population there is 1-2s queries whose reps vary
+    * by JIT/codegen scheduling, not machine state — measured r14,
+    * floor_evidence_r14.json rehearsal), so feeding the raw median
+    * would false-positive every dev run, block dev first pins, and
+    * inflate the dev degraded streak. Dev windows keep the r12
+    * sentinel-based rule (the neutral 1.0 disarms only the spread
+    * clause of [[windowDegradedOf]]). */
+  private[graft] def spreadEvidenceOf(official: Boolean,
+      inSuiteSpreadMedian: Double): Double =
+    if (official) inSuiteSpreadMedian else 1.0
+
   /** Pure floor-composition rule (VERDICT r12 Next #3; BenchSpec pins
     * it). SEMANTIC BREAK vs r12-era floors, in two parts:
     *
@@ -739,7 +755,7 @@ object Bench {
     // warm-probe-minimum bias, not the machine.
     val windowDegraded =
       windowDegradedOf(effDrift, probeMaxRatio, streamMedianRatio,
-        inSuiteSpreadMedian)
+        spreadEvidenceOf(official, inSuiteSpreadMedian))
     // CLASS DRIFT (r10 poisoned-window rehearsal): CPU contention hits
     // query classes unevenly — with 28 spinners the 18 streaming faces
     // ran 4-6x slow (micro-batch trigger scheduling + state store are

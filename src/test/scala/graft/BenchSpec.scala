@@ -200,6 +200,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.rebaseStableOf(0, 0, wallHit = false, 1.0, 0, 0))
   }
 
+  test("spreadEvidenceOf: the spread median is admissible only in the " +
+      "official configuration — a healthy sf0.01 dev window reads 1.8+ " +
+      "from fixed-overhead rep variance and must not declare degraded") {
+    assert(Bench.spreadEvidenceOf(official = true, 1.59) == 1.59)
+    assert(Bench.spreadEvidenceOf(official = false, 1.88) == 1.0)
+    // composed: the dev reading through the full rule is clean
+    assert(!Bench.windowDegradedOf(1.0, 1.0, 1.0,
+      Bench.spreadEvidenceOf(official = false, 1.88)))
+  }
+
   test("moverOrderOf: breadth pass visits movers in descending " +
       "in-suite-ratio order, name-tiebroken (VERDICT r13 Next #2)") {
     val raw = Map("q_tail" -> 1.6, "q_head" -> 7.0, "q_mid" -> 2.4,
