@@ -7768,6 +7768,38 @@ object QueriesExt {
        |  round(a, 6) avg_logp_r
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram score (Kneser & Ney 1995, Chen &
+    * Goodman 1998 — KenLM's smoothing, i.e. the scorer CCNet actually
+    * runs): absolute discount D=0.75 off every observed bigram, the
+    * freed mass backed off to the CONTINUATION distribution
+    * N1+(·w2)/N1+(··) rather than the raw unigram — the context-novelty
+    * signal the Jelinek-Mercer face (q_bigram_lm) cannot see. One ln
+    * per bigram type rounded@8, decimal per-doc sums, binary-exact D,
+    * op order parenthesized identically in both engines. */
+  private def qKnBigram(s: SparkSession, dir: String): DataFrame =
+    LangModel.kneserNeyLogProb(docs(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("avg_logp"), 6).as("avg_logp_r"))
+  private val qKnBigramSql =
+    s"""WITH t AS (SELECT doc_id id, ${toksSql("text")} t FROM documents),
+       |bg AS (SELECT id, t[i + 1] w1, t[i + 2] w2
+       |  FROM t CROSS JOIN unnest(range(len(t) - 1)) AS u(i)),
+       |bic AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+       |lft AS (SELECT w1, sum(c12) c1, count(*) nf FROM bic GROUP BY 1),
+       |rgt AS (SELECT w2, count(*) nb FROM bic GROUP BY 1),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) tb FROM bic),
+       |lp AS (SELECT b.w1, b.w2, round(ln(
+       |    ((CAST(b.c12 AS DOUBLE) - 0.75) / CAST(l.c1 AS DOUBLE))
+       |    + (((0.75 * CAST(l.nf AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+       |       * (CAST(r.nb AS DOUBLE) / (SELECT tb FROM tt)))), 8) lp
+       |  FROM bic b JOIN lft l ON b.w1 = l.w1 JOIN rgt r ON b.w2 = r.w2),
+       |sc AS (SELECT id, count(*) nb,
+       |    CAST(sum(CAST(lp AS DECIMAL(28,14))) AS DOUBLE) / count(*) a
+       |  FROM bg JOIN lp USING (w1, w2) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(nb, CAST(0 AS BIGINT)) n_bigrams,
+       |  round(a, 6) avg_logp_r
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.id""".stripMargin
+
   /** Trigram stupid-backoff scoring (Brants et al. 2007): trained on
     * the src1/src3 slice (the DSIR target convention), scored over ALL
     * docs so every backoff tier fires — src2/src4 docs carry unseen
@@ -8341,6 +8373,7 @@ object QueriesExt {
     "q_lm_score" -> (qLmScore _),
     "q_doremi_weights" -> (qDoremiWeights _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_kn_bigram" -> (qKnBigram _),
     "q_trigram_lm" -> (qTrigramLm _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_weights" -> (qDsirWeights _),
@@ -8583,6 +8616,7 @@ object QueriesExt {
     "q_lm_score" -> qLmScoreSql,
     "q_doremi_weights" -> qDoremiWeightsSql,
     "q_bigram_lm" -> qBigramLmSql,
+    "q_kn_bigram" -> qKnBigramSql,
     "q_trigram_lm" -> qTrigramLmSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_dsir_weights" -> qDsirWeightsSql,

@@ -192,6 +192,82 @@ object LangModel {
         col("avg_logp"))
   }
 
+  /** Per-document average log-probability under an INTERPOLATED
+    * KNESER-NEY bigram LM trained on `docs` itself (Kneser & Ney 1995;
+    * Chen & Goodman 1998 "An Empirical Study of Smoothing Techniques
+    * for Language Modeling" — the smoothing KenLM implements, hence
+    * what the published CCNet scorer actually runs). Per scored bigram:
+    *
+    *   p(w2 | w1) = (c(w1 w2) - D) / c(w1 ·)
+    *              + (D · N1+(w1 ·) / c(w1 ·)) · (N1+(· w2) / N1+(· ·))
+    *
+    * with D = 0.75 (binary-exact; Chen & Goodman's n1/(n1+2·n2)
+    * estimate is corpus-dependent and not an IEEE-exact literal),
+    * c(w1 ·) the left-context bigram total, N1+(w1 ·) the count of
+    * DISTINCT continuations of w1, N1+(· w2) the count of DISTINCT
+    * left contexts of w2, and N1+(· ·) the total bigram-type count.
+    * The lower-order distribution is the KN insight: it is the
+    * CONTINUATION distribution, not the unigram — "francisco" may be
+    * frequent, but if it only ever follows "san" its continuation
+    * probability stays tiny, exactly the novelty signal a
+    * boilerplate-heavy crawl corpus needs and the Jelinek-Mercer mix
+    * ([[bigramLogProb]]) cannot see. The discounted term is always > 0
+    * here (the model is trained on the scored corpus itself, so every
+    * scored bigram has c >= 1 > D). Returns (id, n_bigrams, avg_logp);
+    * docs with fewer than 2 tokens keep n_bigrams = 0 and NULL score.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — training is one
+    * count aggregation over the exploded bigram stream (map-side
+    * combined); the context totals, continuation counts, and type
+    * total all derive from the TYPE table (vocabulary-scale by Heaps'
+    * law, not corpus-scale); scoring joins the bigram stream to the
+    * scored type table, unhinted so AQE broadcasts while it fits. The
+    * only driver-collected value is the type-count scalar.
+    *
+    * Determinism for the oracle: D is binary-exact, every ratio is an
+    * IEEE divide of exact integer counts in a parenthesized op order
+    * mirrored verbatim in the SQL, and the single ln per bigram TYPE is
+    * rounded at 8 decimals before the DECIMAL(28,14) per-doc sum. */
+  def kneserNeyLogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must lie in (0, 1): $discount")
+    val base = docs.select(col(idCol).as("id"),
+      TextStats.tokens(TextStats.normalized(col(textCol))).as("t"))
+    val bg = base.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(w, i) -> struct(w as w1, element_at(t, i + 2) as w2))")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context totals + distinct-continuation counts: one pass each over
+    // the TYPE table, never the token stream
+    val lft = bic.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val rgt = bic.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val tBoxed = bic.agg(count(lit(1))).head().getLong(0)
+    require(tBoxed > 0,
+      "kneserNeyLogProb: corpus has no bigrams (every document shorter " +
+        "than 2 tokens) — cannot train a bigram LM")
+    val tD = tBoxed.toDouble
+    val lp = bic.join(lft, "w1").join(rgt, "w2")
+      .withColumn("lp", round(log(
+        ((col("c12").cast("double") - lit(discount))
+          / col("c1").cast("double"))
+          + (((lit(discount) * col("nf").cast("double"))
+            / col("c1").cast("double"))
+            * (col("nb").cast("double") / lit(tD)))), 8))
+    val scored = bg.join(lp.select("w1", "w2", "lp"), Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(28,14)")).as("lpsum"))
+      .select(col("id"), col("n_bigrams"),
+        (col("lpsum").cast("double") / col("n_bigrams")).as("avg_logp"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
   /** Trigram STUPID BACKOFF scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the scheme invented
     * precisely for MapReduce-scale LMs: no normalization, no

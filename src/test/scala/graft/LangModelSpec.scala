@@ -99,6 +99,51 @@ class LangModelSpec extends SparkSpec {
     assert(r(2L)._2.get > r(3L)._2.get && r(3L)._2.get > r(4L)._2.get)
   }
 
+  test("kneserNeyLogProb: hand-computed on a 3-cycle corpus") {
+    // "a b c a b c a": bigrams ab,bc,ca each twice; every context has
+    // c1=2, nf=1; every word has nb=1; T=3 types. So every observed
+    // p(w2|w1) = (2-0.75)/2 + (0.75*1/2)*(1/3) = 0.75 and the doc's
+    // avg_logp is exactly ln(0.75) (rounded@8 per type).
+    val docs = Seq((1L, "a b c a b c a"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = LangModel.kneserNeyLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(2L) == ((0L, None)), "1-token doc: no bigrams, null score")
+    assert(r(3L) == ((0L, None)), "empty doc kept")
+    assert(r(1L)._1 == 6L)
+    val expected = BigDecimal(math.log(0.75))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(1L)._2.get - expected) < 1e-12,
+      s"avg_logp ${r(1L)._2.get} != ln(0.75) rounded@8 $expected")
+  }
+
+  test("kneserNeyLogProb: continuation diversity outranks raw frequency " +
+      "(the KN signal Jelinek-Mercer cannot see)") {
+    // q follows THREE distinct contexts (diverse continuation), u
+    // follows one; every bigram appears once and every context total is
+    // 1, so the ONLY difference between doc 1 and doc 4 is N1+(·w2):
+    // p(q|p) = 0.25 + 0.75*(3/4) vs p(u|t) = 0.25 + 0.75*(1/4).
+    val docs = Seq((1L, "p q"), (2L, "r q"), (3L, "s q"), (4L, "t u"))
+      .toDF("doc_id", "text")
+    val r = LangModel.kneserNeyLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3.get).toMap
+    assert(r(1L) > r(4L),
+      s"diverse continuation must score higher: ${r(1L)} > ${r(4L)}")
+    assert(r(1L) == r(2L) && r(2L) == r(3L),
+      "symmetric contexts of the same continuation score identically")
+  }
+
+  test("kneserNeyLogProb: deterministic across partitionings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = LangModel.kneserNeyLogProb(
+      docs.repartition(parts), "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(run(3) == run(13))
+  }
+
   test("stupidBackoff: deterministic across partitionings") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
