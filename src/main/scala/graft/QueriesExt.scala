@@ -1498,7 +1498,12 @@ object QueriesExt {
     SimSearch.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
       "embedding", k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
   }
-  private val qAnnIvfPqSql =
+  /** Shared IVF-PQ CTE chain (normalize, coarse centroids/assignment,
+    * codebook, PQ encode, probes, ADC distances) — ends with
+    * `d(query_id, id, adc)` and keeps `v(id, e)` / `qs(query_id, qe,
+    * list_id)` visible. Used by both the plain ADC face and the
+    * exact-re-rank face so the two bases cannot drift apart. */
+  private val ivfPqCteSql =
     """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
       |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
@@ -1535,11 +1540,44 @@ object QueriesExt {
       |  JOIN cs c ON c.j = p.j AND c.code = p.code
       |  JOIN qsub u ON u.query_id = cand.query_id AND u.j = p.j),
       |d AS (SELECT query_id, id, CAST(sum(t) AS DOUBLE) adc
-      |  FROM terms GROUP BY 1, 2)
-      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank, adc
-      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-      |        ORDER BY adc ASC, id ASC) rank FROM d)
-      |WHERE rank <= 5""".stripMargin
+      |  FROM terms GROUP BY 1, 2)""".stripMargin
+  private val qAnnIvfPqSql =
+    s"""$ivfPqCteSql
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank, adc
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, id ASC) rank FROM d)
+       |WHERE rank <= 5""".stripMargin
+
+  /** IVF-PQ + exact re-rank (FAISS IndexRefineFlat; Jégou et al. 2011
+    * §V "re-ranking with source vectors"): the 20-deep ADC shortlist is
+    * re-scored on full-precision cosine and top-5 ranks exactly — the
+    * production two-stage retrieval shape. The oracle reuses the whole
+    * IVF-PQ CTE chain, cuts the shortlist at the same (adc, id) order,
+    * and re-ranks on list_dot_product of the normalized vectors (the
+    * q_cosine_topk raw-cosine parity discipline, rounded@6 on output). */
+  private def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.ivfPqRerank(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 5, shortlist = 20, nlist = 16, nprobe = 4,
+      m = 8, ksub = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qAnnIvfPqRerankSql =
+    s"""$ivfPqCteSql,
+       |sl AS (SELECT query_id, id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, id ASC) rn FROM d) WHERE rn <= 20),
+       |qv AS (SELECT DISTINCT query_id, qe FROM qs),
+       |ex AS (SELECT s.query_id, s.id,
+       |    list_dot_product(q.qe, v.e) cos
+       |  FROM sl s JOIN v ON v.id = s.id
+       |  JOIN qv q ON q.query_id = s.query_id)
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+       |  round(cos, 6) cosine_r
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, id ASC) rank FROM ex)
+       |WHERE rank <= 5""".stripMargin
 
   /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
     * crossJoin was the one outright scale-killer). The banding and the
@@ -8532,6 +8570,7 @@ object QueriesExt {
     "q_pq_codes" -> (qPqCodes _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_random_proj" -> (qRandomProj _),
     "q_semantic_dedup" -> (qSemanticDedup _),
@@ -8769,6 +8808,7 @@ object QueriesExt {
     "q_pq_codes" -> qPqCodesSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
+    "q_ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_random_proj" -> qRandomProjSql,
     "q_semantic_dedup" -> qSemanticDedupSql,

@@ -1152,6 +1152,54 @@ object SimSearch {
         col("adc"))
   }
 
+  /** IVF-PQ search with an EXACT RE-RANK refine stage — the production
+    * two-stage retrieval composition (FAISS's `IndexRefineFlat` over an
+    * `IVFx,PQy` base; Jégou et al. 2011 §V evaluate exactly this
+    * "re-ranking with source vectors" scheme): the compressed index
+    * nominates a `shortlist`-deep ADC candidate set per query, then
+    * only those candidates are re-scored against the FULL-precision
+    * vectors and the final top-k ranks on exact cosine. The refine
+    * stage repairs most of the PQ quantization error for the price of
+    * `shortlist` exact dots per query instead of a corpus scan.
+    *
+    * Scale shape: the base search keeps [[ivfPqTopK]]'s invariants (one
+    * broadcast codebook row, narrow encode, probe-side broadcast); the
+    * refine stage joins the (queries × shortlist)-bounded candidate
+    * frame INTO the corpus scan as a broadcast, so full-precision
+    * vectors are read exactly once and never shuffle — at 100 TB the
+    * refine reads are the random-access page the inverted index was
+    * built to bound, and the only Exchange added is the final top-k
+    * window over queries × shortlist rows.
+    *
+    * Determinism: the shortlist inherits the ADC decimal-sum + id
+    * tie-break contract; the exact stage ranks on the raw IEEE cosine
+    * of normalize()d vectors with id tie-break (the [[bruteTopK]]
+    * convention, already oracle-hash-stable). */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 20, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(shortlist >= k,
+      s"shortlist must be >= k: $shortlist < $k (a shallower shortlist " +
+        "than the answer depth makes the refine stage a no-op rename)")
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, shortlist,
+      nlist, nprobe, m, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(toDouble(col(vecCol))).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(toDouble(col(vecCol))).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    v.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension d): a [-0.5, 0.5) grid value derived from the Knuth
     * permutation constants — reproducible with zero egress, no stored

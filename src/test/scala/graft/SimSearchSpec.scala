@@ -266,6 +266,60 @@ class SimSearchSpec extends SparkSpec {
       s"dup must be top-1 at ADC 0, got ${top.toSeq}")
   }
 
+  test("IVF-PQ rerank: exact refine repairs PQ ranking error (recall vs " +
+      "brute >= plain ADC) and reported cosines are the true ones") {
+    val corpus = clusteredCorpus(dims = 16, nClusters = 8, perCluster = 25,
+      noise = 0.3)
+    val q = corpus.filter($"vec_id" % 25 === 3 && $"vec_id" < 100)
+    val brute = SimSearch.bruteTopK(corpus, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val truePairs = brute.map(t => (t._1, t._2)).toSet
+    val trueCos = brute.map(t => (t._1, t._2) -> t._3).toMap
+    val adc = SimSearch.ivfPqTopK(corpus, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4, m = 4, ksub = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = SimSearch.ivfPqRerank(corpus, q, "vec_id", "embedding",
+      k = 5, shortlist = 25, nlist = 8, nprobe = 4, m = 4, ksub = 16)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val rrPairs = rr.map(t => (t._1, t._2)).toSet
+    val rAdc = truePairs.intersect(adc).size.toDouble / truePairs.size
+    val rRr = truePairs.intersect(rrPairs).size.toDouble / truePairs.size
+    info(s"recall vs brute: plain ADC=$rAdc, refined=$rRr")
+    assert(rRr >= rAdc,
+      s"refine must not lose recall at equal candidate budget: $rRr < $rAdc")
+    // every answered pair that IS a true pair reports the exact cosine
+    rr.foreach { case (qid, nid, c) =>
+      trueCos.get((qid, nid)).foreach(t =>
+        assert(c == t, s"refined cosine for ($qid,$nid) must be exact"))
+    }
+  }
+
+  test("IVF-PQ rerank: shortlist deep enough to cover all probed " +
+      "candidates reproduces exact search over the probed lists") {
+    // axis vectors: with nprobe = nlist every corpus vector is a
+    // candidate, so a corpus-deep shortlist makes rerank == bruteTopK
+    val dims = 8
+    def axis(i: Int): Seq[Float] =
+      (0 until dims).map(d => if (d == i % dims) 1.0f else 0.0f)
+    val corpus = (0 until 40).map(i => (i.toLong, axis(i)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val brute = SimSearch.bruteTopK(corpus, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val rr = SimSearch.ivfPqRerank(corpus, queries, "vec_id", "embedding",
+      k = 3, shortlist = 40, nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rr == brute, s"brute=$brute rerank=$rr")
+    intercept[IllegalArgumentException] {
+      SimSearch.ivfPqRerank(corpus, queries, "vec_id", "embedding",
+        k = 5, shortlist = 4)
+    }
+  }
+
   test("Lloyd-refined IVF: large recall uplift on clustered data with skewed init") {
     // 16 true clusters; ids are assigned cluster-by-cluster, so the
     // "nlist smallest ids" centroid sample lands ENTIRELY inside the
