@@ -2572,6 +2572,46 @@ object QueriesExt {
       |  CAST(b AS BIGINT) n_bright
       |FROM st""".stripMargin
 
+  /** Shot-boundary detection over REAL video content
+    * (Multimodal.synthesizeShotGif -> shotBoundaries): scene-structured
+    * GIFs — alternating dark/bright scenes of 2-4 frames with
+    * within-scene motion — are genuinely encoded and decoded, then
+    * segmented at mean-luminance cuts (threshold 8 gray levels, pure
+    * integer comparison). The oracle recomputes every frame's pixel sum
+    * from the shotPatternGray formula and mirrors the lag/cumsum window
+    * chain, never seeing the bytes. */
+  private def qShotDetect(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id"))
+    Multimodal.shotBoundaries(Multimodal.synthesizeShotGif(ids, "doc_id"))
+  }
+  private val qShotDetectSql =
+    """WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 7 = 2),
+      |m AS (SELECT id, CAST(id % 48 + 8 AS INT) w,
+      |    CAST(id % 32 + 8 AS INT) h, CAST(id % 3 + 2 AS INT) len,
+      |    CAST(id % 10 + 6 AS INT) nf
+      |  FROM ids),
+      |fr AS (SELECT id, w, h, len, unnest(range(nf)) f FROM m),
+      |st AS (SELECT id, f, w, h,
+      |    list_sum(flatten(list_transform(range(h), y ->
+      |      list_transform(range(w), x ->
+      |        (id * 31 + x * 7 + y * 13) % 120
+      |        + 128 * ((f // len) % 2) + (f * 3) % 8)))) s
+      |  FROM fr),
+      |lg AS (SELECT id, f, w, h, s,
+      |    lag(s) OVER (PARTITION BY id ORDER BY f) prev FROM st),
+      |mk AS (SELECT id, f,
+      |    CASE WHEN prev IS NOT NULL AND abs(s - prev) > 8 * w * h
+      |      THEN 1 ELSE 0 END cut FROM lg),
+      |sh AS (SELECT id, f,
+      |    sum(cut) OVER (PARTITION BY id ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) shot_id
+      |  FROM mk)
+      |SELECT id media_id, CAST(shot_id AS BIGINT) shot_id,
+      |  CAST(min(f) AS INT) start_frame, CAST(max(f) AS INT) end_frame,
+      |  CAST(count(*) AS BIGINT) n_frames
+      |FROM sh GROUP BY 1, 2""".stripMargin
+
   /** Frame-dedup over REAL video content (Multimodal.gifFrameDupPairs):
     * injected re-uploads (same GIF bytes, media_id + 3000000) of every
     * (id % 18 = 1) video are found by Jaccard over per-frame
@@ -8597,6 +8637,7 @@ object QueriesExt {
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_audio_decode" -> (qAudioDecode _),
     "q_video_decode" -> (qVideoDecode _),
+    "q_shot_detect" -> (qShotDetect _),
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
     "q_image_resize" -> (qImageResize _),
     "q_image_phash" -> (qImagePhash _),
@@ -8835,6 +8876,7 @@ object QueriesExt {
     "q_jpeg_decode" -> qJpegDecodeSql,
     "q_audio_decode" -> qAudioDecodeSql,
     "q_video_decode" -> qVideoDecodeSql,
+    "q_shot_detect" -> qShotDetectSql,
     "q_gif_frame_dedup" -> qGifFrameDedupSql,
     "q_image_resize" -> qImageResizeSql,
     "q_image_phash" -> qImagePhashSql,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -661,43 +662,142 @@ object Multimodal {
     * `writeToSequence` (a true multi-image GIF stream; readers report
     * getNumImages = the frame count). One narrow UDF map; bytes never
     * shuffle. */
+  /** Encode `nf` grayscale frames of `px(f, x, y)` levels as one real
+    * animated GIF (shared by [[synthesizeGif]] and
+    * [[synthesizeShotGif]] — one writer loop, two pattern formulas). */
+  private def encodeGrayGif(w: Int, h: Int, nf: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    imageIoMemoryOnly()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, px(f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   def synthesizeGif(ids: DataFrame, idCol: String): DataFrame = {
     val enc = udf((id: Long) => {
-      imageIoMemoryOnly()
       val w = java.lang.Math.floorMod(id, 48L).toInt + 8
       val h = java.lang.Math.floorMod(id, 32L).toInt + 8
-      val nf = patternFrameCount(id)
-      val writer =
-        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < nf) {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            raster.setSample(x, y, 0, patternVideoGray(id, f, x, y))
-            x += 1
-          }
-          y += 1
-        }
-        writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, null), null)
-        f += 1
-      }
-      writer.endWriteSequence()
-      ios.close()
-      writer.dispose()
-      bos.toByteArray
+      encodeGrayGif(w, h, patternFrameCount(id),
+        (f, x, y) => patternVideoGray(id, f, x, y))
     })
     ids.select(col(idCol).cast(LongType).as("media_id"),
       lit("video").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  // ------------------------------------------------------------------
+  // Shot-boundary detection (round 14): segment a video into SHOTS at
+  // hard cuts — the first frame-TEMPORAL analysis over the real codec
+  // path (q_video_decode proves decode; q_gif_frame_dedup compares
+  // whole videos; this face reads the frame SEQUENCE). Threshold-on-
+  // mean-luminance-delta is the classic pixel-domain cut detector
+  // (Boreczky & Rowe 1996's pixel/histogram-difference family).
+  // ------------------------------------------------------------------
+
+  /** Scene length (frames per shot) of the shot fixture: 2-4. */
+  private[graft] def shotSceneLen(id: Long): Int =
+    java.lang.Math.floorMod(id, 3L).toInt + 2
+
+  /** Frame count of the shot fixture: 6-15 (>= 2 scenes always). */
+  private[graft] def shotFrameCount(id: Long): Int =
+    java.lang.Math.floorMod(id, 10L).toInt + 6
+
+  /** Shot-fixture gray level — scene-structured, mean-separable:
+    *
+    *   gray(id, f, x, y) = ((id*31 + x*7 + y*13) mod 120)
+    *                     + 128 * (s mod 2) + (f*3 mod 8),  s = f / len
+    *
+    * Scenes alternate a dark band [0,127) and a bright band [128,255)
+    * (every cut moves mean luminance by exactly 128), while the
+    * (f*3 mod 8) term adds WITHIN-scene motion of mean |delta| <= 5 —
+    * so a mean-delta threshold of 8 gray levels separates the two
+    * regimes with margin on both sides, deterministically. A pure
+    * mod-256 shift (the [[patternVideoGray]] shape) would NOT work as
+    * a cut fixture: adding a constant mod 256 to a well-spread pattern
+    * leaves the mean unchanged. Max level 119+128+7 = 254 < 256, so
+    * the GIF round trip stays lossless and the formula IS the oracle. */
+  private[graft] def shotPatternGray(id: Long, f: Int, x: Int, y: Int)
+      : Int = {
+    val s = f / shotSceneLen(id)
+    (java.lang.Math.floorMod(id * 31 + x * 7L + y * 13L, 120L).toInt
+      + 128 * (s % 2) + (f * 3) % 8)
+  }
+
+  /** Fixture writer: REAL animated-GIF bytes with scene structure —
+    * [[shotPatternGray]] frames, id-derived dims (the synthesizeGif
+    * cycle) and [[shotFrameCount]] frames of [[shotSceneLen]]-frame
+    * scenes. */
+  def synthesizeShotGif(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = udf((id: Long) => {
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
+      encodeGrayGif(w, h, shotFrameCount(id),
+        (f, x, y) => shotPatternGray(id, f, x, y))
+    })
+    ids.select(col(idCol).cast(LongType).as("media_id"),
+      lit("video").as("kind"), enc(col(idCol).cast(LongType)).as("bytes"))
+  }
+
+  /** Shot segmentation by hard-cut detection: decode every frame
+    * ([[videoFrameStats]]), declare a CUT between consecutive frames
+    * whose mean luminance moves by more than `meanDelta` gray levels,
+    * and emit one row per shot: (media_id, shot_id, start_frame,
+    * end_frame, n_frames). `shot_id` counts cuts before the frame, so
+    * ids are 0-based and consecutive. The comparison is pure integer
+    * arithmetic — |sum_lum(f) - sum_lum(f-1)| > meanDelta * w * h —
+    * so the verdict is trivially bit-portable (no division, no
+    * floats). Undecodable media contribute no shots (the curation
+    * filter sees them via videoFrameStats' decode_ok face instead).
+    *
+    * Scale shape: decode is a narrow per-row kernel (bytes never
+    * shuffle — only (media_id, frame stats) rows move); the lag/cumsum
+    * windows partition BY MEDIA, so parallelism is per-video and a
+    * shot row set is frames-bounded. A single pathologically long
+    * video (10^7+ frames) would serialize inside its partition — at
+    * that shape, pre-split the byte stream into overlapping segments
+    * and offset frame indices (the segment seam re-joins on one lag
+    * row), the standard long-media chunking. */
+  def shotBoundaries(media: DataFrame, meanDelta: Int = 8,
+      bytesCol: String = "bytes"): DataFrame = {
+    require(meanDelta >= 1, s"meanDelta must be >= 1: $meanDelta")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    videoFrameStats(media, bytesCol)
+      .filter(col("decode_ok"))
+      .withColumn("__prev", lag(col("sum_lum"), 1).over(w))
+      .withColumn("__cut", (col("__prev").isNotNull &&
+        abs(col("sum_lum") - col("__prev")) >
+          lit(meanDelta.toLong) * col("width").cast(LongType)
+            * col("height").cast(LongType)).cast("int"))
+      .withColumn("shot_id", sum(col("__cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
   }
 
   /** REAL video decode + per-frame feature extraction: the JDK GIF

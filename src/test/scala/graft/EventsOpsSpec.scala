@@ -337,6 +337,42 @@ class EventsOpsSpec extends SparkSpec {
       && r.getInt(2) == -1))
   }
 
+  test("shotBoundaries: detected shots equal the planted scene structure " +
+      "through a real GIF round trip; junk and static videos behave") {
+    val ids = Seq(2L, 9L, 16L, 23L).map(Tuple1(_)).toDF("id")
+    val shots = Multimodal.shotBoundaries(
+        Multimodal.synthesizeShotGif(ids, "id"))
+      .as[(Long, Long, Int, Int, Long)].collect().groupBy(_._1)
+    assert(shots.keySet == Set(2L, 9L, 16L, 23L))
+    shots.foreach { case (id, rows) =>
+      val len = Multimodal.shotSceneLen(id)
+      val nf = Multimodal.shotFrameCount(id)
+      val nScenes = (nf + len - 1) / len
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length == nScenes,
+        s"video $id: ${sorted.length} shots, expected $nScenes")
+      sorted.zipWithIndex.foreach { case ((_, sid, start, end, n), i) =>
+        assert(sid == i.toLong, s"shot ids consecutive from 0: $sid != $i")
+        assert(start == i * len, s"video $id shot $i starts at $start")
+        assert(end == math.min((i + 1) * len, nf) - 1 && n == end - start + 1,
+          s"video $id shot $i extent ($start,$end,$n)")
+      }
+    }
+    // a single-scene (static-pattern) video is ONE shot end to end:
+    // plain synthesizeGif's within-video mean drift is the mod-256
+    // shift, which moves the mean by < 8 gray levels between frames
+    val one = Multimodal.shotBoundaries(Multimodal.synthesizeGif(
+        Seq(Tuple1(23L)).toDF("id"), "id"))
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(one.length == 1 && one.head._3 == 0 &&
+      one.head._5 == Multimodal.patternFrameCount(23L),
+      s"static video must be one shot: ${one.toSeq}")
+    // undecodable bytes contribute no shots
+    val junk = Seq((5L, "video", Array[Byte](9, 9, 9)))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.shotBoundaries(junk).count() == 0L)
+  }
+
   test("gifFrameDupPairs: byte-identical re-uploads pair at jaccard 1; " +
       "distinct videos and junk bytes never pair") {
     val ids = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id")
