@@ -5280,6 +5280,55 @@ object QueriesExt {
        |$out""".stripMargin
   }
 
+  /** WordPiece merge learning (Schuster & Nakajima 2012 — the BERT
+    * tokenizer's likelihood-gain rule): the qBpeTrainSql unrolled-layer
+    * discipline with per-layer symbol counts joined into the argmax, so
+    * each layer ranks pairs by pc/(cl*cr) (one IEEE divide of exact
+    * longs — identical bits in both engines) instead of raw pc. Ties
+    * (score DESC, l, r); early stop cascades structurally as in BPE. */
+  private val wpMerges = 24
+  private def qWordPieceTrain(s: SparkSession, dir: String): DataFrame =
+    TextStats.wordPieceTrain(docs(s, dir), "text", numMerges = wpMerges,
+      minPairCount = 2)
+  private val qWordPieceTrainSql: String = {
+    val layers = (0 until wpMerges).map { k =>
+      s"""pos$k AS (SELECT wd, cnt, generate_subscripts(syms, 1) i, unnest(syms) s
+         |  FROM w$k),
+         |pl$k AS MATERIALIZED (SELECT *, lead(s) OVER (PARTITION BY wd ORDER BY i) nx
+         |  FROM pos$k),
+         |sc$k AS (SELECT s, CAST(sum(cnt) AS BIGINT) sc FROM pos$k GROUP BY 1),
+         |bp$k AS (SELECT pp.l, pp.r2, pp.pc,
+         |    CAST(pp.pc AS DOUBLE) / CAST(a.sc * b.sc AS DOUBLE) score
+         |  FROM (SELECT s l, nx r2, CAST(sum(cnt) AS BIGINT) pc FROM pl$k
+         |    WHERE nx IS NOT NULL GROUP BY 1, 2 HAVING sum(cnt) >= 2) pp
+         |  JOIN sc$k a ON a.s = pp.l JOIN sc$k b ON b.s = pp.r2
+         |  ORDER BY score DESC, pp.l ASC, pp.r2 ASC LIMIT 1),
+         |m$k AS (SELECT wd, cnt, i, s, l, r2,
+         |    (cand AND row_number() OVER (PARTITION BY wd, cand, grp ORDER BY i) % 2 = 1) merged
+         |  FROM (SELECT *,
+         |      CASE WHEN cand THEN i - row_number() OVER (PARTITION BY wd, cand ORDER BY i) END grp
+         |    FROM (SELECT p.*, b.l, b.r2,
+         |        coalesce(p.s = b.l AND p.nx = b.r2, FALSE) cand
+         |      FROM pl$k p, bp$k b))),
+         |w${k + 1} AS MATERIALIZED (SELECT wd, cnt,
+         |    list(CASE WHEN merged THEN l || r2 ELSE s END ORDER BY i) syms
+         |  FROM (SELECT *,
+         |      coalesce(lag(merged) OVER (PARTITION BY wd ORDER BY i), FALSE) pm
+         |    FROM m$k)
+         |  WHERE NOT pm GROUP BY wd, cnt)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until wpMerges).map(k =>
+      s"""SELECT CAST($k AS INTEGER) rank, l "left", r2 "right", pc pair_count,
+         |  round(score, 8) score_r FROM bp$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT unnest(${toksSql("text")}) wd FROM documents),
+       |w0 AS (SELECT wd, CAST(count(*) AS BIGINT) cnt,
+       |    list_transform(range(length(wd)), i -> substr(wd, CAST(i + 1 AS INTEGER), 1)) syms
+       |  FROM t GROUP BY wd),
+       |$layers
+       |$out""".stripMargin
+  }
+
   private val qVocabSql: String =
     s"""WITH t AS (SELECT unnest(${toksSql("text")}) token FROM documents),
        |c AS (SELECT token, CAST(count(*) AS BIGINT) n FROM t
@@ -8493,6 +8542,7 @@ object QueriesExt {
     "q_ab_test" -> (qAbTest _),
     "q_vocab" -> (qVocab _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_wordpiece_train" -> (qWordPieceTrain _),
     "q_unigram_tokenizer" -> (qUnigramTokenizer _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -8744,6 +8794,7 @@ object QueriesExt {
     "q_ab_test" -> qAbTestSql,
     "q_vocab" -> qVocabSql,
     "q_bpe_train" -> qBpeTrainSql,
+    "q_wordpiece_train" -> qWordPieceTrainSql,
     "q_unigram_tokenizer" -> qUnigramTokenizerSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_moving_avg" -> qMovingAvgSql,

@@ -1045,6 +1045,87 @@ object TextStats {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Distributed WordPiece merge learning (Schuster & Nakajima 2012
+    * "Japanese and Korean voice search"; the BERT tokenizer's training
+    * rule, public): identical loop shape to [[bpeTrain]] but the merge
+    * criterion is LIKELIHOOD GAIN, not raw frequency — per round the
+    * pair maximizing
+    *
+    *   score(l, r) = count(l r) / (count(l) * count(r))
+    *
+    * merges (the pair whose fusion most increases a unigram-LM corpus
+    * likelihood). The denominators re-derive each round from the
+    * CURRENT symbol inventory, so early merges of rare-but-exclusive
+    * symbol pairs beat frequent-but-promiscuous ones — the
+    * morpheme-over-boilerplate bias that distinguishes WordPiece
+    * vocabularies from BPE's.
+    *
+    * Scale shape = [[bpeTrain]]'s: the loop runs over the distinct-word
+    * dictionary (vocabulary-bounded, never the corpus); per round one
+    * pair-count aggregation + one symbol-count aggregation (both
+    * map-side combined), a single-row argmax fetch, one narrow
+    * contraction, lineage cut per round.
+    *
+    * Determinism: counts are exact longs; the score is ONE IEEE divide
+    * of pc by the exact product cl*cr (products stay far below 2^53 at
+    * dictionary scale), so both engines rank identical doubles;
+    * ties break (score DESC, left ASC, right ASC). Stops when no pair
+    * reaches `minPairCount`.
+    *
+    * Returns (rank, left, right, pair_count, score_r@8). */
+  def wordPieceTrain(docs: DataFrame, textCol: String, numMerges: Int = 24,
+      minPairCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(normalized(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(0, length(w) - 1), i -> substr(w, i + 1, 1))"))
+      .select(col("cnt"), col("syms"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Double)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val symc = words
+        .select(col("cnt"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as l, syms[i + 1] as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("rt"))
+        .agg(sum(col("cnt")).as("pc"))
+        .filter(col("pc") >= minPairCount)
+        .join(symc.select(col("s").as("l"), col("sc").as("cl")), Seq("l"))
+        .join(symc.select(col("s").as("rt"), col("sc").as("cr")), Seq("rt"))
+        .withColumn("score",
+          col("pc").cast("double") / (col("cl") * col("cr")).cast("double"))
+        .orderBy(col("score").desc, col("l").asc, col("rt").asc)
+        .limit(1)
+        .select(col("l"), col("rt"), col("pc"), col("score"))
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rt, pc, sc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2), best(0).getDouble(3))
+        merges += ((r, l, rt, pc, sc))
+        val prev = words
+        words = words
+          .withColumn("syms", bpeContract(col("syms"), l, rt))
+          .localCheckpoint(true)
+        prev.unpersist(false)
+        r += 1
+      }
+    }
+    words.unpersist(false)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count", "score")
+      .withColumn("score_r", round(col("score"), 8)).drop("score")
+  }
+
   /** Apply a learned merge table ([[bpeTrain]] order) to segment
     * documents into BPE pieces. Applying the merges in rank order, each
     * once over the whole symbol sequence, IS the BPE encode algorithm.

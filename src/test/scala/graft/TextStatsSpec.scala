@@ -451,6 +451,36 @@ class TextStatsSpec extends SparkSpec {
     assert(out == ((7L, 2L, 5L)), "low|est (2) + n|ew|est (3) pieces")
   }
 
+  test("WordPiece train: likelihood gain picks the exclusive rare pair " +
+      "over the promiscuous frequent one (the criterion BPE inverts)") {
+    // "aa" x10, "bc" x4: pair (a,a) has pc=10 but score 10/(20*20) =
+    // 0.025; (b,c) has pc=4 but score 4/(4*4) = 0.25 — WordPiece merges
+    // (b,c) FIRST, BPE (a,a). Round 1: only (a,a) remains at 10/400.
+    val docs = Seq((1L, (Seq.fill(10)("aa") ++ Seq.fill(4)("bc"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val wp = TextStats.wordPieceTrain(docs, "text", numMerges = 5)
+      .orderBy($"rank")
+      .as[(Int, String, String, Long, Double)].collect().toSeq
+    assert(wp == Seq(
+      (0, "b", "c", 4L, 0.25), (1, "a", "a", 10L, 0.025)),
+      s"got $wp")
+    val bpeFirst = TextStats.bpeTrain(docs, "text", numMerges = 1)
+      .select($"left", $"right").as[(String, String)].collect().head
+    assert(bpeFirst == (("a", "a")),
+      "same corpus, frequency criterion picks the other pair")
+  }
+
+  test("WordPiece train: early stop below minPairCount, empty corpus " +
+      "yields none") {
+    val single = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(TextStats.wordPieceTrain(single, "text", numMerges = 5)
+      .count() == 0)
+    // one occurrence of each pair: below the minPairCount=2 default
+    val rare = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    assert(TextStats.wordPieceTrain(rare, "text", numMerges = 5)
+      .count() == 0)
+  }
+
   test("BPE train: single-char words exhaust merges early, empty corpus yields none") {
     val single = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     assert(TextStats.bpeTrain(single, "text", numMerges = 5).count() == 0)
