@@ -7596,6 +7596,60 @@ object QueriesExt {
        |SELECT node, round(rank, 9) rank_r FROM r$prIters""".stripMargin
   }
 
+  /** Personalized PageRank from a seed slice (every 50th supplier) over
+    * the same symmetrized part<->supplier graph as q_pagerank — the
+    * crawl-curation seed-expansion primitive (Haveliwala 2002): rank
+    * mass concentrates around the seed suppliers and decays with link
+    * distance. Same unrolled-iteration oracle as q_pagerank with the
+    * base term seed-gated; ranks of nodes far from every seed are
+    * exactly 0 at 5 iterations (finite walk radius), which the fixture
+    * exercises. */
+  private def qPprSeeds(s: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val und = l.union(l.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Sources.table(s, dir, "lineitem")
+      .filter(col("l_suppkey") % 50 === 0)
+      .select((col("l_suppkey") * 2 + 1).as("node")).distinct()
+    Graph.personalizedPageRank(und, "src", "dst", seeds, "node",
+      iterations = prIters)
+      .select(col("node"), round(col("rank"), 9).as("rank_r"))
+  }
+  private val qPprSeedsSql: String = {
+    val iters = (1 to prIters).map { k =>
+      s"""c$k AS (SELECT e.dst node, CAST(r.rank / e.deg AS DECIMAL(28,14)) ct
+         |  FROM ed e JOIN r${k - 1} r ON r.node = e.src),
+         |r$k AS (SELECT n.node,
+         |    CASE WHEN n.seed THEN
+         |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM ns)
+         |      ELSE CAST(0.0 AS DOUBLE) END
+         |      + CAST(0.85 AS DOUBLE) *
+         |        COALESCE(CAST(s.sm AS DOUBLE), CAST(0.0 AS DOUBLE)) rank
+         |  FROM nodess n LEFT JOIN
+         |    (SELECT node, sum(ct) sm FROM c$k GROUP BY 1) s USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 src,
+       |    l_suppkey * 2 + 1 dst FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |nodes AS (SELECT src node FROM e UNION SELECT dst FROM e),
+       |sd AS (SELECT DISTINCT l_suppkey * 2 + 1 node FROM lineitem
+       |  WHERE l_suppkey % 50 = 0),
+       |nodess AS (SELECT n.node, sd.node IS NOT NULL seed
+       |  FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+       |ns AS (SELECT count(*) c FROM nodess WHERE seed),
+       |deg AS (SELECT src, count(*) deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+       |r0 AS (SELECT node, CASE WHEN seed THEN
+       |    CAST(1.0 AS DOUBLE) / (SELECT c FROM ns)
+       |    ELSE CAST(0.0 AS DOUBLE) END rank
+       |  FROM nodess),
+       |$iters
+       |SELECT node, round(rank, 9) rank_r FROM r$prIters""".stripMargin
+  }
+
   /** Triangle count over the part co-occurrence graph (parts sharing an
     * order — the part->supplier graph is bipartite and trivially
     * triangle-free): degree-ordered orientation (Graph.triangleCount),
@@ -8477,6 +8531,7 @@ object QueriesExt {
   // ------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPageRank _),
+    "q_ppr_seeds" -> (qPprSeeds _),
     "q_oov_rate" -> (qOovRate _),
     "q_logistic_fit" -> (qLogisticFit _),
     "q_erasure" -> (qErasure _),
@@ -8717,6 +8772,7 @@ object QueriesExt {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
+    "q_ppr_seeds" -> qPprSeedsSql,
     "q_oov_rate" -> qOovRateSql,
     "q_logistic_fit" -> qLogisticFitSql,
     "q_erasure" -> qErasureSql,

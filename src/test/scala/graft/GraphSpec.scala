@@ -52,6 +52,51 @@ class GraphSpec extends SparkSpec {
     assert(r("a") > 0.0)
   }
 
+  test("personalizedPageRank: mass concentrates around the seed and " +
+      "decays with walk distance; unreached nodes rank exactly 0") {
+    // symmetrized path a-b-c-d-e-f, seed {a}. Near convergence the
+    // stationary distribution decays monotonically with distance from
+    // the seed (at LOW iteration counts the walk's parity oscillation
+    // can locally invert adjacent nodes — e.g. b < c at 2 rounds — so
+    // the decay claim needs the converged walk).
+    val p = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.personalizedPageRank(e, "src", "dst", seeds, "node",
+      iterations = 20)
+      .as[(String, Double)].collect().toMap
+    // decay holds along the walk b > c > d > e > f; the seed itself
+    // ranks below its own neighbor (a is degree-1, so every restart
+    // pushes ALL of a's mass through b — b accumulates the corridor)
+    val walk = Seq("b", "c", "d", "e", "f").map(r)
+    assert(walk == walk.sorted.reverse && walk.distinct == walk,
+      s"rank must decay with distance from the seed: $r")
+    assert(r("a") > r("c"), s"seed outranks everything past its corridor: $r")
+    // finite walk radius: at 2 iterations mass has reached c at most
+    val r2 = Graph.personalizedPageRank(e, "src", "dst", seeds, "node",
+      iterations = 2)
+      .as[(String, Double)].collect().toMap
+    Seq("d", "e", "f").foreach(n =>
+      assert(r2(n) == 0.0, s"node $n is beyond the 2-hop walk radius: $r2"))
+  }
+
+  test("personalizedPageRank: seeding every node reproduces pageRank " +
+      "bit-for-bit; an off-graph seed set fails fast") {
+    val p = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val all = Seq("a", "b", "c", "d").toDF("node")
+    val ppr = Graph.personalizedPageRank(e, "src", "dst", all, "node",
+      iterations = 5).as[(String, Double)].collect().toMap
+    val pr = Graph.pageRank(e, "src", "dst", iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(ppr == pr, "uniform teleport == global PageRank, same bits")
+    // seeds not present in the graph contribute nothing -> undefined
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst",
+        Seq("zz").toDF("node"), "node", iterations = 2)
+    }
+  }
+
   test("triangleCount: known graphs exact — triangle, K4, square, star; " +
       "duplicates/reversals/self-loops normalize away") {
     def count(edges: Seq[(Long, Long)]): (Long, Long, Long) =
