@@ -1548,6 +1548,45 @@ object QueriesExt {
        |        ORDER BY adc ASC, id ASC) rank FROM d)
        |WHERE rank <= 5""".stripMargin
 
+  /** Incremental IVF append (the crawl-step indexing form, FAISS `add`
+    * against a trained quantizer): index = 90% of the embedding corpus,
+    * batch = the held-out 10%; centroids train on the index side ONLY
+    * and the batch assigns map-side — no batch-index join anywhere in
+    * the plan. Output is the per-list occupancy report after the add.
+    * Oracle re-derives the frozen quantizer (16 smallest index ids)
+    * and both argmax assignments. */
+  private def qIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.ivfAppend(e.filter(col("vec_id") % 10 =!= 3),
+      e.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+      nlist = 16)
+  }
+  private val qIvfAppendSql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e
+      |  FROM embeddings WHERE vec_id % 10 <> 3),
+      |b AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e
+      |  FROM embeddings WHERE vec_id % 10 = 3),
+      |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+      |ai AS (SELECT id, cent_id FROM (
+      |    SELECT v.id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c) WHERE rn = 1),
+      |ab AS (SELECT id, cent_id FROM (
+      |    SELECT b.id, c.cent_id,
+      |      row_number() OVER (PARTITION BY b.id
+      |        ORDER BY list_dot_product(b.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM b, cents c) WHERE rn = 1),
+      |ci AS (SELECT cent_id, CAST(count(*) AS BIGINT) ni FROM ai GROUP BY 1),
+      |cb AS (SELECT cent_id, CAST(count(*) AS BIGINT) nb FROM ab GROUP BY 1)
+      |SELECT c.cent_id list_id,
+      |  COALESCE(ni, CAST(0 AS BIGINT)) n_index,
+      |  COALESCE(nb, CAST(0 AS BIGINT)) n_batch,
+      |  COALESCE(ni, CAST(0 AS BIGINT)) + COALESCE(nb, CAST(0 AS BIGINT)) n_total
+      |FROM cents c LEFT JOIN ci USING (cent_id) LEFT JOIN cb USING (cent_id)""".stripMargin
+
   /** IVF-PQ + exact re-rank (FAISS IndexRefineFlat; Jégou et al. 2011
     * §V "re-ranking with source vectors"): the 20-deep ADC shortlist is
     * re-scored on full-precision cosine and top-5 ranks exactly — the
@@ -8716,6 +8755,7 @@ object QueriesExt {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
+    "q_ivf_append" -> (qIvfAppend _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_random_proj" -> (qRandomProj _),
     "q_semantic_dedup" -> (qSemanticDedup _),
@@ -8957,6 +8997,7 @@ object QueriesExt {
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
+    "q_ivf_append" -> qIvfAppendSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_random_proj" -> qRandomProjSql,
     "q_semantic_dedup" -> qSemanticDedupSql,

@@ -188,6 +188,49 @@ object SimSearch {
         col("cosine"))
   }
 
+  /** Incremental IVF APPEND — the crawl-step form of inverted-list
+    * indexing (FAISS's `add` against a TRAINED index; the quantizer is
+    * frozen, exactly like [[graft.ext.Dedup]]'s incremental tiers
+    * freeze the indexed corpus): centroids train on the INDEX side
+    * only, the new `batch` is assigned map-side against the broadcast
+    * centroid row, and the result is the per-list occupancy report —
+    * (list_id, n_index, n_batch, n_total) — the index-health signal a
+    * production system monitors after every add (list imbalance is
+    * what degrades IVF probe cost).
+    *
+    * Scale shape: the batch NEVER joins the index — two narrow scans
+    * (each: broadcast 1-row centroid array -> project -> argmax) and
+    * two nlist-key aggregations; per-crawl-step cost is O(index scan +
+    * batch scan), no pairwise work, and at a frozen quantizer the
+    * index-side counts are incrementally maintainable (shipped here as
+    * a recount for oracle-gateability). Empty lists report 0/0/0 —
+    * they stay visible, since vanishing lists are exactly the
+    * imbalance signal. Deterministic: [[trainedCentroids]]' id-sample
+    * + the [[assignLists]] (dot desc, cent_id) argmax. */
+  def ivfAppend(index: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 0, lloydRounds: Int = 0,
+      meanRound: Int = -1): DataFrame = {
+    val ci = index.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val n = if (nlist > 0) -1L else ci.count()
+    val nl = if (nlist > 0) nlist else autoNlist(n)
+    val cents = trainedCentroids(ci, nl, lloydRounds, meanRound, n)
+    val cb = batch.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+    val ni = assignLists(ci, cents, 1)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n_index"))
+    val nb = assignLists(cb, cents, 1)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n_batch"))
+    cents.select(col("cent_id").as("list_id"))
+      .join(ni, Seq("list_id"), "left")
+      .join(nb, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        (coalesce(col("n_index"), lit(0L))
+          + coalesce(col("n_batch"), lit(0L))).as("n_total"))
+  }
+
   /** Map-side list assignment: broadcast the centroid table as ONE row
     * holding a cent_id-sorted array of structs, score every centroid in a
     * projection, sort by (dot desc, cent_id asc), keep the top `keep`

@@ -196,6 +196,19 @@ class PlanAssertSpec extends SparkSpec {
       s"IVF-PQ must shuffle only for the final window, found $shuffles:\n$plan")
   }
 
+  test("q_ivf_append: the batch never joins the index — only broadcast " +
+      "centroid lookups and nlist-key aggregations") {
+    // crawl-step contract: two narrow assignment scans (each a 1-row
+    // broadcast NL join against the centroid array) + per-list counts +
+    // the 16-row report joins. Any SortMergeJoin or shuffled hash join
+    // means a batch x index pairing crept in.
+    val plan = planOf("q_ivf_append")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ivf_append must not sort-merge anything; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_ivf_append must not go cartesian; plan:\n$plan")
+  }
+
   test("q_bucket_join: the join is exchange-free; only the final agg shuffles") {
     // both sides are written bucketed on the join key with equal bucket
     // counts, so the merge join must consume the scans' distribution

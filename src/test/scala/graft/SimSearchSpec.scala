@@ -320,6 +320,42 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend: counts conserve, the quantizer is frozen by the " +
+      "index side, and a duplicate batch vector lands in its twin's list") {
+    val corpus = clusteredCorpus(dims = 16, nClusters = 8, perCluster = 30,
+      noise = 0.25)
+    val index = corpus.filter($"vec_id" % 5 =!= 0)
+    val batch = corpus.filter($"vec_id" % 5 === 0)
+    val rep = SimSearch.ivfAppend(index, batch, "vec_id", "embedding",
+      nlist = 16).as[(Long, Long, Long, Long)].collect()
+    assert(rep.length == 16, "one row per list, empties included")
+    assert(rep.map(_._2).sum == index.count(), "every index vector lands")
+    assert(rep.map(_._3).sum == batch.count(), "every batch vector lands")
+    assert(rep.forall(r => r._4 == r._2 + r._3))
+    // frozen quantizer: the index-side occupancy is independent of the
+    // batch (same centroids, same argmax — the production add contract)
+    val alone = SimSearch.ivfAppend(index, batch.limit(0), "vec_id",
+      "embedding", nlist = 16)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.map(r => (r._1, r._2)).toMap ==
+      alone.map(r => (r._1, r._2)).toMap)
+    // an exact duplicate of an index vector must assign to the same list
+    val twinSrc = index.filter($"vec_id" === 21L)
+    val twin = twinSrc.select(($"vec_id" + 100000L).as("vec_id"),
+      $"embedding")
+    val rep2 = SimSearch.ivfAppend(index, twin, "vec_id", "embedding",
+      nlist = 16).as[(Long, Long, Long, Long)].collect()
+    val batchList = rep2.filter(_._3 > 0)
+    assert(batchList.length == 1 && batchList.head._3 == 1L)
+    // ...and that list is the one the original occupies: appending the
+    // ORIGINAL as its own batch must hit the identical list id
+    val self = SimSearch.ivfAppend(index, twinSrc, "vec_id", "embedding",
+      nlist = 16).as[(Long, Long, Long, Long)].collect()
+      .filter(_._3 > 0)
+    assert(self.map(_._1).toSeq == batchList.map(_._1).toSeq,
+      "duplicate must land in its twin's list")
+  }
+
   test("Lloyd-refined IVF: large recall uplift on clustered data with skewed init") {
     // 16 true clusters; ids are assigned cluster-by-cluster, so the
     // "nlist smallest ids" centroid sample lands ENTIRELY inside the
