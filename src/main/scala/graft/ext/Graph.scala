@@ -118,11 +118,18 @@ object Graph {
     * from the edge list carries no walk mass); ranks start at 1/|S| on
     * seeds, 0 elsewhere.
     *
-    * Scale shape, determinism, and the dangling-mass caveat are
-    * exactly [[pageRank]]'s — one edge materialization, O(V) rank
-    * shuffle per round, DECIMAL(28,14) contribution sums, lineage cut
-    * every `checkpointEvery` rounds; only the base term differs (a
-    * seed-gated constant instead of a global one). */
+    * Scale shape: determinism and the dangling-mass caveat are
+    * [[pageRank]]'s (one edge materialization, DECIMAL(28,14)
+    * contribution sums, lineage cut every `checkpointEvery` rounds),
+    * but the iteration carries a SPARSE rank frame — seeds ∪ nodes the
+    * walk has reached — instead of the full vertex set: unreached
+    * nodes hold exactly 0 mass, contribute exact-zero decimals, and
+    * need not shuffle. At 100 TB with a hand-curated seed list this is
+    * the difference between O(frontier) and O(V) per round (the full
+    * vertex frame joins in exactly once, at the end, to emit the
+    * 0-rank rows the report contract includes). Results are
+    * bit-identical to the dense form: omitted rows are exact decimal
+    * zeros under the sum and the base term is seed-gated either way. */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       iterations: Int = 5, damping: Double = 0.85,
@@ -134,15 +141,13 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    // seed indicator folded into the node frame ONCE — every round's
-    // base term derives from this single checkpointed layout
-    val nodesS = nodes.join(
-      seeds.select(col(seedCol).as("node")).distinct()
-        .withColumn("__seed", lit(true)),
-      Seq("node"), "left")
-      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+    // the in-graph seed frame (tiny, checkpointed): drives the sparse
+    // iteration and the per-round base term
+    val seedIds = nodes.join(
+      seeds.select(col(seedCol).as("node")).distinct(),
+      Seq("node"), "left_semi")
       .localCheckpoint()
-    val nS = nodesS.filter(col("__seed")).count()
+    val nS = seedIds.count()
     require(nS > 0,
       "personalizedPageRank: no seed appears in the graph — teleport " +
         "distribution is undefined")
@@ -150,24 +155,26 @@ object Graph {
     val eDeg = e.join(deg, "src")
       .localCheckpoint()
     val base = (1.0 - damping) / nS
-    var ranks = nodesS.select(col("node"),
-      when(col("__seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
+    // SPARSE rank frame: only nodes the walk has touched carry rows
+    var ranks = seedIds.withColumn("rank", lit(1.0 / nS))
     for (i <- 1 to iterations) {
-      val contribs = eDeg
+      val sm = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("ct"))
-      ranks = nodesS
-        .join(contribs.groupBy("node").agg(sum(col("ct")).as("sm")),
-          Seq("node"), "left")
+        .groupBy("node").agg(sum(col("ct")).as("sm"))
+      ranks = seedIds.withColumn("__b", lit(base))
+        .join(sm, Seq("node"), "full")
         .select(col("node"),
-          (when(col("__seed"), lit(base)).otherwise(lit(0.0)) +
-            lit(damping) *
-              coalesce(col("sm").cast("double"), lit(0.0))).as("rank"))
+          (coalesce(col("__b"), lit(0.0)) + lit(damping) *
+            coalesce(col("sm").cast("double"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // the report contract includes unreached nodes at exactly 0 — the
+    // full vertex frame enters ONCE here, not once per round
+    nodes.join(ranks, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank"), lit(0.0)).as("rank"))
   }
 
   /** Degree profile of an edge list: per-node out/in degree plus the
