@@ -196,6 +196,24 @@ class PlanAssertSpec extends SparkSpec {
       s"IVF-PQ must shuffle only for the final window, found $shuffles:\n$plan")
   }
 
+  test("q_ann_ivfpq_rerank: two shuffles total (shortlist window + " +
+      "final exact window), both WindowGroupLimit-bounded, no big join") {
+    // the refine contract: the ADC base keeps its one-window invariant,
+    // the refine stage adds exactly one more per-query window, and the
+    // candidate/query frames reach the corpus scan as broadcasts — a
+    // SortMergeJoin or a third hash exchange means the shortlist
+    // stopped broadcasting and the corpus is shuffling
+    val plan = planOf("q_ann_ivfpq_rerank")
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 2,
+      s"refine must add at most one window shuffle, found $shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rerank must not sort-merge; plan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must be map-side bounded; plan:\n$plan")
+  }
+
   test("q_ivf_append: the batch never joins the index — only broadcast " +
       "centroid lookups and nlist-key aggregations") {
     // crawl-step contract: two narrow assignment scans (each a 1-row
