@@ -1618,6 +1618,71 @@ object QueriesExt {
        |        ORDER BY cos DESC, id ASC) rank FROM ex)
        |WHERE rank <= 5""".stripMargin
 
+  /** IVF-PQ with RESIDUAL encoding (FAISS `by_residual = true`, the
+    * library default; Jégou et al. §IV.B): codes quantize
+    * x - centroid(list(x)) and each probed list scores the query's own
+    * residual — the accuracy upgrade at identical index bytes over the
+    * non-residual q_ann_ivfpq. The oracle re-derives the residual
+    * frame (element-wise subtract mirrored as a range transform), the
+    * residual-trained codebook, both argmax assignments, and the
+    * per-(query, list) residual ADC terms. */
+  private def qAnnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+  }
+  private val qAnnIvfPqResidualSql =
+    """WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+      |cents AS (SELECT id cent_id, e ce FROM v ORDER BY id LIMIT 16),
+      |asg AS (SELECT id, cent_id AS list_id FROM (
+      |    SELECT v.id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c) WHERE rn = 1),
+      |res AS (SELECT a.id, a.list_id,
+      |    list_transform(range(64), i ->
+      |      v.e[CAST(i + 1 AS INT)] - c.ce[CAST(i + 1 AS INT)]) r
+      |  FROM asg a JOIN v ON v.id = a.id JOIN cents c ON c.cent_id = a.list_id),
+      |pids AS (SELECT id FROM res
+      |  ORDER BY (506952114 * (id % 2147483647) + 40503) % 2147483647, id
+      |  LIMIT 16),
+      |pcents AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) code, r
+      |  FROM res JOIN pids USING (id)),
+      |subs AS (SELECT unnest(range(8)) j),
+      |sv AS (SELECT id, j, r[j*8+1 : j*8+8] x FROM res, subs),
+      |cs AS (SELECT code, j, r[j*8+1 : j*8+8] c FROM pcents, subs),
+      |pasg AS (SELECT id, j, code FROM (
+      |    SELECT s.id, s.j, c.code,
+      |      row_number() OVER (PARTITION BY s.id, s.j
+      |        ORDER BY list_dot_product(s.x, c.c)
+      |          - 0.5 * list_dot_product(c.c, c.c) DESC, c.code ASC) rn
+      |    FROM sv s JOIN cs c ON s.j = c.j) WHERE rn = 1),
+      |qs AS (SELECT id query_id, cent_id AS list_id,
+      |    list_transform(range(64), i ->
+      |      qe[CAST(i + 1 AS INT)] - ce[CAST(i + 1 AS INT)]) qr
+      |  FROM (SELECT v.id, v.e qe, c.cent_id, c.ce,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY list_dot_product(v.e, c.ce) DESC, c.cent_id ASC) rn
+      |    FROM v, cents c WHERE v.id < 10) WHERE rn <= 4),
+      |qsub AS (SELECT query_id, list_id, j, qr[j*8+1 : j*8+8] qx
+      |  FROM qs, subs),
+      |cand AS (SELECT q.query_id, q.list_id, a.id
+      |  FROM asg a JOIN qs q ON a.list_id = q.list_id AND a.id <> q.query_id),
+      |terms AS (SELECT cand.query_id, cand.id, p.j,
+      |    CAST(list_dot_product(u.qx, u.qx) - 2.0 * list_dot_product(u.qx, c.c)
+      |         + list_dot_product(c.c, c.c) AS DECIMAL(18,6)) t
+      |  FROM cand JOIN pasg p ON p.id = cand.id
+      |  JOIN cs c ON c.j = p.j AND c.code = p.code
+      |  JOIN qsub u ON u.query_id = cand.query_id
+      |    AND u.list_id = cand.list_id AND u.j = p.j),
+      |d AS (SELECT query_id, id, CAST(sum(t) AS DOUBLE) adc
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank, adc
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY adc ASC, id ASC) rank FROM d)
+      |WHERE rank <= 5""".stripMargin
+
   /** Embedding near-dup via hyperplane-LSH banding (round 2: the round-1
     * crossJoin was the one outright scale-killer). The banding and the
     * bucket cap are deterministic and mirrored bit-for-bit in the oracle:
@@ -8756,6 +8821,7 @@ object QueriesExt {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "q_ivf_append" -> (qIvfAppend _),
+    "q_ann_ivfpq_residual" -> (qAnnIvfPqResidual _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_random_proj" -> (qRandomProj _),
     "q_semantic_dedup" -> (qSemanticDedup _),
@@ -8998,6 +9064,7 @@ object QueriesExt {
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     "q_ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "q_ivf_append" -> qIvfAppendSql,
+    "q_ann_ivfpq_residual" -> qAnnIvfPqResidualSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_random_proj" -> qRandomProjSql,
     "q_semantic_dedup" -> qSemanticDedupSql,
