@@ -1831,6 +1831,63 @@ object QueriesExt {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** Query-aware multi-probe LSH (Lv et al., VLDB 2007): q_ann_lsh
+    * probes ALL 79 <=2-bit neighbor buckets; this face ranks each
+    * query's perturbations by the paper's squared-margin score and
+    * probes only the best `mpProbes` — the bounded-probe form that
+    * keeps high-plane codes usable at scale. Same determinism story as
+    * q_ann_lsh (grid-literal hyperplanes, total perturbation order
+    * score ASC/mask ASC, total rerank order), so the full algorithm —
+    * margins, perturbation ranking, probe set, rerank — is mirrored in
+    * SQL and must match rows/schema/hash. SimSearchSpec additionally
+    * pins the exactness anchor: T = all masks reproduces lshTopK
+    * bit-for-bit. */
+  private val mpProbes = 8
+  private def qAnnLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimSearch.lshMultiProbeTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", dims = 64, k = 5, planes = lshPlanes, tProbes = mpProbes)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val qAnnLshMultiprobeSql: String = {
+    val sigSql = (0 until lshPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(${planeSql(p)}, e) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    // per-plane signed margins on the normalized vector — the identical
+    // dots lshMultiProbeTopK codegens
+    val marginCols = (0 until lshPlanes).map { p =>
+      s"list_dot_product(${planeSql(p)}, e) m$p"
+    }.mkString(", ")
+    // one UNION ALL arm per candidate mask, score = sum of m_p*m_p over
+    // flipped planes in ascending p order (the Spark reduce order)
+    val arms = SimSearch.flipMasks(lshPlanes).map { mask =>
+      val score = (0 until lshPlanes).filter(p => (mask & (1L << p)) != 0L)
+        .map(p => s"m$p*m$p").mkString(" + ")
+      s"SELECT query_id, CAST($mask AS BIGINT) mask, $score score FROM qm"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id id, list_transform(embedding::DOUBLE[], x -> x /
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) e FROM embeddings),
+       |sigs AS (SELECT id, e, $sigSql sig FROM v),
+       |qm AS (SELECT id query_id, e qe, sig qsig, $marginCols
+       |  FROM sigs WHERE id < 10),
+       |pert AS ($arms),
+       |topt AS (SELECT query_id, mask FROM (
+       |    SELECT query_id, mask, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score ASC, mask ASC) rn FROM pert) WHERE rn <= $mpProbes),
+       |probes AS (SELECT q.query_id, q.qe, xor(q.qsig, t.mask) psig
+       |    FROM qm q JOIN topt t ON q.query_id = t.query_id
+       |  UNION ALL SELECT query_id, qe, qsig FROM qm),
+       |cand AS (SELECT p.query_id, s.id, list_dot_product(s.e, p.qe) cosine
+       |  FROM sigs s JOIN probes p ON s.sig = p.psig AND s.id <> p.query_id),
+       |ranked AS (SELECT query_id, id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, id ASC) rank FROM cand)
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS INT) rank,
+       |       round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** IVF-Flat ANN — fully deterministic (centroids = smallest-id corpus
     * sample, argmax-dot assignment with id tie-break), so unlike the LSH
     * path it IS oracle-checkable in SQL. Ships ONE spherical-k-means
@@ -8826,6 +8883,7 @@ object QueriesExt {
     "q_random_proj" -> (qRandomProj _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_auto" -> (qAnnIvfAuto _),
     "q_kmeans_sampled" -> (qKmeansSampled _),
@@ -9076,6 +9134,7 @@ object QueriesExt {
     "q_mmr_rerank" -> qMmrRerankSql,
     "q_matryoshka" -> qMatryoshkaSql,
     "q_ann_lsh" -> qAnnLshSql,
+    "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,

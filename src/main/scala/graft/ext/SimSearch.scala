@@ -1419,13 +1419,93 @@ object SimSearch {
       normalize(toDouble(col(vecCol))).as("qv"))
       .withColumn("qsig", hyperplaneSignature(col("qv"), dims, planes))
     // multi-probe: own bucket + all 1-bit and 2-bit flips
-    val flips: Seq[Long] =
-      (0 until planes).map(p => 1L << p) ++
-        (for (p1 <- 0 until planes; p2 <- (p1 + 1) until planes)
-          yield (1L << p1) | (1L << p2))
+    val flips: Seq[Long] = flipMasks(planes)
     val probes = q.select(col("query_id"), col("qv"),
       explode(array_union(array(col("qsig")),
         array(flips.map(f => col("qsig").bitwiseXOR(lit(f))): _*))).as("sig"))
+    val joined = c.join(broadcast(probes), Seq("sig"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  /** The 1-bit and 2-bit flip masks [[lshTopK]] probes exhaustively and
+    * [[lshMultiProbeTopK]] ranks query-adaptively — shared so the
+    * T=all case of the latter is the former's probe set by
+    * construction. */
+  private[graft] def flipMasks(planes: Int): Seq[Long] =
+    (0 until planes).map(p => 1L << p) ++
+      (for (p1 <- 0 until planes; p2 <- (p1 + 1) until planes)
+        yield (1L << p1) | (1L << p2))
+
+  /** Query-aware multi-probe LSH (Lv, Josephson, Wang, Charikar, Li —
+    * VLDB 2007): instead of probing ALL 1+2-bit neighboring buckets
+    * ([[lshTopK]] probes 1 + p + p(p-1)/2 of them — 79 at p=12), rank
+    * each query's candidate perturbations by how likely they are to
+    * hold true neighbors and probe only the best `tProbes`. The
+    * likelihood proxy is the paper's score: flipping plane p costs the
+    * squared margin m_p² where m_p = ⟨plane_p, q̂⟩ is the query's signed
+    * distance to that boundary (a near-boundary bit is cheap to flip —
+    * its other side holds points almost identical to the query); a
+    * 2-bit flip costs m_p1² + m_p2². Lower score = more promising, so
+    * the probe sequence is the T cheapest masks (score ASC, mask ASC —
+    * the explicit tie-break makes the sequence total and
+    * oracle-mirrorable).
+    *
+    * Exactness anchor: with tProbes >= flipMasks(planes).size the probe
+    * set equals [[lshTopK]]'s and the output is bit-identical
+    * (SimSearchSpec pins this); with tProbes = 0 only the query's own
+    * bucket is probed. Recall is monotone in tProbes because the
+    * candidate set only grows.
+    *
+    * Scale shape: the probe frame is |queries| × (tProbes + 1) rows of
+    * (query vector, 8-byte signature) — BOUNDED BY T, not by p², which
+    * is what makes high-plane codes (p = 20-32, sparser buckets) usable
+    * at 100 TB: lshTopK's exhaustive set grows quadratically in p while
+    * this stays at T + 1 probes per query. Margins are computed on the
+    * query side only (p codegen'd dots per QUERY, never per corpus
+    * row); the perturbation ranking is a window over |queries| × p(p+1)/2
+    * tiny rows; the probe frame broadcasts into the corpus-side hash
+    * join, so corpus vectors never shuffle — the corpus scan stays
+    * partition-local exactly as in [[lshTopK]].
+    *
+    * Determinism: grid-literal hyperplanes ([[planeComponent]]), total
+    * perturbation order (score ASC, mask ASC), total rerank order
+    * (cosine DESC, id ASC) — the whole algorithm is oracle-checkable. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Int, k: Int, planes: Int = 8,
+      tProbes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      normalize(toDouble(col(vecCol))).as("v"))
+      .withColumn("sig", hyperplaneSignature(col("v"), dims, planes))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(toDouble(col(vecCol))).as("qv"))
+      .withColumn("qsig", hyperplaneSignature(col("qv"), dims, planes))
+    // score each candidate perturbation: m² per flipped plane, summed
+    def margin(p: Int): Column = dot(planeArray(p, dims), col("qv"))
+    val scored: Seq[Column] = flipMasks(planes).map { mask =>
+      val score = (0 until planes).filter(p => (mask & (1L << p)) != 0L)
+        .map(p => margin(p) * margin(p)).reduce(_ + _)
+      struct(lit(mask).as("mask"), score.as("score"))
+    }
+    val pert = q.select(col("query_id"), col("qv"), col("qsig"),
+      explode(array(scored: _*)).as("u"))
+      .select(col("query_id"), col("qv"), col("qsig"),
+        col("u.mask").as("mask"), col("u.score").as("score"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("mask").asc)
+    val topPerts = pert.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= tProbes)
+      .select(col("query_id"), col("qv"),
+        col("qsig").bitwiseXOR(col("mask")).as("sig"))
+    // the query's own bucket is always probe 0
+    val probes = topPerts.unionByName(
+      q.select(col("query_id"), col("qv"), col("qsig").as("sig")))
     val joined = c.join(broadcast(probes), Seq("sig"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine", dot(col("v"), col("qv")))

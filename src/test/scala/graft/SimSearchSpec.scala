@@ -648,6 +648,66 @@ class SimSearchSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall@5 regressed: $recall < 0.9")
   }
 
+  test("multi-probe LSH: T = all masks reproduces lshTopK bit-for-bit") {
+    // The exactness anchor in lshMultiProbeTopK's contract: ranking the
+    // perturbations and keeping ALL of them must yield exactly the
+    // exhaustive probe set, so the outputs are identical tuples.
+    val dims = 64
+    val corpus = clusteredCorpus(dims, nClusters = 16, perCluster = 20,
+      noise = 0.02)
+    val q = corpus.filter($"vec_id" % 20 === 7)
+    val allT = SimSearch.flipMasks(12).size
+    val exhaustive = SimSearch.lshTopK(corpus, q, "vec_id", "embedding",
+      dims, k = 5, planes = 12)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val ranked = SimSearch.lshMultiProbeTopK(corpus, q, "vec_id",
+      "embedding", dims, k = 5, planes = 12, tProbes = allT)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(ranked == exhaustive,
+      s"T=$allT multi-probe must equal the exhaustive probe set")
+  }
+
+  test("multi-probe LSH: recall is monotone in T and T=0 stays in the home bucket") {
+    val dims = 64
+    val corpus = clusteredCorpus(dims, nClusters = 16, perCluster = 20,
+      noise = 0.02)
+    val q = corpus.filter($"vec_id" % 20 === 7)
+    val brute = SimSearch.bruteTopK(corpus, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(t: Int): Double = {
+      val ann = SimSearch.lshMultiProbeTopK(corpus, q, "vec_id",
+        "embedding", dims, k = 5, planes = 12, tProbes = t)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(ann).size.toDouble / brute.size
+    }
+    val r0 = recallAt(0)
+    val r8 = recallAt(8)
+    val rAll = recallAt(SimSearch.flipMasks(12).size)
+    info(s"multi-probe recall@5: T=0 $r0, T=8 $r8, T=all $rAll")
+    // candidate set grows with T and a true top-k hit in the candidate
+    // set always survives the rerank, so recall is monotone
+    assert(r0 <= r8 && r8 <= rAll, s"recall not monotone: $r0 / $r8 / $rAll")
+    // shipped T=8 must capture most of what the 78-probe exhaustive set
+    // finds on the design-regime corpus — the bounded form is not a
+    // strictly weaker product
+    assert(r8 >= rAll - 0.1, s"T=8 recall $r8 too far below T=all $rAll")
+    // T=0 probes only the query's own bucket: every returned neighbor
+    // shares the query's full signature
+    val sigs = corpus
+      .select($"vec_id",
+        SimSearch.hyperplaneSignature(
+          graft.ext.SimSearch.normalize(SimSearch.toDouble($"embedding")),
+          dims, 16).as("sig"))
+    val sigOf = sigs.as[(Long, Long)].collect().toMap
+    val ann0 = SimSearch.lshMultiProbeTopK(corpus, q, "vec_id",
+      "embedding", dims, k = 5, planes = 16, tProbes = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ann0.forall { case (qid, nid) => sigOf(qid) == sigOf(nid) },
+      "a T=0 neighbor came from outside the query's own bucket")
+  }
+
   test("dot product expression equals HOF formulation bit-for-bit") {
     val df = Seq((vec(0.1, 0.2, 0.3), vec(0.4, 0.5, 0.6))).toDF("a", "b")
     val hof = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
