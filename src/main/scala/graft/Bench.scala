@@ -120,9 +120,10 @@ object Bench {
    * and no quick sentinel can vouch it away. */
   private[graft] def windowDegradedOf(effDrift: Double,
       probeMax: Double, streamMedian: Double,
-      inSuiteSpreadMedian: Double): Boolean =
+      inSuiteSpreadMedian: Double,
+      spreadThreshold: Double = 1.55): Boolean =
     (effDrift > 1.3 && (probeMax > 1.1 || streamMedian > 1.3)) ||
-    inSuiteSpreadMedian > 1.55
+    inSuiteSpreadMedian > spreadThreshold
 
   /** The spread median is only admissible degraded-window evidence in
     * the OFFICIAL configuration (sf0.1 / local[32]) — the 1.55
@@ -233,6 +234,90 @@ object Bench {
     if (firstProbe.nonEmpty && firstProbe.min / prevFloor <= 1.5) 0
     else if (firstProbe.isEmpty) (if (prevFloor >= 3.0) 2 else 3)
     else if (prevFloor >= 3.0) 1 else 2
+
+  /** `suspect_query` rule (VERDICT r14 Next #2): fresh reps that are
+    * TIGHT (spread < 1.25) at > 1.5x floor on a NON-degraded window are
+    * either a stale floor or a real change — never "ambient". The r14
+    * driver run dissolved q_dedup_clusters (fresh [2.447, 2.541, 2.430]
+    * vs floor 1.401, spread 1.05) into ambient_drift this way; round-15
+    * isolated probes proved the floor stale. A suspect is carried in
+    * the floor file (`__suspect`) like a streak and auto-probed FIRST
+    * in the next clean window instead of shrugging. Requires >= 2 reps:
+    * one rep has no spread evidence. */
+  private[graft] def suspectQueryOf(fresh: Seq[Double], prevFloor: Double,
+      windowDegraded: Boolean): Boolean =
+    fresh.size >= 2 && fresh.max / fresh.min < 1.25 &&
+      fresh.min / prevFloor > 1.5 && !windowDegraded
+
+  /** Carried-suspect resolution on the next window's FIRST probes
+    * (median-of-3 / heavy min-of-2, before any mover adjudication):
+    *  - <= 1.3x floor        -> `suspect_cleared` (the r14 signal was
+    *    window tail noise after all; drop from the carried list);
+    *  - degraded window      -> `suspect_deferred` (carry — a degraded
+    *    window cannot certify either direction);
+    *  - > 1.3x, tight reps   -> `suspect_repinned` (two consecutive
+    *    windows of consistent isolated evidence = the floor is stale
+    *    or the cost legitimately moved; floor := fresh.min, recorded
+    *    as an upward re-pin WITH evidence in the adjudication line —
+    *    the mechanized form of the manual bench_floor edit protocol);
+    *  - > 1.3x, loose reps   -> `suspect_cleared_loose` (the tight
+    *    signal did not reproduce; monotone floors re-flag if real). */
+  private[graft] def suspectResolutionOf(frMin: Double, spread: Double,
+      windowDegraded: Boolean): String =
+    if (windowDegraded) "suspect_deferred"
+    else if (frMin <= 1.3) "suspect_cleared"
+    else if (spread < 1.25) "suspect_repinned"
+    else "suspect_cleared_loose"
+
+  /** Fresh-probe class median (VERDICT r14 Next #3a): the breadth
+    * pass's own probe ratios, per floor class — the contemporaneous
+    * measurement of what fresh isolated reps of THAT class cost right
+    * now. Needs >= 3 members to be a population; fewer returns None
+    * and the rule stays inert. */
+  private[graft] def classFreshMedianOf(ratios: Seq[Double]): Option[Double] =
+    if (ratios.size < 3) None
+    else {
+      val s = ratios.sorted
+      Some(math.round(s(s.size / 2) * 100) / 100.0)
+    }
+
+  /** Class-fresh clearing (VERDICT r14 Next #3a): a breadth probe at
+    * <= 1.5x the FRESH sibling-class median clears on that evidence —
+    * when the whole class's fresh probes read hot (late-window GC/JIT
+    * state the floor-relative rule can't see), a mover tracking its
+    * class is ambient, not a regression. Gated on the class actually
+    * being elevated (median > 1.2): on a truly quiet window the rule
+    * is inert and the floor-relative verdict stands. A single-query
+    * regression still confirms — it moves ALONE, the class median
+    * stays low. */
+  private[graft] def classFreshClearOf(fr: Double,
+      classFreshMedian: Option[Double]): Boolean =
+    classFreshMedian.exists(m => m > 1.2 && fr <= 1.5 * m)
+
+  /** Escalation reserve (VERDICT r14 Next #3b): at most this many
+    * movers — the worst borderlines, first in [[moverOrderOf]] — may
+    * escalate to extra reps; the tail adjudicates on its breadth probe
+    * plus the class-fresh rule. The r14 driver run starved exactly the
+    * borderline tail because escalation was unbounded. */
+  private[graft] val escalationReserve = 10
+
+  /** Adaptive spread-degradation threshold (VERDICT r14 Next #8): the
+    * 1.55 constant was calibrated on r13/r14 windows (clean 1.29-1.46,
+    * stalled 1.59) and sits 0.09 above the cleanest observed clean
+    * reading — if clean windows drift toward it, a 1.5-1.55 window
+    * would produce a phantom streak. The threshold is therefore the
+    * P75 of the last (up to 8) CLEAN official windows' spread medians
+    * x 1.10 headroom, floored at the calibrated 1.55; with fewer than
+    * 4 recorded windows the constant stands. History lives in the
+    * floor file (`__spread_hist`), appended only by clean official
+    * runs — a degraded window must not teach the threshold. */
+  private[graft] def spreadThresholdOf(cleanHist: Seq[Double]): Double =
+    if (cleanHist.size < 4) 1.55
+    else {
+      val s = cleanHist.sorted
+      val p75 = s(math.ceil(0.75 * s.size).toInt - 1)
+      math.max(1.55, math.round(p75 * 1.10 * 100) / 100.0)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -443,6 +528,31 @@ object Bench {
         } else 0
       } catch { case _: Throwable => 0 }
     }
+    // carried suspect_query list + clean-window spread history, both
+    // sf/cpus-gated exactly like the streak (same floor-file owner
+    // rule). Absent keys (pre-r15 files) read empty.
+    def floorFileSeq(key: String, itemRe: String): Seq[String] = {
+      try {
+        if (!java.nio.file.Files.exists(floorPath)) Nil
+        else {
+          val txt = java.nio.file.Files.readString(floorPath)
+          val prevSf = "\"__sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          val prevCpus = "\"__cpus\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse(if (official) cpus else "32")
+          if (!prevSf.contains(sfDir) || prevCpus != cpus) Nil
+          else ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+            .map(m => itemRe.r.findAllMatchIn(m.group(1))
+              .map(_.group(1)).toSeq)
+            .getOrElse(Nil)
+        }
+      } catch { case _: Throwable => Nil }
+    }
+    val prevSuspects: Seq[String] =
+      floorFileSeq("__suspect", "\"(q_[^\"]+)\"").distinct
+    val prevSpreadHist: Seq[Double] =
+      floorFileSeq("__spread_hist", "([0-9.]+)").flatMap(s =>
+        try Some(s.toDouble) catch { case _: Throwable => None })
     var failures = List.empty[String]
     var flaky = List.empty[(String, Int)] // partial rep failures, kept visible
     var budgetHit = false  // measured time passed budgetSec
@@ -753,9 +863,10 @@ object Bench {
     // contrary probe evidence (both sentinels at floor speed, streaming
     // class quiet) overrides a suite-only drift reading — the floors'
     // warm-probe-minimum bias, not the machine.
+    val spreadThreshold = spreadThresholdOf(prevSpreadHist)
     val windowDegraded =
       windowDegradedOf(effDrift, probeMaxRatio, streamMedianRatio,
-        spreadEvidenceOf(official, inSuiteSpreadMedian))
+        spreadEvidenceOf(official, inSuiteSpreadMedian), spreadThreshold)
     // CLASS DRIFT (r10 poisoned-window rehearsal): CPU contention hits
     // query classes unevenly — with 28 spinners the 18 streaming faces
     // ran 4-6x slow (micro-batch trigger scheduling + state store are
@@ -794,6 +905,53 @@ object Bench {
     var suspectSet = Set.empty[String]
     var probeErrSet = Set.empty[String]
     var unadjSet = Set.empty[String]
+    var suspectQuerySet = Set.empty[String]   // new suspects this run
+    var carriedSuspects = Set.empty[String]   // unresolved, carried forward
+    var repinnedFloors = Map.empty[String, Double] // suspect_repinned
+    // CARRIED-SUSPECT RESOLUTION (VERDICT r14 Next #2): queries the
+    // previous official run flagged suspect_query are probed FIRST —
+    // before any mover adjudication — while the window is at its best.
+    // Resolution rule on suspectResolutionOf: cleared at <= 1.3x,
+    // re-pinned (floor := fresh.min, an upward move WITH recorded
+    // evidence) on a second consecutive tight >1.3x reading, deferred
+    // on a degraded window, dropped as loose noise otherwise.
+    prevSuspects.filter(n =>
+        SparkEntry.queries.contains(n) && prevFloors.contains(n))
+      .sorted.foreach { name =>
+      if (elapsed >= wallGuardSec) {
+        carriedSuspects += name
+        adjudications ::= s"""{"query":"$name","prev_floor":${prevFloors(
+          name)},"fresh_reps":[],"verdict":"suspect_deferred"}"""
+      } else {
+        val want = if (prevFloors(name) >= 3.0) 2 else 3
+        val fresh = freshProbe(name, want)
+        if (fresh.isEmpty) {
+          probeErrSet += name
+          adjudications ::= s"""{"query":"$name","prev_floor":${prevFloors(
+            name)},"fresh_reps":[],"verdict":"probe_error"}"""
+        } else {
+          val prevF = prevFloors(name)
+          val frMin = fresh.min / prevF
+          val spread = fresh.max / fresh.min
+          val verdict =
+            suspectResolutionOf(frMin, spread, windowDegraded)
+          verdict match {
+            case "suspect_deferred" => carriedSuspects += name
+            case "suspect_repinned" =>
+              repinnedFloors += name -> r3(fresh.min)
+            case _ => ()
+          }
+          adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+            s""""fresh_reps":[${fresh.map(r3).mkString(",")}],""" +
+            s""""fresh_min":${r3(fresh.min)},"spread":${math.round(
+              spread * 100) / 100.0}""" +
+            (if (verdict == "suspect_repinned")
+              s""","repinned_floor":${r3(fresh.min)}""" else "") +
+            s""","verdict":"$verdict"}"""
+        }
+      }
+    }
+    val resolvedSuspects = prevSuspects.toSet
     // BREADTH-FIRST ADJUDICATION (VERDICT r13 Next #2): pass 1 gives
     // EVERY raw mover one cheap probe in descending-ratio order before
     // pass 2 escalates anyone — the r13 driver run ended with 69/79
@@ -803,12 +961,35 @@ object Bench {
     // (fresh <= 1.5x floor — a fast rep is direct evidence; spikes
     // inflate, never deflate), so breadth costs LESS than the old
     // heavy-first min-of-2 on clean windows too.
+    // carried suspects already adjudicated above — they must not be
+    // probed twice through the mover path in the same window
     val moverOrder = moverOrderOf(rawMoves)
+      .filterNot(resolvedSuspects.contains)
     var breadthProbes = Map.empty[String, Seq[Double]]
     moverOrder.foreach { name =>
       if (elapsed < wallGuardSec)
         breadthProbes += name -> freshProbe(name, 1)
     }
+    // fresh sibling-class medians from the breadth pass itself
+    // (VERDICT r14 Next #3a): what fresh probes of each floor class
+    // cost RIGHT NOW, the contemporaneous complement of suite_drift
+    def floorClassOf(f: Double): String =
+      if (f < microCut) "micro" else if (f >= 3.0) "heavy" else "mid"
+    val classFreshMedians: Map[String, Option[Double]] = {
+      val ratios = breadthProbes.toSeq.collect {
+        case (n, ps) if ps.nonEmpty && prevFloors.get(n).exists(_ > 0) =>
+          floorClassOf(prevFloors(n)) -> ps.min / prevFloors(n)
+      }
+      Seq("micro", "mid", "heavy").map { c =>
+        c -> classFreshMedianOf(ratios.collect { case (`c`, r) => r })
+      }.toMap
+    }
+    // ESCALATION RESERVE (VERDICT r14 Next #3b): extra reps are spent
+    // on at most `escalationReserve` movers — the worst borderlines,
+    // first in moverOrder; the tail adjudicates on its breadth probe
+    // plus the class-fresh rule, so the wall can no longer starve
+    // exactly the cases escalation exists for.
+    var escalationsUsed = 0
     moverOrder.foreach { name =>
       val ratio = rawMoves(name)
       val prevF = prevFloors(name)
@@ -818,13 +999,31 @@ object Bench {
         unadjSet += name
         adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
           s""""in_suite_ratio":$ratio,"fresh_reps":[],"verdict":"unadjudicated_budget"}"""
+      case Some(first)
+          if first.nonEmpty && first.min / prevF > 1.5 &&
+            classFreshClearOf(first.min / prevF,
+              classFreshMedians(floorClassOf(prevF))) =>
+        // CLASS-FRESH CLEAR (r14 Next #3a): the probe is > 1.5x floor
+        // but tracks its own class's contemporaneous fresh cost — the
+        // late-window ambient shape that left 7 movers unadjudicated
+        // in the r14 driver run. Cleared on the breadth probe alone.
+        ambient += name
+        adjudications ::= s"""{"query":"$name","prev_floor":$prevF,""" +
+          s""""in_suite_ratio":$ratio,"fresh_reps":[${first.map(r3)
+            .mkString(",")}],"fresh_min":${r3(first.min)},""" +
+          s""""class_fresh_median":${classFreshMedians(
+            floorClassOf(prevF)).getOrElse(-1.0)},""" +
+          s""""verdict":"cleared_class_fresh"}"""
       case Some(first) =>
         // pass 2: escalate only movers the breadth probe did not clear
         // (heavy floors min-of-2 total, the rest median-of-3; a thrown
-        // breadth probe retries the full class count)
+        // breadth probe retries the full class count), within the
+        // escalation reserve
         val extraWant = escalationWantOf(prevF, first)
-        val fresh = first ++ (if (extraWant > 0 && elapsed < wallGuardSec)
-          freshProbe(name, extraWant) else Nil)
+        val mayEscalate = escalationsUsed < escalationReserve
+        if (extraWant > 0 && mayEscalate) escalationsUsed += 1
+        val fresh = first ++ (if (extraWant > 0 && mayEscalate &&
+          elapsed < wallGuardSec) freshProbe(name, extraWant) else Nil)
         if (fresh.nonEmpty) {
           val fr = fresh.min / prevF
           val isMicro = prevF < microCut
@@ -865,13 +1064,26 @@ object Bench {
           // r13): when the escalation was wall-blocked the single
           // breadth probe stays on the record as unadjudicated — a
           // one-off spike must not flip red_state
-          val verdict =
+          val verdict1 =
             if (verdict0 == "confirmed_regression" && fresh.size < 2)
               "unadjudicated_budget"
             else verdict0
+          // SUSPECT-QUERY OVERRIDE (VERDICT r14 Next #2): an ambient
+          // verdict backed by TIGHT >1.5x fresh evidence on a clean
+          // window is a contradiction — consistent isolated reps are
+          // exactly what ambient noise cannot produce. Carried in the
+          // floor file and auto-probed first next window.
+          val verdict =
+            if ((verdict1 == "ambient_drift" ||
+                 verdict1 == "ambient_class_drift") &&
+                suspectQueryOf(fresh, prevF, windowDegraded))
+              "suspect_query"
+            else verdict1
           verdict match {
             case "ambient_drift" | "ambient_class_drift" |
                  "below_confirm_floor" => ambient += name
+            case "suspect_query" =>
+              suspectQuerySet += name; carriedSuspects += name
             case "suspect_window" => suspectSet += name
             case "confirmed_regression" => confirmedSet += name
             case "unadjudicated_budget" => unadjSet += name
@@ -927,9 +1139,12 @@ object Bench {
     val rebaseApplied = rebaseRequested && rebaseStableOf(
       confirmedSet.size, failures.size, wallHit, streamMedianRatio,
       unadjSet.size, probeErrSet.size)
+    // suspect re-pins override the monotone-min composition: they are
+    // the mechanized evidence-backed upward edit (adjudication line
+    // carries the reps), scoped to exactly the suspect-resolved names
     val floors: Map[String, Double] = composeFloors(
       prevFloors, floorsNow, SparkEntry.queries.keys,
-      windowDegraded, rebaseApplied)
+      windowDegraded, rebaseApplied) ++ repinnedFloors
     // CONFIRMED verdicts only on the contract line (VERDICT r9 Next
     // #1a); ambient / probe_error / unadjudicated each get their own
     // field. (Since the floor basis is in-suite-only now, probe reps no
@@ -945,9 +1160,19 @@ object Bench {
     // computed before floorsJson so the streak persists in the floor
     // file (sf/cpus-gated, official-run-owned — see prevDegradedStreak)
     val degradedStreak = if (windowDegraded) prevDegradedStreak + 1 else 0
+    // clean official windows teach the adaptive spread threshold
+    // (spreadThresholdOf); degraded windows must not
+    val spreadHistNew: Seq[Double] =
+      if (official && !windowDegraded)
+        (prevSpreadHist :+ inSuiteSpreadMedian).takeRight(8)
+      else prevSpreadHist
+    val suspectJson = carriedSuspects.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val floorsJson = (Seq("\"__sf\":\"" + sfDir + "\"",
       "\"__cpus\":\"" + cpus + "\"",
-      "\"__degraded_streak\":" + degradedStreak) ++
+      "\"__degraded_streak\":" + degradedStreak,
+      "\"__suspect\":" + suspectJson,
+      "\"__spread_hist\":" + spreadHistNew.mkString("[", ",", "]")) ++
       floors.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v })
       .mkString("{", ",", "}")
     val movesJson = floorMoves.toSeq.sortBy(-_._2)
@@ -989,11 +1214,11 @@ object Bench {
     val redState = confirmedSet.nonEmpty ||
       (windowDegraded && suspectSet.nonEmpty) || degradedStreak >= 2
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"query_timeouts":${timeoutSet.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"skipped":${skipped.size},"floor_regressions":${confirmedSet.size},"suspect_window":${suspectSet.size},"suspect_query":${suspectQuerySet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"ambient_drift":${ambient.size},"floor_flagged_raw":${rawMoves.size},"query_timeouts":${timeoutSet.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"query_timeouts":${timeoutSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"query_timeout_sec":$queryTimeoutSec,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","queries":$qs,"errors":$errs,"skipped":$skp,"failed_reps":$flk,"reps":$reps,"reps_used":$ru,"spreads":$sp,"floor_regressions":$movesJson,"suspect_window":${suspectSet.size},"suspect_query":${suspectQuerySet.size},"suspect_carried":$suspectJson,"unadjudicated":${unadjSet.size},"probe_errors":${probeErrSet.size},"floor_flagged_raw":${rawMoves.size},"ambient_drift":${ambient.size},"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"spread_threshold":$spreadThreshold,"query_timeouts":${timeoutSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"query_timeout_sec":$queryTimeoutSec,"budget_hit":$budgetHit,"rep_cut_hit":$repCutHit,"wall_hit":$wallHit,"wall_sec":${r3(elapsed)},"codegen_cache":$cgCache,"gc_count":$gcCount,"gc_sec":$gcSec,"metaspace_peak_mb":$metaspaceMb,"heap_used_mb":$heapMb,"sf":"$sfDir"}"""
     val evidence =
-      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
+      s"""{"__sf":"$sfDir","__cpus":"$cpus","threshold":1.5,"suite_drift":$suiteDrift,"probe_drift":$probeDrift,"probe_max":${if (sentinelRatios.size >= 2) probeMaxRatio else -1.0},"stream_drift":$streamDrift,"stream_median":$streamMedianRatio,"micro_drift":$microDrift,"micro_cut":$microCut,"abs_delta_sec":$absDeltaSec,"sentinels":$sentJson,"window_degraded":$windowDegraded,"degraded_streak":$degradedStreak,"red_state":$redState,"floor_rebase":$rebaseApplied,"in_suite_spread_median":$inSuiteSpreadMedian,"spread_threshold":$spreadThreshold,"raw_movers":${rawMoves.size},"confirmed":${confirmedSet.size},"suspect_window":${suspectSet.size},"suspect_query":${suspectQuerySet.size},"suspect_carried":$suspectJson,"ambient_drift":${ambient.size},"probe_errors":${probeErrSet.size},"unadjudicated":${unadjSet.size},"adjudications":[${adjudications.reverse.mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
     catch { case _: Throwable => () }

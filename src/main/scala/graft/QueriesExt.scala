@@ -5459,7 +5459,8 @@ object QueriesExt {
          |  FROM pos$k),
          |sc$k AS (SELECT s, CAST(sum(cnt) AS BIGINT) sc FROM pos$k GROUP BY 1),
          |bp$k AS (SELECT pp.l, pp.r2, pp.pc,
-         |    CAST(pp.pc AS DOUBLE) / CAST(a.sc * b.sc AS DOUBLE) score
+         |    CAST(pp.pc AS DOUBLE) /
+         |      (CAST(a.sc AS DOUBLE) * CAST(b.sc AS DOUBLE)) score
          |  FROM (SELECT s l, nx r2, CAST(sum(cnt) AS BIGINT) pc FROM pl$k
          |    WHERE nx IS NOT NULL GROUP BY 1, 2 HAVING sum(cnt) >= 2) pp
          |  JOIN sc$k a ON a.s = pp.l JOIN sc$k b ON b.s = pp.r2

@@ -104,5 +104,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // census-diff gate (VERDICT r14 Next #9), OPT-IN: the gate rebuilds
+    // every face's plan in its own fixed-config session (sf0.001,
+    // local[8]) and exits 2 on an unexplained exchange/join-count jump
+    // vs the committed plan_census.json. Off by default so the driver's
+    // wall-capped correctness run never pays for it; the round gate
+    // sequence and CI-style local runs set SPARK_GRAFT_CENSUS_GATE=1.
+    if (sys.env.get("SPARK_GRAFT_CENSUS_GATE").contains("1"))
+      graft.tools.CensusGate.main(Array("/root/testdata/sf0.001"))
   }
 }

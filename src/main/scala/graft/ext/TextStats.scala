@@ -1102,8 +1102,13 @@ object TextStats {
         .filter(col("pc") >= minPairCount)
         .join(symc.select(col("s").as("l"), col("sc").as("cl")), Seq("l"))
         .join(symc.select(col("s").as("rt"), col("sc").as("cr")), Seq("rt"))
+        // each factor casts to double BEFORE the multiply (ADVICE r14):
+        // symbol counts are token-frequency scale, so the int64 product
+        // cl*cr can overflow Long at web-corpus scale — one extra IEEE
+        // multiply, identical in the DuckDB mirror, no overflow
         .withColumn("score",
-          col("pc").cast("double") / (col("cl") * col("cr")).cast("double"))
+          col("pc").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double")))
         .orderBy(col("score").desc, col("l").asc, col("rt").asc)
         .limit(1)
         .select(col("l"), col("rt"), col("pc"), col("score"))

@@ -32,7 +32,7 @@ object PlanCensus {
           val plan = graft.SparkEntry.queries(n)(spark, dir)
             .queryExecution.executedPlan.toString
           def c(re: String): Int = re.r.findAllIn(plan).size
-          val ex = c("Exchange (hash|range)partitioning")
+          val ex = c("Exchange ((hash|range)partitioning|RoundRobinPartitioning|SinglePartition)")
           val bc = c("BroadcastExchange")
           val smj = c("SortMergeJoin")
           val cart = c("CartesianProduct")
@@ -44,7 +44,10 @@ object PlanCensus {
             s""""smj":$smj,"cartesian":$cart,"bnl":$bnl,""" +
             s""""wgl":$wgl,"topk":$top,"wscg":$wscg}"""
         } catch {
-          case e: Throwable =>
+          // NonFatal only (ADVICE r14): an OOM/StackOverflow mid-census
+          // leaves a possibly-corrupted JVM whose remaining rows would
+          // silently skew the committed counts — abort loudly instead
+          case scala.util.control.NonFatal(e) =>
             s"""{"q":"$n","error":"${e.getClass.getSimpleName}"}"""
         }
       println(line)

@@ -231,4 +231,90 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.escalationWantOf(10.0, Nil) == 2)
     assert(Bench.escalationWantOf(2.0, Nil) == 3)
   }
+
+  test("suspectQueryOf: the r14 driver run's exact numbers (VERDICT " +
+      "r14 Next #2) — q_dedup_clusters' tight 1.7x evidence reads " +
+      "suspect_query, q_stream_kmv's at-floor probe reads cleared") {
+    // q_dedup_clusters: fresh [2.447, 2.541, 2.430] vs floor 1.401 on
+    // a clean window (drift 1.29) — ambient under the old binary, and
+    // round-15 isolated probes proved the floor stale (re-pinned 1.98)
+    val dc = Seq(2.447, 2.541, 2.430)
+    assert(Bench.verdictOf(dc.min / 1.401, dc.min - 1.401,
+      isMicro = false, drift = 1.29, microDrift = 1.29,
+      windowDegraded = false, absDeltaSec = 0.35, None)._1
+      == "ambient_drift")
+    assert(Bench.suspectQueryOf(dc, 1.401, windowDegraded = false))
+    // q_stream_kmv: fresh at 1.02x floor — fr <= 1.5 can never be
+    // suspect regardless of spread
+    assert(!Bench.suspectQueryOf(Seq(0.51, 0.52), 0.5,
+      windowDegraded = false))
+    // degraded windows cannot mint suspects (the discriminator has
+    // declared its own evidence untrustworthy there)
+    assert(!Bench.suspectQueryOf(dc, 1.401, windowDegraded = true))
+    // loose reps are ambient noise, not a suspect
+    assert(!Bench.suspectQueryOf(Seq(2.4, 5.1), 1.401,
+      windowDegraded = false))
+    // single-rep evidence has no spread — never suspect
+    assert(!Bench.suspectQueryOf(Seq(2.43), 1.401,
+      windowDegraded = false))
+  }
+
+  test("suspectResolutionOf: carried suspects clear at <=1.3x, re-pin " +
+      "on a second tight >1.3x reading, defer on degraded windows, " +
+      "drop as loose otherwise") {
+    assert(Bench.suspectResolutionOf(1.19, 1.84, windowDegraded = false)
+      == "suspect_cleared") // the r15 q_kmeans_fit resolution shape
+    assert(Bench.suspectResolutionOf(1.41, 1.20, windowDegraded = false)
+      == "suspect_repinned") // the r15 q_dedup_clusters shape
+    assert(Bench.suspectResolutionOf(1.41, 1.20, windowDegraded = true)
+      == "suspect_deferred")
+    assert(Bench.suspectResolutionOf(1.6, 2.1, windowDegraded = false)
+      == "suspect_cleared_loose")
+  }
+
+  test("classFreshClearOf: the r14 driver tail (VERDICT r14 Next #3a) " +
+      "— micro movers probing 2.1-2.8x while the whole micro class " +
+      "probes the same clear on class evidence; a quiet class clears " +
+      "nothing") {
+    // the four micro movers of the r14 unadjudicated tail: fresh
+    // ratios 2.14 (q_json_roundtrip), 2.20 (q_asof_join), 2.84
+    // (q_lexical), 2.76 (q_recursive_spine)
+    val microRatios = Seq(2.14, 2.20, 2.84, 2.76)
+    val m = Bench.classFreshMedianOf(microRatios)
+    assert(m.contains(2.76)) // upper median of the even-sized pool
+    assert(Bench.classFreshClearOf(2.14, m))
+    assert(Bench.classFreshClearOf(2.84, m))
+    // a mover 1.5x beyond even the hot class median does NOT clear
+    assert(!Bench.classFreshClearOf(4.2, m))
+    // quiet class (median <= 1.2): rule is inert, floor verdict stands
+    assert(!Bench.classFreshClearOf(1.6, Some(1.1)))
+    // fewer than 3 class members is no population
+    assert(Bench.classFreshMedianOf(Seq(2.0, 2.1)).isEmpty)
+    assert(!Bench.classFreshClearOf(2.0, None))
+  }
+
+  test("escalationReserve bounds extra-rep spending to the 10 worst " +
+      "borderlines (VERDICT r14 Next #3b)") {
+    assert(Bench.escalationReserve == 10)
+  }
+
+  test("spreadThresholdOf: pinned P75 x 1.10 over the last clean " +
+      "official windows, floored at the calibrated 1.55 (VERDICT r14 " +
+      "Next #8)") {
+    // the recorded r14/r15 clean official history: 1.46 open, 1.29/
+    // 1.30 mid, 1.41 driver, 1.30 r15 open — threshold stays 1.55
+    assert(Bench.spreadThresholdOf(Seq(1.46, 1.29, 1.30, 1.41, 1.30))
+      == 1.55)
+    // fewer than 4 windows: the constant stands
+    assert(Bench.spreadThresholdOf(Nil) == 1.55)
+    assert(Bench.spreadThresholdOf(Seq(1.46, 1.29, 1.41)) == 1.55)
+    // clean windows creeping toward the constant raise the threshold
+    // before a 1.5-1.55 window can mint a phantom streak
+    assert(Bench.spreadThresholdOf(Seq(1.45, 1.48, 1.50, 1.53)) == 1.65)
+    // and the composed rule: a 1.56 spread on that history is NOT
+    // degraded, while under the fixed constant it would have been
+    assert(!Bench.windowDegradedOf(1.0, 1.0, 1.0, 1.56,
+      Bench.spreadThresholdOf(Seq(1.45, 1.48, 1.50, 1.53))))
+    assert(Bench.windowDegradedOf(1.0, 1.0, 1.0, 1.56))
+  }
 }
