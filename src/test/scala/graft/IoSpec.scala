@@ -401,4 +401,50 @@ class IoSpec extends SparkSpec {
       (Some(333L), Some("e"), Some(BigDecimal("10.25")))),
       s"malformed-field convention drifted: $back")
   }
+
+  test("WARC roundtrip: records survive sharded write + binaryFile " +
+      "read, warcinfo shard headers are typed (not dropped by the " +
+      "parser), Content-Length is UTF-8 octets not chars") {
+    import graft.io.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warc_spec").toString
+    val src = Seq(
+      ("http://x/doc/1", "<p>hello</p>"),
+      // multi-byte payload: 'é' is 2 octets — char count would be 11
+      ("http://x/doc/2", "<p>café</p>"),
+      // payload containing record-marker text must NOT desync the
+      // length-delimited parser
+      ("http://x/doc/3", "WARC/1.0\r\n\r\nnot a header"))
+      .toDF("uri", "payload")
+    Warc.write(src, "uri", "payload", dir, nFiles = 2)
+    val back = Warc.read(spark, dir)
+    val info = back.filter($"warc_type" === "warcinfo").count()
+    assert(info == 2, s"one warcinfo per shard, got $info")
+    val resp = back.filter($"warc_type" === "response")
+      .select("target_uri", "content_length", "payload")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(resp.map(_._1) ==
+      Seq("http://x/doc/1", "http://x/doc/2", "http://x/doc/3"))
+    assert(resp(0) == ("http://x/doc/1", 12L, "<p>hello</p>"))
+    assert(resp(1)._2 == 12L, // 11 chars, 12 octets
+      s"Content-Length must count octets: ${resp(1)}")
+    assert(resp(1)._3 == "<p>café</p>")
+    assert(resp(2)._3 == "WARC/1.0\r\n\r\nnot a header",
+      "length-delimited parse must not scan payload for markers")
+  }
+
+  test("WARC parser is tolerant: truncated trailing record keeps the " +
+      "complete records before it; garbage-only input parses empty") {
+    import graft.io.Warc
+    val good = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x/a\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 999\r\n\r\nshort"
+    val recs = Warc.parseRecords(
+      (good + truncated).getBytes("UTF-8")).toSeq
+    assert(recs.map(r => (r.target_uri, r.payload)) ==
+      Seq(("http://x/a", "hi")))
+    assert(Warc.parseRecords("not a warc at all".getBytes("UTF-8"))
+      .isEmpty)
+  }
 }
