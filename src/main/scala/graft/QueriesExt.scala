@@ -8341,6 +8341,78 @@ object QueriesExt {
        |$out""".stripMargin
   }
 
+  /** fastText-shaped quality-classifier training (VERDICT r14 Next
+    * #5): hashed word uni+bigram features (hash64 pmod 8, the existing
+    * gram machinery) + the existing full-batch GD logistic fit
+    * (MLFit.hashedGramTrain), label = is-English from the corpus lang
+    * column — the CCNet/LLaMA in-pipeline classifier-training shape.
+    * The oracle unrolls the identical GD (zero start, left-associated
+    * logit, grad terms rounded@8 before decimal sums) over the
+    * identical hashed-bucket features, md5-hash64 and all. */
+  private val qtD = 8
+  private val qtIters = 3
+  private val qtLr = 0.5
+  private def qQualityTrain(s: SparkSession, dir: String): DataFrame =
+    MLFit.hashedGramTrain(
+      docs(s, dir).select(col("text"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y")),
+      "text", "y", d = qtD, iterations = qtIters, lr = qtLr)
+      .select(col("feature"), round(col("weight"), 8).as("weight_r"))
+  private val qQualityTrainSql: String = {
+    val d = qtD
+    def zSql(w: String): String =
+      (1 to d).foldLeft(s"$w.w0") { (acc, j) =>
+        s"($acc + ($w.w$j * x${j - 1}))"
+      }
+    val iters = (1 to qtIters).map { k =>
+      val pw = s"wi${k - 1}"
+      val gs = (0 to d).map { j =>
+        val term =
+          if (j == 0) "round(p - y, 8)" else s"round((p - y) * x${j - 1}, 8)"
+        s"CAST(sum(CAST($term AS DECIMAL(28,14))) AS DOUBLE) g$j"
+      }.mkString(",\n    ")
+      val ws = (0 to d).map(j =>
+        s"($pw.w$j - (CAST($qtLr AS DOUBLE) * (g$j / (SELECT nn FROM cnt)))) w$j")
+        .mkString(",\n    ")
+      s"""g$k AS (SELECT
+         |    $gs
+         |  FROM (SELECT x.*, CAST(1 AS DOUBLE) /
+         |      (CAST(1 AS DOUBLE) + exp(-(${zSql(pw)}))) p
+         |    FROM x, $pw)),
+         |wi$k AS (SELECT
+         |    $ws
+         |  FROM $pw, g$k)""".stripMargin
+    }.mkString(",\n")
+    val zeros = (0 to d).map(j => s"CAST(0 AS DOUBLE) w$j").mkString(", ")
+    val xs = (0 until d).map(j =>
+      s"CAST(len(list_filter(bk, v -> v = $j)) AS DOUBLE) / len(bk) x$j")
+      .mkString(",\n    ")
+    val out = ("bias" +: (0 until d).map(j => s"x$j")).zipWithIndex
+      .map { case (f, j) =>
+        s"SELECT '$f' feature, round(w$j, 8) weight_r FROM wi$qtIters"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT ${toksSql("text")} t,
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END y
+       |  FROM documents),
+       |g AS (SELECT y, t || CASE WHEN len(t) >= 2
+       |      THEN list_transform(range(len(t) - 1),
+       |        i -> t[i + 1] || ' ' || t[i + 2])
+       |      ELSE []::VARCHAR[] END g
+       |  FROM t),
+       |b AS (SELECT y,
+       |    list_transform(g, x -> ${Hashing.hash64Sql("x")} % $d) bk
+       |  FROM g WHERE len(g) > 0),
+       |x AS (SELECT
+       |    $xs,
+       |    y
+       |  FROM b),
+       |cnt AS (SELECT CAST(count(*) AS DOUBLE) nn FROM x),
+       |wi0 AS (SELECT $zeros),
+       |$iters
+       |$out""".stripMargin
+  }
+
   /** Erasure propagation over the injected-dup corpus: delete requests =
     * ORIGINAL docs with doc_id % 40 == 0 (`doc_id < 1000000` excludes the
     * injected copies — their offset 1000000 is itself divisible by 40, so
@@ -8763,6 +8835,7 @@ object QueriesExt {
     "q_ppr_seeds" -> (qPprSeeds _),
     "q_oov_rate" -> (qOovRate _),
     "q_logistic_fit" -> (qLogisticFit _),
+    "q_quality_train" -> (qQualityTrain _),
     "q_erasure" -> (qErasure _),
     "q_chi_drift" -> (qChiDrift _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -9008,6 +9081,7 @@ object QueriesExt {
     "q_ppr_seeds" -> qPprSeedsSql,
     "q_oov_rate" -> qOovRateSql,
     "q_logistic_fit" -> qLogisticFitSql,
+    "q_quality_train" -> qQualityTrainSql,
     "q_erasure" -> qErasureSql,
     "q_chi_drift" -> qChiDriftSql,
     "q_psi_drift" -> qPsiDriftSql,

@@ -134,4 +134,53 @@ object MLFit {
         round((col("s") + lit(m) * col("gmean")) /
           (col("n").cast("double") + lit(m)), 6).as("encoded"))
   }
+
+  /** fastText/CCNet-shaped quality-classifier TRAINING (the public
+    * in-pipeline practice: Joulin et al. 2016 hash word n-grams into a
+    * fixed bucket table and fit a linear model; CCNet and the LLaMA
+    * data pipeline train exactly this shape as the quality/language
+    * filter). Features are hashed word uni+bigram bag-of-grams —
+    * `hash64(gram) pmod d` buckets, count-normalized per document —
+    * feeding [[logisticFit]]'s full-batch GD unchanged. Documents with
+    * zero grams (empty normalized text) are excluded — they have no
+    * features and would divide by zero in BOTH engines.
+    *
+    * Scale shape: the feature build is one narrow codegen'd projection
+    * — grams never explode (bucket counts come from a higher-order
+    * filter over the per-doc gram array), so nothing shuffles; the fit
+    * is `iterations` map-side-combined aggregations and the only
+    * driver state is the (d+1)-double weight vector. At fastText's
+    * production d (2M buckets) the same plan holds with a sparse
+    * (bucket, count) explode + groupBy instead of d projected columns.
+    *
+    * Determinism: gram order is positional, bucket counts are exact
+    * integers, and the GD follows [[logisticFit]]'s round@8 decimal-
+    * sum discipline — bit-stable across partitionings and engines. */
+  def hashedGramTrain(df: DataFrame, textCol: String, labelCol: String,
+      d: Int = 8, iterations: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(d >= 2 && d <= 64, s"bucket count out of range: $d")
+    val toks = TextStats.tokens(TextStats.normalized(col(textCol)))
+    val grams = {
+      val t = col("__t")
+      concat(t,
+        when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2), i =>
+            concat(element_at(t, i + 1), lit(" "),
+              element_at(t, i + 2))))
+          .otherwise(array().cast("array<string>")))
+    }
+    val feats = df
+      .withColumn("__t", toks)
+      .withColumn("__g", grams)
+      .filter(size(col("__g")) > 0)
+      .withColumn("__b", transform(col("__g"),
+        g => pmod(graft.functions.Hashing.hash64(g), lit(d))))
+      .select((0 until d).map(j =>
+        (size(filter(col("__b"), b => b === j)).cast("double") /
+          size(col("__b")).cast("double")).as(s"x$j")) :+
+        col(labelCol).cast("double").as("__y"): _*)
+      .localCheckpoint() // every GD step re-scans; hash once
+    logisticFitDF(feats, (0 until d).map(j => s"x$j"), "__y",
+      iterations, lr)
+  }
 }

@@ -126,4 +126,56 @@ class MLFitSpec extends SparkSpec {
       MLFit.targetEncode(df, "cat", "y", m = 0.0)
     }
   }
+
+  test("hashedGramTrain separates a planted good/bad corpus: the " +
+      "learned linear score ranks every good doc above every bad doc " +
+      "(VERDICT r14 Next #5)") {
+    // planted vocabulary: good docs speak {alpha, beta}, bad docs
+    // {gamma, delta} — with 8 hash buckets the two vocabularies may
+    // collide, so the assertion is FUNCTIONAL (score separation), not
+    // per-bucket sign
+    val good = (0 until 12).map(i =>
+      (s"alpha beta alpha beta win$i", 1.0))
+    val bad = (0 until 12).map(i =>
+      (s"gamma delta gamma delta loss$i", 0.0))
+    val df = (good ++ bad).toDF("text", "y")
+    val w = MLFit.hashedGramTrain(df, "text", "y", d = 8,
+      iterations = 3, lr = 0.5)
+      .as[(String, Double)].collect().toMap
+    assert(w.size == 9 && w.contains("bias"))
+    // score each doc with the learned weights through the SAME
+    // feature build (buckets + normalized counts)
+    val toks = graft.ext.TextStats.tokens(
+      graft.ext.TextStats.normalized($"text"))
+    val grams = concat(col("__t"),
+      when(size(col("__t")) >= 2,
+        transform(sequence(lit(0), size(col("__t")) - 2), i =>
+          concat(element_at(col("__t"), i + 1), lit(" "),
+            element_at(col("__t"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+    val scored = df.withColumn("__t", toks).withColumn("__g", grams)
+      .withColumn("__b", transform(col("__g"),
+        g => pmod(graft.functions.Hashing.hash64(g), lit(8))))
+      .select(col("y"), (0 until 8).map(j =>
+        (size(filter(col("__b"), b => b === j)).cast("double") /
+          size(col("__b")).cast("double")) * lit(w(s"x$j")))
+        .foldLeft(lit(w("bias")))(_ + _).as("score"))
+      .as[(Double, Double)].collect()
+    val worstGood = scored.filter(_._1 == 1.0).map(_._2).min
+    val bestBad = scored.filter(_._1 == 0.0).map(_._2).max
+    assert(worstGood > bestBad,
+      s"no separation: worst good $worstGood <= best bad $bestBad")
+  }
+
+  test("hashedGramTrain is deterministic across partitionings and " +
+      "excludes zero-gram docs instead of dividing by zero") {
+    val df = Seq(("alpha beta gamma", 1.0), ("delta beta", 0.0),
+      ("", 1.0), ("   ", 0.0)).toDF("text", "y")
+    val a = MLFit.hashedGramTrain(df, "text", "y", d = 4)
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    val b = MLFit.hashedGramTrain(df.repartition(5), "text", "y", d = 4)
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, "decimal-sum GD must be partition-stable")
+    assert(a.forall(w => !w._2.isNaN), s"NaN weight leaked: $a")
+  }
 }
