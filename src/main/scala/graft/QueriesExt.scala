@@ -2773,6 +2773,89 @@ object QueriesExt {
       |  CAST(count(*) AS BIGINT) n_frames
       |FROM sh GROUP BY 1, 2""".stripMargin
 
+  /** Per-shot keyframe bridge (VERDICT r14 Next #6): q_shot_detect
+    * segments and q_image_phash hashes, this face JOINS them — the
+    * scene-structured GIF corpus (plus injected re-uploads at
+    * media_id + 3000000) is really decoded ONCE per video, segmented
+    * at mean-luminance cuts, each shot's most static frame (min
+    * in-shot |delta sum_lum|, frame tie-break) becomes its keyframe,
+    * and keyframes dedup ACROSS videos through the 4x16-bit Hamming
+    * banding. dup_root = least keyframe key among banded partners —
+    * injected copies collapse onto their originals' roots. The oracle
+    * recomputes frame sums AND the 9x8 dHash grid from the
+    * shotPatternGray formula, mirrors the lag/cut/pick windows (all
+    * partitioned per media id) and the band join, never seeing bytes. */
+  private def qShotKeyframes(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeShotGif(
+      docs(s, dir).filter(col("doc_id") % 7 === 2).select(col("doc_id")),
+      "doc_id")
+    val withCopies = media.unionByName(
+      media.filter(col("media_id") % 14 === 2)
+        .select((col("media_id") + 3000000L).as("media_id"),
+          col("kind"), col("bytes")))
+    Multimodal.shotKeyframes(withCopies)
+  }
+  private val qShotKeyframesSql: String = {
+    val scene = "128 * ((f // len) % 2) + (f * 3) % 8"
+    val px = s"(vid * 31 + x * 7 + y * 13) % 120 + $scene"
+    def samp(gx: String) =
+      s"(vid * 31 + ((($gx) * w) // 9) * 7 + (((y * h) // 8)) * 13) % 120 + $scene"
+    s"""WITH ids AS (SELECT doc_id id FROM documents WHERE doc_id % 7 = 2),
+       |base AS (SELECT id media_id, id vid FROM ids
+       |  UNION ALL SELECT id + 3000000, id FROM ids WHERE id % 14 = 2),
+       |m AS (SELECT media_id, vid, CAST(vid % 48 + 8 AS INT) w,
+       |    CAST(vid % 32 + 8 AS INT) h, CAST(vid % 3 + 2 AS INT) len,
+       |    CAST(vid % 10 + 6 AS INT) nf
+       |  FROM base),
+       |fr AS (SELECT media_id, vid, w, h, len, unnest(range(nf)) f FROM m),
+       |st AS (SELECT media_id, f, w, h,
+       |    list_sum(flatten(list_transform(range(h), y ->
+       |      list_transform(range(w), x -> $px)))) s
+       |  FROM fr),
+       |dh AS (SELECT media_id, f,
+       |    bit_or(CASE WHEN ${samp("x + 1")} > ${samp("x")}
+       |      THEN 1::HUGEINT << CAST(y * 8 + x AS INT)
+       |      ELSE 0::HUGEINT END) dh
+       |  FROM fr, (SELECT unnest(range(8)) x), (SELECT unnest(range(8)) y)
+       |  GROUP BY 1, 2),
+       |lg AS (SELECT st.media_id, st.f, st.w, st.h, st.s, dh.dh,
+       |    lag(st.s) OVER (PARTITION BY st.media_id ORDER BY st.f) prev
+       |  FROM st JOIN dh ON dh.media_id = st.media_id AND dh.f = st.f),
+       |mk AS (SELECT *, CASE WHEN prev IS NOT NULL
+       |      AND abs(s - prev) > 8 * w * h THEN 1 ELSE 0 END cut
+       |  FROM lg),
+       |sh AS (SELECT *,
+       |    sum(cut) OVER (PARTITION BY media_id ORDER BY f
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) shot_id,
+       |    (prev IS NULL OR cut = 1) is_start
+       |  FROM mk),
+       |dn AS (SELECT *, CASE WHEN NOT is_start
+       |      THEN abs(s - prev) END din FROM sh),
+       |kf AS (SELECT media_id, shot_id, f keyframe, dh FROM (
+       |    SELECT *, row_number() OVER (
+       |        PARTITION BY media_id, shot_id
+       |        ORDER BY is_start ASC, din ASC NULLS LAST, f ASC) rn
+       |    FROM dn) WHERE rn = 1),
+       |ks AS (SELECT media_id * 1000 + shot_id k, media_id, shot_id,
+       |    keyframe, dh FROM kf),
+       |bands AS (SELECT k, dh, b, (dh >> CAST(b * 16 AS INT)) & 65535 bv
+       |  FROM ks, (SELECT unnest(range(4)) b)),
+       |bf AS (SELECT b, bv, count(*) c FROM bands GROUP BY 1, 2),
+       |cap AS (SELECT bands.k, bands.dh, bands.b, bands.bv
+       |  FROM bands JOIN bf USING (b, bv) WHERE c <= 64),
+       |cand AS (SELECT DISTINCT a.k ka, b2.k kb, a.dh ha, b2.dh hb
+       |  FROM cap a JOIN cap b2 USING (b, bv) WHERE a.k < b2.k),
+       |pairs AS (SELECT ka, kb FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= 3),
+       |sym AS (SELECT ka k, kb p FROM pairs
+       |  UNION ALL SELECT kb, ka FROM pairs),
+       |mn AS (SELECT k, min(p) minp FROM sym GROUP BY 1)
+       |SELECT ks.media_id, CAST(ks.shot_id AS BIGINT) shot_id,
+       |  CAST(ks.keyframe AS INT) keyframe,
+       |  CAST(least(coalesce(mn.minp, ks.k), ks.k) AS BIGINT) dup_root
+       |FROM ks LEFT JOIN mn ON mn.k = ks.k""".stripMargin
+  }
+
   /** Frame-dedup over REAL video content (Multimodal.gifFrameDupPairs):
     * injected re-uploads (same GIF bytes, media_id + 3000000) of every
     * (id % 18 = 1) video are found by Jaccard over per-frame
@@ -9049,6 +9132,7 @@ object QueriesExt {
     "q_audio_decode" -> (qAudioDecode _),
     "q_video_decode" -> (qVideoDecode _),
     "q_shot_detect" -> (qShotDetect _),
+    "q_shot_keyframes" -> (qShotKeyframes _),
     "q_gif_frame_dedup" -> (qGifFrameDedup _),
     "q_image_resize" -> (qImageResize _),
     "q_image_phash" -> (qImagePhash _),
@@ -9295,6 +9379,7 @@ object QueriesExt {
     "q_audio_decode" -> qAudioDecodeSql,
     "q_video_decode" -> qVideoDecodeSql,
     "q_shot_detect" -> qShotDetectSql,
+    "q_shot_keyframes" -> qShotKeyframesSql,
     "q_gif_frame_dedup" -> qGifFrameDedupSql,
     "q_image_resize" -> qImageResizeSql,
     "q_image_phash" -> qImagePhashSql,

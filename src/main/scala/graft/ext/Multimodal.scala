@@ -1309,4 +1309,146 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
+
+  /** Per-frame decode emitting BOTH the [[videoFrameStats]] statistics
+    * and a per-frame 64-bit dHash in ONE pass over the bytes — the
+    * fused kernel [[shotKeyframes]] needs (segmenting wants sum_lum,
+    * keyframe dedup wants the hash; decoding twice would double the
+    * dominant cost). Hash convention = [[imageDHash]]'s 9x8
+    * nearest-neighbor grid with luminance = the red channel resolved
+    * through getRGB — identical to the stats convention, and for the
+    * grayscale-palette GIF fixtures r = g = b = the original gray, so
+    * the formula oracle reproduces it exactly. */
+  private def videoFrameDHash(media: DataFrame, bytesCol: String)
+      : DataFrame = {
+    val dec = udf((bytes: Array[Byte]) => {
+      val frames =
+        try {
+          if (bytes == null) null
+          else {
+            imageIoMemoryOnly()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  val out = new Array[(Int, Int, Int, Long, Long)](n)
+                  var i = 0
+                  while (i < n) {
+                    val img = reader.read(i)
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    def lum(x: Int, y: Int): Int =
+                      (img.getRGB(x, y) >> 16) & 0xff
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += lum(x, y); x += 1 }
+                      y += 1
+                    }
+                    var hash = 0L
+                    var gy = 0
+                    while (gy < 8) {
+                      val sy = gy * h / 8
+                      var gx = 0
+                      while (gx < 8) {
+                        if (lum((gx + 1) * w / 9, sy) > lum(gx * w / 9, sy))
+                          hash |= (1L << (gy * 8 + gx))
+                        gx += 1
+                      }
+                      gy += 1
+                    }
+                    out(i) = (i, w, h, sum, hash)
+                    i += 1
+                  }
+                  out.toSeq
+                } finally reader.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (frames == null) Seq((-1, 0, 0, 0L, 0L)) else frames
+    })
+    media.withColumn("__f", explode(dec(col(bytesCol))))
+      .select(col("media_id"),
+        (col("__f._1") >= 0).as("decode_ok"),
+        col("__f._1").as("frame_idx"), col("__f._2").as("width"),
+        col("__f._3").as("height"), col("__f._4").as("sum_lum"),
+        col("__f._5").as("dhash"))
+  }
+
+  /** Per-shot keyframe selection + cross-video keyframe dedup
+    * (VERDICT r14 Next #6) — the bridge the video tier lacked:
+    * [[shotBoundaries]] segments, [[imageDHash]]'s grid hashes, and
+    * the [[phashNearDups]] banding compose into "which shots across
+    * the corpus show the same (near-)static content".
+    *
+    *  1. Segment: the shotBoundaries lag/cut/cumsum chain, windows
+    *     partitioned per media id (no global window anywhere).
+    *  2. Keyframe per shot: the most STATIC frame — minimum
+    *     |sum_lum - prev| among frames with an in-shot predecessor
+    *     (frame-index tie-break); a single-frame shot keys on its only
+    *     frame. Hard-cut frames never qualify (their delta crosses the
+    *     cut and is set null), so the pick is within-shot by
+    *     construction.
+    *  3. Dedup ACROSS videos: keyframe hashes enter the 4x16-bit
+    *     Hamming banding (exhaustive for maxDist <= 3, hot buckets
+    *     capped); dup_root = the least (media_id * 1000 + shot_id) key
+    *     among a keyframe's matched partners and itself — exact star
+    *     grouping on the banded pair set, deterministic without a
+    *     connected-components pass.
+    *
+    * Scale shape: one narrow decode projection (bytes never shuffle),
+    * per-media windows, then the capped band join over fixed-width
+    * (key, hash) rows — the phashNearDups discipline; output is
+    * shots-bounded, frames never leave their executor.
+    *
+    * Determinism: integer sums, integer deltas, total-ordered picks,
+    * and a min-reduction over pairs — bit-portable end to end. */
+  def shotKeyframes(media: DataFrame, meanDelta: Int = 8,
+      maxDist: Int = 3, maxBandFreq: Int = 64,
+      bytesCol: String = "bytes"): DataFrame = {
+    require(meanDelta >= 1, s"meanDelta must be >= 1: $meanDelta")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val framed = videoFrameDHash(media, bytesCol)
+      .filter(col("decode_ok"))
+      .withColumn("__prev", lag(col("sum_lum"), 1).over(w))
+      .withColumn("__cut", (col("__prev").isNotNull &&
+        abs(col("sum_lum") - col("__prev")) >
+          lit(meanDelta.toLong) * col("width").cast(LongType)
+            * col("height").cast(LongType)).cast("int"))
+      .withColumn("shot_id", sum(col("__cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__is_start",
+        col("__prev").isNull || col("__cut") === 1)
+      .withColumn("__din", when(!col("__is_start"),
+        abs(col("sum_lum") - col("__prev"))))
+    val kw = Window.partitionBy(col("media_id"), col("shot_id"))
+      .orderBy(col("__is_start").asc, col("__din").asc_nulls_last,
+        col("frame_idx").asc)
+    val keyframes = framed
+      .withColumn("__rn", row_number().over(kw))
+      .filter(col("__rn") === 1)
+      .select(col("media_id"), col("shot_id"),
+        col("frame_idx").as("keyframe"), col("dhash"))
+    val hashed = keyframes.select(
+      (col("media_id") * 1000 + col("shot_id")).as("media_id"),
+      lit(true).as("decode_ok"), col("dhash"))
+    val pairs = phashNearDups(hashed, maxDist, maxBandFreq)
+    val sym = pairs.select(col("id_a").as("k"), col("id_b").as("p"))
+      .unionByName(pairs.select(col("id_b").as("k"), col("id_a").as("p")))
+      .groupBy(col("k")).agg(min(col("p")).as("__minp"))
+    keyframes
+      .withColumn("__k", col("media_id") * 1000 + col("shot_id"))
+      .join(sym, col("__k") === col("k"), "left")
+      .select(col("media_id"), col("shot_id"), col("keyframe"),
+        least(coalesce(col("__minp"), col("__k")), col("__k"))
+          .as("dup_root"))
+  }
 }

@@ -373,6 +373,61 @@ class EventsOpsSpec extends SparkSpec {
     assert(Multimodal.shotBoundaries(junk).count() == 0L)
   }
 
+  test("shotKeyframes: picks match a formula replay of the min-in-shot-" +
+      "delta rule (single-frame shots included), and injected " +
+      "re-uploads collapse onto their originals' dup_root") {
+    // 21: len 2, nf 7 -> last shot is SINGLE-frame (keyframe = itself)
+    val ids = Seq(2L, 9L, 21L).map(Tuple1(_)).toDF("id")
+    val media = Multimodal.synthesizeShotGif(ids, "id")
+    val withCopies = media.unionByName(media.filter($"media_id" === 2L)
+      .select(($"media_id" + 3000000L).as("media_id"), $"kind", $"bytes"))
+    val out = Multimodal.shotKeyframes(withCopies)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // expected keyframes: replay the rule on shotPatternGray sums
+    def expectedKeyframes(id: Long): Map[Long, Int] = {
+      val w = java.lang.Math.floorMod(id, 48L).toInt + 8
+      val h = java.lang.Math.floorMod(id, 32L).toInt + 8
+      val len = Multimodal.shotSceneLen(id)
+      val nf = Multimodal.shotFrameCount(id)
+      val sums = (0 until nf).map { f =>
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += Multimodal.shotPatternGray(id, f, x, y)
+        s
+      }
+      (0 until nf).groupBy(f => (f / len).toLong).map { case (sid, fs) =>
+        val cands = fs.filter(f => f != fs.min)
+        val kf = if (cands.isEmpty) fs.min
+          else cands.minBy(f => (math.abs(sums(f) - sums(f - 1)), f))
+        sid -> kf
+      }
+    }
+    Seq(2L, 9L, 21L).foreach { id =>
+      val exp = expectedKeyframes(id)
+      exp.foreach { case (sid, kf) =>
+        assert(out((id, sid))._1 == kf,
+          s"video $id shot $sid: picked ${out((id, sid))._1}, expected $kf")
+      }
+      // exactly the planted shot count, no extra rows
+      assert(out.keys.count(_._1 == id) == exp.size)
+    }
+    // the single-frame shot of video 21 keys on its only frame
+    assert(out((21L, 3L))._1 == 6)
+    // injected copy: identical keyframes, dup_root collapses onto the
+    // ORIGINAL's root (copy keys are 3000002xxx > 2xxx)
+    expectedKeyframes(2L).foreach { case (sid, kf) =>
+      assert(out((3000002L, sid))._1 == kf)
+      assert(out((3000002L, sid))._2 == out((2L, sid))._2,
+        s"copy shot $sid must share its original's dup_root")
+      assert(out((2L, sid))._2 <= 2L * 1000 + sid)
+    }
+    // undecodable bytes contribute nothing
+    val junk = Seq((5L, "video", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.shotKeyframes(junk).count() == 0L)
+  }
+
   test("gifFrameDupPairs: byte-identical re-uploads pair at jaccard 1; " +
       "distinct videos and junk bytes never pair") {
     val ids = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("id")
