@@ -1843,6 +1843,32 @@ object QueriesExt {
     * pins the exactness anchor: T = all masks reproduces lshTopK
     * bit-for-bit. */
   private val mpProbes = 8
+  /** Streaming multi-probe retrieval (VERDICT r14 Next #7, the 20th
+    * streaming face): q_ann_lsh_multiprobe's query set arrives as a
+    * 3-chunk micro-batch stream (maxFilesPerTrigger=1, the crawl-dedup
+    * staging discipline) and each batch probes the static embeddings
+    * corpus through StreamProfile.annRetrieveStream. Retrieval is
+    * per-query pure, so the appended results are bit-identical to the
+    * batch face however the stream is chopped — the oracle IS the
+    * batch face's SQL, which makes chunking invariance itself the
+    * hash-gated contract. */
+  private def qStreamAnn(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    withStagedDocChunksStream(s, dir, queries, "graft_ann_stream",
+        keep = true) { (stream, base) =>
+      val out = base.resolve("ann").toString
+      graft.streaming.StreamProfile.annRetrieveStream(
+        stream.select(col("doc_id").as("vec_id"), col("embedding")),
+        corpus, "vec_id", "embedding", out, dims = 64, k = 5,
+        planes = lshPlanes, tProbes = mpProbes)
+      s.read.parquet(out)
+    }
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
   private def qAnnLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     SimSearch.lshMultiProbeTopK(e, e.filter(col("vec_id") < 10), "vec_id",
@@ -9109,6 +9135,7 @@ object QueriesExt {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multiprobe" -> (qAnnLshMultiprobe _),
+    "q_stream_ann" -> (qStreamAnn _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_auto" -> (qAnnIvfAuto _),
     "q_kmeans_sampled" -> (qKmeansSampled _),
@@ -9363,6 +9390,9 @@ object QueriesExt {
     "q_matryoshka" -> qMatryoshkaSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_lsh_multiprobe" -> qAnnLshMultiprobeSql,
+    // chunking invariance IS the contract: the streaming face's oracle
+    // is the batch multiprobe SQL verbatim
+    "q_stream_ann" -> qAnnLshMultiprobeSql,
     "q_kmeans_fit" -> qKmeansFitSql,
     "q_pca_project" -> qPcaProjectSql,
     "q_cluster_sample" -> qClusterSampleSql,

@@ -446,4 +446,49 @@ object StreamProfile {
           out.iterator
       }
   }
+
+  /** Streaming multi-probe ANN retrieval (VERDICT r14 Next #7) — the
+    * crawl loop's missing retrieval face: query vectors arrive as a
+    * micro-batch stream and each batch probes the STATIC corpus via
+    * [[graft.ext.SimSearch.lshMultiProbeTopK]] (Lv et al. VLDB 2007).
+    * The bounded probe frame (T+1 buckets per query) broadcasts INTO
+    * the corpus hash join, so corpus vectors never shuffle and never
+    * re-index per batch — the exact shape that serves "retrieve
+    * neighbors for everything we just crawled" at 100 TB, where the
+    * corpus side is the big one and the per-trigger query set is
+    * small.
+    *
+    * Stateless by construction: per-query top-k depends only on the
+    * query vector and the static corpus, so the union of per-batch
+    * results is bit-identical to the batch face HOWEVER the stream is
+    * chopped (chunking invariance is the gate: the oracle is the
+    * batch multiprobe SQL verbatim). No watermark, no state store —
+    * nothing accumulates across triggers. */
+  def annRetrieveStream(queryStream: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, outDir: String, dims: Int, k: Int,
+      planes: Int = 8, tProbes: Int = 8): Unit = {
+    val spark = queryStream.sparkSession
+    // typed empty seed so a queryless run still reads back with the
+    // right schema (the crawlDedupStream discipline)
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("rank", IntegerType), StructField("cosine", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      .write.mode("overwrite").parquet(outDir)
+    val q = queryStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint(true)
+        graft.ext.SimSearch.lshMultiProbeTopK(corpus, b, idCol, vecCol,
+            dims, k, planes, tProbes)
+          .select(col("query_id").cast("long"),
+            col("neighbor_id").cast("long"), col("rank").cast("int"),
+            col("cosine").cast("double"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

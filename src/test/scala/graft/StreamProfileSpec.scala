@@ -512,4 +512,62 @@ class StreamProfileSpec extends SparkSpec {
     est.foreach { case (k, (_, exact, e, _)) =>
       assert(exact == k + 1 && e >= exact) }
   }
+
+  test("annRetrieveStream: per-batch multi-probe retrieval over a " +
+      "static corpus is bit-identical to the batch lshMultiProbeTopK " +
+      "however the query stream is chopped; empty stream reads back " +
+      "typed-empty") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val corpus = (0 until 60).map(i =>
+        (i.toLong, unit(Array.fill(16)(rnd.nextGaussian()))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 7)
+    val batch = graft.ext.SimSearch.lshMultiProbeTopK(corpus, queries,
+        "vec_id", "embedding", dims = 16, k = 3, planes = 6, tProbes = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // stream the 7 queries as 3 uneven chunks
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_spec")
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    Seq(Seq(0L, 1L), Seq(2L), Seq(3L, 4L, 5L, 6L)).zipWithIndex
+      .foreach { case (ids, c) =>
+        val stage = base.resolve(s"stage_$c")
+        queries.filter($"vec_id".isin(ids: _*)).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = inDir.resolve(s"chunk_$c.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + c * 60000L))
+      }
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val out = base.resolve("ann").toString
+    StreamProfile.annRetrieveStream(stream, corpus, "vec_id",
+      "embedding", out, dims = 16, k = 3, planes = 6, tProbes = 4)
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == batch,
+      s"chunked retrieval diverged from batch: ${got.diff(batch)} / ${batch.diff(got)}")
+    // queryless run: typed empty
+    val emptyIn = base.resolve("empty_in")
+    java.nio.file.Files.createDirectories(emptyIn)
+    val emptyStream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(emptyIn.toString)
+    val out2 = base.resolve("ann_empty").toString
+    StreamProfile.annRetrieveStream(emptyStream, corpus, "vec_id",
+      "embedding", out2, dims = 16, k = 3, planes = 6, tProbes = 4)
+    val e = spark.read.parquet(out2)
+    assert(e.count() == 0 &&
+      e.columns.toSeq == Seq("query_id", "neighbor_id", "rank", "cosine"))
+  }
 }
