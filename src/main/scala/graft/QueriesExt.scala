@@ -7900,12 +7900,20 @@ object QueriesExt {
   private val prIters = 5
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     // long node ids (parts even, suppliers odd): graph shuffles are
-    // key-dominated and a long key beats a string key 2-3x
+    // key-dominated and a long key beats a string key 2-3x.
+    // Dedup BEFORE symmetrizing (r15, guide §2.4): distinct on the
+    // directed half (E rows), then union the reversed copy — src is
+    // always even and dst always odd, so the two halves are disjoint
+    // and their union is distinct by construction; pageRank's own
+    // dedup shuffle of the doubled list (2E rows) is skipped via
+    // edgesDistinct. Identical edge SET, one fewer exchange, half the
+    // deduped rows.
     val l = Sources.table(s, dir, "lineitem").select(
       (col("l_partkey") * 2).as("src"),
-      (col("l_suppkey") * 2 + 1).as("dst"))
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
     val und = l.union(l.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(und, "src", "dst", iterations = prIters)
+    Graph.pageRank(und, "src", "dst", iterations = prIters,
+      edgesDistinct = true)
       .select(col("node"), round(col("rank"), 9).as("rank_r"))
   }
   private val qPageRankSql: String = {
@@ -7943,15 +7951,16 @@ object QueriesExt {
     * exactly 0 at 5 iterations (finite walk radius), which the fixture
     * exercises. */
   private def qPprSeeds(s: SparkSession, dir: String): DataFrame = {
+    // dedup-before-symmetrize + edgesDistinct: see qPageRank (r15)
     val l = Sources.table(s, dir, "lineitem").select(
       (col("l_partkey") * 2).as("src"),
-      (col("l_suppkey") * 2 + 1).as("dst"))
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
     val und = l.union(l.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = Sources.table(s, dir, "lineitem")
       .filter(col("l_suppkey") % 50 === 0)
       .select((col("l_suppkey") * 2 + 1).as("node")).distinct()
     Graph.personalizedPageRank(und, "src", "dst", seeds, "node",
-      iterations = prIters)
+      iterations = prIters, edgesDistinct = true)
       .select(col("node"), round(col("rank"), 9).as("rank_r"))
   }
   private val qPprSeedsSql: String = {
@@ -8004,7 +8013,13 @@ object QueriesExt {
     * The fixture never reaches the cap at either sf, so the face stays
     * bit-exact while the plan carries the guard. */
   private val triMaxBasket = 32
-  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** The capped co-occurrence edge build of q_triangles, exposed so
+    * PlanAssertSpec can pin the hot-basket cap on the plan that
+    * actually builds edges: since r15, triangleCount materializes the
+    * canonical edge list (lineage cut), so the cap predicate no longer
+    * appears in the FACE's final plan — it runs inside the checkpoint
+    * job, whose plan is this frame's. */
+  private[graft] def triEdges(s: SparkSession, dir: String): DataFrame = {
     val l = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -8013,11 +8028,12 @@ object QueriesExt {
       .filter(col("np") <= triMaxBasket)
       .select(col("o"))
     val lc = l.join(smallOrders, Seq("o"), "left_semi")
-    val e = lc.alias("x").join(lc.alias("y"),
+    lc.alias("x").join(lc.alias("y"),
       col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
-    Graph.triangleCount(e, "src", "dst")
   }
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCount(triEdges(s, dir), "src", "dst")
   private val qTrianglesSql =
     s"""WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
       |ok AS (SELECT o FROM lp GROUP BY 1 HAVING count(*) <= $triMaxBasket),

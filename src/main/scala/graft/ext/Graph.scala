@@ -59,13 +59,19 @@ object Graph {
     * kCore/LPA cut every round, PageRank every 2. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, damping: Double = 0.85,
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 2, edgesDistinct: Boolean = false): DataFrame = {
     // materialize the deduped edge list ONCE — nodes, degrees, and the
     // per-round joins all derive from it (without this cut the distinct
-    // and the upstream scan re-run for each derivation)
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    // and the upstream scan re-run for each derivation).
+    // `edgesDistinct = true`: the caller guarantees the edge list is
+    // already duplicate-free, so the dedup shuffle (O(E) rows) is
+    // skipped outright — guide §2.4's "a distinct on data that is
+    // already unique" accidental exchange. A symmetrized bipartite
+    // graph is the canonical case: distinct each direction before the
+    // union (half the rows) and the union of the two parity-disjoint
+    // halves is distinct by construction.
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -133,10 +139,11 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       iterations: Int = 5, damping: Double = 0.85,
-      checkpointEvery: Int = 2): DataFrame = {
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+      checkpointEvery: Int = 2, edgesDistinct: Boolean = false): DataFrame = {
+    // `edgesDistinct`: see [[pageRank]] — skip the dedup shuffle when
+    // the caller guarantees a duplicate-free edge list
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -214,13 +221,23 @@ object Graph {
     * result is trivially bit-portable. */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
+    // canonical edges / degrees / oriented edges are each referenced by
+    // SEVERAL downstream branches (degree joins, the wedge self-join,
+    // the closing join, and the n_edges/n_vertices report aggregates).
+    // Without lineage cuts the whole build subtree replicates per
+    // branch — the r15 plan audit measured 575 operators / 264
+    // Exchanges in the static plan, i.e. the edge build planned ~7x
+    // (the same defect [[pageRank]] fixed in r6). One materialization
+    // each, the [[kCore]] discipline.
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
@@ -230,6 +247,7 @@ object Graph {
       when(aLower, col("a")).otherwise(col("b")).as("u"),
       when(aLower, col("b")).otherwise(col("a")).as("v"),
       when(aLower, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     // wedge (x, y) ordered by the same (degree, id) key, so the closing

@@ -169,17 +169,31 @@ object MLFit {
               element_at(t, i + 2))))
           .otherwise(array().cast("array<string>")))
     }
+    // The zero-gram guard filters AFTER the eager checkpoint, never
+    // before it: a `filter(size(__g) > 0)` above these projections gets
+    // pushed below them, and the pushed predicate inlines the FULL
+    // tokenize+gram chain — whose bigram lambda re-reads the token
+    // array per element — into an interpreted per-row predicate. That
+    // re-tokenizes per gram element (quadratic in doc length) and
+    // measured 17.6s vs 0.6s for the projection alone at sf0.1
+    // (OPTIMIZATION_r15.md). Post-checkpoint the predicate runs on the
+    // materialized count column. Excluded rows carry NaN features in
+    // the checkpoint and are dropped before the fit — same rows, same
+    // count, same weights.
     val feats = df
       .withColumn("__t", toks)
       .withColumn("__g", grams)
-      .filter(size(col("__g")) > 0)
       .withColumn("__b", transform(col("__g"),
         g => pmod(graft.functions.Hashing.hash64(g), lit(d))))
       .select((0 until d).map(j =>
-        (size(filter(col("__b"), b => b === j)).cast("double") /
-          size(col("__b")).cast("double")).as(s"x$j")) :+
-        col(labelCol).cast("double").as("__y"): _*)
+        when(size(col("__b")) > 0,
+          size(filter(col("__b"), b => b === j)).cast("double") /
+            size(col("__b")).cast("double"))
+          .otherwise(0.0).as(s"x$j")) :+
+        col(labelCol).cast("double").as("__y") :+
+        size(col("__b")).as("__n"): _*)
       .localCheckpoint() // every GD step re-scans; hash once
+      .filter(col("__n") > 0)
     logisticFitDF(feats, (0 until d).map(j => s"x$j"), "__y",
       iterations, lr)
   }

@@ -406,6 +406,15 @@ object SimSearch {
         .select(col("cent_id"),
           when(col("__n").isNotNull, normalize(col("__mean")))
             .otherwise(col("cv")).as("cv"))
+        // k-row frame, but the CHAIN behind it is one corpus scan per
+        // round and every downstream reference (final assignment, the
+        // broadcast stats join, the report join) re-plans the whole
+        // chain without this cut — q_kmeans_fit's r15 static plan
+        // carried 92 Exchanges, the training subtree planned 3x. One
+        // tiny eager job per round caps plan depth at one round
+        // (values frozen bit-identically; the [[Graph.pageRank]]
+        // checkpointEvery discipline).
+        .localCheckpoint(true)
     }
     cents
   }
@@ -568,6 +577,13 @@ object SimSearch {
       .withColumn("__cs",
         count(lit(1)).over(Window.partitionBy(col("list_id"))))
       .filter(col("__cs") <= mc).drop("__cs")
+      // both consumers ([[withinClusterKnn]]'s a/b self-join sides,
+      // [[graphBeamSearch]]'s edges + entry points) reference this
+      // frame more than once — materialize the assignment pass once
+      // (guide §8: write the fingerprint table, don't re-derive it
+      // per consumer). The r15 static plan for q_knn_graph carried 96
+      // Exchanges from exactly this duplication.
+      .localCheckpoint(true)
   }
 
   /** Within-cluster kNN edges over a [[cappedClusterFrame]]. */
@@ -654,8 +670,10 @@ object SimSearch {
     require(beam >= k, s"beam must be >= k: $beam < $k")
     require(hops >= 0, s"hops must be >= 0: $hops")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // cappedClusterFrame is already materialized (localCheckpoint) —
+    // no extra persist layer needed here
     val capped = cappedClusterFrame(emb, idCol, vecCol, nlist, rounds,
-      meanRound, maxCluster).persist(lvl)
+      meanRound, maxCluster)
     // SYMMETRIZED edges (undirected, like real NSW/HNSW graphs): a
     // directed kNN graph stalls greedy expansion in high dimensions —
     // nearby nodes' out-neighborhoods overlap on the same hubs, so the
@@ -755,7 +773,6 @@ object SimSearch {
       }
       hopsWalked += 1
     }
-    capped.unpersist(false)
     edges.unpersist(false)
     v.unpersist(false)
     (visited.filter(col("cand_id") =!= col("query_id"))

@@ -28,7 +28,14 @@ object PerfProbe {
         graft.SparkEntry.queries(n)(spark, args(0))
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        // full Bench cleanup parity: clear the SQL cache AND persistent
+        // RDD blocks (localCheckpoints) — without the latter, probe reps
+        // of checkpoint-heavy faces measure under growing memory
+        // pressure the real bench never has
         try spark.catalog.clearCache() catch { case _: Throwable => () }
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
         dt
       }
       println(f"[perf] $n median=${times.sorted.apply(times.size / 2)}%.2fs all=${times.map(t => f"$t%.2f").mkString(",")}")

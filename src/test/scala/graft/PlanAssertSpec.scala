@@ -372,12 +372,21 @@ class PlanAssertSpec extends SparkSpec {
     // self-join (one crawler-trap basket with 10^4 items would emit
     // 5*10^7 pairs from a single key). The cap predicate shows up as a
     // post-agg HAVING-style filter on the per-order part count.
+    // r15: triangleCount materializes the canonical edge list (lineage
+    // cut, the kCore discipline), so the cap is asserted on the plan
+    // that actually BUILDS edges (QueriesExt.triEdges — the exact frame
+    // the face feeds to triangleCount) rather than the face's final
+    // post-checkpoint plan.
+    val ePlan = QueriesExt.triEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ePlan.contains("np#") && "np#\\d+L? <= 32".r
+      .findFirstIn(ePlan).isDefined,
+      s"q_triangles must keep its <= 32 basket cap before pairing; plan:\n$ePlan")
+    assert(!ePlan.contains("CartesianProduct"),
+      s"edge build must stay an equi-join; plan:\n$ePlan")
     val plan = planOf("q_triangles")
-    assert(plan.contains("np#") && "np#\\d+L? <= 32".r
-      .findFirstIn(plan).isDefined,
-      s"q_triangles must keep its <= 32 basket cap before pairing; plan:\n$plan")
     assert(!plan.contains("CartesianProduct"),
-      s"edge build must stay an equi-join; plan:\n$plan")
+      s"the wedge/closing joins must stay equi-joins; plan:\n$plan")
   }
 
   test("library faces carry the bounds too: buildVocab + stratifiedQuota") {
