@@ -64,16 +64,34 @@ object CorpusPipeline {
     * own documented shapes); the verdict join is id-keyed (text never
     * rides into the join); the census is an 8-row frame, share via a
     * window over it. */
+  /** The three per-doc keep verdicts as ONE fused narrow pass (r15):
+    * every screen is a pure per-doc function of the text (repetition
+    * stats, quality features, char entropy are all staged narrow
+    * columns), so the pre-r15 shape — three separate corpus scans
+    * joined twice on the id — paid two shuffles and two extra
+    * tokenizations for nothing. Verdict expressions are the EXACT
+    * shared columns the standalone faces use
+    * (Repetition.gopherReasons, TextStats.classifierLogit,
+    * TextStats.withCharEntropy), so values are bit-identical to the
+    * joined form (same row, same expressions; the qualityLangScore
+    * r11 fusion discipline). One scan, zero joins. */
+  private def withVerdicts(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, minEntropy: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = TextStats.withQualityFeatures(
+      Repetition.withRepetitionStats(docs, textCol), textCol)
+    TextStats.withCharEntropy(feats, textCol)
+      .withColumn("gopher_keep", Repetition.gopherReasons === "")
+      .withColumn("clf_keep", TextStats.classifierLogit > 0.0)
+      .withColumn("entropy_keep", col("entropy_r") >= minEntropy)
+      .select(col(idCol).as("id"), col("gopher_keep"), col("clf_keep"),
+        col("entropy_keep"))
+  }
+
   def qualityAgreement(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minEntropy: Double = 2.5)
       : org.apache.spark.sql.DataFrame = {
-    val gop = Repetition.withGopherFilter(docs, textCol)
-      .select(col(idCol).as("id"), col("keep").as("gopher_keep"))
-    val clf = TextStats.classifyQuality(docs, textCol)
-      .select(col(idCol).as("id"), col("keep").as("clf_keep"))
-    val ent = TextStats.charEntropy(docs, idCol, textCol)
-      .select(col("id"), (col("entropy_r") >= minEntropy).as("entropy_keep"))
-    val census = gop.join(clf, Seq("id")).join(ent, Seq("id"))
+    val census = withVerdicts(docs, idCol, textCol, minEntropy)
       .groupBy(col("gopher_keep"), col("clf_keep"), col("entropy_keep"))
       .agg(count(lit(1)).as("n_docs"))
     census
@@ -108,13 +126,13 @@ object CorpusPipeline {
   def raterAgreement(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minEntropy: Double = 2.5)
       : org.apache.spark.sql.DataFrame = {
-    val gop = Repetition.withGopherFilter(docs, textCol)
-      .select(col(idCol).as("id"), col("keep").cast("int").as("g"))
-    val clf = TextStats.classifyQuality(docs, textCol)
-      .select(col(idCol).as("id"), col("keep").cast("int").as("c"))
-    val ent = TextStats.charEntropy(docs, idCol, textCol)
-      .select(col("id"), (col("entropy_r") >= minEntropy).cast("int").as("e"))
-    val v = gop.join(clf, Seq("id")).join(ent, Seq("id"))
+    // same fused single-pass verdict frame as [[qualityAgreement]]
+    // (r15) — the three screens are per-doc, so the former three-scan
+    // + two-join shape carried no information the fused pass lacks
+    val v = withVerdicts(docs, idCol, textCol, minEntropy)
+      .select(col("id"), col("gopher_keep").cast("int").as("g"),
+        col("clf_keep").cast("int").as("c"),
+        col("entropy_keep").cast("int").as("e"))
       .withColumn("nk", col("g") + col("c") + col("e"))
     val agg = v.agg(
       count(lit(1)).as("n"),

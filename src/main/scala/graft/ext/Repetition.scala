@@ -182,9 +182,12 @@ object Repetition {
   val maxTokens = 100000
   val minStopwordRatio = 0.05
 
-  def withGopherFilter(df: DataFrame, textCol: String): DataFrame = {
-    val feats = TextStats.withQualityFeatures(
-      withRepetitionStats(df, textCol), textCol)
+  /** The Gopher reasons expression over an ALREADY-FEATURED frame
+    * ([[withRepetitionStats]] + TextStats.withQualityFeatures columns
+    * present) — shared verbatim by [[withGopherFilter]] and the fused
+    * single-pass agreement/calibration faces (CorpusPipeline,
+    * TextStats.calibrationReport), so they cannot fork. */
+  private[ext] def gopherReasons: Column = {
     val flags: Seq[(String, Column)] = Seq(
       "dup5_chars" -> (col("dup5_char_frac") > maxDup5CharFrac),
       "dup_line_chars" -> (col("dup_line_char_frac") > maxDupLineCharFrac),
@@ -193,11 +196,16 @@ object Repetition {
       "length" -> (col("n_tokens") < minTokens || col("n_tokens") > maxTokens),
       "top2_chars" -> (col("top2_char_frac") > maxTop2CharFrac),
       "top3_chars" -> (col("top3_char_frac") > maxTop3CharFrac))
-    val reasons = array_join(
+    array_join(
       filter(array(flags.map { case (n, c) =>
         when(c, lit(n)).otherwise(lit(null)) }: _*), x => x.isNotNull), ",")
+  }
+
+  def withGopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    val feats = TextStats.withQualityFeatures(
+      withRepetitionStats(df, textCol), textCol)
     feats
-      .withColumn("reasons", reasons)
+      .withColumn("reasons", gopherReasons)
       .withColumn("keep", col("reasons") === "")
   }
 

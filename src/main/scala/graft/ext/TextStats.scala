@@ -140,19 +140,28 @@ object TextStats {
     // (bias, w_stopword_ratio, w_punct_ratio, w_avg_token_len, w_len_ok)
     (-0.45, 1.6, -2.4, 0.09, 0.55)
 
-  def classifyQuality(df: DataFrame, textCol: String): DataFrame = {
-    val (b, wStop, wPunct, wAvg, wLen) = qualityClassifierWeights
-    val feats = withQualityFeatures(df, textCol)
-    val lenOk = when(col("n_tokens") >= 10 && col("n_tokens") <= 100000,
+  /** The classifier's expressions over an ALREADY-FEATURED frame
+    * ([[withQualityFeatures]] columns present) — shared verbatim by
+    * [[classifyQuality]], [[calibrationReport]] and the fused
+    * agreement faces (CorpusPipeline), so the single-pass forms cannot
+    * fork from the joined originals. */
+  private[ext] def classifierLenOk: Column =
+    when(col("n_tokens") >= 10 && col("n_tokens") <= 100000,
       1.0).otherwise(0.0)
+  private[ext] def classifierLogit: Column = {
+    val (b, wStop, wPunct, wAvg, wLen) = qualityClassifierWeights
     // association is load-bearing: ((((b + a) + c) + d) + e) mirrors the
     // oracle's parenthesization, so both engines round identically
-    val score = lit(b) + (lit(wStop) * col("stopword_ratio")) +
+    lit(b) + (lit(wStop) * col("stopword_ratio")) +
       (lit(wPunct) * col("punct_ratio")) +
-      (lit(wAvg) * col("avg_token_len")) + (lit(wLen) * lenOk)
-    feats.withColumn("len_ok", lenOk)
-      .withColumn("quality_logit", score)
-      .withColumn("keep", score > 0.0)
+      (lit(wAvg) * col("avg_token_len")) + (lit(wLen) * classifierLenOk)
+  }
+
+  def classifyQuality(df: DataFrame, textCol: String): DataFrame = {
+    val feats = withQualityFeatures(df, textCol)
+    feats.withColumn("len_ok", classifierLenOk)
+      .withColumn("quality_logit", classifierLogit)
+      .withColumn("keep", classifierLogit > 0.0)
   }
 
   /** Reliability report for the quality classifier against a reference
@@ -173,11 +182,17 @@ object TextStats {
   def calibrationReport(docs: DataFrame, idCol: String, textCol: String,
       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
-    val clf = classifyQuality(docs, textCol)
-      .select(col(idCol).as("id"), col("quality_logit").as("logit"))
-    val lbl = Repetition.withGopherFilter(docs, textCol)
-      .select(col(idCol).as("id"), col("keep").cast("int").as("y"))
-    val j = clf.join(lbl, Seq("id"))
+    // fused single pass (r15): the classifier logit and the Gopher
+    // pseudo-label are both per-doc narrow columns over the same
+    // featured frame — the former two-scan + id-join shape shuffled
+    // the corpus twice for nothing. Expressions are the shared
+    // [[classifierLogit]] / Repetition.gopherReasons columns, so
+    // values are bit-identical to the joined form.
+    val feats = withQualityFeatures(
+      Repetition.withRepetitionStats(docs, textCol), textCol)
+    val j = feats
+      .select(col(idCol).as("id"), classifierLogit.as("logit"),
+        (Repetition.gopherReasons === "").cast("int").as("y"))
       .withColumn("pr",
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 12))
       .withColumn("bin",
@@ -425,30 +440,77 @@ object TextStats {
     * Returns (id, n_alnum_chars, n_distinct_chars, entropy_r); docs
     * with no alphanumeric content report zeros. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    withCharEntropy(df.select(col(idCol).as("id"), col(textCol)), textCol)
+      .select(col("id"), col("n_alnum_chars"), col("n_distinct_chars"),
+        col("entropy_r"))
+
+  /** The per-doc char-entropy statistics as STAGED NARROW columns — no
+    * explode, no shuffle, no joins (r15 rewrite; the pre-r15 form
+    * exploded one row per character, shuffled (id, ch) counts, and
+    * joined the stats back on the id — three exchanges for a per-row
+    * statistic). Per doc: the normalized alphabet is <= 36 symbols
+    * ([a-z0-9] after space removal), so counting each distinct char
+    * with a higher-order filter is O(36 * len) inside one codegen'd
+    * projection. Values are BIT-IDENTICAL to the aggregated form: the
+    * same round(-p*ln p, 12) terms enter an exact decimal fold (a
+    * decimal sum is order-free), then the same cast + round@6. Adds
+    * (n_alnum_chars, n_distinct_chars, entropy_r); empty/null text
+    * yields (0, 0, 0.0) exactly as the old left-join + fill did.
+    * Intermediates are staged columns (the repo-wide HOF discipline:
+    * inlining the char array into the per-distinct-char count lambda
+    * would re-derive it per element). */
+  private[graft] def withCharEntropy(df: DataFrame, textCol: String)
       : DataFrame = {
-    val ids = df.select(col(idCol).as("id"))
-    val s = regexp_replace(normalized(coalesce(col(textCol), lit(""))),
-      " ", "")
-    val chars = df.select(col(idCol).as("id"), s.as("s"))
-      .filter(length(col("s")) > 0)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), length(col("s")) - 1),
-        i => col("s").substr(i + 1, lit(1)))).as("ch"))
-    val counts = chars.groupBy(col("id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
-    val p = col("c").cast("double") / col("n").cast("double")
-    val stats = counts.join(totals, Seq("id"))
-      .withColumn("term", round(-p * log(p), 12))
-      .groupBy(col("id"))
-      .agg(max(col("n")).as("n_alnum_chars"),
-        max(col("n_distinct")).as("n_distinct_chars"),
-        round(sum(col("term").cast("decimal(28,14)")).cast("double"), 6)
-          .as("entropy_r"))
-    ids.join(stats, Seq("id"), "left")
-      .na.fill(0L, Seq("n_alnum_chars", "n_distinct_chars"))
-      .na.fill(0.0, Seq("entropy_r"))
+    val staged = df
+      .withColumn("__ces",
+        regexp_replace(normalized(coalesce(col(textCol), lit(""))), " ", ""))
+      .withColumn("__cec",
+        when(length(col("__ces")) > 0,
+          transform(sequence(lit(0), length(col("__ces")) - 1),
+            i => col("__ces").substr(i + 1, lit(1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("__ced", array_distinct(col("__cec")))
+    val nD = size(col("__cec")).cast("double")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 14)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 14)
+    // one term per RUN of the sorted char array (= per distinct char):
+    // the module's run-length fold idiom — O(len) lambda steps per doc
+    // with one decimal op per distinct char, not a per-distinct-char
+    // re-filter of the whole array. The decimal fold is EXACT for
+    // these values: terms are rounded at scale 12, so the
+    // capped-precision (38,13) intermediate of the add never discards
+    // a digit, and the cast back to the (38,14) accumulator type
+    // (aggregate requires the merge to return the zero's exact type)
+    // is widening-only.
+    def term(run: Column): Column = {
+      val p = run.cast("double") / nD
+      round(-p * log(p), 12).cast(dec28)
+    }
+    def flush(acc: Column, run: Column): Column =
+      (acc + term(run)).cast(dec38)
+    val entropy = round(
+      aggregate(array_sort(col("__cec")),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(java.math.BigDecimal.ZERO).cast(dec38).as("acc")),
+        (st, c) => {
+          val same = c === st.getField("prev")
+          struct(c.as("prev"),
+            when(same, st.getField("run") + 1).otherwise(lit(1L)).as("run"),
+            when(same, st.getField("acc"))
+              .otherwise(when(st.getField("run") > 0,
+                flush(st.getField("acc"), st.getField("run")))
+                .otherwise(st.getField("acc"))).as("acc"))
+        },
+        st => when(st.getField("run") > 0,
+          flush(st.getField("acc"), st.getField("run")))
+          .otherwise(st.getField("acc")))
+        .cast("double"), 6)
+    staged
+      .withColumn("n_alnum_chars", length(col("__ces")).cast("long"))
+      .withColumn("n_distinct_chars", size(col("__ced")).cast("long"))
+      .withColumn("entropy_r", entropy)
+      .drop("__ces", "__cec", "__ced")
   }
 
   /** Jensen-Shannon divergence of each corpus SLICE's token
