@@ -80,12 +80,26 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
     // one-time: fold out-degree into the src-partitioned edge frame; every
-    // iteration equi-joins this single frame on src and reuses its layout
+    // iteration equi-joins this single frame on src and reuses its layout.
+    // The repartition is EXPLICIT (session shuffle-partition count, so the
+    // degree of parallelism stays conf-driven): without it, AQE coalesces
+    // the small deg-join exchange to ~1 partition before the checkpoint
+    // freezes the layout, and every iteration's map-side work — the
+    // per-edge divide + double->decimal cast + partial decimal sums, the
+    // dominant per-round CPU — then runs single-threaded (r15 probe:
+    // 1.1-1.8s/iter single-partition vs ~0.1s at 32; the r6 note that an
+    // explicit repartition "costs one extra shuffle" predates AQE
+    // coalescing freezing 1-partition layouts into checkpoints).
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // the deg join's own exchange already leaves eDeg hash-partitioned on
-    // src; checkpointing freezes that layout for every iteration (an
-    // explicit repartition here measured as one extra full shuffle)
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eDeg = e.join(deg, "src")
+      .repartition(parts, col("src"))
+      // freeze the SORT too: localCheckpoint preserves outputOrdering,
+      // so the per-iteration sort-merge join against the (stats-less,
+      // hence never-broadcast) rank frame re-sorts only the O(V) rank
+      // side, not the O(E) edge frame — the r15 probe measured the
+      // per-round eDeg re-sort at ~2s of the ~2.5s iteration
+      .sortWithinPartitions("src")
       .localCheckpoint()
     // mirror the oracle's arithmetic shape exactly: base and damping are
     // applied as (1.0 - damping)/n + damping * sum — same op order
@@ -158,8 +172,14 @@ object Graph {
     require(nS > 0,
       "personalizedPageRank: no seed appears in the graph — teleport " +
         "distribution is undefined")
+    // explicit src repartition before the checkpoint: see [[pageRank]]
+    // (AQE otherwise freezes a ~1-partition layout and the per-round
+    // map-side decimal work serializes)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val eDeg = e.join(deg, "src")
+      .repartition(parts, col("src"))
+      .sortWithinPartitions("src") // see pageRank: frozen ordering
       .localCheckpoint()
     val base = (1.0 - damping) / nS
     // SPARSE rank frame: only nodes the walk has touched carry rows
